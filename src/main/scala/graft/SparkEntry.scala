@@ -11,11 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++ graft.queries.Cdc.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * CDC source scan → latest-image compaction → join → aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    allDefs.head.fn(spark, "/root/testdata/sf0.001")
+    graft.queries.Cdc.defs.find(_.name == "cdc07_current_join_agg").get
+      .fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,377 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Self-contained CDC log codec with binlog semantics (SURVEY.md §7.0).
+  *
+  * Event stream model mirrors the reference's event loop
+  * (/root/reference/binlog_table_reader.cc:163-432): TABLE_MAP declares a
+  * table's schema under a numeric table id, GTID stamps the enclosing
+  * transaction, WRITE/UPDATE/DELETE ROWS events carry row images with a
+  * null bitmap per row. Deliberate corrections over the reference
+  * (SURVEY.md §2.A "defects"):
+  *  - every row of a multi-row event is decoded (ref decodes only the
+  *    first: binlog_table_reader.cc:243, 310, 388);
+  *  - TABLE_MAP state is tracked per table id in a map, so interleaved
+  *    tables can't mismatch schema and id (ref's missing-braces bug at
+  *    binlog_table_reader.cc:402-406).
+  *
+  * Log file layout: magic "GCDC" + version, then a sequence of
+  * self-delimiting events: [type:u8][timestampMs:i64][len:i32][payload].
+  * The index file lists log file paths, one per line, exactly like the
+  * reference's binlog index (binlog_table_reader.cc:12-19).
+  */
+object CdcCodec {
+  val Magic: Int = 0x47434443 // "GCDC"
+  val Version: Int = 1
+  val HeaderLen: Int = 8
+
+  object EventType {
+    val TableMap = 1: Byte
+    val Gtid = 2: Byte
+    val WriteRows = 3: Byte
+    val UpdateRows = 4: Byte
+    val DeleteRows = 5: Byte
+    val Rotate = 6: Byte
+  }
+
+  final case class TableMap(tableId: Long, db: String, table: String, schema: StructType)
+
+  /** One decoded change-row in Catalyst-internal value representation
+    * (UTF8String / micros-long / Decimal / …), envelope included. */
+  final case class CdcRow(op: Int, gtid: Long, tmMicros: Long, values: Array[Any])
+
+  // ---------------------------------------------------------------- writer
+
+  /** Fixture/test encoder (the reference never writes — mysqld does; our
+    * writer replaces that producer for tests, per SURVEY.md §5.2). */
+  final class LogWriter(path: String) extends AutoCloseable {
+    private val out = new DataOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    out.writeInt(Magic); out.writeInt(Version)
+
+    private def event(tpe: Byte, tsMs: Long)(body: DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(buf)
+      body(d); d.flush()
+      out.writeByte(tpe); out.writeLong(tsMs); out.writeInt(buf.size())
+      buf.writeTo(out)
+    }
+
+    def tableMap(tsMs: Long, tableId: Long, db: String, table: String, schema: StructType): Unit =
+      event(EventType.TableMap, tsMs) { d =>
+        d.writeLong(tableId); writeStr(d, db); writeStr(d, table)
+        d.writeInt(schema.length)
+        schema.fields.foreach { f =>
+          writeStr(d, f.name)
+          d.writeByte(CdcSchema.Tag.of(f.dataType))
+          f.dataType match {
+            case dt: DecimalType => d.writeByte(dt.precision); d.writeByte(dt.scale)
+            case _ => d.writeByte(0); d.writeByte(0)
+          }
+        }
+      }
+
+    def gtid(tsMs: Long, gno: Long): Unit =
+      event(EventType.Gtid, tsMs)(_.writeLong(gno))
+
+    def writeRows(tsMs: Long, tableId: Long, schema: StructType, rows: Seq[Array[Any]]): Unit =
+      rowsEvent(EventType.WriteRows, tsMs, tableId, schema, rows)
+
+    def deleteRows(tsMs: Long, tableId: Long, schema: StructType, rows: Seq[Array[Any]]): Unit =
+      rowsEvent(EventType.DeleteRows, tsMs, tableId, schema, rows)
+
+    /** Update event: interleaved before/after images, the reference's
+      * layout intent (binlog_table_reader.cc:321-323). */
+    def updateRows(tsMs: Long, tableId: Long, schema: StructType,
+        pairs: Seq[(Array[Any], Array[Any])]): Unit =
+      event(EventType.UpdateRows, tsMs) { d =>
+        d.writeLong(tableId); d.writeInt(pairs.length)
+        pairs.foreach { case (before, after) =>
+          writeRow(d, schema, before); writeRow(d, schema, after)
+        }
+      }
+
+    def rotate(tsMs: Long, nextFile: String): Unit =
+      event(EventType.Rotate, tsMs)(writeStr(_, nextFile))
+
+    private def rowsEvent(tpe: Byte, tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      event(tpe, tsMs) { d =>
+        d.writeLong(tableId); d.writeInt(rows.length)
+        rows.foreach(writeRow(d, schema, _))
+      }
+
+    private def writeStr(d: DataOutputStream, s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      d.writeInt(b.length); d.write(b)
+    }
+
+    /** Row = null bitmap (packed, like Bit_reader at
+      * binlog_table_reader.cc:191) then non-null values in column order. */
+    private def writeRow(d: DataOutputStream, schema: StructType, vals: Array[Any]): Unit = {
+      require(vals.length == schema.length, s"row arity ${vals.length} != ${schema.length}")
+      val nullBits = new Array[Byte]((schema.length + 7) / 8)
+      var i = 0
+      while (i < vals.length) {
+        if (vals(i) == null) nullBits(i / 8) = (nullBits(i / 8) | (1 << (i % 8))).toByte
+        i += 1
+      }
+      d.write(nullBits)
+      i = 0
+      while (i < vals.length) {
+        if (vals(i) != null) writeValue(d, schema(i).dataType, vals(i))
+        i += 1
+      }
+    }
+
+    private def writeValue(d: DataOutputStream, dt: DataType, v: Any): Unit = dt match {
+      case LongType => d.writeLong(v.asInstanceOf[Long])
+      case IntegerType => d.writeInt(v.asInstanceOf[Int])
+      case DoubleType => d.writeDouble(v.asInstanceOf[Double])
+      case StringType =>
+        val b = v match {
+          case u: UTF8String => u.getBytes
+          case s: String => s.getBytes(StandardCharsets.UTF_8)
+        }
+        d.writeInt(b.length); d.write(b)
+      case TimestampType | TimestampNTZType => d.writeLong(v.asInstanceOf[Long]) // micros
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]; d.writeInt(b.length); d.write(b)
+      case DateType => d.writeInt(v.asInstanceOf[Int])
+      case FloatType => d.writeFloat(v.asInstanceOf[Float])
+      case ShortType => d.writeShort(v.asInstanceOf[Short])
+      case ByteType => d.writeByte(v.asInstanceOf[Byte])
+      case BooleanType => d.writeBoolean(v.asInstanceOf[Boolean])
+      case _: DecimalType =>
+        val dec = v.asInstanceOf[Decimal].toJavaBigDecimal
+        d.writeInt(dec.scale())
+        val b = dec.unscaledValue().toByteArray
+        d.writeInt(b.length); d.write(b)
+      case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+    }
+
+    def close(): Unit = out.close()
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  /** Raw event view: header fields + payload bytes. `pos` is the byte
+    * offset of the event header — the streaming offset unit (§2.C). */
+  final case class RawEvent(tpe: Byte, tsMs: Long, payload: Array[Byte], pos: Long, endPos: Long)
+
+  /** Sequential raw-event reader over one log file. */
+  final class EventReader(path: String) extends AutoCloseable with Iterator[RawEvent] {
+    private val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    require(in.readInt() == Magic, s"$path: bad magic")
+    require(in.readInt() == Version, s"$path: bad version")
+    private var pos: Long = HeaderLen
+    private var nextEvent: RawEvent = _
+    private var done = false
+
+    private def advance(): Unit = {
+      try {
+        val tpe = in.readByte()
+        val tsMs = in.readLong()
+        val len = in.readInt()
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        val start = pos
+        pos += 1 + 8 + 4 + len
+        nextEvent = RawEvent(tpe, tsMs, payload, start, pos)
+      } catch { case _: EOFException => done = true; nextEvent = null }
+    }
+
+    def hasNext: Boolean = { if (nextEvent == null && !done) advance(); nextEvent != null }
+    def next(): RawEvent = { if (!hasNext) throw new NoSuchElementException; val e = nextEvent; nextEvent = null; e }
+    def close(): Unit = in.close()
+  }
+
+  /** Index file → ordered log file list (reference:
+    * binlog_table_reader.cc:12-19; tolerates trailing newline). Relative
+    * entries resolve against the index file's directory. */
+  def readIndex(indexFile: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(indexFile).toAbsolutePath.getParent
+    val src = scala.io.Source.fromFile(indexFile)
+    try src.getLines().map(_.trim).filter(_.nonEmpty)
+      .map(l => dir.resolve(l).toString).toList
+    finally src.close()
+  }
+
+  // ------------------------------------------------------------- row decode
+
+  /** Stateful decoder: feed raw events in log order, get CDC rows for the
+    * target (db, table). State = per-table-id TABLE_MAP schemas + the
+    * current transaction GTID (binlog_table_reader.cc:393-416).
+    *
+    * @param needed column-pruning mask over source column indices: when
+    *               `needed(i)` is false the value bytes are skipped, not
+    *               materialized (Spark's SupportsPushDownRequiredColumns
+    *               reaching into the decoder, SURVEY.md §4.3).
+    */
+  final class RowDecoder(targetDb: String, targetTable: String,
+      needed: Int => Boolean = _ => true) {
+    private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
+    private var currentGtid: Long = 0L
+
+    def decode(ev: RawEvent): Seq[CdcRow] = {
+      val d = new DataInputStream(new java.io.ByteArrayInputStream(ev.payload))
+      ev.tpe match {
+        case EventType.TableMap =>
+          val tableId = d.readLong()
+          val db = readStr(d); val table = readStr(d)
+          val n = d.readInt()
+          val fields = (0 until n).map { _ =>
+            val name = readStr(d)
+            val tag = d.readByte(); val p = d.readByte(); val s = d.readByte()
+            StructField(name, CdcSchema.Tag.toDataType(tag, p, s))
+          }
+          // Fix of reference defect #2: id and schema recorded atomically,
+          // keyed by id, only consulted when the id maps to the target.
+          tableMaps(tableId) = TableMap(tableId, db, table, StructType(fields))
+          Nil
+        case EventType.Gtid =>
+          currentGtid = d.readLong(); Nil
+        case EventType.WriteRows =>
+          rowsFor(d, ev) { (schema, tm) =>
+            readRows(d, schema).map(envelope(_, CdcSchema.Op.Insert, tm))
+          }
+        case EventType.DeleteRows =>
+          rowsFor(d, ev) { (schema, tm) =>
+            readRows(d, schema).map(envelope(_, CdcSchema.Op.Delete, tm))
+          }
+        case EventType.UpdateRows =>
+          rowsFor(d, ev) { (schema, tm) =>
+            val n = d.readInt()
+            (0 until n).flatMap { _ =>
+              // the 1→2 flatMap (§1.5): before image then after image —
+              // emitted atomically so a micro-batch can never split them
+              // (unlike the reference's cross-call stash at
+              // binlog_table_reader.cc:385-388).
+              val before = readRow(d, schema)
+              val after = readRow(d, schema)
+              Seq(envelope(before, CdcSchema.Op.UpdateBefore, tm),
+                envelope(after, CdcSchema.Op.UpdateAfter, tm))
+            }
+          }
+        case _ => Nil // Rotate + unknown: skipped like the ref's default branch
+      }
+    }
+
+    /** Source-side table-identity predicate (binlog_table_reader.cc:178). */
+    private def rowsFor(d: DataInputStream, ev: RawEvent)(
+        f: (StructType, Long) => Seq[CdcRow]): Seq[CdcRow] = {
+      val tableId = d.readLong()
+      tableMaps.get(tableId) match {
+        case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+          f(tm.schema, DateTimeUtils.millisToMicros(ev.tsMs))
+        case _ => Nil
+      }
+    }
+
+    private def readRows(d: DataInputStream, schema: StructType): Seq[Array[Any]] = {
+      val n = d.readInt()
+      (0 until n).map(_ => readRow(d, schema))
+    }
+
+    private def readRow(d: DataInputStream, schema: StructType): Array[Any] = {
+      val n = schema.length
+      val nullBits = new Array[Byte]((n + 7) / 8)
+      d.readFully(nullBits)
+      val vals = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val isNull = (nullBits(i / 8) & (1 << (i % 8))) != 0
+        if (!isNull) {
+          if (needed(i)) vals(i) = readValue(d, schema(i).dataType)
+          else skipValue(d, schema(i).dataType)
+        }
+        i += 1
+      }
+      vals
+    }
+
+    private def skipValue(d: DataInputStream, dt: DataType): Unit = dt match {
+      case LongType | DoubleType | TimestampType | TimestampNTZType => d.skipBytes(8)
+      case IntegerType | DateType | FloatType => d.skipBytes(4)
+      case ShortType => d.skipBytes(2)
+      case ByteType | BooleanType => d.skipBytes(1)
+      case StringType | BinaryType => d.skipBytes(d.readInt())
+      case _: DecimalType => d.skipBytes(4); d.skipBytes(d.readInt())
+      case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+    }
+
+    private def readValue(d: DataInputStream, dt: DataType): Any = dt match {
+      case LongType => d.readLong()
+      case IntegerType => d.readInt()
+      case DoubleType => d.readDouble()
+      case StringType =>
+        val b = new Array[Byte](d.readInt()); d.readFully(b); UTF8String.fromBytes(b)
+      case TimestampType | TimestampNTZType => d.readLong()
+      case BinaryType =>
+        val b = new Array[Byte](d.readInt()); d.readFully(b); b
+      case DateType => d.readInt()
+      case FloatType => d.readFloat()
+      case ShortType => d.readShort()
+      case ByteType => d.readByte()
+      case BooleanType => d.readBoolean()
+      case dec: DecimalType =>
+        val scale = d.readInt()
+        val b = new Array[Byte](d.readInt()); d.readFully(b)
+        Decimal(new java.math.BigDecimal(new java.math.BigInteger(b), scale),
+          dec.precision, dec.scale)
+      case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+    }
+
+    private def envelope(vals: Array[Any], op: Int, tmMicros: Long): CdcRow =
+      CdcRow(op, currentGtid, tmMicros, vals)
+
+    private def readStr(d: DataInputStream): String = {
+      val b = new Array[Byte](d.readInt()); d.readFully(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Parse a TABLE_MAP payload into (db, table, schema). */
+  def parseTableMap(payload: Array[Byte]): (String, String, StructType) = {
+    val d = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+    d.readLong() // tableId
+    def str(): String = {
+      val b = new Array[Byte](d.readInt()); d.readFully(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    val db = str(); val table = str()
+    val n = d.readInt()
+    val fields = (0 until n).map { _ =>
+      val name = str()
+      val tag = d.readByte(); val p = d.readByte(); val s = d.readByte()
+      StructField(name, CdcSchema.Tag.toDataType(tag, p, s))
+    }
+    (db, table, StructType(fields))
+  }
+
+  /** Resolve the target table's schema by scanning for its first matching
+    * TABLE_MAP (used for DataSourceV2 schema inference). */
+  def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
+    readIndex(indexFile).iterator.flatMap { f =>
+      val r = new EventReader(f)
+      try {
+        var res: Option[StructType] = None
+        while (res.isEmpty && r.hasNext) {
+          val ev = r.next()
+          if (ev.tpe == EventType.TableMap) {
+            val (evDb, evTable, schema) = parseTableMap(ev.payload)
+            if (evDb == db && evTable == table) res = Some(schema)
+          }
+        }
+        res
+      } finally r.close()
+    }.nextOption()
+  }
+}

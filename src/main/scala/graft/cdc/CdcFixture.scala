@@ -1,0 +1,134 @@
+package graft.cdc
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+
+/** Deterministic CDC log derived from the driver's `orders` table, so the
+  * custom source itself is DuckDB-verifiable: the exact event stream is
+  * reconstructable in ANSI SQL over orders.parquet (see queries/Cdc.scala).
+  *
+  * Event storyline (all indices over orders sorted by o_orderkey,
+  * idx = ROW_NUMBER()-1):
+  *  - inserts: batches of 10 consecutive orders per transaction
+  *    (multi-row WRITE_ROWS — regression surface for reference defect #1),
+  *    gno = idx / 10;
+  *  - updates: every order with o_orderkey % 10 == 0 gets
+  *    o_totalprice *= 1.1 (gno = 1_000_000 + idx);
+  *  - deletes: every order with o_orderkey % 100 == 0 is deleted
+  *    (gno = 2_000_000 + idx; row image carries the updated price, since
+  *    %100==0 implies %10==0);
+  *  - event time = 2024-01-01T00:00:00Z + gno seconds;
+  *  - a second interleaved table (graft.audit) exercises the
+  *    table-identity filter (binlog_table_reader.cc:178) and the
+  *    interleaved-TABLE_MAP regression (reference defect #2);
+  *  - the log rotates across 4 files (index file lists them), each file
+  *    self-contained (TABLE_MAP re-emitted, txns never span files).
+  */
+object CdcFixture {
+  val Db = "graft"
+  val Table = "orders"
+  val BaseMs: Long = 1704067200000L // 2024-01-01T00:00:00Z
+  val TableId = 1L
+  val AuditTableId = 2L
+  val NumFiles = 4
+
+  private val cache = mutable.Map.empty[String, String]
+
+  /** Idempotently generate the CDC log for sfDir; returns index file path. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(sfDir, {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-$tag")
+      val index = dir.resolve("binlog.index")
+      val done = dir.resolve("_SUCCESS")
+      if (!Files.exists(done)) {
+        Files.createDirectories(dir)
+        generate(spark, sfDir, dir.toString)
+        Files.createFile(done)
+      }
+      index.toString
+    })
+  }
+
+  private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val keyIdx = schema.fieldIndex("o_orderkey")
+    val priceIdx = schema.fieldIndex("o_totalprice")
+
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map { i =>
+        schema.fields(i).dataType match {
+          case TimestampType =>
+            DateTimeUtils.fromJavaTimestamp(r.getAs[java.sql.Timestamp](i))
+          case TimestampNTZType =>
+            DateTimeUtils.localDateTimeToMicros(r.getAs[java.time.LocalDateTime](i))
+          case _ => r.get(i)
+        }
+      }.toArray[Any])
+      .sortBy(_(keyIdx).asInstanceOf[Long])
+
+    val auditSchema = StructType(Seq(
+      StructField("audit_id", LongType), StructField("note", StringType)))
+
+    // one transaction = (gno, writer actions)
+    sealed trait Txn { def gno: Long }
+    final case class Ins(gno: Long, batch: Seq[Array[Any]]) extends Txn
+    final case class Upd(gno: Long, before: Array[Any], after: Array[Any]) extends Txn
+    final case class Del(gno: Long, row: Array[Any]) extends Txn
+    final case class Audit(gno: Long, row: Array[Any]) extends Txn
+
+    val txns = mutable.ArrayBuffer.empty[Txn]
+    rows.grouped(10).zipWithIndex.foreach { case (batch, b) =>
+      txns += Ins(b.toLong, batch.toSeq)
+      // interleave an unrelated table's txn every 40 batches
+      if (b % 40 == 0)
+        txns += Audit(500000L + b, Array[Any](b.toLong, s"audit-$b"))
+    }
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      if (r(keyIdx).asInstanceOf[Long] % 10 == 0) {
+        val after = r.clone()
+        after(priceIdx) = r(priceIdx).asInstanceOf[Double] * 1.1
+        txns += Upd(1000000L + idx, r, after)
+      }
+    }
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      if (r(keyIdx).asInstanceOf[Long] % 100 == 0) {
+        val img = r.clone()
+        img(priceIdx) = r(priceIdx).asInstanceOf[Double] * 1.1
+        txns += Del(2000000L + idx, img)
+      }
+    }
+
+    // event time = base + gno seconds: trivially SQL-reconstructable
+    def ts(gno: Long): Long = BaseMs + gno * 1000L
+
+    val perFile = (txns.length + NumFiles - 1) / NumFiles
+    val files = txns.grouped(perFile).zipWithIndex.map { case (chunk, i) =>
+      val name = f"binlog.$i%06d"
+      val w = new CdcCodec.LogWriter(s"$outDir/$name")
+      try {
+        val t0 = ts(chunk.head.gno)
+        w.tableMap(t0, TableId, Db, Table, schema)
+        w.tableMap(t0, AuditTableId, Db, "audit", auditSchema)
+        chunk.foreach { txn =>
+          val t = ts(txn.gno)
+          w.gtid(t, txn.gno)
+          txn match {
+            case Ins(_, batch) => w.writeRows(t, TableId, schema, batch)
+            case Upd(_, b, a) => w.updateRows(t, TableId, schema, Seq((b, a)))
+            case Del(_, r) => w.deleteRows(t, TableId, schema, Seq(r))
+            case Audit(_, r) => w.writeRows(t, AuditTableId, auditSchema, Seq(r))
+          }
+        }
+      } finally w.close()
+      name
+    }.toList
+    Files.writeString(Paths.get(outDir, "binlog.index"), files.mkString("", "\n", "\n"))
+  }
+}

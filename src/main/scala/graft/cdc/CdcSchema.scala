@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Schema model for the CDC log (SURVEY.md §1).
+  *
+  * The reference exposes the MySQL binlog as a CDC table whose schema is
+  * the source table's columns plus three engine-synthesized metadata
+  * columns (`__op`, `__gtid`, `__tm`) recognized by name
+  * (/root/reference/binlog_table_reader.cc:126-141 and §1.5). We keep the
+  * same names and op codes so queries written against the reference's
+  * convention port verbatim.
+  */
+object CdcSchema {
+
+  /** Operation codes, exactly the reference's
+    * (binlog_table_reader.cc:277-280, 211-215, 351-354, 126-130). */
+  object Op {
+    val Delete = 0
+    val Insert = 1
+    val UpdateBefore = 2
+    val UpdateAfter = 3
+  }
+
+  val OpCol = "__op"
+  val GtidCol = "__gtid"
+  val TmCol = "__tm"
+
+  val envelope: Seq[StructField] = Seq(
+    StructField(OpCol, IntegerType, nullable = false),
+    StructField(GtidCol, LongType, nullable = false),
+    StructField(TmCol, TimestampNTZType, nullable = false))
+
+  /** CDC table schema = source columns (binlog column order) + envelope. */
+  def withEnvelope(source: StructType): StructType =
+    StructType(source.fields ++ envelope)
+
+  /** Wire type tags for the self-contained log format (§7.0: no MySQL
+    * binlog library exists offline; semantics, not bytes, are the
+    * contract). Tags cover the §1.4 type table. */
+  object Tag {
+    val LONG = 1: Byte
+    val INT = 2: Byte
+    val DOUBLE = 3: Byte
+    val STRING = 4: Byte
+    val TIMESTAMP = 5: Byte // micros since epoch (instant)
+    val BINARY = 6: Byte
+    val DATE = 7: Byte // days since epoch
+    val FLOAT = 8: Byte
+    val SHORT = 9: Byte
+    val BYTE = 10: Byte
+    val BOOLEAN = 11: Byte
+    val DECIMAL = 12: Byte // unscaled bigint bytes; (p,s) in TABLE_MAP
+    val TIMESTAMP_NTZ = 13: Byte // micros, no timezone (MySQL DATETIME)
+
+    def of(dt: DataType): Byte = dt match {
+      case LongType => LONG
+      case IntegerType => INT
+      case DoubleType => DOUBLE
+      case StringType => STRING
+      case TimestampType => TIMESTAMP
+      case TimestampNTZType => TIMESTAMP_NTZ
+      case BinaryType => BINARY
+      case DateType => DATE
+      case FloatType => FLOAT
+      case ShortType => SHORT
+      case ByteType => BYTE
+      case BooleanType => BOOLEAN
+      case _: DecimalType => DECIMAL
+      case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+    }
+
+    def toDataType(tag: Byte, precision: Int, scale: Int): DataType = tag match {
+      case LONG => LongType
+      case INT => IntegerType
+      case DOUBLE => DoubleType
+      case STRING => StringType
+      case TIMESTAMP => TimestampType
+      case TIMESTAMP_NTZ => TimestampNTZType
+      case BINARY => BinaryType
+      case DATE => DateType
+      case FLOAT => FloatType
+      case SHORT => ShortType
+      case BYTE => ByteType
+      case BOOLEAN => BooleanType
+      case DECIMAL => DecimalType(precision, scale)
+      case other => throw new IllegalArgumentException(s"unknown CDC type tag: $other")
+    }
+  }
+}

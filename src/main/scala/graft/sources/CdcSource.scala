@@ -1,0 +1,361 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.cdc.{CdcCodec, CdcSchema}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark DataSourceV2 CDC source — the Tier-A surface of SURVEY.md §2.A,
+  * re-expressed on Spark's connector API.
+  *
+  * The reference is a MySQL storage engine whose scan path is a
+  * single-threaded Volcano pull over binlog files
+  * (/root/reference/binlogdb.cc:477-551). Here the same capability is a
+  * `TableProvider` (short name `binlogcdc`): one `InputPartition` per log
+  * file (parallelism the reference lacks), honest filter pushdown on the
+  * envelope columns (anti-lesson of the reference's index trap,
+  * binlogdb.cc:396-461), column pruning that reaches the byte decoder, and
+  * the same decoder behind a `MicroBatchStream` for Structured Streaming.
+  *
+  * Options: `indexFile` (the binlog index, reference's CONNECTION string,
+  * binlogdb.cc:481), `database`, `table` (instead of the `_cdc`
+  * name-mangling convention, binlogdb.cc:489-501).
+  *
+  * Scale posture: log files are the unit of parallelism (a production
+  * deployment rotates files at 64-256 MiB, so a 100 TB log is ~1M
+  * partitions — Spark's scheduler handles that; per-file readers stream
+  * bytes, state is O(#tables), nothing is buffered beyond one event).
+  * Files must be self-contained (TABLE_MAP re-emitted per file,
+  * transactions never span files) — both true of real mysqld binlogs.
+  */
+class CdcTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "binlogcdc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
+    val src = CdcCodec.inferSourceSchema(idx, db, tbl).getOrElse {
+      throw new IllegalArgumentException(
+        s"no TABLE_MAP for $db.$tbl found in CDC log $idx")
+    }
+    CdcSchema.withEnvelope(src)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcTable(schema, properties)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object CdcTableProvider {
+  def requiredOptions(options: CaseInsensitiveStringMap): (String, String, String) = {
+    def req(k: String): String = {
+      val v = options.get(k)
+      require(v != null && v.nonEmpty, s"binlogcdc: option '$k' is required")
+      v
+    }
+    (req("indexFile"), req("database"), req("table"))
+  }
+}
+
+class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = {
+    val o = new CaseInsensitiveStringMap(properties)
+    s"binlogcdc:${o.get("database")}.${o.get("table")}"
+  }
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
+    new CdcScanBuilder(idx, db, tbl, tableSchema)
+  }
+}
+
+/** Honest pushdown: only filters fully evaluable on the envelope columns
+  * are accepted; everything else is returned to Spark (contrast with the
+  * reference advertising indexes it cannot serve, SURVEY.md §3.2). */
+class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, theirs) = filters.partition(EnvelopePredicate.supports)
+    pushed = ours
+    theirs // Spark re-evaluates these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new CdcScan(indexFile, db, table, full, required, pushed)
+}
+
+class CdcScan(indexFile: String, db: String, table: String,
+    full: StructType, required: StructType, filters: Array[Filter])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(indexFile, db, table, full, required, filters)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    CdcCodec.readIndex(indexFile).map { f =>
+      CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdcReaderFactory(db, table, full, required, filters)
+
+  /** Reference's cost hooks (binlogdb.h:178-187) map to Catalyst stats:
+    * sizeInBytes = Σ log-file sizes feeds broadcast decisions. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = CdcCodec.readIndex(indexFile)
+      .map(f => new java.io.File(f).length()).sum
+    override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+    override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+  }
+
+  override def description(): String = s"binlogcdc $db.$table [$indexFile]"
+}
+
+/** Byte range [startPos, endPos) of one log file at event boundaries.
+  * Control events (TABLE_MAP/GTID) before startPos are replayed for state
+  * but emit no rows — so a range never splits an update pair and never
+  * misses schema/txn state (SURVEY.md §7.3.1-2). */
+final case class CdcInputPartition(path: String, startPos: Long, endPos: Long)
+    extends InputPartition
+
+final case class CdcReaderFactory(db: String, table: String,
+    full: StructType, required: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition],
+      db, table, full, required, filters)
+}
+
+class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
+    full: StructType, required: StructType, filters: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val sourceWidth = full.length - CdcSchema.envelope.length
+  // projection map: required field -> source column index, or negative
+  // envelope codes (-1 __op, -2 __gtid, -3 __tm)
+  private val proj: Array[Int] = required.fields.map { f =>
+    f.name match {
+      case CdcSchema.OpCol => -1
+      case CdcSchema.GtidCol => -2
+      case CdcSchema.TmCol => -3
+      case n =>
+        val i = full.fieldIndex(n)
+        require(i < sourceWidth, s"unexpected column $n")
+        i
+    }
+  }
+  private val neededMask: Array[Boolean] = {
+    val m = new Array[Boolean](sourceWidth)
+    proj.foreach(i => if (i >= 0) m(i) = true)
+    m
+  }
+  private val predicate = EnvelopePredicate.compile(filters)
+  private val events = new CdcCodec.EventReader(part.path)
+  private val decoder = new CdcCodec.RowDecoder(db, table, i => neededMask(i))
+  private var queue: Iterator[CdcCodec.CdcRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      while (queue.hasNext) {
+        val r = queue.next()
+        if (predicate(r.op, r.gtid, r.tmMicros)) {
+          current = project(r)
+          return true
+        }
+      }
+      var refilled = false
+      while (!refilled && events.hasNext) {
+        val ev = events.next()
+        if (ev.pos >= part.endPos) return false
+        val isRowEvent = ev.tpe == CdcCodec.EventType.WriteRows ||
+          ev.tpe == CdcCodec.EventType.UpdateRows ||
+          ev.tpe == CdcCodec.EventType.DeleteRows
+        if (isRowEvent) {
+          if (ev.pos >= part.startPos) {
+            val rows = decoder.decode(ev)
+            if (rows.nonEmpty) { queue = rows.iterator; refilled = true }
+          } // out-of-range row events: skip entirely (no decode cost)
+        } else {
+          decoder.decode(ev) // control event: state only
+        }
+      }
+      if (!refilled) return false
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+
+  private def project(r: CdcCodec.CdcRow): InternalRow = {
+    val out = new Array[Any](proj.length)
+    var i = 0
+    while (i < proj.length) {
+      out(i) = proj(i) match {
+        case -1 => r.op
+        case -2 => r.gtid
+        case -3 => r.tmMicros
+        case j => r.values(j)
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  override def close(): Unit = events.close()
+}
+
+/** Compiles pushed source filters into a predicate over the envelope. */
+object EnvelopePredicate {
+  private val cols = Set(CdcSchema.OpCol, CdcSchema.GtidCol, CdcSchema.TmCol)
+
+  def supports(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case GreaterThan(a, _) => cols(a)
+    case GreaterThanOrEqual(a, _) => cols(a)
+    case LessThan(a, _) => cols(a)
+    case LessThanOrEqual(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case And(l, r) => supports(l) && supports(r)
+    case Or(l, r) => supports(l) && supports(r)
+    case Not(c) => supports(c)
+    case IsNotNull(a) => cols(a) // envelope cols are never null
+    case _ => false
+  }
+
+  private def toMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+    case l: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(l)
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"bad __tm literal: $other")
+  }
+
+  private def num(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(s"bad numeric literal: $other")
+  }
+
+  def compile(filters: Array[Filter]): (Int, Long, Long) => Boolean = {
+    if (filters.isEmpty) return (_, _, _) => true
+    val ps = filters.map(one)
+    (op, gtid, tm) => ps.forall(_(op, gtid, tm))
+  }
+
+  private def one(f: Filter): (Int, Long, Long) => Boolean = f match {
+    case EqualTo(a, v) => cmp(a, v, _ == _)
+    case GreaterThan(a, v) => cmp(a, v, _ > _)
+    case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= _)
+    case LessThan(a, v) => cmp(a, v, _ < _)
+    case LessThanOrEqual(a, v) => cmp(a, v, _ <= _)
+    case In(a, vs) =>
+      val set = a match {
+        case CdcSchema.TmCol => vs.map(toMicros).toSet
+        case _ => vs.map(num).toSet
+      }
+      sel(a) match { case get => (op, g, t) => set.contains(get(op, g, t)) }
+    case And(l, r) =>
+      val (pl, pr) = (one(l), one(r)); (o, g, t) => pl(o, g, t) && pr(o, g, t)
+    case Or(l, r) =>
+      val (pl, pr) = (one(l), one(r)); (o, g, t) => pl(o, g, t) || pr(o, g, t)
+    case Not(c) =>
+      val p = one(c); (o, g, t) => !p(o, g, t)
+    case IsNotNull(_) => (_, _, _) => true
+    case other => throw new IllegalArgumentException(s"unsupported pushed filter: $other")
+  }
+
+  private def sel(a: String): (Int, Long, Long) => Long = a match {
+    case CdcSchema.OpCol => (op, _, _) => op.toLong
+    case CdcSchema.GtidCol => (_, g, _) => g
+    case CdcSchema.TmCol => (_, _, t) => t
+  }
+
+  private def cmp(a: String, v: Any, op: (Long, Long) => Boolean): (Int, Long, Long) => Boolean = {
+    val rhs = a match {
+      case CdcSchema.TmCol => toMicros(v)
+      case _ => num(v)
+    }
+    val get = sel(a)
+    (o, g, t) => op(get(o, g, t), rhs)
+  }
+}
+
+/** Structured Streaming over the same decoder (SURVEY.md §2.C): offset =
+  * (fileIdx, bytePos) at event boundaries — total log order preserved,
+  * update pairs atomic within a batch. */
+class CdcMicroBatchStream(indexFile: String, db: String, table: String,
+    full: StructType, required: StructType, filters: Array[Filter])
+    extends MicroBatchStream {
+
+  private def files: Seq[String] = CdcCodec.readIndex(indexFile)
+
+  override def initialOffset(): Offset = CdcOffset(0, CdcCodec.HeaderLen.toLong)
+
+  override def latestOffset(): Offset = {
+    val fs = files
+    if (fs.isEmpty) initialOffset()
+    else CdcOffset(fs.length - 1, new java.io.File(fs.last).length())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset]
+    val e = end.asInstanceOf[CdcOffset]
+    val fs = files
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    var i = s.fileIdx
+    while (i <= e.fileIdx && i < fs.length) {
+      val startPos = if (i == s.fileIdx) s.pos else CdcCodec.HeaderLen.toLong
+      val endPos = if (i == e.fileIdx) e.pos else new java.io.File(fs(i)).length()
+      if (endPos > startPos) parts += CdcInputPartition(fs(i), startPos, endPos)
+      i += 1
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CdcReaderFactory(db, table, full, required, filters)
+
+  override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class CdcOffset(fileIdx: Int, pos: Long) extends Offset {
+  override def json(): String = s"""{"fileIdx":$fileIdx,"pos":$pos}"""
+}
+
+object CdcOffset {
+  private val Re = """\{"fileIdx":(\d+),"pos":(\d+)\}""".r
+  def fromJson(s: String): CdcOffset = s match {
+    case Re(f, p) => CdcOffset(f.toInt, p.toLong)
+    case _ => throw new IllegalArgumentException(s"bad CdcOffset json: $s")
+  }
+}
