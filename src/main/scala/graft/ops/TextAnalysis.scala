@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder mandate +
+  * SURVEY.md §2.D). All narrow, shuffle-free, codegen-friendly column
+  * transforms — at 100 TB these run map-side at scan speed.
+  *
+  * Determinism: the token/quality formulas use only arithmetic that is
+  * bit-identical between Spark and DuckDB (integer counts, IEEE double
+  * division/multiply/add in fixed order), so they are oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Stopword list shared with the oracle SQL — keep in sync. */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace tokens + a BPE-ish subword split on non-alnum boundaries. */
+  def bpeishTokens(text: Column): Column =
+    split(text, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|[^a-z0-9]+")
+
+  /** Per-document token statistics. */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t))
+      .withColumn("n_uniq_tokens", size(array_distinct(t)))
+      .withColumn("avg_token_len",
+        (col("n_chars").cast("double") - (col("n_tokens") - 1).cast("double"))
+          / col("n_tokens").cast("double"))
+  }
+
+  /** Quality score: unique-token ratio, stopword ratio, length saturation —
+    * combined in a fixed-order linear form (SQL-portable, no libm). */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("double")
+    val uniqRatio = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio = size(array_intersect(t, lit(StopWords.toArray))).cast("double") / nTok
+    val lenScore = least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
+    df.withColumn("uniq_ratio", uniqRatio)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("len_score", lenScore)
+      .withColumn("quality",
+        lit(0.5) * col("uniq_ratio") + lit(0.2) * col("stop_ratio") + lit(0.3) * col("len_score"))
+  }
+
+  /** Language-ID by n-gram/marker-profile heuristic: score each language's
+    * marker list against the token set; highest (score, lang) wins.
+    * A real deployment swaps the profiles for trained n-gram tables — the
+    * plumbing (pure column ops, no shuffle) is the deliverable. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a", "it", "to", "in"),
+    "de" -> Seq("der", "und", "die", "ist", "das", "ein", "zu", "nicht"),
+    "fr" -> Seq("le", "et", "la", "est", "un", "que", "pas", "des"),
+    "es" -> Seq("el", "y", "la", "es", "un", "que", "no", "los"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"))
+
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        (size(array_intersect(t, lit(markers.toArray))).cast("double")
+          / size(t).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    df.withColumn("__best", array_max(scored))
+      .withColumn("pred_lang", col("__best.lang"))
+      .withColumn("lang_score", col("__best.score"))
+      .drop("__best")
+  }
+
+  /** Document fingerprints: 64-bit content hash, order-sensitive rolling
+    * hash, and order-insensitive SimHash (near-dup capable). */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("content_hash", xxhash64(col(textCol)))
+      .withColumn("rolling_fp", rolling_hash(t))
+      .withColumn("simhash_fp", simhash64(t))
+  }
+
+  /** n-token shingles: ["a","b","c","d"] with n=3 ->
+    * ["a b c", "b c d"] — the MinHash/Jaccard input. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+}

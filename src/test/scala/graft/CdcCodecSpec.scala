@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.cdc.{CdcCodec, CdcSchema}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the CDC log codec (SURVEY.md §5.2.1): round-trips,
+  * null bitmaps spanning bytes, multi-row events (regression vs reference
+  * defect #1), interleaved tables (vs defect #2), update pairing, GTID
+  * stamping, rotation. Pure JVM — no SparkSession needed.
+  */
+class CdcCodecSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("i", IntegerType),
+    StructField("d", DoubleType), StructField("s", StringType),
+    StructField("ts", TimestampType), StructField("ntz", TimestampNTZType),
+    StructField("bin", BinaryType), StructField("dt", DateType),
+    StructField("f", FloatType), StructField("sh", ShortType),
+    StructField("b", ByteType), StructField("bool", BooleanType),
+    StructField("dec", DecimalType(10, 2))))
+
+  private def row(id: Long): Array[Any] = Array[Any](
+    id, id.toInt, id * 1.5, UTF8String.fromString(s"name-$id"),
+    id * 1000000L, id * 2000000L, Array[Byte](1, 2, id.toByte), 19000 + id.toInt,
+    id.toFloat, id.toShort, id.toByte, id % 2 == 0,
+    Decimal(new java.math.BigDecimal(s"$id.25"), 10, 2))
+
+  private def decodeAll(file: String, db: String = "db", table: String = "t"): Seq[CdcCodec.CdcRow] = {
+    val r = new CdcCodec.EventReader(file)
+    val dec = new CdcCodec.RowDecoder(db, table)
+    try r.flatMap(dec.decode).toList finally r.close()
+  }
+
+  private def tmp(): String =
+    Files.createTempDirectory("cdc-codec-spec").toString
+
+  test("round-trip of every supported type, incl. all-null and >8-col bitmap") {
+    val dir = tmp()
+    val f = s"$dir/log.0"
+    val w = new CdcCodec.LogWriter(f)
+    val nullRow: Array[Any] = Array.fill[Any](schema.length)(null)
+    w.tableMap(1000L, 1L, "db", "t", schema)
+    w.gtid(1000L, 7L)
+    w.writeRows(1000L, 1L, schema, Seq(row(1), nullRow, row(300)))
+    w.close()
+
+    val rows = decodeAll(f)
+    assert(rows.length == 3) // multi-row event fully decoded (ref defect #1 fixed)
+    assert(rows.forall(_.op == CdcSchema.Op.Insert))
+    assert(rows.forall(_.gtid == 7L))
+    assert(rows.forall(_.tmMicros == 1000L * 1000))
+    val r0 = rows.head.values
+    val expect = row(1)
+    schema.fields.indices.foreach { i =>
+      (r0(i), expect(i)) match {
+        case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b), s"col $i")
+        case (a, b) => assert(a == b, s"col $i: $a != $b")
+      }
+    }
+    assert(rows(1).values.forall(_ == null)) // null bitmap across 2 bytes (13 cols)
+  }
+
+  test("update emits before+after atomically; delete carries image") {
+    val dir = tmp()
+    val f = s"$dir/log.0"
+    val w = new CdcCodec.LogWriter(f)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(5000L, 42L)
+    w.updateRows(5000L, 1L, schema, Seq((row(1), row(2)), (row(3), row(4))))
+    w.gtid(6000L, 43L)
+    w.deleteRows(6000L, 1L, schema, Seq(row(9)))
+    w.close()
+
+    val rows = decodeAll(f)
+    assert(rows.map(_.op) == Seq(2, 3, 2, 3, 0))
+    assert(rows.take(4).forall(_.gtid == 42L))
+    assert(rows(0).values(0) == 1L && rows(1).values(0) == 2L)
+    assert(rows(2).values(0) == 3L && rows(3).values(0) == 4L)
+    assert(rows(4).gtid == 43L && rows(4).values(0) == 9L)
+  }
+
+  test("interleaved tables: ids and schemas never cross (ref defect #2 fixed)") {
+    val other = StructType(Seq(StructField("x", StringType)))
+    val dir = tmp()
+    val f = s"$dir/log.0"
+    val w = new CdcCodec.LogWriter(f)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.tableMap(0L, 2L, "db", "other", other)
+    w.gtid(0L, 1L)
+    w.writeRows(0L, 2L, other, Seq(Array[Any](UTF8String.fromString("zz"))))
+    // re-map table 2 AFTER target's map — the reference's bug would let
+    // this overwrite the decode schema used for table 1
+    w.tableMap(0L, 2L, "db", "other", other)
+    w.gtid(0L, 2L)
+    w.writeRows(0L, 1L, schema, Seq(row(5)))
+    w.close()
+
+    val rows = decodeAll(f)
+    assert(rows.length == 1)
+    assert(rows.head.values(0) == 5L && rows.head.gtid == 2L)
+
+    val otherRows = decodeAll(f, table = "other")
+    assert(otherRows.length == 1 && otherRows.head.values(0) == UTF8String.fromString("zz"))
+  }
+
+  test("rotation: index file ordering, empty file, trailing newline") {
+    val dir = tmp()
+    val mk = (name: String, ids: Seq[Long]) => {
+      val w = new CdcCodec.LogWriter(s"$dir/$name")
+      w.tableMap(0L, 1L, "db", "t", schema)
+      if (ids.nonEmpty) { w.gtid(0L, ids.head); w.writeRows(0L, 1L, schema, ids.map(row)) }
+      w.close()
+    }
+    mk("b.0", Seq(1, 2)); mk("b.1", Nil); mk("b.2", Seq(3))
+    Files.writeString(java.nio.file.Paths.get(dir, "idx"), "b.0\nb.1\nb.2\n\n")
+    val files = CdcCodec.readIndex(s"$dir/idx")
+    assert(files.map(_.split('/').last) == Seq("b.0", "b.1", "b.2"))
+    val all = files.flatMap(decodeAll(_))
+    assert(all.map(_.values(0)) == Seq(1L, 2L, 3L))
+  }
+
+  test("schema inference finds the right table's TABLE_MAP") {
+    val other = StructType(Seq(StructField("x", StringType)))
+    val dir = tmp()
+    val w = new CdcCodec.LogWriter(s"$dir/log.0")
+    w.tableMap(0L, 2L, "db", "other", other)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.close()
+    Files.writeString(java.nio.file.Paths.get(dir, "idx"), "log.0\n")
+    assert(CdcCodec.inferSourceSchema(s"$dir/idx", "db", "t").contains(schema))
+    assert(CdcCodec.inferSourceSchema(s"$dir/idx", "db", "other").contains(other))
+    assert(CdcCodec.inferSourceSchema(s"$dir/idx", "db", "missing").isEmpty)
+  }
+
+  test("column pruning mask skips values without corrupting the stream") {
+    val dir = tmp()
+    val f = s"$dir/log.0"
+    val w = new CdcCodec.LogWriter(f)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(0L, 1L)
+    w.writeRows(0L, 1L, schema, Seq(row(1), row(2)))
+    w.close()
+    val r = new CdcCodec.EventReader(f)
+    val dec = new CdcCodec.RowDecoder("db", "t", i => i == 0 || i == 3) // id + s only
+    val rows = try r.flatMap(dec.decode).toList finally r.close()
+    assert(rows.map(_.values(0)) == Seq(1L, 2L))
+    assert(rows.map(_.values(3)) == Seq(UTF8String.fromString("name-1"), UTF8String.fromString("name-2")))
+    assert(rows.forall(r => r.values(2) == null && r.values(6) == null)) // skipped
+  }
+}

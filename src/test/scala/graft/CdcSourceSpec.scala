@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.{CdcCodec, CdcFixture, CdcSchema}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** End-to-end specs for the binlogcdc DataSourceV2 source: batch scan,
+  * pushdown equivalence, streaming incremental pickup + checkpoint
+  * restart without duplicates (SURVEY.md §5.2.4, §7.3.1).
+  */
+class CdcSourceSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+
+  /** Tiny 2-file log: inserts 1..4 (two per file), update of 2, delete of 3. */
+  private def writeLog(): String = {
+    val dir = Files.createTempDirectory("cdc-source-spec").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    val w0 = new CdcCodec.LogWriter(s"$dir/b.0")
+    w0.tableMap(0L, 1L, "db", "t", schema)
+    w0.gtid(1000L, 1L); w0.writeRows(1000L, 1L, schema, Seq(r(1, 1.0), r(2, 2.0)))
+    w0.close()
+    val w1 = new CdcCodec.LogWriter(s"$dir/b.1")
+    w1.tableMap(0L, 1L, "db", "t", schema)
+    w1.gtid(2000L, 2L); w1.writeRows(2000L, 1L, schema, Seq(r(3, 3.0), r(4, 4.0)))
+    w1.gtid(3000L, 3L); w1.updateRows(3000L, 1L, schema, Seq((r(2, 2.0), r(2, 22.0))))
+    w1.gtid(4000L, 4L); w1.deleteRows(4000L, 1L, schema, Seq(r(3, 3.0)))
+    w1.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\n")
+    s"$dir/binlog.index"
+  }
+
+  private def read(index: String) =
+    spark.read.format("binlogcdc")
+      .option("indexFile", index).option("database", "db").option("table", "t")
+      .load()
+
+  test("batch scan: schema, envelope, op codes, multi-file order") {
+    val df = read(writeLog())
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "v", "__op", "__gtid", "__tm"))
+    val rows = df.orderBy("__gtid", "__op", "id").collect()
+    assert(rows.length == 7) // 4 ins + 2 upd images + 1 del
+    assert(rows.map(_.getInt(2)).toSeq == Seq(1, 1, 1, 1, 2, 3, 0))
+    val upd = rows.filter(_.getInt(2) == CdcSchema.Op.UpdateAfter)
+    assert(upd.head.getDouble(1) == 22.0)
+  }
+
+  test("pushdown: filtered scan equals full scan filtered") {
+    val index = writeLog()
+    val full = read(index).collect().filter(r => r.getInt(2) == 1 && r.getLong(3) >= 2)
+    val pushed = read(index)
+      .filter(col("__op") === 1 && col("__gtid") >= 2).collect()
+    assert(pushed.map(_.getLong(0)).sorted.toSeq == full.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("pruned scan returns correct subset of columns") {
+    val df = read(writeLog()).select("v", "__gtid")
+    val rows = df.orderBy("__gtid", "v").collect()
+    assert(rows.length == 7)
+    assert(rows.head.schema.fieldNames.toSeq == Seq("v", "__gtid"))
+  }
+
+  test("streaming: incremental pickup of appended log files, no duplicates") {
+    val dir = Files.createTempDirectory("cdc-stream-spec").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    val w0 = new CdcCodec.LogWriter(s"$dir/b.0")
+    w0.tableMap(0L, 1L, "db", "t", schema)
+    w0.gtid(1000L, 1L); w0.writeRows(1000L, 1L, schema, Seq(r(1, 1.0), r(2, 2.0)))
+    w0.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val index = s"$dir/binlog.index"
+
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    val outDir = Files.createTempDirectory("cdc-out").toString
+    // parquet sink: supports checkpoint recovery (memory sink doesn't),
+    // so restart semantics are exactly what a production pipeline sees
+    def startQuery() =
+      spark.readStream.format("binlogcdc")
+        .option("indexFile", index).option("database", "db").option("table", "t")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // grow the log: new file + index append (mysqld-style rotation)
+    val w1 = new CdcCodec.LogWriter(s"$dir/b.1")
+    w1.tableMap(0L, 1L, "db", "t", schema)
+    w1.gtid(2000L, 2L); w1.writeRows(2000L, 1L, schema, Seq(r(3, 3.0)))
+    w1.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\n")
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir).count() == 3)
+    q1.stop()
+
+    // restart from checkpoint: new data picked up, nothing replays
+    val w2 = new CdcCodec.LogWriter(s"$dir/b.2")
+    w2.tableMap(0L, 1L, "db", "t", schema)
+    w2.gtid(3000L, 3L); w2.writeRows(3000L, 1L, schema, Seq(r(4, 4.0)))
+    w2.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\nb.2\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L), s"expected exactly 1..4 once each, got $ids")
+    q2.stop()
+  }
+
+  test("update pair is never split across micro-batch partitions") {
+    // one file whose only row event is an update: any batch containing it
+    // must contain both images
+    val dir = Files.createTempDirectory("cdc-pair-spec").toString
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(1000L, 1L)
+    w.updateRows(1000L, 1L, schema, Seq((Array[Any](1L, 1.0), Array[Any](1L, 2.0))))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val q = spark.readStream.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t").load()
+      .writeStream.format("memory").queryName("cdc_pair")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val ops = spark.table("cdc_pair").collect().map(_.getInt(2)).sorted.toSeq
+    assert(ops == Seq(2, 3))
+    q.stop()
+  }
+
+  test("missing option and wrong table fail loudly") {
+    val index = writeLog()
+    val e1 = intercept[Exception] {
+      spark.read.format("binlogcdc").option("indexFile", index).load()
+    }
+    assert(e1.getMessage.contains("required"))
+    val e2 = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", index).option("database", "db")
+        .option("table", "nope").load()
+    }
+    assert(e2.getMessage.contains("no TABLE_MAP"))
+  }
+
+  test("fixture scan matches latest-image compaction invariants") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cdc = graft.queries.Cdc.scan(spark, sfDir)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val nOrders = orders.count()
+    val nUpd = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val nDel = orders.filter(col("o_orderkey") % 100 === 0).count()
+    assert(cdc.filter(col("__op") === 1).count() == nOrders)
+    assert(cdc.filter(col("__op") === 2).count() == nUpd)
+    assert(cdc.filter(col("__op") === 3).count() == nUpd)
+    assert(cdc.filter(col("__op") === 0).count() == nDel)
+    val latest = graft.queries.Cdc.latestImage(cdc, Seq("o_orderkey"))
+    assert(latest.count() == nOrders - nDel)
+  }
+}

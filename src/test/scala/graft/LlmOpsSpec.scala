@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the non-oracle LLM ops: candidate recall of the LSH/banding
+  * paths against exact computation, custom-expression correctness,
+  * determinism of the stubbed multimodal pipeline.
+  */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = {
+    // corpus with planted near-dups: pairs (id, id+1000) share most tokens
+    val base = (0 until 50).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 7 + j * 13) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = base.take(10).map { case (id, text) =>
+      (id + 1000L, text.replaceFirst("w\\d+", "zz"))
+    }
+    val exactDups = base.slice(10, 13).map { case (id, text) => (id + 2000L, text) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+  }
+
+  test("cosine_sim matches manual computation and handles zero vectors") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),   // orthogonal -> 0
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),   // identical -> 1
+      (Array(1f, 1f, 0f), Array(1f, 0f, 0f)),   // 45 deg -> ~0.7071
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))    // zero vector -> 0
+    ).toDF("a", "b")
+    val sims = df.select(cosine_sim($"a", $"b")).collect().map(_.getDouble(0))
+    assert(sims(0) == 0.0)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+    assert(math.abs(sims(2) - math.sqrt(0.5)) < 1e-12)
+    assert(sims(3) == 0.0)
+  }
+
+  test("exact dedup keeps smallest id per duplicate group") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() == 60) // 63 docs - 3 exact dups
+    assert(out.filter($"doc_id" >= 2000).count() == 0)
+  }
+
+  test("minhash candidates recover planted exact and near duplicates") {
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id", k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all exact-dup pairs must collide in every band
+    (10 until 13).foreach { i =>
+      assert(cands.contains((i.toLong, i + 2000L)), s"missing exact pair $i")
+    }
+    // near-dups (1 token of 40 changed, jaccard ~0.92) should mostly surface
+    val found = (0 until 10).count(i => cands.contains((i.toLong, i + 1000L)))
+    assert(found >= 8, s"minhash recall too low: $found/10")
+  }
+
+  test("ngram jaccard verification filters unrelated candidate pairs") {
+    val pairs = Dedup.nearDupJaccard(docs, "text", "doc_id", threshold = 0.5,
+      k = 16, bands = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall(_._3 >= 0.5))
+    val exact = got.filter { case (a, b, _) => b - a == 2000 }
+    assert(exact.forall(_._3 == 1.0))
+    assert(got.exists { case (a, b, j) => b - a == 1000 && j > 0.5 && j < 1.0 })
+  }
+
+  test("simhash: identical docs have distance 0; near-dups within 3 bits mostly found") {
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.filter { case (a, b, _) => b - a == 2000 }
+    assert(exact.length == 3 && exact.forall(_._3 == 0))
+  }
+
+  test("lsh top-k achieves reasonable recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 10, nPlanes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.25, s"LSH recall $recall too low")
+    // every LSH result must be a genuine corpus vector, not fabricated
+    assert(lsh.forall { case (q, n) => q != n })
+  }
+
+  test("brute-force top-k is exact: matches a collected reference computation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = emb.filter(_._1 == 0).head
+    val expect = emb.filter(_._1 != 0)
+      .map { case (id, v) => (id, cos(q._2, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val embDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.bruteForceTopK(embDf, embDf.filter($"vec_id" === 0), k = 5)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    assert(got == expect)
+  }
+
+  test("text analysis: token stats, quality bounds, langid determinism") {
+    val stats = TextAnalysis.tokenStats(docs)
+    assert(stats.filter($"n_tokens" =!= 40).count() == 0)
+    val q = TextAnalysis.qualityScore(docs)
+    val quals = q.select("quality").collect().map(_.getDouble(0))
+    assert(quals.forall(v => v >= 0.0 && v <= 1.0))
+    val l1 = TextAnalysis.langId(docs).select("pred_lang").collect().map(_.getString(0)).toSeq
+    val l2 = TextAnalysis.langId(docs).select("pred_lang").collect().map(_.getString(0)).toSeq
+    assert(l1 == l2)
+  }
+
+  test("fingerprints: equal text -> equal fingerprints, different text -> different content hash") {
+    val fp = TextAnalysis.fingerprints(docs).select("doc_id", "content_hash", "rolling_fp", "simhash_fp")
+    val byId = fp.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (10 until 13).foreach(i => assert(byId(i.toLong) == byId(i + 2000L)))
+    assert(byId(0L)._1 != byId(1L)._1)
+  }
+
+  test("multimodal: stub pipeline preserves ids, emits fixed-width features, frames cover payload") {
+    val media = Multimodal.mediaTable(docs.withColumnRenamed("doc_id", "doc_id"))
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == docs.count())
+    val f0 = feats.orderBy("media_id").select("features").head.getSeq[Float](0)
+    assert(f0.length == 16)
+    assert(math.abs(f0.sum - 1.0f) < 1e-3) // normalized histogram
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    val tot = frames.groupBy("media_id").agg(sum(length($"frame_bytes")).as("n"))
+      .join(media.select($"media_id", length($"payload").as("p")), "media_id")
+      .filter($"n" =!= $"p").count()
+    assert(tot == 0) // frame slices exactly cover the payload
+  }
+
+  test("srp bucket is deterministic and within range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val b1 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b2 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+  }
+}
