@@ -11,8 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def allDefs: Seq[QDef] =
-    graft.queries.Relational.defs ++ graft.queries.Cdc.defs ++
-      graft.queries.Llm.defs
+    graft.queries.Relational.defs ++ graft.queries.RelationalExt.defs ++
+      graft.queries.Cdc.defs ++ graft.queries.Llm.defs ++
+      graft.queries.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * CDC source scan → latest-image compaction → join → aggregation. */

@@ -127,6 +127,63 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** MinHash signature over token n-gram shingles, in one pass over the
+  * TOKEN array — no shingle strings are ever built. Per token one
+  * xxhash64; shingle identity is a positional-polynomial combination of
+  * n consecutive token hashes; k hash functions derive from two mixes of
+  * the shingle hash via h_i = h0 + i*h1 (Kirsch-Mitzenmacher). Cost:
+  * O(|tokens|) hashing + O(k*|tokens|) arithmetic, zero allocation
+  * beyond the k-long signature. This is the shape that matters when the
+  * input is 100 TB of documents.
+  */
+case class MinHashSignature(child: Expression, k: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def mix(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    val tokHash = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokHash(i) =
+        if (arr.isNullAt(i)) 0L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val nShingles = math.max(1, nTok - shingleN + 1)
+    var s = 0
+    while (s < nShingles) {
+      var sh = 0L
+      var j = 0
+      val w = math.min(shingleN, nTok - s)
+      while (j < w) { sh = sh * 0x100000001b3L + tokHash(s + j); j += 1 }
+      val h0 = mix(sh)
+      val h1 = mix(sh ^ 0x5851f42d4c957f2dL) | 1L
+      var h = h0
+      var q = 0
+      while (q < k) {
+        if (h < sig(q)) sig(q) = h
+        h += h1
+        q += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Polynomial rolling hash over tokens (document fingerprinting). */
 case class RollingHash(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -159,4 +216,6 @@ object VectorFunctions {
     column(DotProduct(expr(a), expr(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
   def rolling_hash(tokens: Column): Column = column(RollingHash(expr(tokens)))
+  def minhash_sig(tokens: Column, k: Int, shingleN: Int = 3): Column =
+    column(MinHashSignature(expr(tokens), k, shingleN))
 }

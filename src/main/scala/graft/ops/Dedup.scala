@@ -34,49 +34,60 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn", "__h")
   }
 
-  /** MinHash signature columns `sig_0..sig_{k-1}` over n-gram shingles:
-    * sig_i = min over shingles of a salted 64-bit hash. */
+  /** MinHash signature as one array column: a single custom-expression
+    * pass over the TOKEN array (see MinHashSignature — no shingle strings
+    * are materialized, no per-hash re-evaluation of children). */
+  def minhashSigArray(textCol: Column, k: Int, shingleN: Int = 3): Column =
+    minhash_sig(TextAnalysis.tokens(textCol), k, shingleN)
+
+  /** Backwards-compatible columns `sig_0..sig_{k-1}` view. */
   def minhashSignatures(df: DataFrame, textCol: String, k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = TextAnalysis.shingles(col(textCol), shingleN)
-    (0 until k).foldLeft(df.withColumn("__shingles", sh)) { (acc, i) =>
-      acc.withColumn(s"sig_$i",
-        array_min(transform(col("__shingles"), s => xxhash64(concat(s, lit(s"#$i"))))))
-    }
+    val withSig = df.withColumn("__sig", minhashSigArray(col(textCol), k, shingleN))
+    (0 until k).foldLeft(withSig) { (acc, i) =>
+      acc.withColumn(s"sig_$i", element_at(col("__sig"), i + 1))
+    }.drop("__sig")
   }
 
   /** LSH banding: k signatures in `bands` bands of k/bands rows; docs
-    * sharing any band hash become candidate pairs (a<b), generated by a
-    * self-equi-join on (band, bandHash) — shuffle-friendly, AQE handles
-    * band skew. Buckets larger than maxBucket are dropped (degenerate
-    * content); the cap is the explicit no-silent-quadratic guard. */
+    * sharing any band hash become candidate pairs (a<b).
+    *
+    * Plan shape (100 TB posture): one projection computes all signatures
+    * and band hashes, one shuffle groups (band, bandHash) buckets, pairs
+    * explode map-side inside capped buckets, one final shuffle dedups
+    * pairs. Buckets larger than maxBucket are dropped (degenerate
+    * content / hash skew) — the explicit no-silent-quadratic guard. */
   def minhashCandidates(df: DataFrame, textCol: String, id: String,
       k: Int = 16, bands: Int = 4, maxBucket: Int = 100): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(df, textCol, k)
-      .select((col(id) +: (0 until k).map(i => col(s"sig_$i"))): _*)
-    val banded = sigs.select(
-      col(id) +: (0 until bands).map { b =>
-        xxhash64(concat_ws(",", (b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*)).as(s"band_$b")
-      }: _*)
-    val exploded = banded.select(col(id),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"band_$b").as("bh"))): _*)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    val pruned = exploded
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
-    val l = pruned.select(col(id).as("id_a"), col("band"), col("bh"))
-    val rgt = pruned.select(col(id).as("id_b"), col("band").as("band2"), col("bh").as("bh2"))
-    l.join(rgt, col("band") === col("band2") && col("bh") === col("bh2") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val sig = minhashSigArray(col(textCol), k)
+    val banded = df
+      .select(col(id).as("__id"), sig.as("__sig"))
+      .select(col("__id"), posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(array_join(transform(slice(col("__sig"), b * r + 1, lit(r)),
+          x => x.cast("string")), ",")))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
   }
 
   /** Near-dup pairs by exact n-gram Jaccard over MinHash candidates. */
   def nearDupJaccard(df: DataFrame, textCol: String, id: String,
       threshold: Double, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, textCol, id, k, bands)
-    val sh = df.select(col(id), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    // candidate pairs are tiny relative to the corpus (that's the point
+    // of LSH): broadcast them, and materialize shingles ONLY for docs
+    // that appear in some candidate pair (semi-join first) — at 100 TB
+    // the expensive per-doc work runs on the ~0.1% of docs that need it
+    val cands = broadcast(minhashCandidates(df, textCol, id, k, bands))
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
+    val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
+      .select(col(id), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
     cands
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")

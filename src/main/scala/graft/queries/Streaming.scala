@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.QDef
+import graft.cdc.CdcFixture
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming queries, each drained synchronously into a memory
+  * sink so the driver's batch-style verify can hash-compare them. Oracles
+  * are the equivalent batch SQL — streaming and batch must agree on the
+  * same bounded input (complete/single-batch semantics).
+  */
+object Streaming {
+
+  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    QDef("str01_window_agg",
+      """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      drain(StreamOps.windowAgg(StreamOps.eventsStream(s, dir)),
+        "str01_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
+    },
+
+    QDef("str02_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      drain(StreamOps.streamingDedup(StreamOps.eventsStream(s, dir),
+        Seq("user_id", "event_type")),
+        "str02_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+    },
+
+    // stateful latest-image: the streaming twin of cdc03 (same oracle,
+    // restricted to the columns the state carries)
+    QDef("str03_stream_latest_image",
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 100 <> 0""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      val stream = s.readStream.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .load()
+      val latest = StreamOps.latestImageStream(stream)
+      val out = drain(latest.toDF(), "str03_" + java.lang.Integer.toHexString(dir.hashCode), "update")
+      // update-mode sink may contain multiple state versions per key if
+      // the source split batches; keep the last (highest gtid) per key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("gtid").desc)
+      out.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(!col("deleted"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }
+  )
+}

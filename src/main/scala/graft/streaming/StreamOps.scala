@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.cdc.CdcSchema
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.C + M4): event-time
+  * windowed aggregation with watermark, streaming dedup, and the stateful
+  * CDC latest-image materialization — the streaming twin of the batch
+  * window compaction, via flatMapGroupsWithState.
+  *
+  * Scale posture: all state here is keyed and bounded — window state
+  * expires with the watermark, dedup state is bounded by watermark too,
+  * and latest-image state is one row per live key (the table being
+  * materialized). Nothing buffers unbounded history.
+  */
+object StreamOps {
+
+  /** Streaming view of the events table (nanos parquet read as long,
+    * converted to µs timestamp, same as Tables.load's batch path). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // the file streaming source wants a directory; stage a symlink dir
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-events-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val link = dir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(sfDir, "events.parquet"))
+    }
+    spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling event-time window aggregation. */
+  def windowAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,12)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup on key columns (state bounded by watermark). */
+  def streamingDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates(keys)
+      .select(keys.map(col): _*)
+
+  /** State row for latest-image materialization. */
+  case class OrderImage(o_orderkey: Long, o_custkey: Long, o_totalprice: Double,
+      gtid: Long, deleted: Boolean)
+
+  /** Streaming CDC latest-image via flatMapGroupsWithState: per key keep
+    * the image with the highest (gtid, op); emit the state each batch.
+    * The streaming twin of queries.Cdc.latestImage (SURVEY.md M4). */
+  def latestImageStream(cdc: DataFrame): Dataset[OrderImage] = {
+    val spark = cdc.sparkSession
+    import spark.implicits._
+    val typed = cdc.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col(CdcSchema.GtidCol).as("gtid"), col(CdcSchema.OpCol).as("op"))
+      .as[(Long, Long, Double, Long, Int)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OrderImage, OrderImage](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[OrderImage]) =>
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(r => (r._4, r._5)).foreach { case (k, ck, price, gtid, op) =>
+            if (cur == null || gtid > cur.gtid || (gtid == cur.gtid && op != CdcSchema.Op.UpdateBefore)) {
+              op match {
+                case 0 => cur = OrderImage(k, ck, price, gtid, deleted = true)
+                case 1 | 3 => cur = OrderImage(k, ck, price, gtid, deleted = false)
+                case 2 => // before-image never advances state
+              }
+            }
+          }
+          if (cur != null) { state.update(cur); Iterator.single(cur) }
+          else Iterator.empty
+      }
+  }
+}

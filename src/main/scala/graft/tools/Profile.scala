@@ -1,0 +1,29 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Micro-profiler: runMain graft.tools.Profile <queryName> <reps> [sfDir]
+  * — warms up once, then times `reps` executions. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = args(1).toInt
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warmup
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"PROFILE $name: min=${times.min}%.2f median=${times.sorted.apply(reps / 2)}%.2f max=${times.max}%.2f")
+    spark.stop()
+  }
+}

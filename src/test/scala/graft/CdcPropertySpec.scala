@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.cdc.{CdcCodec, CdcSchema}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based specs (SURVEY.md §5.2.2): random row batches encode to
+  * a CDC log and decode back to exactly the input ⊎ envelope; random op
+  * sequences compacted by latest-image equal a model-based fold.
+  */
+class CdcPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("s", StringType), StructField("flag", BooleanType)))
+
+  private val genValue: Gen[Array[Any]] = for {
+    id <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    v <- Gen.oneOf(Gen.chooseNum(-1e9, 1e9), Gen.const(Double.NaN),
+      Gen.const(Double.PositiveInfinity))
+    s <- Gen.oneOf(
+      Gen.asciiPrintableStr.map(x => UTF8String.fromString(x): Any),
+      Gen.const(null: Any))
+    flag <- Gen.oneOf(true, false)
+  } yield Array[Any](id, v, s, flag)
+
+  private def sameVal(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) == 0
+    case (x, y) => x == y
+  }
+
+  test("property: encode→decode round-trips arbitrary row batches") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(genValue))) { batches =>
+      val dir = Files.createTempDirectory("cdc-prop").toString
+      val f = s"$dir/log.0"
+      val w = new CdcCodec.LogWriter(f)
+      w.tableMap(0L, 1L, "db", "t", schema)
+      batches.zipWithIndex.foreach { case (batch, i) =>
+        w.gtid(i.toLong, i.toLong)
+        w.writeRows(i.toLong, 1L, schema, batch)
+      }
+      w.close()
+      val r = new CdcCodec.EventReader(f)
+      val dec = new CdcCodec.RowDecoder("db", "t")
+      val rows = try r.flatMap(dec.decode).toList finally r.close()
+      val flat = batches.flatten
+      rows.length == flat.length &&
+        rows.zip(flat).forall { case (got, want) =>
+          schema.indices.forall(i => sameVal(got.values(i), want(i))) &&
+            got.op == CdcSchema.Op.Insert
+        } &&
+        rows.zip(batches.zipWithIndex.flatMap { case (b, i) => b.map(_ => i.toLong) })
+          .forall { case (got, gno) => got.gtid == gno }
+    })
+  }
+
+  /** Model: fold an op sequence per key into the surviving image. */
+  test("property: latest-image compaction equals a model fold") {
+    // op stream over a small key space: (key, op, value); op 1=insert,
+    // 3=update-after (with 2 before), 0=delete
+    val genStep = for {
+      key <- Gen.chooseNum(0L, 5L)
+      op <- Gen.oneOf(1, 3, 0)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (key, op, v)
+
+    check(Prop.forAll(Gen.nonEmptyListOf(genStep)) { steps =>
+      val dir = Files.createTempDirectory("cdc-prop2").toString
+      val f = s"$dir/log.0"
+      val w = new CdcCodec.LogWriter(f)
+      w.tableMap(0L, 1L, "db", "t", schema)
+      steps.zipWithIndex.foreach { case ((key, op, v), i) =>
+        val row = Array[Any](key, v, UTF8String.fromString(s"s$key"), true)
+        w.gtid(i.toLong, i.toLong)
+        op match {
+          case 1 => w.writeRows(i.toLong, 1L, schema, Seq(row))
+          case 3 => w.updateRows(i.toLong, 1L, schema, Seq((row, row)))
+          case 0 => w.deleteRows(i.toLong, 1L, schema, Seq(row))
+        }
+      }
+      w.close()
+
+      // model: last op wins per key; delete removes the key
+      val model = steps.zipWithIndex.foldLeft(Map.empty[Long, Double]) {
+        case (m, ((key, 0, _), _)) => m - key
+        case (m, ((key, _, v), _)) => m.updated(key, v)
+      }
+
+      // engine: decode + compact (same rule as queries.Cdc.latestImage)
+      val r = new CdcCodec.EventReader(f)
+      val dec = new CdcCodec.RowDecoder("db", "t")
+      val rows = try r.flatMap(dec.decode).toList finally r.close()
+      val compacted = rows
+        .filter(_.op != CdcSchema.Op.UpdateBefore)
+        .groupBy(_.values(0).asInstanceOf[Long])
+        .flatMap { case (key, rs) =>
+          val last = rs.maxBy(r => (r.gtid, r.op))
+          if (last.op == CdcSchema.Op.Delete) None
+          else Some(key -> last.values(1).asInstanceOf[Double])
+        }
+      compacted == model
+    })
+  }
+}
