@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def allDefs: Seq[QDef] =
     graft.queries.Relational.defs ++ graft.queries.RelationalExt.defs ++
-      graft.queries.Cdc.defs ++ graft.queries.Llm.defs ++
+      graft.queries.RelationalExt2.defs ++ graft.queries.Cdc.defs ++
+      graft.queries.CdcExt.defs ++ graft.queries.Llm.defs ++
       graft.queries.Streaming.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

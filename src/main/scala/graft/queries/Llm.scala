@@ -99,6 +99,22 @@ object Llm {
         "vec_id", threshold = 0.40, nPlanes = 4)
     },
 
+    // hash-based exact dedup: survivors identical to llm05 (no 64-bit
+    // collisions in this corpus), but only the hash ever shuffles
+    QDef("llm14_dedup_byhash",
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Dedup.exactByHash(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"))
+    },
+
+    QDef.noOracle("llm15_bpeish_tokens") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n_subwords"))
+    },
+
     QDef.noOracle("llm12_multimodal_features") { (s, dir) =>
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media)

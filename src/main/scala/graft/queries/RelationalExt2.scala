@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third tranche of the relational surface: session windows, string
+  * aggregation, interval arithmetic, null-safe comparison, lateral
+  * correlated subquery, sampling.
+  */
+object RelationalExt2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QDef] = Seq(
+
+    // session windows (5-minute gap) — same operator batch and streaming;
+    // oracle reconstructs sessions via gaps-and-islands
+    QDef("q48_session_window",
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+    },
+
+    QDef("q49_string_agg",
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+          .as("priorities"))
+    },
+
+    QDef("q50_interval_arith",
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due_date,
+        |  o_orderdate - INTERVAL 1 MONTH AS month_before
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"),
+          (col("o_orderdate") - expr("INTERVAL 1 MONTH")).as("month_before"))
+    },
+
+    QDef("q51_null_safe_compare",
+      """SELECT c_custkey, s_suppkey,
+        |  c_custkey IS NOT DISTINCT FROM s_suppkey AS same_key
+        |FROM customer FULL OUTER JOIN supplier ON c_custkey = s_suppkey
+        |WHERE c_custkey IS NULL OR c_custkey <= 20""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "supplier"), col("c_custkey") === col("s_suppkey"), "full")
+        .filter(col("c_custkey").isNull || col("c_custkey") <= 20)
+        .select(col("c_custkey"), col("s_suppkey"),
+          (col("c_custkey") <=> col("s_suppkey")).as("same_key"))
+    },
+
+    QDef("q52_lateral_subquery",
+      """SELECT r_name, n_in_region FROM region,
+        |  LATERAL (SELECT COUNT(*) AS n_in_region FROM nation
+        |           WHERE n_regionkey = r_regionkey)""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql("""SELECT r_name, n_in_region FROM region,
+              |  LATERAL (SELECT COUNT(*) AS n_in_region FROM nation
+              |           WHERE n_regionkey = r_regionkey)""".stripMargin)
+    },
+
+    // TABLESAMPLE is nondeterministic across engines -> rows-only check;
+    // the spec-level invariant is the sample fraction bound
+    QDef.noOracle("q53_sample") { (s, dir) =>
+      t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+}
