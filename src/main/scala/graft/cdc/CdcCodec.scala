@@ -216,7 +216,8 @@ object CdcCodec {
     *               reaching into the decoder, SURVEY.md §4.3).
     */
   final class RowDecoder(targetDb: String, targetTable: String,
-      needed: Int => Boolean = _ => true) {
+      needed: Int => Boolean = _ => true,
+      expectedSchema: Option[StructType] = None) {
     private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
     private var currentGtid: Long = 0L
 
@@ -234,7 +235,24 @@ object CdcCodec {
           }
           // Fix of reference defect #2: id and schema recorded atomically,
           // keyed by id, only consulted when the id maps to the target.
-          tableMaps(tableId) = TableMap(tableId, db, table, StructType(fields))
+          val schema = StructType(fields)
+          // Schema-drift policy (SURVEY §7.3.3): Spark's per-query schema
+          // is fixed; a mid-stream TABLE_MAP that disagrees with it would
+          // silently corrupt decode (the reference's behavior) — fail
+          // loud with position context instead.
+          if (db == targetDb && table == targetTable) {
+            expectedSchema.foreach { exp =>
+              // names + types define decode compatibility (nullability
+              // and metadata don't affect the byte layout)
+              if (schema.fields.map(f => (f.name, f.dataType)).toSeq !=
+                  exp.fields.map(f => (f.name, f.dataType)).toSeq)
+                throw new IllegalStateException(
+                  s"schema drift for $db.$table at log offset ${ev.pos}: " +
+                    s"stream declares ${schema.simpleString}, query expects ${exp.simpleString}; " +
+                    "restart the query to pick up the new schema")
+            }
+          }
+          tableMaps(tableId) = TableMap(tableId, db, table, schema)
           Nil
         case EventType.Gtid =>
           currentGtid = d.readLong(); Nil

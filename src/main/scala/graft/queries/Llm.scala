@@ -115,6 +115,12 @@ object Llm {
         size(TextAnalysis.bpeishTokens(col("text"))).as("n_subwords"))
     },
 
+    QDef.noOracle("llm16_knn_ivf") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6)
+    },
+
     QDef.noOracle("llm12_multimodal_features") { (s, dir) =>
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media)

@@ -85,6 +85,34 @@ object RelationalExt2 {
     QDef.noOracle("q53_sample") { (s, dir) =>
       t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
         .select(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // sink surface: write csv/json/orc, read back, aggregate — the
+    // round-trip must preserve values exactly
+    QDef("q54_sink_roundtrip",
+      """SELECT fmt, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'csv' AS fmt, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT 'json', o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL SELECT 'orc', o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+        |) GROUP BY fmt""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val base = java.nio.file.Files.createTempDirectory("graft-sinks").toString
+      src.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      src.write.mode("overwrite").json(s"$base/json")
+      src.write.mode("overwrite").orc(s"$base/orc")
+      val fromCsv = s.read.option("header", "true")
+        .schema("o_orderkey LONG, o_totalprice DOUBLE").csv(s"$base/csv")
+      val fromJson = s.read.schema("o_orderkey LONG, o_totalprice DOUBLE").json(s"$base/json")
+      val fromOrc = s.read.orc(s"$base/orc")
+      fromCsv.select(lit("csv").as("fmt"), col("o_totalprice"))
+        .union(fromJson.select(lit("json").as("fmt"), col("o_totalprice")))
+        .union(fromOrc.select(lit("orc").as("fmt"), col("o_totalprice")))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
     }
   )
 }

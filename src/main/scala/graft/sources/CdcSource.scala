@@ -176,7 +176,9 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
   }
   private val predicate = EnvelopePredicate.compile(filters)
   private val events = new CdcCodec.EventReader(part.path)
-  private val decoder = new CdcCodec.RowDecoder(db, table, i => neededMask(i))
+  private val sourceSchema = org.apache.spark.sql.types.StructType(full.fields.take(sourceWidth))
+  private val decoder = new CdcCodec.RowDecoder(db, table, i => neededMask(i),
+    expectedSchema = Some(sourceSchema))
   private var queue: Iterator[CdcCodec.CdcRow] = Iterator.empty
   private var current: InternalRow = _
 

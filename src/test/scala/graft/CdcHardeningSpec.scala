@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.CdcCodec
+import graft.ops.Similarity
+import graft.sources.CdcCatalog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hardening specs: schema-drift fail-loud (SURVEY §7.3.3), the `_cdc`
+  * naming convention implemented with its intent (defect #3 fixed),
+  * read-only enforcement, IVF recall.
+  */
+class CdcHardeningSpec extends SparkTestBase {
+
+  private val schemaV1 = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+  private val schemaV2 = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType),
+    StructField("extra", StringType)))
+
+  private def writeDriftLog(): String = {
+    val dir = Files.createTempDirectory("cdc-drift").toString
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schemaV1)
+    w.gtid(0L, 1L)
+    w.writeRows(0L, 1L, schemaV1, Seq(Array[Any](1L, 1.0)))
+    // mid-stream schema change for the SAME table
+    w.tableMap(0L, 1L, "db", "t", schemaV2)
+    w.gtid(0L, 2L)
+    w.writeRows(0L, 1L, schemaV2, Seq(Array[Any](2L, 2.0, null)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    s"$dir/binlog.index"
+  }
+
+  test("schema drift mid-stream fails loud with offset context") {
+    val index = writeDriftLog()
+    val e = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", index).option("database", "db").option("table", "t")
+        .load().collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("schema drift"), s"got: $msg")
+    assert(msg.contains("offset"), s"got: $msg")
+  }
+
+  test("_cdc naming convention: literal suffix required (ref defect #3 fixed)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val index = graft.cdc.CdcFixture.ensure(spark, sfDir)
+    // names that pass the reference's buggy find_last_of check but are
+    // NOT valid _cdc names must be rejected here
+    Seq("ordersd", "ordersc", "orders_", "orders").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        CdcCatalog.registerCdcView(spark, bad, index, "graft")
+      }
+      assert(e.getMessage.contains("target_cdc"))
+    }
+    val df = CdcCatalog.registerCdcView(spark, "orders_cdc", index, "graft")
+    assert(df.columns.contains("__op"))
+    // the registered view serves SQL — the reference's end-to-end surface
+    val n = spark.sql("SELECT COUNT(*) FROM orders_cdc WHERE __op = 1").head.getLong(0)
+    assert(n == spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("CDC source is read-only: writes fail with analysis error") {
+    val sfDir = "/root/testdata/sf0.001"
+    val index = graft.cdc.CdcFixture.ensure(spark, sfDir)
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("id AS o_orderkey")
+        .write.format("binlogcdc")
+        .option("indexFile", index).option("database", "graft").option("table", "orders")
+        .mode("append").save()
+    }
+    val m = e.getMessage.toLowerCase
+    assert(m.contains("does not support") || m.contains("does not allow") ||
+      e.isInstanceOf[org.apache.spark.sql.AnalysisException])
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, kClusters = 8, nProbe = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+  }
+
+  test("IVF centroids are deterministic across invocations") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.kmeansCentroids(emb, "embedding", 4, iters = 2)
+    val c2 = Similarity.kmeansCentroids(emb, "embedding", 4, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+}
