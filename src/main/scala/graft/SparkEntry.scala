@@ -14,7 +14,7 @@ object SparkEntry {
     graft.queries.Relational.defs ++ graft.queries.RelationalExt.defs ++
       graft.queries.RelationalExt2.defs ++ graft.queries.Cdc.defs ++
       graft.queries.CdcExt.defs ++ graft.queries.Llm.defs ++
-      graft.queries.Streaming.defs
+      graft.queries.Streaming.defs ++ graft.queries.ScaleTechniques.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * CDC source scan → latest-image compaction → join → aggregation. */

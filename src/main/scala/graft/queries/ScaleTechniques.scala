@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.ops.Skew
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-technique demonstrations, each oracle-checked so the technique
+  * provably preserves semantics: bucketed co-located joins (no exchange
+  * at join time), salted skew joins (identical results to plain join),
+  * sliding event-time windows.
+  */
+object ScaleTechniques {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Idempotently create bucketed saved tables for sfDir (bucketBy is
+    * only available via saveAsTable). Bucket count would be sized to
+    * target-file-size at scale; 8 here. */
+  // JVM-unique suffix: managed-table locations under spark-warehouse
+  // persist across JVMs while the in-memory catalog doesn't — unique
+  // names avoid LOCATION_ALREADY_EXISTS on re-runs
+  private lazy val jvmTag: String =
+    java.lang.Long.toHexString(System.nanoTime()).takeRight(8)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" + jvmTag
+    val (ot, lt) = (s"orders_b_$tag", s"lineitem_b_$tag")
+    if (!s.catalog.tableExists(ot)) {
+      // clear leftovers from prior JVMs (managed locations accumulate)
+      val wh = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"))
+      Option(wh.listFiles()).foreach(_.filter(f =>
+        f.getName.startsWith("orders_b_") || f.getName.startsWith("lineitem_b_"))
+        .filterNot(f => f.getName.endsWith(jvmTag))
+        .foreach(deleteRecursively))
+      t(s, dir, "orders").write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+      t(s, dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+    }
+    (ot, lt)
+  }
+
+  val defs: Seq[QDef] = Seq(
+
+    // bucketed co-located join: both sides pre-bucketed on the join key,
+    // so the join plan has NO shuffle exchange (verified in spec) —
+    // the 100 TB pattern for repeated fact-fact joins
+    QDef("q55_bucketed_join",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val (ot, lt) = ensureBucketed(s, dir)
+      s.table(ot).join(s.table(lt), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"))
+    },
+
+    // salted skew join: results must be identical to the plain join
+    QDef("q56_salted_join",
+      """SELECT c_mktsegment, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey")
+      val customer = t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey")
+      Skew.saltedJoin(orders, customer, "custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
+    // sliding windows (2h width, 1h slide): every event lands in exactly
+    // two windows; oracle reconstructs via a two-way union of hour buckets
+    QDef("str04_sliding_window",
+      """SELECT window_start, event_type, COUNT(*) AS n FROM (
+        |  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), event_type FROM events
+        |) GROUP BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val name = "str04_" + java.lang.Integer.toHexString(dir.hashCode)
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    }
+  )
+}
