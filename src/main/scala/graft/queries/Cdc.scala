@@ -146,9 +146,29 @@ object Cdc {
   )
 
   /** CDC→table compaction: latest image per primary key ordered by
-    * (__gtid, __op), dropping before-images and deletes. Shuffles once on
-    * the key — sort-merge friendly and spillable at 100 TB (SURVEY §2.D). */
+    * (__gtid, __op), dropping before-images and deletes.
+    *
+    * Implemented as max_by over a (gtid, op) ordering struct — a plain
+    * hash aggregation with map-side partials, so each map task reduces
+    * its events to one candidate per key BEFORE the shuffle and no sort
+    * ever happens. Strictly better than the window-function formulation
+    * (sort + WindowGroupLimit) at any scale; both yield identical rows
+    * (see latestImageWindow + the equivalence spec). */
   def latestImage(cdc: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = cdc.columns.filterNot(c =>
+      c == CdcSchema.OpCol || c == CdcSchema.GtidCol || c == CdcSchema.TmCol)
+    val image = struct((dataCols.map(col) :+ col(CdcSchema.OpCol).as("__last_op")): _*)
+    val order = struct(col(CdcSchema.GtidCol), col(CdcSchema.OpCol))
+    val winner = cdc.filter(col("__op") =!= CdcSchema.Op.UpdateBefore)
+      .groupBy(pk.map(col): _*)
+      .agg(max_by(image, order).as("__img"))
+    winner.filter(col("__img.__last_op") =!= CdcSchema.Op.Delete)
+      .select(dataCols.map(c => col(s"__img.$c").as(c)): _*)
+  }
+
+  /** Window-function formulation of the same compaction (kept for the
+    * equivalence spec and as the shape that generalizes to top-N). */
+  def latestImageWindow(cdc: DataFrame, pk: Seq[String]): DataFrame = {
     val w = Window.partitionBy(pk.map(col): _*)
       .orderBy(col("__gtid").desc, col("__op").desc)
     cdc.filter(col("__op") =!= CdcSchema.Op.UpdateBefore)

@@ -38,6 +38,18 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("latest-image agg formulation equals window formulation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cdc = graft.queries.Cdc.scan(spark, sfDir)
+    val a = graft.queries.Cdc.latestImage(cdc, Seq("o_orderkey"))
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    val cols = graft.queries.Cdc.latestImage(cdc, Seq("o_orderkey")).columns
+    val b = graft.queries.Cdc.latestImageWindow(cdc, Seq("o_orderkey"))
+      .select(cols.map(col): _*)
+      .orderBy("o_orderkey").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("salted left join preserves unmatched rows") {
     val sfDir = "/root/testdata/sf0.001"
     import spark.implicits._
