@@ -356,6 +356,25 @@ object CdcCodec {
     }
   }
 
+  /** Last complete-event boundary in a log file. A producer (mysqld)
+    * appends events non-atomically, so the file tail may hold a torn
+    * event; streaming offsets must never point past the last COMPLETE
+    * event or the torn event would be skipped forever once finished
+    * (it would sit below the recorded start offset). O(events) scan —
+    * a deployment caches (path, length) → boundary. */
+  def lastCompleteOffset(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists() || f.length() < HeaderLen) return HeaderLen.toLong
+    val r = new EventReader(path)
+    try {
+      var end = HeaderLen.toLong
+      while (r.hasNext) end = r.next().endPos
+      end
+    } catch {
+      case _: Exception => HeaderLen.toLong // unreadable header etc.
+    } finally r.close()
+  }
+
   /** Parse a TABLE_MAP payload into (db, table, schema). */
   def parseTableMap(payload: Array[Byte]): (String, String, StructType) = {
     val d = new DataInputStream(new java.io.ByteArrayInputStream(payload))

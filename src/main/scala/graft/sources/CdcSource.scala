@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -81,14 +81,16 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
-    new CdcScanBuilder(idx, db, tbl, tableSchema)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes)
   }
 }
 
 /** Honest pushdown: only filters fully evaluable on the envelope columns
   * are accepted; everything else is returned to Spark (contrast with the
   * reference advertising indexes it cannot serve, SURVEY.md §3.2). */
-class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType)
+class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -104,17 +106,20 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new CdcScan(indexFile, db, table, full, required, pushed)
+  override def build(): Scan =
+    new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger)
 }
 
 class CdcScan(indexFile: String, db: String, table: String,
-    full: StructType, required: StructType, filters: Array[Filter])
+    full: StructType, required: StructType, filters: Array[Filter],
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(indexFile, db, table, full, required, filters)
+    new CdcMicroBatchStream(indexFile, db, table, full, required, filters,
+      maxBytesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
     CdcCodec.readIndex(indexFile).map { f =>
@@ -311,20 +316,79 @@ object EnvelopePredicate {
 }
 
 /** Structured Streaming over the same decoder (SURVEY.md §2.C): offset =
-  * (fileIdx, bytePos) at event boundaries — total log order preserved,
-  * update pairs atomic within a batch. */
+  * (fileIdx, bytePos) at COMPLETE-event boundaries — total log order
+  * preserved, update pairs atomic within a batch, and a torn event at
+  * the producer's write frontier is never skipped (offsets snap to
+  * `lastCompleteOffset`, so the event is picked up once fully written).
+  * `maxBytesPerTrigger` bounds each micro-batch (admission control). */
 class CdcMicroBatchStream(indexFile: String, db: String, table: String,
-    full: StructType, required: StructType, filters: Array[Filter])
-    extends MicroBatchStream {
+    full: StructType, required: StructType, filters: Array[Filter],
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Seq[String] = CdcCodec.readIndex(indexFile)
 
   override def initialOffset(): Offset = CdcOffset(0, CdcCodec.HeaderLen.toLong)
 
-  override def latestOffset(): Offset = {
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = unboundedLatest()
+
+  private def unboundedLatest(): CdcOffset = {
     val fs = files
-    if (fs.isEmpty) initialOffset()
-    else CdcOffset(fs.length - 1, new java.io.File(fs.last).length())
+    if (fs.isEmpty) CdcOffset(0, CdcCodec.HeaderLen.toLong)
+    else CdcOffset(fs.length - 1, CdcCodec.lastCompleteOffset(fs.last))
+  }
+
+  override def latestOffset(): Offset = unboundedLatest()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcOffset]
+    maxBytesPerTrigger match {
+      case None => unboundedLatest()
+      case Some(budgetBytes) => boundedEnd(s, budgetBytes)
+    }
+  }
+
+  /** Walk files from `start`, accumulating complete-event bytes until the
+    * budget is spent; always admits at least one event (progress). */
+  private def boundedEnd(start: CdcOffset, budgetBytes: Long): CdcOffset = {
+    val fs = files
+    var budget = budgetBytes
+    var fi = math.min(start.fileIdx, math.max(0, fs.length - 1))
+    var last = start
+    var admitted = false
+    while (fi < fs.length) {
+      val from = if (fi == start.fileIdx) start.pos else CdcCodec.HeaderLen.toLong
+      val fileEnd = CdcCodec.lastCompleteOffset(fs(fi))
+      if (fileEnd > from) {
+        // scan event boundaries within [from, fileEnd]
+        val r = new CdcCodec.EventReader(fs(fi))
+        try {
+          var done = false
+          while (!done && r.hasNext) {
+            val ev = r.next()
+            if (ev.endPos > fileEnd) done = true
+            else if (ev.pos >= from) {
+              val sz = ev.endPos - ev.pos
+              if (budget >= sz || !admitted) {
+                budget -= sz
+                last = CdcOffset(fi, ev.endPos)
+                admitted = true
+              } else done = true
+            }
+            if (budget <= 0 && admitted) done = true
+          }
+          if (budget <= 0) return last
+        } finally r.close()
+      }
+      fi += 1
+      if (fi < fs.length && last.fileIdx < fi && budget > 0) {
+        // advance into the next file only if the budget allows more
+        last = if (admitted) last else CdcOffset(fi, CdcCodec.HeaderLen.toLong)
+      }
+    }
+    last
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -136,6 +136,63 @@ class CdcSourceSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("torn tail event: never emitted early, never skipped after completion") {
+    val dir = Files.createTempDirectory("cdc-torn").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(1000L, 1L); w.writeRows(1000L, 1L, schema, Seq(r(1, 1.0)))
+    w.gtid(2000L, 2L); w.writeRows(2000L, 1L, schema, Seq(r(2, 2.0)))
+    w.close()
+    val fullBytes = Files.readAllBytes(Paths.get(s"$dir/b.0"))
+    // torn producer write: last 7 bytes of the final event missing
+    Files.write(Paths.get(s"$dir/b.0"), fullBytes.dropRight(7))
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val ckpt = Files.createTempDirectory("cdc-torn-ckpt").toString
+    val outDir = Files.createTempDirectory("cdc-torn-out").toString
+    def startQuery() =
+      spark.readStream.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "t").load()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // producer finishes the event
+    Files.write(Paths.get(s"$dir/b.0"), fullBytes)
+    q1.processAllAvailable()
+    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"torn event lost or duplicated: $ids")
+    q1.stop()
+  }
+
+  test("maxBytesPerTrigger bounds each micro-batch at event boundaries") {
+    val dir = Files.createTempDirectory("cdc-rate").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schema)
+    (1 to 10).foreach { i =>
+      w.gtid(i * 1000L, i.toLong)
+      w.writeRows(i * 1000L, 1L, schema, Seq(r(i.toLong, i.toDouble)))
+    }
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("maxBytesPerTrigger", "200") // a few events per batch
+      .load()
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches += df.count(); ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.sum == 10, s"all rows delivered exactly once: $batches")
+    assert(batches.count(_ > 0) >= 2, s"rate limit should split batches: $batches")
+  }
+
   test("missing option and wrong table fail loudly") {
     val index = writeLog()
     val e1 = intercept[Exception] {
