@@ -54,6 +54,8 @@ object CdcCodec {
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
     out.writeInt(Magic); out.writeInt(Version)
+    private var minGtid = Long.MaxValue; private var maxGtid = Long.MinValue
+    private var minTs = Long.MaxValue; private var maxTs = Long.MinValue
 
     private def event(tpe: Byte, tsMs: Long)(body: DataOutputStream => Unit): Unit = {
       val buf = new java.io.ByteArrayOutputStream()
@@ -61,6 +63,8 @@ object CdcCodec {
       body(d); d.flush()
       out.writeByte(tpe); out.writeLong(tsMs); out.writeInt(buf.size())
       buf.writeTo(out)
+      if (tsMs < minTs) minTs = tsMs
+      if (tsMs > maxTs) maxTs = tsMs
     }
 
     def tableMap(tsMs: Long, tableId: Long, db: String, table: String, schema: StructType): Unit =
@@ -77,8 +81,11 @@ object CdcCodec {
         }
       }
 
-    def gtid(tsMs: Long, gno: Long): Unit =
+    def gtid(tsMs: Long, gno: Long): Unit = {
+      if (gno < minGtid) minGtid = gno
+      if (gno > maxGtid) maxGtid = gno
       event(EventType.Gtid, tsMs)(_.writeLong(gno))
+    }
 
     def writeRows(tsMs: Long, tableId: Long, schema: StructType, rows: Seq[Array[Any]]): Unit =
       rowsEvent(EventType.WriteRows, tsMs, tableId, schema, rows)
@@ -156,7 +163,29 @@ object CdcCodec {
       case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
     }
 
-    def close(): Unit = out.close()
+    /** Close + write the pruning sidecar: per-file (min,max) of
+      * (__gtid, event time) lets the planner skip whole files for
+      * gtid/time-range predicates (SURVEY §4.3 partition pruning). */
+    def close(): Unit = {
+      out.close()
+      if (maxGtid >= minGtid) {
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".meta"),
+          s"v1 $minGtid $maxGtid $minTs $maxTs\n")
+      }
+    }
+  }
+
+  /** Pruning sidecar contents, if present. Times in epoch millis. */
+  final case class FileMeta(minGtid: Long, maxGtid: Long, minTsMs: Long, maxTsMs: Long)
+
+  def readMeta(logPath: String): Option[FileMeta] = {
+    val p = java.nio.file.Paths.get(logPath + ".meta")
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.split("\\s+") match {
+      case Array("v1", a, b, c, d) =>
+        Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
+      case _ => None
+    }
   }
 
   // ---------------------------------------------------------------- reader

@@ -122,9 +122,11 @@ class CdcScan(indexFile: String, db: String, table: String,
       maxBytesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
-    CdcCodec.readIndex(indexFile).map { f =>
-      CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
-    }.toArray
+    CdcCodec.readIndex(indexFile)
+      .filter(f => EnvelopePredicate.mightMatchFile(filters, CdcCodec.readMeta(f)))
+      .map { f =>
+        CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
+      }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     CdcReaderFactory(db, table, full, required, filters)
@@ -239,6 +241,41 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
 
 /** Compiles pushed source filters into a predicate over the envelope. */
 object EnvelopePredicate {
+
+  /** Whole-file pruning against the (min,max) sidecar: returns false only
+    * when the pushed filters PROVABLY reject every row the file can
+    * contain. Conservative: unknown filters / missing sidecar => keep.
+    * (SURVEY §4.3 — the per-file min/max (__gtid,__tm) footer.) */
+  def mightMatchFile(filters: Array[Filter], meta: Option[CdcCodec.FileMeta]): Boolean =
+    meta match {
+      case None => true
+      case Some(m) => filters.forall(f => mightMatch(f, m))
+    }
+
+  private def mightMatch(f: Filter, m: CdcCodec.FileMeta): Boolean = {
+    def range(a: String): Option[(Long, Long)] = a match {
+      case CdcSchema.GtidCol => Some((m.minGtid, m.maxGtid))
+      case CdcSchema.TmCol =>
+        Some((DateTimeUtils.millisToMicros(m.minTsMs), DateTimeUtils.millisToMicros(m.maxTsMs)))
+      case _ => None // __op and anything else: not tracked per file
+    }
+    def lit(a: String, v: Any): Long = a match {
+      case CdcSchema.TmCol => toMicros(v)
+      case _ => num(v)
+    }
+    f match {
+      case EqualTo(a, v) => range(a).forall { case (lo, hi) => lit(a, v) >= lo && lit(a, v) <= hi }
+      case GreaterThan(a, v) => range(a).forall { case (_, hi) => hi > lit(a, v) }
+      case GreaterThanOrEqual(a, v) => range(a).forall { case (_, hi) => hi >= lit(a, v) }
+      case LessThan(a, v) => range(a).forall { case (lo, _) => lo < lit(a, v) }
+      case LessThanOrEqual(a, v) => range(a).forall { case (lo, _) => lo <= lit(a, v) }
+      case In(a, vs) => range(a).forall { case (lo, hi) =>
+        vs.exists(v => lit(a, v) >= lo && lit(a, v) <= hi) }
+      case And(l, r) => mightMatch(l, m) && mightMatch(r, m)
+      case Or(l, r) => mightMatch(l, m) || mightMatch(r, m)
+      case _ => true // Not(...), IsNotNull, unknown: keep the file
+    }
+  }
   private val cols = Set(CdcSchema.OpCol, CdcSchema.GtidCol, CdcSchema.TmCol)
 
   def supports(f: Filter): Boolean = f match {

@@ -193,6 +193,35 @@ class CdcSourceSpec extends SparkTestBase {
     assert(batches.count(_ > 0) >= 2, s"rate limit should split batches: $batches")
   }
 
+  test("sidecar file pruning: gtid/tm range predicates skip whole files") {
+    val dir = Files.createTempDirectory("cdc-prune").toString
+    def mk(name: String, gnoBase: Long): Unit = {
+      val w = new CdcCodec.LogWriter(s"$dir/$name")
+      w.tableMap(gnoBase * 1000, 1L, "db", "t", schema)
+      (0 until 3).foreach { i =>
+        w.gtid((gnoBase + i) * 1000, gnoBase + i)
+        w.writeRows((gnoBase + i) * 1000, 1L, schema,
+          Seq(Array[Any](gnoBase + i, i.toDouble)))
+      }
+      w.close()
+    }
+    mk("b.0", 0L); mk("b.1", 100L); mk("b.2", 200L)
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\nb.2\n")
+    val index = s"$dir/binlog.index"
+    // filter hitting only file b.1's gtid range [100,102]
+    val pruned = read(index).filter(col("__gtid") >= 100 && col("__gtid") <= 150)
+    assert(pruned.rdd.getNumPartitions == 1,
+      s"expected 1 partition after pruning, got ${pruned.rdd.getNumPartitions}")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L, 102L))
+    // no pruning filter: all 3 files scanned
+    assert(read(index).rdd.getNumPartitions == 3)
+    // missing sidecar => conservative keep
+    Files.delete(Paths.get(s"$dir/b.0.meta"))
+    val noMeta = read(index).filter(col("__gtid") >= 100 && col("__gtid") <= 150)
+    assert(noMeta.rdd.getNumPartitions == 2) // b.0 kept (no meta), b.2 pruned
+    assert(noMeta.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L, 102L))
+  }
+
   test("missing option and wrong table fail loudly") {
     val index = writeLog()
     val e1 = intercept[Exception] {
