@@ -141,6 +141,15 @@ class LlmOpsSpec extends SparkTestBase {
     assert(tot == 0) // frame slices exactly cover the payload
   }
 
+  test("multimodal resize stub: payload bounded, metadata updated") {
+    val media = graft.ops.Multimodal.mediaTable(docs)
+    val resized = graft.ops.Multimodal.resizeStub(media, w = 64, h = 64, maxBytes = 100)
+    val rows = resized.select(length($"payload").as("len"), $"meta.width", $"meta.height").collect()
+    assert(rows.forall(_.getInt(0) <= 100))
+    assert(rows.forall(r => r.getInt(1) == 64 && r.getInt(2) == 64))
+    assert(resized.count() == docs.count())
+  }
+
   test("srp bucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
