@@ -121,6 +121,36 @@ object Llm {
       Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6)
     },
 
+    // composed training-data pipeline: quality gate -> exact dedup ->
+    // per-language corpus statistics, end to end in one plan
+    QDef("llm17_pipeline",
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, lang,
+         |    0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |    + 0.2 * (CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+         |         [${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |    + 0.3 * LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS quality,
+         |    len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents
+         |), deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM scored WHERE quality >= 0.55) WHERE rn = 1
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM deduped GROUP BY lang""".stripMargin) { (s, dir) =>
+      val scored = TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+        .filter(col("quality") >= 0.55)
+      Dedup.exact(scored, Seq("text"), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+    },
+
     QDef.noOracle("llm12_multimodal_features") { (s, dir) =>
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media)
