@@ -35,6 +35,7 @@ object CdcFixture {
   val BaseMs: Long = 1704067200000L // 2024-01-01T00:00:00Z
   val TableId = 1L
   val AuditTableId = 2L
+  val NotesTableId = 3L
   val NumFiles = 4
 
   private val cache = mutable.Map.empty[String, String]
@@ -43,7 +44,8 @@ object CdcFixture {
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(sfDir, {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-$tag")
+      // v2: includes the nullable notes table + pruning sidecars
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc2-$tag")
       val index = dir.resolve("binlog.index")
       val done = dir.resolve("_SUCCESS")
       if (!Files.exists(done)) {
@@ -75,6 +77,10 @@ object CdcFixture {
 
     val auditSchema = StructType(Seq(
       StructField("audit_id", LongType), StructField("note", StringType)))
+    // nullable column exercised through the oracle-verified path:
+    // note NULL when o_orderkey % 3 == 0
+    val notesSchema = StructType(Seq(
+      StructField("note_id", LongType), StructField("note", StringType)))
 
     // one transaction = (gno, writer actions)
     sealed trait Txn { def gno: Long }
@@ -82,6 +88,7 @@ object CdcFixture {
     final case class Upd(gno: Long, before: Array[Any], after: Array[Any]) extends Txn
     final case class Del(gno: Long, row: Array[Any]) extends Txn
     final case class Audit(gno: Long, row: Array[Any]) extends Txn
+    final case class Note(gno: Long, row: Array[Any]) extends Txn
 
     val txns = mutable.ArrayBuffer.empty[Txn]
     rows.grouped(10).zipWithIndex.foreach { case (batch, b) =>
@@ -95,6 +102,13 @@ object CdcFixture {
         val after = r.clone()
         after(priceIdx) = r(priceIdx).asInstanceOf[Double] * 1.1
         txns += Upd(1000000L + idx, r, after)
+      }
+    }
+    rows.zipWithIndex.foreach { case (r, idx) =>
+      val key = r(keyIdx).asInstanceOf[Long]
+      if (key % 20 == 0) {
+        val note: Any = if (key % 3 == 0) null else s"n$key"
+        txns += Note(3000000L + idx, Array[Any](key, note))
       }
     }
     rows.zipWithIndex.foreach { case (r, idx) =>
@@ -116,6 +130,7 @@ object CdcFixture {
         val t0 = ts(chunk.head.gno)
         w.tableMap(t0, TableId, Db, Table, schema)
         w.tableMap(t0, AuditTableId, Db, "audit", auditSchema)
+        w.tableMap(t0, NotesTableId, Db, "notes", notesSchema)
         chunk.foreach { txn =>
           val t = ts(txn.gno)
           w.gtid(t, txn.gno)
@@ -124,6 +139,7 @@ object CdcFixture {
             case Upd(_, b, a) => w.updateRows(t, TableId, schema, Seq((b, a)))
             case Del(_, r) => w.deleteRows(t, TableId, schema, Seq(r))
             case Audit(_, r) => w.writeRows(t, AuditTableId, auditSchema, Seq(r))
+            case Note(_, r) => w.writeRows(t, NotesTableId, notesSchema, Seq(r))
           }
         }
       } finally w.close()

@@ -59,6 +59,25 @@ object CdcExt {
         .option("table", "audit")
         .load()
         .select(col("audit_id"), col("note"), col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
+    },
+
+    // nullable column through the full verified path: NULL bitmap on the
+    // wire -> InternalRow null -> parquet null -> DuckDB NULL compare
+    QDef("cdc12_nullable_column",
+      """WITH ord AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+        |)
+        |SELECT o_orderkey AS note_id,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'n' || CAST(o_orderkey AS VARCHAR) END AS note,
+        |  CAST(3000000 + idx AS BIGINT) AS __gtid
+        |FROM ord WHERE o_orderkey % 20 = 0""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", "notes")
+        .load()
+        .select(col("note_id"), col("note"), col(CdcSchema.GtidCol))
     }
   )
 }

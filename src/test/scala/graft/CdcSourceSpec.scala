@@ -193,6 +193,50 @@ class CdcSourceSpec extends SparkTestBase {
     assert(batches.count(_ > 0) >= 2, s"rate limit should split batches: $batches")
   }
 
+  test("all 13 wire types survive the DSv2 source end-to-end") {
+    val fullSchema = StructType(Seq(
+      StructField("id", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("ts", TimestampType), StructField("ntz", TimestampNTZType),
+      StructField("bin", BinaryType), StructField("dt", DateType),
+      StructField("f", FloatType), StructField("sh", ShortType),
+      StructField("b", ByteType), StructField("bool", BooleanType),
+      StructField("dec", DecimalType(10, 2))))
+    def mkRow(id: Long): Array[Any] = Array[Any](
+      id, id.toInt, id * 1.5, UTF8String.fromString(s"v$id"),
+      id * 1000000L, id * 2000000L, Array[Byte](id.toByte, 2, 3), 19000 + id.toInt,
+      id.toFloat, id.toShort, id.toByte, id % 2 == 0,
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s"$id.25"), 10, 2))
+    val nullRow: Array[Any] = Array.fill[Any](13)(null)
+    val dir = Files.createTempDirectory("cdc-types").toString
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", fullSchema)
+    w.gtid(1000L, 1L)
+    w.writeRows(1000L, 1L, fullSchema, Seq(mkRow(1), nullRow, mkRow(2)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val df = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t").load()
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    val r1 = rows.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(r1.getInt(1) == 1 && r1.getDouble(2) == 1.5 && r1.getString(3) == "v1")
+    assert(r1.getAs[java.sql.Timestamp]("ts") != null)
+    assert(r1.getAs[java.time.LocalDateTime]("ntz") != null)
+    assert(r1.getAs[Array[Byte]]("bin").toSeq == Seq(1: Byte, 2: Byte, 3: Byte))
+    assert(r1.getAs[java.sql.Date]("dt") != null)
+    assert(r1.getFloat(8) == 1.0f && r1.getShort(9) == 1 && r1.getByte(10) == 1)
+    assert(!r1.getBoolean(11))
+    assert(r1.getDecimal(12) == new java.math.BigDecimal("1.25"))
+    val rn = rows.find(_.isNullAt(0)).get
+    (0 until 13).foreach(i => assert(rn.isNullAt(i), s"col $i should be null"))
+    // roundtrip through parquet too (what Verify does)
+    val out = Files.createTempDirectory("cdc-types-out").toString
+    df.write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("sidecar file pruning: gtid/tm range predicates skip whole files") {
     val dir = Files.createTempDirectory("cdc-prune").toString
     def mk(name: String, gnoBase: Long): Unit = {
