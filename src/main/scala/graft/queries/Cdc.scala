@@ -166,6 +166,19 @@ object Cdc {
       .select(dataCols.map(c => col(s"__img.$c").as(c)): _*)
   }
 
+  /** Typed view of the orders CDC stream (SURVEY §1.1: Dataset[CdcRecord]
+    * with a case-class envelope where type safety helps). */
+  final case class OrderChange(o_orderkey: Long, o_custkey: Long,
+      o_totalprice: Double, __op: Int, __gtid: Long)
+
+  def typedScan(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[OrderChange] = {
+    import s.implicits._
+    scan(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
+      .as[OrderChange]
+  }
+
   /** Window-function formulation of the same compaction (kept for the
     * equivalence spec and as the shape that generalizes to top-N). */
   def latestImageWindow(cdc: DataFrame, pk: Seq[String]): DataFrame = {

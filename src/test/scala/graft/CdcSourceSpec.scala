@@ -280,6 +280,18 @@ class CdcSourceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no TABLE_MAP"))
   }
 
+  test("typed Dataset view: case-class rows, groupByKey aggregation") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ds = graft.queries.Cdc.typedScan(spark, sfDir)
+    import spark.implicits._
+    val perOp = ds.groupByKey(_.__op).count().collect().toMap
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    assert(perOp(1) == orders.count())
+    assert(perOp(2) == perOp(3)) // update images pair up
+    val first = ds.filter(_.o_orderkey == 10L).collect()
+    assert(first.forall(_.o_orderkey == 10L))
+  }
+
   test("fixture scan matches latest-image compaction invariants") {
     val sfDir = "/root/testdata/sf0.001"
     val cdc = graft.queries.Cdc.scan(spark, sfDir)
