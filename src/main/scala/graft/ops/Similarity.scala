@@ -108,7 +108,7 @@ object Similarity {
     def cellOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       // argmin over centroid distances, expressed as a greatest-of struct
       // trick: array_min over (distance, idx) structs
-      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct((lit(-2.0) * dot_product(e, lit(c))).as("negsim"), lit(i).as("cell"))
       }: _*)
       array_min(scored).getField("cell")

@@ -23,7 +23,7 @@ object Skew {
     // operator deterministic (re-runs and retries produce identical
     // partitioning, which retry semantics at scale want anyway)
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     val out = salted.join(replicated,

@@ -157,13 +157,13 @@ object Cdc {
   def latestImage(cdc: DataFrame, pk: Seq[String]): DataFrame = {
     val dataCols = cdc.columns.filterNot(c =>
       c == CdcSchema.OpCol || c == CdcSchema.GtidCol || c == CdcSchema.TmCol)
-    val image = struct((dataCols.map(col) :+ col(CdcSchema.OpCol).as("__last_op")): _*)
+    val image = struct((dataCols.toIndexedSeq.map(col) :+ col(CdcSchema.OpCol).as("__last_op")): _*)
     val order = struct(col(CdcSchema.GtidCol), col(CdcSchema.OpCol))
     val winner = cdc.filter(col("__op") =!= CdcSchema.Op.UpdateBefore)
       .groupBy(pk.map(col): _*)
       .agg(max_by(image, order).as("__img"))
     winner.filter(col("__img.__last_op") =!= CdcSchema.Op.Delete)
-      .select(dataCols.map(c => col(s"__img.$c").as(c)): _*)
+      .select(dataCols.toIndexedSeq.map(c => col(s"__img.$c").as(c)): _*)
   }
 
   /** Typed view of the orders CDC stream (SURVEY §1.1: Dataset[CdcRecord]

@@ -63,7 +63,7 @@ class CdcHardeningSpec extends SparkTestBase {
     val df = CdcCatalog.registerCdcView(spark, "orders_cdc", index, "graft")
     assert(df.columns.contains("__op"))
     // the registered view serves SQL — the reference's end-to-end surface
-    val n = spark.sql("SELECT COUNT(*) FROM orders_cdc WHERE __op = 1").head.getLong(0)
+    val n = spark.sql("SELECT COUNT(*) FROM orders_cdc WHERE __op = 1").head().getLong(0)
     assert(n == spark.read.parquet(s"$sfDir/orders.parquet").count())
   }
 

@@ -131,7 +131,7 @@ class LlmOpsSpec extends SparkTestBase {
     val media = Multimodal.mediaTable(docs.withColumnRenamed("doc_id", "doc_id"))
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == docs.count())
-    val f0 = feats.orderBy("media_id").select("features").head.getSeq[Float](0)
+    val f0 = feats.orderBy("media_id").select("features").head().getSeq[Float](0)
     assert(f0.length == 16)
     assert(math.abs(f0.sum - 1.0f) < 1e-3) // normalized histogram
     val frames = Multimodal.sampleFrames(media, nFrames = 4)

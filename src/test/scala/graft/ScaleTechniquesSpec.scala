@@ -45,7 +45,7 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .orderBy("o_orderkey").collect().map(_.toSeq)
     val cols = graft.queries.Cdc.latestImage(cdc, Seq("o_orderkey")).columns
     val b = graft.queries.Cdc.latestImageWindow(cdc, Seq("o_orderkey"))
-      .select(cols.map(col): _*)
+      .select(cols.toIndexedSeq.map(col): _*)
       .orderBy("o_orderkey").collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
