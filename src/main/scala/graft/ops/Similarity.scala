@@ -161,4 +161,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Multi-table SRP-LSH top-k — the textbook LSH structure: L
+    * independent tables of `planesPerTable` hyperplanes each; a pair
+    * collides if it shares a bucket in ANY table, so recall compounds as
+    * 1-(1-p^r)^L instead of the single table's p^r. Candidates are the
+    * union over tables, deduped per (query, candidate) before scoring.
+    * At 100 TB: each table's bucketing is one column; the corpus explodes
+    * L rows per vector into the join (L ~ 4-8) — still linear. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 4, planesPerTable: Int = 6,
+      embCol: String = "embedding", id: String = "vec_id",
+      dim: Int = 64): DataFrame = {
+    val all = planes(nTables * planesPerTable, dim)
+    def buckets(df: DataFrame): DataFrame = {
+      val perTable = (0 until nTables).map { t =>
+        val bits = (0 until planesPerTable).map { j =>
+          val p = all(t * planesPerTable + j)
+          when(dot_product(col(embCol), lit(p)) >= 0, lit(1 << j)).otherwise(lit(0))
+        }
+        struct(lit(t).as("tbl"), bits.reduce(_ + _).as("b"))
+      }
+      df.withColumn("tb", explode(array(perTable: _*)))
+        .withColumn("tbl", col("tb.tbl")).withColumn("b", col("tb.b")).drop("tb")
+    }
+    val cb = buckets(corpus.select(col(id), col(embCol)))
+    val qb = buckets(queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
+      .withColumnRenamed("q_emb", embCol))
+      .withColumnRenamed(embCol, "q_emb")
+    val cands = cb.join(broadcast(qb), Seq("tbl", "b"))
+      .filter(col(id) =!= col("query_id"))
+      .dropDuplicates("query_id", id) // union over tables
+      .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(id))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+  }
 }

@@ -115,6 +115,12 @@ object Llm {
         size(TextAnalysis.bpeishTokens(col("text"))).as("n_subwords"))
     },
 
+    QDef.noOracle("llm18_knn_lsh_multitable") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 8, planesPerTable = 4)
+    },
+
     QDef.noOracle("llm16_knn_ivf") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)

@@ -89,6 +89,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("multi-table LSH recall beats single-table and clears 0.5") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.lshTopK(emb, queries, k = 10, nPlanes = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 8, planesPerTable = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = (brute intersect single).size.toDouble / brute.size
+    val rMulti = (brute intersect multi).size.toDouble / brute.size
+    assert(rMulti >= rSingle, s"multi-table recall $rMulti < single $rSingle")
+    assert(rMulti >= 0.5, s"multi-table recall $rMulti too low")
+  }
+
   test("brute-force top-k is exact: matches a collected reference computation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
