@@ -38,6 +38,21 @@ object Streaming {
         "str02_" + java.lang.Integer.toHexString(dir.hashCode), "append")
     },
 
+    // watermark-bounded dedup state — the form that holds at unbounded
+    // runtime (state for keys older than the watermark is dropped)
+    QDef("str05_dedup_within_watermark",
+      "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
+      val name = "str05_" + java.lang.Integer.toHexString(dir.hashCode)
+      val deduped = graft.streaming.StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name)
+    },
+
     // stateful latest-image: the streaming twin of cdc03 (same oracle,
     // restricted to the columns the state carries)
     QDef("str03_stream_latest_image",

@@ -50,6 +50,14 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("seeded sample lands near the requested fraction") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val total = li.count()
+    val sampled = graft.SparkEntry.queries("q53_sample")(spark, "/root/testdata/sf0.001").count()
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac far from 0.1")
+  }
+
   test("salted left join preserves unmatched rows") {
     val sfDir = "/root/testdata/sf0.001"
     import spark.implicits._
