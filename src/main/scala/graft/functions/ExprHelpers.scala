@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+
+/** Static eval kernels for the custom expressions. Scala emits static
+  * forwarders for object methods, so generated whole-stage code calls
+  * `graft.functions.ExprHelpers.simhash64(arr)` directly — the
+  * expressions stay inside codegen spans (no CodegenFallback iterator
+  * break) while the loops remain compiled Scala.
+  */
+object ExprHelpers {
+
+  def simhash64(arr: ArrayData): Long = {
+    val tally = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (tally(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  def rollingHash(arr: ArrayData): Long = {
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = if (arr.isNullAt(i)) 0L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 7L)
+      h = h * 31L + t
+      i += 1
+    }
+    h
+  }
+
+  private def mix(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def minhashSig(arr: ArrayData, k: Int, shingleN: Int): ArrayData = {
+    val nTok = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    val tokHash = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      tokHash(i) =
+        if (arr.isNullAt(i)) 0L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    val nShingles = math.max(1, nTok - shingleN + 1)
+    var s = 0
+    while (s < nShingles) {
+      var sh = 0L
+      var j = 0
+      val w = math.min(shingleN, nTok - s)
+      while (j < w) { sh = sh * 0x100000001b3L + tokHash(s + j); j += 1 }
+      val h0 = mix(sh)
+      val h1 = mix(sh ^ 0x5851f42d4c957f2dL) | 1L
+      var h = h0
+      var q = 0
+      while (q < k) {
+        if (h < sig(q)) sig(q) = h
+        h += h1
+        q += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

@@ -94,35 +94,14 @@ case class DotProduct(left: Expression, right: Expression)
   * Interpreted eval (CodegenFallback) — the hash loop dominates, codegen
   * would buy little here.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val tally = new Array[Int](64)
-    var i = 0
-    while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) {
-        val t = arr.getUTF8String(i)
-        val h = hash64(t)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
-          j += 1
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) { if (tally(j) > 0) sig |= (1L << j); j += 1 }
-    sig
-  }
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.simhash64(v.asInstanceOf[ArrayData])
 
-  private def hash64(s: UTF8String): Long =
-    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      s, StringType, 42L)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprHelpers.simhash64($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -137,71 +116,28 @@ case class SimHash64(child: Expression)
   * input is 100 TB of documents.
   */
 case class MinHashSignature(child: Expression, k: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def mix(z0: Long): Long = { // splitmix64 finalizer
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.minhashSig(v.asInstanceOf[ArrayData], k, shingleN)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val nTok = arr.numElements()
-    val sig = Array.fill(k)(Long.MaxValue)
-    val tokHash = new Array[Long](nTok)
-    var i = 0
-    while (i < nTok) {
-      tokHash(i) =
-        if (arr.isNullAt(i)) 0L
-        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          arr.getUTF8String(i), StringType, 42L)
-      i += 1
-    }
-    val nShingles = math.max(1, nTok - shingleN + 1)
-    var s = 0
-    while (s < nShingles) {
-      var sh = 0L
-      var j = 0
-      val w = math.min(shingleN, nTok - s)
-      while (j < w) { sh = sh * 0x100000001b3L + tokHash(s + j); j += 1 }
-      val h0 = mix(sh)
-      val h1 = mix(sh ^ 0x5851f42d4c957f2dL) | 1L
-      var h = h0
-      var q = 0
-      while (q < k) {
-        if (h < sig(q)) sig(q) = h
-        h += h1
-        q += 1
-      }
-      s += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprHelpers.minhashSig($a, $k, $shingleN)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Polynomial rolling hash over tokens (document fingerprinting). */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    var h = 1125899906842597L // large prime
-    var i = 0
-    while (i < arr.numElements()) {
-      val t = if (arr.isNullAt(i)) 0L
-        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          arr.getUTF8String(i), StringType, 7L)
-      h = h * 31L + t
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.rollingHash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprHelpers.rollingHash($a)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
