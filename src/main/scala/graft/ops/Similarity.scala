@@ -18,6 +18,32 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Aggregator-heap formulation of brute-force top-k (SURVEY §7.2):
+    * groupByKey(query) + a k-bounded typed Aggregator instead of a sort
+    * window. Same rows as bruteForceTopK (equivalence spec); the heap
+    * form is the one to reach for when a group's candidate list must
+    * never exist materialized (extreme fan-in). */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, k: Int,
+      embCol: String = "embedding", id: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
+    val scored = corpus.select(col(id), col(embCol))
+      .crossJoin(broadcast(q))
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
+      .select(col("query_id"), col(id), col("sim"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.Udfs.TopKBySim(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-random-projection. */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
