@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
+import graft.functions.VectorFunctions.cosine_sim
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -50,7 +51,25 @@ object Llm {
           col("len_score"), col("quality"))
     },
 
-    QDef.noOracle("llm03_langid") { (s, dir) =>
+    // oracle mirrors array_max-over-(score,lang)-structs: greatest score,
+    // ties broken toward the lexicographically greatest lang (CASE runs
+    // in descending lang order); scores are int/int double division in
+    // both engines, so the hash compare is exact
+    QDef("llm03_langid", {
+      def sc(markers: Seq[String]) =
+        s"CAST(len(list_intersect(string_split(text,' '), [${markers.map("'" + _ + "'").mkString(",")}])) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)"
+      val m = TextAnalysis.LangMarkers
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  ${sc(m("de"))} AS s_de, ${sc(m("en"))} AS s_en, ${sc(m("es"))} AS s_es,
+         |  ${sc(m("fr"))} AS s_fr, ${sc(m("zh"))} AS s_zh
+         |FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_zh = best THEN 'zh' WHEN s_fr = best THEN 'fr'
+         |       WHEN s_es = best THEN 'es' WHEN s_en = best THEN 'en'
+         |       ELSE 'de' END AS pred_lang,
+         |  best AS lang_score
+         |FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)""".stripMargin
+    }) { (s, dir) =>
       TextAnalysis.langId(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("pred_lang"), col("lang_score"))
     },
@@ -82,7 +101,28 @@ object Llm {
         threshold = 0.8)
     },
 
-    QDef.noOracle("llm09_knn_brute") { (s, dir) =>
+    // oracle reproduces CosineSimilarity bit-for-bit: each accumulator
+    // (dot, |a|^2, |b|^2) is a sequential left-to-right double fold, so
+    // list_reduce over the same element order gives the identical IEEE
+    // result, and sqrt/division are correctly rounded in both engines
+    QDef("llm09_knn_brute", {
+      def fold(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${fold("c.embedding", "q.q_emb")} AS dot,
+         |    ${fold("c.embedding", "c.embedding")} AS na,
+         |    ${fold("q.q_emb", "q.q_emb")} AS nb
+         |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+         |sim AS (SELECT query_id, neighbor_id,
+         |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+         |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim FROM d)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM sim)
+         |WHERE rank <= 10""".stripMargin
+    }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.bruteForceTopK(emb, queries, k = 10)
@@ -109,7 +149,16 @@ object Llm {
         .select(col("doc_id"))
     },
 
-    QDef.noOracle("llm15_bpeish_tokens") { (s, dir) =>
+    // oracle can't use lookarounds (RE2): instead it inserts an explicit
+    // boundary char (chr(1), absent from the corpus) at letter<->digit
+    // transitions, then splits on non-alnum runs — same token count
+    QDef("llm15_bpeish_tokens",
+      """SELECT doc_id, CAST(len(string_split_regex(
+        |  regexp_replace(regexp_replace(text,
+        |    '([a-z])([0-9])', '\1' || chr(1) || '\2', 'g'),
+        |    '([0-9])([a-z])', '\1' || chr(1) || '\2', 'g'),
+        |  '[^a-z0-9]+')) AS INTEGER) AS n_subwords
+        |FROM documents""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"),
         size(TextAnalysis.bpeishTokens(col("text"))).as("n_subwords"))
@@ -157,17 +206,101 @@ object Llm {
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
     },
 
-    QDef.noOracle("llm12_multimodal_features") { (s, dir) =>
+    // output is scalars only (the raw feature array isn't hashable by the
+    // driver's compare): argmax bin of the byte histogram — equal to the
+    // argmax over raw counts, so the float normalization cancels out and
+    // the oracle can recompute it from character codes (corpus is ASCII,
+    // so char code == UTF-8 byte)
+    QDef("llm12_multimodal_features",
+      """WITH h AS (SELECT doc_id AS media_id,
+        |    CAST((doc_id % 640) + 32 AS INTEGER) AS width,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |    list_transform(range(0, 16), b -> len(list_filter(
+        |      list_transform(range(1, strlen(text) + 1), i -> (ord(text[i]) * 16) // 256),
+        |      x -> x = b))) AS counts
+        |  FROM documents)
+        |SELECT media_id, width, format, n_bytes,
+        |  CAST(list_indexof(counts, list_aggregate(counts, 'max')) - 1 AS INTEGER) AS top_bin
+        |FROM h""".stripMargin) { (s, dir) =>
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("meta.width").as("width"),
-          col("meta.format").as("format"), col("n_bytes"), col("features"))
+          col("meta.format").as("format"), col("n_bytes"),
+          (array_position(col("features"), array_max(col("features"))) - 1)
+            .cast("int").as("top_bin"))
     },
 
-    QDef.noOracle("llm13_multimodal_frames") { (s, dir) =>
+    // frame lengths are pure arithmetic over payload size:
+    // len_i = clamp(n - i*ceil(n/4), 0, ceil(n/4))
+    QDef("llm13_multimodal_frames",
+      """SELECT media_id, frame_idx, frame_len FROM (
+        |  SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+        |    CAST(LEAST(GREATEST(n - i * fsz, 0), fsz) AS INTEGER) AS frame_len
+        |  FROM (SELECT doc_id, strlen(text) AS n,
+        |          GREATEST(1, CAST(CEIL(strlen(text) / 4.0) AS BIGINT)) AS fsz
+        |        FROM documents)
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+        |WHERE frame_len > 0""".stripMargin) { (s, dir) =>
       val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
       Multimodal.sampleFrames(media, nFrames = 4)
         .select(col("media_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
+    },
+
+    // exact n-gram Jaccard over a deterministic 1-in-5 doc_id block:
+    // the oracle-checkable counterpart of llm08's LSH-candidate version
+    // (all-pairs within the block; shingle construction matches
+    // TextAnalysis.shingles token-for-token)
+    QDef("llm19_jaccard_block",
+      """WITH d AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+        |      THEN [array_to_string(string_split(text, ' '), ' ')]
+        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
+        |      END) AS sh
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+        |  FROM d a, d b WHERE a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    },
+
+    // exact embedding near-dup baseline (all pairs, cosine >= 0.9) —
+    // the oracle-checkable counterpart of llm11's SRP-LSH version; the
+    // quadratic pair join is the correctness reference, not the scale path
+    QDef("llm20_embed_neardup_exact", {
+      def fold(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${fold("a.embedding", "b.embedding")} AS dot,
+         |    ${fold("a.embedding", "a.embedding")} AS na,
+         |    ${fold("b.embedding", "b.embedding")} AS nb
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM d)
+         |WHERE cos >= 0.9""".stripMargin
+    }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", cosine_sim(col("e_a"), col("e_b")))
+        .filter(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("cos"))
     }
   )
 }

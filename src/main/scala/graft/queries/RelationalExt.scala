@@ -17,13 +17,15 @@ object RelationalExt {
 
   val defs: Seq[QDef] = Seq(
 
+    // statuses joined to one string: the driver's pandas compare can't
+    // hash raw array cells, and the string form is canonical anyway
     QDef("q39_array_agg",
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  CAST(len(list(DISTINCT l_linestatus)) AS INTEGER) AS n_statuses
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
           size(collect_set(col("l_linestatus"))).as("n_statuses"))
     },
 
