@@ -14,6 +14,9 @@ Test / fork := true
 // flipped inside tests) — run suites sequentially to avoid races.
 Test / parallelExecution := false
 run / fork := true
+// Pass forked program output straight through (no "[info] " prefix) so
+// the driver can json-parse Bench's single JSON line out of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,18 +34,23 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.keys.toSeq.sorted
       else Headline.filter(SparkEntry.queries.contains)
+    import scala.util.control.NonFatal
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
+      try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () } // warmup
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
+    // decimal separator would break the driver's JSON parse.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) r3(v) else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -106,14 +106,18 @@ object Llm {
     // list_reduce over the same element order gives the identical IEEE
     // result, and sqrt/division are correctly rounded in both engines
     QDef("llm09_knn_brute", {
-      def fold(a: String, b: String) =
-        s"list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      // every accumulator folds over the SAME least-length range that
+      // CosineSimilarity uses (it truncates dot AND both norms to
+      // min(len)); empty range guarded to 0.0 (list_reduce errors on [],
+      // the engine returns 0.0 via the zero-norm branch)
+      def fold(u: String, v: String, a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |  FROM embeddings WHERE vec_id % 50 = 0),
          |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    ${fold("c.embedding", "q.q_emb")} AS dot,
-         |    ${fold("c.embedding", "c.embedding")} AS na,
-         |    ${fold("q.q_emb", "q.q_emb")} AS nb
+         |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
+         |    ${fold("c.embedding", "c.embedding", "c.embedding", "q.q_emb")} AS na,
+         |    ${fold("q.q_emb", "q.q_emb", "c.embedding", "q.q_emb")} AS nb
          |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
          |sim AS (SELECT query_id, neighbor_id,
          |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
@@ -250,7 +254,11 @@ object Llm {
     // exact n-gram Jaccard over a deterministic 1-in-5 doc_id block:
     // the oracle-checkable counterpart of llm08's LSH-candidate version
     // (all-pairs within the block; shingle construction matches
-    // TextAnalysis.shingles token-for-token)
+    // TextAnalysis.shingles token-for-token). Deterministic top-25 by
+    // (jaccard DESC, id_a, id_b) rather than a threshold — guarantees
+    // nonzero compared rows at every SF (a 0.8 cutoff matched nothing,
+    // making the oracle check vacuous); jaccard is an exact int/int
+    // division so the sort order is identical in both engines
     QDef("llm19_jaccard_block",
       """WITH d AS (SELECT doc_id,
         |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
@@ -264,7 +272,7 @@ object Llm {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
         |  FROM d a, d b WHERE a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.8""".stripMargin) { (s, dir) =>
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 25""".stripMargin) { (s, dir) =>
       val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"),
           array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
@@ -274,33 +282,39 @@ object Llm {
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-        .filter(col("jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(25)
     },
 
-    // exact embedding near-dup baseline (all pairs, cosine >= 0.9) —
-    // the oracle-checkable counterpart of llm11's SRP-LSH version; the
-    // quadratic pair join is the correctness reference, not the scale path
+    // exact embedding near-dup baseline (all pairs) — the oracle-checkable
+    // counterpart of llm11's SRP-LSH version; the quadratic pair join is
+    // the correctness reference, not the scale path. Deterministic top-50
+    // by (cos DESC, id_a, id_b) rather than a threshold (a 0.9 cutoff
+    // matched nothing → vacuous check); accumulators fold over the same
+    // least-length range CosineSimilarity truncates to, with an
+    // empty-range guard matching the engine's 0.0 zero-norm result
     QDef("llm20_embed_neardup_exact", {
-      def fold(a: String, b: String) =
-        s"list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+      def fold(u: String, v: String, a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
       s"""WITH d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    ${fold("a.embedding", "b.embedding")} AS dot,
-         |    ${fold("a.embedding", "a.embedding")} AS na,
-         |    ${fold("b.embedding", "b.embedding")} AS nb
+         |    ${fold("a.embedding", "b.embedding", "a.embedding", "b.embedding")} AS dot,
+         |    ${fold("a.embedding", "a.embedding", "a.embedding", "b.embedding")} AS na,
+         |    ${fold("b.embedding", "b.embedding", "a.embedding", "b.embedding")} AS nb
          |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM (
          |  SELECT id_a, id_b, CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
          |    ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM d)
-         |WHERE cos >= 0.9""".stripMargin
+         |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin
     }) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cos", cosine_sim(col("e_a"), col("e_b")))
-        .filter(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(50)
     }
   )
 }
