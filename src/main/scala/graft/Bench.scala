@@ -38,9 +38,15 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () } // warmup
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      // min of two timed runs: a single sample is hostage to transient
+      // noise (GC pause, page-cache miss, competing load on the host)
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = samples.forall(_._2)
+      (name, samples.map(_._1).min, ok)
     }
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
     // decimal separator would break the driver's JSON parse.

@@ -77,46 +77,50 @@ object Similarity {
       .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Deterministic k-means centroids for IVF: seeded initial pick, a few
-    * Lloyd iterations run as Spark aggregations (assign = argmin over
-    * broadcast centroids; update = per-cluster mean). Centroid count
-    * ~sqrt(N) keeps probe cost and cluster size balanced. */
+  /** Deterministic k-means centroids for IVF, trained on a bounded
+    * hash-ordered sample (the FAISS recipe: the coarse quantizer never
+    * needs the full corpus — `maxTrain` vectors bound driver memory and
+    * make training cost independent of corpus size). One distributed
+    * pass extracts the sample (per-partition bounded heap via
+    * takeOrdered, no global sort); Lloyd iterations then run in the
+    * driver over ≤ maxTrain × dim doubles. Only cell ASSIGNMENT — the
+    * part that is O(corpus) — stays distributed (see ivfTopK). */
   def kmeansCentroids(corpus: DataFrame, embCol: String, kClusters: Int,
-      iters: Int = 3, dim: Int = 64, seed: Long = 42L): Array[Array[Double]] = {
+      iters: Int = 3, dim: Int = 64, seed: Long = 42L,
+      maxTrain: Int = 100000): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(embCol)).as[Array[Float]]
-    // deterministic init: hash-ordered sample
-    var centroids = vecs.rdd
+    val sample: Array[Array[Float]] = corpus.select(col(embCol)).as[Array[Float]]
+      .rdd
       .map(v => (scala.util.hashing.MurmurHash3.arrayHash(v, seed.toInt), v))
-      .sortByKey().take(kClusters).map(_._2.map(_.toDouble))
+      .takeOrdered(maxTrain)(Ordering.by(_._1))
+      .map(_._2)
+    // deterministic init: k smallest by hash = head of the sorted sample
+    var centroids = sample.take(kClusters).map(_.map(_.toDouble))
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val updated = vecs.rdd
-        .map { v =>
-          val cs = bc.value
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var d = 0.0; var i = 0
-            while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          (best, (v.map(_.toDouble), 1L))
+      val sums = Array.fill(kClusters)(new Array[Double](dim))
+      val counts = new Array[Long](kClusters)
+      var vi = 0
+      while (vi < sample.length) {
+        val v = sample(vi)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
-        .reduceByKey { (x: (Array[Double], Long), y: (Array[Double], Long)) =>
-          val s = new Array[Double](x._1.length)
-          var i = 0
-          while (i < x._1.length) { s(i) = x._1(i) + y._1(i); i += 1 }
-          (s, x._2 + y._2)
-        }
-        .collectAsMap()
+        val s = sums(best)
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        vi += 1
+      }
       centroids = centroids.indices.map { c =>
-        updated.get(c).map { case (s, n) => s.map(_ / n) }.getOrElse(centroids(c))
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else centroids(c)
       }.toArray
-      bc.destroy()
       it += 1
     }
     centroids
