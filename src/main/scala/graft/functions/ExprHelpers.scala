@@ -44,6 +44,22 @@ object ExprHelpers {
     h
   }
 
+  /** Modular polynomial hash over the UTF-8 bytes of a string:
+    * h = fold(h * 131 + byte) mod (2^31 - 1). Every intermediate fits in
+    * 63 bits, so the identical fold is expressible in DuckDB BIGINT
+    * arithmetic — this is the oracle-checkable fingerprint (the xxhash64
+    * prints are JVM-specific and get rows-only checks). */
+  def modPolyHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 131L + (bytes(i) & 0xFFL)) % 2147483647L
+      i += 1
+    }
+    h
+  }
+
   private def mix(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -129,6 +129,21 @@ case class MinHashSignature(child: Expression, k: Int, shingleN: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Modular polynomial hash over a string's UTF-8 bytes — the
+  * oracle-portable fingerprint (mod 2^31-1 keeps every intermediate in
+  * BIGINT range, so DuckDB can replay the fold bit-for-bit). */
+case class ModPolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.modPolyHash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprHelpers.modPolyHash($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Polynomial rolling hash over tokens (document fingerprinting). */
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -152,6 +167,7 @@ object VectorFunctions {
     column(DotProduct(expr(a), expr(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
   def rolling_hash(tokens: Column): Column = column(RollingHash(expr(tokens)))
+  def mod_poly_hash(text: Column): Column = column(ModPolyHash(expr(text)))
   def minhash_sig(tokens: Column, k: Int, shingleN: Int = 3): Column =
     column(MinHashSignature(expr(tokens), k, shingleN))
 }

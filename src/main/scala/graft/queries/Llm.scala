@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import graft.functions.VectorFunctions.cosine_sim
+import graft.functions.VectorFunctions.{cosine_sim, mod_poly_hash}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,20 @@ object Llm {
     QDef.noOracle("llm04_fingerprints") { (s, dir) =>
       TextAnalysis.fingerprints(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), col("content_hash"), col("rolling_fp"), col("simhash_fp"))
+    },
+
+    // oracle-checkable fingerprint: modular polynomial hash over the
+    // document bytes (mod 2^31-1 keeps every intermediate in BIGINT
+    // range; corpus is ASCII so ord(char) == utf-8 byte) — DuckDB
+    // replays the identical fold, unlike the xxhash64-based llm04 prints
+    QDef("llm21_fingerprint_mod",
+      """SELECT doc_id,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS mod_fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), mod_poly_hash(col("text")).as("mod_fp"))
     },
 
     QDef("llm05_dedup_exact",

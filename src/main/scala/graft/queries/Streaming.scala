@@ -53,6 +53,22 @@ object Streaming {
       s.table(name)
     },
 
+    // stream-stream interval join (view -> purchase attribution within
+    // 30 min per user): both sides watermarked, condition bounds event
+    // time both ways so join state is evictable at unbounded runtime
+    QDef("str06_stream_stream_join",
+      """SELECT a.event_id AS l_id, a.user_id, b.event_id AS r_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
+      val views = StreamOps.eventsStream(s, dir).filter(col("event_type") === "view")
+      val purchases = StreamOps.eventsStream(s, dir).filter(col("event_type") === "purchase")
+      drain(StreamOps.intervalJoin(views, purchases, "30 MINUTE"),
+        "str06_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+        .select(col("l_id"), col("user_id"), col("r_id"))
+    },
+
     // stateful latest-image: the streaming twin of cdc03 (same oracle,
     // restricted to the columns the state carries)
     QDef("str03_stream_latest_image",

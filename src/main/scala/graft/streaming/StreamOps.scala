@@ -57,6 +57,23 @@ object StreamOps {
       .dropDuplicates(keys)
       .select(keys.map(col): _*)
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same user within [left.ts, left.ts + window]. Both sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions, so each side's buffered state is evictable — the only
+    * stream-stream join shape that runs unbounded (Spark drops state
+    * older than watermark + interval). */
+  def intervalJoin(left: DataFrame, right: DataFrame, window: String): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("l_id"), col("user_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
   /** State row for latest-image materialization. */
   case class OrderImage(o_orderkey: Long, o_custkey: Long, o_totalprice: Double,
       gtid: Long, deleted: Boolean)

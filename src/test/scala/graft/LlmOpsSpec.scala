@@ -178,6 +178,16 @@ class LlmOpsSpec extends SparkTestBase {
     assert(resized.count() == docs.count())
   }
 
+  test("mod_poly_hash: matches hand fold, stable under codegen, in [0, 2^31)") {
+    import graft.functions.VectorFunctions.mod_poly_hash
+    // "ab" -> (0*131 + 97) % p = 97; (97*131 + 98) % p = 12805
+    val one = spark.range(1).select(mod_poly_hash(lit("ab")).as("h")).head().getLong(0)
+    assert(one == 12805L)
+    assert(spark.range(1).select(mod_poly_hash(lit("")).as("h")).head().getLong(0) == 0L)
+    val hs = docs.select(mod_poly_hash($"text").as("h")).collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0L && h < 2147483647L))
+  }
+
   test("srp bucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
