@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** AS-OF JOIN as a first-class whole-operator extension — the CDC idiom
+  * the reference serves with `SELECT ... WHERE __tm <= t` + client-side
+  * latest-image logic (scan protocol `binlogdb.cc:477-551`, `__tm`
+  * synthesis `binlog_table_reader.cc:138-141`), here promoted to a real
+  * operator: for each left row, the single right row with the greatest
+  * right.ts <= left.ts within the same key group (left outer: no match →
+  * nulls).
+  *
+  * Spark has no as-of primitive, and the composed form (theta join +
+  * row_number + filter) materializes every candidate pair before pruning
+  * — O(matches) intermediate where this operator is O(input). This is
+  * exactly the case the builder brief reserves for a custom
+  * `LogicalPlan` + `Rule`/`SparkStrategy` + `SparkPlan`:
+  *
+  *  - logical [[AsOfJoinPlan]] declares the semantics;
+  *  - [[AsOfJoinStrategy]] (registered via `experimental.extraStrategies`
+  *    on a live session, or [[graft.GraftExtensions]] at build time)
+  *    plans it;
+  *  - physical [[AsOfJoinExec]] demands hash-clustered children sorted by
+  *    (keys, ts) — Catalyst's EnsureRequirements inserts the exchanges
+  *    and sorts, co-partitioning both sides — then streams a single
+  *    forward merge per partition: zero buffering beyond one candidate
+  *    row per side, spill-free, linear in partition size.
+  *
+  * 100 TB posture: one shuffle per side on the join keys (same as any
+  * shuffled join — reuse an existing clustering and EnsureRequirements
+  * elides the exchange), sorted-merge within partitions, state = one
+  * row. Skewed keys shard exactly like sort-merge join; no pair blowup.
+  *
+  * Null semantics: keys group like GROUP BY (null == null); a null right
+  * ts sorts first and so never beats a real candidate.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+  // nullability is COMPUTED (left outer: right side nullable), never
+  // stored — optimizer rewrites remap stored attrs back to the child's
+  // originals, silently losing a stored nullability override
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
+      AsOfJoinExec(lk, rk, lts, rts, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on the join keys; EnsureRequirements aligns
+  // partition counts and inserts exchanges only where the child isn't
+  // already clustered correctly
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // merge precondition: each side sorted by (keys, ts) ascending
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
+
+  // rows pass through in left order/partitioning — advertise it so a
+  // downstream agg/window on the same keys needs no re-exchange/re-sort
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output; val rOut = right.output
+    val rOutN = rOut.map(_.withNullability(true))
+    val lk = leftKeys; val rk = rightKeys
+    val lts = leftTs; val rts = rightTs
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val outAttrs = output
+    val nRight = rOut.size
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val lKeyProj = UnsafeProjection.create(lk, lOut)
+      val rKeyProj = UnsafeProjection.create(rk, rOut)
+      val lTsProj = UnsafeProjection.create(Seq(lts), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rts), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(tsType))
+      // bind against the NULLABLE right attrs (rightOutput, same
+      // exprIds): the unmatched-left path feeds an all-null right row,
+      // and a projection bound to the child's non-nullable schema would
+      // skip the null check and read garbage zeros
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rOutN)
+      val nullRight = new GenericInternalRow(nRight)
+      val joinedRow = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (ri.hasNext) ri.next() else null
+        private var cand: InternalRow = null     // copy: best right so far
+        private var candKey: UnsafeRow = null    // copy: its key
+        override def hasNext: Boolean = li.hasNext
+        override def next(): InternalRow = {
+          val l = li.next()
+          val lKey = lKeyProj(l)
+          var scanning = rRow != null
+          while (scanning) {
+            val c = keyOrd.compare(rKeyProj(rRow), lKey)
+            if (c < 0) {
+              rRow = if (ri.hasNext) ri.next() else null
+            } else if (c == 0 && tsOrd.compare(rTsProj(rRow), lTsProj(l)) <= 0) {
+              cand = rRow.copy(); candKey = rKeyProj(rRow).copy()
+              rRow = if (ri.hasNext) ri.next() else null
+            } else scanning = false
+            if (rRow == null) scanning = false
+          }
+          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
+          resultProj(if (matched) joinedRow(l, cand) else joinedRow(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOfJoin.asof(trades, quotes, Seq("sym" -> "sym"), "ts", "qts")`. */
+object AsOfJoin {
+
+  def register(spark: SparkSession): Unit =
+    Bridge.addStrategy(spark, AsOfJoinStrategy)
+
+  /** Left as-of join: every left row, plus the latest right row (by
+    * `rightTsCol` <= `leftTsCol`) in the same key group, or nulls.
+    * Column names must be disjoint or selected by position downstream. */
+  def asof(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    register(left.sparkSession)
+    val lp = Bridge.analyzedPlan(left)
+    val rp = Bridge.analyzedPlan(right)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    val plan = AsOfJoinPlan(lp, rp,
+      on.map(k => attr(lp, k._1)), on.map(k => attr(rp, k._2)),
+      attr(lp, leftTsCol), attr(rp, rightTsCol))
+    Bridge.ofRows(left.sparkSession, plan)
+  }
+}

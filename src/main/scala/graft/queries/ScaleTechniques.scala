@@ -78,6 +78,27 @@ object ScaleTechniques {
         .agg(count(lit(1)).as("n_orders"))
     },
 
+    // custom whole-operator plan (graft.plans.AsOfJoin): for each
+    // purchase, the latest click at-or-before it per user — one merge
+    // pass over co-partitioned sorted children, no pair materialization.
+    // Oracle is DuckDB's native ASOF LEFT JOIN. (click ts emitted, not
+    // click id: ties on (user, ts) would make the picked row ambiguous;
+    // the fixture has none, but the ts is deterministic regardless)
+    QDef("q57_asof_join",
+      """SELECT p.event_id, p.user_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin) { (s, dir) =>
+      val events = t(s, dir, "events")
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOfJoin.asof(purchases, clicks,
+        Seq("user_id" -> "c_user"), "ts", "click_ts")
+        .select(col("event_id"), col("user_id"), col("click_ts"))
+    },
+
     // sliding windows (2h width, 1h slide): every event lands in exactly
     // two windows; oracle reconstructs via a two-way union of hour buckets
     QDef("str04_sliding_window",

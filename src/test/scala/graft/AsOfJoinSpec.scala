@@ -1,0 +1,82 @@
+package graft
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom as-of join operator: semantics vs the composed
+  * window-function formulation, null/no-match behavior, and the plan
+  * shape that makes it scale (custom exec node, co-partitioned children,
+  * no pair materialization). */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events =
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+  private def viaOperator = {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    AsOfJoin.asof(purchases, clicks, Seq("user_id" -> "c_user"), "ts", "click_ts")
+      .select($"event_id", $"user_id", $"click_ts")
+  }
+
+  private def viaWindow = {
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+    val pairs = purchases.join(clicks,
+      $"user_id" === $"c_user" && $"click_ts" <= $"ts", "left")
+    val w = Window.partitionBy($"event_id").orderBy($"click_ts".desc)
+    pairs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"click_ts")
+  }
+
+  test("as-of join matches the window-function formulation row for row") {
+    val a = viaOperator.collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString))).toSet
+    val b = viaWindow.collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.toString))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("left rows with no candidate get nulls; empty right side keeps all lefts") {
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "k", "ts")
+    val rEmpty = Seq.empty[(Long, Long)].toDF("k2", "rts")
+    val out = AsOfJoin.asof(l, rEmpty, Seq("k" -> "k2"), "ts", "rts").collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(4)))
+    // candidate exists only after its ts
+    val r = Seq((10L, 150L)).toDF("k2", "rts")
+    val out2 = AsOfJoin.asof(l, r, Seq("k" -> "k2"), "ts", "rts")
+      .select($"id", $"rts").collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(out2(1L).isEmpty && out2(2L).isEmpty) // 150 > 100; key 20 has none
+    val l3 = Seq((3L, 10L, 200L)).toDF("id", "k", "ts")
+    val out3 = AsOfJoin.asof(l3, r, Seq("k" -> "k2"), "ts", "rts")
+      .select($"rts").head()
+    assert(out3.getLong(0) == 150L)
+  }
+
+  test("picks the greatest right ts at-or-before left ts (inclusive)") {
+    val l = Seq((1L, 1L, 100L)).toDF("id", "k", "ts")
+    val r = Seq((1L, 50L), (1L, 99L), (1L, 100L), (1L, 101L)).toDF("k2", "rts")
+    val got = AsOfJoin.asof(l, r, Seq("k" -> "k2"), "ts", "rts")
+      .select($"rts").head().getLong(0)
+    assert(got == 100L) // inclusive bound, latest wins
+  }
+
+  test("plan: custom exec node present, children co-partitioned on the keys") {
+    val df = viaOperator
+    df.collect() // finalize AQE so executedPlan is the real physical plan
+    // AQE hides subtrees inside QueryStageExec wrappers (not `children`,
+    // so collect() misses them) — assert on the printed final plan
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("AsOfJoin"))
+    // both children hashed on their key (exchange inserted by
+    // EnsureRequirements), sorted by (key, ts)
+    assert("hashpartitioning".r.findAllIn(s.toLowerCase).size >= 2)
+    assert(s.toLowerCase.contains("sort"))
+  }
+}
