@@ -99,6 +99,25 @@ object ScaleTechniques {
         .select(col("event_id"), col("user_id"), col("click_ts"))
     },
 
+    // binned range join (ops.RangeJoin): the BETWEEN join runs as a bin
+    // equi-join + exact filter instead of broadcast-nested-loop — the
+    // O(n·m) -> O(candidates) rewrite that survives a 100× scale-up.
+    // Oracle is the naive BETWEEN join (provably identical results)
+    QDef("q58_range_join_binned",
+      """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, l.l_extendedprice
+        |FROM (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0) l
+        |JOIN (SELECT * FROM part WHERE p_partkey % 20 = 0) p
+        |  ON l.l_extendedprice BETWEEN p.p_retailprice - 50 AND p.p_retailprice + 50""".stripMargin) { (s, dir) =>
+      val points = t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val intervals = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 50).as("lo"), (col("p_retailprice") + 50).as("hi"))
+      graft.ops.RangeJoin.pointInInterval(points, intervals,
+        "l_extendedprice", "lo", "hi", binWidth = 50.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"), col("l_extendedprice"))
+    },
+
     // sliding windows (2h width, 1h slide): every event lands in exactly
     // two windows; oracle reconstructs via a two-way union of hour buckets
     QDef("str04_sliding_window",

@@ -53,6 +53,26 @@ object Streaming {
       s.table(name)
     },
 
+    // foreachBatch sink: per-micro-batch parquet append keyed by batchId
+    // (batch 0 overwrites -> reruns are idempotent; a production upsert
+    // swaps the write for a MERGE keyed on batchId for exactly-once).
+    // Aggregation runs over the re-read sink so the check covers the
+    // full write-then-read path
+    QDef("str07_foreachbatch_sink",
+      "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type") { (s, dir) =>
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-str07-" + java.lang.Integer.toHexString(dir.hashCode)).toString
+      val q = StreamOps.eventsStream(s, dir)
+        .select(col("event_type"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode(if (batchId == 0) "overwrite" else "append").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    },
+
     // stream-stream interval join (view -> purchase attribution within
     // 30 min per user): both sides watermarked, condition bounds event
     // time both ways so join state is evictable at unbounded runtime

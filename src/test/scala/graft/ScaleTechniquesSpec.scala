@@ -68,4 +68,49 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(out.length == 3)
     assert(out.count(_.isNullAt(out.head.fieldIndex("w"))) == 1)
   }
+
+  test("binned range join matches the naive BETWEEN join exactly") {
+    import spark.implicits._
+    val points = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val intervals = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .filter($"p_partkey" % 10 === 0)
+      .select($"p_partkey", ($"p_retailprice" - 20).as("lo"), ($"p_retailprice" + 20).as("hi"))
+    val binned = graft.ops.RangeJoin.pointInInterval(
+        points, intervals, "l_extendedprice", "lo", "hi", binWidth = 25.0)
+      .select($"l_orderkey", $"l_linenumber", $"p_partkey")
+      .collect().map(_.toSeq).toSet
+    val naive = points.join(intervals,
+        $"l_extendedprice" >= $"lo" && $"l_extendedprice" <= $"hi")
+      .select($"l_orderkey", $"l_linenumber", $"p_partkey")
+      .collect().map(_.toSeq).toSet
+    assert(binned.nonEmpty && binned == naive)
+  }
+
+  test("runtime bloom filter injects into the probe side of a shuffle join") {
+    import spark.implicits._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(c.get(k)).toOption)
+    try {
+      c.set(keys(0), "true")
+      c.set(keys(1), "0")        // test tables are far below the 10GB default
+      c.set(keys(2), "100MB")
+      c.set(keys(3), "-1")       // force a shuffle join so the filter pays off
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter($"o_orderkey" % 100 === 0) // selective creation-side predicate
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+      val optimized = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(optimized.contains("bloom"),
+        s"expected an injected bloom filter in:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => c.set(k, x); case None => c.unset(k) }
+    }
+  }
 }
