@@ -44,6 +44,21 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector
+    * absmax scale, codes = floor(x / scale * 127) in [-127, 127]. The
+    * compression step a 100 TB vector lake runs before indexing (4×
+    * smaller, cache-resident cells for IVF probing). floor (not round)
+    * keeps the arithmetic bit-portable to the DuckDB oracle: every step
+    * is IEEE double ops in fixed order with no tie-breaking mode. */
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val scale = array_max(transform(col(embCol), x => abs(x))).cast("double")
+    df.withColumn("scale", scale)
+      .withColumn("codes",
+        when(col("scale") === 0.0, transform(col(embCol), _ => lit(0L)))
+          .otherwise(transform(col(embCol),
+            x => floor(x.cast("double") / col("scale") * 127).cast("long"))))
+  }
+
   /** Deterministic random hyperplanes (seeded) for sign-random-projection. */
   def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -194,6 +194,31 @@ object Llm {
       Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6)
     },
 
+    // int8 quantization (Similarity.quantizeInt8): absmax scale + floor
+    // codes — floor keeps every step bit-portable (no rounding-mode
+    // divergence); summary scalars are exact integer/double arithmetic
+    QDef("llm22_embed_quantize",
+      """SELECT vec_id,
+        |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,
+        |  CASE WHEN CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) = 0.0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)
+        |             / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+        |             * 127) AS BIGINT))) AS BIGINT) END AS code_sum,
+        |  CASE WHEN CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) = 0.0
+        |    THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(list_min(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)
+        |             / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
+        |             * 127) AS BIGINT))) AS BIGINT) END AS code_min
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"),
+          array_min(col("codes")).as("code_min"))
+    },
+
     // composed training-data pipeline: quality gate -> exact dedup ->
     // per-language corpus statistics, end to end in one plan
     QDef("llm17_pipeline",
@@ -265,7 +290,7 @@ object Llm {
         .select(col("media_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
     },
 
-    // exact n-gram Jaccard over a deterministic 1-in-5 doc_id block:
+    // exact n-gram Jaccard over a deterministic 1-in-10 doc_id block:
     // the oracle-checkable counterpart of llm08's LSH-candidate version
     // (all-pairs within the block; shingle construction matches
     // TextAnalysis.shingles token-for-token). Deterministic top-25 by
@@ -280,14 +305,14 @@ object Llm {
         |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
         |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
         |      END) AS sh
-        |  FROM documents WHERE doc_id % 5 = 0)
+        |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
         |  FROM d a, d b WHERE a.doc_id < b.doc_id)
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 25""".stripMargin) { (s, dir) =>
-      val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
           array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -188,6 +188,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(hs.forall(h => h >= 0L && h < 2147483647L))
   }
 
+  test("int8 quantization: codes in [-127,127], reconstruction within one step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb).select($"embedding", $"scale", $"codes").collect()
+    q.foreach { r =>
+      val v = r.getSeq[Float](0); val scale = r.getDouble(1); val codes = r.getSeq[Long](2)
+      assert(codes.forall(c => c >= -127L && c <= 127L))
+      if (scale > 0) {
+        val step = scale / 127.0
+        v.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * step) <= step + 1e-9) }
+      }
+    }
+  }
+
   test("srp bucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
