@@ -85,6 +85,12 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .select($"l_orderkey", $"l_linenumber", $"p_partkey")
       .collect().map(_.toSeq).toSet
     assert(binned.nonEmpty && binned == naive)
+    // the rewrite's point: the bin join plans as an equi-join, never
+    // broadcast-nested-loop (naive BETWEEN joins fall into BNLJ)
+    val binnedPlan = graft.ops.RangeJoin.pointInInterval(
+        points, intervals, "l_extendedprice", "lo", "hi", binWidth = 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("runtime bloom filter injects into the probe side of a shuffle join") {
