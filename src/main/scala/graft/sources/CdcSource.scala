@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
@@ -113,7 +113,8 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
     maxBytesPerTrigger: Option[Long] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -121,15 +122,34 @@ class CdcScan(indexFile: String, db: String, table: String,
     new CdcMicroBatchStream(indexFile, db, table, full, required, filters,
       maxBytesPerTrigger)
 
+  /** Runtime filtering (the DPP analogue for a log source): when the CDC
+    * table joins a filtered build side on an envelope column, Spark hands
+    * the build side's values/bounds here at execution time and whole log
+    * files drop out via the same (min,max) sidecar used for static
+    * pruning. At 100 TB — ~1M log-file partitions — this is the
+    * difference between scanning the log and scanning a slice, without
+    * the reference's dishonest index surface (binlogdb.cc:396-461). */
+  private var runtimeFilters: Array[Filter] = Array.empty
+  // only advertise envelope columns that SURVIVED column pruning: Spark
+  // resolves these names against the scan's (pruned) output, and a
+  // pruned-away column fails analysis ("Unable to resolve __tm")
+  override def filterAttributes(): Array[NamedReference] =
+    Seq(CdcSchema.GtidCol, CdcSchema.TmCol)
+      .filter(required.fieldNames.contains(_))
+      .map(Expressions.column).toArray
+  override def filter(fs: Array[Filter]): Unit =
+    runtimeFilters = fs.filter(EnvelopePredicate.supports)
+  private def allFilters: Array[Filter] = filters ++ runtimeFilters
+
   override def planInputPartitions(): Array[InputPartition] =
     CdcCodec.readIndex(indexFile)
-      .filter(f => EnvelopePredicate.mightMatchFile(filters, CdcCodec.readMeta(f)))
+      .filter(f => EnvelopePredicate.mightMatchFile(allFilters, CdcCodec.readMeta(f)))
       .map { f =>
         CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
       }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(db, table, full, required, filters)
+    CdcReaderFactory(db, table, full, required, allFilters)
 
   /** Reference's cost hooks (binlogdb.h:178-187) map to Catalyst stats:
     * sizeInBytes = Σ log-file sizes feeds broadcast decisions. */

@@ -266,6 +266,36 @@ class CdcSourceSpec extends SparkTestBase {
     assert(noMeta.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 101L, 102L))
   }
 
+  test("runtime filtering (SupportsRuntimeFiltering) prunes files at execution time") {
+    import graft.sources.{CdcScan, CdcScanBuilder}
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, In}
+    val dir = Files.createTempDirectory("cdc-runtime-filter").toString
+    def mk(name: String, gnoBase: Long): Unit = {
+      val w = new CdcCodec.LogWriter(s"$dir/$name")
+      w.tableMap(gnoBase * 1000, 1L, "db", "t", schema)
+      (0 until 3).foreach { i =>
+        w.gtid((gnoBase + i) * 1000, gnoBase + i)
+        w.writeRows((gnoBase + i) * 1000, 1L, schema,
+          Seq(Array[Any](gnoBase + i, i.toDouble)))
+      }
+      w.close()
+    }
+    mk("b.0", 0L); mk("b.1", 100L); mk("b.2", 200L)
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\nb.2\n")
+    val full = StructType(schema.fields ++ CdcSchema.envelope)
+    val scan = new CdcScanBuilder(s"$dir/binlog.index", "db", "t", full)
+      .build().asInstanceOf[CdcScan]
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set(CdcSchema.GtidCol, CdcSchema.TmCol))
+    assert(scan.planInputPartitions().length == 3)
+    // a DPP-style In filter from a joined build side: only b.1's range
+    scan.filter(Array[Filter](In(CdcSchema.GtidCol, Array(100L, 101L))))
+    assert(scan.planInputPartitions().length == 1)
+    // a later filter() call replaces the runtime filter set
+    scan.filter(Array[Filter](GreaterThanOrEqual(CdcSchema.GtidCol, 200L)))
+    assert(scan.planInputPartitions().length == 1)
+  }
+
   test("missing option and wrong table fail loudly") {
     val index = writeLog()
     val e1 = intercept[Exception] {
