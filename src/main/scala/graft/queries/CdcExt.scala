@@ -29,6 +29,47 @@ object CdcExt {
         .select(col("o_orderkey"), col("o_totalprice"))
     },
 
+    // SCD2 history materialization: every (insert|update-after) image is
+    // a version row; valid_to = next version's gtid, or the delete gtid
+    // for the final version of deleted keys. The other classic CDC
+    // consumption shape next to latest-image (SCD1): one window + one
+    // small join, no state. Oracle reconstructs versions from orders via
+    // the fixture's gtid scheme (insert gno = idx div 10, update gno =
+    // 1e6 + idx, delete gno = 2e6 + idx)
+    QDef("cdc13_scd2_history",
+      """WITH ranked AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx
+        |  FROM orders),
+        |v1 AS (
+        |  SELECT o_orderkey, o_totalprice AS price, idx // 10 AS valid_from,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 1000000 + idx END AS valid_to
+        |  FROM ranked),
+        |v2 AS (
+        |  SELECT o_orderkey, o_totalprice * 1.1 AS price,
+        |    1000000 + idx AS valid_from,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 2000000 + idx END AS valid_to
+        |  FROM ranked WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, price, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to, valid_to IS NULL AS is_current
+        |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)""".stripMargin) { (s, dir) =>
+      val cdc = Cdc.scan(s, dir)
+      val versions = cdc
+        .filter(col(CdcSchema.OpCol).isin(CdcSchema.Op.Insert, CdcSchema.Op.UpdateAfter))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col(CdcSchema.GtidCol).as("valid_from"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("valid_from"))
+      val closedByNext = versions.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      val dels = cdc.filter(col(CdcSchema.OpCol) === CdcSchema.Op.Delete)
+        .select(col("o_orderkey"), col(CdcSchema.GtidCol).as("del_gtid"))
+      closedByNext.join(dels, Seq("o_orderkey"), "left")
+        .withColumn("valid_to", coalesce(col("next_from"), col("del_gtid")))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_orderkey"), col("price"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+    },
+
     // change-range delta: which keys changed between two transactions
     QDef("cdc10_changes_between",
       """WITH ord AS (
