@@ -16,10 +16,12 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q01_agg", "q03_join_agg", "q17_window_rank", "q20_topk",
     "q42_stats_agg", "q55_bucketed_join",
+    "q57_asof_join", "q58_range_join_binned",
     "cdc01_scan", "cdc03_latest_image", "cdc07_current_join_agg",
     "str01_window_agg",
     "llm05_dedup_exact", "llm06_dedup_minhash",
-    "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline")
+    "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline",
+    "llm22_embed_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,6 +67,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == 100L) // inclusive bound, latest wins
   }
 
+  test("property: random (key, ts) data matches the window formulation") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rowGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 9L), Gen.choose(0L, 50L)))
+    val prop = Prop.forAll(rowGen, rowGen) { (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((_, k, ts), i) => (i.toLong, k, ts) }
+        .toDF("id", "k", "ts")
+      val r = rs.map { case (rid, k, ts) => (rid, k, ts) }
+        .toDF("rid", "k2", "rts")
+        .dropDuplicates("k2", "rts") // unique (key, ts) -> deterministic pick
+      val got = AsOfJoin.asof(l, r, Seq("k" -> "k2"), "ts", "rts")
+        .select($"id", $"rid").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      val w = Window.partitionBy($"id").orderBy($"rts".desc)
+      val want = l.join(r, $"k" === $"k2" && $"rts" <= $"ts", "left")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"id", $"rid").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("plan: custom exec node present, children co-partitioned on the keys") {
     val df = viaOperator
     df.collect() // finalize AQE so executedPlan is the real physical plan
