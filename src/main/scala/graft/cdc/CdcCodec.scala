@@ -266,15 +266,24 @@ object CdcCodec {
           // keyed by id, only consulted when the id maps to the target.
           val schema = StructType(fields)
           // Schema-drift policy (SURVEY §7.3.3): Spark's per-query schema
-          // is fixed; a mid-stream TABLE_MAP that disagrees with it would
-          // silently corrupt decode (the reference's behavior) — fail
-          // loud with position context instead.
+          // is fixed. ADDITIVE evolution is tolerated — a TABLE_MAP whose
+          // (name, type) fields are a strict prefix of the expected
+          // schema decodes normally and the missing trailing (nullable)
+          // columns pad with null, so one query spans an `ALTER TABLE
+          // ADD COLUMN` boundary (inference returns the newest schema).
+          // Any other disagreement — rename, type change, drop, insert
+          // in the middle — would silently corrupt decode (the
+          // reference's behavior): fail loud with position context.
           if (db == targetDb && table == targetTable) {
             expectedSchema.foreach { exp =>
               // names + types define decode compatibility (nullability
               // and metadata don't affect the byte layout)
-              if (schema.fields.map(f => (f.name, f.dataType)).toSeq !=
-                  exp.fields.map(f => (f.name, f.dataType)).toSeq)
+              val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+              val expP = exp.fields.map(f => (f.name, f.dataType)).toSeq
+              val additive = got.length < expP.length &&
+                expP.take(got.length) == got &&
+                exp.fields.drop(got.length).forall(_.nullable)
+              if (got != expP && !additive)
                 throw new IllegalStateException(
                   s"schema drift for $db.$table at log offset ${ev.pos}: " +
                     s"stream declares ${schema.simpleString}, query expects ${exp.simpleString}; " +
@@ -376,8 +385,19 @@ object CdcCodec {
       case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
     }
 
-    private def envelope(vals: Array[Any], op: Int, tmMicros: Long): CdcRow =
-      CdcRow(op, currentGtid, tmMicros, vals)
+    private val expectedWidth: Int = expectedSchema.map(_.length).getOrElse(-1)
+
+    private def envelope(vals: Array[Any], op: Int, tmMicros: Long): CdcRow = {
+      // additive evolution: rows from pre-ALTER files are narrower than
+      // the query schema — pad the added trailing columns with null
+      val padded =
+        if (expectedWidth > vals.length) {
+          val out = new Array[Any](expectedWidth)
+          System.arraycopy(vals, 0, out, 0, vals.length)
+          out
+        } else vals
+      CdcRow(op, currentGtid, tmMicros, padded)
+    }
 
     private def readStr(d: DataInputStream): String = {
       val b = new Array[Byte](d.readInt()); d.readFully(b)
@@ -424,12 +444,18 @@ object CdcCodec {
 
   /** Resolve the target table's schema by scanning for its first matching
     * TABLE_MAP (used for DataSourceV2 schema inference). */
+  /** Newest schema wins: files are scanned newest-first and the LAST
+    * matching TABLE_MAP within a file is kept, so a log spanning an
+    * additive `ALTER TABLE ADD COLUMN` infers the post-ALTER schema
+    * (older files then decode with null-padded trailing columns — see
+    * RowDecoder's drift policy). Cost: reads one file in the common
+    * case. */
   def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
-    readIndex(indexFile).iterator.flatMap { f =>
+    readIndex(indexFile).reverseIterator.flatMap { f =>
       val r = new EventReader(f)
       try {
         var res: Option[StructType] = None
-        while (res.isEmpty && r.hasNext) {
+        while (r.hasNext) {
           val ev = r.next()
           if (ev.tpe == EventType.TableMap) {
             val (evDb, evTable, schema) = parseTableMap(ev.payload)

@@ -36,11 +36,37 @@ class CdcHardeningSpec extends SparkTestBase {
     s"$dir/binlog.index"
   }
 
-  test("schema drift mid-stream fails loud with offset context") {
-    val index = writeDriftLog()
+  test("additive schema evolution: ADD COLUMN spans one query, old rows pad null") {
+    val index = writeDriftLog() // v1 rows, then v2 = v1 + nullable extra
+    val df = spark.read.format("binlogcdc")
+      .option("indexFile", index).option("database", "db").option("table", "t")
+      .load()
+    // inference returns the NEWEST schema (post-ALTER)
+    assert(df.schema.fieldNames.take(3).toSeq == Seq("id", "v", "extra"))
+    val rows = df.orderBy("__gtid").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).isNullAt(2)) // pre-ALTER: padded
+    assert(rows(1).getLong(0) == 2L)
+  }
+
+  test("incompatible schema drift (type change) fails loud with offset context") {
+    val dir = Files.createTempDirectory("cdc-drift-bad").toString
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schemaV1)
+    w.gtid(0L, 1L)
+    w.writeRows(0L, 1L, schemaV1, Seq(Array[Any](1L, 1.0)))
+    // same column names, v's type changes DOUBLE -> STRING: not additive
+    val mutated = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    w.tableMap(0L, 1L, "db", "t", mutated)
+    w.gtid(0L, 2L)
+    w.writeRows(0L, 1L, mutated, Seq(Array[Any](2L, "oops")))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
     val e = intercept[Exception] {
       spark.read.format("binlogcdc")
-        .option("indexFile", index).option("database", "db").option("table", "t")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "t")
         .load().collect()
     }
     val msg = Option(e.getMessage).getOrElse("") +
