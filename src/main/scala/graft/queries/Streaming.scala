@@ -53,6 +53,24 @@ object Streaming {
       s.table(name)
     },
 
+    // stream-static enrichment join: the static dim is re-read per
+    // micro-batch and broadcast (no stream-side state at all) — the
+    // right plan for dimension enrichment at any scale
+    QDef("str08_stream_static_join",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val dim = graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = StreamOps.eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,12)")).cast("double").as("total_value"))
+      drain(enriched, "str08_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
+    },
+
     // foreachBatch sink: per-micro-batch parquet append keyed by batchId
     // (batch 0 overwrites -> reruns are idempotent; a production upsert
     // swaps the write for a MERGE keyed on batchId for exactly-once).
