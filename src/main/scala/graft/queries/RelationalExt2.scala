@@ -87,6 +87,32 @@ object RelationalExt2 {
         .select(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // LIMIT/OFFSET pagination under a total order (unique key tiebreak
+    // makes the page deterministic; Spark plans a GlobalLimit over the
+    // sorted stream — only offset+limit rows cross the final stage)
+    QDef("q59_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 50""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(50).limit(20)
+    },
+
+    // JOIN ... USING: coalesced join column appears once in the output
+    QDef("q60_join_using",
+      """SELECT n_nationkey, count(*) AS n_cust
+        |FROM (SELECT c_nationkey AS n_nationkey FROM customer) c
+        |JOIN (SELECT n_nationkey FROM nation) n USING (n_nationkey)
+        |GROUP BY n_nationkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("n_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"))
+      c.join(n, usingColumns = Seq("n_nationkey"))
+        .groupBy(col("n_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+    },
+
     // sink surface: write csv/json/orc, read back, aggregate — the
     // round-trip must preserve values exactly
     QDef("q54_sink_roundtrip",

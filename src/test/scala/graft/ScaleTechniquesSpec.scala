@@ -93,6 +93,25 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(!binnedPlan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("property: binned range join equals naive join on random data incl. negatives") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ptsGen = Gen.listOfN(60, Gen.choose(-500.0, 500.0))
+    val ivGen = Gen.listOfN(25, Gen.zip(Gen.choose(-500.0, 500.0), Gen.choose(0.0, 80.0)))
+    val prop = Prop.forAll(ptsGen, ivGen) { (ps, ivs) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+      val intervals = ivs.zipWithIndex.map { case ((lo, w), i) => (i.toLong, lo, lo + w) }
+        .toDF("iid", "lo", "hi")
+      val binned = graft.ops.RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 37.0)
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.join(intervals, $"v" >= $"lo" && $"v" <= $"hi")
+        .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      binned == naive
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("runtime bloom filter injects into the probe side of a shuffle join") {
     import spark.implicits._
     val c = spark.conf
