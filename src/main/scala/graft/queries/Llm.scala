@@ -219,6 +219,24 @@ object Llm {
           array_min(col("codes")).as("code_min"))
     },
 
+    // sequence packing (ops.Packing): concat-then-chunk token packing
+    // into 512-token sequences. Oracle is the NAIVE single-partition
+    // global window — proving the distributed two-level cumsum computes
+    // the identical global running sum
+    QDef("llm23_sequence_pack",
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+        |FROM (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.ops.Packing.packSequences(d, "doc_id",
+        size(TextAnalysis.tokens(col("text"))), capacity = 512L, bucketSize = 64L)
+    },
+
     // composed training-data pipeline: quality gate -> exact dedup ->
     // per-language corpus statistics, end to end in one plan
     QDef("llm17_pipeline",
