@@ -202,6 +202,20 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing invariant under bucket size and input partitioning") {
+    import graft.ops.Packing
+    def run(d: org.apache.spark.sql.DataFrame, bs: Long) =
+      Packing.packSequences(d, "doc_id", size(split($"text", " ")), 512L, bs)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val base = run(docs, 64L)
+    assert(base == run(docs.repartition(13), 64L))
+    assert(base == run(docs, 7L))   // bucket size must not change the result
+    // offsets stay inside capacity; seq_ids start at 0 and are contiguous
+    assert(base.forall { case (_, _, off) => off >= 0 && off < 512 })
+    val ids = base.map(_._2)
+    assert(ids.min == 0 && ids.max == ids.size - 1 || ids.max < ids.size)
+  }
+
   test("srp bucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
