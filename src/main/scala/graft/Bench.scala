@@ -55,9 +55,13 @@ object Bench {
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) r3(v) else "-1") }
       .mkString("{", ",", "}")
+    val anyFailed = results.exists(!_._3)
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // a run with failures must not look like a (faster) healthy run to a
+    // consumer that only reads `value` — publish a sentinel total
+    val total =
+      if (anyFailed) -1.0 else results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

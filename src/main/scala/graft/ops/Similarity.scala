@@ -112,9 +112,13 @@ object Similarity {
       .map(_._2)
     // deterministic init: k smallest by hash = head of the sorted sample
     var centroids = sample.take(kClusters).map(_.map(_.toDouble))
+    // actual width from the data — the dim parameter is only a hint and
+    // must not bound the accumulators (128-dim vectors with dim=64
+    // would overflow a dim-sized sum array)
+    val width = if (sample.nonEmpty) sample.map(_.length).max else dim
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(kClusters)(new Array[Double](dim))
+      val sums = Array.fill(kClusters)(new Array[Double](width))
       val counts = new Array[Long](kClusters)
       var vi = 0
       while (vi < sample.length) {
@@ -123,13 +127,15 @@ object Similarity {
         var c = 0
         while (c < centroids.length) {
           var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          val n = math.min(v.length, centroids(c).length)
+          while (i < n) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
         val s = sums(best)
         var i = 0
-        while (i < v.length) { s(i) += v(i); i += 1 }
+        val m = math.min(v.length, s.length)
+        while (i < m) { s(i) += v(i); i += 1 }
         counts(best) += 1
         vi += 1
       }

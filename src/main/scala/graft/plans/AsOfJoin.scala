@@ -115,22 +115,32 @@ case class AsOfJoinExec(
         private var rRow: InternalRow = if (ri.hasNext) ri.next() else null
         private var cand: InternalRow = null     // copy: best right so far
         private var candKey: UnsafeRow = null    // copy: its key
+        private def advance(): Unit =
+          rRow = if (ri.hasNext) ri.next() else null
         override def hasNext: Boolean = li.hasNext
         override def next(): InternalRow = {
           val l = li.next()
           val lKey = lKeyProj(l)
-          var scanning = rRow != null
+          // SQL semantics, not grouping semantics: a null join key never
+          // equals anything and a null ts never satisfies rts <= ts —
+          // matching the DuckDB ASOF oracle and the window formulation
+          val lNull = lKey.anyNull || lTsProj(l).isNullAt(0)
+          val lTs = lTsProj(l) // one projection per left row (hot loop)
+          var scanning = rRow != null && !lNull
           while (scanning) {
-            val c = keyOrd.compare(rKeyProj(rRow), lKey)
-            if (c < 0) {
-              rRow = if (ri.hasNext) ri.next() else null
-            } else if (c == 0 && tsOrd.compare(rTsProj(rRow), lTsProj(l)) <= 0) {
-              cand = rRow.copy(); candKey = rKeyProj(rRow).copy()
-              rRow = if (ri.hasNext) ri.next() else null
+            val rKey = rKeyProj(rRow)
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) advance()
+            else if (c == 0) {
+              if (rKey.anyNull || rTsProj(rRow).isNullAt(0)) advance()
+              else if (tsOrd.compare(rTsProj(rRow), lTs) <= 0) {
+                cand = rRow.copy(); candKey = rKey.copy()
+                advance()
+              } else scanning = false
             } else scanning = false
             if (rRow == null) scanning = false
           }
-          val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
+          val matched = !lNull && cand != null && keyOrd.compare(candKey, lKey) == 0
           resultProj(if (matched) joinedRow(l, cand) else joinedRow(l, nullRight))
         }
       }
@@ -160,9 +170,16 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
-    val plan = AsOfJoinPlan(lp, rp,
-      on.map(k => attr(lp, k._1)), on.map(k => attr(rp, k._2)),
-      attr(lp, leftTsCol), attr(rp, rightTsCol))
+    val lk = on.map(k => attr(lp, k._1)); val rk = on.map(k => attr(rp, k._2))
+    val lts = attr(lp, leftTsCol); val rts = attr(rp, rightTsCol)
+    // the merge compares with orderings typed from the LEFT side — a
+    // type mismatch would read garbage, so reject instead of coercing
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}") }
+    require(lts.dataType == rts.dataType,
+      s"as-of ts type mismatch: ${lts.name}: ${lts.dataType} vs ${rts.name}: ${rts.dataType}")
+    val plan = AsOfJoinPlan(lp, rp, lk, rk, lts, rts)
     Bridge.ofRows(left.sparkSession, plan)
   }
 }

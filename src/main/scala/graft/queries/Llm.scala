@@ -202,10 +202,10 @@ object Llm {
         |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale,
         |  CASE WHEN CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) = 0.0
         |    THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(list_sum(list_transform(embedding,
+        |    ELSE CAST(COALESCE(list_sum(list_transform(embedding,
         |      x -> CAST(floor(CAST(x AS DOUBLE)
         |             / CAST(list_max(list_transform(embedding, y -> abs(y))) AS DOUBLE)
-        |             * 127) AS BIGINT))) AS BIGINT) END AS code_sum,
+        |             * 127) AS BIGINT))), 0) AS BIGINT) END AS code_sum,
         |  CASE WHEN CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) = 0.0
         |    THEN CAST(0 AS BIGINT)
         |    ELSE CAST(list_min(list_transform(embedding,

@@ -59,6 +59,35 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out3.getLong(0) == 150L)
   }
 
+  test("SQL null semantics: null keys never match, null ts never qualifies") {
+    val l = Seq((1L, Some(1L), Some(100L)), (2L, None, Some(100L)), (3L, Some(1L), None))
+      .toDF("id", "k", "ts")
+    val r = Seq((Some(1L), Some(50L), 10L), (Some(1L), None, 11L), (None, Some(40L), 12L))
+      .toDF("k2", "rts", "rid")
+    val out = AsOfJoin.asof(l, r, Seq("k" -> "k2"), "ts", "rts")
+      .select($"id", $"rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(out(1L).contains(10L)) // the null-ts right row (rid=11) never wins
+    assert(out(2L).isEmpty)       // null left key matches nothing
+    assert(out(3L).isEmpty)       // null left ts qualifies nothing
+    // identical to the SQL left-join + window formulation
+    val w = Window.partitionBy($"id").orderBy($"rts".desc)
+    val want = l.join(r, $"k" === $"k2" && $"rts" <= $"ts", "left")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"id", $"rid").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(out == want)
+  }
+
+  test("key/ts type mismatch is rejected up front") {
+    val l = Seq((1L, 1, 100L)).toDF("id", "k", "ts") // k: INT
+    val r = Seq((1L, 50L)).toDF("k2", "rts")         // k2: BIGINT
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k" -> "k2"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("picks the greatest right ts at-or-before left ts (inclusive)") {
     val l = Seq((1L, 1L, 100L)).toDF("id", "k", "ts")
     val r = Seq((1L, 50L), (1L, 99L), (1L, 100L), (1L, 101L)).toDF("k2", "rts")
