@@ -113,6 +113,24 @@ object RelationalExt2 {
         .agg(count(lit(1)).as("n_cust"))
     },
 
+    // count-min sketch heavy hitters: one pass builds a ~KB sketch
+    // (mergeable across partitions — the 100 TB path: sketch per
+    // partition, merge at the driver, never shuffle raw keys); per-key
+    // estimates are then read from the SKETCH, not the data. Driver-side
+    // work is O(sketch + keys), deterministic via the fixed seed.
+    // No DuckDB analogue -> rows-only check + error-bound spec.
+    QDef.noOracle("q61_heavy_hitters_cms") { (s, dir) =>
+      import s.implicits._
+      val bytes = t(s, dir, "lineitem")
+        .select(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val keys = t(s, dir, "supplier").select($"s_suppkey").as[Long].collect().sorted
+      keys.map(k => (k, cms.estimateCount(Long.box(k)))).toSeq
+        .toDF("s_suppkey", "est_items")
+    },
+
     // sink surface: write csv/json/orc, read back, aggregate — the
     // round-trip must preserve values exactly
     QDef("q54_sink_roundtrip",

@@ -112,6 +112,22 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("count-min sketch estimates: never undercount, within eps*N overcount") {
+    val sfDir = "/root/testdata/sf0.001"
+    val est = graft.SparkEntry.queries("q61_heavy_hitters_cms")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val total = li.count()
+    val exact = li.groupBy("l_suppkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      val x = exact.getOrElse(k, 0L)
+      assert(e >= x, s"CMS undercounted key $k: $e < $x")
+      assert(e - x <= math.max(1L, (0.01 * total).toLong),
+        s"CMS overcount for $k beyond bound: $e vs $x")
+    }
+  }
+
   test("runtime bloom filter injects into the probe side of a shuffle join") {
     import spark.implicits._
     val c = spark.conf
