@@ -102,9 +102,19 @@ object Streaming {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
       val views = StreamOps.eventsStream(s, dir).filter(col("event_type") === "view")
       val purchases = StreamOps.eventsStream(s, dir).filter(col("event_type") === "purchase")
-      drain(StreamOps.intervalJoin(views, purchases, "30 MINUTE"),
-        "str06_" + java.lang.Integer.toHexString(dir.hashCode), "append")
-        .select(col("l_id"), col("user_id"), col("r_id"))
+      // state partitions sized to the workload: each shuffle partition
+      // carries 4 state stores per side, and their open/commit cost is
+      // pure overhead when partitions outnumber the key cardinality —
+      // the knob a production deployment sets per-query (restored after
+      // the query captures it at start())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val joined = try {
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.min(prev.toInt, 8).toString)
+        drain(StreamOps.intervalJoin(views, purchases, "30 MINUTE"),
+          "str06_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      joined.select(col("l_id"), col("user_id"), col("r_id"))
     },
 
     // stateful latest-image: the streaming twin of cdc03 (same oracle,
