@@ -60,6 +60,23 @@ object ExprHelpers {
     h
   }
 
+  /** |A ∩ B| for two SORTED, DISTINCT string arrays via a single merge
+    * pass — no hash set, no allocation. Element order must be
+    * array_sort's (UTF8String binary order). The Jaccard denominator is
+    * then |A| + |B| - |A ∩ B|, bit-identical to
+    * size(array_union(a, b)) on distinct inputs. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   private def mix(z0: Long): Long = { // splitmix64 finalizer
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

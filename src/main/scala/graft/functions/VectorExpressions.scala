@@ -157,6 +157,26 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Merge-based |A ∩ B| over sorted distinct string arrays (the
+  * all-pairs Jaccard hot path — replaces hash-based array_intersect +
+  * array_union with one allocation-free pass). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprHelpers.sortedIntersectCount(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprHelpers.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers. */
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression => expr}
@@ -168,6 +188,8 @@ object VectorFunctions {
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
   def rolling_hash(tokens: Column): Column = column(RollingHash(expr(tokens)))
   def mod_poly_hash(text: Column): Column = column(ModPolyHash(expr(text)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expr(a), expr(b)))
   def minhash_sig(tokens: Column, k: Int, shingleN: Int = 3): Column =
     column(MinHashSignature(expr(tokens), k, shingleN))
 }

@@ -86,14 +86,17 @@ object Dedup {
     // the expensive per-doc work runs on the ~0.1% of docs that need it
     val cands = broadcast(minhashCandidates(df, textCol, id, k, bands))
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
+    // sorted-merge intersection: one sort per doc, then each pair is an
+    // allocation-free merge pass (vs hash-set array_intersect+union)
     val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
-      .select(col(id), array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(id),
+        array_sort(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("sh"))
     cands
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -330,15 +330,21 @@ object Llm {
         |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
         |  FROM d a, d b WHERE a.doc_id < b.doc_id)
         |ORDER BY jaccard DESC, id_a, id_b LIMIT 25""".stripMargin) { (s, dir) =>
+      // sorted-merge intersection (SortedIntersectCount): shingles are
+      // sorted once per doc, each pair costs one allocation-free merge
+      // pass; |A∪B| = |A|+|B|-|A∩B| on distinct sets — counts (and so
+      // the jaccard doubles) are bit-identical to the hash-based
+      // array_intersect/array_union the oracle mirrors
+      import graft.functions.VectorFunctions.sorted_intersect_count
       val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"),
-          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+          array_sort(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(25)

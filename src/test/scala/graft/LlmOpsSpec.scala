@@ -216,6 +216,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ids.min == 0 && ids.max == ids.size - 1 || ids.max < ids.size)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import graft.functions.VectorFunctions.sorted_intersect_count
+    val d = docs.select(
+      array_sort(array_distinct(split($"text", " "))).as("a"),
+      array_sort(array_distinct(reverse(split($"text", " ")))).as("b"))
+    val mismatches = d.withColumn("m", sorted_intersect_count($"a", $"b"))
+      .withColumn("h", size(array_intersect($"a", $"b")))
+      .filter($"m" =!= $"h").count()
+    assert(mismatches == 0)
+    val cross = docs.limit(40).select($"doc_id".as("i"),
+        array_sort(array_distinct(split($"text", " "))).as("a"))
+      .crossJoin(docs.limit(40).select($"doc_id".as("j"),
+        array_sort(array_distinct(split($"text", " "))).as("b")))
+    val crossMismatch = cross
+      .withColumn("m", sorted_intersect_count($"a", $"b"))
+      .withColumn("h", size(array_intersect($"a", $"b")))
+      .filter($"m" =!= $"h").count()
+    assert(crossMismatch == 0)
+  }
+
   test("srp bucket is deterministic and within range") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val b1 = Similarity.srpBucket(emb, "embedding", 4).select("vec_id", "bucket")
