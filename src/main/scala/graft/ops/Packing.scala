@@ -41,7 +41,10 @@ object Packing {
     inBucket.join(broadcast(offsets), "__bucket")
       .withColumn("__start", col("__boffset") + col("__cum_in") - col("n_tokens"))
       .select(col(idCol), col("n_tokens"),
-        (col("__start") / capacity).cast("long").as("seq_id"),
+        // true integer division (`DIV`), not `/`: long / long in Spark is
+        // DOUBLE division, exact only below 2^53 total tokens — DIV keeps
+        // seq_id exact at any running-sum magnitude
+        expr(s"__start DIV $capacity").as("seq_id"),
         (col("__start") % capacity).as("seq_offset"))
   }
 }

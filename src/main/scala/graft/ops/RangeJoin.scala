@@ -23,14 +23,24 @@ object RangeJoin {
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Long = 65536L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val pb = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
+    // one interval much wider than binWidth would explode sequence() into
+    // a huge array (memory blowup; hard failure past Spark's ~2^31
+    // sequence cap) — fail loud with the offending interval instead. The
+    // raise_error feeds sequence()'s upper bound, so it cannot be pruned.
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val hiBinChecked = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
+      .otherwise(raise_error(format_string(
+        s"range-join interval [%s, %s] spans >= $maxBinsPerInterval bins at " +
+          s"binWidth=$binWidth; raise binWidth or maxBinsPerInterval",
+        col(loCol), col(hiCol))).cast("long"))
     val ib = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      explode(sequence(loBin, hiBinChecked)))
     pb.join(ib, "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")

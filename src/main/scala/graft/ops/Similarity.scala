@@ -105,10 +105,28 @@ object Similarity {
       maxTrain: Int = 100000): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // hash-ordered with a full lexicographic tie-break on the vector
+    // itself: on a murmur collision at the maxTrain boundary the retained
+    // set must not depend on partition traversal order
+    val sampleOrd = new Ordering[(Int, Array[Float])] {
+      def compare(a: (Int, Array[Float]), b: (Int, Array[Float])): Int = {
+        val c = java.lang.Integer.compare(a._1, b._1)
+        if (c != 0) return c
+        val (x, y) = (a._2, b._2)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c2 = java.lang.Float.compare(x(i), y(i))
+          if (c2 != 0) return c2
+          i += 1
+        }
+        java.lang.Integer.compare(x.length, y.length)
+      }
+    }
     val sample: Array[Array[Float]] = corpus.select(col(embCol)).as[Array[Float]]
       .rdd
       .map(v => (scala.util.hashing.MurmurHash3.arrayHash(v, seed.toInt), v))
-      .takeOrdered(maxTrain)(Ordering.by(_._1))
+      .takeOrdered(maxTrain)(sampleOrd)
       .map(_._2)
     // deterministic init: k smallest by hash = head of the sorted sample
     var centroids = sample.take(kClusters).map(_.map(_.toDouble))

@@ -152,7 +152,7 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Public API: `AsOfJoin.asof(trades, quotes, Seq("sym" -> "sym"), "ts", "qts")`. */
+/** Public API: `AsOfJoin.asof(trades, quotes, Seq("sym" -> "qsym"), "ts", "qts")`. */
 object AsOfJoin {
 
   def register(spark: SparkSession): Unit =
@@ -160,7 +160,8 @@ object AsOfJoin {
 
   /** Left as-of join: every left row, plus the latest right row (by
     * `rightTsCol` <= `leftTsCol`) in the same key group, or nulls.
-    * Column names must be disjoint or selected by position downstream. */
+    * Column names must be disjoint (enforced) so downstream by-name
+    * selects bind unambiguously. */
   def asof(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
       leftTsCol: String, rightTsCol: String): DataFrame = {
     register(left.sparkSession)
@@ -170,6 +171,12 @@ object AsOfJoin {
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column '$n' not in [${p.output.map(_.name).mkString(", ")}]"))
+    // disjointness is part of the contract (scaladoc above): overlapping
+    // names analyze fine but bind ambiguously in downstream by-name
+    // selects — reject up front like the type-mismatch checks below
+    val dup = lp.output.map(_.name).toSet intersect rp.output.map(_.name).toSet
+    require(dup.isEmpty,
+      s"as-of join requires disjoint column names; overlapping: ${dup.toSeq.sorted.mkString(", ")}")
     val lk = on.map(k => attr(lp, k._1)); val rk = on.map(k => attr(rp, k._2))
     val lts = attr(lp, leftTsCol); val rts = attr(rp, rightTsCol)
     // the merge compares with orderings typed from the LEFT side — a

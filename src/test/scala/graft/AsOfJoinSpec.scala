@@ -79,6 +79,15 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == want)
   }
 
+  test("overlapping column names are rejected up front") {
+    val l = Seq((1L, 1L, 100L)).toDF("id", "k", "ts")
+    val r = Seq((1L, 50L, 2L)).toDF("k2", "rts", "id") // "id" collides
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(l, r, Seq("k" -> "k2"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("disjoint") && e.getMessage.contains("id"))
+  }
+
   test("key/ts type mismatch is rejected up front") {
     val l = Seq((1L, 1, 100L)).toDF("id", "k", "ts") // k: INT
     val r = Seq((1L, 50L)).toDF("k2", "rts")         // k2: BIGINT

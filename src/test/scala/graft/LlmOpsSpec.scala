@@ -216,6 +216,18 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ids.min == 0 && ids.max == ids.size - 1 || ids.max < ids.size)
   }
 
+  test("sequence packing seq_id is exact past 2^53 total tokens (integer DIV)") {
+    import graft.ops.Packing
+    // 2^53+1 is not double-representable: the old `/`-then-cast path
+    // rounds it to 2^53 and misassigns the second doc's sequence
+    val big = (1L << 53) + 1L
+    val d = Seq((1L, big), (2L, 5L)).toDF("doc_id", "n")
+    val got = Packing.packSequences(d, "doc_id", $"n", capacity = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L)
+    assert(got(2L) == big) // doc 2 starts exactly at __start = 2^53+1
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     import graft.functions.VectorFunctions.sorted_intersect_count
     val d = docs.select(

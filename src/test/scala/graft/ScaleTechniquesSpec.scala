@@ -112,6 +112,23 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("range join fails loud on an interval spanning more than maxBinsPerInterval bins") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq((1L, 0.0, 1e7)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      graft.ops.RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+        binWidth = 1.0, maxBinsPerInterval = 1024L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bins")), msgs(e).mkString(" | "))
+    // the same data passes when the cap accommodates the interval
+    val ok = graft.ops.RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+      binWidth = 1.0, maxBinsPerInterval = 20000000L).collect()
+    assert(ok.length == 1)
+  }
+
   test("count-min sketch estimates: never undercount, within eps*N overcount") {
     val sfDir = "/root/testdata/sf0.001"
     val est = graft.SparkEntry.queries("q61_heavy_hitters_cms")(spark, sfDir)
