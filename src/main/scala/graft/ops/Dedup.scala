@@ -124,6 +124,99 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs recipe) — unlike MinHash-LSH candidates this has NO
+    * false negatives: for jaccard(A,B) >= t the two docs must share at
+    * least one shingle among the first |A| - ceil(t*|A|) + 1 of their
+    * shingle lists in a COMMON canonical order. Canonical order = (doc
+    * frequency asc, shingle asc): rare shingles land in the prefixes, so
+    * prefix buckets stay tiny while common "stop shingles" never generate
+    * candidates. Cost: one df aggregation + a prefix-bucket equi-join +
+    * one exact verify per candidate — sub-quadratic wherever near-dup
+    * density is (near-dups are rare at 100 TB; the candidate count tracks
+    * the true pair count, not n^2).
+    *
+    * Every step is replayable in ANSI SQL (ordered list agg + list_slice),
+    * so the result is DuckDB-oracleable — the llm24 query does exactly
+    * that. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def jaccardSelfJoinExact(df: DataFrame, textCol: String, id: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val distinctSh = df.select(col(id),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    val inv = distinctSh.select(col(id), explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // canonical (df asc, shingle asc) order via sort_array over structs
+    val canon = inv.join(dfreq, "shingle")
+      .groupBy(col(id))
+      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), p -> p.shingle)").as("s"))
+    val prefix = canon.select(col(id), explode(expr(
+      s"slice(s, 1, cast(cast(size(s) as bigint) - cast(ceil(cast($threshold as double) * cast(size(s) as double)) as bigint) + 1 as int))"))
+      .as("shingle"))
+    val cands = prefix.select(col(id).as("id_a"), col("shingle"))
+      .join(prefix.select(col(id).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify over lexicographically sorted sets (sorted-merge count)
+    val sortedSh = distinctSh.select(col(id), array_sort(col("sh")).as("ss"))
+    cands
+      .join(sortedSh.select(col(id).as("id_a"), col("ss").as("sh_a")), "id_a")
+      .join(sortedSh.select(col(id).as("id_b"), col("ss").as("sh_b")), "id_b")
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Connected components over an undirected edge list by min-label
+    * propagation: every node's label converges to the smallest node id
+    * reachable from it. Rounds = graph diameter (near-dup clusters are
+    * shallow — a handful of rounds); each round is one shuffle join +
+    * one min-aggregation, and `localCheckpoint` truncates the growing
+    * lineage so round N doesn't re-run rounds 1..N-1. For adversarial
+    * long-chain graphs switch to the large-star/small-star variant
+    * (doubles label reach per round, O(log d) rounds) — near-dup graphs
+    * never need it. Fails loud past `maxIters` instead of looping. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIters: Int = 50): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var iters = 0
+    var converged = sym.isEmpty
+    while (!converged) {
+      require(iters < maxIters,
+        s"connectedComponents did not converge within $maxIters rounds")
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iters += 1
+    }
+    labels
+  }
+
+  /** Near-dup canonicalization — the step an exact/fuzzy dedup pipeline
+    * actually ends with: near-duplication is transitive in effect (A~B,
+    * B~C => one cluster), so each doc maps to the smallest doc id in its
+    * connected near-dup cluster and a pipeline keeps `doc_id == canon_id`
+    * rows. Docs in no cluster are their own canon. */
+  def canonicalize(df: DataFrame, textCol: String, id: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val edges = jaccardSelfJoinExact(df, textCol, id, threshold, shingleN)
+    val comp = connectedComponents(edges, "id_a", "id_b")
+      .select(col("id").as(id), col("label").as("__canon"))
+    df.select(col(id)).join(comp, Seq(id), "left")
+      .select(col(id), coalesce(col("__canon"), col(id)).as("canon_id"))
+  }
+
   /** Embedding-cosine near-dup via SRP-LSH buckets (see Similarity):
     * within-bucket pairs with cosine >= threshold. */
   def embeddingNearDup(df: DataFrame, embCol: String, id: String,

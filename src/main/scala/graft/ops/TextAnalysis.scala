@@ -90,4 +90,47 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
   }
+
+  /** Top-k terms per document by tf-idf, rational variant:
+    * score = tf * N / df (no logarithm — libm `log` is not guaranteed
+    * correctly rounded across engines, while this fixed-order
+    * multiply/divide is bit-portable; the ranking it induces is the same
+    * as tf * (N/df) monotone weighting). Two shuffles total — term counts
+    * and document frequencies — both partial-aggregated map-side;
+    * the corpus size N rides along as a broadcast scalar. Ties break by
+    * term asc, so results are deterministic. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, id: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(id), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select(col(id), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(id), col("term"), col("score"), col("rank"))
+  }
+
+  /** Deterministic corpus mixing: keep a document iff
+    * mod_poly_hash(text) % outOf < rate(group). Content-hash gating makes
+    * the sample reproducible across runs, clusters, and partitionings —
+    * and keeps exact duplicates together (both copies of a text land on
+    * the same side of the gate), unlike rand()-based sampling. This is
+    * the down-weight-overrepresented-domains step of a training-data
+    * pipeline; rates are per-group keep numerators out of `outOf`. */
+  def deterministicMix(df: DataFrame, textCol: String, groupCol: String,
+      rates: Map[String, Int], outOf: Int = 1000): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && r <= outOf),
+      s"rates must be in [0, $outOf]")
+    val rate = rates.foldLeft(lit(outOf)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(mod_poly_hash(col(textCol)) % outOf < rate)
+  }
 }

@@ -350,6 +350,85 @@ object Llm {
         .limit(25)
     },
 
+    // near-dup CANONICALIZATION — the step a dedup pipeline ends with:
+    // exact prefix-filtered Jaccard self-join (PPJoin canonical order =
+    // (df asc, shingle asc); NO false negatives, unlike LSH) -> connected
+    // components by min-label propagation -> every doc mapped to the
+    // smallest doc_id in its near-dup cluster. The oracle replays the
+    // identical edge set (ordered list agg + list_slice prefixes) and
+    // closes it with a recursive CTE — so the distributed iterative CC
+    // is checked against a declarative transitive closure
+    QDef("llm24_dedup_components",
+      """WITH RECURSIVE sh0 AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+        |      THEN [array_to_string(string_split(text, ' '), ' ')]
+        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
+        |      END) AS s
+        |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
+        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
+        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
+        |    CAST(len(s) AS BIGINT)
+        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
+        |  FROM canon),
+        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |edges0 AS (SELECT x, y FROM cand
+        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT x AS src, y AS dst FROM edges0
+        |  UNION SELECT y, x FROM edges0),
+        |reach AS (SELECT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
+        |FROM documents d LEFT JOIN
+        |  (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
+        |  USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.canonicalize(Tables.load(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8)
+    },
+
+    // deterministic domain mixing: content-hash-gated downsampling with
+    // per-language keep rates — reproducible across runs/partitionings
+    // (mod-poly hash is the oracle-portable gate, like llm21)
+    QDef("llm25_domain_mix",
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) % 1000
+        |  < CASE lang WHEN 'en' THEN 300 WHEN 'fr' THEN 500 ELSE 1000 END""".stripMargin) { (s, dir) =>
+      TextAnalysis.deterministicMix(Tables.load(s, dir, "documents"),
+          "text", "lang", Map("en" -> 300, "fr" -> 500), outOf = 1000)
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // tf-idf top terms per doc, rational variant (tf * N / df — same
+    // ranking as the log form, but bit-portable: no libm); ties break
+    // by term asc so the top-3 is deterministic
+    QDef("llm26_tfidf_topterms",
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, score, rank FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(dft.df AS DOUBLE) AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(dft.df AS DOUBLE) DESC,
+        |               tf.term) AS INTEGER) AS rank
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"),
+        "text", "doc_id", k = 3)
+    },
+
     // exact embedding near-dup baseline (all pairs) — the oracle-checkable
     // counterpart of llm11's SRP-LSH version; the quadratic pair join is
     // the correctness reference, not the scale path. Deterministic top-50

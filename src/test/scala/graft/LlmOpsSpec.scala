@@ -228,6 +228,90 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(2L) == big) // doc 2 starts exactly at __start = 2^53+1
   }
 
+  test("prefix-filtered exact jaccard join equals brute-force all-pairs (no false negatives)") {
+    val t = 0.8
+    val got = Dedup.jaccardSelfJoinExact(docs, "text", "doc_id", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over every pair
+    val sh = docs.select($"doc_id",
+        array_sort(array_distinct(TextAnalysis.shingles($"text", 3))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      j = (sa intersect sb).size.toDouble / (sa union sb).size.toDouble
+      if j >= t
+    } yield (ia, ib, j)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty) // planted dups guarantee real edges
+  }
+
+  test("connected components: min-label propagation handles chains and isolates") {
+    // chain 1-2-3-4 (diameter 3 forces several propagation rounds),
+    // separate pair 10-11, isolated node 99 appears via canonicalize only
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    // empty edge set converges immediately
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+  }
+
+  test("canonicalize maps every doc to its cluster minimum; transitive chains merge") {
+    // A~B and B~C by construction, A~C below threshold -> still one cluster
+    val words = (0 until 30).map(i => s"t$i")
+    val a = words.mkString(" ")
+    val b = (words.take(25) ++ (0 until 5).map(i => s"x$i")).mkString(" ")
+    val c = (words.take(20) ++ (0 until 10).map(i => s"x${i % 5}") ++ (0 until 5).map(i => s"y$i")).mkString(" ")
+    val chain = Seq((1L, a), (2L, b), (3L, c), (50L, "completely different content here"))
+      .toDF("doc_id", "text")
+    val canon = Dedup.canonicalize(chain, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // verify the construction actually yields a chain, not a clique
+    val edges = Dedup.jaccardSelfJoinExact(chain, "text", "doc_id", 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((1L, 2L)) && edges.contains((2L, 3L)) && !edges.contains((1L, 3L)),
+      s"fixture should form a chain, got $edges")
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 1L)
+    assert(canon(50L) == 50L)
+  }
+
+  test("tfidf top terms: doc-exclusive terms outrank corpus-wide terms; ranks deterministic") {
+    val d = Seq(
+      (1L, "shared shared rare1 rare1 rare1"),
+      (2L, "shared unique2 filler fillerx"),
+      (3L, "shared filler filler otherterm")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    // doc 1: rare1 (tf=3, df=1) far outranks shared (tf=2, df=3)
+    assert(out((1L, 1)) == "rare1")
+    // doc 2: unique2/filler/fillerx all tf=1; filler has df=2, the
+    // df=1 terms win with tie broken alphabetically
+    assert(out((2L, 1)) == "fillerx" && out((2L, 2)) == "unique2")
+  }
+
+  test("deterministic mix: content-gated, rate-monotone, duplicate-consistent") {
+    val d = docs.withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("de"))
+    def kept(rates: Map[String, Int]) =
+      TextAnalysis.deterministicMix(d, "text", "lang", rates)
+        .select($"doc_id").as[Long].collect().toSet
+    val half = kept(Map("en" -> 500))
+    assert(kept(Map("en" -> 0)).forall(_ % 2 == 1))   // en fully dropped
+    assert(kept(Map("en" -> 1000)).size == docs.count()) // keep-all
+    assert(half.subsetOf(kept(Map("en" -> 1000))))
+    // rate monotonicity: raising the rate only adds docs
+    assert(half.subsetOf(kept(Map("en" -> 800))))
+    // exact duplicates land on the same side of the gate (same content hash)
+    val dupIds = Seq(10L, 11L, 12L)
+    dupIds.foreach { i =>
+      assert(half.contains(i) == half.contains(i + 2000L), s"dup pair $i split")
+    }
+    // invariant under partitioning
+    assert(kept(Map("en" -> 500)) ==
+      TextAnalysis.deterministicMix(d.repartition(17), "text", "lang", Map("en" -> 500))
+        .select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     import graft.functions.VectorFunctions.sorted_intersect_count
     val d = docs.select(
