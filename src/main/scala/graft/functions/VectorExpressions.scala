@@ -192,4 +192,14 @@ object VectorFunctions {
     column(SortedIntersectCount(expr(a), expr(b)))
   def minhash_sig(tokens: Column, k: Int, shingleN: Int = 3): Column =
     column(MinHashSignature(expr(tokens), k, shingleN))
+
+  // KMV theta-style distinct sketch (KmvSketch.scala)
+  def kmv_sketch(c: Column, k: Int): Column =
+    column(KmvSketchAgg(expr(c), k).toAggregateExpression())
+  def kmv_estimate(sketch: Column, k: Int): Column =
+    column(KmvEstimate(expr(sketch), k))
+  def kmv_merge(a: Column, b: Column, k: Int): Column =
+    column(KmvMerge(expr(a), expr(b), k))
+  def kmv_intersect_estimate(a: Column, b: Column, k: Int): Column =
+    column(KmvIntersectEstimate(expr(a), expr(b), k))
 }

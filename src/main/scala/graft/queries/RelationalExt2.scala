@@ -131,6 +131,28 @@ object RelationalExt2 {
         .toDF("s_suppkey", "est_items")
     },
 
+    // KMV theta-style distinct sketch (custom TypedImperativeAggregate,
+    // functions.KmvSketchAgg): per-status sketches of the customer-key
+    // sets, then union AND intersection estimates computed purely from
+    // the stored sketches — the set algebra HLL cannot do. Estimates are
+    // JVM-hash-dependent -> rows-only driver check; the error-bound and
+    // merge-invariance specs live in KmvSketchSpec
+    QDef.noOracle("q62_kmv_distinct") { (s, dir) =>
+      import graft.functions.VectorFunctions._
+      val k = 1024
+      val sk = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(kmv_sketch(col("o_custkey"), k).as("sk"))
+      val a = sk.select(col("o_orderstatus").as("status_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("o_orderstatus").as("status_b"), col("sk").as("sk_b"))
+      a.join(b, col("status_a") < col("status_b"))
+        .select(col("status_a"), col("status_b"),
+          kmv_estimate(col("sk_a"), k).as("est_a"),
+          kmv_estimate(col("sk_b"), k).as("est_b"),
+          kmv_estimate(kmv_merge(col("sk_a"), col("sk_b"), k), k).as("est_union"),
+          kmv_intersect_estimate(col("sk_a"), col("sk_b"), k).as("est_intersect"))
+    },
+
     // sink surface: write csv/json/orc, read back, aggregate — the
     // round-trip must preserve values exactly
     QDef("q54_sink_roundtrip",
