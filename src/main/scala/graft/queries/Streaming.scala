@@ -13,9 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  private def drain(df: DataFrame, name: String, mode: String): DataFrame = {
+  /** Start, drain synchronously, return the memory-sink table.
+    *
+    * State-store sizing: a stateful query opens/commits one state store
+    * per shuffle partition per stateful operator PER MICRO-BATCH — pure
+    * overhead once partitions outnumber the live key cardinality. The
+    * shuffle-partition conf is captured at `start()`, so clamping it
+    * here (and restoring after) sizes ONLY this query's state layout —
+    * the per-query knob a production deployment sets; at a larger key
+    * cardinality the caller raises `statePartitions`. */
+  private def drain(df: DataFrame, name: String, mode: String,
+      statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(prev.toInt, statePartitions).toString)
+      df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
@@ -42,15 +57,11 @@ object Streaming {
     // runtime (state for keys older than the watermark is dropped)
     QDef("str05_dedup_within_watermark",
       "SELECT DISTINCT user_id, event_type FROM events") { (s, dir) =>
-      val name = "str05_" + java.lang.Integer.toHexString(dir.hashCode)
       val deduped = graft.streaming.StreamOps.eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
-      val q = deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(name)
+      drain(deduped, "str05_" + java.lang.Integer.toHexString(dir.hashCode), "append")
     },
 
     // stream-static enrichment join: the static dim is re-read per
@@ -102,19 +113,11 @@ object Streaming {
         | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin) { (s, dir) =>
       val views = StreamOps.eventsStream(s, dir).filter(col("event_type") === "view")
       val purchases = StreamOps.eventsStream(s, dir).filter(col("event_type") === "purchase")
-      // state partitions sized to the workload: each shuffle partition
-      // carries 4 state stores per side, and their open/commit cost is
-      // pure overhead when partitions outnumber the key cardinality —
-      // the knob a production deployment sets per-query (restored after
-      // the query captures it at start())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      val joined = try {
-        s.conf.set("spark.sql.shuffle.partitions",
-          math.min(prev.toInt, 8).toString)
-        drain(StreamOps.intervalJoin(views, purchases, "30 MINUTE"),
+      // interval joins carry 4 state stores per partition per side —
+      // drain's statePartitions clamp matters most here
+      drain(StreamOps.intervalJoin(views, purchases, "30 MINUTE"),
           "str06_" + java.lang.Integer.toHexString(dir.hashCode), "append")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      joined.select(col("l_id"), col("user_id"), col("r_id"))
+        .select(col("l_id"), col("user_id"), col("r_id"))
     },
 
     // stateful latest-image: the streaming twin of cdc03 (same oracle,
