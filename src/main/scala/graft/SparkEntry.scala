@@ -12,9 +12,11 @@ object SparkEntry {
 
   private def allDefs: Seq[QDef] =
     graft.queries.Relational.defs ++ graft.queries.RelationalExt.defs ++
-      graft.queries.RelationalExt2.defs ++ graft.queries.Cdc.defs ++
+      graft.queries.RelationalExt2.defs ++ graft.queries.RelationalExt3.defs ++
+      graft.queries.Cdc.defs ++
       graft.queries.CdcExt.defs ++ graft.queries.Llm.defs ++
-      graft.queries.Streaming.defs ++ graft.queries.ScaleTechniques.defs
+      graft.queries.LlmExt.defs ++ graft.queries.Streaming.defs ++
+      graft.queries.ScaleTechniques.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * CDC source scan → latest-image compaction → join → aggregation. */

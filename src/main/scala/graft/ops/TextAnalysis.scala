@@ -133,4 +133,27 @@ object TextAnalysis {
     }
     df.filter(mod_poly_hash(col(textCol)) % outOf < rate)
   }
+
+  /** Deterministic train/val/test split: each document is assigned to the
+    * split whose cumulative weight bucket contains
+    * mod_poly_hash(text) % outOf. Content-hash assignment (not rand())
+    * makes the split reproducible across runs, clusters, and
+    * partitionings, and pins exact duplicates to the same split — the
+    * property that prevents train/test contamination from duplicated
+    * documents. Weights are numerators out of `outOf` and must sum to it
+    * (e.g. Seq("train" -> 80, "val" -> 10, "test" -> 10), outOf = 100). */
+  def deterministicSplit(df: DataFrame, textCol: String,
+      splits: Seq[(String, Int)], outOf: Int = 100): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "splits must be non-empty with non-negative weights")
+    require(splits.map(_._2).sum == outOf,
+      s"split weights must sum to outOf=$outOf")
+    val h = mod_poly_hash(col(textCol)) % outOf
+    val upperBounds = splits.scanLeft(0) { case (a, (_, w)) => a + w }.tail
+    val named = splits.map(_._1).zip(upperBounds)
+    val assign = named.init.foldRight(lit(named.last._1): Column) {
+      case ((name, ub), els) => when(h < ub, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", assign)
+  }
 }

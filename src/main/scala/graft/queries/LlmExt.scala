@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.ops.{GlobalOrder, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Second tranche of LLM-pipeline operators: curriculum ordering
+  * (distributed global row number), deterministic train/val/test split,
+  * length bucketing, and corpus-level n-gram statistics. All
+  * oracle-checked — each is exact arithmetic or an exact hash both
+  * engines can replay.
+  */
+object LlmExt {
+
+  /** mod-poly-hash fold, the DuckDB-portable text hash (same as llm21). */
+  private val hashSql =
+    """list_reduce([CAST(0 AS BIGINT)] ||
+      |    list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
+      |    (h, c) -> (h * 131 + c) % 2147483647)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // curriculum ordering: global position under (n_chars DESC, doc_id)
+    // — the oracle IS the naive single-partition window, proving the
+    // distributed range-partition + offset-cumsum form (ops.GlobalOrder)
+    // computes the identical total order
+    QDef("llm27_curriculum_order",
+      """SELECT doc_id, n_chars,
+        |  ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS pos
+        |FROM documents""".stripMargin) { (s, dir) =>
+      GlobalOrder.globalRowNumber(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("pos"))
+    },
+
+    // deterministic content-hash train/val/test split (80/10/10):
+    // reproducible across runs/partitionings, duplicate-consistent (a
+    // doc and its exact copy always land in the same split)
+    QDef("llm28_train_split",
+      s"""SELECT doc_id,
+         |  CASE WHEN $hashSql % 100 < 80 THEN 'train'
+         |       WHEN $hashSql % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.deterministicSplit(Tables.load(s, dir, "documents"),
+          "text", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+    },
+
+    // length-bucketed batching stats: arithmetic bucketing (floor(n/16),
+    // capped) — unlike ntile it needs NO global sort, so it scales and
+    // bucket identity is stable as the corpus grows
+    QDef("llm29_length_buckets",
+      """SELECT LEAST(len(string_split(text, ' ')) // 16, 7) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(MIN(len(string_split(text, ' '))) AS INTEGER) AS min_tokens,
+        |  CAST(MAX(len(string_split(text, ' '))) AS INTEGER) AS max_tokens
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val nTok = size(TextAnalysis.tokens(col("text")))
+      Tables.load(s, dir, "documents")
+        .withColumn("bucket", least(floor(nTok / 16).cast("int"), lit(7)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTok).cast("bigint").as("total_tokens"),
+          min(nTok).as("min_tokens"), max(nTok).as("max_tokens"))
+    },
+
+    // corpus-level bigram top-k with deterministic ties — one explode +
+    // one partial-aggregated count shuffle + a 20-row TakeOrdered; the
+    // shape that survives any corpus size
+    QDef("llm30_ngram_topk",
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |        i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val tk = TextAnalysis.tokens(col("text"))
+      val bigrams = when(size(tk) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(tk) - 1),
+          i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      Tables.load(s, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }
+  )
+}
