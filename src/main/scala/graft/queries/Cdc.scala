@@ -19,7 +19,7 @@ import org.apache.spark.sql.expressions.Window
 object Cdc {
 
   /** Shared oracle CTE: the event stream reconstructed from orders. */
-  private val eventsCte: String =
+  private[queries] val eventsCte: String =
     """WITH ord AS (
       |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
       |), cdc AS (

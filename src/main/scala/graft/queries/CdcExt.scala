@@ -102,6 +102,26 @@ object CdcExt {
         .select(col("audit_id"), col("note"), col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
     },
 
+    // per-transaction audit: event counts by op within each GTID — the
+    // "what did transaction G touch" consumption shape; one partial-
+    // aggregated shuffle on __gtid
+    QDef("cdc14_txn_stats",
+      s"""${Cdc.eventsCte}
+         |SELECT __gtid, COUNT(*) AS n_events,
+         |  COUNT(*) FILTER (WHERE __op = 1) AS n_ins,
+         |  COUNT(*) FILTER (WHERE __op IN (2, 3)) AS n_upd_img,
+         |  COUNT(*) FILTER (WHERE __op = 0) AS n_del,
+         |  MIN(__tm) AS tm
+         |FROM cdc_tm GROUP BY __gtid""".stripMargin) { (s, dir) =>
+      Cdc.scan(s, dir).groupBy(col(CdcSchema.GtidCol))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col(CdcSchema.OpCol) === CdcSchema.Op.Insert, 1L).otherwise(0L)).as("n_ins"),
+          sum(when(col(CdcSchema.OpCol).isin(CdcSchema.Op.UpdateBefore, CdcSchema.Op.UpdateAfter), 1L)
+            .otherwise(0L)).as("n_upd_img"),
+          sum(when(col(CdcSchema.OpCol) === CdcSchema.Op.Delete, 1L).otherwise(0L)).as("n_del"),
+          min(col(CdcSchema.TmCol)).as("tm"))
+    },
+
     // nullable column through the full verified path: NULL bitmap on the
     // wire -> InternalRow null -> parquet null -> DuckDB NULL compare
     QDef("cdc12_nullable_column",

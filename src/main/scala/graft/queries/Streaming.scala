@@ -120,6 +120,32 @@ object Streaming {
         .select(col("l_id"), col("user_id"), col("r_id"))
     },
 
+    // streaming session windows (5-minute gap): same operator as the
+    // batch q48 — and the same oracle — run as a stateful stream.
+    // Complete mode keeps session state mergeable until drain, so the
+    // final sessions equal the batch gaps-and-islands reconstruction
+    QDef("str09_stream_session_window",
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |              OR ts - LAG(ts) OVER w > INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      val sessions = StreamOps.eventsStream(s, dir)
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+      drain(sessions, "str09_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
+    },
+
     // stateful latest-image: the streaming twin of cdc03 (same oracle,
     // restricted to the columns the state carries)
     QDef("str03_stream_latest_image",
