@@ -21,7 +21,7 @@ object Bench {
     "str01_window_agg",
     "llm05_dedup_exact", "llm06_dedup_minhash",
     "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline",
-    "llm22_embed_quantize")
+    "llm22_embed_quantize", "llm27_curriculum_order", "llm30_ngram_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

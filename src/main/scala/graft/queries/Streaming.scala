@@ -146,6 +146,33 @@ object Streaming {
       drain(sessions, "str09_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
     },
 
+    // arbitrary stateful processing v2 (transformWithState + RocksDB
+    // state store): per-user running stats in a keyed ValueState. The
+    // update-mode sink holds one row per (user, batch); the final row
+    // per user (n_events is monotone) equals the batch aggregate
+    QDef("str10_transform_with_state",
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = drain(
+          StreamOps.runningUserStats(StreamOps.eventsStream(s, dir)).toDF(),
+          "str10_" + java.lang.Integer.toHexString(dir.hashCode), "update")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+        out.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("n_events"),
+            col("total_value").cast("double").as("total_value"))
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // stateful latest-image: the streaming twin of cdc03 (same oracle,
     // restricted to the columns the state carries)
     QDef("str03_stream_latest_image",

@@ -3,7 +3,8 @@ package graft.streaming
 import graft.cdc.CdcSchema
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators (SURVEY.md §2.C + M4): event-time
   * windowed aggregation with watermark, streaming dedup, and the stateful
@@ -72,6 +73,41 @@ object StreamOps {
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+  }
+
+  /** State/output row for the transformWithState running aggregate.
+    * The sum accumulates as decimal (exact, order-independent) so the
+    * final value hash-matches the oracle's decimal-lifted SUM. */
+  case class UserStats(user_id: Long, n_events: Long, total_value: BigDecimal)
+
+  /** Per-user running stats on the arbitrary-stateful API v2
+    * (`transformWithState`, Spark 4): one RocksDB-backed ValueState per
+    * key, updated incrementally per micro-batch. State is one row per
+    * live user — the bounded-state shape that runs unbounded; TTLConfig
+    * is where a production deployment ages out idle keys. */
+  class UserStatsProcessor extends StatefulProcessor[Long, (Long, BigDecimal), UserStats] {
+    @transient private var state: ValueState[UserStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserStats]("stats",
+        Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, BigDecimal)],
+        timers: TimerValues): Iterator[UserStats] = {
+      var cur = Option(state.get()).getOrElse(UserStats(key, 0L, BigDecimal(0)))
+      rows.foreach { r =>
+        cur = UserStats(key, cur.n_events + 1, cur.total_value + r._2)
+      }
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value").cast("decimal(28,12)"))
+      .as[(Long, BigDecimal)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** State row for latest-image materialization. */
