@@ -85,6 +85,49 @@ object LlmExt {
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+
+    // per-label embedding centroids (class prototypes): posexplode to
+    // (label, dim) and aggregate — one partial-aggregated shuffle keyed
+    // on (label, dim), never a per-label collect. Exactness route: float
+    // -> shortest-repr string -> DECIMAL(38,18) is EXACT in both engines
+    // for |x| >= 1e-9 (<= 18 decimal places), unlike a double->decimal
+    // cast whose 12th-dp rounding can diverge; the sum then rounds to
+    // scale 12 BEFORE the double cast (scale-18 sums exceed 2^53 scaled
+    // units — the determinism rule from Relational.scala)
+    QDef("llm31_label_centroids",
+      """WITH ex AS (
+        |  SELECT label,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'pos': i - 1, 'x': CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(38,18))}),
+        |      recursive := true)
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(x), 12) AS DOUBLE) / COUNT(*) AS mean_val
+        |FROM ex GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("string").cast("decimal(38,18)")).as("s"))
+        .select(col("label"), col("pos"), col("n"),
+          (round(col("s"), 12).cast("double") / col("n")).as("mean_val"))
+    },
+
+    // multimodal resize plumbing (Multimodal.resizeStub): stubbed pixel
+    // resample (payload truncation), real metadata/schema update — the
+    // oracle checks the byte arithmetic and the rewritten dims
+    QDef("llm32_multimodal_resize",
+      """SELECT doc_id AS media_id,
+        |  LEAST(strlen(text), 256) AS n_bytes,
+        |  224 AS width, 224 AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.mediaTable(Tables.load(s, dir, "documents"))
+      graft.ops.Multimodal.resizeStub(media, w = 224, h = 224, maxBytes = 256)
+        .select(col("media_id"), length(col("payload")).as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.format").as("format"))
     }
   )
 }
