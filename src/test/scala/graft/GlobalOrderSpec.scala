@@ -30,6 +30,17 @@ class GlobalOrderSpec extends SparkTestBase {
     }
   }
 
+  test("globalRowNumber reuses the range exchange across its two branches") {
+    val out = GlobalOrder.globalRowNumber(df, Seq($"v".desc, $"id"), numPartitions = 4)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the counts branch must read the SAME range shuffle the rank branch
+    // wrote (one shuffle write, two readers), not re-scan the input
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("TableCacheQueryStage"),
+      s"expected range-exchange reuse in plan:\n$plan")
+  }
+
   test("globalRowNumber assigns a dense 1..N permutation") {
     val pos = GlobalOrder.globalRowNumber(df, Seq($"v", $"id"), numPartitions = 5)
       .select($"pos").as[Long].collect().sorted
