@@ -89,8 +89,10 @@ object Dedup {
     // sorted-merge intersection: one sort per doc, then each pair is an
     // allocation-free merge pass (vs hash-set array_intersect+union)
     val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
+      .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(id),
-        array_sort(array_distinct(TextAnalysis.shingles(col(textCol), shingleN))).as("sh"))
+        array_sort(array_distinct(
+          TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh"))
     cands
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -142,8 +144,9 @@ object Dedup {
   def jaccardSelfJoinExact(df: DataFrame, textCol: String, id: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val distinctSh = df.select(col(id),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    val distinctSh = df.select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(id),
+        array_distinct(TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
     val inv = distinctSh.select(col(id), explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // canonical (df asc, shingle asc) order via sort_array over structs

@@ -82,14 +82,24 @@ object TextAnalysis {
       .withColumn("simhash_fp", simhash64(t))
   }
 
-  /** n-token shingles: ["a","b","c","d"] with n=3 ->
-    * ["a b c", "b c d"] — the MinHash/Jaccard input. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  /** n-token shingles from a token-array column: ["a","b","c","d"] with
+    * n=3 -> ["a b c", "b c d"] — the MinHash/Jaccard input.
+    *
+    * PERF CONTRACT: pass a MATERIALIZED column (an attribute), not an
+    * inline `split(...)` expression — expressions referenced inside the
+    * transform lambda re-evaluate on every element access (higher-order
+    * functions run interpreted, no subexpression elimination), turning
+    * shingling O(tokens²) in characters. */
+  def shinglesFromTokens(t: Column, n: Int = 3): Column =
     when(size(t) < n, array(concat_ws(" ", t)))
       .otherwise(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-  }
+
+  /** Shingles directly from text — convenience for cold paths; hot paths
+    * project `tokens(...)` into a column and use [[shinglesFromTokens]]
+    * (see PERF CONTRACT there). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Top-k terms per document by tf-idf, rational variant:
     * score = tf * N / df (no logarithm — libm `log` is not guaranteed

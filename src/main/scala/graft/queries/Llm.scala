@@ -337,8 +337,10 @@ object Llm {
       // array_intersect/array_union the oracle mirrors
       import graft.functions.VectorFunctions.sorted_intersect_count
       val d = Tables.load(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
         .select(col("doc_id"),
-          array_sort(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("sh"))
+          array_sort(array_distinct(
+            TextAnalysis.shinglesFromTokens(col("__tk"), 3))).as("sh"))
       val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
