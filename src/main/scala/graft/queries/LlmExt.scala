@@ -118,6 +118,66 @@ object LlmExt {
           (round(col("s"), 12).cast("double") / col("n")).as("mean_val"))
     },
 
+    // sliding-window document chunking (stride 24, width 32 — an
+    // overlapping-context pretraining idiom): chunk starts come from one
+    // sequence() over a MATERIALIZED token column, so the whole op is a
+    // narrow per-row transform + generator, no shuffle
+    QDef("llm33_chunking",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        unnest(range(0, CAST(ceil(CAST(len(tk) AS DOUBLE) / 24.0) AS BIGINT))) AS ci
+        |      FROM t)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+        |  CAST(len(list_slice(tk, ci * 24 + 1, LEAST(ci * 24 + 32, len(tk)))) AS INTEGER)
+        |    AS n_chunk_tokens,
+        |  tk[ci * 24 + 1] AS first_token
+        |FROM c""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .withColumn("chunks", expr(
+          "transform(sequence(0, cast(ceil(n / 24.0) as int) - 1), i -> slice(tk, i * 24 + 1, 32))"))
+        .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "ct")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ct")).as("n_chunk_tokens"),
+          element_at(col("ct"), 1).as("first_token"))
+    },
+
+    // content scrubbing with audit counts (the PII-redaction shape): a
+    // regex blocklist is replaced inline and the match count kept for
+    // the audit trail — narrow map-side op; the pattern is a literal
+    // alternation, identical under Java regex and RE2
+    QDef("llm34_scrub_audit",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'key|hash')) AS INTEGER) AS n_redacted,
+        |  CAST(strlen(regexp_replace(text, 'key|hash', '[REDACTED]', 'g')) AS INTEGER)
+        |    AS n_chars_after
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("key|hash"), lit(0))).as("n_redacted"),
+          length(regexp_replace(col("text"), "key|hash", "[REDACTED]")).as("n_chars_after"))
+    },
+
+    // repetition filter (the Gopher-style quality rule): top token
+    // frequency and its ratio of the doc — two partial-aggregated
+    // shuffles, no per-doc collect; ratio is exact int/int division
+    QDef("llm35_repetition",
+      """WITH tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, MAX(c) AS top_tf,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ratio
+        |FROM tf GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_tf"),
+          (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_ratio"))
+    },
+
     // multimodal resize plumbing (Multimodal.resizeStub): stubbed pixel
     // resample (payload truncation), real metadata/schema update — the
     // oracle checks the byte arithmetic and the rewritten dims

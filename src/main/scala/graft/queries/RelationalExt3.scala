@@ -106,6 +106,31 @@ object RelationalExt3 {
           exists(arr, x => x > 0.05).as("has_big"))
     },
 
+    // NATURAL JOIN: implicit equi-join on the shared column name
+    QDef("q69_natural_join",
+      """SELECT r_name, COUNT(*) AS n
+        |FROM (SELECT n_name, n_regionkey AS r_regionkey FROM nation) n
+        |NATURAL JOIN region GROUP BY r_name""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql("""SELECT r_name, COUNT(*) AS n
+              |FROM (SELECT n_name, n_regionkey AS r_regionkey FROM nation) n
+              |NATURAL JOIN region GROUP BY r_name""".stripMargin)
+    },
+
+    // inline VALUES table joined against a real table — the literal
+    // lookup-table idiom (plans as a broadcast LocalRelation, no scan)
+    QDef("q70_values_table",
+      """SELECT t.code, COUNT(*) AS n FROM customer c
+        |JOIN (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2)) AS t(seg, code)
+        |  ON c.c_mktsegment = t.seg
+        |GROUP BY t.code""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql("""SELECT t.code, COUNT(*) AS n FROM customer c
+              |JOIN (VALUES ('BUILDING', 1), ('AUTOMOBILE', 2)) AS t(seg, code)
+              |  ON c.c_mktsegment = t.seg
+              |GROUP BY t.code""".stripMargin)
+    },
+
     // recursive CTE (linear recursion) — generates the 0..24 key range
     // and joins it back to a real table
     QDef("q68_recursive_cte",

@@ -146,6 +146,32 @@ object Streaming {
       drain(sessions, "str09_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
     },
 
+    // event-time windows over the CDC STREAM itself (the streaming twin
+    // of cdc05): watermark + tumbling window on the __tm envelope column
+    // of the binlogcdc source — late change events would be dropped at
+    // the watermark, exactly like any other event-time stream
+    QDef("cdc15_stream_tm_windows",
+      s"""${Cdc.eventsCte}
+         |SELECT CAST(DATE_TRUNC('hour', __tm) AS TIMESTAMP) AS hour_bucket,
+         |  __op, COUNT(*) AS n
+         |FROM cdc_tm GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val index = graft.cdc.CdcFixture.ensure(s, dir)
+      val stream = s.readStream.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", graft.cdc.CdcFixture.Db)
+        .option("table", graft.cdc.CdcFixture.Table)
+        .load()
+        // __tm is TIMESTAMP_NTZ; watermarks require TIMESTAMP — the UTC
+        // session TZ makes the NTZ->LTZ->NTZ round-trip the identity
+        .withColumn("__tm_ltz", col("__tm").cast("timestamp"))
+        .withWatermark("__tm_ltz", "1 hour")
+        .groupBy(window(col("__tm_ltz"), "1 hour"), col("__op"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("hour_bucket"),
+          col("__op"), col("n"))
+      drain(stream, "cdc15_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
+    },
+
     // arbitrary stateful processing v2 (transformWithState + RocksDB
     // state store): per-user running stats in a keyed ValueState. The
     // update-mode sink holds one row per (user, batch); the final row
