@@ -144,9 +144,13 @@ object Dedup {
   def jaccardSelfJoinExact(df: DataFrame, textCol: String, id: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // materialized once (eager localCheckpoint): three consumers below
+    // (dfreq, canon, sortedSh) would otherwise each re-run the full
+    // scan+tokenize+shingle lineage — three corpus passes at scale
     val distinctSh = df.select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(id),
         array_distinct(TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
+      .localCheckpoint(true)
     val inv = distinctSh.select(col(id), explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // canonical (df asc, shingle asc) order via sort_array over structs
@@ -188,6 +192,15 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // min-label propagation only ever LOWERS labels, so the label sum
+    // strictly decreases until the fixpoint — an unchanged sum IS
+    // convergence. One tiny aggregate per round instead of a
+    // changed-rows join (decimal sum: overflow-proof at any id scale).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var prevSum = labelSum(labels)
     var iters = 0
     var converged = sym.isEmpty
     while (!converged) {
@@ -198,8 +211,9 @@ object Dedup {
       val next = labels.select(col("id"), col("label")).union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iters += 1
     }
