@@ -25,27 +25,33 @@ object TextAnalysis {
 
   /** Per-document token statistics. */
   def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    df.withColumn("n_tokens", size(t))
+    // token array materialized once ("__tk"): each consuming column
+    // would otherwise re-run split() per row (see shinglesFromTokens)
+    val t = col("__tk")
+    df.withColumn("__tk", tokens(col(textCol)))
+      .withColumn("n_tokens", size(t))
       .withColumn("n_uniq_tokens", size(array_distinct(t)))
       .withColumn("avg_token_len",
         (col("n_chars").cast("double") - (col("n_tokens") - 1).cast("double"))
           / col("n_tokens").cast("double"))
+      .drop("__tk")
   }
 
   /** Quality score: unique-token ratio, stopword ratio, length saturation —
     * combined in a fixed-order linear form (SQL-portable, no libm). */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    val t = col("__tk")
     val nTok = size(t).cast("double")
     val uniqRatio = size(array_distinct(t)).cast("double") / nTok
     val stopRatio = size(array_intersect(t, lit(StopWords.toArray))).cast("double") / nTok
     val lenScore = least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
-    df.withColumn("uniq_ratio", uniqRatio)
+    df.withColumn("__tk", tokens(col(textCol)))
+      .withColumn("uniq_ratio", uniqRatio)
       .withColumn("stop_ratio", stopRatio)
       .withColumn("len_score", lenScore)
       .withColumn("quality",
         lit(0.5) * col("uniq_ratio") + lit(0.2) * col("stop_ratio") + lit(0.3) * col("len_score"))
+      .drop("__tk")
   }
 
   /** Language-ID by n-gram/marker-profile heuristic: score each language's
@@ -60,26 +66,29 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"))
 
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    val t = col("__tk")
     val scored = array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
         (size(array_intersect(t, lit(markers.toArray))).cast("double")
           / size(t).cast("double")).as("score"),
         lit(lang).as("lang"))
     }: _*)
-    df.withColumn("__best", array_max(scored))
+    df.withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__best", array_max(scored))
       .withColumn("pred_lang", col("__best.lang"))
       .withColumn("lang_score", col("__best.score"))
-      .drop("__best")
+      .drop("__best", "__tk")
   }
 
   /** Document fingerprints: 64-bit content hash, order-sensitive rolling
     * hash, and order-insensitive SimHash (near-dup capable). */
   def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    df.withColumn("content_hash", xxhash64(col(textCol)))
+    val t = col("__tk")
+    df.withColumn("__tk", tokens(col(textCol)))
+      .withColumn("content_hash", xxhash64(col(textCol)))
       .withColumn("rolling_fp", rolling_hash(t))
       .withColumn("simhash_fp", simhash64(t))
+      .drop("__tk")
   }
 
   /** n-token shingles from a token-array column: ["a","b","c","d"] with
