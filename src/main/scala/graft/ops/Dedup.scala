@@ -84,15 +84,22 @@ object Dedup {
     // of LSH): broadcast them, and materialize shingles ONLY for docs
     // that appear in some candidate pair (semi-join first) — at 100 TB
     // the expensive per-doc work runs on the ~0.1% of docs that need it
-    val cands = broadcast(minhashCandidates(df, textCol, id, k, bands))
+    // candidates materialize once (eager localCheckpoint): they are read
+    // twice below (id extraction + final join) and each read would
+    // re-run the whole MinHash pipeline
+    val cands = broadcast(
+      minhashCandidates(df, textCol, id, k, bands).localCheckpoint(true))
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
     // sorted-merge intersection: one sort per doc, then each pair is an
-    // allocation-free merge pass (vs hash-set array_intersect+union)
+    // allocation-free merge pass (vs hash-set array_intersect+union).
+    // Checkpointed: joined as both sh_a and sh_b — one shingling pass,
+    // not two (and it is tiny: only docs appearing in some candidate)
     val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(id),
         array_sort(array_distinct(
           TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh"))
+      .localCheckpoint(true)
     cands
       .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: run the distributed-global-order / packing / dedup
+  * primitives at 10M+ rows (10-100x the sf0.1 bench corpus) and check
+  * their algebraic invariants with O(1) driver memory — guards against
+  * designs that only work when a corpus fits one partition or the
+  * driver. `runMain graft.tools.ScaleSmoke [nBig] [nText]`.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nBig = if (args.nonEmpty) args(0).toLong else 10000000L
+    val nText = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"SCALE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    // skewed, shuffled sort keys with ties — the worst case a curriculum
+    // sort sees; invariant: positions are exactly the 1..N permutation
+    val big = spark.range(nBig)
+      .select(col("id"), (col("id") * 2654435761L % 1000L).as("v"))
+    timed(s"globalRowNumber($nBig)") {
+      val pos = graft.ops.GlobalOrder.globalRowNumber(
+        big, Seq(col("v").desc, col("id")), numPartitions = 64)
+      val row = pos.agg(
+        count(lit(1)).as("n"), min(col("pos")).as("mn"),
+        max(col("pos")).as("mx"), sum(col("pos")).as("s")).head()
+      assert(row.getLong(0) == nBig && row.getLong(1) == 1L && row.getLong(2) == nBig)
+      assert(row.getLong(3) == nBig * (nBig + 1) / 2, "positions must be a 1..N permutation")
+    }
+
+    timed(s"packSequences($nBig)") {
+      val packed = graft.ops.Packing.packSequences(
+        big.withColumnRenamed("id", "doc_id"), "doc_id",
+        (col("v") % 100 + 1).cast("long"), capacity = 512L, bucketSize = 65536L)
+      val row = packed.agg(
+        count(lit(1)).as("n"), max(col("seq_offset")).as("mo"),
+        sum(col("n_tokens")).as("toks"),
+        max(col("seq_id") * 512L + col("seq_offset") + col("n_tokens")).as("hi")).head()
+      assert(row.getLong(0) == nBig && row.getLong(1) < 512L)
+      // the last doc's end equals the global token sum (no gaps, no overlap)
+      assert(row.getLong(3) == row.getLong(2), "packing must be gap-free")
+    }
+
+    timed(s"exactByHash($nBig, 50% dups)") {
+      val docs = big.select((col("id") / 2).cast("long").cast("string").as("text"),
+        col("id").as("doc_id"))
+      val n = graft.ops.Dedup.exactByHash(docs, "text", "doc_id").count()
+      assert(n == nBig / 2, s"expected ${nBig / 2} survivors, got $n")
+    }
+
+    timed(s"minhash signatures($nText)") {
+      val docs = spark.range(nText).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          concat(lit("w"), (col("id") * (j * 31 + 7) % 997L))): _*).as("text"))
+      import graft.functions.VectorFunctions.minhash_sig
+      val n = docs
+        .select(col("doc_id"), minhash_sig(split(col("text"), " "), 16).as("sig"))
+        .filter(size(col("sig")) === 16).count()
+      assert(n == nText)
+    }
+
+    spark.stop()
+  }
+}
