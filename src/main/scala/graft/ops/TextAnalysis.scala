@@ -153,6 +153,27 @@ object TextAnalysis {
     df.filter(mod_poly_hash(col(textCol)) % outOf < rate)
   }
 
+  /** Sliding-window document chunking (overlapping pretraining contexts):
+    * chunk i covers tokens [i*stride, i*stride + width) with the last
+    * chunk clipped; every token lands in >= 1 chunk and chunk starts
+    * always fall inside the doc. Narrow per-row transform + generator —
+    * no shuffle; the token array materializes once per row (see
+    * shinglesFromTokens' PERF CONTRACT). */
+  def chunkDocs(df: DataFrame, textCol: String, id: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      "need 0 < stride <= width (gap-free coverage)")
+    df.select(col(id), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("chunks", expr(
+        s"transform(sequence(0, cast(ceil(n / $stride.0) as int) - 1), " +
+          s"i -> slice(tk, i * $stride + 1, $width))"))
+      .select(col(id), posexplode(col("chunks")).as(Seq("chunk_idx", "ct")))
+      .select(col(id), col("chunk_idx"),
+        size(col("ct")).as("n_chunk_tokens"),
+        element_at(col("ct"), 1).as("first_token"))
+  }
+
   /** Deterministic train/val/test split: each document is assigned to the
     * split whose cumulative weight bucket contains
     * mod_poly_hash(text) % outOf. Content-hash assignment (not rand())

@@ -132,15 +132,8 @@ object LlmExt {
         |    AS n_chunk_tokens,
         |  tk[ci * 24 + 1] AS first_token
         |FROM c""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-        .withColumn("n", size(col("tk")))
-        .withColumn("chunks", expr(
-          "transform(sequence(0, cast(ceil(n / 24.0) as int) - 1), i -> slice(tk, i * 24 + 1, 32))"))
-        .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "ct")))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("ct")).as("n_chunk_tokens"),
-          element_at(col("ct"), 1).as("first_token"))
+      TextAnalysis.chunkDocs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", width = 32, stride = 24)
     },
 
     // content scrubbing with audit counts (the PII-redaction shape): a

@@ -64,6 +64,28 @@ class GlobalOrderSpec extends SparkTestBase {
     assert(perText == 1L)
   }
 
+  test("chunkDocs covers every token exactly, at all edge lengths") {
+    // lengths around every boundary: 1, stride-1, stride, stride+1,
+    // width, width+1, exact multiples, and a long doc
+    val lens = Seq(1, 23, 24, 25, 32, 33, 48, 49, 96, 100, 240, 241)
+    val docs = lens.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (0 until len).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocs(docs, "text", "doc_id", width = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1)
+    lens.zipWithIndex.foreach { case (len, i) =>
+      val cs = byDoc(i.toLong).sortBy(_._2)
+      assert(cs.length == math.ceil(len / 24.0).toInt, s"chunk count for len=$len")
+      // chunk i starts at token i*stride and the last chunk ends at n
+      cs.foreach { case (_, ci, nct, first) =>
+        assert(first == s"t${ci * 24}", s"first token of chunk $ci at len=$len")
+        assert(nct == math.min(32, len - ci * 24), s"chunk len of $ci at len=$len")
+      }
+      assert(cs.last._2 * 24 + cs.last._3 == len, s"coverage at len=$len")
+    }
+  }
+
   test("deterministicSplit rejects weights that do not sum to outOf") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
