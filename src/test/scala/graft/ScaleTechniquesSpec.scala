@@ -145,6 +145,26 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("approximate aggregates stay within their error bounds (q47 contract)") {
+    import spark.implicits._
+    // 10k rows, 1000 distinct keys, skewed values
+    val df = (0 until 10000).map(i => (i % 1000, (i * 37 % 500).toDouble))
+      .toDF("k", "v")
+    val exact = df.agg(countDistinct($"k"), expr("percentile(v, 0.5)")).head()
+    val approx = df.agg(approx_count_distinct($"k"),
+      expr("approx_percentile(v, 0.5, 1000)")).head()
+    // HLL++ default rsd = 5%
+    val cdExact = exact.getLong(0).toDouble
+    assert(math.abs(approx.getLong(0) - cdExact) / cdExact < 0.10,
+      s"approx_count_distinct ${approx.getLong(0)} vs exact $cdExact")
+    // accuracy=1000 -> rank error <= 1/1000; values span [0, 499]
+    val pExact = exact.getDouble(1)
+    val pApprox = approx.getDouble(1)
+    // rank-error bound translated to value space via the value density
+    assert(math.abs(pApprox - pExact) <= 5.0,
+      s"approx_percentile $pApprox vs exact $pExact")
+  }
+
   test("runtime bloom filter injects into the probe side of a shuffle join") {
     import spark.implicits._
     val c = spark.conf
