@@ -45,4 +45,44 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: pairs (l, r) with l.lo <= r.hi AND r.lo <=
+    * l.hi — the time-range / genomics workhorse that a bare inequality
+    * join plans as a nested loop. Both sides explode to covered bins and
+    * meet on a bin equi-join; a pair of overlapping intervals shares a
+    * contiguous bin range, whose FIRST bin is max(firstBin(l),
+    * firstBin(r)) — emitting a pair only in that bin makes each pair
+    * meet exactly once, so there is NO distinct/dedup pass (dedup would
+    * be a second full shuffle of the candidate set at scale).
+    *
+    * Column names across the two sides must be disjoint. `binWidth`
+    * tunes as in [[pointInInterval]]; both sides are guarded by
+    * `maxBinsPerInterval`. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      binWidth: Double, maxBinsPerInterval: Long = 65536L): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"intervalOverlap requires disjoint column names; overlapping: ${dup.toSeq.sorted.mkString(", ")}")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      val hiBin = floor(col(hi) / binWidth).cast("long")
+      val hiBinChecked = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
+        .otherwise(raise_error(format_string(
+          s"interval [%s, %s] spans >= $maxBinsPerInterval bins at binWidth=$binWidth",
+          col(lo), col(hi))).cast("long"))
+      df.withColumn("__first", loBin)
+        .withColumn("__bin", explode(sequence(loBin, hiBinChecked)))
+    }
+    val lb = binned(left, loL, hiL)
+    val rb = binned(right, loR, hiR)
+      .withColumnRenamed("__first", "__first_r")
+      .withColumnRenamed("__bin", "__bin_r")
+    lb.join(rb, col("__bin") === col("__bin_r") &&
+        col("__bin") === greatest(col("__first"), col("__first_r")) &&
+        col(loL) <= col(hiR) && col(loR) <= col(hiL))
+      .drop("__bin", "__bin_r", "__first", "__first_r")
+  }
 }

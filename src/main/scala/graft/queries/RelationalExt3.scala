@@ -131,6 +131,28 @@ object RelationalExt3 {
               |GROUP BY t.code""".stripMargin)
     },
 
+    // interval-overlap join (ops.RangeJoin.intervalOverlap): the binned
+    // first-common-bin rewrite of a nested-loop inequality join; oracle
+    // is the naive overlap join, proving each pair appears exactly once
+    QDef("q71_interval_overlap",
+      """SELECT p_partkey, l_orderkey, l_linenumber
+        |FROM (SELECT p_partkey, p_retailprice - 50 AS p_lo, p_retailprice + 50 AS p_hi
+        |      FROM part WHERE p_partkey % 20 = 0) p
+        |JOIN (SELECT l_orderkey, l_linenumber,
+        |        l_extendedprice - 25 AS l_lo, l_extendedprice + 25 AS l_hi
+        |      FROM lineitem WHERE l_orderkey % 100 = 0) l
+        |  ON p_lo <= l_hi AND l_lo <= p_hi""".stripMargin) { (s, dir) =>
+      val p = t(s, dir, "part").filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 50).as("p_lo"), (col("p_retailprice") + 50).as("p_hi"))
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") - 25).as("l_lo"), (col("l_extendedprice") + 25).as("l_hi"))
+      graft.ops.RangeJoin.intervalOverlap(p, l, "p_lo", "p_hi", "l_lo", "l_hi",
+          binWidth = 100.0)
+        .select(col("p_partkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+
     // recursive CTE (linear recursion) — generates the 0..24 key range
     // and joins it back to a real table
     QDef("q68_recursive_cte",

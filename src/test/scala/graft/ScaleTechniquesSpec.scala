@@ -112,6 +112,37 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: interval-overlap join equals naive join, each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // adversarial widths: some intervals span many bins, some sub-bin,
+    // some negative coordinates, exact-boundary touches
+    val ls = (0 until 300).map { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      (i.toLong, lo, lo + (if (i % 7 == 0) rnd.nextDouble() * 40 else rnd.nextDouble() * 3))
+    }.toDF("l_id", "l_lo", "l_hi")
+    val rs = (0 until 300).map { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      (i.toLong, lo, lo + (if (i % 5 == 0) rnd.nextDouble() * 30 else rnd.nextDouble() * 2))
+    }.toDF("r_id", "r_lo", "r_hi")
+    val naive = ls.join(rs, $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi")
+      .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (bw <- Seq(0.5, 5.0, 50.0)) {
+      val binned = graft.ops.RangeJoin.intervalOverlap(
+          ls, rs, "l_lo", "l_hi", "r_lo", "r_hi", binWidth = bw)
+        .select($"l_id", $"r_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(binned.toSeq == naive.toSeq, s"mismatch at binWidth=$bw")
+    }
+  }
+
+  test("interval-overlap join rejects overlapping column names") {
+    import spark.implicits._
+    val a = Seq((1L, 0.0, 1.0)).toDF("id", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.intervalOverlap(a, a, "lo", "hi", "lo", "hi", 1.0)
+    }
+  }
+
   test("range join fails loud on an interval spanning more than maxBinsPerInterval bins") {
     import spark.implicits._
     val points = Seq((1L, 5.0)).toDF("pid", "v")
