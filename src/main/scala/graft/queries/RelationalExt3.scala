@@ -106,6 +106,23 @@ object RelationalExt3 {
           exists(arr, x => x > 0.05).as("has_big"))
     },
 
+    // Hive-style partitioned write + partition-pruned read-back: the
+    // 100 TB output layout (one directory per partition value; a reader
+    // filtering on the partition column never opens other partitions —
+    // PartitionFilters in the scan, verified by plan in the spec suite)
+    QDef("q72_partitioned_write",
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang""".stripMargin) { (s, dir) =>
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-q72-" + java.lang.Integer.toHexString(dir.hashCode)).toString
+      t(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("bigint").as("chars"))
+    },
+
     // NATURAL JOIN: implicit equi-join on the shared column name
     QDef("q69_natural_join",
       """SELECT r_name, COUNT(*) AS n

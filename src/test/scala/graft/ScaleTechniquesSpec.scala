@@ -135,6 +135,19 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned write: partition-column filter prunes at planning (q72 contract)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-partwrite").toString
+    (0 until 100).map(i => (i.toLong, Seq("en", "fr", "de")(i % 3)))
+      .toDF("id", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val read = spark.read.parquet(out).filter($"lang" === "en")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition filters in scan:\n$plan")
+    assert(read.count() == 34)
+  }
+
   test("interval-overlap join rejects overlapping column names") {
     import spark.implicits._
     val a = Seq((1L, 0.0, 1.0)).toDF("id", "lo", "hi")
