@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Binned range join (point-in-interval). Spark plans a bare
@@ -21,6 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Covered-bin array for one interval, with every edge case explicit:
+    * NULL bounds -> null array (explode drops the row — such an interval
+    * can never match); inverted bounds (lo > hi) -> empty array (an
+    * empty interval matches nothing; naive sequence() would count DOWN
+    * and build a huge descending array); a span of >= maxBins bins ->
+    * loud raise_error with the offending interval (one absurdly wide
+    * interval would otherwise blow memory or hit Spark's sequence cap —
+    * this operator exists to survive scale-up). */
+  private def binsFor(lo: Column, hi: Column, binWidth: Double,
+      maxBins: Long): Column = {
+    val loBin = floor(lo / binWidth).cast("long")
+    val hiBin = floor(hi / binWidth).cast("long")
+    when(loBin.isNull || hiBin.isNull, lit(null).cast("array<long>"))
+      .when(hiBin < loBin, array().cast("array<long>"))
+      .when(hiBin - loBin < lit(maxBins), sequence(loBin, hiBin))
+      .otherwise(raise_error(format_string(
+        s"range-join interval [%s, %s] spans >= $maxBins bins at " +
+          s"binWidth=$binWidth; raise binWidth or maxBinsPerInterval",
+        lo, hi)).cast("array<long>"))
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double, maxBinsPerInterval: Long = 65536L): DataFrame = {
@@ -28,19 +49,8 @@ object RangeJoin {
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val pb = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    // one interval much wider than binWidth would explode sequence() into
-    // a huge array (memory blowup; hard failure past Spark's ~2^31
-    // sequence cap) — fail loud with the offending interval instead. The
-    // raise_error feeds sequence()'s upper bound, so it cannot be pruned.
-    val loBin = floor(col(loCol) / binWidth).cast("long")
-    val hiBin = floor(col(hiCol) / binWidth).cast("long")
-    val hiBinChecked = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
-      .otherwise(raise_error(format_string(
-        s"range-join interval [%s, %s] spans >= $maxBinsPerInterval bins at " +
-          s"binWidth=$binWidth; raise binWidth or maxBinsPerInterval",
-        col(loCol), col(hiCol))).cast("long"))
     val ib = intervals.withColumn("__bin",
-      explode(sequence(loBin, hiBinChecked)))
+      explode(binsFor(col(loCol), col(hiCol), binWidth, maxBinsPerInterval)))
     pb.join(ib, "__bin")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
@@ -66,16 +76,10 @@ object RangeJoin {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
       s"intervalOverlap requires disjoint column names; overlapping: ${dup.toSeq.sorted.mkString(", ")}")
-    def binned(df: DataFrame, lo: String, hi: String): DataFrame = {
-      val loBin = floor(col(lo) / binWidth).cast("long")
-      val hiBin = floor(col(hi) / binWidth).cast("long")
-      val hiBinChecked = when(hiBin - loBin < lit(maxBinsPerInterval), hiBin)
-        .otherwise(raise_error(format_string(
-          s"interval [%s, %s] spans >= $maxBinsPerInterval bins at binWidth=$binWidth",
-          col(lo), col(hi))).cast("long"))
-      df.withColumn("__first", loBin)
-        .withColumn("__bin", explode(sequence(loBin, hiBinChecked)))
-    }
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__first", floor(col(lo) / binWidth).cast("long"))
+        .withColumn("__bin",
+          explode(binsFor(col(lo), col(hi), binWidth, maxBinsPerInterval)))
     val lb = binned(left, loL, hiL)
     val rb = binned(right, loR, hiR)
       .withColumnRenamed("__first", "__first_r")

@@ -19,39 +19,50 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** A helper-column name guaranteed absent from df (a fixed "__tk"
+    * would silently clobber a caller's same-named column). */
+  private def freshCol(df: DataFrame, base: String): String = {
+    var n = base
+    var i = 0
+    while (df.columns.contains(n)) { i += 1; n = s"$base$i" }
+    n
+  }
+
   /** Whitespace tokens + a BPE-ish subword split on non-alnum boundaries. */
   def bpeishTokens(text: Column): Column =
     split(text, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|[^a-z0-9]+")
 
   /** Per-document token statistics. */
   def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
-    // token array materialized once ("__tk"): each consuming column
-    // would otherwise re-run split() per row (see shinglesFromTokens)
-    val t = col("__tk")
-    df.withColumn("__tk", tokens(col(textCol)))
+    // token array materialized once: each consuming column would
+    // otherwise re-run split() per row (see shinglesFromTokens)
+    val tk = freshCol(df, "__tk")
+    val t = col(tk)
+    df.withColumn(tk, tokens(col(textCol)))
       .withColumn("n_tokens", size(t))
       .withColumn("n_uniq_tokens", size(array_distinct(t)))
       .withColumn("avg_token_len",
         (col("n_chars").cast("double") - (col("n_tokens") - 1).cast("double"))
           / col("n_tokens").cast("double"))
-      .drop("__tk")
+      .drop(tk)
   }
 
   /** Quality score: unique-token ratio, stopword ratio, length saturation —
     * combined in a fixed-order linear form (SQL-portable, no libm). */
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col("__tk")
+    val tk = freshCol(df, "__tk")
+    val t = col(tk)
     val nTok = size(t).cast("double")
     val uniqRatio = size(array_distinct(t)).cast("double") / nTok
     val stopRatio = size(array_intersect(t, lit(StopWords.toArray))).cast("double") / nTok
     val lenScore = least(lit(1.0), col("n_chars").cast("double") / lit(500.0))
-    df.withColumn("__tk", tokens(col(textCol)))
+    df.withColumn(tk, tokens(col(textCol)))
       .withColumn("uniq_ratio", uniqRatio)
       .withColumn("stop_ratio", stopRatio)
       .withColumn("len_score", lenScore)
       .withColumn("quality",
         lit(0.5) * col("uniq_ratio") + lit(0.2) * col("stop_ratio") + lit(0.3) * col("len_score"))
-      .drop("__tk")
+      .drop(tk)
   }
 
   /** Language-ID by n-gram/marker-profile heuristic: score each language's
@@ -66,29 +77,32 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"))
 
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col("__tk")
+    val tk = freshCol(df, "__tk")
+    val best = freshCol(df, "__best")
+    val t = col(tk)
     val scored = array(LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
         (size(array_intersect(t, lit(markers.toArray))).cast("double")
           / size(t).cast("double")).as("score"),
         lit(lang).as("lang"))
     }: _*)
-    df.withColumn("__tk", tokens(col(textCol)))
-      .withColumn("__best", array_max(scored))
-      .withColumn("pred_lang", col("__best.lang"))
-      .withColumn("lang_score", col("__best.score"))
-      .drop("__best", "__tk")
+    df.withColumn(tk, tokens(col(textCol)))
+      .withColumn(best, array_max(scored))
+      .withColumn("pred_lang", col(s"$best.lang"))
+      .withColumn("lang_score", col(s"$best.score"))
+      .drop(best, tk)
   }
 
   /** Document fingerprints: 64-bit content hash, order-sensitive rolling
     * hash, and order-insensitive SimHash (near-dup capable). */
   def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col("__tk")
-    df.withColumn("__tk", tokens(col(textCol)))
+    val tk = freshCol(df, "__tk")
+    val t = col(tk)
+    df.withColumn(tk, tokens(col(textCol)))
       .withColumn("content_hash", xxhash64(col(textCol)))
       .withColumn("rolling_fp", rolling_hash(t))
       .withColumn("simhash_fp", simhash64(t))
-      .drop("__tk")
+      .drop(tk)
   }
 
   /** n-token shingles from a token-array column: ["a","b","c","d"] with
@@ -123,8 +137,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val terms = df.select(col(id), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.select(col(id), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    // tf already has exactly one row per (doc, term) — document
+    // frequencies fall out of it with a tiny aggregation, instead of
+    // re-running the scan+tokenize+explode lineage a second time plus a
+    // distinct shuffle (checkpoint: tf is also the join's left side)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.select(count(lit(1)).as("n"))
     val w = Window.partitionBy(col(id))
       .orderBy(col("score").desc, col("term"))

@@ -156,6 +156,21 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("range join: null-bounded and inverted intervals match nothing, never blow up") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 50.0)).toDF("p_id", "p")
+    val intervals = Seq(
+      (10L, Some(0.0), Some(10.0)),          // normal: matches p=5
+      (11L, None, Some(10.0)),               // null lo -> no match, no error
+      (12L, Some(0.0), None),                // null hi -> no match, no error
+      (13L, Some(1.0e9), Some(0.0))          // inverted: empty, NOT a 1e9-bin descending sequence
+    ).toDF("i_id", "lo", "hi")
+    val out = graft.ops.RangeJoin.pointInInterval(points, intervals,
+        "p", "lo", "hi", binWidth = 1.0)
+      .select($"p_id", $"i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("range join fails loud on an interval spanning more than maxBinsPerInterval bins") {
     import spark.implicits._
     val points = Seq((1L, 5.0)).toDF("pid", "v")
