@@ -91,10 +91,12 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   * reference advertising indexes it cannot serve, SURVEY.md §3.2). */
 class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
     maxBytesPerTrigger: Option[Long] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, theirs) = filters.partition(EnvelopePredicate.supports)
@@ -106,13 +108,21 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** LIMIT pushdown (partial: per-partition): each partition reader
+    * stops decoding after `l` post-filter rows — a LIMIT 10 over a
+    * million-file log touches at most 10 events per file instead of
+    * decoding everything and discarding above the scan. Spark still
+    * applies the global limit. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
-    new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger)
+    new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger, limit)
 }
 
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -149,7 +159,7 @@ class CdcScan(indexFile: String, db: String, table: String,
       }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(db, table, full, required, allFilters)
+    CdcReaderFactory(db, table, full, required, allFilters, limit)
 
   /** Reference's cost hooks (binlogdb.h:178-187) map to Catalyst stats:
     * sizeInBytes = Σ log-file sizes feeds broadcast decisions. */
@@ -160,7 +170,9 @@ class CdcScan(indexFile: String, db: String, table: String,
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
-  override def description(): String = s"binlogcdc $db.$table [$indexFile]"
+  override def description(): String =
+    s"binlogcdc $db.$table [$indexFile]" +
+      limit.map(l => s" PushedLimit: $l").getOrElse("")
 }
 
 /** Byte range [startPos, endPos) of one log file at event boundaries.
@@ -171,15 +183,17 @@ final case class CdcInputPartition(path: String, startPos: Long, endPos: Long)
     extends InputPartition
 
 final case class CdcReaderFactory(db: String, table: String,
-    full: StructType, required: StructType, filters: Array[Filter])
+    full: StructType, required: StructType, filters: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition],
-      db, table, full, required, filters)
+      db, table, full, required, filters, limit)
 }
 
 class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
-    full: StructType, required: StructType, filters: Array[Filter])
+    full: StructType, required: StructType, filters: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val sourceWidth = full.length - CdcSchema.envelope.length
@@ -209,12 +223,18 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
   private var queue: Iterator[CdcCodec.CdcRow] = Iterator.empty
   private var current: InternalRow = _
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    // pushed LIMIT: stop decoding this partition once `limit`
+    // post-filter rows are out (Spark applies the global limit above)
+    if (limit.exists(emitted >= _)) return false
     while (true) {
       while (queue.hasNext) {
         val r = queue.next()
         if (predicate(r.op, r.gtid, r.tmMicros)) {
           current = project(r)
+          emitted += 1
           return true
         }
       }

@@ -50,6 +50,19 @@ class CdcSourceSpec extends SparkTestBase {
     assert(upd.head.getDouble(1) == 22.0)
   }
 
+  test("limit pushdown reaches the scan and results stay correct") {
+    val index = writeLog()
+    val limited = read(index).limit(3)
+    limited.collect()
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), s"limit not pushed:\n$plan")
+    assert(limited.count() == 3)
+    // limit + filter composes: pushed filter applies BEFORE the limit
+    val filtered = read(index).filter(col("__op") === 1).limit(2)
+    val rows = filtered.collect()
+    assert(rows.length == 2 && rows.forall(_.getInt(2) == 1))
+  }
+
   test("pushdown: filtered scan equals full scan filtered") {
     val index = writeLog()
     val full = read(index).collect().filter(r => r.getInt(2) == 1 && r.getLong(3) >= 2)
