@@ -56,6 +56,14 @@ object CdcCodec {
     out.writeInt(Magic); out.writeInt(Version)
     private var minGtid = Long.MaxValue; private var maxGtid = Long.MinValue
     private var minTs = Long.MaxValue; private var maxTs = Long.MinValue
+    // per-table emitted-row counts (update = 2 images), for the v2
+    // sidecar: serves COUNT(*) pushdown without decoding the log
+    private val tableNames = scala.collection.mutable.Map.empty[Long, (String, String)]
+    private val rowCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    private def countRows(tableId: Long, n: Long): Unit =
+      tableNames.get(tableId).foreach { key =>
+        rowCounts(key) = rowCounts.getOrElse(key, 0L) + n
+      }
 
     private def event(tpe: Byte, tsMs: Long)(body: DataOutputStream => Unit): Unit = {
       val buf = new java.io.ByteArrayOutputStream()
@@ -67,7 +75,8 @@ object CdcCodec {
       if (tsMs > maxTs) maxTs = tsMs
     }
 
-    def tableMap(tsMs: Long, tableId: Long, db: String, table: String, schema: StructType): Unit =
+    def tableMap(tsMs: Long, tableId: Long, db: String, table: String, schema: StructType): Unit = {
+      tableNames(tableId) = (db, table)
       event(EventType.TableMap, tsMs) { d =>
         d.writeLong(tableId); writeStr(d, db); writeStr(d, table)
         d.writeInt(schema.length)
@@ -80,6 +89,7 @@ object CdcCodec {
           }
         }
       }
+    }
 
     def gtid(tsMs: Long, gno: Long): Unit = {
       if (gno < minGtid) minGtid = gno
@@ -96,23 +106,27 @@ object CdcCodec {
     /** Update event: interleaved before/after images, the reference's
       * layout intent (binlog_table_reader.cc:321-323). */
     def updateRows(tsMs: Long, tableId: Long, schema: StructType,
-        pairs: Seq[(Array[Any], Array[Any])]): Unit =
+        pairs: Seq[(Array[Any], Array[Any])]): Unit = {
+      countRows(tableId, pairs.length * 2L) // before + after images
       event(EventType.UpdateRows, tsMs) { d =>
         d.writeLong(tableId); d.writeInt(pairs.length)
         pairs.foreach { case (before, after) =>
           writeRow(d, schema, before); writeRow(d, schema, after)
         }
       }
+    }
 
     def rotate(tsMs: Long, nextFile: String): Unit =
       event(EventType.Rotate, tsMs)(writeStr(_, nextFile))
 
     private def rowsEvent(tpe: Byte, tsMs: Long, tableId: Long, schema: StructType,
-        rows: Seq[Array[Any]]): Unit =
+        rows: Seq[Array[Any]]): Unit = {
+      countRows(tableId, rows.length.toLong)
       event(tpe, tsMs) { d =>
         d.writeLong(tableId); d.writeInt(rows.length)
         rows.foreach(writeRow(d, schema, _))
       }
+    }
 
     private def writeStr(d: DataOutputStream, s: String): Unit = {
       val b = s.getBytes(StandardCharsets.UTF_8)
@@ -169,22 +183,37 @@ object CdcCodec {
     def close(): Unit = {
       out.close()
       if (maxGtid >= minGtid) {
+        val counts = rowCounts.toSeq.sortBy(t => (t._1._1, t._1._2))
+          .map { case ((db, tbl), n) => s"c $db $tbl $n" }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".meta"),
-          s"v1 $minGtid $maxGtid $minTs $maxTs\n")
+          (s"v2 $minGtid $maxGtid $minTs $maxTs" +: counts).mkString("", "\n", "\n"))
       }
     }
   }
 
-  /** Pruning sidecar contents, if present. Times in epoch millis. */
-  final case class FileMeta(minGtid: Long, maxGtid: Long, minTsMs: Long, maxTsMs: Long)
+  /** Pruning sidecar contents, if present. Times in epoch millis.
+    * `counts` (v2 sidecars) is the per-table emitted-row count — None
+    * for v1 sidecars, whose counts are unknown (a table absent from a
+    * v2 map genuinely has zero rows in the file). */
+  final case class FileMeta(minGtid: Long, maxGtid: Long, minTsMs: Long, maxTsMs: Long,
+      counts: Option[Map[(String, String), Long]] = None)
 
   def readMeta(logPath: String): Option[FileMeta] = {
     val p = java.nio.file.Paths.get(logPath + ".meta")
     if (!java.nio.file.Files.exists(p)) None
-    else java.nio.file.Files.readString(p).trim.split("\\s+") match {
-      case Array("v1", a, b, c, d) =>
-        Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
-      case _ => None
+    else {
+      val lines = java.nio.file.Files.readString(p).trim.linesIterator.toSeq
+      lines.head.split("\\s+") match {
+        case Array("v1", a, b, c, d) =>
+          Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
+        case Array("v2", a, b, c, d) =>
+          val counts = lines.tail.flatMap(_.split("\\s+") match {
+            case Array("c", db, tbl, n) => Some((db, tbl) -> n.toLong)
+            case _ => None
+          }).toMap
+          Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong, Some(counts)))
+        case _ => None
+      }
     }
   }
 

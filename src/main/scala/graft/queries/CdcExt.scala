@@ -102,6 +102,16 @@ object CdcExt {
         .select(col("audit_id"), col("note"), col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
     },
 
+    // bare COUNT(*): with v2 sidecars this is answered entirely from
+    // per-file metadata (complete aggregate pushdown — the log is never
+    // decoded); the oracle hash-check proves the sidecar counts are the
+    // true row counts
+    QDef("cdc16_count_pushdown",
+      s"""${Cdc.eventsCte}
+         |SELECT COUNT(*) AS n FROM cdc_tm""".stripMargin) { (s, dir) =>
+      Cdc.scan(s, dir).agg(count(lit(1)).as("n"))
+    },
+
     // per-transaction audit: event counts by op within each GTID — the
     // "what did transaction G touch" consumption shape; one partial-
     // aggregated shuffle on __gtid

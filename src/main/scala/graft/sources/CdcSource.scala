@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
@@ -92,11 +93,12 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
 class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
     maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggCount: Option[(Long, Int)] = None // (total rows, #COUNT(*) cols)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, theirs) = filters.partition(EnvelopePredicate.supports)
@@ -116,9 +118,68 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan =
-    new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger, limit)
+  /** COMPLETE COUNT(*) pushdown from v2 sidecar metadata: an unfiltered
+    * global count is answered by summing per-table counts out of the
+    * tiny per-file sidecars — at 100 TB, reading ~1M small meta files
+    * instead of decoding the log. Declined honestly (reference
+    * anti-lesson) whenever anything could change the answer: pushed
+    * filters, a pushed limit, GROUP BY, a non-COUNT(*) aggregate, or
+    * any file lacking v2 counts. */
+  private def sidecarCount(agg: Aggregation): Option[Long] = {
+    val pushable = pushed.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (!pushable) None
+    else {
+      val files = CdcCodec.readIndex(indexFile)
+      val perFile = files.map(f =>
+        CdcCodec.readMeta(f).flatMap(_.counts).map(_.getOrElse((db, table), 0L)))
+      if (files.nonEmpty && perFile.forall(_.isDefined)) Some(perFile.map(_.get).sum)
+      else None // v1/absent sidecar somewhere: fall back to decoding
+    }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    sidecarCount(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggCount = sidecarCount(agg).map(n => (n, agg.aggregateExpressions.length))
+    aggCount.isDefined
+  }
+
+  override def build(): Scan = aggCount match {
+    case Some((n, width)) => new CdcCountScan(db, table, indexFile, n, width)
+    case None =>
+      new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger, limit)
+  }
 }
+
+/** Single-partition scan serving a completely-pushed COUNT(*) straight
+  * from sidecar metadata — the log itself is never opened. */
+class CdcCountScan(db: String, table: String, indexFile: String,
+    count: Long, width: Int) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    var s = new StructType()
+    (0 until width).foreach(i => s = s.add(s"count$i", org.apache.spark.sql.types.LongType, false))
+    s
+  }
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CdcCountPartition(count, width))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val cp = p.asInstanceOf[CdcCountPartition]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array.fill[Any](cp.width)(cp.count))
+        override def close(): Unit = ()
+      }
+    }
+  override def description(): String =
+    s"binlogcdc $db.$table [$indexFile] PushedAggregates: [COUNT(*)]"
+}
+
+final case class CdcCountPartition(count: Long, width: Int) extends InputPartition
 
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],

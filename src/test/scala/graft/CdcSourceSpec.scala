@@ -50,6 +50,23 @@ class CdcSourceSpec extends SparkTestBase {
     assert(upd.head.getDouble(1) == 22.0)
   }
 
+  test("COUNT(*) pushdown is served from sidecar metadata, declines honestly") {
+    val index = writeLog()
+    val counted = read(index).agg(count(lit(1)).as("n"))
+    assert(counted.head().getLong(0) == 7)
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"count not pushed:\n$plan")
+    // a pushed filter changes the answer -> sidecar declines, decode path counts
+    val filtered = read(index).filter(col("__op") === 1).agg(count(lit(1)).as("n"))
+    assert(filtered.head().getLong(0) == 4)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    // missing/v1 sidecars -> decline gracefully, same answer via decode
+    CdcCodec.readIndex(index).foreach(f => new java.io.File(f + ".meta").delete())
+    val noMeta = read(index).agg(count(lit(1)).as("n"))
+    assert(noMeta.head().getLong(0) == 7)
+    assert(!noMeta.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+  }
+
   test("limit pushdown reaches the scan and results stay correct") {
     val index = writeLog()
     val limited = read(index).limit(3)
