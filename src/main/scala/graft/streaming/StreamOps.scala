@@ -35,8 +35,11 @@ object StreamOps {
     val link = dir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link)) {
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.createSymbolicLink(link,
+      try java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(sfDir, "events.parquet"))
+      catch { // lost the race to another JVM: same target, nothing to do
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
     spark.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
