@@ -56,13 +56,23 @@ object CdcCodec {
     out.writeInt(Magic); out.writeInt(Version)
     private var minGtid = Long.MaxValue; private var maxGtid = Long.MinValue
     private var minTs = Long.MaxValue; private var maxTs = Long.MinValue
-    // per-table emitted-row counts (update = 2 images), for the v2
-    // sidecar: serves COUNT(*) pushdown without decoding the log
+    // per-table stats (update = 2 images) for the v2 sidecar: row count
+    // plus min/max (__gtid, event time) OF THIS TABLE'S rows — serves
+    // COUNT/MIN/MAX pushdown without decoding the log. (The file-global
+    // gtid/ts bounds above stay for pruning; in a multi-table log the
+    // per-table bounds are tighter.)
     private val tableNames = scala.collection.mutable.Map.empty[Long, (String, String)]
-    private val rowCounts = scala.collection.mutable.Map.empty[(String, String), Long]
-    private def countRows(tableId: Long, n: Long): Unit =
+    private val tableStats =
+      scala.collection.mutable.Map.empty[(String, String), TableStats]
+    private var currentGtid = 0L
+    private def countRows(tableId: Long, n: Long, tsMs: Long): Unit =
       tableNames.get(tableId).foreach { key =>
-        rowCounts(key) = rowCounts.getOrElse(key, 0L) + n
+        val s = tableStats.getOrElseUpdate(key, TableStats())
+        s.rows += n
+        if (currentGtid < s.minGtid) s.minGtid = currentGtid
+        if (currentGtid > s.maxGtid) s.maxGtid = currentGtid
+        if (tsMs < s.minTs) s.minTs = tsMs
+        if (tsMs > s.maxTs) s.maxTs = tsMs
       }
 
     private def event(tpe: Byte, tsMs: Long)(body: DataOutputStream => Unit): Unit = {
@@ -94,6 +104,7 @@ object CdcCodec {
     def gtid(tsMs: Long, gno: Long): Unit = {
       if (gno < minGtid) minGtid = gno
       if (gno > maxGtid) maxGtid = gno
+      currentGtid = gno
       event(EventType.Gtid, tsMs)(_.writeLong(gno))
     }
 
@@ -107,7 +118,7 @@ object CdcCodec {
       * layout intent (binlog_table_reader.cc:321-323). */
     def updateRows(tsMs: Long, tableId: Long, schema: StructType,
         pairs: Seq[(Array[Any], Array[Any])]): Unit = {
-      countRows(tableId, pairs.length * 2L) // before + after images
+      countRows(tableId, pairs.length * 2L, tsMs) // before + after images
       event(EventType.UpdateRows, tsMs) { d =>
         d.writeLong(tableId); d.writeInt(pairs.length)
         pairs.foreach { case (before, after) =>
@@ -121,7 +132,7 @@ object CdcCodec {
 
     private def rowsEvent(tpe: Byte, tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit = {
-      countRows(tableId, rows.length.toLong)
+      countRows(tableId, rows.length.toLong, tsMs)
       event(tpe, tsMs) { d =>
         d.writeLong(tableId); d.writeInt(rows.length)
         rows.foreach(writeRow(d, schema, _))
@@ -183,20 +194,27 @@ object CdcCodec {
     def close(): Unit = {
       out.close()
       if (maxGtid >= minGtid) {
-        val counts = rowCounts.toSeq.sortBy(t => (t._1._1, t._1._2))
-          .map { case ((db, tbl), n) => s"c $db $tbl $n" }
+        val stats = tableStats.toSeq.sortBy(t => (t._1._1, t._1._2))
+          .map { case ((db, tbl), s) =>
+            s"c $db $tbl ${s.rows} ${s.minGtid} ${s.maxGtid} ${s.minTs} ${s.maxTs}"
+          }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".meta"),
-          (s"v2 $minGtid $maxGtid $minTs $maxTs" +: counts).mkString("", "\n", "\n"))
+          (s"v2 $minGtid $maxGtid $minTs $maxTs" +: stats).mkString("", "\n", "\n"))
       }
     }
   }
 
+  /** Per-table sidecar stats: emitted rows + min/max (gtid, event ms). */
+  final case class TableStats(var rows: Long = 0L,
+      var minGtid: Long = Long.MaxValue, var maxGtid: Long = Long.MinValue,
+      var minTs: Long = Long.MaxValue, var maxTs: Long = Long.MinValue)
+
   /** Pruning sidecar contents, if present. Times in epoch millis.
-    * `counts` (v2 sidecars) is the per-table emitted-row count — None
-    * for v1 sidecars, whose counts are unknown (a table absent from a
-    * v2 map genuinely has zero rows in the file). */
+    * `tables` (v2 sidecars) maps each table to its per-table stats —
+    * None for v1 sidecars, whose stats are unknown (a table absent from
+    * a v2 map genuinely has zero rows in the file). */
   final case class FileMeta(minGtid: Long, maxGtid: Long, minTsMs: Long, maxTsMs: Long,
-      counts: Option[Map[(String, String), Long]] = None)
+      tables: Option[Map[(String, String), TableStats]] = None)
 
   def readMeta(logPath: String): Option[FileMeta] = {
     val p = java.nio.file.Paths.get(logPath + ".meta")
@@ -207,11 +225,16 @@ object CdcCodec {
         case Array("v1", a, b, c, d) =>
           Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
         case Array("v2", a, b, c, d) =>
-          val counts = lines.tail.flatMap(_.split("\\s+") match {
-            case Array("c", db, tbl, n) => Some((db, tbl) -> n.toLong)
+          val tables = lines.tail.flatMap(_.split("\\s+") match {
+            case Array("c", db, tbl, n, g0, g1, t0, t1) =>
+              Some((db, tbl) ->
+                TableStats(n.toLong, g0.toLong, g1.toLong, t0.toLong, t1.toLong))
+            // count-only c-line (early v2): keep the count, bounds unknown
+            case Array("c", db, tbl, n) =>
+              Some((db, tbl) -> TableStats(n.toLong))
             case _ => None
           }).toMap
-          Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong, Some(counts)))
+          Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong, Some(tables)))
         case _ => None
       }
     }

@@ -112,6 +112,19 @@ object CdcExt {
       Cdc.scan(s, dir).agg(count(lit(1)).as("n"))
     },
 
+    // CDC high-water mark: min/max transaction id + last event time +
+    // count — all four served from sidecar metadata (complete aggregate
+    // pushdown); the oracle proves the sidecar bounds are the true ones
+    QDef("cdc17_high_water_mark",
+      s"""${Cdc.eventsCte}
+         |SELECT MIN(__gtid) AS lo, MAX(__gtid) AS hi,
+         |  MAX(__tm) AS last_tm, COUNT(*) AS n
+         |FROM cdc_tm""".stripMargin) { (s, dir) =>
+      Cdc.scan(s, dir).agg(
+        min(col(CdcSchema.GtidCol)).as("lo"), max(col(CdcSchema.GtidCol)).as("hi"),
+        max(col(CdcSchema.TmCol)).as("last_tm"), count(lit(1)).as("n"))
+    },
+
     // per-transaction audit: event counts by op within each GTID — the
     // "what did transaction G touch" consumption shape; one partial-
     // aggregated shuffle on __gtid

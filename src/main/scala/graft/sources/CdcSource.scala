@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
@@ -98,7 +98,8 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
-  private var aggCount: Option[(Long, Int)] = None // (total rows, #COUNT(*) cols)
+  // resolved (value, type) per pushed aggregate expression, in order
+  private var aggResult: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, theirs) = filters.partition(EnvelopePredicate.supports)
@@ -118,68 +119,105 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
-  /** COMPLETE COUNT(*) pushdown from v2 sidecar metadata: an unfiltered
-    * global count is answered by summing per-table counts out of the
-    * tiny per-file sidecars — at 100 TB, reading ~1M small meta files
-    * instead of decoding the log. Declined honestly (reference
-    * anti-lesson) whenever anything could change the answer: pushed
-    * filters, a pushed limit, GROUP BY, a non-COUNT(*) aggregate, or
-    * any file lacking v2 counts. */
-  private def sidecarCount(agg: Aggregation): Option[Long] = {
+  /** COMPLETE aggregate pushdown from v2 sidecar metadata: an
+    * unfiltered, ungrouped COUNT(*) / MIN / MAX over the envelope
+    * columns is answered from the tiny per-file sidecars (per-table row
+    * counts and gtid/time bounds, written at log close) — at 100 TB,
+    * reading ~1M small meta files instead of decoding the log. MAX of
+    * __gtid is the CDC high-water-mark query. Declined honestly
+    * (reference anti-lesson) whenever anything could change the answer:
+    * pushed filters, a pushed limit, GROUP BY, an unsupported aggregate,
+    * or any file lacking v2 per-table stats. */
+  private def sidecarAgg(agg: Aggregation): Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.types.LongType
     val pushable = pushed.isEmpty && limit.isEmpty &&
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (!pushable) None
-    else {
-      val files = CdcCodec.readIndex(indexFile)
-      val perFile = files.map(f =>
-        CdcCodec.readMeta(f).flatMap(_.counts).map(_.getOrElse((db, table), 0L)))
-      if (files.nonEmpty && perFile.forall(_.isDefined)) Some(perFile.map(_.get).sum)
-      else None // v1/absent sidecar somewhere: fall back to decoding
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty
+    if (!pushable) return None
+    val files = CdcCodec.readIndex(indexFile)
+    if (files.isEmpty) return None
+    val metas = files.map(CdcCodec.readMeta)
+    if (!metas.forall(_.exists(_.tables.isDefined))) return None // v1/absent
+    val stats = metas.flatMap(_.get.tables.get.get((db, table)))
+    val total = stats.map(_.rows).sum
+    // bounds are usable only if every contributing file recorded them
+    val boundsKnown = stats.forall(s => s.rows == 0 || s.minGtid != Long.MaxValue)
+    val tmType = full(full.fieldIndex(CdcSchema.TmCol)).dataType
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    def bound(pick: CdcCodec.TableStats => Long, reduce: (Long, Long) => Long,
+        micros: Boolean): Option[(Any, org.apache.spark.sql.types.DataType)] = {
+      if (!boundsKnown) None
+      else {
+        val contributing = stats.filter(_.rows > 0)
+        val v: Any =
+          if (contributing.isEmpty) null
+          else {
+            val x = contributing.map(pick).reduce(reduce)
+            if (micros) x * 1000L else x // sidecar ms -> __tm micros
+          }
+        Some((v, if (micros) tmType else LongType))
+      }
     }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((total: Any, LongType))
+      case m: Min => refName(m.column) match {
+        case Some(CdcSchema.GtidCol) => bound(_.minGtid, math.min, micros = false)
+        case Some(CdcSchema.TmCol) => bound(_.minTs, math.min, micros = true)
+        case _ => None
+      }
+      case m: Max => refName(m.column) match {
+        case Some(CdcSchema.GtidCol) => bound(_.maxGtid, math.max, micros = false)
+        case Some(CdcSchema.TmCol) => bound(_.maxTs, math.max, micros = true)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (resolved.forall(_.isDefined)) Some(resolved.map(_.get)) else None
   }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    sidecarCount(agg).isDefined
+    sidecarAgg(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggCount = sidecarCount(agg).map(n => (n, agg.aggregateExpressions.length))
-    aggCount.isDefined
+    aggResult = sidecarAgg(agg)
+    aggResult.isDefined
   }
 
-  override def build(): Scan = aggCount match {
-    case Some((n, width)) => new CdcCountScan(db, table, indexFile, n, width)
+  override def build(): Scan = aggResult match {
+    case Some(vals) => new CdcAggScan(db, table, indexFile, vals)
     case None =>
       new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger, limit)
   }
 }
 
-/** Single-partition scan serving a completely-pushed COUNT(*) straight
-  * from sidecar metadata — the log itself is never opened. */
-class CdcCountScan(db: String, table: String, indexFile: String,
-    count: Long, width: Int) extends Scan with Batch {
+/** Single-partition scan serving a completely-pushed aggregation
+  * straight from sidecar metadata — the log itself is never opened. */
+class CdcAggScan(db: String, table: String, indexFile: String,
+    values: Seq[(Any, org.apache.spark.sql.types.DataType)]) extends Scan with Batch {
   override def readSchema(): StructType = {
     var s = new StructType()
-    (0 until width).foreach(i => s = s.add(s"count$i", org.apache.spark.sql.types.LongType, false))
+    values.zipWithIndex.foreach { case ((_, dt), i) => s = s.add(s"agg$i", dt) }
     s
   }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CdcCountPartition(count, width))
+    Array(CdcAggPartition(values.map(_._1).toArray))
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => {
-      val cp = p.asInstanceOf[CdcCountPartition]
+      val cp = p.asInstanceOf[CdcAggPartition]
       new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = if (emitted) false else { emitted = true; true }
-        override def get(): InternalRow =
-          new GenericInternalRow(Array.fill[Any](cp.width)(cp.count))
+        override def get(): InternalRow = new GenericInternalRow(cp.values.clone())
         override def close(): Unit = ()
       }
     }
   override def description(): String =
-    s"binlogcdc $db.$table [$indexFile] PushedAggregates: [COUNT(*)]"
+    s"binlogcdc $db.$table [$indexFile] PushedAggregates: [${values.size} exprs]"
 }
 
-final case class CdcCountPartition(count: Long, width: Int) extends InputPartition
+final case class CdcAggPartition(values: Array[Any]) extends InputPartition
 
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],

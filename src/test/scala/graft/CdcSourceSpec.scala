@@ -60,6 +60,20 @@ class CdcSourceSpec extends SparkTestBase {
     val filtered = read(index).filter(col("__op") === 1).agg(count(lit(1)).as("n"))
     assert(filtered.head().getLong(0) == 4)
     assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    // MIN/MAX over envelope columns (gtid high-water mark) push too,
+    // and must agree with the decode path
+    val hwm = read(index).agg(
+      min(col("__gtid")).as("lo"), max(col("__gtid")).as("hi"),
+      max(col("__tm")).as("last_tm"), count(lit(1)).as("n"))
+    val row = hwm.head()
+    assert(hwm.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(row.getLong(0) == 1L && row.getLong(1) == 4L && row.getLong(3) == 7L)
+    assert(row.getAs[java.time.LocalDateTime](2) ==
+      java.time.LocalDateTime.ofEpochSecond(4L, 0, java.time.ZoneOffset.UTC))
+    // MIN/MAX of a data column cannot come from the sidecar -> decline
+    val dataMin = read(index).agg(min(col("id")).as("m"))
+    assert(!dataMin.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(dataMin.head().getLong(0) == 1L)
     // missing/v1 sidecars -> decline gracefully, same answer via decode
     CdcCodec.readIndex(index).foreach(f => new java.io.File(f + ".meta").delete())
     val noMeta = read(index).agg(count(lit(1)).as("n"))
