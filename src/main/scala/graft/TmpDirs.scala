@@ -1,0 +1,24 @@
+package graft
+
+/** Pid-scoped temp output directories with shutdown-hook cleanup:
+  * pid-scoping keeps concurrent JVMs from clobbering each other's
+  * sink output, and the hook keeps repeated runs from leaking one
+  * dataset copy per process into tmpdir. */
+object TmpDirs {
+  private val registered = scala.collection.mutable.Set.empty[String]
+
+  def scoped(tag: String): String = synchronized {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"$tag-${ProcessHandle.current().pid()}").toString
+    if (registered.add(p)) {
+      sys.addShutdownHook(deleteRecursively(new java.io.File(p)))
+      ()
+    }
+    p
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

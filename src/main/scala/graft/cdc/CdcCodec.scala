@@ -194,15 +194,24 @@ object CdcCodec {
     def close(): Unit = {
       out.close()
       if (maxGtid >= minGtid) {
+        // names are URL-encoded: a db/table containing whitespace (legal
+        // in MySQL, handled fine by the length-prefixed log itself)
+        // would otherwise break the whitespace-split sidecar line and
+        // silently read back as "zero rows"
         val stats = tableStats.toSeq.sortBy(t => (t._1._1, t._1._2))
           .map { case ((db, tbl), s) =>
-            s"c $db $tbl ${s.rows} ${s.minGtid} ${s.maxGtid} ${s.minTs} ${s.maxTs}"
+            s"c ${enc(db)} ${enc(tbl)} ${s.rows} ${s.minGtid} ${s.maxGtid} ${s.minTs} ${s.maxTs}"
           }
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".meta"),
           (s"v2 $minGtid $maxGtid $minTs $maxTs" +: stats).mkString("", "\n", "\n"))
       }
     }
   }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   /** Per-table sidecar stats: emitted rows + min/max (gtid, event ms). */
   final case class TableStats(var rows: Long = 0L,
@@ -219,25 +228,25 @@ object CdcCodec {
   def readMeta(logPath: String): Option[FileMeta] = {
     val p = java.nio.file.Paths.get(logPath + ".meta")
     if (!java.nio.file.Files.exists(p)) None
-    else {
+    else try { // any torn/malformed sidecar -> None (skip pruning), never crash the scan
       val lines = java.nio.file.Files.readString(p).trim.linesIterator.toSeq
-      lines.head.split("\\s+") match {
-        case Array("v1", a, b, c, d) =>
+      lines.headOption.map(_.split("\\s+")) match {
+        case Some(Array("v1", a, b, c, d)) =>
           Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
-        case Array("v2", a, b, c, d) =>
+        case Some(Array("v2", a, b, c, d)) =>
           val tables = lines.tail.flatMap(_.split("\\s+") match {
             case Array("c", db, tbl, n, g0, g1, t0, t1) =>
-              Some((db, tbl) ->
+              Some((dec(db), dec(tbl)) ->
                 TableStats(n.toLong, g0.toLong, g1.toLong, t0.toLong, t1.toLong))
             // count-only c-line (early v2): keep the count, bounds unknown
             case Array("c", db, tbl, n) =>
-              Some((db, tbl) -> TableStats(n.toLong))
+              Some((dec(db), dec(tbl)) -> TableStats(n.toLong))
             case _ => None
           }).toMap
           Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong, Some(tables)))
         case _ => None
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   // ---------------------------------------------------------------- reader

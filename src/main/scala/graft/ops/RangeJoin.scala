@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Helper-column name absent from every given column set (a fixed
+    * "__bin" would clobber or collide with same-named caller columns). */
+  private def fresh(base: String, taken: Set[String]): String = {
+    var n = base
+    var i = 0
+    while (taken.contains(n)) { i += 1; n = s"$base$i" }
+    n
+  }
+
   /** Covered-bin array for one interval, with every edge case explicit:
     * NULL bounds -> null array (explode drops the row — such an interval
     * can never match); inverted bounds (lo > hi) -> empty array (an
@@ -47,13 +56,14 @@ object RangeJoin {
       binWidth: Double, maxBinsPerInterval: Long = 65536L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
-    val pb = points.withColumn("__bin",
+    val bin = fresh("__bin", points.columns.toSet ++ intervals.columns)
+    val pb = points.withColumn(bin,
       floor(col(pointCol) / binWidth).cast("long"))
-    val ib = intervals.withColumn("__bin",
+    val ib = intervals.withColumn(bin,
       explode(binsFor(col(loCol), col(hiCol), binWidth, maxBinsPerInterval)))
-    pb.join(ib, "__bin")
+    pb.join(ib, bin)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("__bin")
+      .drop(bin)
   }
 
   /** Interval-overlap join: pairs (l, r) with l.lo <= r.hi AND r.lo <=
@@ -76,17 +86,19 @@ object RangeJoin {
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty,
       s"intervalOverlap requires disjoint column names; overlapping: ${dup.toSeq.sorted.mkString(", ")}")
-    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.withColumn("__first", floor(col(lo) / binWidth).cast("long"))
-        .withColumn("__bin",
+    val taken = left.columns.toSet ++ right.columns
+    val binL = fresh("__bin", taken); val firstL = fresh("__first", taken)
+    val binR = fresh("__bin_r", taken); val firstR = fresh("__first_r", taken)
+    def binned(df: DataFrame, lo: String, hi: String,
+        bin: String, first: String): DataFrame =
+      df.withColumn(first, floor(col(lo) / binWidth).cast("long"))
+        .withColumn(bin,
           explode(binsFor(col(lo), col(hi), binWidth, maxBinsPerInterval)))
-    val lb = binned(left, loL, hiL)
-    val rb = binned(right, loR, hiR)
-      .withColumnRenamed("__first", "__first_r")
-      .withColumnRenamed("__bin", "__bin_r")
-    lb.join(rb, col("__bin") === col("__bin_r") &&
-        col("__bin") === greatest(col("__first"), col("__first_r")) &&
+    val lb = binned(left, loL, hiL, binL, firstL)
+    val rb = binned(right, loR, hiR, binR, firstR)
+    lb.join(rb, col(binL) === col(binR) &&
+        col(binL) === greatest(col(firstL), col(firstR)) &&
         col(loL) <= col(hiR) && col(loR) <= col(hiL))
-      .drop("__bin", "__bin_r", "__first", "__first_r")
+      .drop(binL, binR, firstL, firstR)
   }
 }

@@ -113,11 +113,10 @@ object RelationalExt3 {
     QDef("q72_partitioned_write",
       """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang""".stripMargin) { (s, dir) =>
-      // pid-scoped path: a fixed name would let two JVMs (e.g. Verify
-      // and Bench in parallel) overwrite each other mid-read
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft-q72-" + java.lang.Integer.toHexString(dir.hashCode) +
-          "-" + ProcessHandle.current().pid()).toString
+      // pid-scoped + shutdown-cleaned (TmpDirs): concurrent JVMs don't
+      // clobber each other, repeated runs don't leak dataset copies
+      val out = graft.TmpDirs.scoped(
+        "graft-q72-" + java.lang.Integer.toHexString(dir.hashCode))
       t(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)

@@ -89,11 +89,10 @@ object Streaming {
     // full write-then-read path
     QDef("str07_foreachbatch_sink",
       "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type") { (s, dir) =>
-      // pid-scoped path: a fixed name would let two JVMs clobber each
-      // other's sink mid-read (same reasoning as q72)
-      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft-str07-" + java.lang.Integer.toHexString(dir.hashCode) +
-          "-" + ProcessHandle.current().pid()).toString
+      // pid-scoped + shutdown-cleaned (TmpDirs): concurrent JVMs don't
+      // clobber each other, repeated runs don't leak sink copies
+      val out = graft.TmpDirs.scoped(
+        "graft-str07-" + java.lang.Integer.toHexString(dir.hashCode))
       val q = StreamOps.eventsStream(s, dir)
         .select(col("event_type"))
         .writeStream

@@ -128,16 +128,31 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
     * (reference anti-lesson) whenever anything could change the answer:
     * pushed filters, a pushed limit, GROUP BY, an unsupported aggregate,
     * or any file lacking v2 per-table stats. */
+  /** One cached sweep of the per-file sidecars: Some(per-file stats of
+    * this table, for files that mention it) iff every file has a v2
+    * sidecar; None = at least one v1/absent sidecar (cannot push). */
+  private lazy val sidecarStats: Option[Seq[CdcCodec.TableStats]] = {
+    val files = CdcCodec.readIndex(indexFile)
+    if (files.isEmpty) None
+    else {
+      val metas = files.map(CdcCodec.readMeta)
+      if (!metas.forall(_.exists(_.tables.isDefined))) None
+      else Some(metas.flatMap(_.get.tables.get.get((db, table))))
+    }
+  }
+
   private def sidecarAgg(agg: Aggregation): Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
     import org.apache.spark.sql.types.LongType
     val pushable = pushed.isEmpty && limit.isEmpty &&
       agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty
     if (!pushable) return None
-    val files = CdcCodec.readIndex(indexFile)
-    if (files.isEmpty) return None
-    val metas = files.map(CdcCodec.readMeta)
-    if (!metas.forall(_.exists(_.tables.isDefined))) return None // v1/absent
-    val stats = metas.flatMap(_.get.tables.get.get((db, table)))
+    // memoized: Spark calls supportCompletePushDown and pushAggregation
+    // separately — one driver sweep over the (possibly ~1M) meta files,
+    // not two
+    val stats = sidecarStats match {
+      case Some(s) => s
+      case None => return None
+    }
     val total = stats.map(_.rows).sum
     // bounds are usable only if every contributing file recorded them
     val boundsKnown = stats.forall(s => s.rows == 0 || s.minGtid != Long.MaxValue)

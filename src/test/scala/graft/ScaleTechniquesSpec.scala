@@ -143,8 +143,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     val read = spark.read.parquet(out).filter($"lang" === "en")
     val plan = read.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
-      s"expected partition filters in scan:\n$plan")
+    // the filter must appear INSIDE the PartitionFilters list — the bare
+    // strings "PartitionFilters"/"lang" occur in every file-scan plan
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"expected lang inside PartitionFilters:\n$plan")
     assert(read.count() == 34)
   }
 
