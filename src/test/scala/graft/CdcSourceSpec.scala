@@ -109,6 +109,22 @@ class CdcSourceSpec extends SparkTestBase {
     assert(rows.head.schema.fieldNames.toSeq == Seq("v", "__gtid"))
   }
 
+  /** Bounded eventually: the parquet streaming sink's commit and a
+    * subsequent read can race by a beat under load — retry the
+    * assertion briefly; a genuinely wrong result still fails. */
+  private def eventually[T](assertion: => T): T = {
+    var last: Either[Throwable, T] = Left(new AssertionError("not run"))
+    var i = 0
+    while (i < 6) {
+      last = try Right(assertion) catch { case e: org.scalatest.exceptions.TestFailedException => Left(e) }
+      last match {
+        case Right(v) => return v
+        case Left(_) => Thread.sleep(500); i += 1
+      }
+    }
+    last.fold(throw _, identity)
+  }
+
   test("streaming: incremental pickup of appended log files, no duplicates") {
     val dir = Files.createTempDirectory("cdc-stream-spec").toString
     def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
@@ -134,7 +150,7 @@ class CdcSourceSpec extends SparkTestBase {
 
     val q1 = startQuery()
     q1.processAllAvailable()
-    assert(spark.read.parquet(outDir).count() == 2)
+    eventually(assert(spark.read.parquet(outDir).count() == 2))
 
     // grow the log: new file + index append (mysqld-style rotation)
     val w1 = new CdcCodec.LogWriter(s"$dir/b.1")
@@ -143,7 +159,7 @@ class CdcSourceSpec extends SparkTestBase {
     w1.close()
     Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\n")
     q1.processAllAvailable()
-    assert(spark.read.parquet(outDir).count() == 3)
+    eventually(assert(spark.read.parquet(outDir).count() == 3))
     q1.stop()
 
     // restart from checkpoint: new data picked up, nothing replays
@@ -154,8 +170,10 @@ class CdcSourceSpec extends SparkTestBase {
     Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\nb.2\n")
     val q2 = startQuery()
     q2.processAllAvailable()
-    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
-    assert(ids == Seq(1L, 2L, 3L, 4L), s"expected exactly 1..4 once each, got $ids")
+    eventually {
+      val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L), s"expected exactly 1..4 once each, got $ids")
+    }
     q2.stop()
   }
 
@@ -202,12 +220,14 @@ class CdcSourceSpec extends SparkTestBase {
         .option("checkpointLocation", ckpt).outputMode("append").start()
     val q1 = startQuery()
     q1.processAllAvailable()
-    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    eventually(assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(1L)))
     // producer finishes the event
     Files.write(Paths.get(s"$dir/b.0"), fullBytes)
     q1.processAllAvailable()
-    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
-    assert(ids == Seq(1L, 2L), s"torn event lost or duplicated: $ids")
+    eventually {
+      val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L), s"torn event lost or duplicated: $ids")
+    }
     q1.stop()
   }
 
