@@ -171,6 +171,37 @@ object LlmExt {
           (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_ratio"))
     },
 
+    // corpus datasheet: the one-pass summary a training-data release
+    // ships (docs, tokens, chars, language count, exact-dup rate, mean
+    // quality) — one scan, partial-aggregated; the two COUNT(DISTINCT)s
+    // are the only shuffles. Mean quality decimal-lifts before dividing
+    // so the result is order-independent and oracle-exact
+    QDef("llm36_corpus_datasheet",
+      s"""SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  COUNT(DISTINCT text) AS n_distinct_texts,
+         |  CAST(SUM(CAST(
+         |    0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |    + 0.2 * (CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+         |         [${graft.ops.TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |    + 0.3 * LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) AS DECIMAL(28,12)))
+         |    AS DOUBLE) / COUNT(*) AS mean_quality
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val scored = TextAnalysis.qualityScore(Tables.load(s, dir, "documents"))
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text")))).cast("bigint").as("total_tokens"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        (sum(col("quality").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("mean_quality"))
+    },
+
     // multimodal resize plumbing (Multimodal.resizeStub): stubbed pixel
     // resample (payload truncation), real metadata/schema update — the
     // oracle checks the byte arithmetic and the rewritten dims
