@@ -202,8 +202,21 @@ object CdcCodec {
           .map { case ((db, tbl), s) =>
             s"c ${enc(db)} ${enc(tbl)} ${s.rows} ${s.minGtid} ${s.maxGtid} ${s.minTs} ${s.maxTs}"
           }
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(path + ".meta"),
+        // atomic publish (temp + move): a reader must never observe a
+        // torn sidecar — a truncated c-line could misparse as a smaller
+        // count and silently corrupt aggregate pushdown
+        val target = java.nio.file.Paths.get(path + ".meta")
+        val tmp = java.nio.file.Paths.get(
+          path + s".meta.tmp-${ProcessHandle.current().pid()}")
+        java.nio.file.Files.writeString(tmp,
           (s"v2 $minGtid $maxGtid $minTs $maxTs" +: stats).mkString("", "\n", "\n"))
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
   }
@@ -234,16 +247,19 @@ object CdcCodec {
         case Some(Array("v1", a, b, c, d)) =>
           Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
         case Some(Array("v2", a, b, c, d)) =>
-          val tables = lines.tail.flatMap(_.split("\\s+") match {
+          // STRICT: every tail line must be a full 8-field c-line — a
+          // malformed line invalidates the whole sidecar (None -> the
+          // scan declines pushdown and decodes), because a truncated
+          // line that "mostly" parses would yield silently wrong counts
+          val parsed = lines.tail.filter(_.nonEmpty).map(_.split("\\s+") match {
             case Array("c", db, tbl, n, g0, g1, t0, t1) =>
               Some((dec(db), dec(tbl)) ->
                 TableStats(n.toLong, g0.toLong, g1.toLong, t0.toLong, t1.toLong))
-            // count-only c-line (early v2): keep the count, bounds unknown
-            case Array("c", db, tbl, n) =>
-              Some((dec(db), dec(tbl)) -> TableStats(n.toLong))
             case _ => None
-          }).toMap
-          Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong, Some(tables)))
+          })
+          if (parsed.exists(_.isEmpty)) None
+          else Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong,
+            Some(parsed.map(_.get).toMap)))
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }

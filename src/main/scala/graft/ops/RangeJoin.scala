@@ -22,13 +22,10 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Helper-column name absent from every given column set (a fixed
-    * "__bin" would clobber or collide with same-named caller columns). */
-  private def fresh(base: String, taken: Set[String]): String = {
-    var n = base
-    var i = 0
-    while (taken.contains(n)) { i += 1; n = s"$base$i" }
-    n
-  }
+    * "__bin" would clobber or collide with same-named caller columns;
+    * case-insensitive per Spark's default resolution). */
+  private def fresh(base: String, taken: Set[String]): String =
+    OpUtils.freshCol(taken, base)
 
   /** Covered-bin array for one interval, with every edge case explicit:
     * NULL bounds -> null array (explode drops the row — such an interval

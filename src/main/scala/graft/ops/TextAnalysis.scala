@@ -20,13 +20,10 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
 
   /** A helper-column name guaranteed absent from df (a fixed "__tk"
-    * would silently clobber a caller's same-named column). */
-  private def freshCol(df: DataFrame, base: String): String = {
-    var n = base
-    var i = 0
-    while (df.columns.contains(n)) { i += 1; n = s"$base$i" }
-    n
-  }
+    * would silently clobber a caller's same-named column — see
+    * OpUtils.freshCol for the case-insensitivity requirement). */
+  private def freshCol(df: DataFrame, base: String): String =
+    OpUtils.freshCol(df.columns, base)
 
   /** Whitespace tokens + a BPE-ish subword split on non-alnum boundaries. */
   def bpeishTokens(text: Column): Column =

@@ -116,10 +116,17 @@ class CdcSourceSpec extends SparkTestBase {
     var last: Either[Throwable, T] = Left(new AssertionError("not run"))
     var i = 0
     while (i < 6) {
-      last = try Right(assertion) catch { case e: org.scalatest.exceptions.TestFailedException => Left(e) }
+      // NonFatal, not just TestFailedException: the same race can
+      // surface as an AnalysisException from reading a sink whose
+      // metadata log lists no committed files yet
+      last = try Right(assertion) catch {
+        case scala.util.control.NonFatal(e) => Left(e)
+      }
       last match {
         case Right(v) => return v
-        case Left(_) => Thread.sleep(500); i += 1
+        case Left(_) =>
+          i += 1
+          if (i < 6) Thread.sleep(500)
       }
     }
     last.fold(throw _, identity)
