@@ -151,4 +151,43 @@ class CdcCodecSpec extends AnyFunSuite {
     assert(rows.map(_.values(3)) == Seq(UTF8String.fromString("name-1"), UTF8String.fromString("name-2")))
     assert(rows.forall(r => r.values(2) == null && r.values(6) == null)) // skipped
   }
+
+  test("v2 sidecar: whitespace names round-trip; stats match written rows") {
+    val dir = tmp()
+    val f = s"$dir/log.0"
+    val w = new CdcCodec.LogWriter(f)
+    w.tableMap(0L, 1L, "my db", "my tbl+x", schema)
+    w.gtid(1000L, 5L)
+    w.writeRows(1000L, 1L, schema, Seq(row(1), row(2)))
+    w.gtid(2000L, 9L)
+    w.updateRows(2000L, 1L, schema, Seq((row(1), row(1))))
+    w.close()
+    val meta = CdcCodec.readMeta(f).get
+    val stats = meta.tables.get(("my db", "my tbl+x"))
+    assert(stats.rows == 4 && stats.minGtid == 5L && stats.maxGtid == 9L)
+    assert(stats.minTs == 1000L && stats.maxTs == 2000L)
+    // no torn temp file left behind by the atomic publish
+    assert(!new java.io.File(dir).list().exists(_.contains(".meta.tmp")))
+  }
+
+  test("torn or malformed sidecars invalidate cleanly (decline, never misparse)") {
+    val dir = tmp()
+    val f = s"$dir/log.0"
+    val w = new CdcCodec.LogWriter(f)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(0L, 1L); w.writeRows(0L, 1L, schema, Seq(row(1)))
+    w.close()
+    val meta = java.nio.file.Paths.get(f + ".meta")
+    val good = java.nio.file.Files.readString(meta)
+    // truncated c-line (torn write remnant): whole sidecar must read None
+    java.nio.file.Files.writeString(meta,
+      good.linesIterator.toSeq.head + "\nc db t 1\n")
+    assert(CdcCodec.readMeta(f).isEmpty)
+    // empty sidecar: None, no crash
+    java.nio.file.Files.writeString(meta, "")
+    assert(CdcCodec.readMeta(f).isEmpty)
+    // garbage: None, no crash
+    java.nio.file.Files.writeString(meta, "zzz not-a-number\n")
+    assert(CdcCodec.readMeta(f).isEmpty)
+  }
 }
