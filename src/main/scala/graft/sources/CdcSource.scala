@@ -267,7 +267,16 @@ class CdcScan(indexFile: String, db: String, table: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     CdcCodec.readIndex(indexFile)
-      .filter(f => EnvelopePredicate.mightMatchFile(allFilters, CdcCodec.readMeta(f)))
+      .filter { f =>
+        val meta = CdcCodec.readMeta(f)
+        // v2 sidecars prune per-TABLE: a file whose map omits the table
+        // has zero rows for it (skip outright, filters or not), and the
+        // table's own gtid/time bounds are tighter than the file-global
+        // ones in a multi-table log
+        EnvelopePredicate.mightContainTable(db, table, meta) &&
+          EnvelopePredicate.mightMatchFile(allFilters,
+            EnvelopePredicate.narrowToTable(db, table, meta))
+      }
       .map { f =>
         CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
       }.toArray
@@ -404,6 +413,30 @@ object EnvelopePredicate {
     meta match {
       case None => true
       case Some(m) => filters.forall(f => mightMatch(f, m))
+    }
+
+  /** False only when a v2 sidecar PROVES the file holds no rows of the
+    * table (the per-table map is authoritative: absent key = zero rows).
+    * v1/absent sidecars keep the file (conservative). */
+  def mightContainTable(db: String, table: String,
+      meta: Option[CdcCodec.FileMeta]): Boolean =
+    meta.flatMap(_.tables) match {
+      case Some(ts) => ts.get((db, table)).exists(_.rows > 0)
+      case None => true
+    }
+
+  /** Tighten file-global (gtid, time) bounds to the target table's own,
+    * when a v2 sidecar recorded them — in a multi-table log the table's
+    * range is a subset of the file's, so range predicates prune more. */
+  def narrowToTable(db: String, table: String,
+      meta: Option[CdcCodec.FileMeta]): Option[CdcCodec.FileMeta] =
+    meta.map { m =>
+      m.tables.flatMap(_.get((db, table))) match {
+        case Some(s) if s.rows > 0 && s.minGtid != Long.MaxValue =>
+          m.copy(minGtid = s.minGtid, maxGtid = s.maxGtid,
+            minTsMs = s.minTs, maxTsMs = s.maxTs)
+        case _ => m
+      }
     }
 
   private def mightMatch(f: Filter, m: CdcCodec.FileMeta): Boolean = {

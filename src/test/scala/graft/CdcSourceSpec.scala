@@ -81,6 +81,40 @@ class CdcSourceSpec extends SparkTestBase {
     assert(!noMeta.queryExecution.executedPlan.toString.contains("PushedAggregates"))
   }
 
+  test("per-table sidecar pruning: other-table files and out-of-range files skip") {
+    val dir = Files.createTempDirectory("cdc-tableprune").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    // file 0: only table "t" rows at gtid 1
+    val w0 = new CdcCodec.LogWriter(s"$dir/b.0")
+    w0.tableMap(0L, 1L, "db", "t", schema)
+    w0.gtid(1000L, 1L); w0.writeRows(1000L, 1L, schema, Seq(r(1, 1.0)))
+    w0.close()
+    // file 1: only table "other" rows — zero "t" rows, but wide gtid range
+    val w1 = new CdcCodec.LogWriter(s"$dir/b.1")
+    w1.tableMap(0L, 2L, "db", "other", schema)
+    w1.gtid(2000L, 1000L); w1.writeRows(2000L, 2L, schema, Seq(r(9, 9.0)))
+    w1.close()
+    // file 2: both tables — "t" only at gtid 2, "other" up to gtid 2000
+    val w2 = new CdcCodec.LogWriter(s"$dir/b.2")
+    w2.tableMap(0L, 1L, "db", "t", schema)
+    w2.tableMap(0L, 2L, "db", "other", schema)
+    w2.gtid(3000L, 2L); w2.writeRows(3000L, 1L, schema, Seq(r(2, 2.0)))
+    w2.gtid(4000L, 2000L); w2.writeRows(4000L, 2L, schema, Seq(r(8, 8.0)))
+    w2.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\nb.2\n")
+    val index = s"$dir/binlog.index"
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    // unfiltered scan of "t": file 1 (zero t-rows) prunes outright
+    assert(parts(read(index)) == 2)
+    assert(read(index).count() == 2)
+    // gtid > 100 on "t": file-global bounds keep file 2 (other-table
+    // gtids reach 2000) — per-table bounds prune it (t stops at 2)
+    val filtered = read(index).filter(col("__gtid") > 100)
+    assert(parts(filtered) == 0)
+    assert(filtered.count() == 0)
+  }
+
   test("limit pushdown reaches the scan and results stay correct") {
     val index = writeLog()
     val limited = read(index).limit(3)
