@@ -13,9 +13,10 @@ object SparkEntry {
   private def allDefs: Seq[QDef] =
     graft.queries.Relational.defs ++ graft.queries.RelationalExt.defs ++
       graft.queries.RelationalExt2.defs ++ graft.queries.RelationalExt3.defs ++
-      graft.queries.Cdc.defs ++
+      graft.queries.RelationalExt4.defs ++ graft.queries.Cdc.defs ++
       graft.queries.CdcExt.defs ++ graft.queries.Llm.defs ++
-      graft.queries.LlmExt.defs ++ graft.queries.Streaming.defs ++
+      graft.queries.LlmExt.defs ++ graft.queries.LlmExt2.defs ++
+      graft.queries.Streaming.defs ++
       graft.queries.ScaleTechniques.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

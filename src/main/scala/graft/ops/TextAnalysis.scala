@@ -189,6 +189,70 @@ object TextAnalysis {
         element_at(col("ct"), 1).as("first_token"))
   }
 
+  /** Per-document Simpson (Herfindahl) token-diversity index:
+    * D = 1 - Σ c_t² / T² over term counts c_t, T = token total. The
+    * no-transcendentals cousin of Shannon entropy (libm `log` is not
+    * correctly rounded across engines; this is one exact int ratio and
+    * one double divide, bit-portable) — high D = diverse vocabulary,
+    * low D = repetitive doc. Two partial-aggregated shuffles keyed on
+    * (doc, term) then doc; no per-doc collect, so it scales with corpus
+    * size, not document count per partition. */
+  def simpsonDiversity(df: DataFrame, textCol: String, id: String): DataFrame =
+    df.select(col(id), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        sum(col("c") * col("c")).cast("bigint").as("sum_c2"))
+      .withColumn("diversity",
+        lit(1.0) - col("sum_c2").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"))
+
+  /** Deterministic weighted sampling: priority = hash(content) / weight,
+    * keep the k smallest. A longer/heavier row gets a proportionally
+    * smaller priority, so inclusion probability grows with weight, while
+    * the content hash (not rand()) makes the sample reproducible across
+    * runs, clusters, and partitionings, and duplicate-consistent. The
+    * global top-k plans as TakeOrderedAndProject — per-partition bounded
+    * heaps + a k-row driver merge, no global sort, so k bounds memory at
+    * any corpus size. Ties break by id asc (priority is one exact double
+    * division, identical in any engine). */
+  def weightedPrioritySample(df: DataFrame, textCol: String, weightCol: String,
+      id: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("priority",
+        mod_poly_hash(col(textCol)).cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(id))
+      .limit(k)
+  }
+
+  /** Train/eval contamination check: for every document of `evalSplit`,
+    * the fraction of its distinct n-token shingles that also occur in any
+    * `trainSplit` document. The standard decontamination pass a training
+    * corpus runs before an eval release. One equi-join on the shingle
+    * string — shuffle keyed by shingle, both sides deduped first so the
+    * join input is the distinct-shingle set, not the token stream; the
+    * left-outer + count formulation keeps zero-overlap docs in the
+    * output. Uses the same deterministicSplit gate as [[deterministicSplit]],
+    * so the check reproduces the split it audits. */
+  def crossSplitContamination(df: DataFrame, textCol: String, id: String,
+      splits: Seq[(String, Int)], trainSplit: String, evalSplit: String,
+      shingleN: Int = 5): DataFrame = {
+    val assigned = deterministicSplit(df, textCol, splits)
+      .select(col(id), col("split"), tokens(col(textCol)).as("tk"))
+      .withColumn("sh", explode(shinglesFromTokens(col("tk"), shingleN)))
+    val trainShingles = assigned.filter(col("split") === trainSplit)
+      .select(col("sh")).distinct()
+      .withColumn("in_train", lit(1))
+    val evalShingles = assigned.filter(col("split") === evalSplit)
+      .select(col(id), col("sh")).distinct()
+    evalShingles.join(trainShingles, Seq("sh"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("in_train")).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Deterministic train/val/test split: each document is assigned to the
     * split whose cumulative weight bucket contains
     * mod_poly_hash(text) % outOf. Content-hash assignment (not rand())

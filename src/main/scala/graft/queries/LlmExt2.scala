@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{QDef, Tables}
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Third tranche of LLM-pipeline operators: Simpson token diversity,
+  * deterministic weighted sampling, and train/eval contamination audit.
+  * All oracle-checked — exact integer ratios or content-hash gates both
+  * engines replay bit-for-bit.
+  */
+object LlmExt2 {
+
+  /** mod-poly-hash fold, the DuckDB-portable text hash (same as llm21/llm28). */
+  private val hashSql =
+    """list_reduce([CAST(0 AS BIGINT)] ||
+      |    list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
+      |    (h, c) -> (h * 131 + c) % 2147483647)""".stripMargin
+
+  val defs: Seq[QDef] = Seq(
+
+    // Simpson (Herfindahl) token-diversity index — the rational cousin of
+    // Shannon entropy (no libm log, so bit-portable): 1 - Σc²/T². Low
+    // diversity flags repetitive/boilerplate docs, complementing llm35's
+    // top-token ratio
+    QDef("llm37_token_diversity",
+      """WITH c AS (
+        |  SELECT doc_id, term, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+        |  1.0 - CAST(SUM(c * c) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE) AS diversity
+        |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.simpsonDiversity(Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+
+    // deterministic weighted sampling (priority = content_hash / weight,
+    // k smallest): longer docs are proportionally more likely to be kept,
+    // the sample is reproducible and duplicate-consistent, and the global
+    // top-k plans as TakeOrderedAndProject (bounded heaps, no global sort)
+    QDef("llm38_weighted_sample",
+      s"""SELECT doc_id, n_chars,
+         |  CAST($hashSql AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      TextAnalysis.weightedPrioritySample(Tables.load(s, dir, "documents"),
+          "text", "n_chars", "doc_id", k = 50)
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+    },
+
+    // train/val contamination audit: fraction of each val doc's distinct
+    // 5-gram shingles that occur anywhere in train (same content-hash
+    // split as llm28, so the audit reproduces the split it checks); the
+    // one shuffle is the equi-join on the shingle string
+    QDef("llm39_contamination",
+      s"""WITH sp AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    CASE WHEN $hashSql % 100 < 80 THEN 'train'
+         |         WHEN $hashSql % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, split, unnest(
+         |    CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(range(0, len(tk) - 4),
+         |                i -> array_to_string(tk[i + 1 : i + 5], ' ')) END) AS sh
+         |  FROM sp),
+         |train_sh AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+         |val_sh AS (SELECT DISTINCT doc_id, sh FROM sh WHERE split = 'val')
+         |SELECT v.doc_id, COUNT(*) AS n_shingles,
+         |  COUNT(t.sh) AS n_contaminated,
+         |  CAST(COUNT(t.sh) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+         |FROM val_sh v LEFT JOIN train_sh t ON v.sh = t.sh
+         |GROUP BY v.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.crossSplitContamination(Tables.load(s, dir, "documents"),
+        "text", "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10),
+        trainSplit = "train", evalSplit = "val", shingleN = 5)
+    }
+  )
+}
