@@ -50,6 +50,38 @@ object LlmExt2 {
         .select(col("doc_id"), col("n_chars"), col("priority"))
     },
 
+    // per-language tokenizer fertility: subword/word ratio and
+    // chars/token by lang — the datasheet cut that decides whether a
+    // tokenizer underserves a language. Single scan, one tiny shuffle;
+    // ratios are single divisions of exact bigint sums (bit-portable)
+    QDef("llm40_lang_fertility",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  CAST(SUM(len(string_split_regex(
+        |    regexp_replace(regexp_replace(text,
+        |      '([a-z])([0-9])', '\1' || chr(1) || '\2', 'g'),
+        |      '([0-9])([a-z])', '\1' || chr(1) || '\2', 'g'),
+        |    '[^a-z0-9]+'))) AS BIGINT) AS total_subwords,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(CAST(SUM(len(string_split_regex(
+        |    regexp_replace(regexp_replace(text,
+        |      '([a-z])([0-9])', '\1' || chr(1) || '\2', 'g'),
+        |      '([0-9])([a-z])', '\1' || chr(1) || '\2', 'g'),
+        |    '[^a-z0-9]+'))) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) AS fertility,
+        |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) AS chars_per_word
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      val words = sum(size(TextAnalysis.tokens(col("text")))).cast("bigint")
+      val subwords = sum(size(TextAnalysis.bpeishTokens(col("text")))).cast("bigint")
+      val chars = sum(col("n_chars")).cast("bigint")
+      Tables.load(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          words.as("total_words"), subwords.as("total_subwords"), chars.as("total_chars"),
+          (subwords.cast("double") / words.cast("double")).as("fertility"),
+          (chars.cast("double") / words.cast("double")).as("chars_per_word"))
+    },
+
     // train/val contamination audit: fraction of each val doc's distinct
     // 5-gram shingles that occur anywhere in train (same content-hash
     // split as llm28, so the audit reproduces the split it checks); the

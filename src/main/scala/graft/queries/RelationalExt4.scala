@@ -59,6 +59,25 @@ object RelationalExt4 {
           ((sxy - sx * sy / n) / (n - lit(1))).as("covar_samp"))
     },
 
+    // aggregate FILTER clause (per-aggregate predicates in one pass —
+    // the conditional-aggregation surface beyond CASE): one scan, one
+    // partial-aggregated shuffle; each FILTER evaluates map-side
+    QDef("q75_filtered_agg",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_custs,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.views(s, dir)
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+              |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+              |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_custs,
+              |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+              |    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_total
+              |FROM orders GROUP BY o_orderstatus""".stripMargin)
+    },
+
     // multi-stage funnel (view → click after view → purchase after click):
     // each stage is a per-user MIN-timestamp aggregation joined back to
     // the event stream — three shuffles all keyed on user_id, so at scale

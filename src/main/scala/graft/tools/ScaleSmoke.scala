@@ -75,6 +75,27 @@ object ScaleSmoke {
       assert(n == nText)
     }
 
+    // weighted sampling at 10M rows: k bounds memory (per-partition
+    // bounded heaps + a k-row driver merge — TakeOrderedAndProject, no
+    // global sort), and the k smallest priorities are exactly the ones
+    // kept regardless of partitioning
+    timed(s"weightedPrioritySample($nBig, k=100)") {
+      val docs = big.select(col("id").as("doc_id"),
+        col("id").cast("string").as("text"), (col("v") + 1L).as("w"))
+      val sampled = graft.ops.TextAnalysis.weightedPrioritySample(
+        docs, "text", "w", "doc_id", k = 100)
+      val plan = sampled.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"global top-k must plan as TakeOrderedAndProject, got:\n$plan")
+      val maxKept = sampled.agg(max(col("priority"))).head().getDouble(0)
+      val below = docs.withColumn("priority",
+          graft.functions.VectorFunctions.mod_poly_hash(col("text")).cast("double")
+            / col("w").cast("double"))
+        .filter(col("priority") < maxKept).count()
+      assert(sampled.count() == 100 && below <= 100,
+        s"kept set must be the k smallest priorities (found $below strictly below cutoff)")
+    }
+
     spark.stop()
   }
 }
