@@ -125,6 +125,19 @@ object CdcExt {
         max(col(CdcSchema.TmCol)).as("last_tm"), count(lit(1)).as("n"))
     },
 
+    // OFFSET pushdown: resume consumption from row N of the log — the
+    // v2 sidecar row counts prune every file wholly inside the skipped
+    // prefix (never opened) and only the boundary file discards its
+    // residual. The oracle replays log order (gtid, then key within an
+    // insert batch, then before<after in an update pair) and offsets in
+    // SQL — hash parity proves the pushed skip is exactly the log prefix
+    QDef("cdc18_offset_resume",
+      s"""${Cdc.eventsCte}
+         |SELECT * FROM cdc_tm
+         |ORDER BY __gtid, o_orderkey, __op OFFSET 7500""".stripMargin) { (s, dir) =>
+      Cdc.scan(s, dir).offset(7500)
+    },
+
     // per-transaction audit: event counts by op within each GTID — the
     // "what did transaction G touch" consumption shape; one partial-
     // aggregated shuffle on __gtid

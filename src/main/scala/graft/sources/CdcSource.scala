@@ -93,11 +93,13 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
 class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
     maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownOffset
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Option[Long] = None
   // resolved (value, type) per pushed aggregate expression, in order
   private var aggResult: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
@@ -118,6 +120,38 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
     * applies the global limit. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
+
+  /** OFFSET pushdown (complete): exact global skip in log order, served
+    * by the v2 sidecar row counts — files wholly inside the skipped
+    * prefix are PRUNED from the scan (never opened), and only the
+    * boundary file decodes-and-discards its remainder. The resumable
+    * "consume the log from row N" idiom: at 100 TB an OFFSET deep into
+    * the log touches metadata for the prefix, not bytes. Declined
+    * honestly whenever exactness can't be guaranteed: pushed filters
+    * (post-filter skip isn't precomputable from row counts), a pushed
+    * limit (Spark composes them above instead), or any file lacking a
+    * v2 per-table sidecar. */
+  override def pushOffset(o: Int): Boolean = {
+    val ok = pushed.isEmpty && limit.isEmpty && perFileRows.isDefined
+    if (ok) offset = Some(o.toLong)
+    ok
+  }
+
+  /** (file, output rows of this table) for every log file in index
+    * order, iff every file has a v2 sidecar; files that never mention
+    * the table count 0. Row counts are output-row semantics (updates
+    * count twice), same as the COUNT(*) pushdown. */
+  private lazy val perFileRows: Option[Seq[(String, Long)]] = {
+    val files = CdcCodec.readIndex(indexFile)
+    if (files.isEmpty) None
+    else {
+      val metas = files.map(CdcCodec.readMeta)
+      if (!metas.forall(_.exists(_.tables.isDefined))) None
+      else Some(files.zip(metas).map { case (f, m) =>
+        f -> m.get.tables.get.get((db, table)).map(_.rows).getOrElse(0L)
+      })
+    }
+  }
 
   /** COMPLETE aggregate pushdown from v2 sidecar metadata: an
     * unfiltered, ungrouped COUNT(*) / MIN / MAX over the envelope
@@ -143,7 +177,7 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
 
   private def sidecarAgg(agg: Aggregation): Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
     import org.apache.spark.sql.types.LongType
-    val pushable = pushed.isEmpty && limit.isEmpty &&
+    val pushable = pushed.isEmpty && limit.isEmpty && offset.isEmpty &&
       agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty
     if (!pushable) return None
     // memoized: Spark calls supportCompletePushDown and pushAggregation
@@ -202,7 +236,8 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   override def build(): Scan = aggResult match {
     case Some(vals) => new CdcAggScan(db, table, indexFile, vals)
     case None =>
-      new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger, limit)
+      new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger,
+        limit, offset)
   }
 }
 
@@ -236,7 +271,8 @@ final case class CdcAggPartition(values: Array[Any]) extends InputPartition
 
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    maxBytesPerTrigger: Option[Long] = None, limit: Option[Int] = None)
+    maxBytesPerTrigger: Option[Long] = None, limit: Option[Int] = None,
+    offset: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -257,29 +293,51 @@ class CdcScan(indexFile: String, db: String, table: String,
   // only advertise envelope columns that SURVIVED column pruning: Spark
   // resolves these names against the scan's (pruned) output, and a
   // pruned-away column fails analysis ("Unable to resolve __tm")
+  // under a pushed OFFSET no runtime filtering is offered: pruning a
+  // file at execution time would shift the skip boundary and break the
+  // exact global skip the builder promised
   override def filterAttributes(): Array[NamedReference] =
-    Seq(CdcSchema.GtidCol, CdcSchema.TmCol)
+    if (offset.isDefined) Array.empty
+    else Seq(CdcSchema.GtidCol, CdcSchema.TmCol)
       .filter(required.fieldNames.contains(_))
       .map(Expressions.column).toArray
   override def filter(fs: Array[Filter]): Unit =
     runtimeFilters = fs.filter(EnvelopePredicate.supports)
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
-  override def planInputPartitions(): Array[InputPartition] =
-    CdcCodec.readIndex(indexFile)
-      .filter { f =>
-        val meta = CdcCodec.readMeta(f)
-        // v2 sidecars prune per-TABLE: a file whose map omits the table
-        // has zero rows for it (skip outright, filters or not), and the
-        // table's own gtid/time bounds are tighter than the file-global
-        // ones in a multi-table log
-        EnvelopePredicate.mightContainTable(db, table, meta) &&
-          EnvelopePredicate.mightMatchFile(allFilters,
-            EnvelopePredicate.narrowToTable(db, table, meta))
-      }
-      .map { f =>
-        CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
+  override def planInputPartitions(): Array[InputPartition] = offset match {
+    case Some(o) =>
+      // pushed OFFSET: whole files inside the skipped prefix drop out by
+      // sidecar row count alone; the boundary file carries the residual
+      // skip. Builder guarantees v2 sidecars everywhere and no filters.
+      var remaining = o
+      CdcCodec.readIndex(indexFile).flatMap { f =>
+        val rows = CdcCodec.readMeta(f).flatMap(_.tables)
+          .flatMap(_.get((db, table))).map(_.rows).getOrElse(0L)
+        if (remaining >= rows) { remaining -= rows; None }
+        else {
+          val skip = remaining
+          remaining = 0L
+          Some(CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue,
+            skip): InputPartition)
+        }
       }.toArray
+    case None =>
+      CdcCodec.readIndex(indexFile)
+        .filter { f =>
+          val meta = CdcCodec.readMeta(f)
+          // v2 sidecars prune per-TABLE: a file whose map omits the table
+          // has zero rows for it (skip outright, filters or not), and the
+          // table's own gtid/time bounds are tighter than the file-global
+          // ones in a multi-table log
+          EnvelopePredicate.mightContainTable(db, table, meta) &&
+            EnvelopePredicate.mightMatchFile(allFilters,
+              EnvelopePredicate.narrowToTable(db, table, meta))
+        }
+        .map { f =>
+          CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
+        }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     CdcReaderFactory(db, table, full, required, allFilters, limit)
@@ -295,14 +353,16 @@ class CdcScan(indexFile: String, db: String, table: String,
 
   override def description(): String =
     s"binlogcdc $db.$table [$indexFile]" +
-      limit.map(l => s" PushedLimit: $l").getOrElse("")
+      limit.map(l => s" PushedLimit: $l").getOrElse("") +
+      offset.map(o => s" PushedOffset: $o").getOrElse("")
 }
 
 /** Byte range [startPos, endPos) of one log file at event boundaries.
   * Control events (TABLE_MAP/GTID) before startPos are replayed for state
   * but emit no rows — so a range never splits an update pair and never
   * misses schema/txn state (SURVEY.md §7.3.1-2). */
-final case class CdcInputPartition(path: String, startPos: Long, endPos: Long)
+final case class CdcInputPartition(path: String, startPos: Long, endPos: Long,
+    skipRows: Long = 0L)
     extends InputPartition
 
 final case class CdcReaderFactory(db: String, table: String,
@@ -347,6 +407,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
   private var current: InternalRow = _
 
   private var emitted = 0
+  private var skipped = 0L
 
   override def next(): Boolean = {
     // pushed LIMIT: stop decoding this partition once `limit`
@@ -356,9 +417,14 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
       while (queue.hasNext) {
         val r = queue.next()
         if (predicate(r.op, r.gtid, r.tmMicros)) {
-          current = project(r)
-          emitted += 1
-          return true
+          // pushed OFFSET residual: the boundary file discards its part
+          // of the skipped prefix without materializing rows
+          if (skipped < part.skipRows) skipped += 1
+          else {
+            current = project(r)
+            emitted += 1
+            return true
+          }
         }
       }
       var refilled = false

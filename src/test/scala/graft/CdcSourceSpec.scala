@@ -128,6 +128,28 @@ class CdcSourceSpec extends SparkTestBase {
     assert(rows.length == 2 && rows.forall(_.getInt(2) == 1))
   }
 
+  test("offset pushdown prunes prefix files, boundary file carries the residual skip") {
+    val index = writeLog()
+    val all = read(index).collect()
+    // offset 3 = all of b.0 (2 rows) + 1 row of b.1: b.0 never opens
+    val off = read(index).offset(3)
+    val rows = off.collect()
+    val plan = off.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset: 3"), s"offset not pushed:\n$plan")
+    assert(off.rdd.getNumPartitions == 1, "prefix file must be pruned from the scan")
+    assert(rows.map(_.getLong(0)).toSeq == all.drop(3).map(_.getLong(0)).toSeq,
+      "pushed offset must skip exactly the first 3 rows in log order")
+    // offset past the whole log: every file prunes
+    assert(read(index).offset(100).collect().isEmpty)
+    // with a pushed filter the offset is declined (post-filter skip is
+    // not precomputable from row counts) and Spark applies it above
+    val filteredOff = read(index).filter(col("__op") === 1).offset(2)
+    val fPlan = filteredOff.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("PushedOffset"), s"offset must not push under a filter:\n$fPlan")
+    val expected = all.filter(_.getInt(2) == 1).drop(2).map(_.getLong(0)).toSeq
+    assert(filteredOff.collect().map(_.getLong(0)).toSeq == expected)
+  }
+
   test("pushdown: filtered scan equals full scan filtered") {
     val index = writeLog()
     val full = read(index).collect().filter(r => r.getInt(2) == 1 && r.getLong(3) >= 2)
