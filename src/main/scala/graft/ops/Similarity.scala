@@ -102,7 +102,14 @@ object Similarity {
     * part that is O(corpus) — stays distributed (see ivfTopK). */
   def kmeansCentroids(corpus: DataFrame, embCol: String, kClusters: Int,
       iters: Int = 3, dim: Int = 64, seed: Long = 42L,
-      maxTrain: Int = 100000): Array[Array[Double]] = {
+      maxTrain: Int = 100000): Array[Array[Double]] =
+    lloyd(trainSample(corpus, embCol, seed, maxTrain), kClusters, iters, dim)
+
+  /** The bounded hash-ordered training sample (one distributed pass,
+    * per-partition bounded heap via takeOrdered — no global sort),
+    * shared by the IVF coarse quantizer and the PQ codebooks. */
+  private def trainSample(corpus: DataFrame, embCol: String, seed: Long,
+      maxTrain: Int): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // hash-ordered with a full lexicographic tie-break on the vector
@@ -123,11 +130,16 @@ object Similarity {
         java.lang.Integer.compare(x.length, y.length)
       }
     }
-    val sample: Array[Array[Float]] = corpus.select(col(embCol)).as[Array[Float]]
+    corpus.select(col(embCol)).as[Array[Float]]
       .rdd
       .map(v => (scala.util.hashing.MurmurHash3.arrayHash(v, seed.toInt), v))
       .takeOrdered(maxTrain)(sampleOrd)
       .map(_._2)
+  }
+
+  /** Driver Lloyd iterations over a bounded sample. */
+  private def lloyd(sample: Array[Array[Float]], kClusters: Int,
+      iters: Int, dim: Int): Array[Array[Double]] = {
     // deterministic init: k smallest by hash = head of the sorted sample
     var centroids = sample.take(kClusters).map(_.map(_.toDouble))
     // actual width from the data — the dim parameter is only a hint and
@@ -163,6 +175,22 @@ object Similarity {
       it += 1
     }
     centroids
+  }
+
+  /** Product-quantization codebooks: the vector splits into `m`
+    * subvectors of dim/m; each subspace gets its own `ksub`-codeword
+    * Lloyd codebook, all trained from ONE shared bounded sample pass
+    * (driver memory and training cost independent of corpus size —
+    * same posture as the IVF coarse quantizer). */
+  def pqCodebooks(corpus: DataFrame, embCol: String, m: Int, ksub: Int,
+      dim: Int = 64, iters: Int = 3, seed: Long = 42L,
+      maxTrain: Int = 100000): Array[Array[Array[Double]]] = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    val sample = trainSample(corpus, embCol, seed, maxTrain)
+    Array.tabulate(m) { j =>
+      lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)), ksub, iters, dsub)
+    }
   }
 
   /** IVF top-k: corpus assigned to its nearest centroid (one pass);
@@ -227,6 +255,78 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(id))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** PQ top-k with Asymmetric Distance Computation — the compressed-
+    * domain ANN scale path: the corpus stores only `m` small codes per
+    * vector plus its norm (m=8, ksub=16 turns a 64-dim float vector's
+    * 256 bytes into 8 codes — the representation a 100 TB vector lake
+    * can hold in memory), and each candidate costs m lookup-table reads
+    * instead of d multiplies. Codes pick the L2-nearest codeword per
+    * subspace (argmin ||x_j - c||² via the (distance, idx) struct-min
+    * trick — deterministic ties); a query's LUT of subquery×codeword
+    * dot products is computed once per query row, then `sim` ≈ cosine:
+    * Σ_j lut[j][code_j] / ||x|| (the query norm is constant per query,
+    * so the per-query ranking is unchanged by dropping it). The
+    * compressed scores build a shortlist of `rerank × k` candidates per
+    * query; only the shortlist joins back to the full vectors for exact
+    * cosine re-ranking — the standard two-stage PQ pipeline: the
+    * O(corpus) scan runs entirely in the compressed domain, the exact
+    * pass touches k·rerank rows per query. Composable with the IVF
+    * cells for IVF-PQ; recall vs bruteForceTopK pinned in the spec. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4,
+      embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
+    val books = pqCodebooks(corpus, embCol, m, ksub, dim)
+    val dsub = dim / m
+    def norm2(v: Array[Double]): Double = v.map(x => x * x).sum
+    def codeOf(j: Int) = {
+      val sub = slice(col(embCol), j * dsub + 1, dsub)
+      val scored = array(books(j).zipWithIndex.toIndexedSeq.map { case (cw, c) =>
+        struct((lit(norm2(cw)) - lit(2.0) * dot_product(sub, lit(cw))).as("d"),
+          lit(c).as("code"))
+      }: _*)
+      array_min(scored).getField("code")
+    }
+    // the compressed corpus: codes + norm, the embedding itself dropped
+    val encoded = corpus.select(col(id), col(embCol))
+      .withColumn("codes", array((0 until m).map(codeOf): _*))
+      // DotProduct's contract is (float-array left, double-array right) —
+      // the self-product needs an explicit element cast on the right
+      .withColumn("norm",
+        sqrt(dot_product(col(embCol), col(embCol).cast("array<double>"))))
+      .drop(embCol)
+    val q = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("lut", array((0 until m).map { j =>
+        array(books(j).toIndexedSeq.map(cw =>
+          dot_product(slice(col("q_emb"), j * dsub + 1, dsub), lit(cw))): _*)
+      }: _*))
+      .drop("q_emb")
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("adc_sim",
+        when(col("norm") === 0.0, lit(0.0)).otherwise(adc / col("norm")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col(id))
+    val shortlist = scored.withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * rerank)
+      .select(col("query_id"), col(id))
+    // exact re-rank of the shortlist only: k·rerank rows per query. The
+    // shortlist is broadcast (queries × k·rerank ids) so the corpus side
+    // streams through a broadcast-hash join — no corpus shuffle
+    val qe = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
+    val exact = broadcast(shortlist)
+      .join(corpus.select(col(id), col(embCol)), id)
+      .join(broadcast(qe), "query_id")
+      .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(id))
+    exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
   }

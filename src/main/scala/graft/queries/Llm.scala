@@ -194,6 +194,15 @@ object Llm {
       Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6)
     },
 
+    // PQ-compressed ANN with ADC scoring: the corpus searched holds only
+    // m=8 codes + a norm per vector (recall vs brute force pinned in
+    // LlmOpsSpec)
+    QDef.noOracle("llm41_knn_pq") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+    },
+
     // int8 quantization (Similarity.quantizeInt8): absmax scale + floor
     // codes — floor keeps every step bit-portable (no rounding-mode
     // divergence); summary scalars are exact integer/double arithmetic

@@ -89,6 +89,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("pq top-k: compressed-domain recall clears 0.5, deterministic, corpus stays encoded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    assert(pq.forall { case (q, n) => q != n })
+    // deterministic under repartitioning (codebooks from the hash-ordered
+    // sample, struct-min ties by code index)
+    val pq2 = Similarity.pqTopK(emb.repartition(7), queries, k = 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == pq2, "PQ results must not depend on partitioning")
+  }
+
   test("multi-table LSH recall beats single-table and clears 0.5") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
