@@ -188,6 +188,10 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
     val dsub = dim / m
     val sample = trainSample(corpus, embCol, seed, maxTrain)
+    // dim here is NOT a hint (unlike lloyd's): slicing by a dim smaller
+    // than the data would silently quantize a prefix of each vector
+    require(sample.isEmpty || sample.head.length == dim,
+      s"dim=$dim but corpus vectors have ${sample.headOption.map(_.length).getOrElse(0)} dims")
     Array.tabulate(m) { j =>
       lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)), ksub, iters, dsub)
     }

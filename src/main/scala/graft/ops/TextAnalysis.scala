@@ -237,9 +237,14 @@ object TextAnalysis {
   def crossSplitContamination(df: DataFrame, textCol: String, id: String,
       splits: Seq[(String, Int)], trainSplit: String, evalSplit: String,
       shingleN: Int = 5): DataFrame = {
+    // checkpointed: both sides of the join consume this frame — without
+    // it the scan + hash-split + tokenize + shingle lineage runs twice
+    // (the tfidfTopTerms lesson)
     val assigned = deterministicSplit(df, textCol, splits)
       .select(col(id), col("split"), tokens(col(textCol)).as("tk"))
       .withColumn("sh", explode(shinglesFromTokens(col("tk"), shingleN)))
+      .select(col(id), col("split"), col("sh"))
+      .localCheckpoint(true)
     val trainShingles = assigned.filter(col("split") === trainSplit)
       .select(col("sh")).distinct()
       .withColumn("in_train", lit(1))

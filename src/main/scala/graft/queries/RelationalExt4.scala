@@ -20,26 +20,30 @@ object RelationalExt4 {
     // whose result depends on partition order, while decimal sums are
     // order-independent and the final double expression is a fixed-order
     // IEEE tree both engines evaluate identically (sqrt is correctly
-    // rounded). Two bit-portability rules, both observed failing before
+    // rounded). Three bit-portability rules, each observed failing before
     // this shape: (1) every double multiply feeds a divide or sqrt —
     // never `a*b - c*d`, which a C++ engine with fp contraction fuses
     // into a differently-rounded FMA; (2) the squared moments multiply in
     // DECIMAL, not double — casting a double SQUARE to decimal rounds at
     // a digit where the engines' double→decimal conversions disagree,
     // while the 2dp column cast is unambiguous and decimal×decimal is
-    // exact. One partial-aggregated shuffle, same cost as any GROUP BY
+    // exact; (3) the second-moment sums ROUND to scale 0 before the
+    // double cast — their scale-4 integers pass 2^53 already at sf0.001,
+    // where DuckDB's int128→double double-rounds, while a scale-0 value
+    // is one correctly-rounded conversion in both engines at any
+    // magnitude. One partial-aggregated shuffle, same cost as a GROUP BY
     QDef("q73_exact_corr",
       """SELECT l_returnflag, COUNT(*) AS n,
-        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DOUBLE)
         |     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-        |  / (sqrt(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |  / (sqrt(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 0) AS DOUBLE)
         |       - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |         * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
-        |     * sqrt(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |     * sqrt(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DOUBLE)
         |       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |         * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))) AS corr_qty_price,
-        |  (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  (CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 0) AS DOUBLE)
         |     - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
         |    / (COUNT(*) - 1) AS covar_samp
@@ -49,9 +53,9 @@ object RelationalExt4 {
       val yd = col("l_extendedprice").cast("decimal(12,2)")
       val sx = sum(xd).cast("double")
       val sy = sum(yd).cast("double")
-      val sxy = sum(xd * yd).cast("double")
-      val sxx = sum(xd * xd).cast("double")
-      val syy = sum(yd * yd).cast("double")
+      val sxy = round(sum(xd * yd), 0).cast("double")
+      val sxx = round(sum(xd * xd), 0).cast("double")
+      val syy = round(sum(yd * yd), 0).cast("double")
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(n.as("n"),
           ((sxy - sx * sy / n)
@@ -61,19 +65,21 @@ object RelationalExt4 {
 
     // aggregate FILTER clause (per-aggregate predicates in one pass —
     // the conditional-aggregation surface beyond CASE): one scan, one
-    // partial-aggregated shuffle; each FILTER evaluates map-side
+    // partial-aggregated shuffle; each FILTER evaluates map-side.
+    // DECIMAL(18,2), not (18,6): prices are 2dp, and the smaller scale
+    // keeps the scaled sum inside 2^53 (exact double cast) to ~sf100
     QDef("q75_filtered_agg",
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
         |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_custs,
-        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_total
         |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
       Tables.views(s, dir)
       s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
               |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
               |  COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_custs,
-              |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+              |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               |    FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE) AS urgent_total
               |FROM orders GROUP BY o_orderstatus""".stripMargin)
     },

@@ -132,7 +132,12 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
     * limit (Spark composes them above instead), or any file lacking a
     * v2 per-table sidecar. */
   override def pushOffset(o: Int): Boolean = {
-    val ok = pushed.isEmpty && limit.isEmpty && perFileRows.isDefined
+    // aggResult guard: Spark pushes aggregates BEFORE limit/offset — an
+    // accepted offset over an already-pushed aggregate would be silently
+    // dropped by CdcAggScan (sidecarAgg's offset.isEmpty only covers the
+    // reverse order)
+    val ok = pushed.isEmpty && limit.isEmpty && aggResult.isEmpty &&
+      perFileRows.isDefined
     if (ok) offset = Some(o.toLong)
     ok
   }
@@ -236,8 +241,11 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
   override def build(): Scan = aggResult match {
     case Some(vals) => new CdcAggScan(db, table, indexFile, vals)
     case None =>
+      // the offset ships WITH the builder's sidecar sweep: planInput-
+      // Partitions must not re-read ~1M metas, and a sidecar vanishing
+      // between push time and plan time must not shift the skip boundary
       new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger,
-        limit, offset)
+        limit, offset.map(o => (o, perFileRows.get)))
   }
 }
 
@@ -272,7 +280,7 @@ final case class CdcAggPartition(values: Array[Any]) extends InputPartition
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
     maxBytesPerTrigger: Option[Long] = None, limit: Option[Int] = None,
-    offset: Option[Long] = None)
+    offset: Option[(Long, Seq[(String, Long)])] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -306,14 +314,13 @@ class CdcScan(indexFile: String, db: String, table: String,
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
   override def planInputPartitions(): Array[InputPartition] = offset match {
-    case Some(o) =>
+    case Some((o, fileRows)) =>
       // pushed OFFSET: whole files inside the skipped prefix drop out by
       // sidecar row count alone; the boundary file carries the residual
-      // skip. Builder guarantees v2 sidecars everywhere and no filters.
+      // skip. Builder guarantees v2 sidecars everywhere and no filters;
+      // the per-file counts were captured at push time (one sweep).
       var remaining = o
-      CdcCodec.readIndex(indexFile).flatMap { f =>
-        val rows = CdcCodec.readMeta(f).flatMap(_.tables)
-          .flatMap(_.get((db, table))).map(_.rows).getOrElse(0L)
+      fileRows.flatMap { case (f, rows) =>
         if (remaining >= rows) { remaining -= rows; None }
         else {
           val skip = remaining
@@ -354,7 +361,7 @@ class CdcScan(indexFile: String, db: String, table: String,
   override def description(): String =
     s"binlogcdc $db.$table [$indexFile]" +
       limit.map(l => s" PushedLimit: $l").getOrElse("") +
-      offset.map(o => s" PushedOffset: $o").getOrElse("")
+      offset.map { case (o, _) => s" PushedOffset: $o" }.getOrElse("")
 }
 
 /** Byte range [startPos, endPos) of one log file at event boundaries.

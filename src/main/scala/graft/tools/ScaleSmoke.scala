@@ -92,7 +92,9 @@ object ScaleSmoke {
           graft.functions.VectorFunctions.mod_poly_hash(col("text")).cast("double")
             / col("w").cast("double"))
         .filter(col("priority") < maxKept).count()
-      assert(sampled.count() == 100 && below <= 100,
+      // a correct sample has at most k-1 rows strictly below its own max
+      // (<= 100 would mask an off-by-one that swaps in the 101st row)
+      assert(sampled.count() == 100 && below <= 99,
         s"kept set must be the k smallest priorities (found $below strictly below cutoff)")
     }
 

@@ -141,6 +141,10 @@ class CdcSourceSpec extends SparkTestBase {
       "pushed offset must skip exactly the first 3 rows in log order")
     // offset past the whole log: every file prunes
     assert(read(index).offset(100).collect().isEmpty)
+    // OFFSET above a completely-pushed aggregate must not vanish: the
+    // one agg row offset by 1 is zero rows (regression for pushOffset
+    // accepting after pushAggregation — CdcAggScan ignores offsets)
+    assert(read(index).agg(max(col("__gtid"))).offset(1).collect().isEmpty)
     // with a pushed filter the offset is declined (post-filter skip is
     // not precomputable from row counts) and Spark applies it above
     val filteredOff = read(index).filter(col("__op") === 1).offset(2)
