@@ -202,19 +202,22 @@ object Similarity {
     * quantizer is the classic ANN scale path — cells shrink the
     * candidate set by ~kClusters/nProbe regardless of data
     * distribution (unlike SRP's angle-dependent buckets). */
+  /** argmin over centroid similarities, expressed as the array_min over
+    * (negated-similarity, idx) structs trick — deterministic ties by
+    * cell index. */
+  private def cellOf(centroids: Array[Array[Double]])(
+      e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct((lit(-2.0) * dot_product(e, lit(c))).as("negsim"), lit(i).as("cell"))
+    }: _*)
+    array_min(scored).getField("cell")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kClusters: Int = 16, nProbe: Int = 4,
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
     val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
-    def cellOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      // argmin over centroid distances, expressed as a greatest-of struct
-      // trick: array_min over (distance, idx) structs
-      val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        struct((lit(-2.0) * dot_product(e, lit(c))).as("negsim"), lit(i).as("cell"))
-      }: _*)
-      array_min(scored).getField("cell")
-    }
-    val cb = corpus.withColumn("cell", cellOf(col(embCol)))
+    val cb = corpus.withColumn("cell", cellOf(centroids)(col(embCol)))
     val probes = queries
       .select(col(id).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("cells", expr(s"slice(${probeCellsSql(centroids)}, 1, $nProbe)"))
@@ -284,7 +287,44 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, rerank: Int = 4,
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
     val books = pqCodebooks(corpus, embCol, m, ksub, dim)
-    val dsub = dim / m
+    val encoded = pqEncode(corpus, books, dim / m, embCol, id).drop(embCol)
+    val q = pqQueryLut(queries, books, dim / m, embCol, id)
+    val scored = encoded.crossJoin(broadcast(q))
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("adc_sim", adcSim(m))
+    pqRerank(scored, corpus, queries, k, rerank, embCol, id)
+  }
+
+  /** IVF-PQ: the two scale paths composed — the coarse quantizer prunes
+    * candidates to the query's nProbe nearest cells AND those candidates
+    * score in the compressed domain (m code lookups each), so the
+    * per-query cost is (corpus/kClusters)·nProbe ADC lookups instead of
+    * a full-corpus float scan; exact re-rank touches only the final
+    * shortlist. The index a 100 TB vector lake actually ships: cells
+    * partition the corpus, codes make each cell cache-resident. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      kClusters: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 4,
+      embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
+    val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
+    val books = pqCodebooks(corpus, embCol, m, ksub, dim)
+    val encoded = pqEncode(corpus, books, dim / m, embCol, id)
+      .withColumn("cell", cellOf(centroids)(col(embCol)))
+      .drop(embCol)
+    val probes = pqQueryLut(queries, books, dim / m, embCol, id, keepEmb = true)
+      .withColumn("cells", expr(s"slice(${probeCellsSql(centroids)}, 1, $nProbe)"))
+      .withColumn("cell", explode(col("cells"))).drop("cells", "q_emb")
+    val scored = encoded.join(broadcast(probes), "cell")
+      .filter(col(id) =!= col("query_id"))
+      .withColumn("adc_sim", adcSim(m))
+    pqRerank(scored, corpus, queries, k, rerank, embCol, id)
+  }
+
+  /** The compressed corpus: m codes + the vector norm per row (the
+    * embedding column is retained for callers that still need it —
+    * pqTopK drops it, ivfPqTopK first derives the cell). */
+  private def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      dsub: Int, embCol: String, id: String): DataFrame = {
     def norm2(v: Array[Double]): Double = v.map(x => x * x).sum
     def codeOf(j: Int) = {
       val sub = slice(col(embCol), j * dsub + 1, dsub)
@@ -294,35 +334,46 @@ object Similarity {
       }: _*)
       array_min(scored).getField("code")
     }
-    // the compressed corpus: codes + norm, the embedding itself dropped
-    val encoded = corpus.select(col(id), col(embCol))
-      .withColumn("codes", array((0 until m).map(codeOf): _*))
+    corpus.select(col(id), col(embCol))
+      .withColumn("codes", array(books.indices.map(codeOf): _*))
       // DotProduct's contract is (float-array left, double-array right) —
       // the self-product needs an explicit element cast on the right
       .withColumn("norm",
         sqrt(dot_product(col(embCol), col(embCol).cast("array<double>"))))
-      .drop(embCol)
-    val q = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
-      .withColumn("lut", array((0 until m).map { j =>
+  }
+
+  /** Per-query ADC lookup table: lut[j][c] = dot(query subvector j,
+    * codeword c) — computed once per query row. */
+  private def pqQueryLut(queries: DataFrame, books: Array[Array[Array[Double]]],
+      dsub: Int, embCol: String, id: String, keepEmb: Boolean = false): DataFrame = {
+    val withLut = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
+      .withColumn("lut", array(books.indices.map { j =>
         array(books(j).toIndexedSeq.map(cw =>
           dot_product(slice(col("q_emb"), j * dsub + 1, dsub), lit(cw))): _*)
       }: _*))
-      .drop("q_emb")
+    if (keepEmb) withLut else withLut.drop("q_emb")
+  }
+
+  /** ADC score ≈ cosine: Σ_j lut[j][code_j] / ||candidate|| (query norm
+    * is per-query constant, so dropping it leaves rankings intact). */
+  private def adcSim(m: Int): org.apache.spark.sql.Column = {
     val adc = (0 until m).map(j =>
       element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
-    val scored = encoded.crossJoin(broadcast(q))
-      .filter(col(id) =!= col("query_id"))
-      .withColumn("adc_sim",
-        when(col("norm") === 0.0, lit(0.0)).otherwise(adc / col("norm")))
+    when(col("norm") === 0.0, lit(0.0)).otherwise(adc / col("norm"))
+  }
+
+  /** ADC shortlist (k·rerank per query) → exact cosine re-rank of the
+    * shortlist only. The shortlist is broadcast (queries × k·rerank ids)
+    * so the corpus side streams through a broadcast-hash join — no
+    * corpus shuffle. */
+  private def pqRerank(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, rerank: Int, embCol: String, id: String): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_sim").desc, col(id))
     val shortlist = scored.withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= k * rerank)
       .select(col("query_id"), col(id))
-    // exact re-rank of the shortlist only: k·rerank rows per query. The
-    // shortlist is broadcast (queries × k·rerank ids) so the corpus side
-    // streams through a broadcast-hash join — no corpus shuffle
     val qe = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
     val exact = broadcast(shortlist)
       .join(corpus.select(col(id), col(embCol)), id)

@@ -203,6 +203,16 @@ object Llm {
       Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
     },
 
+    // IVF-PQ: coarse cells prune candidates AND candidates score in the
+    // compressed domain — the composed index a production vector lake
+    // ships (recall pinned in LlmOpsSpec)
+    QDef.noOracle("llm42_knn_ivfpq") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6,
+        m = 8, ksub = 16)
+    },
+
     // int8 quantization (Similarity.quantizeInt8): absmax scale + floor
     // codes — floor keeps every step bit-portable (no rounding-mode
     // divergence); summary scalars are exact integer/double arithmetic

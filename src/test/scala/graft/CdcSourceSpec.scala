@@ -154,6 +154,15 @@ class CdcSourceSpec extends SparkTestBase {
     assert(filteredOff.collect().map(_.getLong(0)).toSeq == expected)
   }
 
+  test("offset pushdown is exact at every offset through the log (incl. file boundary)") {
+    val index = writeLog()
+    val all = read(index).collect().map(_.getLong(0)).toSeq
+    (0 to all.length + 1).foreach { o =>
+      val got = read(index).offset(o).collect().map(_.getLong(0)).toSeq
+      assert(got == all.drop(o), s"offset $o: got $got, want ${all.drop(o)}")
+    }
+  }
+
   test("pushdown: filtered scan equals full scan filtered") {
     val index = writeLog()
     val full = read(index).collect().filter(r => r.getInt(2) == 1 && r.getLong(3) >= 2)

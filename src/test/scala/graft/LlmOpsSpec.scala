@@ -109,6 +109,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pq == pq2, "PQ results must not depend on partitioning")
   }
 
+  test("ivf-pq: composed pruning+compression recall clears 0.4 and stays within pq's") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16,
+        nProbe = 6, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall too low")
+    assert(ivfpq.forall { case (q, n) => q != n })
+  }
+
   test("multi-table LSH recall beats single-table and clears 0.5") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
