@@ -184,10 +184,13 @@ object Similarity {
     * same posture as the IVF coarse quantizer). */
   def pqCodebooks(corpus: DataFrame, embCol: String, m: Int, ksub: Int,
       dim: Int = 64, iters: Int = 3, seed: Long = 42L,
-      maxTrain: Int = 100000): Array[Array[Array[Double]]] = {
+      maxTrain: Int = 100000): Array[Array[Array[Double]]] =
+    booksFromSample(trainSample(corpus, embCol, seed, maxTrain), m, ksub, dim, iters)
+
+  private def booksFromSample(sample: Array[Array[Float]], m: Int, ksub: Int,
+      dim: Int, iters: Int): Array[Array[Array[Double]]] = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subvectors")
     val dsub = dim / m
-    val sample = trainSample(corpus, embCol, seed, maxTrain)
     // dim here is NOT a hint (unlike lloyd's): slicing by a dim smaller
     // than the data would silently quantize a prefix of each vector
     require(sample.isEmpty || sample.head.length == dim,
@@ -197,11 +200,6 @@ object Similarity {
     }
   }
 
-  /** IVF top-k: corpus assigned to its nearest centroid (one pass);
-    * queries probe the nProbe nearest centroid cells. The coarse
-    * quantizer is the classic ANN scale path — cells shrink the
-    * candidate set by ~kClusters/nProbe regardless of data
-    * distribution (unlike SRP's angle-dependent buckets). */
   /** argmin over centroid similarities, expressed as the array_min over
     * (negated-similarity, idx) structs trick — deterministic ties by
     * cell index. */
@@ -213,6 +211,11 @@ object Similarity {
     array_min(scored).getField("cell")
   }
 
+  /** IVF top-k: corpus assigned to its nearest centroid (one pass);
+    * queries probe the nProbe nearest centroid cells. The coarse
+    * quantizer is the classic ANN scale path — cells shrink the
+    * candidate set by ~kClusters/nProbe regardless of data
+    * distribution (unlike SRP's angle-dependent buckets). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kClusters: Int = 16, nProbe: Int = 4,
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
@@ -306,8 +309,11 @@ object Similarity {
       kClusters: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
       rerank: Int = 4,
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
-    val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
-    val books = pqCodebooks(corpus, embCol, m, ksub, dim)
+    // ONE sample pass feeds both trainings (coarse centroids + all m
+    // subspace codebooks) — not one distributed sweep each
+    val sample = trainSample(corpus, embCol, seed = 42L, maxTrain = 100000)
+    val centroids = lloyd(sample, kClusters, iters = 3, dim)
+    val books = booksFromSample(sample, m, ksub, dim, iters = 3)
     val encoded = pqEncode(corpus, books, dim / m, embCol, id)
       .withColumn("cell", cellOf(centroids)(col(embCol)))
       .drop(embCol)

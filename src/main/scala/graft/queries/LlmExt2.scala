@@ -82,6 +82,33 @@ object LlmExt2 {
           (chars.cast("double") / words.cast("double")).as("chars_per_word"))
     },
 
+    // multimodal pair packing: caption tokens + image ViT-style patch
+    // count (ceil(w/32)·ceil(h/32) from the media metadata) form the
+    // per-pair cost, packed into 1024-slot batches by the distributed
+    // two-level cumsum (ops.Packing) — the batch-assembly step of a
+    // vision-language pipeline. Oracle = the naive global-window form
+    QDef("llm43_multimodal_pairs",
+      """SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 1024 AS BIGINT) AS seq_offset
+        |FROM (SELECT doc_id, cost AS n_tokens,
+        |    SUM(cost) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id,
+        |      CAST(len(string_split(text, ' '))
+        |        + ((doc_id % 640 + 32 + 31) // 32)
+        |          * ((doc_id % 480 + 32 + 31) // 32) AS BIGINT) AS cost
+        |    FROM documents))""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val media = graft.ops.Multimodal.mediaTable(docs)
+      val paired = docs.select(col("doc_id"), col("text"))
+        .join(media.select(col("media_id"), col("meta")),
+          col("doc_id") === col("media_id"))
+      val patches = expr("((meta.width + 31) div 32) * ((meta.height + 31) div 32)")
+      val cost = size(TextAnalysis.tokens(col("text"))) + patches
+      graft.ops.Packing.packSequences(paired, "doc_id", cost,
+        capacity = 1024L, bucketSize = 64L)
+    },
+
     // train/val contamination audit: fraction of each val doc's distinct
     // 5-gram shingles that occur anywhere in train (same content-hash
     // split as llm28, so the audit reproduces the split it checks); the

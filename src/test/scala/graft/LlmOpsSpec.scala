@@ -122,6 +122,14 @@ class LlmOpsSpec extends SparkTestBase {
     val recall = (brute intersect ivfpq).size.toDouble / brute.size
     assert(recall >= 0.4, s"IVF-PQ recall $recall too low")
     assert(ivfpq.forall { case (q, n) => q != n })
+    // cell pruning can only REMOVE candidates relative to plain PQ, so
+    // the composed recall must not exceed PQ's (the title's claim)
+    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall <= pqRecall,
+      s"IVF-PQ recall $recall cannot exceed plain PQ's $pqRecall (same codebooks, fewer candidates)")
   }
 
   test("multi-table LSH recall beats single-table and clears 0.5") {
