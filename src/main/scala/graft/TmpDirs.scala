@@ -18,7 +18,12 @@ object TmpDirs {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    // never recurse THROUGH a symlink (File.listFiles follows them):
+    // a staged dataset symlink inside a scoped dir must be unlinked,
+    // not have its target's contents deleted
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath)) {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    }
     f.delete(): Unit
   }
 }

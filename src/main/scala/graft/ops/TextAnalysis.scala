@@ -215,12 +215,23 @@ object TextAnalysis {
     * global top-k plans as TakeOrderedAndProject — per-partition bounded
     * heaps + a k-row driver merge, no global sort, so k bounds memory at
     * any corpus size. Ties break by id asc (priority is one exact double
-    * division, identical in any engine). */
+    * division, identical in any engine).
+    *
+    * Weights must be strictly positive: weight 0 would yield an
+    * Infinity/NaN priority and a negative weight a negative priority
+    * that always wins the top-k — both nonsense, and NaN/Inf ordering
+    * is a cross-engine determinism hazard. Enforced per-row, fail-loud. */
   def weightedPrioritySample(df: DataFrame, textCol: String, weightCol: String,
       id: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    df.withColumn("priority",
-        mod_poly_hash(col(textCol)).cast("double") / col(weightCol).cast("double"))
+    df.withColumn("__w",
+        when(col(weightCol).cast("double") > 0.0, col(weightCol).cast("double"))
+          .otherwise(raise_error(concat(
+            lit(s"weightedPrioritySample: non-positive weight in '$weightCol': "),
+            col(weightCol).cast("string")))))
+      .withColumn("priority",
+        mod_poly_hash(col(textCol)).cast("double") / col("__w"))
+      .drop("__w")
       .orderBy(col("priority"), col(id))
       .limit(k)
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,19 +90,29 @@ object RelationalExt3 {
 
     // higher-order array functions (transform/filter/aggregate/exists) —
     // codegen'd lambda evaluation, no UDF
+    // array outputs are emitted as array_join'd CSV of DECIMAL(18,6)
+    // strings: raw array columns crash the oracle harness's pandas sort
+    // (unhashable ndarray), and decimal-at-fixed-scale rendering is
+    // bit-identical across engines where double→string is not
     QDef("q67_higher_order_array",
       """SELECT l_orderkey, l_linenumber,
-        |  list_transform([l_quantity, l_discount, l_tax], x -> x * 2.0) AS doubled,
-        |  list_filter([l_quantity, l_discount, l_tax], x -> x > 0.05) AS big,
-        |  list_reduce([0.0, l_quantity, l_discount, l_tax], (a, x) -> a + x) AS total,
+        |  array_to_string(list_transform([l_quantity, l_discount, l_tax],
+        |    x -> CAST(CAST(x * 2.0 AS DECIMAL(18,6)) AS VARCHAR)), ',') AS doubled_csv,
+        |  array_to_string(list_transform(
+        |    list_filter([l_quantity, l_discount, l_tax], x -> x > 0.05),
+        |    x -> CAST(CAST(x AS DECIMAL(18,6)) AS VARCHAR)), ',') AS big_csv,
+        |  CAST(CAST(list_reduce([0.0, l_quantity, l_discount, l_tax],
+        |    (a, x) -> a + x) AS DECIMAL(18,6)) AS DOUBLE) AS total,
         |  len(list_filter([l_quantity, l_discount, l_tax], x -> x > 0.05)) > 0 AS has_big
         |FROM lineitem WHERE l_orderkey % 500 = 0""".stripMargin) { (s, dir) =>
       val arr = array(col("l_quantity"), col("l_discount"), col("l_tax"))
+      val decStr = (x: Column) => x.cast("decimal(18,6)").cast("string")
       t(s, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
-          transform(arr, x => x * 2.0).as("doubled"),
-          filter(arr, x => x > 0.05).as("big"),
-          aggregate(arr, lit(0.0), (a, x) => a + x).as("total"),
+          array_join(transform(arr, x => decStr(x * 2.0)), ",").as("doubled_csv"),
+          array_join(transform(filter(arr, x => x > 0.05), decStr), ",").as("big_csv"),
+          aggregate(arr, lit(0.0), (a, x) => a + x)
+            .cast("decimal(18,6)").cast("double").as("total"),
           exists(arr, x => x > 0.05).as("has_big"))
     },
 

@@ -30,15 +30,20 @@ class GlobalOrderSpec extends SparkTestBase {
     }
   }
 
-  test("globalRowNumber reuses the range exchange across its two branches") {
-    val out = GlobalOrder.globalRowNumber(df, Seq($"v".desc, $"id"), numPartitions = 4)
-    out.collect()
-    val plan = out.queryExecution.executedPlan.toString
-    // the counts branch must read the SAME range shuffle the rank branch
-    // wrote (one shuffle write, two readers), not re-scan the input
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
-      plan.contains("TableCacheQueryStage"),
-      s"expected range-exchange reuse in plan:\n$plan")
+  test("globalRowNumber is correct with Catalyst exchange reuse disabled") {
+    // the count pass and the assignment pass share one RDD (zipWithIndex),
+    // so correctness is structural — it must NOT depend on exchange reuse
+    // (the advisor's round-4 failure scenario for the two-branch form)
+    val naive = df.withColumn("pos",
+        row_number().over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      .select($"id", $"pos")
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    withSQLConf("spark.sql.exchange.reuse" -> "false") {
+      val got = GlobalOrder.globalRowNumber(df, Seq($"v".desc, $"id"),
+          numPartitions = 4)
+        .select($"id", $"pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expected)
+    }
   }
 
   test("globalRowNumber assigns a dense 1..N permutation") {

@@ -6,6 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared session per suite (guide: lazy val, not per-test). */
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.session
+
+  /** Run `body` with SQL confs set, restoring prior values after. */
+  def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
 
 object SparkTestBase {

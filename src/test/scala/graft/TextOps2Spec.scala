@@ -48,6 +48,19 @@ class TextOps2Spec extends SparkTestBase {
       s"light copies sampled without their heavier twin: $lightWithoutTwin")
   }
 
+  test("weighted sample fails loud on zero or negative weights") {
+    val bad = Seq((1L, "x", 5L), (2L, "y", 0L)).toDF("doc_id", "text", "w")
+    val e = intercept[Exception] {
+      TextAnalysis.weightedPrioritySample(bad, "text", "w", "doc_id", k = 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight")))
+    val neg = Seq((1L, "x", 5L), (2L, "y", -3L)).toDF("doc_id", "text", "w")
+    intercept[Exception] {
+      TextAnalysis.weightedPrioritySample(neg, "text", "w", "doc_id", k = 2).collect()
+    }
+  }
+
   test("contamination audit: planted train shingle is flagged, disjoint val doc is clean") {
     // split is content-hash driven, so craft texts that land where needed
     // by probing the assignment first
