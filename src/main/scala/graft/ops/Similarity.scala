@@ -59,10 +59,34 @@ object Similarity {
             x => floor(x.cast("double") / col("scale") * 127).cast("long"))))
   }
 
-  /** Deterministic random hyperplanes (seeded) for sign-random-projection. */
-  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  /** Deterministic, cross-engine-portable hyperplanes for
+    * sign-random-projection. Component g = planeIdx*dim + i is a
+    * quadratic congruential hash mapped to [-0.5, 0.5):
+    *
+    *   t = g + seed;  u = (A*((t*t) mod P) + B*t) mod P;  comp = u/P - 0.5
+    *
+    * with P = 2^31-1, A = 1103515245, B = 12345. Every intermediate fits
+    * in a signed 64-bit integer (t ≤ ~2^31 ⇒ t*t mod P computed on
+    * t ≤ 3e9 stays < 2^63), so a SQL oracle can replay the exact doubles:
+    * integer arithmetic is exact and the single division is correctly
+    * rounded identically under IEEE 754 in any engine (llm10/llm18
+    * oracles in queries/Llm.scala replicate this formula literally —
+    * keep them in lockstep). Quadratic, not linear, so distinct planes
+    * are not shifted copies of one another (a linear u(g) would make
+    * every plane an arithmetic progression of its neighbor). SRP only
+    * needs symmetric zero-mean directions — recall vs the Gaussian
+    * planes this replaces is equivalent (pinned in LlmOpsSpec). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nPlanes) { j =>
+      Array.tabulate(dim)(i => planeComponent(j.toLong * dim + i, seed))
+    }
+
+  /** One plane component — the SQL-replicable kernel of [[planes]]. */
+  def planeComponent(g: Long, seed: Long): Double = {
+    val P = 2147483647L
+    val t = g + seed
+    val u = (1103515245L * ((t * t) % P) + 12345L * t) % P
+    u.toDouble / P.toDouble - 0.5
   }
 
   /** Adds an integer `bucket` column: bit i = sign(v . plane_i). */

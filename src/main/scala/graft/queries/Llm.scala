@@ -146,7 +146,42 @@ object Llm {
       Similarity.bruteForceTopK(emb, queries, k = 10)
     },
 
-    QDef.noOracle("llm10_knn_lsh") { (s, dir) =>
+    // full oracle: Similarity.planes is a portable quadratic congruential
+    // formula, so the SAME plane vectors embed here as double literals
+    // (Double.toString = shortest round-trip; DuckDB's parse is correctly
+    // rounded → identical doubles). DuckDB then replays the whole
+    // pipeline: per-plane sign dots → 4-bit bucket, multi-probe as
+    // hamming(bucket, q_bucket) <= 1 (exact bucket + every 1-bit flip),
+    // exact cosine re-rank — bit-for-bit vs the Spark plan
+    QDef("llm10_knn_lsh", {
+      val planeLits = Similarity.planes(4, 64)
+        .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      // DotProduct semantics: fold over least(len) in element order,
+      // 0.0 for an empty range (the expression returns 0.0 before the loop)
+      def planeDot(emb: String, j: Int) =
+        s"CASE WHEN len($emb) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($emb), 64) + 1), i -> CAST($emb[i] AS DOUBLE) * ((${planeLits(j)})[i])), (a, b) -> a + b) END"
+      def bucket(emb: String) = (0 until 4).map(j =>
+        s"(CASE WHEN ${planeDot(emb, j)} >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      def fold(u: String, v: String, a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
+      s"""WITH sig AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket AS qb
+         |  FROM sig WHERE vec_id % 50 = 0),
+         |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
+         |    ${fold("c.embedding", "c.embedding", "c.embedding", "q.q_emb")} AS na,
+         |    ${fold("q.q_emb", "q.q_emb", "c.embedding", "q.q_emb")} AS nb
+         |  FROM sig c, q
+         |  WHERE bit_count(xor(c.bucket, q.qb)) <= 1 AND c.vec_id <> q.query_id),
+         |sim AS (SELECT query_id, neighbor_id,
+         |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+         |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim FROM d)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM sim)
+         |WHERE rank <= 10""".stripMargin
+    }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopK(emb, queries, k = 10, nPlanes = 4)
@@ -182,7 +217,42 @@ object Llm {
         size(TextAnalysis.bpeishTokens(col("text"))).as("n_subwords"))
     },
 
-    QDef.noOracle("llm18_knn_lsh_multitable") { (s, dir) =>
+    // full oracle, same construction as llm10: 8 tables × 4 portable
+    // planes (global plane index t*4+j, matching lshTopKMulti), candidate
+    // iff the pair shares a bucket in ANY table (the Spark side's
+    // explode+join+dropDuplicates ≡ the OR-of-8 here), exact cosine
+    // re-rank over the deduped pair set
+    QDef("llm18_knn_lsh_multitable", {
+      val planeLits = Similarity.planes(32, 64)
+        .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      def planeDot(emb: String, p: Int) =
+        s"CASE WHEN len($emb) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($emb), 64) + 1), i -> CAST($emb[i] AS DOUBLE) * ((${planeLits(p)})[i])), (a, b) -> a + b) END"
+      def tableBucket(emb: String, t: Int) = (0 until 4).map(j =>
+        s"(CASE WHEN ${planeDot(emb, t * 4 + j)} >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      val sigCols = (0 until 8).map(t => s"${tableBucket("embedding", t)} AS b$t").mkString(",\n    ")
+      val anyShared = (0 until 8).map(t => s"c.b$t = q.b$t").mkString(" OR ")
+      def fold(u: String, v: String, a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
+      s"""WITH sig AS (SELECT vec_id, embedding,
+         |    $sigCols
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+         |    b0, b1, b2, b3, b4, b5, b6, b7
+         |  FROM sig WHERE vec_id % 50 = 0),
+         |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
+         |    ${fold("c.embedding", "c.embedding", "c.embedding", "q.q_emb")} AS na,
+         |    ${fold("q.q_emb", "q.q_emb", "c.embedding", "q.q_emb")} AS nb
+         |  FROM sig c, q
+         |  WHERE ($anyShared) AND c.vec_id <> q.query_id),
+         |sim AS (SELECT query_id, neighbor_id,
+         |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+         |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim FROM d)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM sim)
+         |WHERE rank <= 10""".stripMargin
+    }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 8, planesPerTable = 4)
