@@ -18,6 +18,17 @@ object Udfs {
     else if (priority.startsWith("2") || priority.startsWith("3")) 1
     else 2
 
+  /** Distributed count-min-sketch estimation: the ~KB sketch bytes ride
+    * the closure to every executor and deserialize ONCE per executor
+    * (transient lazy), so per-key estimates run as a map over the keys
+    * table instead of a driver-side loop — at 100× the key table can be
+    * millions of rows and never needs to be collected. */
+  class CmsEstimate(bytes: Array[Byte]) extends (Long => Long) with Serializable {
+    @transient private lazy val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    def apply(key: Long): Long = cms.estimateCount(Long.box(key))
+  }
+
   /** Typed Aggregator: bounded top-k heap by (sim desc, id asc) — the
     * SURVEY §7.2 "top-k-per-partition similarity heap". Partial
     * aggregation merges k-bounded buffers, so memory is O(k) per group

@@ -3,6 +3,8 @@ package graft.queries
 import graft.{QDef, Tables}
 import graft.functions.VectorFunctions.{cosine_sim, mod_poly_hash}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operator surface (builder mandate + SURVEY.md §2.D):
@@ -17,6 +19,82 @@ import org.apache.spark.sql.functions._
   * ScalaTest specs (candidate-recall vs brute force, determinism).
   */
 object Llm {
+
+  /** Driver-gate wrapper for the ANN paths whose candidate generation is
+    * NOT SQL-expressible (k-means centroids/codebooks): instead of raw
+    * neighbor lists (hash-dependent → no oracle), the query emits one
+    * row per query vector with invariants the DuckDB oracle CAN assert:
+    *   - n_ret / ranks_ok / sims_desc — result-shape contracts;
+    *   - sims_exact — every reported sim equals the exact cosine of the
+    *     reported (query, neighbor) pair, recomputed from the embeddings
+    *     (catches a re-rank that leaks compressed-domain scores);
+    *   - recall_ok — for the `% 250` checked subset, ≥ ceil(bound·k) of
+    *     the reported neighbors appear in the exact brute-force top-k;
+    *   - exact_top1_sim — for the checked subset, the exact top-1 cosine:
+    *     REAL numeric content the oracle recomputes independently.
+    * Recall itself stays pinned corpus-wide in LlmOpsSpec; this gate runs
+    * the per-query contracts through the driver's hash compare. The
+    * checked subset keeps the brute-force reference a small fraction of
+    * the query load at any SF. */
+  private def annGate(ann: DataFrame, emb: DataFrame, k: Int,
+      minMatches: Int): DataFrame = {
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val nb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    // ann is queries×k rows — broadcast it through both recompute joins
+    val withEmb = nb.join(
+      broadcast(ann.join(broadcast(qe), "query_id")), "neighbor_id")
+    val exact = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") % 50 === 0 && col("vec_id") % 250 === 0), k)
+    val exactTop1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("sim").as("exact_sim1"))
+    val exactSet = exact.select(col("query_id"), col("neighbor_id"))
+      .withColumn("in_exact", lit(1))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val flags = withEmb
+      .withColumn("prev_sim", lag(col("sim"), 1).over(w))
+      .withColumn("desc_ok", coalesce(col("prev_sim") >= col("sim"), lit(true)))
+      .withColumn("exact_ok", col("sim") === cosine_sim(col("q_emb"), col("n_emb")))
+      .join(broadcast(exactSet), Seq("query_id", "neighbor_id"), "left")
+    flags.groupBy(col("query_id")).agg(
+        count(lit(1)).as("n_ret"),
+        (min(col("rank")) === 1 && max(col("rank")) === count(lit(1)) &&
+          countDistinct(col("rank")) === count(lit(1))).as("ranks_ok"),
+        bool_and(col("desc_ok")).as("sims_desc"),
+        bool_and(col("exact_ok")).as("sims_exact"),
+        sum(col("in_exact")).as("n_match"))
+      .join(broadcast(exactTop1), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_ret"), col("ranks_ok"), col("sims_desc"),
+        col("sims_exact"),
+        (col("query_id") % 250 === 0).as("checked"),
+        when(col("query_id") % 250 === 0,
+          coalesce(col("n_match"), lit(0L)) >= minMatches)
+          .otherwise(lit(true)).as("recall_ok"),
+        when(col("query_id") % 250 === 0, col("exact_sim1"))
+          .otherwise(lit(null).cast("double")).as("exact_top1_sim"))
+  }
+
+  /** The DuckDB side of [[annGate]]: shape/contract booleans are
+    * asserted `true`; exact_top1_sim is recomputed from scratch with the
+    * bit-portable cosine fold (same construction as llm09's oracle). */
+  private def annGateOracle(k: Int): String = {
+    def fold(u: String, v: String, a: String, b: String) =
+      s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |d AS (SELECT q.query_id,
+       |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
+       |    ${fold("c.embedding", "c.embedding", "c.embedding", "q.q_emb")} AS na,
+       |    ${fold("q.q_emb", "q.q_emb", "c.embedding", "q.q_emb")} AS nb
+       |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+       |t1 AS (SELECT query_id, max(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+       |    ELSE dot / (sqrt(na) * sqrt(nb)) END) AS exact_sim1
+       |  FROM d GROUP BY query_id)
+       |SELECT q.query_id, CAST($k AS BIGINT) AS n_ret, true AS ranks_ok,
+       |  true AS sims_desc, true AS sims_exact,
+       |  q.query_id % 250 = 0 AS checked, true AS recall_ok,
+       |  CASE WHEN q.query_id % 250 = 0 THEN t1.exact_sim1 ELSE NULL END AS exact_top1_sim
+       |FROM q JOIN t1 USING (query_id)""".stripMargin
+  }
 
   val defs: Seq[QDef] = Seq(
 
@@ -258,29 +336,38 @@ object Llm {
       Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 8, planesPerTable = 4)
     },
 
-    QDef.noOracle("llm16_knn_ivf") { (s, dir) =>
+    // IVF's candidate cells come from k-means (not SQL-expressible), so
+    // the query ships through annGate: per-query shape/exactness/recall
+    // invariants + independently-recomputed exact top-1 sims, all
+    // oracle-hash-matched. minMatches=3 (observed per-query min 5 across
+    // SFs); corpus recall pinned tighter in LlmOpsSpec.
+    QDef("llm16_knn_ivf", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6)
+      annGate(Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6),
+        emb, k = 10, minMatches = 3)
     },
 
     // PQ-compressed ANN with ADC scoring: the corpus searched holds only
     // m=8 codes + a norm per vector (recall vs brute force pinned in
     // LlmOpsSpec)
-    QDef.noOracle("llm41_knn_pq") { (s, dir) =>
+    QDef("llm41_knn_pq", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
+      // minMatches=1 (observed per-query min 2 across SFs — compressed-
+      // domain shortlists are noisier than IVF's float-domain cells)
+      annGate(Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16),
+        emb, k = 10, minMatches = 1)
     },
 
     // IVF-PQ: coarse cells prune candidates AND candidates score in the
     // compressed domain — the composed index a production vector lake
     // ships (recall pinned in LlmOpsSpec)
-    QDef.noOracle("llm42_knn_ivfpq") { (s, dir) =>
+    QDef("llm42_knn_ivfpq", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6,
-        m = 8, ksub = 16)
+      annGate(Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16,
+        nProbe = 6, m = 8, ksub = 16), emb, k = 10, minMatches = 1)
     },
 
     // int8 quantization (Similarity.quantizeInt8): absmax scale + floor

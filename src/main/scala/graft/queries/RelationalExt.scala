@@ -123,12 +123,27 @@ object RelationalExt {
           element_at(map(col("event_type"), col("value")), col("event_type")).as("self_lookup"))
     },
 
-    // approximate aggregates: values are implementation-specific ->
-    // rows-only driver check + bounds asserted in the spec suite
-    QDef.noOracle("q47_approx_aggs") { (s, dir) =>
+    // approximate aggregates: the estimates are implementation-specific,
+    // so the query emits the EXACT reference values (oracle-recomputable
+    // real content) plus error-bound booleans the oracle asserts true —
+    // the invariant is driver-gated, not just spec-pinned. Bounds from
+    // measured error: acd relerr ≤ 2.7% across SFs (HLL++ rsd 5%) →
+    // 10%; approx median sits inside [p40, p60] with wide margin.
+    QDef("q47_approx_aggs",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS acd_ok, true AS amed_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median_price"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("acd"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("amed"),
+          expr("percentile(l_extendedprice, 0.40)").as("p40"),
+          expr("percentile(l_extendedprice, 0.60)").as("p60"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("acd") - col("exact_parts")) <=
+            col("exact_parts").cast("double") * 0.10).as("acd_ok"),
+          (col("amed") >= col("p40") && col("amed") <= col("p60")).as("amed_ok"))
     }
   )
 }

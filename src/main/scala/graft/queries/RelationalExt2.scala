@@ -80,11 +80,31 @@ object RelationalExt2 {
               |           WHERE n_regionkey = r_regionkey)""".stripMargin)
     },
 
-    // TABLESAMPLE is nondeterministic across engines -> rows-only check;
-    // the spec-level invariant is the sample fraction bound
-    QDef.noOracle("q53_sample") { (s, dir) =>
-      t(s, dir, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("l_orderkey"), col("l_linenumber"))
+    // TABLESAMPLE is nondeterministic across engines, so the query emits
+    // the exact source count (real oracle content) plus the sampling
+    // invariants as booleans the oracle asserts: the 10% Bernoulli
+    // sample's size lands in [7%, 13%] (observed 9.95–10.7% across SFs;
+    // ±5σ at the smallest SF stays inside), and without-replacement
+    // never takes a (orderkey, linenumber) key more often than the
+    // source contains it (the key is not unique in this corpus, so the
+    // invariant is per-key multiplicity, not distinctness)
+    QDef("q53_sample",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+        |  true AS frac_ok, true AS mult_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "lineitem")
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val sCnt = src.sample(withReplacement = false, 0.1, seed = 42)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("s_n"))
+      val tCnt = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("t_n"))
+      sCnt.join(tCnt, keys)
+        .agg(sum(col("s_n")).as("n_sampled"),
+          bool_and(col("s_n") <= col("t_n")).as("mult_ok"))
+        .crossJoin(broadcast(src.agg(count(lit(1)).as("n_source"))))
+        .select(col("n_source"),
+          (col("n_sampled") >= col("n_source").cast("double") * 0.07 &&
+            col("n_sampled") <= col("n_source").cast("double") * 0.13).as("frac_ok"),
+          col("mult_ok"))
     },
 
     // LIMIT/OFFSET pagination under a total order (unique key tiebreak
@@ -115,42 +135,101 @@ object RelationalExt2 {
 
     // count-min sketch heavy hitters: one pass builds a ~KB sketch
     // (mergeable across partitions — the 100 TB path: sketch per
-    // partition, merge at the driver, never shuffle raw keys); per-key
-    // estimates are then read from the SKETCH, not the data. Driver-side
-    // work is O(sketch + keys), deterministic via the fixed seed.
-    // No DuckDB analogue -> rows-only check + error-bound spec.
-    QDef.noOracle("q61_heavy_hitters_cms") { (s, dir) =>
-      import s.implicits._
-      val bytes = t(s, dir, "lineitem")
+    // partition, merge at the driver, never shuffle raw keys). Only the
+    // ~KB sketch ever reaches the driver; per-key ESTIMATION is
+    // distributed — a UDF over the closure-captured sketch bytes
+    // (deserialized once per executor via a transient lazy), so there is
+    // no driver-side loop over keys (a dim table today; at 100× it
+    // would be millions of keys). The oracle gate: exact per-key counts
+    // (recomputable real content) + the CMS contracts as booleans —
+    // never underestimates, overestimate ≤ 3·eps·N (measured over = 0
+    // at every SF; eps=0.001).
+    QDef("q61_heavy_hitters_cms",
+      """SELECT s.s_suppkey, CAST(COALESCE(l.n, 0) AS BIGINT) AS exact_items,
+        |  true AS est_ge_exact, true AS est_within_eps
+        |FROM supplier s LEFT JOIN (
+        |  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey) l
+        |ON s.s_suppkey = l.l_suppkey""".stripMargin) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val bytes = li
         .select(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
         .head().getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      val keys = t(s, dir, "supplier").select($"s_suppkey").as[Long].collect().sorted
-      keys.map(k => (k, cms.estimateCount(Long.box(k)))).toSeq
-        .toDF("s_suppkey", "est_items")
+      val est = udf(new graft.functions.Udfs.CmsEstimate(bytes).apply(_: Long))
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_items"))
+      t(s, dir, "supplier").select(col("s_suppkey"))
+        .join(exact, col("s_suppkey") === col("l_suppkey"), "left")
+        .withColumn("exact_items", coalesce(col("exact_items"), lit(0L)))
+        .withColumn("est_items", est(col("s_suppkey")))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("n_total"))))
+        .select(col("s_suppkey"), col("exact_items"),
+          (col("est_items") >= col("exact_items")).as("est_ge_exact"),
+          (col("est_items") - col("exact_items") <=
+            col("n_total").cast("double") * 0.003).as("est_within_eps"))
     },
 
     // KMV theta-style distinct sketch (custom TypedImperativeAggregate,
     // functions.KmvSketchAgg): per-status sketches of the customer-key
     // sets, then union AND intersection estimates computed purely from
     // the stored sketches — the set algebra HLL cannot do. Estimates are
-    // JVM-hash-dependent -> rows-only driver check; the error-bound and
-    // merge-invariance specs live in KmvSketchSpec
-    QDef.noOracle("q62_kmv_distinct") { (s, dir) =>
+    // JVM-hash-dependent, so the query emits the EXACT set sizes
+    // (oracle-recomputable) plus error-bound booleans: direct/union
+    // estimates within 15% relative (measured ≤ 5.4% across SFs at
+    // k=1024, rse ≈ 3.1%), intersection within 15% of the UNION size
+    // (the theta-sketch error model — intersection error scales with
+    // the union). Merge-invariance and tighter bounds: KmvSketchSpec.
+    QDef("q62_kmv_distinct",
+      """WITH d AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS ck FROM orders),
+        |e AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS exact FROM d GROUP BY st),
+        |i AS (SELECT x.st AS status_a, y.st AS status_b,
+        |    CAST(COUNT(*) AS BIGINT) AS exact_int
+        |  FROM d x JOIN d y ON x.ck = y.ck AND x.st < y.st GROUP BY 1, 2)
+        |SELECT ea.st AS status_a, eb.st AS status_b,
+        |  ea.exact AS exact_a, eb.exact AS exact_b,
+        |  ea.exact + eb.exact - COALESCE(i.exact_int, 0) AS exact_union,
+        |  COALESCE(i.exact_int, 0) AS exact_int,
+        |  true AS est_a_ok, true AS est_b_ok,
+        |  true AS est_union_ok, true AS est_int_ok
+        |FROM e ea JOIN e eb ON ea.st < eb.st
+        |LEFT JOIN i ON i.status_a = ea.st AND i.status_b = eb.st""".stripMargin) { (s, dir) =>
       import graft.functions.VectorFunctions._
       val k = 1024
-      val sk = t(s, dir, "orders")
-        .groupBy(col("o_orderstatus"))
+      val orders = t(s, dir, "orders")
+      val sk = orders.groupBy(col("o_orderstatus"))
         .agg(kmv_sketch(col("o_custkey"), k).as("sk"))
       val a = sk.select(col("o_orderstatus").as("status_a"), col("sk").as("sk_a"))
       val b = sk.select(col("o_orderstatus").as("status_b"), col("sk").as("sk_b"))
-      a.join(b, col("status_a") < col("status_b"))
+      val ests = a.join(b, col("status_a") < col("status_b"))
         .select(col("status_a"), col("status_b"),
           kmv_estimate(col("sk_a"), k).as("est_a"),
           kmv_estimate(col("sk_b"), k).as("est_b"),
           kmv_estimate(kmv_merge(col("sk_a"), col("sk_b"), k), k).as("est_union"),
-          kmv_intersect_estimate(col("sk_a"), col("sk_b"), k).as("est_intersect"))
+          kmv_intersect_estimate(col("sk_a"), col("sk_b"), k).as("est_int"))
+      val dd = orders.select(col("o_orderstatus").as("st"),
+        col("o_custkey").as("ck")).distinct()
+      val ex = dd.groupBy(col("st")).agg(count(lit(1)).as("exact"))
+      val inter = dd.as("x")
+        .join(dd.as("y"), col("x.ck") === col("y.ck") && col("x.st") < col("y.st"))
+        .groupBy(col("x.st").as("ia"), col("y.st").as("ib"))
+        .agg(count(lit(1)).as("exact_int"))
+      ests
+        .join(broadcast(ex.select(col("st").as("status_a"), col("exact").as("exact_a"))),
+          "status_a")
+        .join(broadcast(ex.select(col("st").as("status_b"), col("exact").as("exact_b"))),
+          "status_b")
+        .join(broadcast(inter),
+          col("status_a") === col("ia") && col("status_b") === col("ib"), "left")
+        .withColumn("exact_int", coalesce(col("exact_int"), lit(0L)))
+        .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_int"))
+        .select(col("status_a"), col("status_b"), col("exact_a"), col("exact_b"),
+          col("exact_union"), col("exact_int"),
+          (abs(col("est_a") - col("exact_a")) <=
+            col("exact_a").cast("double") * 0.15).as("est_a_ok"),
+          (abs(col("est_b") - col("exact_b")) <=
+            col("exact_b").cast("double") * 0.15).as("est_b_ok"),
+          (abs(col("est_union") - col("exact_union")) <=
+            col("exact_union").cast("double") * 0.15).as("est_union_ok"),
+          (abs(col("est_int") - col("exact_int")) <=
+            col("exact_union").cast("double") * 0.15).as("est_int_ok"))
     },
 
     // sink surface: write csv/json/orc, read back, aggregate — the

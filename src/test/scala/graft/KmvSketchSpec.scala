@@ -70,18 +70,17 @@ class KmvSketchSpec extends SparkTestBase {
     assert(est == 2.0)
   }
 
-  test("q62 query shape: pairwise status rows with positive estimates") {
+  test("q62 query shape: pairwise exact set algebra + in-bound estimates") {
     val out = SparkEntry.queries("q62_kmv_distinct")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val (estA, estB, estU, estI) =
-        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
-      assert(estU <= estA + estB + 1e-9)
-      assert(estU >= math.max(estA, estB) - 1e-9)
-      // the ratio estimator has its own noise — allow 15% headroom over
-      // the hard set-algebra bound
-      assert(estI >= 0.0 && estI <= math.min(estA, estB) * 1.15 + 1e-9)
+      val (exA, exB, exU, exI) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(exU == exA + exB - exI, "inclusion-exclusion must hold exactly")
+      assert(exU >= math.max(exA, exB) && exI <= math.min(exA, exB))
+      // every estimate-error invariant the oracle gates on must be true
+      (6 to 9).foreach(i => assert(r.getBoolean(i), s"estimate bound $i violated"))
     }
   }
 }

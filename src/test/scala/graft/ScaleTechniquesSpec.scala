@@ -53,9 +53,11 @@ class ScaleTechniquesSpec extends SparkTestBase {
   test("seeded sample lands near the requested fraction") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val total = li.count()
-    val sampled = graft.SparkEntry.queries("q53_sample")(spark, "/root/testdata/sf0.001").count()
-    val frac = sampled.toDouble / total
-    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac far from 0.1")
+    val row = graft.SparkEntry.queries("q53_sample")(spark, "/root/testdata/sf0.001").head()
+    assert(row.getLong(row.fieldIndex("n_source")) == total)
+    assert(row.getBoolean(row.fieldIndex("frac_ok")), "sample fraction outside [7%, 13%]")
+    assert(row.getBoolean(row.fieldIndex("mult_ok")),
+      "sample took a key more often than the source contains it")
   }
 
   test("salted left join preserves unmatched rows") {
