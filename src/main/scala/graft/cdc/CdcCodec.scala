@@ -43,8 +43,11 @@ object CdcCodec {
   final case class TableMap(tableId: Long, db: String, table: String, schema: StructType)
 
   /** One decoded change-row in Catalyst-internal value representation
-    * (UTF8String / micros-long / Decimal / …), envelope included. */
-  final case class CdcRow(op: Int, gtid: Long, tmMicros: Long, values: Array[Any])
+    * (UTF8String / micros-long / Decimal / …), envelope included.
+    * `sourceId` is the originating server's identity from the GTID event
+    * (UTF8String — it lands directly in an InternalRow). */
+  final case class CdcRow(op: Int, gtid: Long, tmMicros: Long,
+      sourceId: UTF8String, values: Array[Any])
 
   // ---------------------------------------------------------------- writer
 
@@ -101,11 +104,16 @@ object CdcCodec {
       }
     }
 
-    def gtid(tsMs: Long, gno: Long): Unit = {
+    /** GTID event = gno + the originating server's id (the full MySQL
+      * `server_uuid:gno` identity; the reference keeps only the gno —
+      * binlog_table_reader.h:32). Readers tolerate the old 8-byte
+      * payload by synthesizing [[CdcSchema.AnonymousSourceId]]. */
+    def gtid(tsMs: Long, gno: Long,
+        sourceId: String = CdcSchema.AnonymousSourceId): Unit = {
       if (gno < minGtid) minGtid = gno
       if (gno > maxGtid) maxGtid = gno
       currentGtid = gno
-      event(EventType.Gtid, tsMs)(_.writeLong(gno))
+      event(EventType.Gtid, tsMs) { d => d.writeLong(gno); writeStr(d, sourceId) }
     }
 
     def writeRows(tsMs: Long, tableId: Long, schema: StructType, rows: Seq[Array[Any]]): Unit =
@@ -326,6 +334,8 @@ object CdcCodec {
       expectedSchema: Option[StructType] = None) {
     private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
     private var currentGtid: Long = 0L
+    private var currentSourceId: UTF8String =
+      UTF8String.fromString(CdcSchema.AnonymousSourceId)
 
     def decode(ev: RawEvent): Seq[CdcRow] = {
       val d = new DataInputStream(new java.io.ByteArrayInputStream(ev.payload))
@@ -370,7 +380,14 @@ object CdcCodec {
           tableMaps(tableId) = TableMap(tableId, db, table, schema)
           Nil
         case EventType.Gtid =>
-          currentGtid = d.readLong(); Nil
+          currentGtid = d.readLong()
+          // legacy 8-byte payloads (pre-source-id logs) synthesize the
+          // anonymous id; the payload is self-delimiting so the length
+          // check is exact, not a guess
+          currentSourceId =
+            if (ev.payload.length > 8) UTF8String.fromString(readStr(d))
+            else UTF8String.fromString(CdcSchema.AnonymousSourceId)
+          Nil
         case EventType.WriteRows =>
           rowsFor(d, ev) { (schema, tm) =>
             readRows(d, schema).map(envelope(_, CdcSchema.Op.Insert, tm))
@@ -473,7 +490,7 @@ object CdcCodec {
           System.arraycopy(vals, 0, out, 0, vals.length)
           out
         } else vals
-      CdcRow(op, currentGtid, tmMicros, padded)
+      CdcRow(op, currentGtid, tmMicros, currentSourceId, padded)
     }
 
     private def readStr(d: DataInputStream): String = {

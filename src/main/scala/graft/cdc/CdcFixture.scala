@@ -37,15 +37,23 @@ object CdcFixture {
   val AuditTableId = 2L
   val NotesTableId = 3L
   val NumFiles = 4
+  /** The single-source log's server identity (appears as `__source_id`
+    * on every row; constant in the oracles). */
+  val SourceId = "11111111-1111-1111-1111-111111111111"
+  /** The multi-source log's two servers — their gno sequences COLLIDE
+    * numerically (both start at 0), which is the whole point of cdc19. */
+  val SourceA = "aaaaaaaa-0000-0000-0000-000000000001"
+  val SourceB = "bbbbbbbb-0000-0000-0000-000000000002"
 
   private val cache = mutable.Map.empty[String, String]
+  private val cacheMs = mutable.Map.empty[String, String]
 
   /** Idempotently generate the CDC log for sfDir; returns index file path. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(sfDir, {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      // v2: includes the nullable notes table + pruning sidecars
-      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc2-$tag")
+      // v3: GTID events carry the source id
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc3-$tag")
       val index = dir.resolve("binlog.index")
       val done = dir.resolve("_SUCCESS")
       if (!Files.exists(done)) {
@@ -55,6 +63,65 @@ object CdcFixture {
       }
       index.toString
     })
+  }
+
+  /** Multi-source replication log: two servers write interleaved
+    * transactions into ONE log, each with its own gno sequence starting
+    * at 0 — the collision the bare-gno identity cannot resolve. Source A
+    * inserts the `o_orderkey % 4 == 1` orders, source B the `% 4 == 3`
+    * ones, both in key order, batches of 10, gno = batch index;
+    * event time = BaseMs + (2·gno + [src==B]) seconds. Everything is a
+    * pure function of orders.parquet, so cdc19's oracle reconstructs it
+    * in SQL. */
+  def ensureMultiSource(spark: SparkSession, sfDir: String): String = synchronized {
+    cacheMs.getOrElseUpdate(sfDir, {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdcms-$tag")
+      val index = dir.resolve("binlog.index")
+      val done = dir.resolve("_SUCCESS")
+      if (!Files.exists(done)) {
+        Files.createDirectories(dir)
+        generateMultiSource(spark, sfDir, dir.toString)
+        Files.createFile(done)
+      }
+      index.toString
+    })
+  }
+
+  private def generateMultiSource(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val keyIdx = schema.fieldIndex("o_orderkey")
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map { i =>
+        schema.fields(i).dataType match {
+          case TimestampType =>
+            DateTimeUtils.fromJavaTimestamp(r.getAs[java.sql.Timestamp](i))
+          case TimestampNTZType =>
+            DateTimeUtils.localDateTimeToMicros(r.getAs[java.time.LocalDateTime](i))
+          case _ => r.get(i)
+        }
+      }.toArray[Any])
+      .sortBy(_(keyIdx).asInstanceOf[Long])
+    def batchesOf(residue: Long): Seq[(Long, Seq[Array[Any]])] =
+      rows.filter(_(keyIdx).asInstanceOf[Long] % 4 == residue)
+        .grouped(10).zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) }.toSeq
+    val a = batchesOf(1L).map(("A", _))
+    val b = batchesOf(3L).map(("B", _))
+    // strict interleave A,B,A,B... then whichever source has more batches
+    val interleaved = a.zip(b).flatMap { case (x, y) => Seq(x, y) } ++
+      (if (a.length > b.length) a.drop(b.length) else b.drop(a.length))
+    val w = new CdcCodec.LogWriter(s"$outDir/binlog.000000")
+    try {
+      w.tableMap(BaseMs, TableId, Db, Table, schema)
+      interleaved.foreach { case (src, (gno, batch)) =>
+        val ts = BaseMs + (2 * gno + (if (src == "B") 1 else 0)) * 1000L
+        w.gtid(ts, gno, if (src == "A") SourceA else SourceB)
+        w.writeRows(ts, TableId, schema, batch)
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
   }
 
   private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
@@ -133,7 +200,7 @@ object CdcFixture {
         w.tableMap(t0, NotesTableId, Db, "notes", notesSchema)
         chunk.foreach { txn =>
           val t = ts(txn.gno)
-          w.gtid(t, txn.gno)
+          w.gtid(t, txn.gno, SourceId)
           txn match {
             case Ins(_, batch) => w.writeRows(t, TableId, schema, batch)
             case Upd(_, b, a) => w.updateRows(t, TableId, schema, Seq((b, a)))

@@ -25,11 +25,24 @@ object CdcSchema {
   val OpCol = "__op"
   val GtidCol = "__gtid"
   val TmCol = "__tm"
+  /** Source-server identity — the half of the MySQL GTID
+    * (`server_uuid:gno`) the reference drops (binlog_table_reader.h:32
+    * keeps only the bare gno; its commented-out PREVIOUS_GTIDS handling
+    * at binlog_table_reader.cc:418-425 never landed). Without it, two
+    * sources' gno sequences collide and `__gtid`-based dedup/offsets
+    * silently interleave in multi-source replication (cdc19's oracle
+    * proves the collision and its resolution). */
+  val SourceIdCol = "__source_id"
+
+  /** The source id synthesized for GTID events that predate the
+    * source-id field (MySQL's anonymous-GTID analogue). */
+  val AnonymousSourceId = "00000000-0000-0000-0000-000000000000"
 
   val envelope: Seq[StructField] = Seq(
     StructField(OpCol, IntegerType, nullable = false),
     StructField(GtidCol, LongType, nullable = false),
-    StructField(TmCol, TimestampNTZType, nullable = false))
+    StructField(TmCol, TimestampNTZType, nullable = false),
+    StructField(SourceIdCol, StringType, nullable = false))
 
   /** CDC table schema = source columns (binlog column order) + envelope. */
   def withEnvelope(source: StructType): StructType =

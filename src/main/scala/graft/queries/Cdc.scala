@@ -35,7 +35,8 @@ object Cdc {
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1, o_orderdate, o_orderpriority,
       |         0 AS __op, 2000000 + idx AS __gtid FROM ord WHERE o_orderkey % 100 = 0
       |), cdc_tm AS (
-      |  SELECT *, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(__gtid) AS __tm FROM cdc
+      |  SELECT *, TIMESTAMP '2024-01-01 00:00:00' + to_seconds(__gtid) AS __tm,
+      |    '""".stripMargin + CdcFixture.SourceId + """' AS __source_id FROM cdc
       |)""".stripMargin
 
   def scan(s: SparkSession, dir: String): DataFrame = {
@@ -154,9 +155,12 @@ object Cdc {
     * ever happens. Strictly better than the window-function formulation
     * (sort + WindowGroupLimit) at any scale; both yield identical rows
     * (see latestImageWindow + the equivalence spec). */
+  /** Every envelope column by name — so compaction stays correct when
+    * the envelope grows (it did: __source_id). */
+  private val envelopeNames: Set[String] = CdcSchema.envelope.map(_.name).toSet
+
   def latestImage(cdc: DataFrame, pk: Seq[String]): DataFrame = {
-    val dataCols = cdc.columns.filterNot(c =>
-      c == CdcSchema.OpCol || c == CdcSchema.GtidCol || c == CdcSchema.TmCol)
+    val dataCols = cdc.columns.filterNot(envelopeNames)
     val image = struct((dataCols.toIndexedSeq.map(col) :+ col(CdcSchema.OpCol).as("__last_op")): _*)
     val order = struct(col(CdcSchema.GtidCol), col(CdcSchema.OpCol))
     val winner = cdc.filter(col("__op") =!= CdcSchema.Op.UpdateBefore)
@@ -187,6 +191,6 @@ object Cdc {
     cdc.filter(col("__op") =!= CdcSchema.Op.UpdateBefore)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") =!= CdcSchema.Op.Delete)
-      .drop("__rn", CdcSchema.OpCol, CdcSchema.GtidCol, CdcSchema.TmCol)
+      .drop("__rn" +: envelopeNames.toSeq: _*)
   }
 }

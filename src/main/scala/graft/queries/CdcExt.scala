@@ -158,6 +158,58 @@ object CdcExt {
           min(col(CdcSchema.TmCol)).as("tm"))
     },
 
+    // multi-source replication identity (closes the reference's GTID gap:
+    // binlog_table_reader.h:32 keeps only the bare gno; the commented-out
+    // PREVIOUS_GTIDS block at binlog_table_reader.cc:418-425 never landed).
+    // Two servers write one log, gno sequences both starting at 0 — the
+    // per-source rows prove __source_id separates them, and the two
+    // global counts prove the collision is real and resolved: distinct
+    // bare gnos < distinct (source, gno) pairs, so any dedup/offset
+    // tracking keyed on bare __gtid WOULD silently merge transactions.
+    QDef("cdc19_multi_source_identity",
+      s"""WITH a AS (
+         |  SELECT o_orderkey,
+         |    (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 10 AS gno
+         |  FROM orders WHERE o_orderkey % 4 = 1),
+         |b AS (
+         |  SELECT o_orderkey,
+         |    (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 10 AS gno
+         |  FROM orders WHERE o_orderkey % 4 = 3),
+         |per AS (
+         |  SELECT '${CdcFixture.SourceA}' AS __source_id, COUNT(*) AS n_rows,
+         |    CAST(COUNT(DISTINCT gno) AS BIGINT) AS n_txns,
+         |    MIN(gno) AS min_gtid, MAX(gno) AS max_gtid,
+         |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+         |  FROM a
+         |  UNION ALL
+         |  SELECT '${CdcFixture.SourceB}', COUNT(*),
+         |    CAST(COUNT(DISTINCT gno) AS BIGINT), MIN(gno), MAX(gno),
+         |    CAST(SUM(o_orderkey) AS BIGINT)
+         |  FROM b),
+         |gl AS (
+         |  SELECT CAST(COUNT(DISTINCT gno) AS BIGINT) AS n_txns_bare,
+         |    CAST(COUNT(DISTINCT (src, gno)) AS BIGINT) AS n_txns_pairs
+         |  FROM (SELECT 'A' AS src, gno FROM a UNION ALL SELECT 'B', gno FROM b))
+         |SELECT per.*, gl.n_txns_bare, gl.n_txns_pairs FROM per, gl""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMultiSource(s, dir)
+      val ms = s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .load()
+      val per = ms.groupBy(col(CdcSchema.SourceIdCol))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(CdcSchema.GtidCol)).as("n_txns"),
+          min(col(CdcSchema.GtidCol)).as("min_gtid"),
+          max(col(CdcSchema.GtidCol)).as("max_gtid"),
+          sum(col("o_orderkey")).as("key_sum"))
+      val glob = ms.agg(
+        countDistinct(col(CdcSchema.GtidCol)).as("n_txns_bare"),
+        countDistinct(col(CdcSchema.SourceIdCol), col(CdcSchema.GtidCol))
+          .as("n_txns_pairs"))
+      per.crossJoin(broadcast(glob))
+    },
+
     // nullable column through the full verified path: NULL bitmap on the
     // wire -> InternalRow null -> parquet null -> DuckDB NULL compare
     QDef("cdc12_nullable_column",

@@ -388,12 +388,13 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
 
   private val sourceWidth = full.length - CdcSchema.envelope.length
   // projection map: required field -> source column index, or negative
-  // envelope codes (-1 __op, -2 __gtid, -3 __tm)
+  // envelope codes (-1 __op, -2 __gtid, -3 __tm, -4 __source_id)
   private val proj: Array[Int] = required.fields.map { f =>
     f.name match {
       case CdcSchema.OpCol => -1
       case CdcSchema.GtidCol => -2
       case CdcSchema.TmCol => -3
+      case CdcSchema.SourceIdCol => -4
       case n =>
         val i = full.fieldIndex(n)
         require(i < sourceWidth, s"unexpected column $n")
@@ -465,6 +466,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
         case -1 => r.op
         case -2 => r.gtid
         case -3 => r.tmMicros
+        case -4 => r.sourceId
         case j => r.values(j)
       }
       i += 1

@@ -42,7 +42,11 @@ class CdcSourceSpec extends SparkTestBase {
   test("batch scan: schema, envelope, op codes, multi-file order") {
     val df = read(writeLog())
     assert(df.schema.fieldNames.toSeq ==
-      Seq("id", "v", "__op", "__gtid", "__tm"))
+      Seq("id", "v", "__op", "__gtid", "__tm", "__source_id"))
+    // a log whose GTID events carry no source id synthesizes the
+    // anonymous identity on every row
+    assert(df.select("__source_id").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(CdcSchema.AnonymousSourceId))
     val rows = df.orderBy("__gtid", "__op", "id").collect()
     assert(rows.length == 7) // 4 ins + 2 upd images + 1 del
     assert(rows.map(_.getInt(2)).toSeq == Seq(1, 1, 1, 1, 2, 3, 0))
@@ -475,5 +479,28 @@ class CdcSourceSpec extends SparkTestBase {
     assert(cdc.filter(col("__op") === 0).count() == nDel)
     val latest = graft.queries.Cdc.latestImage(cdc, Seq("o_orderkey"))
     assert(latest.count() == nOrders - nDel)
+  }
+
+  test("multi-source log: colliding gnos are disjoint under __source_id") {
+    val index = CdcFixture.ensureMultiSource(spark, "/root/testdata/sf0.001")
+    val ms = spark.read.format("binlogcdc").option("indexFile", index)
+      .option("database", CdcFixture.Db).option("table", CdcFixture.Table).load()
+    val bare = ms.select("__gtid").distinct().count()
+    val pairs = ms.select("__source_id", "__gtid").distinct().count()
+    // the fixture's two servers both number transactions from 0: a
+    // consumer keyed on bare __gtid conflates distinct transactions...
+    assert(pairs > bare, s"expected gno collision across sources ($pairs vs $bare)")
+    // ...while (source, gno) keeps every transaction distinct: per-source
+    // txn counts sum exactly to the pair count
+    val perSource = ms.groupBy("__source_id")
+      .agg(countDistinct(col("__gtid")).as("n")).collect()
+    assert(perSource.map(_.getAs[Long]("n")).sum == pairs)
+    assert(perSource.map(_.getString(0)).toSet ==
+      Set(CdcFixture.SourceA, CdcFixture.SourceB))
+    // offsets/dedup proof: a transaction-level dedup on bare gtid loses
+    // rows; on (source, gtid) it is lossless
+    val byBare = ms.dropDuplicates("__gtid").count()
+    val byPair = ms.dropDuplicates("__source_id", "__gtid").count()
+    assert(byBare == bare && byPair == pairs)
   }
 }
