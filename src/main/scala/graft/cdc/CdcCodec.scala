@@ -328,11 +328,27 @@ object CdcCodec {
     *               `needed(i)` is false the value bytes are skipped, not
     *               materialized (Spark's SupportsPushDownRequiredColumns
     *               reaching into the decoder, SURVEY.md §4.3).
+    * @param driftEpochs opt-in schema-drift policy: instead of failing
+    *               loud on a non-additive TABLE_MAP disagreement, each
+    *               TABLE_MAP opens a decode EPOCH mapped onto the query
+    *               schema by name — a column with the same (name, type)
+    *               in both schemas flows through, a renamed / re-typed /
+    *               dropped column reads as null for that epoch's rows,
+    *               and epoch-only columns are byte-skipped. One query
+    *               then spans any ALTER TABLE boundary; the per-epoch
+    *               null semantics are deterministic (cdc20's oracle).
     */
   final class RowDecoder(targetDb: String, targetTable: String,
       needed: Int => Boolean = _ => true,
-      expectedSchema: Option[StructType] = None) {
+      expectedSchema: Option[StructType] = None,
+      driftEpochs: Boolean = false) {
     private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
+    /** Active epoch plan per table id (null entry = identity/additive).
+      * remap(i) = declared index feeding expected source column i, or -1;
+      * declaredNeeded marks declared columns actually consumed. */
+    private final class EpochPlan(val remap: Array[Int],
+      val declaredNeeded: Array[Boolean])
+    private val epochs = scala.collection.mutable.Map.empty[Long, EpochPlan]
     private var currentGtid: Long = 0L
     private var currentSourceId: UTF8String =
       UTF8String.fromString(CdcSchema.AnonymousSourceId)
@@ -370,11 +386,23 @@ object CdcCodec {
               val additive = got.length < expP.length &&
                 expP.take(got.length) == got &&
                 exp.fields.drop(got.length).forall(_.nullable)
-              if (got != expP && !additive)
+              if (got == expP || additive) epochs.remove(tableId)
+              else if (driftEpochs) {
+                val remap = exp.fields.map { ef =>
+                  schema.fields.indexWhere(df =>
+                    df.name == ef.name && df.dataType == ef.dataType)
+                }
+                val dn = new Array[Boolean](schema.length)
+                remap.zipWithIndex.foreach { case (j, i) =>
+                  if (j >= 0 && needed(i)) dn(j) = true
+                }
+                epochs(tableId) = new EpochPlan(remap, dn)
+              } else
                 throw new IllegalStateException(
                   s"schema drift for $db.$table at log offset ${ev.pos}: " +
                     s"stream declares ${schema.simpleString}, query expects ${exp.simpleString}; " +
-                    "restart the query to pick up the new schema")
+                    "restart the query to pick up the new schema " +
+                    "(or read with option schemaDrift=epochs)")
             }
           }
           tableMaps(tableId) = TableMap(tableId, db, table, schema)
@@ -389,25 +417,25 @@ object CdcCodec {
             else UTF8String.fromString(CdcSchema.AnonymousSourceId)
           Nil
         case EventType.WriteRows =>
-          rowsFor(d, ev) { (schema, tm) =>
-            readRows(d, schema).map(envelope(_, CdcSchema.Op.Insert, tm))
+          rowsFor(d, ev) { (schema, tm, plan) =>
+            readRows(d, schema, plan).map(envelope(_, CdcSchema.Op.Insert, tm, plan))
           }
         case EventType.DeleteRows =>
-          rowsFor(d, ev) { (schema, tm) =>
-            readRows(d, schema).map(envelope(_, CdcSchema.Op.Delete, tm))
+          rowsFor(d, ev) { (schema, tm, plan) =>
+            readRows(d, schema, plan).map(envelope(_, CdcSchema.Op.Delete, tm, plan))
           }
         case EventType.UpdateRows =>
-          rowsFor(d, ev) { (schema, tm) =>
+          rowsFor(d, ev) { (schema, tm, plan) =>
             val n = d.readInt()
             (0 until n).flatMap { _ =>
               // the 1→2 flatMap (§1.5): before image then after image —
               // emitted atomically so a micro-batch can never split them
               // (unlike the reference's cross-call stash at
               // binlog_table_reader.cc:385-388).
-              val before = readRow(d, schema)
-              val after = readRow(d, schema)
-              Seq(envelope(before, CdcSchema.Op.UpdateBefore, tm),
-                envelope(after, CdcSchema.Op.UpdateAfter, tm))
+              val before = readRow(d, schema, plan)
+              val after = readRow(d, schema, plan)
+              Seq(envelope(before, CdcSchema.Op.UpdateBefore, tm, plan),
+                envelope(after, CdcSchema.Op.UpdateAfter, tm, plan))
             }
           }
         case _ => Nil // Rotate + unknown: skipped like the ref's default branch
@@ -416,21 +444,24 @@ object CdcCodec {
 
     /** Source-side table-identity predicate (binlog_table_reader.cc:178). */
     private def rowsFor(d: DataInputStream, ev: RawEvent)(
-        f: (StructType, Long) => Seq[CdcRow]): Seq[CdcRow] = {
+        f: (StructType, Long, EpochPlan) => Seq[CdcRow]): Seq[CdcRow] = {
       val tableId = d.readLong()
       tableMaps.get(tableId) match {
         case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
-          f(tm.schema, DateTimeUtils.millisToMicros(ev.tsMs))
+          f(tm.schema, DateTimeUtils.millisToMicros(ev.tsMs),
+            epochs.getOrElse(tableId, null))
         case _ => Nil
       }
     }
 
-    private def readRows(d: DataInputStream, schema: StructType): Seq[Array[Any]] = {
+    private def readRows(d: DataInputStream, schema: StructType,
+        plan: EpochPlan): Seq[Array[Any]] = {
       val n = d.readInt()
-      (0 until n).map(_ => readRow(d, schema))
+      (0 until n).map(_ => readRow(d, schema, plan))
     }
 
-    private def readRow(d: DataInputStream, schema: StructType): Array[Any] = {
+    private def readRow(d: DataInputStream, schema: StructType,
+        plan: EpochPlan): Array[Any] = {
       val n = schema.length
       val nullBits = new Array[Byte]((n + 7) / 8)
       d.readFully(nullBits)
@@ -439,7 +470,10 @@ object CdcCodec {
       while (i < n) {
         val isNull = (nullBits(i / 8) & (1 << (i % 8))) != 0
         if (!isNull) {
-          if (needed(i)) vals(i) = readValue(d, schema(i).dataType)
+          // the row is laid out in the DECLARED (epoch) schema order;
+          // under an epoch plan the mask is over declared columns
+          val want = if (plan != null) plan.declaredNeeded(i) else needed(i)
+          if (want) vals(i) = readValue(d, schema(i).dataType)
           else skipValue(d, schema(i).dataType)
         }
         i += 1
@@ -481,16 +515,28 @@ object CdcCodec {
 
     private val expectedWidth: Int = expectedSchema.map(_.length).getOrElse(-1)
 
-    private def envelope(vals: Array[Any], op: Int, tmMicros: Long): CdcRow = {
-      // additive evolution: rows from pre-ALTER files are narrower than
-      // the query schema — pad the added trailing columns with null
-      val padded =
-        if (expectedWidth > vals.length) {
+    private def envelope(vals: Array[Any], op: Int, tmMicros: Long,
+        plan: EpochPlan): CdcRow = {
+      val shaped =
+        if (plan != null) {
+          // epoch remap: declared-order values land at their same-named
+          // expected positions; unmapped expected columns stay null
+          val out = new Array[Any](expectedWidth)
+          var i = 0
+          while (i < expectedWidth) {
+            val j = plan.remap(i)
+            if (j >= 0) out(i) = vals(j)
+            i += 1
+          }
+          out
+        } else if (expectedWidth > vals.length) {
+          // additive evolution: rows from pre-ALTER files are narrower
+          // than the query schema — pad the added trailing columns null
           val out = new Array[Any](expectedWidth)
           System.arraycopy(vals, 0, out, 0, vals.length)
           out
         } else vals
-      CdcRow(op, currentGtid, tmMicros, currentSourceId, padded)
+      CdcRow(op, currentGtid, tmMicros, currentSourceId, shaped)
     }
 
     private def readStr(d: DataInputStream): String = {

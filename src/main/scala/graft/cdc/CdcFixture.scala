@@ -47,6 +47,7 @@ object CdcFixture {
 
   private val cache = mutable.Map.empty[String, String]
   private val cacheMs = mutable.Map.empty[String, String]
+  private val cacheDr = mutable.Map.empty[String, String]
 
   /** Idempotently generate the CDC log for sfDir; returns index file path. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
@@ -86,6 +87,67 @@ object CdcFixture {
       }
       index.toString
     })
+  }
+
+  /** Schema-drift log: table `graft.evolving` changes shape between the
+    * two files — epoch 1 declares (k, keep, v DOUBLE); epoch 2 renames
+    * `v` to `price` and adds `extra`. Under the default fail-loud policy
+    * this log is unreadable past file 0; with `schemaDrift=epochs` one
+    * query spans both (epoch-1 rows read (k, keep, null, null) against
+    * the newest schema). Pure function of orders.parquet: epoch 1 holds
+    * the `o_orderkey % 50 == 0` keys (gno = row index), epoch 2 the
+    * `% 50 == 25` keys with price = o_totalprice * 2 and extra = key * 3
+    * (gno = 100000 + row index). */
+  def ensureDrifted(spark: SparkSession, sfDir: String): String = synchronized {
+    cacheDr.getOrElseUpdate(sfDir, {
+      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdcdr-$tag")
+      val index = dir.resolve("binlog.index")
+      val done = dir.resolve("_SUCCESS")
+      if (!Files.exists(done)) {
+        Files.createDirectories(dir)
+        generateDrifted(spark, sfDir, dir.toString)
+        Files.createFile(done)
+      }
+      index.toString
+    })
+  }
+
+  val EvolvingTable = "evolving"
+  val EvolvingTableId = 7L
+
+  private def generateDrifted(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val keyPrice = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val s1 = StructType(Seq(StructField("k", LongType),
+      StructField("keep", StringType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("k", LongType),
+      StructField("keep", StringType), StructField("price", DoubleType),
+      StructField("extra", LongType)))
+    val w0 = new CdcCodec.LogWriter(s"$outDir/binlog.000000")
+    try {
+      w0.tableMap(BaseMs, EvolvingTableId, Db, EvolvingTable, s1)
+      keyPrice.filter(_._1 % 50 == 0).zipWithIndex.foreach { case ((k, p), i) =>
+        val ts = BaseMs + i * 1000L
+        w0.gtid(ts, i.toLong, SourceId)
+        w0.writeRows(ts, EvolvingTableId, s1, Seq(Array[Any](k, s"k$k", p)))
+      }
+    } finally w0.close()
+    val w1 = new CdcCodec.LogWriter(s"$outDir/binlog.000001")
+    try {
+      w1.tableMap(BaseMs, EvolvingTableId, Db, EvolvingTable, s2)
+      keyPrice.filter(_._1 % 50 == 25).zipWithIndex.foreach { case ((k, p), i) =>
+        val gno = 100000L + i
+        val ts = BaseMs + gno * 1000L
+        w1.gtid(ts, gno, SourceId)
+        w1.writeRows(ts, EvolvingTableId, s2,
+          Seq(Array[Any](k, s"k$k", p * 2, k * 3)))
+      }
+    } finally w1.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"),
+      "binlog.000000\nbinlog.000001\n")
   }
 
   private def generateMultiSource(spark: SparkSession, sfDir: String,

@@ -210,6 +210,42 @@ object CdcExt {
       per.crossJoin(broadcast(glob))
     },
 
+    // schema-drift epochs end-to-end: the log's table renames a column
+    // and adds another between files; with schemaDrift=epochs one scan
+    // spans the ALTER boundary — epoch-1 rows surface (k, keep, null,
+    // null) against the newest schema, epoch-2 rows carry full values.
+    // The oracle pins the exact per-epoch null semantics (strictly
+    // better than the reference, which silently corrupts on drift via
+    // its TABLE_MAP bug at binlog_table_reader.cc:402-406).
+    QDef("cdc20_schema_drift_epochs",
+      """WITH e1 AS (
+        |  SELECT o_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |e2 AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |  FROM orders WHERE o_orderkey % 50 = 25)
+        |SELECT o_orderkey AS k, 'k' || CAST(o_orderkey AS VARCHAR) AS keep,
+        |  CAST(NULL AS DOUBLE) AS price, CAST(NULL AS BIGINT) AS extra,
+        |  CAST(1 AS INTEGER) AS __op, CAST(idx AS BIGINT) AS __gtid
+        |FROM e1
+        |UNION ALL
+        |SELECT o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR),
+        |  o_totalprice * 2, o_orderkey * 3,
+        |  CAST(1 AS INTEGER), CAST(100000 + idx AS BIGINT)
+        |FROM e2""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureDrifted(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.EvolvingTable)
+        .option("schemaDrift", "epochs")
+        .load()
+        .select(col("k"), col("keep"), col("price"), col("extra"),
+          col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
+    },
+
     // nullable column through the full verified path: NULL bitmap on the
     // wire -> InternalRow null -> parquet null -> DuckDB NULL compare
     QDef("cdc12_nullable_column",

@@ -83,7 +83,13 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
     val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
-    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes)
+    val drift = Option(options.get("schemaDrift")).getOrElse("fail") match {
+      case "fail" => false
+      case "epochs" => true
+      case other => throw new IllegalArgumentException(
+        s"binlogcdc: schemaDrift must be 'fail' or 'epochs', got '$other'")
+    }
+    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift)
   }
 }
 
@@ -91,7 +97,7 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   * are accepted; everything else is returned to Spark (contrast with the
   * reference advertising indexes it cannot serve, SURVEY.md §3.2). */
 class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
     with SupportsPushDownAggregates {
@@ -245,7 +251,7 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
       // Partitions must not re-read ~1M metas, and a sidecar vanishing
       // between push time and plan time must not shift the skip boundary
       new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger,
-        limit, offset.map(o => (o, perFileRows.get)))
+        limit, offset.map(o => (o, perFileRows.get)), driftEpochs)
   }
 }
 
@@ -280,7 +286,8 @@ final case class CdcAggPartition(values: Array[Any]) extends InputPartition
 class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
     maxBytesPerTrigger: Option[Long] = None, limit: Option[Int] = None,
-    offset: Option[(Long, Seq[(String, Long)])] = None)
+    offset: Option[(Long, Seq[(String, Long)])] = None,
+    driftEpochs: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -288,7 +295,7 @@ class CdcScan(indexFile: String, db: String, table: String,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(indexFile, db, table, full, required, filters,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, driftEpochs)
 
   /** Runtime filtering (the DPP analogue for a log source): when the CDC
     * table joins a filtered build side on an envelope column, Spark hands
@@ -347,7 +354,7 @@ class CdcScan(indexFile: String, db: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(db, table, full, required, allFilters, limit)
+    CdcReaderFactory(db, table, full, required, allFilters, limit, driftEpochs)
 
   /** Reference's cost hooks (binlogdb.h:178-187) map to Catalyst stats:
     * sizeInBytes = Σ log-file sizes feeds broadcast decisions. */
@@ -374,16 +381,16 @@ final case class CdcInputPartition(path: String, startPos: Long, endPos: Long,
 
 final case class CdcReaderFactory(db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, driftEpochs: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition],
-      db, table, full, required, filters, limit)
+      db, table, full, required, filters, limit, driftEpochs)
 }
 
 class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, driftEpochs: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val sourceWidth = full.length - CdcSchema.envelope.length
@@ -410,7 +417,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
   private val events = new CdcCodec.EventReader(part.path)
   private val sourceSchema = org.apache.spark.sql.types.StructType(full.fields.take(sourceWidth))
   private val decoder = new CdcCodec.RowDecoder(db, table, i => neededMask(i),
-    expectedSchema = Some(sourceSchema))
+    expectedSchema = Some(sourceSchema), driftEpochs = driftEpochs)
   private var queue: Iterator[CdcCodec.CdcRow] = Iterator.empty
   private var current: InternalRow = _
 
@@ -622,7 +629,7 @@ object EnvelopePredicate {
   * `maxBytesPerTrigger` bounds each micro-batch (admission control). */
 class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Seq[String] = CdcCodec.readIndex(indexFile)
@@ -706,7 +713,7 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(db, table, full, required, filters)
+    CdcReaderFactory(db, table, full, required, filters, driftEpochs = driftEpochs)
 
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()

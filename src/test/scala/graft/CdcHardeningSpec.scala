@@ -73,6 +73,19 @@ class CdcHardeningSpec extends SparkTestBase {
       Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("schema drift"), s"got: $msg")
     assert(msg.contains("offset"), s"got: $msg")
+
+    // ...and the SAME log becomes fully readable with schemaDrift=epochs:
+    // epoch granularity is the TABLE_MAP event (mid-file here), the
+    // re-typed column reads null for the old epoch's rows, the shared
+    // column flows through both
+    val df = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("schemaDrift", "epochs")
+      .load().orderBy("__gtid").collect()
+    assert(df.length == 2)
+    assert(df(0).getLong(0) == 1L && df(0).isNullAt(1)) // v: DOUBLE->STRING => null
+    assert(df(1).getLong(0) == 2L && df(1).getString(1) == "oops")
   }
 
   test("_cdc naming convention: literal suffix required (ref defect #3 fixed)") {
