@@ -62,7 +62,9 @@ object Bench {
     // consumer that only reads `value` — publish a sentinel total
     val total =
       if (anyFailed) -1.0 else results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // runs/warmup declared so a consumer can tell steady-state numbers
+    // from cold single-shots when comparing across rounds
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":2,"warmup":1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
