@@ -98,6 +98,36 @@ object ScaleSmoke {
         s"kept set must be the k smallest priorities (found $below strictly below cutoff)")
     }
 
+    // the composed ANN index at 1M vectors: IVF cells prune + PQ codes
+    // score compressed + exact re-rank — recall vs brute-force ground
+    // truth must clear the spec bound at this scale, not just at the
+    // 2k-vector spec corpus. Synthetic corpus: 10,000 planted clusters (~100 vectors each)
+    // (centers from an integer hash) + per-vector noise, so the coarse
+    // quantizer has real structure to find.
+    val nVec = if (args.length > 2) args(2).toLong else 1000000L
+    timed(s"ivfPqTopK($nVec, k=10)") {
+      val emb = spark.range(nVec).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), j -> CAST(
+          (pmod((id % 10000 + 1) * (j * 31 + 7) * 2654435761, 1000003) / 1000003.0 - 0.5) * 2.0
+          + (pmod((id + 1) * (j * 53 + 11) * 1103515245, 997) / 997.0 - 0.5) * 0.2
+          AS FLOAT))""").as("embedding"))
+      val queries = emb.filter(col("vec_id") % (nVec / 20) === 0)
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      // rerank scales with the corpus: a 160-row shortlist is 0.016% of
+      // 1M — the knob a production index turns as cells grow (the spec
+      // corpus uses the default 4·k)
+      val got = graft.ops.Similarity.ivfPqTopK(emb, queries, k = 10,
+        kClusters = 64, nProbe = 8, m = 8, ksub = 16, rerank = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = got.join(exact, Seq("query_id", "neighbor_id")).count()
+      val total = exact.count()
+      val recall = hits.toDouble / total
+      println(f"SCALE ivfPq recall@10 over $total%d: $recall%.3f")
+      assert(recall >= 0.4,
+        f"IVF-PQ recall@10 at 1M must clear the spec bound 0.4, got $recall%.3f")
+    }
+
     spark.stop()
   }
 }

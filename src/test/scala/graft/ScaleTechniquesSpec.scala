@@ -23,6 +23,51 @@ class ScaleTechniquesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  // --- audited plan shapes, pinned so a Spark/AQE change that regresses
+  // one fails CI instead of surfacing as a bench blip -------------------
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+  private def occurrences(s: String, pat: String): Int =
+    s.sliding(pat.length).count(_ == pat)
+
+  test("q03 plan: every join broadcasts, one agg exchange (audited shape)") {
+    val plan = finalPlan(
+      graft.SparkEntry.queries("q03_join_agg")(spark, "/root/testdata/sf0.001"))
+    assert(occurrences(plan, "BroadcastHashJoin") == 3,
+      s"customer/orders/lineitem/nation must all join broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge expected:\n$plan")
+    assert(occurrences(plan, "Exchange hashpartitioning") == 1,
+      s"exactly the aggregation exchange:\n$plan")
+  }
+
+  test("cdc07 plan: max_by partial agg + broadcast dim, no window (audited shape)") {
+    val plan = finalPlan(
+      graft.SparkEntry.queries("cdc07_current_join_agg")(spark, "/root/testdata/sf0.001"))
+    // latest-image via map-side-combining max_by, never a global window
+    assert(plan.contains("partial_max_by"), s"expected partial max_by:\n$plan")
+    assert(!plan.contains("Window ["), s"window formulation crept back:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"customer must broadcast:\n$plan")
+    assert(occurrences(plan, "Exchange hashpartitioning") == 2,
+      s"one shuffle for the key agg, one for the segment agg:\n$plan")
+  }
+
+  test("llm09 plan: per-partition top-k bounds rows before the shuffle (audited shape)") {
+    val plan = finalPlan(
+      graft.SparkEntry.queries("llm09_knn_brute")(spark, "/root/testdata/sf0.001"))
+    // WindowGroupLimit Partial BEFORE the exchange caps each partition at
+    // k rows per query — the shuffle carries k·queries rows, not the
+    // full corpus×queries cross product
+    assert(plan.contains("row_number(), 10, Partial"),
+      s"expected partial window-group-limit before the shuffle:\n$plan")
+    assert(plan.contains("row_number(), 10, Final"),
+      s"expected final window-group-limit after the shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query set must ride broadcast:\n$plan")
+  }
+
   test("salted join equals plain join") {
     val sfDir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
