@@ -111,4 +111,75 @@ class CdcPropertySpec extends AnyFunSuite {
       compacted == model
     })
   }
+
+  /** Random schema pairs across an ALTER boundary: decode under
+    * driftEpochs must implement exact union-by-name semantics — a column
+    * with the same (name, type) in both epochs round-trips, anything
+    * else reads null for the old epoch's rows, epoch-2 rows round-trip
+    * fully. Covers rename, re-type, drop, reorder, and the additive
+    * prefix (which flows through the pad path) in one property. */
+  test("property: driftEpochs decode is exact union-by-name over random schema pairs") {
+    val names = Vector("a", "b", "c", "d", "e")
+    val genEpochSchema: Gen[StructType] = for {
+      subset <- Gen.someOf(names).suchThat(_.nonEmpty)
+      // permutation via generated sort keys (covers column reorder)
+      keys <- Gen.listOfN(subset.size, Gen.chooseNum(0, 1000000))
+      types <- Gen.listOfN(subset.size, Gen.oneOf(LongType: DataType, StringType: DataType))
+    } yield {
+      val picked = subset.toList.zip(keys).sortBy(_._2).map(_._1)
+      StructType(picked.zip(types).map { case (n, t) => StructField(n, t) })
+    }
+
+    def genRow(s: StructType): Gen[Array[Any]] =
+      Gen.sequence[List[Any], Any](s.fields.toList.map {
+        case StructField(_, LongType, _, _) =>
+          Gen.chooseNum(-1000L, 1000L).map(x => x: Any)
+        case f =>
+          Gen.alphaStr.map(x => UTF8String.fromString(x.take(8)): Any)
+      }).map(_.toArray)
+
+    val genCase = for {
+      s1 <- genEpochSchema
+      s2 <- genEpochSchema
+      rows1 <- Gen.nonEmptyListOf(genRow(s1))
+      rows2 <- Gen.nonEmptyListOf(genRow(s2))
+    } yield (s1, s2, rows1, rows2)
+
+    check(Prop.forAll(genCase) { case (s1, s2, rows1, rows2) =>
+      val dir = Files.createTempDirectory("cdc-epoch-prop").toString
+      val f = s"$dir/log.0"
+      val w = new CdcCodec.LogWriter(f)
+      w.tableMap(0L, 1L, "db", "t", s1)
+      rows1.zipWithIndex.foreach { case (row, i) =>
+        w.gtid(i.toLong, i.toLong); w.writeRows(i.toLong, 1L, s1, Seq(row))
+      }
+      w.tableMap(0L, 1L, "db", "t", s2)
+      rows2.zipWithIndex.foreach { case (row, i) =>
+        val g = 1000L + i
+        w.gtid(g, g); w.writeRows(g, 1L, s2, Seq(row))
+      }
+      w.close()
+      val r = new CdcCodec.EventReader(f)
+      val dec = new CdcCodec.RowDecoder("db", "t",
+        expectedSchema = Some(s2), driftEpochs = true)
+      val got = try r.flatMap(dec.decode).toList finally r.close()
+
+      // model: epoch-1 rows remap by (name, type); epoch-2 rows identity
+      val expected1 = rows1.map { row =>
+        s2.fields.map { ef =>
+          s1.fields.indexWhere(df => df.name == ef.name && df.dataType == ef.dataType) match {
+            case -1 => null
+            case j => row(j)
+          }
+        }
+      }
+      got.length == rows1.length + rows2.length &&
+        got.take(rows1.length).zip(expected1).forall { case (g, want) =>
+          s2.indices.forall(i => sameVal(g.values(i), want(i)))
+        } &&
+        got.drop(rows1.length).zip(rows2).forall { case (g, want) =>
+          s2.indices.forall(i => sameVal(g.values(i), want(i)))
+        }
+    })
+  }
 }
