@@ -431,7 +431,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
     while (true) {
       while (queue.hasNext) {
         val r = queue.next()
-        if (predicate(r.op, r.gtid, r.tmMicros)) {
+        if (predicate(r.op, r.gtid, r.tmMicros, r.sourceId)) {
           // pushed OFFSET residual: the boundary file discards its part
           // of the skipped prefix without materializing rows
           if (skipped < part.skipRows) skipped += 1
@@ -545,19 +545,23 @@ object EnvelopePredicate {
       case _ => true // Not(...), IsNotNull, unknown: keep the file
     }
   }
-  private val cols = Set(CdcSchema.OpCol, CdcSchema.GtidCol, CdcSchema.TmCol)
+  private val numCols = Set(CdcSchema.OpCol, CdcSchema.GtidCol, CdcSchema.TmCol)
+  // __source_id: equality/membership only (a lexicographic range over
+  // server uuids is meaningless); sidecars carry no per-source bounds,
+  // so these filter ROWS in the decoder and never prune files
+  private def eqCols(a: String): Boolean = numCols(a) || a == CdcSchema.SourceIdCol
 
   def supports(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => cols(a)
-    case GreaterThan(a, _) => cols(a)
-    case GreaterThanOrEqual(a, _) => cols(a)
-    case LessThan(a, _) => cols(a)
-    case LessThanOrEqual(a, _) => cols(a)
-    case In(a, _) => cols(a)
+    case EqualTo(a, _) => eqCols(a)
+    case GreaterThan(a, _) => numCols(a)
+    case GreaterThanOrEqual(a, _) => numCols(a)
+    case LessThan(a, _) => numCols(a)
+    case LessThanOrEqual(a, _) => numCols(a)
+    case In(a, _) => eqCols(a)
     case And(l, r) => supports(l) && supports(r)
     case Or(l, r) => supports(l) && supports(r)
     case Not(c) => supports(c)
-    case IsNotNull(a) => cols(a) // envelope cols are never null
+    case IsNotNull(a) => eqCols(a) // envelope cols are never null
     case _ => false
   }
 
@@ -577,13 +581,26 @@ object EnvelopePredicate {
     case other => throw new IllegalArgumentException(s"bad numeric literal: $other")
   }
 
-  def compile(filters: Array[Filter]): (Int, Long, Long) => Boolean = {
-    if (filters.isEmpty) return (_, _, _) => true
+  /** Row predicate over the full envelope: (op, gtid, tmMicros, sourceId). */
+  type Pred = (Int, Long, Long, org.apache.spark.unsafe.types.UTF8String) => Boolean
+
+  def compile(filters: Array[Filter]): Pred = {
+    if (filters.isEmpty) return (_, _, _, _) => true
     val ps = filters.map(one)
-    (op, gtid, tm) => ps.forall(_(op, gtid, tm))
+    (op, gtid, tm, src) => ps.forall(_(op, gtid, tm, src))
   }
 
-  private def one(f: Filter): (Int, Long, Long) => Boolean = f match {
+  private def utf8(v: Any): org.apache.spark.unsafe.types.UTF8String = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => u
+    case other => throw new IllegalArgumentException(s"bad __source_id literal: $other")
+  }
+
+  private def one(f: Filter): Pred = f match {
+    case EqualTo(CdcSchema.SourceIdCol, v) =>
+      val rhs = utf8(v); (_, _, _, s) => rhs == s
+    case In(CdcSchema.SourceIdCol, vs) =>
+      val set = vs.map(utf8).toSet; (_, _, _, s) => set.contains(s)
     case EqualTo(a, v) => cmp(a, v, _ == _)
     case GreaterThan(a, v) => cmp(a, v, _ > _)
     case GreaterThanOrEqual(a, v) => cmp(a, v, _ >= _)
@@ -594,14 +611,14 @@ object EnvelopePredicate {
         case CdcSchema.TmCol => vs.map(toMicros).toSet
         case _ => vs.map(num).toSet
       }
-      sel(a) match { case get => (op, g, t) => set.contains(get(op, g, t)) }
+      sel(a) match { case get => (op, g, t, _) => set.contains(get(op, g, t)) }
     case And(l, r) =>
-      val (pl, pr) = (one(l), one(r)); (o, g, t) => pl(o, g, t) && pr(o, g, t)
+      val (pl, pr) = (one(l), one(r)); (o, g, t, s) => pl(o, g, t, s) && pr(o, g, t, s)
     case Or(l, r) =>
-      val (pl, pr) = (one(l), one(r)); (o, g, t) => pl(o, g, t) || pr(o, g, t)
+      val (pl, pr) = (one(l), one(r)); (o, g, t, s) => pl(o, g, t, s) || pr(o, g, t, s)
     case Not(c) =>
-      val p = one(c); (o, g, t) => !p(o, g, t)
-    case IsNotNull(_) => (_, _, _) => true
+      val p = one(c); (o, g, t, s) => !p(o, g, t, s)
+    case IsNotNull(_) => (_, _, _, _) => true
     case other => throw new IllegalArgumentException(s"unsupported pushed filter: $other")
   }
 
@@ -611,13 +628,13 @@ object EnvelopePredicate {
     case CdcSchema.TmCol => (_, _, t) => t
   }
 
-  private def cmp(a: String, v: Any, op: (Long, Long) => Boolean): (Int, Long, Long) => Boolean = {
+  private def cmp(a: String, v: Any, op: (Long, Long) => Boolean): Pred = {
     val rhs = a match {
       case CdcSchema.TmCol => toMicros(v)
       case _ => num(v)
     }
     val get = sel(a)
-    (o, g, t) => op(get(o, g, t), rhs)
+    (o, g, t, _) => op(get(o, g, t), rhs)
   }
 }
 

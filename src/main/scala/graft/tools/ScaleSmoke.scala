@@ -128,6 +128,60 @@ object ScaleSmoke {
         f"IVF-PQ recall@10 at 1M must clear the spec bound 0.4, got $recall%.3f")
     }
 
+    // CDC decode throughput: a synthetic 8-file log scanned end-to-end
+    // through the DSv2 source with full row decode (sum(id) defeats the
+    // sidecar aggregate pushdown on purpose — this measures the decoder,
+    // not the metadata path). The single-node MB/s here is the number
+    // comparable to the reference's one-thread Volcano scan; files are
+    // the unit of parallelism.
+    val nCdc = if (args.length > 3) args(3).toLong else 4000000L
+    timed(s"cdcDecodeScan($nCdc)") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("cdc-scale").toString
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", DoubleType), StructField("s", StringType)))
+      val nFiles = 8
+      val perFile = nCdc / nFiles
+      val gen = timed(s"cdcLogGen($nCdc)") {
+        var id = 0L
+        (0 until nFiles).foreach { fi =>
+          val w = new graft.cdc.CdcCodec.LogWriter(f"$dir/b.$fi%06d")
+          try {
+            w.tableMap(0L, 1L, "db", "big", schema)
+            var written = 0L
+            val batch = new Array[Array[Any]](100)
+            while (written < perFile) {
+              val n = math.min(100L, perFile - written).toInt
+              var j = 0
+              while (j < n) {
+                batch(j) = Array[Any](id, id * 0.5, s"r$id"); id += 1; j += 1
+              }
+              w.gtid(id, id / 100)
+              w.writeRows(id, 1L, schema, batch.take(n).toSeq)
+              written += n
+            }
+          } finally w.close()
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "binlog.index"),
+          (0 until nFiles).map(fi => f"b.$fi%06d").mkString("", "\n", "\n"))
+        (0 until nFiles).map(fi => new java.io.File(f"$dir/b.$fi%06d").length()).sum
+      }
+      val df = spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "big").load()
+      val t0 = System.nanoTime()
+      val row = df.agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val total = nFiles * perFile
+      assert(row.getLong(1) == total, s"decoded ${row.getLong(1)} of $total rows")
+      assert(row.getLong(0) == total * (total - 1) / 2, "decoded ids must sum exactly")
+      println(f"SCALE cdcDecode: ${total / secs / 1e6}%.2f Mrows/s, ${gen / secs / 1e6}%.0f MB/s over $nFiles files")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+
     spark.stop()
   }
 }

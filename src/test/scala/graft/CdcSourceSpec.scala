@@ -502,5 +502,16 @@ class CdcSourceSpec extends SparkTestBase {
     val byBare = ms.dropDuplicates("__gtid").count()
     val byPair = ms.dropDuplicates("__source_id", "__gtid").count()
     assert(byBare == bare && byPair == pairs)
+
+    // "one source's stream": the equality filter is accepted for row-level
+    // pushdown (decoded rows from the other server never leave the
+    // source), and equals the unpushed filter result
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    assert(graft.sources.EnvelopePredicate.supports(EqualTo("__source_id", "x")))
+    // uuid ranges are meaningless -> ranges decline (Spark evaluates above)
+    assert(!graft.sources.EnvelopePredicate.supports(GreaterThan("__source_id", "x")))
+    val onlyA = ms.filter(col("__source_id") === CdcFixture.SourceA)
+    val expectA = ms.collect().count(_.getAs[String]("__source_id") == CdcFixture.SourceA)
+    assert(onlyA.count() == expectA && expectA > 0)
   }
 }

@@ -53,7 +53,10 @@ class PruningPropertySpec extends AnyFunSuite {
       else {
         val rowPred = EnvelopePredicate.compile(filters)
         // tm fixed mid-box (gtid filters are what we generate)
-        gtids.zip(ops).forall { case (g, op) => !rowPred(op, g, 500000L) }
+        gtids.zip(ops).forall { case (g, op) =>
+          !rowPred(op, g, 500000L,
+            org.apache.spark.unsafe.types.UTF8String.fromString("src"))
+        }
       }
     })
   }
