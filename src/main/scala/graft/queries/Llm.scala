@@ -265,7 +265,31 @@ object Llm {
       Similarity.lshTopK(emb, queries, k = 10, nPlanes = 4)
     },
 
-    QDef.noOracle("llm11_embed_neardup") { (s, dir) =>
+    // full oracle (same portable-plane construction as llm10): SRP
+    // buckets → within-bucket pairs (id_a < id_b) → exact cosine ≥
+    // threshold, replayed bit-for-bit in DuckDB
+    QDef("llm11_embed_neardup", {
+      val planeLits = Similarity.planes(4, 64)
+        .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
+      def planeDot(emb: String, j: Int) =
+        s"CASE WHEN len($emb) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($emb), 64) + 1), i -> CAST($emb[i] AS DOUBLE) * ((${planeLits(j)})[i])), (a, b) -> a + b) END"
+      def bucket(emb: String) = (0 until 4).map(j =>
+        s"(CASE WHEN ${planeDot(emb, j)} >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      def fold(u: String, v: String, a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
+      s"""WITH sig AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+         |  FROM embeddings),
+         |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${fold("a.embedding", "b.embedding", "a.embedding", "b.embedding")} AS dot,
+         |    ${fold("a.embedding", "a.embedding", "a.embedding", "b.embedding")} AS na,
+         |    ${fold("b.embedding", "b.embedding", "a.embedding", "b.embedding")} AS nb
+         |  FROM sig a JOIN sig b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+         |    ELSE dot / (sqrt(na) * sqrt(nb)) END AS cos FROM d)
+         |WHERE cos >= 0.40""".stripMargin
+    }) { (s, dir) =>
       Dedup.embeddingNearDup(Tables.load(s, dir, "embeddings"), "embedding",
         "vec_id", threshold = 0.40, nPlanes = 4)
     },
