@@ -19,7 +19,11 @@ object Bench {
     "q57_asof_join", "q58_range_join_binned",
     "cdc01_scan", "cdc03_latest_image", "cdc07_current_join_agg",
     "str01_window_agg",
-    "llm05_dedup_exact", "llm06_dedup_minhash",
+    // llm08 (LSH candidates + exact verify, end-to-end) replaced llm06
+    // here when llm06 became the oracle-gated recall AUDIT (it now runs
+    // an exact prefix-filter join alongside LSH — measuring that would
+    // misstate the production dedup path's throughput)
+    "llm05_dedup_exact", "llm08_ngram_jaccard",
     "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline",
     "llm22_embed_quantize", "llm27_curriculum_order", "llm30_ngram_topk")
 

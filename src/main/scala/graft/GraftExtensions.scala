@@ -50,6 +50,7 @@ object GraftExtensions {
     entry("cosine_sim", 2) { case Seq(a, b) => CosineSimilarity(a, b) },
     entry("dot_product", 2) { case Seq(a, b) => DotProduct(a, b) },
     entry("simhash64", 1) { case Seq(t) => SimHash64(t) },
+    entry("simhash64_poly", 1) { case Seq(t) => SimHash64Poly(t) },
     entry("rolling_hash", 1) { case Seq(t) => RollingHash(t) },
     entry("mod_poly_hash", 1) { case Seq(t) => ModPolyHash(t) },
     entry("sorted_intersect_count", 2) { case Seq(a, b) => SortedIntersectCount(a, b) },

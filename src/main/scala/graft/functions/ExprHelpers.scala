@@ -48,7 +48,7 @@ object ExprHelpers {
     * h = fold(h * 131 + byte) mod (2^31 - 1). Every intermediate fits in
     * 63 bits, so the identical fold is expressible in DuckDB BIGINT
     * arithmetic — this is the oracle-checkable fingerprint (the xxhash64
-    * prints are JVM-specific and get rows-only checks). */
+    * prints are JVM-specific and are pinned by ScalaTest specs instead). */
   def modPolyHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
@@ -58,6 +58,51 @@ object ExprHelpers {
       i += 1
     }
     h
+  }
+
+  /** Per-token modular polynomial hash with a selectable base — the same
+    * fold as [[modPolyHash]] (mod 2^31-1 over UTF-8 bytes) but
+    * base-parameterized so two independent 31-bit hashes can be combined
+    * into a wider signature. */
+  def polyTokenHash(s: org.apache.spark.unsafe.types.UTF8String, base: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * base + (bytes(i) & 0xFFL)) % 2147483647L
+      i += 1
+    }
+    h
+  }
+
+  /** Oracle-portable SimHash: per token TWO 31-bit modular polynomial
+    * hashes (bases 131 and 137) supply vote bits 0..30 and 31..61; bits
+    * 62-63 stay 0 in every signature (a shared constant, so hamming
+    * distances are unaffected). Every arithmetic step is a BIGINT-safe
+    * fold DuckDB can replay bit-for-bit — this is the variant the oracle
+    * gate checks end-to-end; [[simhash64]] (xxhash64 votes, full 64
+    * bits) remains the production default. */
+  def simhash64Poly(arr: ArrayData): Long = {
+    val tally = new Array[Int](62)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = polyTokenHash(s, 131L)
+        val h2 = polyTokenHash(s, 137L)
+        var j = 0
+        while (j < 31) {
+          if (((h1 >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+          if (((h2 >>> j) & 1L) == 1L) tally(j + 31) += 1 else tally(j + 31) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 62) { if (tally(j) > 0) sig |= (1L << j); j += 1 }
+    sig
   }
 
   /** |A ∩ B| for two SORTED, DISTINCT string arrays via a single merge

@@ -106,6 +106,23 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Oracle-portable SimHash over an array of string tokens: two 31-bit
+  * modular polynomial hashes per token vote on bits 0..61 (see
+  * ExprHelpers.simhash64Poly). DuckDB replays the identical fold, so
+  * signatures — and therefore the hamming-join pair set — are
+  * cross-engine checkable. */
+case class SimHash64Poly(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.simhash64Poly(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ExprHelpers.simhash64Poly($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** MinHash signature over token n-gram shingles, in one pass over the
   * TOKEN array — no shingle strings are ever built. Per token one
   * xxhash64; shingle identity is a positional-polynomial combination of
@@ -186,6 +203,7 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expr(a), expr(b)))
   def simhash64(tokens: Column): Column = column(SimHash64(expr(tokens)))
+  def simhash64_poly(tokens: Column): Column = column(SimHash64Poly(expr(tokens)))
   def rolling_hash(tokens: Column): Column = column(RollingHash(expr(tokens)))
   def mod_poly_hash(text: Column): Column = column(ModPolyHash(expr(text)))
   def sorted_intersect_count(a: Column, b: Column): Column =

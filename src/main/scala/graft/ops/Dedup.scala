@@ -115,9 +115,15 @@ object Dedup {
     * 64 bits guarantees at least one of the 4 chunks is identical, so an
     * equi-join per chunk finds all such pairs sub-quadratically. */
   def simhashNearDup(df: DataFrame, textCol: String, id: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     require(maxHamming <= 3, "chunk pigeonhole holds for maxHamming <= 3")
-    val sig = df.select(col(id), simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    // portable=true swaps the xxhash64 bit votes for the modular
+    // polynomial votes (simhash64_poly) — identical algorithm, but every
+    // signature (and so the full hamming-join pair set) is replayable in
+    // ANSI SQL, which is what lets the oracle gate check this operator
+    // end-to-end rather than rows-only.
+    val sigFn: Column => Column = if (portable) simhash64_poly else simhash64
+    val sig = df.select(col(id), sigFn(TextAnalysis.tokens(col(textCol))).as("sig"))
     val chunked = sig.select(col(id), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftrightunsigned(col("sig"), c * 16)

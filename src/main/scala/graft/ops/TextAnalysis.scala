@@ -102,6 +102,27 @@ object TextAnalysis {
       .drop(tk)
   }
 
+  /** Oracle-portable fingerprints: the same three document prints as
+    * [[fingerprints]] but built from modular-polynomial hashes whose
+    * every intermediate fits in BIGINT, so DuckDB replays each fold
+    * bit-for-bit (the xxhash64 prints above are JVM-specific and can
+    * only be rows-checked). content_fp hashes the raw text (llm21's
+    * fold); rolling_fp folds per-token hashes order-sensitively mod
+    * 2^57 (so h*31 + token never leaves 63 bits); simhash_fp is the
+    * polynomial-vote SimHash (bits 0..61). */
+  def fingerprintsPortable(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = freshCol(df, "__tk")
+    val t = col(tk)
+    val rollingMod = 1L << 57
+    df.withColumn(tk, tokens(col(textCol)))
+      .withColumn("content_fp", mod_poly_hash(col(textCol)))
+      .withColumn("rolling_fp",
+        aggregate(transform(t, tok => mod_poly_hash(tok)), lit(0L),
+          (h, x) => (h * lit(31L) + x) % lit(rollingMod)))
+      .withColumn("simhash_fp", simhash64_poly(t))
+      .drop(tk)
+  }
+
   /** n-token shingles from a token-array column: ["a","b","c","d"] with
     * n=3 -> ["a b c", "b c d"] — the MinHash/Jaccard input.
     *

@@ -152,9 +152,47 @@ object Llm {
         .select(col("doc_id"), col("lang"), col("pred_lang"), col("lang_score"))
     },
 
-    QDef.noOracle("llm04_fingerprints") { (s, dir) =>
-      TextAnalysis.fingerprints(Tables.load(s, dir, "documents"))
-        .select(col("doc_id"), col("content_hash"), col("rolling_fp"), col("simhash_fp"))
+    // full per-doc fingerprint oracle: all three prints are modular-
+    // polynomial folds whose every intermediate fits in BIGINT, so
+    // DuckDB replays them bit-for-bit — content_fp over raw text
+    // (llm21's fold), rolling_fp an order-sensitive fold of per-token
+    // hashes mod 2^57, simhash_fp the polynomial-vote SimHash (votes
+    // are order-free, so the unnest recomputation is safe). The
+    // xxhash64-based production prints (TextAnalysis.fingerprints)
+    // stay spec-pinned in TextAnalysisSpec.
+    QDef("llm04_fingerprints",
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d),
+        |th AS (SELECT doc_id,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, strlen(t) + 1), i -> CAST(ord(t[i]) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h1,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, strlen(t) + 1), i -> CAST(ord(t[i]) AS BIGINT)),
+        |      (h, c) -> (h * 137 + c) % 2147483647) AS h2
+        |  FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    sum(2 * (CASE WHEN b < 31 THEN (h1 >> b) & 1
+        |                  ELSE (h2 >> (b - 31)) & 1 END) - 1) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash_fp
+        |  FROM votes GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS content_fp,
+        |  list_reduce([CAST(0 AS BIGINT)] ||
+        |    list_transform(string_split(text, ' '), t ->
+        |      list_reduce([CAST(0 AS BIGINT)] ||
+        |        list_transform(range(1, strlen(t) + 1), i -> CAST(ord(t[i]) AS BIGINT)),
+        |        (h, c) -> (h * 131 + c) % 2147483647)),
+        |    (h, x) -> (h * 31 + x) % 144115188075855872) AS rolling_fp,
+        |  sig.simhash_fp
+        |FROM d JOIN sig USING (doc_id)""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprintsPortable(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), col("content_fp"), col("rolling_fp"), col("simhash_fp"))
     },
 
     // oracle-checkable fingerprint: modular polynomial hash over the
@@ -180,17 +218,111 @@ object Llm {
         .select(col("doc_id"), col("text"))
     },
 
-    QDef.noOracle("llm06_dedup_minhash") { (s, dir) =>
-      Dedup.minhashCandidates(Tables.load(s, dir, "documents"), "text", "doc_id")
+    // LSH recall audit, oracle-gated: for EVERY true near-dup pair
+    // (exact jaccard >= 0.8, recomputed via the zero-false-negative
+    // prefix-filter join), did MinHash banding surface it as a
+    // candidate? The raw candidate set itself is hash-dependent (band
+    // collisions), but the capture booleans are the property that
+    // matters — k=16 in 8 bands of 2 puts per-pair miss probability at
+    // (1 - j^2)^8 <= 3e-4 at j = 0.8, and the oracle pins captured=true
+    // for every pair at every SF. Candidate-stage mechanics stay
+    // spec-pinned in DedupSpec.
+    QDef("llm06_dedup_minhash",
+      """WITH sh0 AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+        |      THEN [array_to_string(string_split(text, ' '), ' ')]
+        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
+        |      END) AS s
+        |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
+        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
+        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
+        |    CAST(len(s) AS BIGINT)
+        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
+        |  FROM canon),
+        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+        |SELECT x AS id_a, y AS id_b, j AS jaccard, true AS captured FROM (
+        |  SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id)
+        |WHERE j >= 0.8""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val truth = Dedup.jaccardSelfJoinExact(docs, "text", "doc_id", threshold = 0.8)
+      val cands = Dedup.minhashCandidates(docs, "text", "doc_id", k = 16, bands = 8)
+        .withColumn("captured", lit(true))
+      truth.join(cands, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("captured"), lit(false)).as("captured"))
     },
 
-    QDef.noOracle("llm07_dedup_simhash") { (s, dir) =>
-      Dedup.simhashNearDup(Tables.load(s, dir, "documents"), "text", "doc_id")
+    // full pair-set oracle for the simhash operator: the portable
+    // polynomial-vote signature (simhash64_poly) lets DuckDB recompute
+    // every signature bit-for-bit, and the chunk-pigeonhole join is
+    // EXACT for hamming <= 3 (some 16-bit chunk must match), so the
+    // Spark pair set must equal DuckDB's brute-force hamming join —
+    // both directions, no sampling. The xxhash64 signature variant
+    // stays the production default (DedupSpec).
+    QDef("llm07_dedup_simhash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, strlen(t) + 1), i -> CAST(ord(t[i]) AS BIGINT)),
+        |      (h, c) -> (h * 131 + c) % 2147483647) AS h1,
+        |    list_reduce([CAST(0 AS BIGINT)] ||
+        |      list_transform(range(1, strlen(t) + 1), i -> CAST(ord(t[i]) AS BIGINT)),
+        |      (h, c) -> (h * 137 + c) % 2147483647) AS h2
+        |  FROM tok),
+        |votes AS (SELECT doc_id, b,
+        |    sum(2 * (CASE WHEN b < 31 THEN (h1 >> b) & 1
+        |                  ELSE (h2 >> (b - 31)) & 1 END) - 1) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS b) bb
+        |  GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin) { (s, dir) =>
+      Dedup.simhashNearDup(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3, portable = true)
     },
 
-    QDef.noOracle("llm08_ngram_jaccard") { (s, dir) =>
+    // end-to-end near-dup oracle: LSH candidates -> exact n-gram
+    // Jaccard verify, checked against DuckDB's zero-false-negative
+    // prefix-filter join. Greenness asserts empirical recall 1 on this
+    // corpus: at 8 bands of 2 a j=0.8 pair escapes all bands with
+    // probability (1 - 0.64)^8 ~ 2.8e-4 (the r=4 banding missed a
+    // j=0.80 pair at sf0.1; r=2 does not).
+    QDef("llm08_ngram_jaccard",
+      """WITH sh0 AS (SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+        |      THEN [array_to_string(string_split(text, ' '), ' ')]
+        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
+        |      END) AS s
+        |  FROM documents),
+        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
+        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
+        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
+        |    CAST(len(s) AS BIGINT)
+        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
+        |  FROM canon),
+        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+        |SELECT x AS id_a, y AS id_b, j AS jaccard FROM (
+        |  SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
+        |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id)
+        |WHERE j >= 0.8""".stripMargin) { (s, dir) =>
       Dedup.nearDupJaccard(Tables.load(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.8)
+        threshold = 0.8, bands = 8)
     },
 
     // oracle reproduces CosineSimilarity bit-for-bit: each accumulator

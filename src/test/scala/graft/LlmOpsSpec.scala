@@ -74,6 +74,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(exact.length == 3 && exact.forall(_._3 == 0))
   }
 
+  test("portable simhash: pair set equals brute-force hamming join; bits 62-63 clear") {
+    val sigs = docs.select($"doc_id",
+      simhash64_poly(split($"text", " ")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the two vote positions above 61 are never set (shared constant)
+    assert(sigs.forall { case (_, s) => (s >>> 62) == 0L })
+    // identical token arrays -> identical signatures (exact dups planted
+    // at id+2000)
+    val byId = sigs.toMap
+    (10 until 13).foreach(i => assert(byId(i.toLong) == byId(i + 2000L)))
+    // chunk-pigeonhole join must return EXACTLY the hamming<=3 pairs
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val op = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(op == brute, s"pigeonhole pair set diverged: ${op.diff(brute)} / ${brute.diff(op)}")
+  }
+
+  test("portable fingerprints: dup-invariant, order-sensitive rolling, content matches mod_poly_hash") {
+    val fp = TextAnalysis.fingerprintsPortable(docs)
+      .select("doc_id", "content_fp", "rolling_fp", "simhash_fp")
+    val byId = fp.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (10 until 13).foreach(i => assert(byId(i.toLong) == byId(i + 2000L)))
+    assert(byId(0L)._1 != byId(1L)._1)
+    // content_fp is exactly the scalar mod-poly fold over the raw text
+    val direct = docs.select($"doc_id", mod_poly_hash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.forall { case (id, (c, _, _)) => c == direct(id) })
+    // rolling_fp is order-sensitive: reversing the token sequence of a
+    // multi-token doc changes the print (same token multiset)
+    val rev = docs.withColumn("text",
+      concat_ws(" ", reverse(split($"text", " "))))
+    val revById = TextAnalysis.fingerprintsPortable(rev)
+      .select("doc_id", "rolling_fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(revById(0L) != byId(0L)._2)
+  }
+
   test("lsh top-k achieves reasonable recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)

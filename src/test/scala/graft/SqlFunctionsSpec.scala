@@ -20,6 +20,7 @@ class SqlFunctionsSpec extends SparkTestBase {
     df.createOrReplaceTempView("sqlfn_t")
     val viaSql = spark.sql(
       """SELECT cosine_sim(va, vb) AS cs, simhash64(split(txt, ' ')) AS sh,
+        |  simhash64_poly(split(txt, ' ')) AS shp,
         |  rolling_hash(split(txt, ' ')) AS rh, mod_poly_hash(s) AS mp,
         |  sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
         |  minhash_sig(split(txt, ' '), 4, 2) AS ms
@@ -27,12 +28,13 @@ class SqlFunctionsSpec extends SparkTestBase {
     import graft.functions.VectorFunctions._
     val viaApi = df.select(
       cosine_sim($"va", $"vb").as("cs"), simhash64(split($"txt", " ")).as("sh"),
+      simhash64_poly(split($"txt", " ")).as("shp"),
       rolling_hash(split($"txt", " ")).as("rh"), mod_poly_hash($"s").as("mp"),
       sorted_intersect_count(array(lit("a"), lit("b"), lit("c")),
         array(lit("b"), lit("c"), lit("d"))).as("ic"),
       minhash_sig(split($"txt", " "), 4, 2).as("ms")).collect()
     assert(viaSql.map(_.toString).toSeq == viaApi.map(_.toString).toSeq)
-    assert(viaSql.head.getInt(4) == 2) // {b,c}
+    assert(viaSql.head.getInt(5) == 2) // {b,c}
   }
 
   test("kmv sketch aggregate works from SQL and estimates exactly below saturation") {
