@@ -56,16 +56,27 @@ object Dedup {
     * explode map-side inside capped buckets, one final shuffle dedups
     * pairs. Buckets larger than maxBucket are dropped (degenerate
     * content / hash skew) — the explicit no-silent-quadratic guard. */
-  def minhashCandidates(df: DataFrame, textCol: String, id: String,
-      k: Int = 16, bands: Int = 4, maxBucket: Int = 100): DataFrame = {
+  /** (__id, band, bh) LSH banding rows for a corpus — the shareable
+    * index artifact: the self-join path groups it into buckets, and the
+    * incremental path joins a NEW batch's rows against a PERSISTED copy
+    * of the corpus's (at 100 TB the index is written bucketed by (band,
+    * bh) once and every later batch joins without re-signing the
+    * corpus). */
+  private def bandHashes(df: DataFrame, textCol: String, id: String,
+      k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
     val sig = minhashSigArray(col(textCol), k)
-    val banded = df
-      .select(col(id).as("__id"), sig.as("__sig"))
+    df.select(col(id).as("__id"), sig.as("__sig"))
       .select(col("__id"), posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(array_join(transform(slice(col("__sig"), b * r + 1, lit(r)),
           x => x.cast("string")), ",")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  def minhashCandidates(df: DataFrame, textCol: String, id: String,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 100): DataFrame = {
+    val banded = bandHashes(df, textCol, id, k, bands)
     val buckets = banded.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("__id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -89,12 +100,22 @@ object Dedup {
     // re-run the whole MinHash pipeline
     val cands = broadcast(
       minhashCandidates(df, textCol, id, k, bands).localCheckpoint(true))
+    verifyJaccard(df, cands, textCol, id, threshold, shingleN)
+  }
+
+  /** Exact n-gram-Jaccard verification of a (small, checkpointed)
+    * candidate-pair set against the documents that appear in it.
+    * Shingles materialize ONLY for docs referenced by some candidate
+    * (semi-join first) — at 100 TB the expensive per-doc work runs on
+    * the ~0.1% of docs that need it. */
+  private def verifyJaccard(docs: DataFrame, cands: DataFrame, textCol: String,
+      id: String, threshold: Double, shingleN: Int): DataFrame = {
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
     // sorted-merge intersection: one sort per doc, then each pair is an
     // allocation-free merge pass (vs hash-set array_intersect+union).
     // Checkpointed: joined as both sh_a and sh_b — one shingling pass,
     // not two (and it is tiny: only docs appearing in some candidate)
-    val sh = df.join(broadcast(candIds), Seq(id), "left_semi")
+    val sh = docs.join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(id),
         array_sort(array_distinct(
@@ -108,6 +129,38 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup: exact-Jaccard pairs between a NEW batch of
+    * documents and an already-indexed corpus (plus batch-internal
+    * pairs) — WITHOUT re-pairing corpus×corpus. This is the production
+    * shape for a growing 100 TB corpus: the corpus's (band, bh) LSH
+    * index is computed once (in practice persisted bucketed by (band,
+    * bh)); each arriving batch signs only its own documents, equi-joins
+    * the index, and verifies the handful of candidates. Cost per batch
+    * ~ O(|batch| + |candidates|), independent of corpus size beyond the
+    * index join. Corpus buckets above `maxBucket` are dropped — the
+    * same no-silent-quadratic guard as the self-join path. Ids must be
+    * disjoint across corpus and batch; pairs are emitted (id_a < id_b).
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame, textCol: String,
+      id: String, threshold: Double, k: Int = 16, bands: Int = 8,
+      shingleN: Int = 3, maxBucket: Int = 100): DataFrame = {
+    val corpusBuckets = bandHashes(corpus, textCol, id, k, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).as("cids"))
+      .filter(size(col("cids")) <= maxBucket)
+    val cross = bandHashes(batch, textCol, id, k, bands)
+      .join(corpusBuckets, Seq("band", "bh"))
+      .select(col("__id").as("bid"), explode(col("cids")).as("cid"))
+      .select(least(col("bid"), col("cid")).as("id_a"),
+        greatest(col("bid"), col("cid")).as("id_b"))
+    val self = minhashCandidates(batch, textCol, id, k, bands, maxBucket)
+    val cands = broadcast(
+      cross.union(self).distinct().localCheckpoint(true))
+    val docs = corpus.select(col(id), col(textCol))
+      .unionByName(batch.select(col(id), col(textCol)))
+    verifyJaccard(docs, cands, textCol, id, threshold, shingleN)
   }
 
   /** SimHash near-dup: 64-bit signature; pairs within `maxHamming` bits.

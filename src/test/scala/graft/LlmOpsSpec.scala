@@ -74,6 +74,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(exact.length == 3 && exact.forall(_._3 == 0))
   }
 
+  test("incremental near-dup equals the batch-involving subset of the full self-join") {
+    // batch = planted near/exact dups (ids >= 1000), corpus = originals
+    val batch = docs.filter($"doc_id" >= 1000)
+    val corpus = docs.filter($"doc_id" < 1000)
+    val inc = Dedup.incrementalNearDup(corpus, batch, "text", "doc_id",
+        threshold = 0.5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.nearDupJaccard(docs, "text", "doc_id", threshold = 0.5,
+        k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) => a >= 1000 || b >= 1000 }
+    assert(inc == expected,
+      s"diff: ${inc.diff(expected)} / ${expected.diff(inc)}")
+    // and it finds the planted cross pairs: exact dups land at jaccard 1
+    assert((10 until 13).forall(i => inc.exists {
+      case (a, b, j) => a == i.toLong && b == i + 2000L && j == 1.0 }))
+    // corpus-internal pairs never appear
+    assert(inc.forall { case (a, b, _) => a >= 1000 || b >= 1000 })
+  }
+
   test("portable simhash: pair set equals brute-force hamming join; bits 62-63 clear") {
     val sigs = docs.select($"doc_id",
       simhash64_poly(split($"text", " ")).as("sig"))
