@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -245,10 +245,22 @@ object Similarity {
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
     val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
     val cb = corpus.withColumn("cell", cellOf(centroids)(col(embCol)))
-    val probes = queries
+    ivfScore(cb, ivfProbes(queries, centroids, nProbe, embCol, id), k, embCol, id)
+  }
+
+  /** (query_id, q_emb, cell) probe rows: each query explodes to its
+    * nProbe nearest centroid cells. */
+  private def ivfProbes(queries: DataFrame, centroids: Array[Array[Double]],
+      nProbe: Int, embCol: String, id: String): DataFrame =
+    queries
       .select(col(id).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("cells", expr(s"slice(${probeCellsSql(centroids)}, 1, $nProbe)"))
       .withColumn("cell", explode(col("cells"))).drop("cells")
+
+  /** Exact-cosine scoring of a cell-assigned corpus against broadcast
+    * probe rows; per-query top-k with deterministic ties. */
+  private def ivfScore(cb: DataFrame, probes: DataFrame, k: Int,
+      embCol: String, id: String): DataFrame = {
     val scoredQ = cb.join(broadcast(probes), "cell")
       .filter(col(id) =!= col("query_id"))
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
@@ -257,6 +269,46 @@ object Similarity {
     scoredQ.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** Build and PERSIST an IVF index: `path/centroids` holds the trained
+    * coarse quantizer, `path/corpus` the cell-assigned corpus written
+    * `partitionBy("cell")`. Training and assignment run ONCE; every
+    * later session queries the files. The cell partitioning is the
+    * point at 100 TB: a probe reads only its nProbe cell directories
+    * (file-level partition pruning), so per-query scan cost is
+    * ~nProbe/kClusters of the corpus instead of all of it. */
+  def buildIvfIndex(corpus: DataFrame, path: String, kClusters: Int = 16,
+      embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
+    centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.withColumn("cell", cellOf(centroids)(col(embCol)))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** IVF top-k over a PREBUILT index (see buildIvfIndex) — no training,
+    * no full-corpus assignment pass. The probed cells are collected from
+    * the query side (small — it is broadcast anyway) and applied as a
+    * STATIC partition filter, so the parquet scan plans only the probed
+    * cell directories; results are identical to ivfTopK with the same
+    * parameters (same centroids, same deterministic ties). */
+  def ivfTopKFromIndex(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4,
+      embCol: String = "embedding", id: String = "vec_id"): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val probes = ivfProbes(queries, centroids, nProbe, embCol, id)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cb = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    ivfScore(cb, probes, k, embCol, id)
   }
 
   /** SQL fragment: centroid cells sorted by descending query similarity

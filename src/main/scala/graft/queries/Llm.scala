@@ -504,6 +504,21 @@ object Llm {
         emb, k = 10, minMatches = 3)
     },
 
+    // the same IVF search over a PREBUILT persisted index (train/assign
+    // once, query from files — the production lifecycle): results are
+    // identical to llm16's inline build, so the same gate/oracle holds;
+    // the scan reads only the probed cell directories (static partition
+    // filter over the partitionBy("cell") layout)
+    QDef("llm45_knn_ivf_prebuilt", annGateOracle(10)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = graft.TmpDirs.scoped(
+        "graft-ivfidx-" + java.lang.Integer.toHexString(dir.hashCode))
+      Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
+        emb, k = 10, minMatches = 3)
+    },
+
     // PQ-compressed ANN with ADC scoring: the corpus searched holds only
     // m=8 codes + a norm per vector (recall vs brute force pinned in
     // LlmOpsSpec)

@@ -149,6 +149,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(lsh.forall { case (q, n) => q != n })
   }
 
+  test("prebuilt ivf index: identical results to inline build; scan prunes to probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val idx = graft.TmpDirs.scoped("graft-ivfidx-spec")
+    Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+    val pre = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 3)
+    val inline = Similarity.ivfTopK(emb, queries, k = 5, kClusters = 16, nProbe = 3)
+    val a = pre.collect().map(_.toString).sorted.toSeq
+    val b = inline.collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // the index scan must carry a partition filter on cell — the prebuilt
+    // path's reason to exist (reads nProbe directories, not the corpus)
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"no cell partition filter on the index scan:\n$plan")
+  }
+
   test("pq top-k: compressed-domain recall clears 0.5, deterministic, corpus stays encoded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
