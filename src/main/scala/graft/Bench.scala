@@ -27,6 +27,10 @@ object Bench {
     "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline",
     "llm22_embed_quantize", "llm27_curriculum_order", "llm30_ngram_topk")
 
+  /** Timed samples per query (the published JSON derives from this —
+    * one knob, no drift between the loop and the declared methodology). */
+  val timedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,11 +48,11 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () } // warmup
-      // min of three timed runs: a single sample is hostage to transient
+      // min of `timedRuns`: a single sample is hostage to transient
       // noise (GC pause, page-cache miss, competing load on the host) —
       // and with only two, one bad pair still showed a phantom 4x
       // "regression" on a 0.4 s query in round-5 testing
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
         ((System.nanoTime() - t0) / 1e9, ok)
@@ -70,7 +74,7 @@ object Bench {
       if (anyFailed) -1.0 else results.collect { case (_, v, true) => v }.sum
     // runs/warmup declared so a consumer can tell steady-state numbers
     // from cold single-shots when comparing across rounds
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":3,"warmup":1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$timedRuns,"warmup":1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,10 @@ object TmpDirs {
     p
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Symlink-safe recursive delete, shared by the shutdown hook and any
+    * tool that cleans its own scratch dir (do not re-implement without
+    * the symlink guard). */
+  def deleteRecursively(f: java.io.File): Unit = {
     // never recurse THROUGH a symlink (File.listFiles follows them):
     // a staged dataset symlink inside a scoped dir must be unlinked,
     // not have its target's contents deleted

@@ -49,22 +49,31 @@ object CdcFixture {
   private val cacheMs = mutable.Map.empty[String, String]
   private val cacheDr = mutable.Map.empty[String, String]
 
-  /** Idempotently generate the CDC log for sfDir; returns index file path. */
-  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+  /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
+    * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
+    * index file path. One implementation so the three log families
+    * can't drift in their cache/marker layout (the verify recipe
+    * enumerates the prefixes — keep it in sync when adding one). */
+  private def ensureLog(cache: mutable.Map[String, String], prefix: String,
+      sfDir: String)(generate: String => Unit): String = synchronized {
     cache.getOrElseUpdate(sfDir, {
       val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      // v3: GTID events carry the source id
-      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc3-$tag")
+      val dir = Paths.get(sys.props("java.io.tmpdir"), s"$prefix-$tag")
       val index = dir.resolve("binlog.index")
       val done = dir.resolve("_SUCCESS")
       if (!Files.exists(done)) {
         Files.createDirectories(dir)
-        generate(spark, sfDir, dir.toString)
+        generate(dir.toString)
         Files.createFile(done)
       }
       index.toString
     })
   }
+
+  /** Idempotently generate the CDC log for sfDir; returns index file path. */
+  def ensure(spark: SparkSession, sfDir: String): String =
+    // v3: GTID events carry the source id
+    ensureLog(cache, "graft-cdc3", sfDir)(generate(spark, sfDir, _))
 
   /** Multi-source replication log: two servers write interleaved
     * transactions into ONE log, each with its own gno sequence starting
@@ -74,20 +83,8 @@ object CdcFixture {
     * event time = BaseMs + (2·gno + [src==B]) seconds. Everything is a
     * pure function of orders.parquet, so cdc19's oracle reconstructs it
     * in SQL. */
-  def ensureMultiSource(spark: SparkSession, sfDir: String): String = synchronized {
-    cacheMs.getOrElseUpdate(sfDir, {
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdcms-$tag")
-      val index = dir.resolve("binlog.index")
-      val done = dir.resolve("_SUCCESS")
-      if (!Files.exists(done)) {
-        Files.createDirectories(dir)
-        generateMultiSource(spark, sfDir, dir.toString)
-        Files.createFile(done)
-      }
-      index.toString
-    })
-  }
+  def ensureMultiSource(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMs, "graft-cdcms", sfDir)(generateMultiSource(spark, sfDir, _))
 
   /** Schema-drift log: table `graft.evolving` changes shape between the
     * two files — epoch 1 declares (k, keep, v DOUBLE); epoch 2 renames
@@ -98,20 +95,8 @@ object CdcFixture {
     * the `o_orderkey % 50 == 0` keys (gno = row index), epoch 2 the
     * `% 50 == 25` keys with price = o_totalprice * 2 and extra = key * 3
     * (gno = 100000 + row index). */
-  def ensureDrifted(spark: SparkSession, sfDir: String): String = synchronized {
-    cacheDr.getOrElseUpdate(sfDir, {
-      val tag = java.lang.Integer.toHexString(sfDir.hashCode)
-      val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdcdr-$tag")
-      val index = dir.resolve("binlog.index")
-      val done = dir.resolve("_SUCCESS")
-      if (!Files.exists(done)) {
-        Files.createDirectories(dir)
-        generateDrifted(spark, sfDir, dir.toString)
-        Files.createFile(done)
-      }
-      index.toString
-    })
-  }
+  def ensureDrifted(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheDr, "graft-cdcdr", sfDir)(generateDrifted(spark, sfDir, _))
 
   val EvolvingTable = "evolving"
   val EvolvingTableId = 7L

@@ -139,20 +139,24 @@ object Dedup {
     * bh)); each arriving batch signs only its own documents, equi-joins
     * the index, and verifies the handful of candidates. Cost per batch
     * ~ O(|batch| + |candidates|), independent of corpus size beyond the
-    * index join. Corpus buckets above `maxBucket` are dropped — the
-    * same no-silent-quadratic guard as the self-join path. Ids must be
-    * disjoint across corpus and batch; pairs are emitted (id_a < id_b).
+    * index join. Buckets above `maxBucket` on EITHER side are dropped
+    * (a degenerate-content batch must not cross-explode against its
+    * corpus bucket any more than a self-join bucket may pair
+    * internally) — the same no-silent-quadratic guard as the self-join
+    * path. Ids must be disjoint across corpus and batch; pairs are
+    * emitted (id_a < id_b).
     */
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame, textCol: String,
       id: String, threshold: Double, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, maxBucket: Int = 100): DataFrame = {
-    val corpusBuckets = bandHashes(corpus, textCol, id, k, bands)
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("__id")).as("cids"))
-      .filter(size(col("cids")) <= maxBucket)
-    val cross = bandHashes(batch, textCol, id, k, bands)
-      .join(corpusBuckets, Seq("band", "bh"))
-      .select(col("__id").as("bid"), explode(col("cids")).as("cid"))
+    def buckets(df: DataFrame, out: String) =
+      bandHashes(df, textCol, id, k, bands)
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_list(col("__id")).as(out))
+        .filter(size(col(out)).between(1, maxBucket))
+    val cross = buckets(batch, "bids").join(buckets(corpus, "cids"), Seq("band", "bh"))
+      .select(explode(col("bids")).as("bid"), col("cids"))
+      .select(col("bid"), explode(col("cids")).as("cid"))
       .select(least(col("bid"), col("cid")).as("id_a"),
         greatest(col("bid"), col("cid")).as("id_b"))
     val self = minhashCandidates(batch, textCol, id, k, bands, maxBucket)

@@ -81,10 +81,17 @@ object Similarity {
       Array.tabulate(dim)(i => planeComponent(j.toLong * dim + i, seed))
     }
 
-  /** One plane component — the SQL-replicable kernel of [[planes]]. */
+  /** One plane component — the SQL-replicable kernel of [[planes]].
+    * The guard keeps the kernel inside the SQL-replayable domain: t*t
+    * wraps Long past ~3.04e9 (where a BIGINT engine would error or
+    * diverge) and a negative t would push components outside
+    * [-0.5, 0.5) — fail loud instead of silently de-synchronizing the
+    * cross-engine contract. */
   def planeComponent(g: Long, seed: Long): Double = {
     val P = 2147483647L
     val t = g + seed
+    require(t >= 0 && t <= 3037000499L,
+      s"plane index + seed ($t) outside the overflow-safe [0, 3037000499] domain")
     val u = (1103515245L * ((t * t) % P) + 12345L * t) % P
     u.toDouble / P.toDouble - 0.5
   }
@@ -307,7 +314,7 @@ object Similarity {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cb = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
     ivfScore(cb, probes, k, embCol, id)
   }
 

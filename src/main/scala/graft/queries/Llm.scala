@@ -39,12 +39,16 @@ object Llm {
   private def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // ann is queries×k rows — broadcast it through both recompute joins.
+    // qe is the FULL corpus keyed by query_id, so ann must be the build
+    // side here (broadcasting qe would hash-build the whole corpus on
+    // every executor); the joined result is back to queries×k rows and
+    // safely broadcast into the neighbor-embedding join
     val nb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    // ann is queries×k rows — broadcast it through both recompute joins
     val withEmb = nb.join(
-      broadcast(ann.join(broadcast(qe), "query_id")), "neighbor_id")
+      broadcast(qe.join(broadcast(ann), "query_id")), "neighbor_id")
     val exact = Similarity.bruteForceTopK(
-      emb, emb.filter(col("vec_id") % 50 === 0 && col("vec_id") % 250 === 0), k)
+      emb, emb.filter(col("vec_id") % 250 === 0), k)
     val exactTop1 = exact.filter(col("rank") === 1)
       .select(col("query_id"), col("sim").as("exact_sim1"))
     val exactSet = exact.select(col("query_id"), col("neighbor_id"))
@@ -228,28 +232,8 @@ object Llm {
     // for every pair at every SF. Candidate-stage mechanics stay
     // spec-pinned in DedupSpec.
     QDef("llm06_dedup_minhash",
-      """WITH sh0 AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
-        |      THEN [array_to_string(string_split(text, ' '), ' ')]
-        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
-        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
-        |      END) AS s
-        |  FROM documents),
-        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
-        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
-        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
-        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
-        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
-        |    CAST(len(s) AS BIGINT)
-        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
-        |  FROM canon),
-        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-        |SELECT x AS id_a, y AS id_b, j AS jaccard, true AS captured FROM (
-        |  SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
-        |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id)
-        |WHERE j >= 0.8""".stripMargin) { (s, dir) =>
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)}
+         |${OracleSql.verifiedPairsSelect(0.8, extraSelect = ", true AS captured")}""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val truth = Dedup.jaccardSelfJoinExact(docs, "text", "doc_id", threshold = 0.8)
       val cands = Dedup.minhashCandidates(docs, "text", "doc_id", k = 16, bands = 8)
@@ -299,28 +283,8 @@ object Llm {
     // probability (1 - 0.64)^8 ~ 2.8e-4 (the r=4 banding missed a
     // j=0.80 pair at sf0.1; r=2 does not).
     QDef("llm08_ngram_jaccard",
-      """WITH sh0 AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
-        |      THEN [array_to_string(string_split(text, ' '), ' ')]
-        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
-        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
-        |      END) AS s
-        |  FROM documents),
-        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
-        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
-        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
-        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
-        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
-        |    CAST(len(s) AS BIGINT)
-        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
-        |  FROM canon),
-        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-        |SELECT x AS id_a, y AS id_b, j AS jaccard FROM (
-        |  SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
-        |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id)
-        |WHERE j >= 0.8""".stripMargin) { (s, dir) =>
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)}
+         |${OracleSql.verifiedPairsSelect(0.8)}""".stripMargin) { (s, dir) =>
       Dedup.nearDupJaccard(Tables.load(s, dir, "documents"), "text", "doc_id",
         threshold = 0.8, bands = 8)
     },
@@ -708,23 +672,7 @@ object Llm {
     // closes it with a recursive CTE — so the distributed iterative CC
     // is checked against a declarative transitive closure
     QDef("llm24_dedup_components",
-      """WITH RECURSIVE sh0 AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
-        |      THEN [array_to_string(string_split(text, ' '), ' ')]
-        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
-        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
-        |      END) AS s
-        |  FROM documents),
-        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
-        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
-        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
-        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
-        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
-        |    CAST(len(s) AS BIGINT)
-        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
-        |  FROM canon),
-        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
         |edges0 AS (SELECT x, y FROM cand
         |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
         |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)

@@ -145,28 +145,9 @@ object LlmExt2 {
     // join restricted to pairs touching the batch; greenness asserts the
     // 8x2 banding's empirical recall 1, exactly like llm08.
     QDef("llm44_incremental_neardup",
-      """WITH sh0 AS (SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
-        |      THEN [array_to_string(string_split(text, ' '), ' ')]
-        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
-        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
-        |      END) AS s
-        |  FROM documents),
-        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
-        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
-        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
-        |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
-        |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
-        |    CAST(len(s) AS BIGINT)
-        |      - CAST(ceil(CAST(0.8 AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
-        |  FROM canon),
-        |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-        |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
-        |SELECT x AS id_a, y AS id_b, j AS jaccard FROM (
-        |  SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
-        |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id)
-        |WHERE j >= 0.8 AND (id_a % 10 = 0 OR id_b % 10 = 0)""".stripMargin) { (s, dir) =>
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)}
+         |${OracleSql.verifiedPairsSelect(0.8,
+             extraWhere = " AND (id_a % 10 = 0 OR id_b % 10 = 0)")}""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       Dedup.incrementalNearDup(
         corpus = docs.filter(col("doc_id") % 10 =!= 0),

@@ -176,10 +176,7 @@ object ScaleSmoke {
       assert(row.getLong(1) == total, s"decoded ${row.getLong(1)} of $total rows")
       assert(row.getLong(0) == total * (total - 1) / 2, "decoded ids must sum exactly")
       println(f"SCALE cdcDecode: ${total / secs / 1e6}%.2f Mrows/s, ${gen / secs / 1e6}%.0f MB/s over $nFiles files")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
     spark.stop()
