@@ -64,6 +64,35 @@ object ScaleSmoke {
       assert(n == nBig / 2, s"expected ${nBig / 2} survivors, got $n")
     }
 
+    // incremental near-dup: a 10k batch of exact copies joins a 1M-doc
+    // corpus through the corpus's (band, bh) index — corpus×corpus
+    // never pairs. Invariant: every planted copy matches its source at
+    // jaccard 1 (identical shingle sets ⇒ identical signatures ⇒ same
+    // buckets — deterministic, no LSH luck involved). The token modulus
+    // (1048573 > nText) keeps corpus docs pairwise DISTINCT — a small
+    // vocab would alias ~nText/vocab docs into identical texts, blow
+    // every bucket past maxBucket, and (correctly) drop them all.
+    timed(s"incrementalNearDup($nText corpus, 10k batch)") {
+      def docsFor(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        col("doc_id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          concat(lit("w"), (col("src") * 31L + j) * 2654435761L % 1048573L)): _*).as("text"))
+      val corpus = docsFor(spark.range(nText)
+        .select(col("id").as("doc_id"), col("id").as("src")))
+      val nBatch = 10000L
+      // 97 is coprime to nText=1e6, so the 10k sources are distinct
+      val batch = docsFor(spark.range(nBatch)
+        .select((col("id") * 97L % nText).as("src"))
+        .select((col("src") + lit(nText)).as("doc_id"), col("src")))
+      val pairs = graft.ops.Dedup.incrementalNearDup(
+        corpus, batch, "text", "doc_id", threshold = 0.8)
+      val planted = pairs
+        .filter(col("id_b") === col("id_a") + lit(nText) && col("jaccard") === 1.0)
+        .count()
+      assert(planted == nBatch,
+        s"expected all $nBatch planted copies matched to their source, got $planted")
+    }
+
     timed(s"minhash signatures($nText)") {
       val docs = spark.range(nText).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 24).map(j =>
