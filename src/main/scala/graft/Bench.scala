@@ -52,10 +52,20 @@ object Bench {
       // noise (GC pause, page-cache miss, competing load on the host) —
       // and with only two, one bad pair still showed a phantom 4x
       // "regression" on a 0.4 s query in round-5 testing
+      // release eagerly-cached state (localCheckpoint RDDs) after every
+      // run: each execution of a checkpointing query pins another RDD
+      // copy, and the accumulated heap pressure bleeds into later
+      // samples (llm06/llm08 drifted +30-90% across iterations until
+      // the copies were dropped; the unpersist itself is microseconds)
+      def release(): Unit =
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      release() // after warmup
       val samples = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        (dt, ok)
       }
       val ok = samples.forall(_._2)
       (name, samples.map(_._1).min, ok)

@@ -17,11 +17,18 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
+    // drop eagerly-cached state (localCheckpoint RDDs) between reps —
+    // accumulated copies otherwise inflate later samples (see Bench)
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     fn(spark, sfDir).count() // warmup
+    release()
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      dt
     }
     println(f"PROFILE $name: min=${times.min}%.2f median=${times.sorted.apply(reps / 2)}%.2f max=${times.max}%.2f")
     spark.stop()
