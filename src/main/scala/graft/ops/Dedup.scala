@@ -62,15 +62,23 @@ object Dedup {
     * of the corpus's (at 100 TB the index is written bucketed by (band,
     * bh) once and every later batch joins without re-signing the
     * corpus). */
-  private def bandHashes(df: DataFrame, textCol: String, id: String,
-      k: Int, bands: Int): DataFrame = {
+  /** Array of `bands` 64-bit band hashes over a signature-array column —
+    * THE banding formula; every consumer (self-join, incremental,
+    * streaming) must hash bands identically or their buckets silently
+    * stop matching. */
+  private[graft] def bandHashArray(sigCol: Column, k: Int, bands: Int): Column = {
     require(bands > 0 && k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(array_join(transform(slice(sigCol, b * r + 1, lit(r)),
+        x => x.cast("string")), ",")))
+  }
+
+  private[graft] def bandHashes(df: DataFrame, textCol: String, id: String,
+      k: Int, bands: Int): DataFrame = {
     val sig = minhashSigArray(col(textCol), k)
     df.select(col(id).as("__id"), sig.as("__sig"))
-      .select(col("__id"), posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(array_join(transform(slice(col("__sig"), b * r + 1, lit(r)),
-          x => x.cast("string")), ",")))))
+      .select(col("__id"), posexplode(bandHashArray(col("__sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 

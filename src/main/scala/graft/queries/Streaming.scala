@@ -222,6 +222,24 @@ object Streaming {
       out.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .filter(!col("deleted"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    },
+
+    // streaming incremental near-dup: every tenth doc ARRIVES as a
+    // stream and checks against the static corpus's LSH band index —
+    // the admission-control twin of llm44 (same oracle restricted to
+    // stream×corpus pairs; batch-internal pairs are the batch
+    // operator's job). All stream-static joins — append mode, no
+    // watermark needed for a bounded replay.
+    QDef("str11_incremental_neardup",
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)}
+         |${OracleSql.verifiedPairsSelect(0.8,
+             extraWhere = " AND ((id_a % 10 = 0) <> (id_b % 10 = 0))")}""".stripMargin) { (s, dir) =>
+      val corpus = graft.Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 0)
+      val arriving = StreamOps.documentsStream(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+      drain(StreamOps.incrementalNearDupStream(corpus, arriving, threshold = 0.8),
+        "str11_" + java.lang.Integer.toHexString(dir.hashCode), "append")
     }
   )
 }

@@ -667,10 +667,19 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset]
-    maxBytesPerTrigger match {
+    val raw = maxBytesPerTrigger match {
       case None => unboundedLatest()
       case Some(budgetBytes) => boundedEnd(s, budgetBytes)
     }
+    // MONOTONIC guard: a poll can observe a log file transiently
+    // shrunken (producer replacing the tail, FS visibility race). An
+    // end < start would make Spark COMMIT the regressed offset, and the
+    // next batch would re-read — and so re-emit — everything between
+    // the regressed point and the true frontier. Exactly-once requires
+    // never stepping backwards; the shrunken observation resolves
+    // itself on the next poll once the file is whole again.
+    if (raw.fileIdx < s.fileIdx || (raw.fileIdx == s.fileIdx && raw.pos < s.pos)) s
+    else raw
   }
 
   /** Walk files from `start`, accumulating complete-event bytes until the

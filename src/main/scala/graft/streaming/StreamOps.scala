@@ -146,4 +146,74 @@ object StreamOps {
           else Iterator.empty
       }
   }
+
+  /** Streaming view of the documents table (same symlink-staging shape
+    * as [[eventsStream]]). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-docs-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val link = dir.resolve("documents.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createDirectories(dir)
+      try java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(sfDir, "documents.parquet"))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  /** Streaming incremental near-dup: each ARRIVING document checks
+    * against a STATIC corpus — the admission-control shape of
+    * `Dedup.incrementalNearDup` (new data joins the corpus's persisted
+    * LSH band index; corpus×corpus never pairs). Everything is a
+    * stream-static equi-join or a narrow projection, so the query runs
+    * in append mode: bands from the arriving doc join the corpus
+    * bucket index, candidates dedup statefully (a pair can surface
+    * via several bands), and exact n-gram Jaccard verifies against the
+    * corpus's precomputed sorted shingle sets. Batch-internal pairs
+    * are out of scope (that would be a stream-stream self-join — the
+    * batch operator covers them). State: one row per emitted candidate
+    * pair; at unbounded runtime a production deployment adds a
+    * watermark on arrival time to expire it. */
+  def incrementalNearDupStream(corpus: DataFrame, arriving: DataFrame,
+      threshold: Double, k: Int = 16, bands: Int = 8, shingleN: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.sorted_intersect_count
+    import graft.ops.{Dedup, TextAnalysis}
+    val corpusBuckets = Dedup.bandHashes(corpus, "text", "doc_id", k, bands)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).as("cids"))
+      .filter(size(col("cids")).between(1, maxBucket))
+    val corpusSh = corpus
+      .select(col("doc_id").as("id_c"), TextAnalysis.tokens(col("text")).as("__tk"))
+      .select(col("id_c"), array_sort(array_distinct(
+        TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh_c"))
+    val streamBands = arriving
+      .select(col("doc_id"), col("text"),
+        Dedup.minhashSigArray(col("text"), k).as("__sig"))
+      .select(col("doc_id"), col("text"),
+        posexplode(Dedup.bandHashArray(col("__sig"), k, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    streamBands
+      .join(corpusBuckets, Seq("band", "bh"))
+      .select(col("doc_id").as("id_s"), col("text"), explode(col("cids")).as("id_c"))
+      .dropDuplicates("id_s", "id_c")
+      .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      .withColumn("sh_s", array_sort(array_distinct(
+        TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))))
+      .join(corpusSh, "id_c")
+      .withColumn("inter", sorted_intersect_count(col("sh_s"), col("sh_c")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_s")) + size(col("sh_c")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_s"), col("id_c")).as("id_a"),
+        greatest(col("id_s"), col("id_c")).as("id_b"), col("jaccard"))
+  }
 }
