@@ -278,6 +278,40 @@ class CdcSourceSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("latestOffset never regresses when the log is observed shrunken") {
+    // deterministic twin of the torn-tail race: a poll that sees the
+    // file mid-rewrite must not hand Spark an end offset behind the
+    // committed start (Spark would COMMIT it and the next batch would
+    // re-emit everything after the regressed point)
+    import graft.sources.{CdcMicroBatchStream, CdcOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("cdc-shrink").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(1000L, 1L); w.writeRows(1000L, 1L, schema, Seq(r(1, 1.0)))
+    w.gtid(2000L, 2L); w.writeRows(2000L, 1L, schema, Seq(r(2, 2.0)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val env = graft.cdc.CdcSchema.withEnvelope(schema)
+    val stream = new CdcMicroBatchStream(s"$dir/binlog.index", "db", "t",
+      env, env, Array.empty)
+    val full = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+      .asInstanceOf[CdcOffset]
+    // shrink the log to its header: an unclamped poll would report an
+    // offset far behind `full`
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/b.0"))
+    Files.write(Paths.get(s"$dir/b.0"), bytes.take(CdcCodec.HeaderLen))
+    val shrunk = stream.latestOffset(full, ReadLimit.allAvailable())
+      .asInstanceOf[CdcOffset]
+    assert(shrunk == full, s"offset regressed: $shrunk < $full")
+    // restored log resumes forward progress from the same start
+    Files.write(Paths.get(s"$dir/b.0"), bytes)
+    val resumed = stream.latestOffset(full, ReadLimit.allAvailable())
+      .asInstanceOf[CdcOffset]
+    assert(resumed == full, "frontier unchanged once the file is whole again")
+  }
+
   test("torn tail event: never emitted early, never skipped after completion") {
     val dir = Files.createTempDirectory("cdc-torn").toString
     def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
