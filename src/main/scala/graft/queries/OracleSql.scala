@@ -1,0 +1,43 @@
+package graft.queries
+
+/** Shared DuckDB oracle-SQL fragments. The prefix-filter candidate CTEs
+  * back every near-dup oracle (llm06/llm08/llm24/llm44); one definition
+  * keeps a future threshold/shingle-width tweak from silently
+  * de-synchronizing copies of the formula (a banding mismatch between
+  * two hand-maintained copies already cost a missed pair once — see
+  * llm08's comment).
+  */
+private[queries] object OracleSql {
+
+  /** WITH-clause CTEs `sh0 .. cand`: per-doc 3-token-shingle sets and
+    * the zero-false-negative prefix-filter candidate pairs at
+    * `threshold` (PPJoin canonical order: df asc, shingle asc). */
+  def prefixFilterCtes(threshold: Double): String =
+    s"""sh0 AS (SELECT doc_id,
+       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
+       |      THEN [array_to_string(string_split(text, ' '), ' ')]
+       |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
+       |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
+       |      END) AS s
+       |  FROM documents),
+       |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
+       |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+       |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s
+       |  FROM inv i JOIN dft d USING (shingle) GROUP BY i.doc_id),
+       |pre AS (SELECT doc_id, unnest(list_slice(s, 1,
+       |    CAST(len(s) AS BIGINT)
+       |      - CAST(ceil(CAST($threshold AS DOUBLE) * CAST(len(s) AS DOUBLE)) AS BIGINT) + 1)) AS shingle
+       |  FROM canon),
+       |cand AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+       |  FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Exact-Jaccard verification select over [[prefixFilterCtes]]'s
+    * `cand`/`sh0`, emitting (id_a, id_b, jaccard[, extraSelect]). */
+  def verifiedPairsSelect(threshold: Double, extraSelect: String = "",
+      extraWhere: String = ""): String =
+    s"""SELECT x AS id_a, y AS id_b, j AS jaccard$extraSelect FROM (
+       |  SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
+       |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id)
+       |WHERE j >= $threshold$extraWhere""".stripMargin
+}
