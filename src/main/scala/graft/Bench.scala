@@ -56,9 +56,10 @@ object Bench {
       // run: each execution of a checkpointing query pins another RDD
       // copy, and the accumulated heap pressure bleeds into later
       // samples (llm06/llm08 drifted +30-90% across iterations until
-      // the copies were dropped; the unpersist itself is microseconds)
+      // the copies were dropped). BLOCKING: async removal would defer
+      // the block-drop work into the next sample's timed window
       def release(): Unit =
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       release() // after warmup
       val samples = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()

@@ -48,20 +48,6 @@ object Dedup {
     }.drop("__sig")
   }
 
-  /** LSH banding: k signatures in `bands` bands of k/bands rows; docs
-    * sharing any band hash become candidate pairs (a<b).
-    *
-    * Plan shape (100 TB posture): one projection computes all signatures
-    * and band hashes, one shuffle groups (band, bandHash) buckets, pairs
-    * explode map-side inside capped buckets, one final shuffle dedups
-    * pairs. Buckets larger than maxBucket are dropped (degenerate
-    * content / hash skew) — the explicit no-silent-quadratic guard. */
-  /** (__id, band, bh) LSH banding rows for a corpus — the shareable
-    * index artifact: the self-join path groups it into buckets, and the
-    * incremental path joins a NEW batch's rows against a PERSISTED copy
-    * of the corpus's (at 100 TB the index is written bucketed by (band,
-    * bh) once and every later batch joins without re-signing the
-    * corpus). */
   /** Array of `bands` 64-bit band hashes over a signature-array column —
     * THE banding formula; every consumer (self-join, incremental,
     * streaming) must hash bands identically or their buckets silently
@@ -74,27 +60,45 @@ object Dedup {
         x => x.cast("string")), ",")))
   }
 
+  /** (__id, band, bh) LSH banding rows for a corpus — the shareable
+    * index artifact: the self-join path groups it into buckets, and the
+    * incremental path joins a NEW batch's rows against a PERSISTED copy
+    * of the corpus's (at 100 TB the index is written bucketed by (band,
+    * bh) once and every later batch joins without re-signing the
+    * corpus). `shingleN` must match the verification stage's, or the
+    * candidate and verify similarities measure different things. */
   private[graft] def bandHashes(df: DataFrame, textCol: String, id: String,
-      k: Int, bands: Int): DataFrame = {
-    val sig = minhashSigArray(col(textCol), k)
+      k: Int, bands: Int, shingleN: Int = 3): DataFrame = {
+    val sig = minhashSigArray(col(textCol), k, shingleN)
     df.select(col(id).as("__id"), sig.as("__sig"))
       .select(col("__id"), posexplode(bandHashArray(col("__sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
 
-  def minhashCandidates(df: DataFrame, textCol: String, id: String,
-      k: Int = 16, bands: Int = 4, maxBucket: Int = 100): DataFrame = {
-    val banded = bandHashes(df, textCol, id, k, bands)
-    val buckets = banded.groupBy(col("band"), col("bh"))
+  /** Within-bucket (a<b) pairs from banding rows, with the maxBucket
+    * guard: buckets larger than `maxBucket` are dropped (degenerate
+    * content / hash skew) — the explicit no-silent-quadratic guard. */
+  private def pairsFromBands(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("bh"))
       .agg(collect_list(col("__id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    buckets
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
         .as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-  }
+
+  /** LSH banding: k signatures in `bands` bands of k/bands rows; docs
+    * sharing any band hash become candidate pairs (a<b).
+    *
+    * Plan shape (100 TB posture): one projection computes all signatures
+    * and band hashes, one shuffle groups (band, bandHash) buckets, pairs
+    * explode map-side inside capped buckets, one final shuffle dedups
+    * pairs (see pairsFromBands for the maxBucket guard). */
+  def minhashCandidates(df: DataFrame, textCol: String, id: String,
+      k: Int = 16, bands: Int = 4, maxBucket: Int = 100,
+      shingleN: Int = 3): DataFrame =
+    pairsFromBands(bandHashes(df, textCol, id, k, bands, shingleN), maxBucket)
 
   /** Near-dup pairs by exact n-gram Jaccard over MinHash candidates. */
   def nearDupJaccard(df: DataFrame, textCol: String, id: String,
@@ -107,7 +111,8 @@ object Dedup {
     // twice below (id extraction + final join) and each read would
     // re-run the whole MinHash pipeline
     val cands = broadcast(
-      minhashCandidates(df, textCol, id, k, bands).localCheckpoint(true))
+      minhashCandidates(df, textCol, id, k, bands, shingleN = shingleN)
+        .localCheckpoint(true))
     verifyJaccard(df, cands, textCol, id, threshold, shingleN)
   }
 
@@ -157,17 +162,23 @@ object Dedup {
   def incrementalNearDup(corpus: DataFrame, batch: DataFrame, textCol: String,
       id: String, threshold: Double, k: Int = 16, bands: Int = 8,
       shingleN: Int = 3, maxBucket: Int = 100): DataFrame = {
-    def buckets(df: DataFrame, out: String) =
-      bandHashes(df, textCol, id, k, bands)
-        .groupBy(col("band"), col("bh"))
+    def bucketsOf(banded: DataFrame, out: String) =
+      banded.groupBy(col("band"), col("bh"))
         .agg(collect_list(col("__id")).as(out))
         .filter(size(col(out)).between(1, maxBucket))
-    val cross = buckets(batch, "bids").join(buckets(corpus, "cids"), Seq("band", "bh"))
+    // the batch signs ONCE (eager checkpoint): the cross join and the
+    // batch-internal pairs both derive from the same banding rows —
+    // signing is the dominant per-batch cost, not worth paying twice
+    val batchBands = bandHashes(batch, textCol, id, k, bands, shingleN)
+      .localCheckpoint(true)
+    val cross = bucketsOf(batchBands, "bids")
+      .join(bucketsOf(bandHashes(corpus, textCol, id, k, bands, shingleN),
+        "cids"), Seq("band", "bh"))
       .select(explode(col("bids")).as("bid"), col("cids"))
       .select(col("bid"), explode(col("cids")).as("cid"))
       .select(least(col("bid"), col("cid")).as("id_a"),
         greatest(col("bid"), col("cid")).as("id_b"))
-    val self = minhashCandidates(batch, textCol, id, k, bands, maxBucket)
+    val self = pairsFromBands(batchBands, maxBucket)
     val cands = broadcast(
       cross.union(self).distinct().localCheckpoint(true))
     val docs = corpus.select(col(id), col(textCol))

@@ -310,7 +310,12 @@ object Similarity {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // probes materialize once (eager localCheckpoint): both the cell
+    // collection below and the scoring join read them, and each read
+    // would otherwise re-evaluate the kClusters×dim centroid-similarity
+    // transform over every query row
     val probes = ivfProbes(queries, centroids, nProbe, embCol, id)
+      .localCheckpoint(true)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val cb = spark.read.parquet(s"$path/corpus")

@@ -187,14 +187,20 @@ object StreamOps {
       maxBucket: Int = 100): DataFrame = {
     import graft.functions.VectorFunctions.sorted_intersect_count
     import graft.ops.{Dedup, TextAnalysis}
-    val corpusBuckets = Dedup.bandHashes(corpus, "text", "doc_id", k, bands)
+    // both static sides are materialized ONCE (eager localCheckpoint):
+    // a stream-static join re-executes the static plan every micro-batch,
+    // so an un-checkpointed index would re-sign and re-shingle the whole
+    // corpus per trigger — O(batches × corpus) instead of O(corpus)
+    val corpusBuckets = Dedup.bandHashes(corpus, "text", "doc_id", k, bands, shingleN)
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("__id")).as("cids"))
       .filter(size(col("cids")).between(1, maxBucket))
+      .localCheckpoint(true)
     val corpusSh = corpus
       .select(col("doc_id").as("id_c"), TextAnalysis.tokens(col("text")).as("__tk"))
       .select(col("id_c"), array_sort(array_distinct(
         TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh_c"))
+      .localCheckpoint(true)
     val streamBands = arriving
       .select(col("doc_id"), col("text"),
         Dedup.minhashSigArray(col("text"), k).as("__sig"))

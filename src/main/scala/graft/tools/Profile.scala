@@ -18,9 +18,10 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
     // drop eagerly-cached state (localCheckpoint RDDs) between reps —
-    // accumulated copies otherwise inflate later samples (see Bench)
+    // accumulated copies otherwise inflate later samples; blocking so
+    // the removal cost stays outside the next timed window (see Bench)
     def release(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     fn(spark, sfDir).count() // warmup
     release()
     val times = (1 to reps).map { _ =>
