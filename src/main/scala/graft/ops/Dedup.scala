@@ -124,25 +124,31 @@ object Dedup {
   private def verifyJaccard(docs: DataFrame, cands: DataFrame, textCol: String,
       id: String, threshold: Double, shingleN: Int): DataFrame = {
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
-    // sorted-merge intersection: one sort per doc, then each pair is an
-    // allocation-free merge pass (vs hash-set array_intersect+union).
     // Checkpointed: joined as both sh_a and sh_b — one shingling pass,
     // not two (and it is tiny: only docs appearing in some candidate)
     val sh = docs.join(broadcast(candIds), Seq(id), "left_semi")
-      .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
-      .select(col(id),
+      .select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__id"),
         array_sort(array_distinct(
           TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh"))
       .localCheckpoint(true)
+    jaccardOverPairs(cands, sh, threshold)
+  }
+
+  /** The exact-verify join tail over precomputed (__id, sh) sorted
+    * shingle sets. Sorted-merge intersection: one sort per doc upstream,
+    * then each pair is an allocation-free merge pass (vs hash-set
+    * array_intersect+union). */
+  private def jaccardOverPairs(cands: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     cands
-      .join(sh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sh.select(col("__id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Incremental near-dup: exact-Jaccard pairs between a NEW batch of
     * documents and an already-indexed corpus (plus batch-internal
@@ -184,6 +190,75 @@ object Dedup {
     val docs = corpus.select(col(id), col(textCol))
       .unionByName(batch.select(col(id), col(textCol)))
     verifyJaccard(docs, cands, textCol, id, threshold, shingleN)
+  }
+
+  /** Persist the near-dup corpus index: the capped (band, bh) buckets,
+    * the per-doc sorted shingle sets, and the banding parameters —
+    * build ONCE over the corpus, then dedup every later batch against
+    * the files (see [[incrementalNearDupFromIndex]]) without
+    * re-signing or re-shingling a single corpus document. This is the
+    * cross-session form of [[incrementalNearDup]]'s in-memory index,
+    * the same lifecycle split as `Similarity.buildIvfIndex`. */
+  def buildNearDupIndex(corpus: DataFrame, path: String, k: Int = 16,
+      bands: Int = 8, shingleN: Int = 3, maxBucket: Int = 100,
+      textCol: String = "text", id: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // parameters ride with the index: a later session banding its batch
+    // with different k/bands/shingleN would silently stop matching
+    // buckets, so the query path reads them from here instead of
+    // trusting the caller
+    Seq((k, bands, shingleN, maxBucket))
+      .toDF("k", "bands", "shingleN", "maxBucket")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    bandHashes(corpus, textCol, id, k, bands, shingleN)
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).as("cids"))
+      .filter(size(col("cids")).between(1, maxBucket))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    corpus.select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__id"), array_sort(array_distinct(
+        TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Incremental near-dup against a PREBUILT index (see
+    * [[buildNearDupIndex]]): the batch signs with the index's own
+    * banding parameters, equi-joins the persisted buckets, and
+    * verifies against the persisted corpus shingle sets — per-batch
+    * cost is O(|batch| + |candidates|) with zero corpus recompute.
+    * Results are identical to [[incrementalNearDup]] over the same
+    * corpus and parameters. */
+  def incrementalNearDupFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, threshold: Double,
+      textCol: String = "text", id: String = "doc_id"): DataFrame = {
+    val p = spark.read.parquet(s"$path/params").head()
+    val (k, bands, shingleN, maxBucket) = (p.getAs[Int]("k"),
+      p.getAs[Int]("bands"), p.getAs[Int]("shingleN"), p.getAs[Int]("maxBucket"))
+    val batchBands = bandHashes(batch, textCol, id, k, bands, shingleN)
+      .localCheckpoint(true)
+    val batchBuckets = batchBands.groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("__id")).as("bids"))
+      .filter(size(col("bids")).between(1, maxBucket))
+    val cross = batchBuckets
+      .join(spark.read.parquet(s"$path/buckets"), Seq("band", "bh"))
+      .select(explode(col("bids")).as("bid"), col("cids"))
+      .select(col("bid"), explode(col("cids")).as("cid"))
+      .select(least(col("bid"), col("cid")).as("id_a"),
+        greatest(col("bid"), col("cid")).as("id_b"))
+    val cands = broadcast(
+      cross.union(pairsFromBands(batchBands, maxBucket)).distinct()
+        .localCheckpoint(true))
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id")).distinct()
+    val batchSh = batch
+      .select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__id"), array_sort(array_distinct(
+        TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh"))
+    val sh = spark.read.parquet(s"$path/shingles").unionByName(batchSh)
+      .join(broadcast(candIds), Seq("__id"), "left_semi")
+      .localCheckpoint(true)
+    jaccardOverPairs(cands, sh, threshold)
   }
 
   /** SimHash near-dup: 64-bit signature; pairs within `maxHamming` bits.

@@ -153,6 +153,22 @@ object LlmExt2 {
         corpus = docs.filter(col("doc_id") % 10 =!= 0),
         batch = docs.filter(col("doc_id") % 10 === 0),
         "text", "doc_id", threshold = 0.8)
+    },
+
+    // the same incremental dedup against a PREBUILT persisted index
+    // (build once on files, dedup every later batch with zero corpus
+    // recompute — the cross-session lifecycle llm45 demonstrates for
+    // ANN): identical results to llm44, so the same oracle holds
+    QDef("llm46_neardup_from_index",
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)}
+         |${OracleSql.verifiedPairsSelect(0.8,
+             extraWhere = " AND (id_a % 10 = 0 OR id_b % 10 = 0)")}""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val idx = graft.TmpDirs.scoped(
+        "graft-ndidx-" + java.lang.Integer.toHexString(dir.hashCode))
+      Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 10 =!= 0), idx)
+      Dedup.incrementalNearDupFromIndex(s, idx,
+        docs.filter(col("doc_id") % 10 === 0), threshold = 0.8)
     }
   )
 }

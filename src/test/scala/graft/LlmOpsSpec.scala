@@ -94,6 +94,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(inc.forall { case (a, b, _) => a >= 1000 || b >= 1000 })
   }
 
+  test("prebuilt near-dup index: identical results to the in-memory incremental path") {
+    val batch = docs.filter($"doc_id" >= 1000)
+    val corpus = docs.filter($"doc_id" < 1000)
+    val idx = graft.TmpDirs.scoped("graft-ndidx-spec")
+    Dedup.buildNearDupIndex(corpus, idx, bands = 8)
+    val fromIdx = Dedup.incrementalNearDupFromIndex(spark, idx, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMem = Dedup.incrementalNearDup(corpus, batch, "text", "doc_id",
+        threshold = 0.5, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIdx == inMem,
+      s"diff: ${fromIdx.diff(inMem)} / ${inMem.diff(fromIdx)}")
+    assert(fromIdx.nonEmpty)
+  }
+
   test("portable simhash: pair set equals brute-force hamming join; bits 62-63 clear") {
     val sigs = docs.select($"doc_id",
       simhash64_poly(split($"text", " ")).as("sig"))
