@@ -29,6 +29,24 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     split(text, "(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|[^a-z0-9]+")
 
+  /** Collapse runs of consecutive repeated tokens ("batch batch batch"
+    * -> "batch") — the standard repetition-normalization step before
+    * dedup/quality scoring (pathological generator/crawler output
+    * inflates token counts and defeats shingle similarity). Narrow,
+    * shuffle-free; emits the cleaned text plus how many tokens the
+    * collapse removed. */
+  def collapseRepeats(df: DataFrame, textCol: String = "text",
+      id: String = "doc_id"): DataFrame = {
+    val tk = freshCol(df, "__tk")
+    df.withColumn(tk, tokens(col(textCol)))
+      // 0-based lambda index i: element_at(tk, i) is the 1-based
+      // PREVIOUS element; the i = 0 branch short-circuits the lookup
+      .withColumn("__kept",
+        expr(s"filter($tk, (x, i) -> i = 0 OR x != element_at($tk, i))"))
+      .select(col(id), concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col(tk)) - size(col("__kept"))).cast("bigint").as("n_removed"))
+  }
+
   /** Per-document token statistics. */
   def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     // token array materialized once: each consuming column would

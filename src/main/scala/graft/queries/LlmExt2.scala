@@ -169,6 +169,18 @@ object LlmExt2 {
       Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 10 =!= 0), idx)
       Dedup.incrementalNearDupFromIndex(s, idx,
         docs.filter(col("doc_id") % 10 === 0), threshold = 0.8)
+    },
+
+    // consecutive-repeat collapse (repetition normalization): DuckDB's
+    // 1-based list_filter lambda replays Spark's 0-based filter exactly
+    // (both guard the first element, both compare against the previous)
+    QDef("llm47_collapse_repeats",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(tk, (x, i) -> i = 1 OR x <> tk[i - 1]), ' ') AS clean_text,
+        |  CAST(len(tk) - len(list_filter(tk, (x, i) -> i = 1 OR x <> tk[i - 1])) AS BIGINT) AS n_removed
+        |FROM t""".stripMargin) { (s, dir) =>
+      TextAnalysis.collapseRepeats(Tables.load(s, dir, "documents"))
     }
   )
 }

@@ -94,6 +94,21 @@ class LlmOpsSpec extends SparkTestBase {
     assert(inc.forall { case (a, b, _) => a >= 1000 || b >= 1000 })
   }
 
+  test("collapseRepeats: removes exactly consecutive duplicates, idempotent") {
+    val df = Seq((1L, "a a a b a c c"), (2L, "x y z"), (3L, "q q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collapseRepeats(df)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("a b a c", 3L)) // non-adjacent repeat of 'a' survives
+    assert(out(2L) == ("x y z", 0L))
+    assert(out(3L) == ("q", 1L))
+    // idempotent: a second pass removes nothing
+    val again = TextAnalysis.collapseRepeats(
+      TextAnalysis.collapseRepeats(df).withColumnRenamed("clean_text", "text"))
+      .agg(sum($"n_removed")).head().getLong(0)
+    assert(again == 0L)
+  }
+
   test("prebuilt near-dup index: identical results to the in-memory incremental path") {
     val batch = docs.filter($"doc_id" >= 1000)
     val corpus = docs.filter($"doc_id" < 1000)
