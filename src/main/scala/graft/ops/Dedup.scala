@@ -410,4 +410,141 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** All w-token spans of a document, one row per (start, span) with the
+    * 0-based token start position. Docs shorter than w emit nothing (no
+    * w-token span exists). The token array materializes once per row
+    * before the lambda (same lesson as the bigram top-k: re-splitting
+    * inside the transform would re-run the split per span). */
+  private def spanOccurrences(df: DataFrame, textCol: String, id: String,
+      w: Int): DataFrame =
+    df.select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= w)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), size(col("__tk")) - w),
+        i => array_join(slice(col("__tk"), i + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "st").withColumnRenamed("col", "span")
+
+  /** Cross-document duplicated span discovery — the span-level exact
+    * dedup primitive (the "repeated 50-token passage" phenomenon of web
+    * corpora: boilerplate, licenses, templated text recur verbatim
+    * ACROSS otherwise-distinct documents, so document-level dedup never
+    * sees them). Emits every w-token span occurring in >= minDocs
+    * distinct documents with its document/occurrence counts.
+    *
+    * Plan shape: one projection explodes ~|tokens| spans per doc, one
+    * shuffle groups them — the same single-aggregation shape as a word
+    * count. Grouping is by the span STRING (exact, and what the DuckDB
+    * oracle replays); at 100 TB the group key becomes a 128-bit span
+    * hash (two independent xxhash64 seeds — collision odds ~n²/2^129)
+    * so the shuffle ships 16 bytes per span instead of ~w words. The
+    * suffix-array formulation finds variable-length duplicates but
+    * needs a global sort; fixed-w shingles are the shuffle-friendly
+    * form and w is the minimum duplication length worth acting on. */
+  def duplicatedSpans(df: DataFrame, textCol: String, id: String,
+      w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    spanOccurrences(df, textCol, id, w)
+      .groupBy(col("span"))
+      .agg(countDistinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("__id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document coverage by cross-document duplicated spans: the
+    * fraction of a doc's tokens lying inside some w-token span that also
+    * occurs in another document — the score a span-level dedup pipeline
+    * thresholds on (drop or trim docs that are mostly recycled text).
+    *
+    * Overlapping/adjacent duplicated spans merge before counting
+    * (gaps-and-islands over start positions), so a token inside three
+    * overlapping duplicated spans counts once. The merge window
+    * partitions BY DOCUMENT (rows per partition ~ doc token count) —
+    * no global window anywhere. */
+  def spanDupCoverage(df: DataFrame, textCol: String, id: String,
+      w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    val occ = spanOccurrences(df, textCol, id, w)
+    val dup = occ.groupBy(col("span"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("span"))
+    // interval [st, en) per duplicated-span occurrence; islands = maximal
+    // runs where each interval starts at-or-before the running max end
+    val hits = occ.join(dup, Seq("span"), "left_semi")
+      .select(col("__id"), col("st"), (col("st") + w).as("en"))
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("st"), col("en"))
+    val islands = hits
+      .withColumn("__prev_max", max(col("en")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__island", sum(
+        when(col("__prev_max").isNull || col("st") > col("__prev_max"), 1)
+          .otherwise(0)).over(byDoc))
+      .groupBy(col("__id"), col("__island"))
+      .agg((max(col("en")) - min(col("st"))).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).cast("bigint").as("dup_tokens"))
+    df.select(col(id),
+        size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .join(islands.withColumnRenamed("__id", id), Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_ratio"))
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): quantize the corpus into
+    * clusters, then prune cosine-near-duplicates WITHIN each cluster —
+    * the cluster scope is what makes the quadratic verify tractable
+    * (pairs ~ Σ|cluster|², not n²). A doc is a duplicate iff a
+    * lower-id doc in its cluster has cosine >= threshold; keeping
+    * min-id per ball makes the result order- and partitioning-stable.
+    *
+    * `seeds` is the coarse quantizer: any non-empty (seedId, seedEmb)
+    * frame (an empty quantizer assigns nothing and yields an empty
+    * result). Assignment = argmax cosine over the broadcast seeds (ties
+    * break to the smaller seed id). A fixed deterministic seed rule (e.g. every
+    * Nth doc) makes the whole operator ANSI-SQL-replayable — the llm50
+    * oracle does exactly that; a production run at fixed cluster count
+    * passes `Similarity.kmeansCentroids` output instead (same plan, the
+    * FAISS-style trained quantizer, no longer SQL-replayable).
+    *
+    * Plan shape: broadcast-nested-loop assignment (narrow, corpus
+    * scanned once), one shuffle to group clusters, map-side pair
+    * explosion within clusters. Clusters larger than `maxCluster` fail
+    * loud (raise_error) rather than silently exploding a task — size
+    * the quantizer so cells stay small (the SemDeDup paper's k ~ √n). */
+  def semDedup(df: DataFrame, embCol: String, id: String,
+      seeds: DataFrame, seedId: String, seedEmb: String,
+      threshold: Double, maxCluster: Int = 100000): DataFrame = {
+    val s = broadcast(seeds.select(col(seedId).as("__seed_id"),
+      col(seedEmb).as("__s_emb")))
+    // materialized once (eager checkpoint): four consumers below (sizes,
+    // the guard join, both pair-join sides) would each re-run the full
+    // corpus x seeds assignment pass otherwise
+    val asg = df.select(col(id), col(embCol).as("__e"))
+      .crossJoin(s)
+      .withColumn("__c", cosine_sim(col("__e"), col("__s_emb")))
+      .groupBy(col(id))
+      .agg(max_by(col("__seed_id"),
+          struct(col("__c"), (-col("__seed_id")).as("__neg"))).as("cluster_id"),
+        first(col("__e")).as("__emb"))
+      .localCheckpoint(true)
+    val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+    val guarded = asg.join(sizes, Seq("cluster_id"))
+      .filter(when(col("__n") > maxCluster,
+          raise_error(concat(lit(s"semDedup: cluster exceeds maxCluster=$maxCluster: "),
+            col("cluster_id").cast("string"))))
+        .otherwise(lit(true)))
+      .drop("__n")
+    val a = guarded.select(col(id).as("id_a"), col("cluster_id"), col("__emb").as("__ea"))
+    val b = guarded.select(col(id).as("id_b"), col("cluster_id").as("__cb"), col("__emb").as("__eb"))
+    val dupIds = a.join(b, col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_b").as(id)).distinct()
+    guarded.select(col(id), col("cluster_id"))
+      .join(dupIds.withColumn("__d", lit(true)), Seq(id), "left")
+      .select(col(id), col("cluster_id"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
 }

@@ -171,6 +171,84 @@ object LlmExt2 {
         docs.filter(col("doc_id") % 10 === 0), threshold = 0.8)
     },
 
+    // cross-doc duplicated 8-token spans (span-level exact dedup, the
+    // Lee-et-al "deduplicating training data" phenomenon): one explode +
+    // one string-keyed aggregation, replayed exactly by DuckDB's
+    // list_transform slices. At 100 TB the group key becomes a 128-bit
+    // span hash (see Dedup.duplicatedSpans scaladoc)
+    QDef("llm48_span_dupes",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+        |    i -> array_to_string(tk[i + 1 : i + 8], ' '))) AS span
+        |  FROM tk WHERE len(tk) >= 8)
+        |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+        |  MIN(doc_id) AS first_doc
+        |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin) { (s, dir) =>
+      Dedup.duplicatedSpans(Tables.load(s, dir, "documents"), "text", "doc_id", w = 8)
+    },
+
+    // per-doc coverage by cross-doc duplicated spans, overlaps merged
+    // (gaps-and-islands; the window partitions BY DOC — no global
+    // window): the score a span-level dedup pipeline thresholds on
+    QDef("llm49_span_coverage",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sp AS (SELECT doc_id, unnest(range(0, len(tk) - 7)) AS s, tk
+        |  FROM tk WHERE len(tk) >= 8),
+        |sp2 AS (SELECT doc_id, s, array_to_string(tk[s + 1 : s + 8], ' ') AS span FROM sp),
+        |dup AS (SELECT span FROM sp2 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, s AS st, s + 8 AS en FROM sp2
+        |  WHERE span IN (SELECT span FROM dup)),
+        |m AS (SELECT doc_id, st, en,
+        |    MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM occ),
+        |isl AS (SELECT doc_id, st, en,
+        |    SUM(CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |cov AS (SELECT doc_id, island, MAX(en) - MIN(st) AS c FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+        |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
+        |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.spanDupCoverage(Tables.load(s, dir, "documents"), "text", "doc_id", w = 8)
+    },
+
+    // semantic dedup (SemDeDup): Voronoi-quantize on every-25th doc's
+    // embedding (a fixed seed rule both engines replay; the trained-
+    // k-means variant swaps in kmeansCentroids, same plan), then prune
+    // cosine >= 0.40 near-dups within each cluster. Fixed-order fold
+    // cosine = the llm10/llm11 bit-portable construction
+    QDef("llm50_semdedup", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.semDedup(emb, "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding", threshold = 0.40)
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Span-level exact dedup (duplicatedSpans / spanDupCoverage) and
+  * semantic dedup (semDedup) — planted-case semantics plus the
+  * partition-invariance checks the oracle gate can't see. */
+class SpanSemDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("duplicatedSpans: finds exactly the planted cross-doc span") {
+    // docs 1 and 2 share one 8-token run; doc 3 is disjoint; doc 4 is
+    // too short to produce any span
+    val shared = toks(8, "s")
+    val docs = Seq(
+      (1L, s"${toks(4, "a")} $shared ${toks(4, "b")}"),
+      (2L, s"${toks(6, "c")} $shared"),
+      (3L, toks(20, "d")),
+      (4L, toks(5, "e"))).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("span") == shared)
+    assert(r.getAs[Long]("n_docs") == 2L && r.getAs[Long]("n_occ") == 2L)
+    assert(r.getAs[Long]("first_doc") == 1L)
+  }
+
+  test("duplicatedSpans: within-doc repetition alone does not qualify") {
+    val run = toks(8, "r")
+    val docs = Seq(
+      (1L, s"$run x0 x1 x2 x3 x4 x5 x6 x7 $run"), // twice in ONE doc
+      (2L, toks(20, "z"))).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8)
+    assert(out.count() == 0)
+  }
+
+  test("spanDupCoverage: overlapping spans merge; disjoint runs sum") {
+    // doc 1 = 10 identical-to-doc-2 tokens then 10 unique: spans at
+    // starts 0,1,2 are duplicated -> merged island [0,10) = 10 tokens
+    val shared = toks(10, "s")
+    val docs = Seq(
+      (1L, s"$shared ${toks(10, "u")}"),
+      (2L, s"${toks(10, "v")} $shared")).toDF("doc_id", "text")
+    val out = Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_ratio"))).toMap
+    assert(out(1L) == ((20L, 10L, 0.5)))
+    assert(out(2L) == ((20L, 10L, 0.5)))
+  }
+
+  test("spanDupCoverage: doc shorter than w gets zero coverage, not dropped") {
+    val docs = Seq((1L, toks(5, "a")), (2L, toks(12, "b")),
+      (3L, toks(12, "b"))).toDF("doc_id", "text")
+    val out = Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    assert(out(1L) == 0L && out(2L) == 12L && out(3L) == 12L)
+  }
+
+  test("spanDupCoverage: invariant under input partitioning") {
+    val docs = spark.range(0, 200)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          // every third doc shares a boilerplate 12-token prefix
+          when(col("id") % 3 === 0, lit(toks(12, "bp")))
+            .otherwise(concat_ws(" ", (0 until 12).map(i =>
+              concat(lit(s"t${i}_"), col("id"))): _*)),
+          concat(lit("tail_"), col("id"))).as("text"))
+      .localCheckpoint(true)
+    val one = Dedup.spanDupCoverage(docs.repartition(1), "text", "doc_id", w = 8)
+      .orderBy("doc_id").collect().toSeq
+    val many = Dedup.spanDupCoverage(docs.repartition(7), "text", "doc_id", w = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(one == many)
+  }
+
+  test("semDedup: planted near-identical pair dedups within its cluster; keeps min id") {
+    def vec(base: Array[Float]): Array[Float] = base
+    val e1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val e1b = Array.tabulate(8)(i => if (i == 0) 0.99f else if (i == 1) 0.01f else 0f)
+    val e2 = Array.tabulate(8)(i => if (i == 4) 1f else 0f)
+    val df = Seq(
+      (0L, vec(e1)), (1L, vec(e1b)), // near-identical pair, cluster of seed 0
+      (25L, vec(e2)), (26L, vec(e2.map(-_)))) // same cluster, opposite: no dup
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "embedding", "vec_id",
+        seeds = df.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding", threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(0L) == ((0L, false)) && out(1L) == ((0L, true)))
+    assert(!out(25L)._2 && !out(26L)._2)
+  }
+
+  test("semDedup: cross-cluster near-dups are NOT caught (the SemDeDup contract)") {
+    // two near-identical vectors straddling the Voronoi boundary (their
+    // nearest seeds differ, and neither is near its own seed at the
+    // threshold): the cluster scope intentionally misses the pair
+    val a = Array(1f, 0.011f, 0f, 0f)
+    val b = Array(1f, -0.011f, 0f, 0f)
+    val seedA = Array(1f, 0.2f, 0f, 0f)
+    val seedB = Array(1f, -0.2f, 0f, 0f)
+    val df = Seq((0L, seedA), (25L, seedB), (3L, a), (4L, b))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "embedding", "vec_id",
+        seeds = df.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding", threshold = 0.999)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(3L)._1 == 0L && out(4L)._1 == 25L)
+    assert(!out(3L)._2 && !out(4L)._2)
+  }
+
+  test("semDedup: maxCluster guard fails loud on a degenerate quantizer") {
+    val df = (0L until 40L).map(i => (i, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Dedup.semDedup(df, "embedding", "vec_id",
+        seeds = df.filter(col("vec_id") === 0),
+        seedId = "vec_id", seedEmb = "embedding",
+        threshold = 0.9, maxCluster = 10).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxCluster"))
+  }
+}
