@@ -127,6 +127,67 @@ object ScaleSmoke {
         s"kept set must be the k smallest priorities (found $below strictly below cutoff)")
     }
 
+    // span-level dedup at 1M docs: every 100th doc carries a fixed
+    // 12-token boilerplate prefix; all other tokens are unique per
+    // (doc, position), so the duplicated-span set is EXACTLY the 5
+    // 8-token windows inside the prefix and coverage is exactly 12
+    // tokens for planted docs, 0 for the rest — an algebraic invariant,
+    // no sampling
+    timed(s"spanDupCoverage($nText)") {
+      val bp = (0 until 12).map(i => s"bp$i").mkString(" ")
+      val docs = spark.range(nText).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 100 === 0, lit(bp))
+            .otherwise(concat_ws(" ", (0 until 12).map(j =>
+              concat(lit(s"p${j}_"), col("id"))): _*)),
+          concat_ws(" ", (12 until 24).map(j =>
+            concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+      val planted = nText / 100
+      val srow = graft.ops.Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8)
+        .agg(count(lit(1)).as("n"), min(col("n_docs")).as("mn"),
+          max(col("n_docs")).as("mx")).head()
+      assert(srow.getLong(0) == 5L && srow.getLong(1) == planted
+          && srow.getLong(2) == planted,
+        s"expected exactly 5 duplicated spans x $planted docs, got $srow")
+      val crow = graft.ops.Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8)
+        .agg(count(when(col("dup_tokens") === 12L, 1)).as("planted"),
+          count(when(col("dup_tokens") =!= 0L && col("dup_tokens") =!= 12L, 1))
+            .as("stray")).head()
+      assert(crow.getLong(0) == planted && crow.getLong(1) == 0L,
+        s"expected $planted docs at coverage 12 and none elsewhere, got $crow")
+    }
+
+    // semantic dedup at 200k vectors / 1000 Voronoi cells: every 100th
+    // second-half vector is an exact copy of its first-half source —
+    // identical vectors always land in the same cell (identical argmax),
+    // so every planted copy MUST be flagged regardless of where the
+    // quantizer boundaries fall
+    val nSem = if (args.length > 4) args(4).toLong else 200000L
+    timed(s"semDedup($nSem)") {
+      val half = nSem / 2
+      // xxhash64(base, j) mixing: a multiplicative generator linear in j
+      // makes every vector an arithmetic progression mod M — wildly
+      // correlated pairs that flag most of the corpus. Real hash mixing
+      // keeps distinct bases independent.
+      val emb = spark.range(nSem).select(col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, 15), j -> CAST(
+          pmod(xxhash64(CASE WHEN id >= ${half}L AND id % 100 = 0
+            THEN id - ${half}L ELSE id END, j), 1000003) / 1000003.0 - 0.5 AS FLOAT))""").as("embedding"))
+      val out = graft.ops.Dedup.semDedup(emb, "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % (nSem / 1000) === 0),
+        seedId = "vec_id", seedEmb = "embedding", threshold = 0.999)
+      val plantedSem = half / 100
+      val row = out.agg(
+        count(when(col("vec_id") >= half && col("vec_id") % 100 === 0
+          && col("is_dup"), 1)).as("flagged"),
+        count(when(col("is_dup"), 1)).as("total"),
+        count(lit(1)).as("n")).head()
+      assert(row.getLong(2) == nSem, s"semDedup must emit every vector, got ${row.getLong(2)}")
+      assert(row.getLong(0) == plantedSem,
+        s"expected all $plantedSem planted copies flagged, got ${row.getLong(0)}")
+      println(f"SCALE semDedup: ${row.getLong(1)} flagged of $nSem (planted $plantedSem)")
+    }
+
     // the composed ANN index at 1M vectors: IVF cells prune + PQ codes
     // score compressed + exact re-rank — recall vs brute-force ground
     // truth must clear the spec bound at this scale, not just at the
