@@ -308,6 +308,63 @@ object TextAnalysis {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Count-based bigram language-model scoring (the CCNet-style
+    * statistical quality filter, log-free): score = mean conditional
+    * probability P(w2|w1) of a doc's bigrams under the corpus's own
+    * bigram counts. Repetitive/templated text scores high, token salad
+    * scores low; unlike a neural perplexity filter this needs no model
+    * artifact and is exactly reproducible (every probability is one
+    * integer-ratio division; the per-doc mean folds in POSITION order,
+    * so cross-engine summation order can't drift the double).
+    *
+    * Plan shape: one bigram explode (checkpointed — three consumers),
+    * two count aggregations, one equi-join keyed by bigram, one per-doc
+    * re-aggregation. At 100 TB the bigram table is the big object; the
+    * production variant keeps only bigrams with count >= floor (rare
+    * bigrams' probabilities are noise anyway) and broadcasts that
+    * truncated table. Docs with fewer than 2 tokens have no bigrams and
+    * are absent from the output. */
+  def bigramLmScore(df: DataFrame, textCol: String, id: String): DataFrame = {
+    val bg = df.select(col(id).as("__id"), tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), size(col("__tk")) - 2),
+        i => struct(element_at(col("__tk"), i + 1).as("w1"),
+          element_at(col("__tk"), i + 2).as("w2")))))
+      .select(col("__id"), col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+      .localCheckpoint(true)
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val uc = bg.groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .select(col("__id"), col("pos"),
+        (col("__c2").cast("double") / col("__c1").cast("double")).as("__pr"))
+      .groupBy(col("__id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, __pr))), x -> x.__pr)")
+        .as("__ps"))
+      .select(col("__id").as(id),
+        size(col("__ps")).cast("bigint").as("n_bigrams"),
+        (expr("aggregate(__ps, cast(0.0 as double), (a, b) -> a + b)")
+          / size(col("__ps")).cast("double")).as("lm_score"))
+  }
+
+  /** Stratified deterministic sampling: the k smallest content-hash
+    * priorities PER GROUP (vs [[weightedPrioritySample]]'s global k) —
+    * the "n docs from every language/domain" pipeline step. Content-hash
+    * priorities make the sample reproducible and duplicate-consistent;
+    * the rank filter plans as WindowGroupLimit (per-partition bounded
+    * group heaps before the shuffle), so k bounds memory per group at
+    * any corpus size. */
+  def stratifiedSample(df: DataFrame, textCol: String, groupCol: String,
+      id: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("priority"), col(id))
+    df.select(col(groupCol), col(id),
+        mod_poly_hash(col(textCol)).as("priority"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Deterministic train/val/test split: each document is assigned to the
     * split whose cumulative weight bucket contains
     * mod_poly_hash(text) % outOf. Content-hash assignment (not rand())

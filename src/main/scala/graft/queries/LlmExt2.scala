@@ -249,6 +249,41 @@ object LlmExt2 {
         seedId = "vec_id", seedEmb = "embedding", threshold = 0.40)
     },
 
+    // count-based bigram LM quality score (CCNet-style statistical
+    // filter, log-free): mean P(w2|w1) under the corpus's own bigram
+    // counts. Every probability is one integer-ratio division and the
+    // per-doc mean folds in POSITION order (list ORDER BY pos ==
+    // sort_array(struct(pos, pr))), so the double is bit-identical
+    QDef("llm51_bigram_lm",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (SELECT doc_id, unnest(range(0, len(tk) - 1)) AS pos, tk
+        |  FROM tk WHERE len(tk) >= 2),
+        |bg2 AS (SELECT doc_id, pos, tk[pos + 1] AS w1, tk[pos + 2] AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg2 GROUP BY 1, 2),
+        |uc AS (SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY 1),
+        |p AS (SELECT g.doc_id, g.pos, CAST(bc.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE) AS pr
+        |  FROM bg2 g JOIN bc USING (w1, w2) JOIN uc USING (w1)),
+        |s AS (SELECT doc_id, list(pr ORDER BY pos) AS ps FROM p GROUP BY 1)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+        |  list_reduce([CAST(0.0 AS DOUBLE)] || ps, (a, b) -> a + b)
+        |    / CAST(len(ps) AS DOUBLE) AS lm_score
+        |FROM s""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramLmScore(Tables.load(s, dir, "documents"), "text", "doc_id")
+    },
+
+    // stratified deterministic sample: 20 docs per language by
+    // content-hash priority — reproducible, duplicate-consistent, and
+    // the rank filter plans as WindowGroupLimit (bounded per-group
+    // heaps before the shuffle; plan pinned in spec)
+    QDef("llm52_stratified_sample",
+      s"""SELECT lang, doc_id, priority FROM (
+         |  SELECT lang, doc_id, $hashSql AS priority,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $hashSql, doc_id) AS rn
+         |  FROM documents) WHERE rn <= 20""".stripMargin) { (s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.load(s, dir, "documents"),
+        "text", "lang", "doc_id", k = 20)
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

@@ -95,6 +95,46 @@ class TextOps2Spec extends SparkTestBase {
     assert(sharedOut.count() == valRows.length)
   }
 
+  test("bigram LM score: hand-computed probabilities on a tiny corpus") {
+    // corpus: "a b a b" and "a c". bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // c1(a)=3, c1(b)=1. P(b|a)=2/3, P(a|b)=1, P(c|a)=1/3 — the common
+    // continuation (a,b) outscores the rare one (a,c). (Note the score
+    // is corpus-RELATIVE: a doc of globally-unique tokens is perfectly
+    // self-predictable and scores 1.0 — low scores mean words used in
+    // contexts the corpus usually continues differently.)
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    // doc 1: (2/3 + 1 + 2/3) / 3 ; doc 2: (1/3) / 1
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - (2.0 / 3 + 1.0 + 2.0 / 3) / 3) < 1e-15)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - 1.0 / 3) < 1e-15)
+  }
+
+  test("bigram LM score: single-token and empty docs are absent; invariant under partitioning") {
+    val df = Seq((1L, "solo"), (2L, "a b c"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+    assert(out.count() == 2 && out.filter($"doc_id" === 1L).count() == 0)
+    val base = TextAnalysis.bigramLmScore(docs, "text", "doc_id")
+      .orderBy($"doc_id").collect().toSeq
+    val reparted = TextAnalysis.bigramLmScore(docs.repartition(7), "text", "doc_id")
+      .orderBy($"doc_id").collect().toSeq
+    assert(base == reparted, "position-ordered fold must be partitioning-invariant")
+  }
+
+  test("stratified sample: k per group, deterministic, plans as WindowGroupLimit") {
+    val out = TextAnalysis.stratifiedSample(docs, "text", "lang", "doc_id", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push as WindowGroupLimit, got:\n$plan")
+    val counts = out.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 5L), s"expected 5 per lang, got $counts")
+    val again = TextAnalysis.stratifiedSample(docs.repartition(7), "text", "lang",
+        "doc_id", k = 5).orderBy($"lang", $"doc_id").collect().toSeq
+    assert(again == out.orderBy($"lang", $"doc_id").collect().toSeq)
+  }
+
   test("funnel stages shrink monotonically and corr is in [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
     val funnel = SparkEntry.queries("q74_funnel")(spark, dir).head()
