@@ -325,7 +325,7 @@ object Similarity {
 
   /** SQL fragment: centroid cells sorted by descending query similarity
     * (for multi-cell probing). */
-  private def probeCellsSql(centroids: Array[Array[Double]]): String = {
+  private[graft] def probeCellsSql(centroids: Array[Array[Double]]): String = {
     // array of structs (negsim, cell) sorted ascending => nearest first
     val entries = centroids.zipWithIndex.map { case (c, i) =>
       val arr = c.mkString("array(", ",", ")")

@@ -36,7 +36,7 @@ object Llm {
     * the per-query contracts through the driver's hash compare. The
     * checked subset keeps the brute-force reference a small fraction of
     * the query load at any SF. */
-  private def annGate(ann: DataFrame, emb: DataFrame, k: Int,
+  private[queries] def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // ann is queries×k rows — broadcast it through both recompute joins.
@@ -80,7 +80,7 @@ object Llm {
   /** The DuckDB side of [[annGate]]: shape/contract booleans are
     * asserted `true`; exact_top1_sim is recomputed from scratch with the
     * bit-portable cosine fold (same construction as llm09's oracle). */
-  private def annGateOracle(k: Int): String = {
+  private[queries] def annGateOracle(k: Int): String = {
     def fold(u: String, v: String, a: String, b: String) =
       s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

@@ -240,6 +240,22 @@ object Streaming {
         .filter(col("doc_id") % 10 === 0)
       drain(StreamOps.incrementalNearDupStream(corpus, arriving, threshold = 0.8),
         "str11_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+    },
+
+    // streaming ANN serving: arriving query vectors probe the prebuilt
+    // IVF index (llm45's lifecycle, online) — stream-static cell join +
+    // typed top-k heap state, one k-row heap per query. The drained
+    // result passes the same exactness/recall gate as the batch paths
+    QDef("str12_stream_knn", Llm.annGateOracle(10)) { (s, dir) =>
+      val emb = graft.Tables.load(s, dir, "embeddings")
+      val idx = graft.TmpDirs.scoped(
+        "graft-ivfs-" + java.lang.Integer.toHexString(dir.hashCode))
+      graft.ops.Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+      val queries = StreamOps.embeddingsStream(s, dir)
+        .filter(col("vec_id") % 50 === 0)
+      val knn = drain(StreamOps.ivfKnnStream(s, idx, queries, k = 10, nProbe = 6),
+        "str12_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
+      Llm.annGate(knn, emb, k = 10, minMatches = 3)
     }
   )
 }

@@ -169,6 +169,69 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
+  /** Streaming view of the embeddings table (same symlink-staging shape
+    * as [[documentsStream]]). */
+  def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-embs-" + java.lang.Integer.toHexString(sfDir.hashCode))
+    val link = dir.resolve("embeddings.parquet")
+    if (!java.nio.file.Files.exists(link)) {
+      java.nio.file.Files.createDirectories(dir)
+      try java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(sfDir, "embeddings.parquet"))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
+  /** Streaming ANN: each ARRIVING query vector probes a PREBUILT IVF
+    * index (see `Similarity.buildIvfIndex`) — the online-serving shape
+    * of llm45's batch lookup. Probe-cell assignment is a narrow
+    * projection against the broadcast centroid literals; candidates
+    * come from a stream-static equi-join on the cell id (the static
+    * corpus side is materialized once — an un-checkpointed static plan
+    * re-reads the index every micro-batch); per-query top-k runs as a
+    * typed k-bounded heap aggregation (`TopKBySim`) because window
+    * ranking is not available on streams — state is one k-row heap per
+    * query key, emitted in complete mode. Ties and ordering match the
+    * batch formulation (heap/window equivalence is spec-pinned). */
+  def ivfKnnStream(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine_sim
+    import graft.ops.Similarity
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cb = spark.read.parquet(s"$path/corpus")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint(true)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(expr(
+        s"slice(${Similarity.probeCellsSql(centroids)}, 1, $nProbe)")))
+    val scored = probes.join(cb, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.Udfs.TopKBySim(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Streaming incremental near-dup: each ARRIVING document checks
     * against a STATIC corpus — the admission-control shape of
     * `Dedup.incrementalNearDup` (new data joins the corpus's persisted

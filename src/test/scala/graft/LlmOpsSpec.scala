@@ -196,6 +196,25 @@ class LlmOpsSpec extends SparkTestBase {
       s"no cell partition filter on the index scan:\n$plan")
   }
 
+  test("streaming ivf knn equals the batch prebuilt-index lookup") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = graft.TmpDirs.scoped("graft-ivfs-spec")
+    Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+    val streamed = graft.streaming.StreamOps.ivfKnnStream(spark, idx,
+      graft.streaming.StreamOps.embeddingsStream(spark, sfDir)
+        .filter($"vec_id" % 100 === 0), k = 5, nProbe = 3)
+    val q = streamed.writeStream.format("memory").queryName("ivfs_spec")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ivfs_spec").collect().map(_.toString).sorted.toSeq
+    val batch = Similarity.ivfTopKFromIndex(spark, idx,
+      emb.filter($"vec_id" % 100 === 0), k = 5, nProbe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty && got == batch,
+      "stream-served knn must equal the batch index lookup row-for-row")
+  }
+
   test("pq top-k: compressed-domain recall clears 0.5, deterministic, corpus stays encoded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
