@@ -413,16 +413,17 @@ object Dedup {
 
   /** All w-token spans of a document, one row per (start, span) with the
     * 0-based token start position. Docs shorter than w emit nothing (no
-    * w-token span exists). The token array materializes once per row
-    * before the lambda (same lesson as the bigram top-k: re-splitting
-    * inside the transform would re-run the split per span). */
+    * w-token span exists; the pre-filter also means shinglesFromTokens'
+    * short-doc whole-text case never fires, so this IS the plain
+    * sliding window). The token array materializes once per row before
+    * the lambda (same lesson as the bigram top-k: re-splitting inside
+    * the transform would re-run the split per span). */
   private def spanOccurrences(df: DataFrame, textCol: String, id: String,
       w: Int): DataFrame =
     df.select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= w)
-      .select(col("__id"), posexplode(transform(
-        sequence(lit(0), size(col("__tk")) - w),
-        i => array_join(slice(col("__tk"), i + 1, lit(w)), " "))))
+      .select(col("__id"),
+        posexplode(TextAnalysis.shinglesFromTokens(col("__tk"), w)))
       .withColumnRenamed("pos", "st").withColumnRenamed("col", "span")
 
   /** Cross-document duplicated span discovery — the span-level exact
@@ -465,7 +466,10 @@ object Dedup {
   def spanDupCoverage(df: DataFrame, textCol: String, id: String,
       w: Int = 8, minDocs: Int = 2): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
-    val occ = spanOccurrences(df, textCol, id, w)
+    // materialized once (eager checkpoint): the dup aggregation and the
+    // hits join both consume the exploded spans — the heaviest
+    // projection here — and would each re-run it otherwise
+    val occ = spanOccurrences(df, textCol, id, w).localCheckpoint(true)
     val dup = occ.groupBy(col("span"))
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs).select(col("span"))
@@ -531,12 +535,16 @@ object Dedup {
         first(col("__e")).as("__emb"))
       .localCheckpoint(true)
     val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+    // also checkpointed: three consumers (both pair-join sides + the
+    // final output) would each re-run the size aggregation, guard join,
+    // and raise_error filter
     val guarded = asg.join(sizes, Seq("cluster_id"))
       .filter(when(col("__n") > maxCluster,
           raise_error(concat(lit(s"semDedup: cluster exceeds maxCluster=$maxCluster: "),
             col("cluster_id").cast("string"))))
         .otherwise(lit(true)))
       .drop("__n")
+      .localCheckpoint(true)
     val a = guarded.select(col(id).as("id_a"), col("cluster_id"), col("__emb").as("__ea"))
     val b = guarded.select(col(id).as("id_b"), col("cluster_id").as("__cb"), col("__emb").as("__eb"))
     val dupIds = a.join(b, col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))

@@ -248,9 +248,7 @@ object Streaming {
     // result passes the same exactness/recall gate as the batch paths
     QDef("str12_stream_knn", Llm.annGateOracle(10)) { (s, dir) =>
       val emb = graft.Tables.load(s, dir, "embeddings")
-      val idx = graft.TmpDirs.scoped(
-        "graft-ivfs-" + java.lang.Integer.toHexString(dir.hashCode))
-      graft.ops.Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+      val idx = Llm.ensureIvfIndex(s, dir)
       val queries = StreamOps.embeddingsStream(s, dir)
         .filter(col("vec_id") % 50 === 0)
       val knn = drain(StreamOps.ivfKnnStream(s, idx, queries, k = 10, nProbe = 6),

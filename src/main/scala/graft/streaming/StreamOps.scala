@@ -20,6 +20,32 @@ object StreamOps {
 
   /** Streaming view of the events table (nanos parquet read as long,
     * converted to µs timestamp, same as Tables.load's batch path). */
+  /** Stage a single-file dataset behind a symlink directory and open it
+    * as a file stream (the file source wants a directory). One shared
+    * implementation for events/documents/embeddings: the link-exists
+    * check is NOFOLLOW (a dangling link must not look absent), creation
+    * races between JVMs are benign (same target), and a link whose
+    * target is gone fails loud here instead of streaming zero rows. */
+  private def stagedStream(spark: SparkSession, sfDir: String,
+      fileName: String, prefix: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      prefix + java.lang.Integer.toHexString(sfDir.hashCode))
+    val link = dir.resolve(fileName)
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      java.nio.file.Files.createDirectories(dir)
+      try java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(sfDir, fileName))
+      catch { // lost the race to another JVM: same target, nothing to do
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    require(java.nio.file.Files.exists(link),
+      s"staged dataset symlink $link is dangling — target $sfDir/$fileName missing")
+    spark.readStream.schema(schema).parquet(dir.toString)
+  }
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -29,19 +55,7 @@ object StreamOps {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    // the file streaming source wants a directory; stage a symlink dir
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-events-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    val link = dir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createDirectories(dir)
-      try java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(sfDir, "events.parquet"))
-      catch { // lost the race to another JVM: same target, nothing to do
-        case _: java.nio.file.FileAlreadyExistsException => ()
-      }
-    }
-    spark.readStream.schema(schema).parquet(dir.toString)
+    stagedStream(spark, sfDir, "events.parquet", "graft-events-", schema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
@@ -147,48 +161,24 @@ object StreamOps {
       }
   }
 
-  /** Streaming view of the documents table (same symlink-staging shape
-    * as [[eventsStream]]). */
+  /** Streaming view of the documents table (see [[stagedStream]]). */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-docs-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    val link = dir.resolve("documents.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createDirectories(dir)
-      try java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(sfDir, "documents.parquet"))
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-      }
-    }
-    spark.readStream.schema(schema).parquet(dir.toString)
+    stagedStream(spark, sfDir, "documents.parquet", "graft-docs-", schema)
   }
 
-  /** Streaming view of the embeddings table (same symlink-staging shape
-    * as [[documentsStream]]). */
+  /** Streaming view of the embeddings table (see [[stagedStream]]). */
   def embeddingsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-embs-" + java.lang.Integer.toHexString(sfDir.hashCode))
-    val link = dir.resolve("embeddings.parquet")
-    if (!java.nio.file.Files.exists(link)) {
-      java.nio.file.Files.createDirectories(dir)
-      try java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(sfDir, "embeddings.parquet"))
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-      }
-    }
-    spark.readStream.schema(schema).parquet(dir.toString)
+    stagedStream(spark, sfDir, "embeddings.parquet", "graft-embs-", schema)
   }
 
   /** Streaming ANN: each ARRIVING query vector probes a PREBUILT IVF

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * primitives at 10M+ rows (10-100x the sf0.1 bench corpus) and check
   * their algebraic invariants with O(1) driver memory — guards against
   * designs that only work when a corpus fits one partition or the
-  * driver. `runMain graft.tools.ScaleSmoke [nBig] [nText]`.
+  * driver. `runMain graft.tools.ScaleSmoke [nBig] [nText] [nVec] [nCdc]
+  * [nSem]` (defaults 10M / 1M / 1M / 4M / 200k; nSem must be a
+  * multiple of 2000).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -142,7 +144,7 @@ object ScaleSmoke {
               concat(lit(s"p${j}_"), col("id"))): _*)),
           concat_ws(" ", (12 until 24).map(j =>
             concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
-      val planted = nText / 100
+      val planted = (nText + 99) / 100 // |{id in [0, nText) : id % 100 == 0}|
       val srow = graft.ops.Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8)
         .agg(count(lit(1)).as("n"), min(col("n_docs")).as("mn"),
           max(col("n_docs")).as("mx")).head()
@@ -163,6 +165,9 @@ object ScaleSmoke {
     // so every planted copy MUST be flagged regardless of where the
     // quantizer boundaries fall
     val nSem = if (args.length > 4) args(4).toLong else 200000L
+    require(nSem >= 2000 && nSem % 2000 == 0,
+      s"nSem must be a positive multiple of 2000 (half on the 100-grid, " +
+        s"seed modulus nSem/1000 > 0), got $nSem")
     timed(s"semDedup($nSem)") {
       val half = nSem / 2
       // xxhash64(base, j) mixing: a multiplicative generator linear in j
