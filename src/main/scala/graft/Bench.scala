@@ -25,7 +25,9 @@ object Bench {
     // misstate the production dedup path's throughput)
     "llm05_dedup_exact", "llm08_ngram_jaccard",
     "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline",
-    "llm22_embed_quantize", "llm27_curriculum_order", "llm30_ngram_topk")
+    "llm22_embed_quantize", "llm27_curriculum_order", "llm30_ngram_topk",
+    // round-5 additions: span-level dedup coverage and semantic dedup
+    "llm49_span_coverage", "llm50_semdedup")
 
   /** Timed samples per query (the published JSON derives from this —
     * one knob, no drift between the loop and the declared methodology). */

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property-style specs for the span/semantic dedup operators: random
+  * corpora checked against straight-line Scala brute-force references
+  * (every span enumerated, every cluster pair compared), pinning the
+  * distributed formulations — interval merge, cluster scoping, argmax
+  * tie-breaks — to semantics an independent implementation agrees with. */
+class DedupPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // tiny vocabulary so cross-doc span collisions actually occur
+  private def randomCorpus(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("a", "b", "c", "d")
+    (0 until n).map { i =>
+      val len = rnd.nextInt(20) + 1
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+  }
+
+  /** Reference: enumerate every w-span of every doc, find cross-doc
+    * duplicated spans, and per doc union the hit intervals exactly. */
+  private def refCoverage(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long)] = {
+    val spans = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - w).map(i => (id, i, t.slice(i, i + w).mkString(" ")))
+    }
+    val dup = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val byDoc = spans.filter(s => dup.contains(s._3)).groupBy(_._1)
+    docs.map { case (id, text) =>
+      val n = text.split(" ").length.toLong
+      val covered = byDoc.getOrElse(id, Seq.empty)
+        .flatMap(s => s._2 until s._2 + w).toSet.size.toLong
+      id -> (n, covered)
+    }.toMap
+  }
+
+  test("spanDupCoverage over random corpora equals the exact position-set reference") {
+    Seq(11L, 23L, 37L).foreach { seed =>
+      val docs = randomCorpus(120, seed)
+      val w = 4
+      val got = graft.ops.Dedup.spanDupCoverage(docs.toDF("doc_id", "text"),
+          "text", "doc_id", w = w)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"))).toMap
+      val ref = refCoverage(docs, w)
+      assert(got.keySet == ref.keySet)
+      got.foreach { case (id, v) =>
+        assert(v == ref(id), s"seed $seed doc $id: got $v want ${ref(id)}")
+      }
+    }
+  }
+
+  test("duplicatedSpans over random corpora equals the exact reference multiset") {
+    val docs = randomCorpus(150, 7L)
+    val w = 4
+    val got = graft.ops.Dedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "text", "doc_id", w = w)
+      .collect().map(r => r.getAs[String]("span") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"), r.getAs[Long]("first_doc")))
+      .toMap
+    val spans = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      (0 to t.length - w).map(i => (id, t.slice(i, i + w).mkString(" ")))
+    }
+    val ref = spans.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.size >= 2)
+      .map { case (span, occ) =>
+        span -> (occ.map(_._1).distinct.size.toLong, occ.size.toLong, occ.map(_._1).min)
+      }
+    assert(got == ref)
+  }
+
+  test("semDedup over random vectors equals the brute cluster-scoped reference") {
+    val rnd = new scala.util.Random(5)
+    val dim = 6
+    val vecs = (0 until 160).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble().toFloat * 2 - 1)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until dim).foreach { j =>
+        dot += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = vecs.filter(_._1 % 20 == 0)
+    val tau = 0.5
+    // reference: argmax-cosine assignment (ties to smaller seed id),
+    // then within-cluster lower-id witness search
+    val asg = vecs.map { case (id, v) =>
+      id -> seeds.map { case (sid, sv) => (sid, cos(v, sv)) }
+        .maxBy { case (sid, c) => (c, -sid) }._1
+    }.toMap
+    val ref = vecs.map { case (id, v) =>
+      val isDup = vecs.exists { case (oid, ov) =>
+        oid < id && asg(oid) == asg(id) && cos(ov, v) >= tau
+      }
+      id -> (asg(id), isDup)
+    }.toMap
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.ops.Dedup.semDedup(df, "embedding", "vec_id",
+        seeds = df.filter(col("vec_id") % 20 === 0),
+        seedId = "vec_id", seedEmb = "embedding", threshold = tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(got == ref)
+  }
+
+  test("bigramLmScore over a random corpus equals the exact fraction-fold reference") {
+    val docs = randomCorpus(100, 13L)
+    val bigrams = docs.flatMap { case (_, text) =>
+      val t = text.split(" ")
+      (0 until t.length - 1).map(i => (t(i), t(i + 1)))
+    }
+    val c2 = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val ref = docs.flatMap { case (id, text) =>
+      val t = text.split(" ")
+      if (t.length < 2) None
+      else {
+        val ps = (0 until t.length - 1)
+          .map(i => c2((t(i), t(i + 1))).toDouble / c1(t(i)).toDouble)
+        // same fixed fold order as the operator: position ascending
+        Some(id -> (ps.length.toLong, ps.foldLeft(0.0)(_ + _) / ps.length))
+      }
+    }.toMap
+    val got = graft.ops.TextAnalysis.bigramLmScore(docs.toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert(n == ref(id)._1 && s == ref(id)._2, s"doc $id: got ($n,$s) want ${ref(id)}")
+    }
+  }
+}
