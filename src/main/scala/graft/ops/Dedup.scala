@@ -555,4 +555,25 @@ object Dedup {
       .select(col(id), col("cluster_id"),
         coalesce(col("__d"), lit(false)).as("is_dup"))
   }
+
+  /** [[semDedup]] with the TRAINED coarse quantizer: k-means centroids
+    * from `Similarity.kmeansCentroids` (bounded sample, driver Lloyd —
+    * the FAISS recipe, cost independent of corpus size) become the seed
+    * frame. This is the production configuration — cluster count is a
+    * free knob (the SemDeDup paper's k ~ √n) instead of a corpus
+    * modulus — at the price of SQL replayability; correctness rides on
+    * the operator's invariants (exact copies always share a cell) and
+    * the spec suite. */
+  def semDedupTrained(df: DataFrame, embCol: String, id: String,
+      kClusters: Int, threshold: Double, maxCluster: Int = 100000,
+      dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seeds = Similarity.kmeansCentroids(df, embCol, kClusters, dim = dim)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toIndexedSeq
+      .toDF("seed_id", "seed_emb")
+    semDedup(df, embCol, id, seeds, "seed_id", "seed_emb",
+      threshold, maxCluster)
+  }
 }

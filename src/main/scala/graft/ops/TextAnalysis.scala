@@ -347,6 +347,31 @@ object TextAnalysis {
           / size(col("__ps")).cast("double")).as("lm_score"))
   }
 
+  /** Vocabulary coverage: induce the top-`vocabSize` corpus vocabulary
+    * (count desc, token asc — a total order, so the boundary is
+    * deterministic) and score every document's out-of-vocabulary rate —
+    * the coverage audit run before fixing a tokenizer/vocab for
+    * training. One token explode (checkpointed — the count aggregation
+    * and the membership join both consume it), one global top-V
+    * (TakeOrderedAndProject, V rows cross the wire), one broadcast
+    * membership join (the vocabulary is structurally small), one
+    * per-doc count aggregation. */
+  def vocabOovRate(df: DataFrame, textCol: String, id: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = df.select(col(id).as("__id"), explode(tokens(col(textCol))).as("t"))
+      .localCheckpoint(true)
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("t")).limit(vocabSize)
+      .select(col("t"), lit(1).as("__v"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__v").isNull, 1)).as("n_oov"))
+      .select(col("__id").as(id), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Stratified deterministic sampling: the k smallest content-hash
     * priorities PER GROUP (vs [[weightedPrioritySample]]'s global k) —
     * the "n docs from every language/domain" pipeline step. Content-hash

@@ -284,6 +284,23 @@ object LlmExt2 {
         "text", "lang", "doc_id", k = 20)
     },
 
+    // vocabulary coverage: top-50 corpus vocab (count desc, token asc —
+    // deterministic boundary) and per-doc out-of-vocabulary rate, the
+    // audit before fixing a training vocab
+    QDef("llm53_vocab_oov",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT 50),
+        |j AS (SELECT tok.doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(*) FILTER (WHERE v.t IS NULL) AS n_oov
+        |  FROM tok LEFT JOIN vocab v USING (t) GROUP BY tok.doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM j""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabOovRate(Tables.load(s, dir, "documents"),
+        "text", "doc_id", vocabSize = 50)
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

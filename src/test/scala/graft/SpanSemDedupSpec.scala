@@ -115,6 +115,25 @@ class SpanSemDedupSpec extends SparkTestBase {
     assert(!out(3L)._2 && !out(4L)._2)
   }
 
+  test("semDedupTrained: planted exact copies always flag under the k-means quantizer") {
+    // identical vectors share a cell under ANY quantizer (identical
+    // argmax), so every planted copy must flag no matter where the
+    // trained centroids land
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val copies = base.filter(_._1 % 20 == 0)
+      .map { case (i, v) => (i + 1000L, v.clone()) }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val out = graft.ops.Dedup.semDedupTrained(df, "embedding", "vec_id",
+        kClusters = 8, threshold = 0.999, dim = 8)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(out.size == base.size + copies.size, "every vector must be emitted")
+    copies.foreach { case (id, _) =>
+      assert(out(id), s"planted copy $id must be flagged")
+    }
+  }
+
   test("semDedup: maxCluster guard fails loud on a degenerate quantizer") {
     val df = (0L until 40L).map(i => (i, Array(1f, 0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
