@@ -466,10 +466,15 @@ object Dedup {
   def spanDupCoverage(df: DataFrame, textCol: String, id: String,
       w: Int = 8, minDocs: Int = 2): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
-    // materialized once (eager checkpoint): the dup aggregation and the
-    // hits join both consume the exploded spans — the heaviest
-    // projection here — and would each re-run it otherwise
-    val occ = spanOccurrences(df, textCol, id, w).localCheckpoint(true)
+    // deliberately NOT checkpointed despite two consumers (dup agg +
+    // hits join): the explode is cheap narrow codegen over compact doc
+    // rows, while materializing ~|tokens| span STRINGS per doc is ~20x
+    // the input bytes — measured at the 1M-doc smoke, re-running the
+    // projection beats storing it (37 s vs 46 s). The checkpoint
+    // discipline pays when the reused frame is small (semDedup's
+    // assignment) or expensive per row (shingle sets of candidates);
+    // here it is neither.
+    val occ = spanOccurrences(df, textCol, id, w)
     val dup = occ.groupBy(col("span"))
       .agg(countDistinct(col("__id")).as("__nd"))
       .filter(col("__nd") >= minDocs).select(col("span"))
