@@ -254,6 +254,46 @@ object Streaming {
       val knn = drain(StreamOps.ivfKnnStream(s, idx, queries, k = 10, nProbe = 6),
         "str12_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
       Llm.annGate(knn, emb, k = 10, minMatches = 3)
+    },
+
+    // streaming span-duplication gate: arriving docs scored for
+    // coverage by spans duplicated within the STATIC corpus (the
+    // admission-control form of llm49). The oracle replays the
+    // corpus-side dup set and the merged-interval coverage; the stream
+    // computes the identical union length via a sorted-interval fold
+    // (windows are unavailable on streams)
+    QDef("str13_stream_span_gate",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |csp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
+        |    i -> array_to_string(tk[i + 1 : i + 8], ' '))) AS span
+        |  FROM tk WHERE len(tk) >= 8 AND doc_id % 10 <> 0),
+        |dup AS (SELECT span FROM csp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        |asp AS (SELECT doc_id, len(tk) AS n_tokens, unnest(range(0, len(tk) - 7)) AS s, tk
+        |  FROM tk WHERE len(tk) >= 8 AND doc_id % 10 = 0),
+        |occ AS (SELECT doc_id, n_tokens, s AS st, s + 8 AS en
+        |  FROM (SELECT doc_id, n_tokens, s, array_to_string(tk[s + 1 : s + 8], ' ') AS span
+        |        FROM asp)
+        |  WHERE span IN (SELECT span FROM dup)),
+        |m AS (SELECT doc_id, n_tokens, st, en,
+        |    MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM occ),
+        |isl AS (SELECT doc_id, n_tokens, st, en,
+        |    SUM(CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |cov AS (SELECT doc_id, n_tokens, island, MAX(en) - MIN(st) AS c
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c) AS BIGINT) AS dup_tokens,
+        |  CAST(SUM(c) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio
+        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin) { (s, dir) =>
+      val docs = graft.Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val arriving = StreamOps.documentsStream(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+      drain(StreamOps.spanCoverageStream(corpus, arriving),
+        "str13_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
     }
   )
 }

@@ -222,6 +222,48 @@ object StreamOps {
       .toDF("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Streaming span-duplication scoring: each ARRIVING document is
+    * scored for coverage by spans duplicated WITHIN the static corpus —
+    * the admission-control form of `Dedup.spanDupCoverage` (gate or trim
+    * incoming docs that are mostly recycled corpus text before they
+    * enter). The corpus's duplicated-span set is computed once
+    * (checkpointed static side); arriving docs explode their spans
+    * (narrow), equi-join it, and merge overlapping hits per doc with a
+    * sorted-interval fold INSIDE the aggregation — window functions are
+    * unavailable on streams, and `sort_array(collect_list(...))` +
+    * `aggregate` computes the same union length (fold-vs-islands
+    * equivalence is what the oracle hash-checks). Emits only arriving
+    * docs with at least one duplicated span (absent = coverage 0);
+    * complete mode, one row of state per scored doc. */
+  def spanCoverageStream(corpus: DataFrame, arriving: DataFrame,
+      w: Int = 8, minDocs: Int = 2): DataFrame = {
+    import graft.ops.{Dedup, TextAnalysis}
+    val dupSpans = Dedup.duplicatedSpans(corpus, "text", "doc_id", w, minDocs)
+      .select(col("span")).localCheckpoint(true)
+    val occ = arriving
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
+      .filter(size(col("__tk")) >= w)
+      .select(col("doc_id"), size(col("__tk")).cast("bigint").as("n_tokens"),
+        posexplode(TextAnalysis.shinglesFromTokens(col("__tk"), w)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("st"),
+        (col("pos") + w).cast("bigint").as("en"), col("col").as("span"))
+      .join(dupSpans, Seq("span"))
+    occ.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("__ivs"))
+      .withColumn("dup_tokens", expr(
+        """aggregate(__ivs, named_struct('cov', 0L, 'mx', -1L),
+          |  (acc, x) -> named_struct(
+          |    'cov', acc.cov + CASE WHEN x.en <= acc.mx THEN 0L
+          |      WHEN x.st >= acc.mx THEN x.en - x.st
+          |      ELSE x.en - acc.mx END,
+          |    'mx', greatest(acc.mx, x.en)),
+          |  acc -> acc.cov)""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_ratio"))
+  }
+
   /** Streaming incremental near-dup: each ARRIVING document checks
     * against a STATIC corpus — the admission-control shape of
     * `Dedup.incrementalNearDup` (new data joins the corpus's persisted
