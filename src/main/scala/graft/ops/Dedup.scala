@@ -418,11 +418,11 @@ object Dedup {
     * sliding window). The token array materializes once per row before
     * the lambda (same lesson as the bigram top-k: re-splitting inside
     * the transform would re-run the split per span). */
-  private def spanOccurrences(df: DataFrame, textCol: String, id: String,
+  private[graft] def spanOccurrences(df: DataFrame, textCol: String, id: String,
       w: Int): DataFrame =
     df.select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= w)
-      .select(col("__id"),
+      .select(col("__id"), size(col("__tk")).cast("bigint").as("__n_tokens"),
         posexplode(TextAnalysis.shinglesFromTokens(col("__tk"), w)))
       .withColumnRenamed("pos", "st").withColumnRenamed("col", "span")
 
@@ -572,6 +572,8 @@ object Dedup {
   def semDedupTrained(df: DataFrame, embCol: String, id: String,
       kClusters: Int, threshold: Double, maxCluster: Int = 100000,
       dim: Int = 64): DataFrame = {
+    require(kClusters > 0, s"kClusters must be positive, got $kClusters" +
+      " (an empty quantizer would silently drop every document)")
     val spark = df.sparkSession
     import spark.implicits._
     val seeds = Similarity.kmeansCentroids(df, embCol, kClusters, dim = dim)

@@ -351,8 +351,11 @@ object TextAnalysis {
     * (count desc, token asc — a total order, so the boundary is
     * deterministic) and score every document's out-of-vocabulary rate —
     * the coverage audit run before fixing a tokenizer/vocab for
-    * training. One token explode (checkpointed — the count aggregation
-    * and the membership join both consume it), one global top-V
+    * training. One token explode — deliberately NOT checkpointed for
+    * its two consumers (count aggregation + membership join): like the
+    * span explode in Dedup.spanDupCoverage, it is cheap narrow codegen
+    * whose materialization costs more than recomputation (measured
+    * there, 39 s vs 46 s at 1M docs) — one global top-V
     * (TakeOrderedAndProject, V rows cross the wire), one broadcast
     * membership join (the vocabulary is structurally small), one
     * per-doc count aggregation. */
@@ -360,7 +363,6 @@ object TextAnalysis {
       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, "vocabSize must be positive")
     val tok = df.select(col(id).as("__id"), explode(tokens(col(textCol))).as("t"))
-      .localCheckpoint(true)
     val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("t")).limit(vocabSize)
       .select(col("t"), lit(1).as("__v"))

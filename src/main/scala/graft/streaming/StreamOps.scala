@@ -237,17 +237,15 @@ object StreamOps {
     * complete mode, one row of state per scored doc. */
   def spanCoverageStream(corpus: DataFrame, arriving: DataFrame,
       w: Int = 8, minDocs: Int = 2): DataFrame = {
-    import graft.ops.{Dedup, TextAnalysis}
+    import graft.ops.Dedup
     val dupSpans = Dedup.duplicatedSpans(corpus, "text", "doc_id", w, minDocs)
       .select(col("span")).localCheckpoint(true)
-    val occ = arriving
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__tk"))
-      .filter(size(col("__tk")) >= w)
-      .select(col("doc_id"), size(col("__tk")).cast("bigint").as("n_tokens"),
-        posexplode(TextAnalysis.shinglesFromTokens(col("__tk"), w)))
-      .select(col("doc_id"), col("n_tokens"),
-        col("pos").cast("bigint").as("st"),
-        (col("pos") + w).cast("bigint").as("en"), col("col").as("span"))
+    // same span pipeline as the batch operator (one implementation to
+    // keep the streaming gate and its batch oracle aligned)
+    val occ = Dedup.spanOccurrences(arriving, "text", "doc_id", w)
+      .select(col("__id").as("doc_id"), col("__n_tokens").as("n_tokens"),
+        col("st").cast("bigint").as("st"),
+        (col("st") + w).cast("bigint").as("en"), col("span"))
       .join(dupSpans, Seq("span"))
     occ.groupBy(col("doc_id"), col("n_tokens"))
       .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("__ivs"))
