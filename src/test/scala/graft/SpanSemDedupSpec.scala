@@ -134,6 +134,36 @@ class SpanSemDedupSpec extends SparkTestBase {
     }
   }
 
+  test("semDedup plan: seed assignment is a broadcast nested-loop, pairs shuffle on cluster only") {
+    val df = (0L until 100L).map(i => (i, Array.fill(4)(i.toFloat % 7)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(df, "embedding", "vec_id",
+      seeds = df.filter(col("vec_id") % 25 === 0),
+      seedId = "vec_id", seedEmb = "embedding", threshold = 0.99)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus x seeds assignment must NOT be a shuffle join — seeds
+    // broadcast, corpus scanned once (narrow)
+    assert(!plan.contains("CartesianProduct"),
+      s"assignment must broadcast the seeds, not cartesian:\n$plan")
+    // the checkpointed assignment feeds everything downstream — the
+    // crossJoin pass must not appear again after the checkpoint
+    assert(plan.contains("Scan ExistingRDD"),
+      s"assignment must be checkpointed (consumed 4x downstream):\n$plan")
+  }
+
+  test("empty and degenerate inputs: empty frames in, empty frames out, no crash") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(noDocs, "text", "doc_id", w = 8).count() == 0)
+    assert(Dedup.spanDupCoverage(noDocs, "text", "doc_id", w = 8).count() == 0)
+    assert(graft.ops.TextAnalysis.bigramLmScore(noDocs, "text", "doc_id").count() == 0)
+    assert(graft.ops.TextAnalysis.vocabOovRate(noDocs, "text", "doc_id", 10).count() == 0)
+    assert(graft.ops.TextAnalysis.stratifiedSample(
+      noDocs.withColumn("lang", lit("en")), "text", "lang", "doc_id", 5).count() == 0)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(noVecs, "embedding", "vec_id", seeds = noVecs,
+      seedId = "vec_id", seedEmb = "embedding", threshold = 0.5).count() == 0)
+  }
+
   test("semDedup: maxCluster guard fails loud on a degenerate quantizer") {
     val df = (0L until 40L).map(i => (i, Array(1f, 0f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
