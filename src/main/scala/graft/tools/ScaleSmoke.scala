@@ -159,6 +159,29 @@ object ScaleSmoke {
         s"expected $planted docs at coverage 12 and none elsewhere, got $crow")
     }
 
+    // bigram LM scoring at 1M docs: every doc = shared head token "h"
+    // then 12 per-doc-unique tokens, so every doc's score is EXACTLY
+    // (1/n + 11)/12 — the head bigram has P = 1/n (c1(h) = n), every
+    // other bigram is unique (P = 1). One distinct double across the
+    // corpus, computed with the same position-ordered fold driver-side
+    timed(s"bigramLmScore($nText)") {
+      val docs = spark.range(nText).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("h") +: (0 until 12).map(j =>
+          concat(lit(s"u${j}_"), col("id"))): _*).as("text"))
+      val out = graft.ops.TextAnalysis.bigramLmScore(docs, "text", "doc_id")
+      val row = out.agg(count(lit(1)).as("n"),
+        countDistinct(col("lm_score")).as("nd"),
+        min(col("lm_score")).as("mn"),
+        min(col("n_bigrams")).as("nb_mn"), max(col("n_bigrams")).as("nb_mx")).head()
+      var expect = 1.0 / nText.toDouble
+      (0 until 11).foreach(_ => expect += 1.0)
+      expect /= 12.0
+      assert(row.getLong(0) == nText && row.getLong(1) == 1L
+          && row.getDouble(2) == expect
+          && row.getLong(3) == 12L && row.getLong(4) == 12L,
+        s"every doc must score exactly (1/n + 11)/12 = $expect, got $row")
+    }
+
     // semantic dedup at 200k vectors / 1000 Voronoi cells: every 100th
     // second-half vector is an exact copy of its first-half source —
     // identical vectors always land in the same cell (identical argmax),
