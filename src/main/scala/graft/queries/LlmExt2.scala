@@ -301,6 +301,53 @@ object LlmExt2 {
         "text", "doc_id", vocabSize = 50)
     },
 
+    // curation pipeline v2 — the session's new operators composed
+    // end-to-end, every stage oracle-replayed: collapse consecutive
+    // repeats -> span-duplication coverage over the CLEANED text ->
+    // drop docs that are >= 50% recycled cross-doc spans -> per-lang
+    // release datasheet. Demonstrates the ops compose without
+    // re-tokenization drift (the oracle folds the same stages)
+    QDef("llm54_curation_pipeline",
+      """WITH cl AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '),
+        |      (x, i) -> i = 1 OR x <> string_split(text, ' ')[i - 1]) AS tk
+        |  FROM documents),
+        |sp AS (SELECT doc_id, unnest(range(0, len(tk) - 7)) AS s, tk
+        |  FROM cl WHERE len(tk) >= 8),
+        |sp2 AS (SELECT doc_id, s, array_to_string(tk[s + 1 : s + 8], ' ') AS span FROM sp),
+        |dup AS (SELECT span FROM sp2 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, s AS st, s + 8 AS en FROM sp2
+        |  WHERE span IN (SELECT span FROM dup)),
+        |m AS (SELECT doc_id, st, en,
+        |    MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM occ),
+        |isl AS (SELECT doc_id, st, en,
+        |    SUM(CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |cov AS (SELECT doc_id, island, MAX(en) - MIN(st) AS c FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens FROM cov GROUP BY 1),
+        |scored AS (SELECT cl.doc_id, cl.lang, len(cl.tk) AS n_tokens,
+        |    COALESCE(a.dup_tokens, 0) AS dup_tokens
+        |  FROM cl LEFT JOIN agg a USING (doc_id)),
+        |kept AS (SELECT * FROM scored
+        |  WHERE CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(dup_tokens) AS BIGINT) AS residual_dup_tokens
+        |FROM kept GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cleaned = TextAnalysis.collapseRepeats(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Dedup.spanDupCoverage(cleaned, "clean_text", "doc_id", w = 8)
+        .join(cleaned.select(col("doc_id"), col("lang")), "doc_id")
+        .filter(col("dup_ratio") < 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          sum(col("dup_tokens")).cast("bigint").as("residual_dup_tokens"))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)
