@@ -160,4 +160,44 @@ object ExprHelpers {
     }
     new GenericArrayData(sig)
   }
+
+  /** The nProbe nearest centroid cells of a float query vector, ordered
+    * by (−2·dot, cell) ascending — the eval kernel of `NearestCells`.
+    * The dot runs over min(len) in index order and the comparison is
+    * `Double.compare` then cell id, byte-identical to the
+    * (negsim, cell) struct `array_sort` SQL form this replaced (so IVF
+    * results are unchanged). Selection is O(k·nProbe) over plan-time
+    * constants (k ≤ thousands, nProbe ≤ tens) — no allocation beyond
+    * the output. */
+  def nearestCells(q: ArrayData, centroids: Array[Array[Double]],
+      nProbe: Int): ArrayData = {
+    val k = centroids.length
+    val neg = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      val n = math.min(q.numElements(), cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += q.getFloat(i).toDouble * cent(i); i += 1 }
+      neg(c) = -2.0 * dot
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < m) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) &&
+            (best < 0 || java.lang.Double.compare(neg(c2), neg(best)) < 0))
+          best = c2 // ties keep the earlier (smaller) cell id
+        c2 += 1
+      }
+      taken(best) = true; out(s) = best; s += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -231,16 +231,14 @@ object Similarity {
     }
   }
 
-  /** argmin over centroid similarities, expressed as the array_min over
-    * (negated-similarity, idx) structs trick — deterministic ties by
-    * cell index. */
-  private def cellOf(centroids: Array[Array[Double]])(
-      e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scored = array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct((lit(-2.0) * dot_product(e, lit(c))).as("negsim"), lit(i).as("cell"))
-    }: _*)
-    array_min(scored).getField("cell")
-  }
+  /** argmax over centroid dot-similarities — deterministic ties by cell
+    * index. `NearestCells(..., 1)` with the centroid matrix as a plan
+    * reference object: the earlier struct-array/array_min form embedded
+    * kClusters×dim literal doubles in the plan, whose analysis cost the
+    * driver paid on every execution. */
+  private[graft] def cellOf(centroids: Array[Array[Double]])(
+      e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    nearest_cells(e, centroids, 1).getItem(0)
 
   /** IVF top-k: corpus assigned to its nearest centroid (one pass);
     * queries probe the nProbe nearest centroid cells. The coarse
@@ -257,16 +255,15 @@ object Similarity {
 
   /** (query_id, q_emb, cell) probe rows: each query explodes to its
     * nProbe nearest centroid cells. */
-  private def ivfProbes(queries: DataFrame, centroids: Array[Array[Double]],
+  private[graft] def ivfProbes(queries: DataFrame, centroids: Array[Array[Double]],
       nProbe: Int, embCol: String, id: String): DataFrame =
     queries
       .select(col(id).as("query_id"), col(embCol).as("q_emb"))
-      .withColumn("cells", expr(s"slice(${probeCellsSql(centroids)}, 1, $nProbe)"))
-      .withColumn("cell", explode(col("cells"))).drop("cells")
+      .withColumn("cell", explode(nearest_cells(col("q_emb"), centroids, nProbe)))
 
   /** Exact-cosine scoring of a cell-assigned corpus against broadcast
     * probe rows; per-query top-k with deterministic ties. */
-  private def ivfScore(cb: DataFrame, probes: DataFrame, k: Int,
+  private[graft] def ivfScore(cb: DataFrame, probes: DataFrame, k: Int,
       embCol: String, id: String): DataFrame = {
     val scoredQ = cb.join(broadcast(probes), "cell")
       .filter(col(id) =!= col("query_id"))
@@ -321,17 +318,6 @@ object Similarity {
     val cb = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
     ivfScore(cb, probes, k, embCol, id)
-  }
-
-  /** SQL fragment: centroid cells sorted by descending query similarity
-    * (for multi-cell probing). */
-  private[graft] def probeCellsSql(centroids: Array[Array[Double]]): String = {
-    // array of structs (negsim, cell) sorted ascending => nearest first
-    val entries = centroids.zipWithIndex.map { case (c, i) =>
-      val arr = c.mkString("array(", ",", ")")
-      s"struct(-2.0 * aggregate(zip_with(q_emb, $arr, (x, y) -> cast(x as double) * y), cast(0.0 as double), (a, b) -> a + b) as negsim, $i as cell)"
-    }.mkString("array(", ",", ")")
-    s"transform(array_sort($entries), p -> p.cell)"
   }
 
   /** SRP-LSH top-k: corpus pruned to the query's bucket plus one-bit-flip
@@ -406,8 +392,8 @@ object Similarity {
       .withColumn("cell", cellOf(centroids)(col(embCol)))
       .drop(embCol)
     val probes = pqQueryLut(queries, books, dim / m, embCol, id, keepEmb = true)
-      .withColumn("cells", expr(s"slice(${probeCellsSql(centroids)}, 1, $nProbe)"))
-      .withColumn("cell", explode(col("cells"))).drop("cells", "q_emb")
+      .withColumn("cell", explode(nearest_cells(col("q_emb"), centroids, nProbe)))
+      .drop("q_emb")
     val scored = encoded.join(broadcast(probes), "cell")
       .filter(col(id) =!= col("query_id"))
       .withColumn("adc_sim", adcSim(m))

@@ -205,8 +205,8 @@ object StreamOps {
       .localCheckpoint(true)
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", explode(expr(
-        s"slice(${Similarity.probeCellsSql(centroids)}, 1, $nProbe)")))
+      .withColumn("cell", explode(
+        graft.functions.VectorFunctions.nearest_cells(col("q_emb"), centroids, nProbe)))
     val scored = probes.join(cb, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
