@@ -426,6 +426,21 @@ object Dedup {
         posexplode(TextAnalysis.shinglesFromTokens(col("__tk"), w)))
       .withColumnRenamed("pos", "st").withColumnRenamed("col", "span")
 
+  /** [[spanOccurrences]] re-keyed by the 128-bit span hash — the 100 TB
+    * shuffle form. Two xxhash64 passes with different effective seeds
+    * (the second prepends a literal, which chains into a distinct seed),
+    * so a pair collision needs BOTH 64-bit hashes to collide
+    * (~n²/2^129 odds across n distinct spans). The span STRING is
+    * dropped in the same narrow projection that computes the hashes —
+    * nothing wide ever ships it, so a downstream group/join moves 16
+    * bytes per span instead of ~w words of text. */
+  private[graft] def spanOccurrencesHashed(df: DataFrame, textCol: String,
+      id: String, w: Int): DataFrame =
+    spanOccurrences(df, textCol, id, w)
+      .select(col("__id"), col("__n_tokens"), col("st"),
+        xxhash64(col("span")).as("__h1"),
+        xxhash64(lit(1L), col("span")).as("__h2"))
+
   /** Cross-document duplicated span discovery — the span-level exact
     * dedup primitive (the "repeated 50-token passage" phenomenon of web
     * corpora: boilerplate, licenses, templated text recur verbatim
@@ -435,22 +450,37 @@ object Dedup {
     *
     * Plan shape: one projection explodes ~|tokens| spans per doc, one
     * shuffle groups them — the same single-aggregation shape as a word
-    * count. Grouping is by the span STRING (exact, and what the DuckDB
-    * oracle replays); at 100 TB the group key becomes a 128-bit span
-    * hash (two independent xxhash64 seeds — collision odds ~n²/2^129)
-    * so the shuffle ships 16 bytes per span instead of ~w words. The
-    * suffix-array formulation finds variable-length duplicates but
-    * needs a global sort; fixed-w shingles are the shuffle-friendly
-    * form and w is the minimum duplication length worth acting on. */
+    * count. By default grouping is by the span STRING (exact, and what
+    * the DuckDB oracle replays) and the output carries a `span` column;
+    * `hashSpans = true` groups by the 128-bit span hash instead
+    * ([[spanOccurrencesHashed]]) so the shuffle ships 16 bytes per span
+    * — the 100 TB form — and the output carries `(span_h1, span_h2)`
+    * in place of `span` (the string is never shuffled, so it cannot be
+    * emitted). Counts are identical between the forms unless two
+    * distinct spans collide on both hashes (~n²/2^129); the equality is
+    * spec-pinned on the llm48/llm49 fixtures. The suffix-array
+    * formulation finds variable-length duplicates but needs a global
+    * sort; fixed-w shingles are the shuffle-friendly form and w is the
+    * minimum duplication length worth acting on. */
   def duplicatedSpans(df: DataFrame, textCol: String, id: String,
-      w: Int = 8, minDocs: Int = 2): DataFrame = {
+      w: Int = 8, minDocs: Int = 2, hashSpans: Boolean = false): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
-    spanOccurrences(df, textCol, id, w)
-      .groupBy(col("span"))
-      .agg(countDistinct(col("__id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(col("__id")).as("first_doc"))
-      .filter(col("n_docs") >= minDocs)
+    if (hashSpans)
+      spanOccurrencesHashed(df, textCol, id, w)
+        .groupBy(col("__h1"), col("__h2"))
+        .agg(countDistinct(col("__id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("__id")).as("first_doc"))
+        .filter(col("n_docs") >= minDocs)
+        .select(col("__h1").as("span_h1"), col("__h2").as("span_h2"),
+          col("n_docs"), col("n_occ"), col("first_doc"))
+    else
+      spanOccurrences(df, textCol, id, w)
+        .groupBy(col("span"))
+        .agg(countDistinct(col("__id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("__id")).as("first_doc"))
+        .filter(col("n_docs") >= minDocs)
   }
 
   /** Per-document coverage by cross-document duplicated spans: the
@@ -464,7 +494,7 @@ object Dedup {
     * partitions BY DOCUMENT (rows per partition ~ doc token count) —
     * no global window anywhere. */
   def spanDupCoverage(df: DataFrame, textCol: String, id: String,
-      w: Int = 8, minDocs: Int = 2): DataFrame = {
+      w: Int = 8, minDocs: Int = 2, hashSpans: Boolean = false): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
     // deliberately NOT checkpointed despite two consumers (dup agg +
     // hits join): the explode is cheap narrow codegen over compact doc
@@ -474,13 +504,20 @@ object Dedup {
     // discipline pays when the reused frame is small (semDedup's
     // assignment) or expensive per row (shingle sets of candidates);
     // here it is neither.
-    val occ = spanOccurrences(df, textCol, id, w)
-    val dup = occ.groupBy(col("span"))
+    // hashSpans switches both the dup aggregation AND the semi-join to
+    // the 128-bit span hash (16 shuffled bytes per span vs ~w words —
+    // see spanOccurrencesHashed); the output schema is identical in
+    // both modes, so the string/hash equality is a full-frame compare
+    // in the spec.
+    val occ = if (hashSpans) spanOccurrencesHashed(df, textCol, id, w)
+      else spanOccurrences(df, textCol, id, w)
+    val key = if (hashSpans) Seq("__h1", "__h2") else Seq("span")
+    val dup = occ.groupBy(key.map(col): _*)
       .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= minDocs).select(col("span"))
+      .filter(col("__nd") >= minDocs).select(key.map(col): _*)
     // interval [st, en) per duplicated-span occurrence; islands = maximal
     // runs where each interval starts at-or-before the running max end
-    val hits = occ.join(dup, Seq("span"), "left_semi")
+    val hits = occ.join(dup, key, "left_semi")
       .select(col("__id"), col("st"), (col("st") + w).as("en"))
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("st"), col("en"))
     val islands = hits

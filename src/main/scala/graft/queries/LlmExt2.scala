@@ -189,7 +189,11 @@ object LlmExt2 {
 
     // per-doc coverage by cross-doc duplicated spans, overlaps merged
     // (gaps-and-islands; the window partitions BY DOC — no global
-    // window): the score a span-level dedup pipeline thresholds on
+    // window): the score a span-level dedup pipeline thresholds on.
+    // hashSpans=true runs the 100 TB shuffle form (128-bit span-hash
+    // keys, 16 bytes/span); the DuckDB oracle replays the span-STRING
+    // semantics — identical output barring a double-xxhash64 collision,
+    // so the driver's hash compare exercises the production path
     QDef("llm49_span_coverage",
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |sp AS (SELECT doc_id, unnest(range(0, len(tk) - 7)) AS s, tk
@@ -213,7 +217,8 @@ object LlmExt2 {
         |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
         |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, dir) =>
-      Dedup.spanDupCoverage(Tables.load(s, dir, "documents"), "text", "doc_id", w = 8)
+      Dedup.spanDupCoverage(Tables.load(s, dir, "documents"), "text", "doc_id",
+        w = 8, hashSpans = true)
     },
 
     // semantic dedup (SemDeDup): Voronoi-quantize on every-25th doc's

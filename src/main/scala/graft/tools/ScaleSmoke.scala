@@ -32,6 +32,23 @@ object ScaleSmoke {
       r
     }
 
+    // shuffle-write accounting for the string-vs-hash span-key
+    // comparison: a listener tallies per-stage shuffle bytes; the bus is
+    // async, so measurements drain it with a short sleep (diagnostic
+    // tool — a second of slack per measurement is fine)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def measuredShuffle[T](body: => T): (T, Long) = {
+      Thread.sleep(1000); shuffleBytes.set(0L)
+      val r = body
+      Thread.sleep(1000)
+      (r, shuffleBytes.get())
+    }
+
     // skewed, shuffled sort keys with ties — the worst case a curriculum
     // sort sees; invariant: positions are exactly the 1..N permutation
     val big = spark.range(nBig)
@@ -151,12 +168,25 @@ object ScaleSmoke {
       assert(srow.getLong(0) == 5L && srow.getLong(1) == planted
           && srow.getLong(2) == planted,
         s"expected exactly 5 duplicated spans x $planted docs, got $srow")
-      val crow = graft.ops.Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8)
-        .agg(count(when(col("dup_tokens") === 12L, 1)).as("planted"),
-          count(when(col("dup_tokens") =!= 0L && col("dup_tokens") =!= 12L, 1))
-            .as("stray")).head()
+      def coverageStats(hashSpans: Boolean) =
+        graft.ops.Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8,
+            hashSpans = hashSpans)
+          .agg(count(when(col("dup_tokens") === 12L, 1)).as("planted"),
+            count(when(col("dup_tokens") =!= 0L && col("dup_tokens") =!= 12L, 1))
+              .as("stray")).head()
+      val (crow, strBytes) = measuredShuffle(coverageStats(hashSpans = false))
       assert(crow.getLong(0) == planted && crow.getLong(1) == 0L,
         s"expected $planted docs at coverage 12 and none elsewhere, got $crow")
+      // the 100 TB form: identical result, 128-bit hash keys in both the
+      // dup aggregation and the semi-join — shuffle bytes must drop
+      val (hrow, hashBytes) = measuredShuffle(timed(s"spanDupCoverage($nText, hashSpans)") {
+        coverageStats(hashSpans = true)
+      })
+      assert(hrow == crow, s"hashSpans result must match string form: $hrow vs $crow")
+      println(f"SCALE spanDupCoverage shuffle: string=${strBytes / 1e6}%.1f MB " +
+        f"hashed=${hashBytes / 1e6}%.1f MB (${hashBytes.toDouble / strBytes}%.2fx)")
+      assert(hashBytes < (strBytes * 8) / 10,
+        s"hash-keyed shuffle must undercut the string form: $hashBytes vs $strBytes")
     }
 
     // bigram LM scoring at 1M docs: every doc = shared head token "h"

@@ -78,6 +78,53 @@ class SpanSemDedupSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  test("hashSpans: spanDupCoverage hash form equals the string form row-for-row") {
+    // the planted fixture (overlap merge + short doc + disjoint doc)
+    // plus a 200-doc corpus with boilerplate every third doc — same
+    // generators the string-form tests use
+    val shared = toks(10, "s")
+    val planted = Seq(
+      (1L, s"$shared ${toks(10, "u")}"),
+      (2L, s"${toks(10, "v")} $shared"),
+      (3L, toks(5, "short")),
+      (4L, toks(20, "d"))).toDF("doc_id", "text")
+    val gen = spark.range(10, 210)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 3 === 0, lit(toks(12, "bp")))
+            .otherwise(concat_ws(" ", (0 until 12).map(i =>
+              concat(lit(s"t${i}_"), col("id"))): _*)),
+          concat(lit("tail_"), col("id"))).as("text"))
+    for (docs <- Seq(planted, gen.localCheckpoint(true))) {
+      val str = Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8)
+        .orderBy("doc_id").collect().toSeq
+      val hsh = Dedup.spanDupCoverage(docs, "text", "doc_id", w = 8,
+        hashSpans = true).orderBy("doc_id").collect().toSeq
+      assert(str == hsh, "hash-keyed coverage must equal string-keyed coverage")
+    }
+  }
+
+  test("hashSpans: duplicatedSpans hash form carries the string form's counts under xxhash64 keys") {
+    val shared = toks(8, "s")
+    val docs = Seq(
+      (1L, s"${toks(4, "a")} $shared ${toks(4, "b")}"),
+      (2L, s"${toks(6, "c")} $shared"),
+      (3L, s"${toks(12, "bp")} x"), (4L, s"${toks(12, "bp")} y"),
+      (5L, toks(20, "d"))).toDF("doc_id", "text")
+    val str = Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8)
+      // re-key the string form by the same two xxhash64s the hashed
+      // path computes — the frames must then match exactly
+      .select(xxhash64(col("span")).as("span_h1"),
+        xxhash64(lit(1L), col("span")).as("span_h2"),
+        col("n_docs"), col("n_occ"), col("first_doc"))
+      .orderBy("span_h1", "span_h2").collect().toSeq
+    val hsh = Dedup.duplicatedSpans(docs, "text", "doc_id", w = 8,
+        hashSpans = true)
+      .orderBy("span_h1", "span_h2").collect().toSeq
+    assert(str == hsh)
+    assert(hsh.nonEmpty, "fixture must actually produce duplicated spans")
+  }
+
   test("semDedup: planted near-identical pair dedups within its cluster; keeps min id") {
     def vec(base: Array[Float]): Array[Float] = base
     val e1 = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
