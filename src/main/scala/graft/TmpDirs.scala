@@ -17,6 +17,15 @@ object TmpDirs {
     p
   }
 
+  /** 128-bit hex key for scoping scratch dirs by an input PATH: the
+    * 32-bit String.hashCode it replaces could alias two datasets into
+    * one staging/index dir and silently serve the wrong data. MD5 here
+    * is a cache key, not a security boundary. */
+  def pathKey(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
   /** Symlink-safe recursive delete, shared by the shutdown hook and any
     * tool that cleans its own scratch dir (do not re-implement without
     * the symlink guard). */

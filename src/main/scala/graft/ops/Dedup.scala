@@ -558,16 +558,17 @@ object Dedup {
     * Plan shape: broadcast-nested-loop assignment (narrow, corpus
     * scanned once), one shuffle to group clusters, map-side pair
     * explosion within clusters. Clusters larger than `maxCluster` fail
-    * loud (raise_error) rather than silently exploding a task — size
-    * the quantizer so cells stay small (the SemDeDup paper's k ~ √n). */
+    * loud (an eager driver-side size check over the checkpointed
+    * assignment) rather than silently exploding a task — size the
+    * quantizer so cells stay small (the SemDeDup paper's k ~ √n). */
   def semDedup(df: DataFrame, embCol: String, id: String,
       seeds: DataFrame, seedId: String, seedEmb: String,
       threshold: Double, maxCluster: Int = 100000): DataFrame = {
     val s = broadcast(seeds.select(col(seedId).as("__seed_id"),
       col(seedEmb).as("__s_emb")))
-    // materialized once (eager checkpoint): four consumers below (sizes,
-    // the guard join, both pair-join sides) would each re-run the full
-    // corpus x seeds assignment pass otherwise
+    // materialized once (eager checkpoint): four consumers below (the
+    // size guard, both pair-join sides, the final output) would each
+    // re-run the full corpus x seeds assignment pass otherwise
     val asg = df.select(col(id), col(embCol).as("__e"))
       .crossJoin(s)
       .withColumn("__c", cosine_sim(col("__e"), col("__s_emb")))
@@ -576,23 +577,24 @@ object Dedup {
           struct(col("__c"), (-col("__seed_id")).as("__neg"))).as("cluster_id"),
         first(col("__e")).as("__emb"))
       .localCheckpoint(true)
-    val sizes = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
-    // also checkpointed: three consumers (both pair-join sides + the
-    // final output) would each re-run the size aggregation, guard join,
-    // and raise_error filter
-    val guarded = asg.join(sizes, Seq("cluster_id"))
-      .filter(when(col("__n") > maxCluster,
-          raise_error(concat(lit(s"semDedup: cluster exceeds maxCluster=$maxCluster: "),
-            col("cluster_id").cast("string"))))
-        .otherwise(lit(true)))
-      .drop("__n")
-      .localCheckpoint(true)
-    val a = guarded.select(col(id).as("id_a"), col("cluster_id"), col("__emb").as("__ea"))
-    val b = guarded.select(col(id).as("id_b"), col("cluster_id").as("__cb"), col("__emb").as("__eb"))
+    // the size guard runs eagerly, driver-side, over the checkpointed
+    // assignment (one small count-by-cluster job; at most one id pulled
+    // back): a cluster past maxCluster fails loud HERE instead of
+    // exploding a pair task — and deriving the guard from asg (rather
+    // than joining sizes back and re-checkpointing the result) keeps
+    // exactly ONE embedding-bearing frame resident on executors
+    val oversized = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCluster)
+      .select(col("cluster_id")).limit(1).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalStateException(
+        s"semDedup: cluster exceeds maxCluster=$maxCluster: ${oversized.head.get(0)}")
+    val a = asg.select(col(id).as("id_a"), col("cluster_id"), col("__emb").as("__ea"))
+    val b = asg.select(col(id).as("id_b"), col("cluster_id").as("__cb"), col("__emb").as("__eb"))
     val dupIds = a.join(b, col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))
       .filter(cosine_sim(col("__ea"), col("__eb")) >= threshold)
       .select(col("id_b").as(id)).distinct()
-    guarded.select(col(id), col("cluster_id"))
+    asg.select(col(id), col("cluster_id"))
       .join(dupIds.withColumn("__d", lit(true)), Seq(id), "left")
       .select(col(id), col("cluster_id"),
         coalesce(col("__d"), lit(false)).as("is_dup"))

@@ -43,13 +43,23 @@ object Llm {
     * one k-means training pass and one partitioned corpus write per
     * scale factor, not one per query. The parquet _SUCCESS marker is
     * the built-ness signal. */
+  // per-index-path build locks: first-use callers on different threads
+  // (e.g. llm45 and str12 racing in a test runner) must not interleave
+  // overwrite writes to the same parquet path
+  private val ivfBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[queries] def ensureIvfIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val idx = graft.TmpDirs.scoped(
-      "graft-ivfidx-" + java.lang.Integer.toHexString(dir.hashCode))
-    if (!new java.io.File(s"$idx/corpus/_SUCCESS").exists())
-      Similarity.buildIvfIndex(Tables.load(s, dir, "embeddings"), idx,
-        kClusters = 16)
+    // keyed on a 128-bit digest of the FULL data dir path — the 32-bit
+    // hashCode it replaces could alias two dirs into one index
+    val idx = graft.TmpDirs.scoped("graft-ivfidx-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(s"$idx/corpus/_SUCCESS").exists())
+        Similarity.buildIvfIndex(Tables.load(s, dir, "embeddings"), idx,
+          kClusters = 16)
+    }
     idx
   }
 
