@@ -261,15 +261,18 @@ object Streaming {
     // admission-control form of llm49). The oracle replays the
     // corpus-side dup set and the merged-interval coverage; the stream
     // computes the identical union length via a sorted-interval fold
-    // (windows are unavailable on streams)
+    // (windows are unavailable on streams). Full-doc output — every
+    // arriving doc emits a row, coverage-0 and short docs included,
+    // matching batch spanDupCoverage (the oracle's final LEFT JOIN)
     QDef("str13_stream_span_gate",
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |csp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk) - 7),
         |    i -> array_to_string(tk[i + 1 : i + 8], ' '))) AS span
         |  FROM tk WHERE len(tk) >= 8 AND doc_id % 10 <> 0),
         |dup AS (SELECT span FROM csp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
-        |asp AS (SELECT doc_id, len(tk) AS n_tokens, unnest(range(0, len(tk) - 7)) AS s, tk
-        |  FROM tk WHERE len(tk) >= 8 AND doc_id % 10 = 0),
+        |a AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM tk WHERE doc_id % 10 = 0),
+        |asp AS (SELECT doc_id, n_tokens, unnest(range(0, n_tokens - 7)) AS s, tk
+        |  FROM a WHERE n_tokens >= 8),
         |occ AS (SELECT doc_id, n_tokens, s AS st, s + 8 AS en
         |  FROM (SELECT doc_id, n_tokens, s, array_to_string(tk[s + 1 : s + 8], ' ') AS span
         |        FROM asp)
@@ -283,11 +286,14 @@ object Streaming {
         |      OVER (PARTITION BY doc_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island
         |  FROM m),
         |cov AS (SELECT doc_id, n_tokens, island, MAX(en) - MIN(st) AS c
-        |  FROM isl GROUP BY 1, 2, 3)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(SUM(c) AS BIGINT) AS dup_tokens,
-        |  CAST(SUM(c) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio
-        |FROM cov GROUP BY doc_id, n_tokens""".stripMargin) { (s, dir) =>
+        |  FROM isl GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |  COALESCE(g.dup_tokens, 0) AS dup_tokens,
+        |  CAST(COALESCE(g.dup_tokens, 0) AS DOUBLE)
+        |    / CAST(a.n_tokens AS DOUBLE) AS dup_ratio
+        |FROM a LEFT JOIN agg g USING (doc_id)""".stripMargin) { (s, dir) =>
       val docs = graft.Tables.load(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val arriving = StreamOps.documentsStream(s, dir)

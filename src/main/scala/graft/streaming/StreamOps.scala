@@ -29,20 +29,28 @@ object StreamOps {
   private def stagedStream(spark: SparkSession, sfDir: String,
       fileName: String, prefix: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // staging dir keyed on a 128-bit digest of the FULL sfDir path (the
+    // 32-bit hashCode it replaced could alias two datasets' staging dirs)
     val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      prefix + java.lang.Integer.toHexString(sfDir.hashCode))
+      prefix + graft.TmpDirs.pathKey(sfDir))
+    val target = java.nio.file.Paths.get(sfDir, fileName)
     val link = dir.resolve(fileName)
     if (!java.nio.file.Files.exists(link,
         java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       java.nio.file.Files.createDirectories(dir)
-      try java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(sfDir, fileName))
+      try java.nio.file.Files.createSymbolicLink(link, target)
       catch { // lost the race to another JVM: same target, nothing to do
         case _: java.nio.file.FileAlreadyExistsException => ()
       }
     }
+    // the pre-existing entry must BE a symlink AND point at exactly this
+    // dataset — anything else (aliased dir, stray file) would silently
+    // stream the wrong data; fail loud instead
+    require(java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) == target,
+      s"staging entry $link is not a symlink to $target")
     require(java.nio.file.Files.exists(link),
-      s"staged dataset symlink $link is dangling — target $sfDir/$fileName missing")
+      s"staged dataset symlink $link is dangling — target $target missing")
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
@@ -195,8 +203,71 @@ object StreamOps {
   def ivfKnnStream(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
+    val agg = new graft.functions.Udfs.TopKBySim(k).toColumn
+    ivfScoredStream(spark, path, queries, nProbe)
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** State rows for the TTL'd streaming top-k (one heap per query). */
+  case class TopKEntry(neighbor_id: Long, sim: Double)
+  case class TopKState(entries: Seq[TopKEntry])
+
+  /** TTL'd per-query top-k — the state-AGING variant of str12's serving
+    * heap. str12 runs complete mode for the bounded oracle replay, which
+    * by construction retains every query key forever; an unbounded
+    * serving deployment instead keeps one `ValueState` heap per query
+    * with a processing-time TTL, so keys idle past `ttl` are evicted
+    * from the state store (expiry is spec-pinned: state row counts DROP
+    * after the TTL elapses). Ordering matches `TopKBySim` exactly
+    * ((sim desc, neighbor_id asc), k-bounded), so a re-queried key
+    * rebuilds the same heap the aggregate would hold. Update mode:
+    * each batch emits the refreshed top-k of the keys it touched. */
+  class TopKTtlProcessor(k: Int, ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double, Int)] {
+    @transient private var state: ValueState[TopKState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TopKState]("topk",
+        Encoders.product[TopKState], new TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timers: TimerValues): Iterator[(Long, Long, Double, Int)] = {
+      val prev = Option(state.get()).map(_.entries).getOrElse(Seq.empty)
+      val merged = (prev ++ rows.map(r => TopKEntry(r._1, r._2)).toSeq)
+        .sortBy(e => (-e.sim, e.neighbor_id)).take(k)
+      state.update(TopKState(merged))
+      merged.iterator.zipWithIndex.map { case (e, i) =>
+        (key, e.neighbor_id, e.sim, i + 1)
+      }
+    }
+  }
+
+  /** [[ivfKnnStream]] with aged state: same probe/score plumbing, but
+    * per-query top-k lives in [[TopKTtlProcessor]]'s TTL'd ValueState
+    * instead of a complete-mode aggregation. Requires the RocksDB state
+    * store provider (transformWithState contract). */
+  def ivfKnnStreamTtl(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int, ttl: java.time.Duration): DataFrame = {
+    import spark.implicits._
+    ivfScoredStream(spark, path, queries, nProbe)
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .transformWithState(new TopKTtlProcessor(k, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** The shared probe/score stage of the streaming ANN serving paths:
+    * arriving query vectors against a prebuilt IVF index → (query_id,
+    * neighbor_id, sim) candidate scores. */
+  private def ivfScoredStream(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
     import graft.functions.VectorFunctions.cosine_sim
-    import graft.ops.Similarity
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -207,19 +278,11 @@ object StreamOps {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .withColumn("cell", explode(
         graft.functions.VectorFunctions.nearest_cells(col("q_emb"), centroids, nProbe)))
-    val scored = probes.join(cb, "cell")
+    probes.join(cb, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine_sim(col("embedding"), col("q_emb")))
       .select(col("query_id"), col("vec_id"), col("sim"))
       .as[(Long, Long, Double)]
-    val agg = new graft.functions.Udfs.TopKBySim(k).toColumn
-    scored.groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(agg.name("topk"))
-      .flatMap { case (qid, tops) =>
-        tops.zipWithIndex.map { case ((nid, sim), i) => (qid, nid, sim, i + 1) }
-      }
-      .toDF("query_id", "neighbor_id", "sim", "rank")
   }
 
   /** Streaming span-duplication scoring: each ARRIVING document is
@@ -227,28 +290,47 @@ object StreamOps {
     * the admission-control form of `Dedup.spanDupCoverage` (gate or trim
     * incoming docs that are mostly recycled corpus text before they
     * enter). The corpus's duplicated-span set is computed once
-    * (checkpointed static side); arriving docs explode their spans
-    * (narrow), equi-join it, and merge overlapping hits per doc with a
-    * sorted-interval fold INSIDE the aggregation — window functions are
-    * unavailable on streams, and `sort_array(collect_list(...))` +
-    * `aggregate` computes the same union length (fold-vs-islands
-    * equivalence is what the oracle hash-checks). Emits only arriving
-    * docs with at least one duplicated span (absent = coverage 0);
-    * complete mode, one row of state per scored doc. */
+    * (checkpointed static side) in the 128-bit span-hash form — the
+    * static frame holds 16 bytes per dup span, and the stream-static
+    * equi-join keys on the hashes, exactly like the batch hashSpans
+    * path. Arriving docs explode their spans (narrow) and LEFT-join the
+    * dup set, so EVERY arriving doc emits a row — zero-coverage and
+    * shorter-than-w docs included, the same full-doc output as batch
+    * `spanDupCoverage` (no batch/stream asymmetry to know about).
+    * Overlapping hits merge per doc with a sorted-interval fold INSIDE
+    * the aggregation — window functions are unavailable on streams, and
+    * `sort_array(collect_list(...))` + `aggregate` computes the same
+    * union length (fold-vs-islands equivalence is what the oracle
+    * hash-checks). Complete mode, one row of state per scored doc —
+    * the shape for a bounded replay/audit; an unbounded production gate
+    * would watermark and emit per-batch instead. */
   def spanCoverageStream(corpus: DataFrame, arriving: DataFrame,
       w: Int = 8, minDocs: Int = 2): DataFrame = {
     import graft.ops.Dedup
-    val dupSpans = Dedup.duplicatedSpans(corpus, "text", "doc_id", w, minDocs)
-      .select(col("span")).localCheckpoint(true)
-    // same span pipeline as the batch operator (one implementation to
-    // keep the streaming gate and its batch oracle aligned)
-    val occ = Dedup.spanOccurrences(arriving, "text", "doc_id", w)
-      .select(col("__id").as("doc_id"), col("__n_tokens").as("n_tokens"),
-        col("st").cast("bigint").as("st"),
-        (col("st") + w).cast("bigint").as("en"), col("span"))
-      .join(dupSpans, Seq("span"))
+    val dupSpans = Dedup.duplicatedSpans(corpus, "text", "doc_id", w, minDocs,
+        hashSpans = true)
+      .select(col("span_h1").as("__h1"), col("span_h2").as("__h2"),
+        lit(true).as("__dup"))
+      .localCheckpoint(true)
+    // all w-token spans of each arriving doc, hash-keyed like the batch
+    // hashSpans path; docs shorter than w keep their single outer-explode
+    // row (null span -> no dup match -> coverage 0, doc still emitted)
+    val occ = arriving
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("__tk"))
+      .select(col("doc_id"), size(col("__tk")).cast("bigint").as("n_tokens"),
+        posexplode_outer(when(size(col("__tk")) >= w,
+          graft.ops.TextAnalysis.shinglesFromTokens(col("__tk"), w))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("bigint").as("st"),
+        (col("pos") + w).cast("bigint").as("en"),
+        xxhash64(col("col")).as("__h1"), xxhash64(lit(1L), col("col")).as("__h2"))
+      .join(dupSpans, Seq("__h1", "__h2"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("__dup"), struct(col("st"), col("en"))).as("__iv"))
     occ.groupBy(col("doc_id"), col("n_tokens"))
-      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("__ivs"))
+      // collect_list drops the nulls of non-dup and short-doc rows, so
+      // the fold sees only duplicated-span intervals
+      .agg(sort_array(collect_list(col("__iv"))).as("__ivs"))
       .withColumn("dup_tokens", expr(
         """aggregate(__ivs, named_struct('cov', 0L, 'mx', -1L),
           |  (acc, x) -> named_struct(
@@ -273,11 +355,18 @@ object StreamOps {
     * corpus's precomputed sorted shingle sets. Batch-internal pairs
     * are out of scope (that would be a stream-stream self-join — the
     * batch operator covers them). State: one row per emitted candidate
-    * pair; at unbounded runtime a production deployment adds a
-    * watermark on arrival time to expire it. */
+    * pair. Bounded replays leave `eventTimeCol` unset (plain
+    * dropDuplicates, state = all pairs seen); an UNBOUNDED run passes
+    * the arrival-time column instead — the pair-dedup then runs
+    * `dropDuplicatesWithinWatermark` under `withWatermark(eventTimeCol,
+    * dedupDelay)`, so pair state older than the watermark is evicted
+    * (a pair may legitimately re-emit if it reappears after the delay —
+    * the admission gate's usual contract). Expiry is spec-pinned: state
+    * rows DROP once the watermark passes. */
   def incrementalNearDupStream(corpus: DataFrame, arriving: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 8, shingleN: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, eventTimeCol: Option[String] = None,
+      dedupDelay: String = "1 hour"): DataFrame = {
     import graft.functions.VectorFunctions.sorted_intersect_count
     import graft.ops.{Dedup, TextAnalysis}
     // both static sides are materialized ONCE (eager localCheckpoint):
@@ -294,16 +383,27 @@ object StreamOps {
       .select(col("id_c"), array_sort(array_distinct(
         TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))).as("sh_c"))
       .localCheckpoint(true)
-    val streamBands = arriving
-      .select(col("doc_id"), col("text"),
-        Dedup.minhashSigArray(col("text"), k).as("__sig"))
-      .select(col("doc_id"), col("text"),
-        posexplode(Dedup.bandHashArray(col("__sig"), k, bands)))
+    // the watermark (if any) attaches to the stream BEFORE the stateful
+    // dedup; the event-time column rides along to it and is dropped after
+    val arr = eventTimeCol.fold(arriving)(c =>
+      arriving.withWatermark(c, dedupDelay))
+    val carried = eventTimeCol.map(col).toSeq
+    val streamBands = arr
+      .select(col("doc_id") +: col("text") +:
+        Dedup.minhashSigArray(col("text"), k).as("__sig") +: carried: _*)
+      .select(col("doc_id") +: col("text") +:
+        posexplode(Dedup.bandHashArray(col("__sig"), k, bands)) +: carried: _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    streamBands
+    val cands = streamBands
       .join(corpusBuckets, Seq("band", "bh"))
-      .select(col("doc_id").as("id_s"), col("text"), explode(col("cids")).as("id_c"))
-      .dropDuplicates("id_s", "id_c")
+      .select(col("doc_id").as("id_s") +: col("text") +:
+        explode(col("cids")).as("id_c") +: carried: _*)
+    val deduped = eventTimeCol match {
+      case Some(c) =>
+        cands.dropDuplicatesWithinWatermark("id_s", "id_c").drop(c)
+      case None => cands.dropDuplicates("id_s", "id_c")
+    }
+    deduped
       .withColumn("__tk", TextAnalysis.tokens(col("text")))
       .withColumn("sh_s", array_sort(array_distinct(
         TextAnalysis.shinglesFromTokens(col("__tk"), shingleN))))
