@@ -161,6 +161,38 @@ object ExprHelpers {
     new GenericArrayData(sig)
   }
 
+  /** The seed id of max cosine similarity (ties → smaller seed id) —
+    * the eval kernel of `ArgmaxCosineSeed`, semDedup's narrow
+    * assignment. Cosine is computed EXACTLY like `CosineSimilarity`
+    * (min-length sequential fold, 0.0 on a zero norm) and the
+    * comparison is `Double.compare` then seed id — byte-identical to
+    * the crossJoin + max_by(struct(cos, -seed_id)) form it replaces,
+    * which is what the small-k equality spec pins. Caller guarantees a
+    * non-empty quantizer. */
+  def argmaxCosineSeed(q: ArrayData, ids: Array[Long],
+      embs: Array[Array[Float]]): Long = {
+    var bestId = 0L
+    var bestC = 0.0
+    var s = 0
+    while (s < embs.length) {
+      val e = embs(s)
+      val n = math.min(q.numElements(), e.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = q.getFloat(i).toDouble; val y = e(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      val cmp = if (s == 0) 1 else java.lang.Double.compare(c, bestC)
+      if (cmp > 0 || (cmp == 0 && ids(s) < bestId)) { bestC = c; bestId = ids(s) }
+      s += 1
+    }
+    bestId
+  }
+
   /** The nProbe nearest centroid cells of a float query vector, ordered
     * by (−2·dot, cell) ascending — the eval kernel of `NearestCells`.
     * The dot runs over min(len) in index order and the comparison is

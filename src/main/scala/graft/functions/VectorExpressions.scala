@@ -201,6 +201,32 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The quantizer-seed id of maximum cosine similarity (ties → smaller
+  * seed id) against a PLAN-TIME seed set — semDedup's assignment as ONE
+  * narrow per-row expression. The crossJoin + max_by form this offers
+  * an alternative to materializes n×k intermediate rows and partially
+  * aggregates them back down; at the SemDeDup paper's k ~ √n that
+  * dominates assignment cost. Here the seed matrix rides along as a
+  * codegen reference object and each row costs one compiled argmax
+  * loop. Cosine values and tie-breaks are byte-identical to the join
+  * form (spec-pinned at small k). */
+case class ArgmaxCosineSeed(child: Expression, seedIds: Array[Long],
+    seedEmbs: Array[Array[Float]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.argmaxCosineSeed(v.asInstanceOf[ArrayData], seedIds, seedEmbs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ids = ctx.addReferenceObj("seedIds", seedIds, "long[]")
+    val embs = ctx.addReferenceObj("seedEmbs", seedEmbs, "float[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprHelpers.argmaxCosineSeed($a, $ids, $embs)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Merge-based |A ∩ B| over sorted distinct string arrays (the
   * all-pairs Jaccard hot path — replaces hash-based array_intersect +
   * array_union with one allocation-free pass). */
@@ -239,6 +265,9 @@ object VectorFunctions {
     column(MinHashSignature(expr(tokens), k, shingleN))
   def nearest_cells(q: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     column(NearestCells(expr(q), centroids, nProbe))
+  def argmax_cosine_seed(q: Column, seedIds: Array[Long],
+      seedEmbs: Array[Array[Float]]): Column =
+    column(ArgmaxCosineSeed(expr(q), seedIds, seedEmbs))
 
   // KMV theta-style distinct sketch (KmvSketch.scala)
   def kmv_sketch(c: Column, k: Int): Column =

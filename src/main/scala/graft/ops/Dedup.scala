@@ -560,23 +560,51 @@ object Dedup {
     * explosion within clusters. Clusters larger than `maxCluster` fail
     * loud (an eager driver-side size check over the checkpointed
     * assignment) rather than silently exploding a task — size the
-    * quantizer so cells stay small (the SemDeDup paper's k ~ √n). */
+    * quantizer so cells stay small (the SemDeDup paper's k ~ √n).
+    *
+    * `probeAssign = true` switches assignment from the crossJoin +
+    * max_by form (n×k intermediate rows, partially aggregated back to
+    * n) to one narrow per-row argmax expression over the collected
+    * quantizer — same values, same ties (spec-pinned), a fraction of
+    * the cost at large k. The default stays on the join form because it
+    * is the ANSI-SQL-replayable plan the llm50 oracle replays;
+    * [[semDedupTrained]] — the production configuration — probes. */
   def semDedup(df: DataFrame, embCol: String, id: String,
       seeds: DataFrame, seedId: String, seedEmb: String,
-      threshold: Double, maxCluster: Int = 100000): DataFrame = {
-    val s = broadcast(seeds.select(col(seedId).as("__seed_id"),
-      col(seedEmb).as("__s_emb")))
+      threshold: Double, maxCluster: Int = 100000,
+      probeAssign: Boolean = false): DataFrame = {
     // materialized once (eager checkpoint): four consumers below (the
     // size guard, both pair-join sides, the final output) would each
     // re-run the full corpus x seeds assignment pass otherwise
-    val asg = df.select(col(id), col(embCol).as("__e"))
-      .crossJoin(s)
-      .withColumn("__c", cosine_sim(col("__e"), col("__s_emb")))
-      .groupBy(col(id))
-      .agg(max_by(col("__seed_id"),
-          struct(col("__c"), (-col("__seed_id")).as("__neg"))).as("cluster_id"),
-        first(col("__e")).as("__emb"))
-      .localCheckpoint(true)
+    val asg = (if (probeAssign) {
+      // large-k assignment (the FAISS shape the SemDeDup paper's k ~ √n
+      // needs): the quantizer — broadcast-small by contract — collects
+      // to the driver and rides into ONE narrow per-row argmax
+      // expression, so assignment is a single corpus scan with no n×k
+      // intermediate rows and no partial-agg pass. Cosines and
+      // tie-breaks are byte-identical to the join form (spec-pinned);
+      // seed ids must be integral (they surface as LongType cluster_id)
+      val rows = seeds
+        .select(col(seedId).cast("long"), col(seedEmb)).collect()
+      if (rows.isEmpty) // an empty quantizer assigns nothing (join parity)
+        df.select(col(id), lit(0L).as("cluster_id"), col(embCol).as("__emb"))
+          .filter(lit(false))
+      else
+        df.select(col(id),
+          argmax_cosine_seed(col(embCol), rows.map(_.getLong(0)),
+            rows.map(_.getSeq[Float](1).toArray)).as("cluster_id"),
+          col(embCol).as("__emb"))
+    } else {
+      val s = broadcast(seeds.select(col(seedId).as("__seed_id"),
+        col(seedEmb).as("__s_emb")))
+      df.select(col(id), col(embCol).as("__e"))
+        .crossJoin(s)
+        .withColumn("__c", cosine_sim(col("__e"), col("__s_emb")))
+        .groupBy(col(id))
+        .agg(max_by(col("__seed_id"),
+            struct(col("__c"), (-col("__seed_id")).as("__neg"))).as("cluster_id"),
+          first(col("__e")).as("__emb"))
+    }).localCheckpoint(true)
     // the size guard runs eagerly, driver-side, over the checkpointed
     // assignment (one small count-by-cluster job; at most one id pulled
     // back): a cluster past maxCluster fails loud HERE instead of
@@ -619,7 +647,9 @@ object Dedup {
       .zipWithIndex
       .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }.toIndexedSeq
       .toDF("seed_id", "seed_emb")
+    // the trained quantizer runs at the paper's k ~ √n — always use the
+    // narrow probe assignment (the join form exists for the SQL oracle)
     semDedup(df, embCol, id, seeds, "seed_id", "seed_emb",
-      threshold, maxCluster)
+      threshold, maxCluster, probeAssign = true)
   }
 }

@@ -231,18 +231,30 @@ object ScaleSmoke {
         expr(s"""transform(sequence(0, 15), j -> CAST(
           pmod(xxhash64(CASE WHEN id >= ${half}L AND id % 100 = 0
             THEN id - ${half}L ELSE id END, j), 1000003) / 1000003.0 - 0.5 AS FLOAT))""").as("embedding"))
-      val out = graft.ops.Dedup.semDedup(emb, "embedding", "vec_id",
-        seeds = emb.filter(col("vec_id") % (nSem / 1000) === 0),
-        seedId = "vec_id", seedEmb = "embedding", threshold = 0.999)
+      // k = 1000 seeds: the paper's k ~ √n regime where assignment cost
+      // dominates — run BOTH assignment forms (n×k crossJoin+agg vs the
+      // narrow per-row argmax) and require identical results; the probe
+      // form's time is the one that matters at 100 TB
+      def semOnce(probe: Boolean) = {
+        val out = graft.ops.Dedup.semDedup(emb, "embedding", "vec_id",
+          seeds = emb.filter(col("vec_id") % (nSem / 1000) === 0),
+          seedId = "vec_id", seedEmb = "embedding", threshold = 0.999,
+          probeAssign = probe)
+        out.agg(
+          count(when(col("vec_id") >= half && col("vec_id") % 100 === 0
+            && col("is_dup"), 1)).as("flagged"),
+          count(when(col("is_dup"), 1)).as("total"),
+          count(lit(1)).as("n")).head()
+      }
       val plantedSem = half / 100
-      val row = out.agg(
-        count(when(col("vec_id") >= half && col("vec_id") % 100 === 0
-          && col("is_dup"), 1)).as("flagged"),
-        count(when(col("is_dup"), 1)).as("total"),
-        count(lit(1)).as("n")).head()
+      val row = semOnce(probe = false)
       assert(row.getLong(2) == nSem, s"semDedup must emit every vector, got ${row.getLong(2)}")
       assert(row.getLong(0) == plantedSem,
         s"expected all $plantedSem planted copies flagged, got ${row.getLong(0)}")
+      val prow = timed(s"semDedup($nSem, probeAssign k=1000)") {
+        semOnce(probe = true)
+      }
+      assert(prow == row, s"probeAssign result must match join form: $prow vs $row")
       println(f"SCALE semDedup: ${row.getLong(1)} flagged of $nSem (planted $plantedSem)")
     }
 

@@ -162,6 +162,29 @@ class SpanSemDedupSpec extends SparkTestBase {
     assert(!out(3L)._2 && !out(4L)._2)
   }
 
+  test("semDedup probeAssign: narrow argmax assignment equals the crossJoin form row-for-row") {
+    // random vectors + planted exact copies + a zero vector (the 0.0
+    // cosine guard) across two quantizers — every (vec, cluster, flag)
+    // must match the join form bit-for-bit
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val planted = base.filter(_._1 % 30 == 0)
+      .map { case (i, v) => (i + 1000L, v.clone()) }
+    val zeroed = Seq((2000L, Array.fill(8)(0f)))
+    val df = (base ++ planted ++ zeroed).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    for (mod <- Seq(25L, 100L)) {
+      val seeds = df.filter(col("vec_id") % mod === 0 && col("vec_id") < 1000L)
+      def run(probe: Boolean) = Dedup.semDedup(df, "embedding", "vec_id",
+          seeds = seeds, seedId = "vec_id", seedEmb = "embedding",
+          threshold = 0.95, probeAssign = probe)
+        .orderBy("vec_id").collect().toSeq
+      assert(run(false) == run(true),
+        s"probeAssign must reproduce the join-form assignment exactly (mod=$mod)")
+    }
+  }
+
   test("semDedupTrained: planted exact copies always flag under the k-means quantizer") {
     // identical vectors share a cell under ANY quantizer (identical
     // argmax), so every planted copy must flag no matter where the
