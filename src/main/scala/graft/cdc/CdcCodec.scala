@@ -279,8 +279,10 @@ object CdcCodec {
     * offset of the event header — the streaming offset unit (§2.C). */
   final case class RawEvent(tpe: Byte, tsMs: Long, payload: Array[Byte], pos: Long, endPos: Long)
 
-  /** Sequential raw-event reader over one log file. */
-  final class EventReader(path: String) extends AutoCloseable with Iterator[RawEvent] {
+  /** Sequential raw-event reader over one log file (the GCDC
+    * [[RawEventSource]] — see BinlogAdapter.scala for the seam a real
+    * MySQL-binlog reader implements instead). */
+  final class EventReader(path: String) extends RawEventSource {
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(path), 1 << 16))
     require(in.readInt() == Magic, s"$path: bad magic")
@@ -341,7 +343,7 @@ object CdcCodec {
   final class RowDecoder(targetDb: String, targetTable: String,
       needed: Int => Boolean = _ => true,
       expectedSchema: Option[StructType] = None,
-      driftEpochs: Boolean = false) {
+      driftEpochs: Boolean = false) extends CdcRowDecoder {
     private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
     /** Active epoch plan per table id (null entry = identity/additive).
       * remap(i) = declared index feeding expected source column i, or -1;
