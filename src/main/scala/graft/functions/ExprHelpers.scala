@@ -161,6 +161,72 @@ object ExprHelpers {
     new GenericArrayData(sig)
   }
 
+  /** PQ codes of a float vector: per subspace j, the codeword index
+    * minimizing ||x_j − c||² via the (norm² − 2·dot, code) argmin (ties
+    * → smaller code) — the eval kernel of `PqCodes`. Arithmetic and
+    * comparison order replicate the struct-array/array_min SQL form
+    * this replaced (Double.compare total order), so codes — and every
+    * downstream ADC score — are unchanged. `norms(j)(c)` is the
+    * driver-precomputed ||c||² (same left-fold sum as the literal the
+    * old form embedded). */
+  def pqEncodeCodes(q: ArrayData, books: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]], dsub: Int): ArrayData = {
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val avail = math.max(0, q.numElements() - base)
+      var bestC = 0
+      var bestD = 0.0
+      var c = 0
+      while (c < books(j).length) {
+        val cw = books(j)(c)
+        val n = math.min(math.min(dsub, avail), cw.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += q.getFloat(base + i).toDouble * cw(i); i += 1 }
+        val d = norms(j)(c) - 2.0 * dot
+        if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; bestC = c // ties keep the earlier (smaller) code
+        }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table lut[j][c] = dot(query subvector j,
+    * codeword c) — the eval kernel of `PqLut`; dot semantics identical
+    * to the sliced DotProduct form it replaced. */
+  def pqQueryLut(q: ArrayData, books: Array[Array[Array[Double]]],
+      dsub: Int): ArrayData = {
+    val m = books.length
+    val rows = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val avail = math.max(0, q.numElements() - base)
+      val ksub = books(j).length
+      val lut = new Array[Double](ksub)
+      var c = 0
+      while (c < ksub) {
+        val cw = books(j)(c)
+        val n = math.min(math.min(dsub, avail), cw.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += q.getFloat(base + i).toDouble * cw(i); i += 1 }
+        lut(c) = dot
+        c += 1
+      }
+      rows(j) = new GenericArrayData(lut)
+      j += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   /** The seed id of max cosine similarity (ties → smaller seed id) —
     * the eval kernel of `ArgmaxCosineSeed`, semDedup's narrow
     * assignment. Cosine is computed EXACTLY like `CosineSimilarity`

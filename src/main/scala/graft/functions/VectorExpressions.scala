@@ -227,6 +227,52 @@ case class ArgmaxCosineSeed(child: Expression, seedIds: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** PQ codes of a float vector against PLAN-TIME codebooks (see
+  * ExprHelpers.pqEncodeCodes): one compiled per-row loop instead of
+  * m×ksub struct expressions with literal codeword arrays — the same
+  * driver-side plan-cost fix as NearestCells, applied to the PQ encode
+  * path. Codes are byte-identical to the struct-min form. */
+case class PqCodes(child: Expression, books: Array[Array[Array[Double]]],
+    dsub: Int) extends UnaryExpression {
+  // ||c||² per codeword, precomputed once with the same left-fold sum
+  // the literal form embedded at plan time
+  private lazy val norms: Array[Array[Double]] =
+    books.map(_.map(_.map(x => x * x).sum))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.pqEncodeCodes(v.asInstanceOf[ArrayData], books, norms, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    val n = ctx.addReferenceObj("norms", norms, "double[][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprHelpers.pqEncodeCodes($a, $b, $n, $dsub)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-query ADC lookup table against PLAN-TIME codebooks (see
+  * ExprHelpers.pqQueryLut) — replaces m×ksub sliced-dot literal
+  * expressions with one compiled loop; values unchanged. */
+case class PqLut(child: Expression, books: Array[Array[Array[Double]]],
+    dsub: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.pqQueryLut(v.asInstanceOf[ArrayData], books, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ExprHelpers.pqQueryLut($a, $b, $dsub)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Merge-based |A ∩ B| over sorted distinct string arrays (the
   * all-pairs Jaccard hot path — replaces hash-based array_intersect +
   * array_union with one allocation-free pass). */
@@ -268,6 +314,10 @@ object VectorFunctions {
   def argmax_cosine_seed(q: Column, seedIds: Array[Long],
       seedEmbs: Array[Array[Float]]): Column =
     column(ArgmaxCosineSeed(expr(q), seedIds, seedEmbs))
+  def pq_codes(q: Column, books: Array[Array[Array[Double]]], dsub: Int): Column =
+    column(PqCodes(expr(q), books, dsub))
+  def pq_lut(q: Column, books: Array[Array[Array[Double]]], dsub: Int): Column =
+    column(PqLut(expr(q), books, dsub))
 
   // KMV theta-style distinct sketch (KmvSketch.scala)
   def kmv_sketch(c: Column, k: Int): Column =

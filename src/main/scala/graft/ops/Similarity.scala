@@ -404,33 +404,23 @@ object Similarity {
     * embedding column is retained for callers that still need it —
     * pqTopK drops it, ivfPqTopK first derives the cell). */
   private def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
-      dsub: Int, embCol: String, id: String): DataFrame = {
-    def norm2(v: Array[Double]): Double = v.map(x => x * x).sum
-    def codeOf(j: Int) = {
-      val sub = slice(col(embCol), j * dsub + 1, dsub)
-      val scored = array(books(j).zipWithIndex.toIndexedSeq.map { case (cw, c) =>
-        struct((lit(norm2(cw)) - lit(2.0) * dot_product(sub, lit(cw))).as("d"),
-          lit(c).as("code"))
-      }: _*)
-      array_min(scored).getField("code")
-    }
+      dsub: Int, embCol: String, id: String): DataFrame =
+    // codes via ONE reference-object expression (PqCodes) — the earlier
+    // m×ksub struct-literal/array_min form re-paid its plan analysis on
+    // every execution, same driver-cost pattern NearestCells fixed
     corpus.select(col(id), col(embCol))
-      .withColumn("codes", array(books.indices.map(codeOf): _*))
+      .withColumn("codes", pq_codes(col(embCol), books, dsub))
       // DotProduct's contract is (float-array left, double-array right) —
       // the self-product needs an explicit element cast on the right
       .withColumn("norm",
         sqrt(dot_product(col(embCol), col(embCol).cast("array<double>"))))
-  }
 
   /** Per-query ADC lookup table: lut[j][c] = dot(query subvector j,
     * codeword c) — computed once per query row. */
   private def pqQueryLut(queries: DataFrame, books: Array[Array[Array[Double]]],
       dsub: Int, embCol: String, id: String, keepEmb: Boolean = false): DataFrame = {
     val withLut = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
-      .withColumn("lut", array(books.indices.map { j =>
-        array(books(j).toIndexedSeq.map(cw =>
-          dot_product(slice(col("q_emb"), j * dsub + 1, dsub), lit(cw))): _*)
-      }: _*))
+      .withColumn("lut", pq_lut(col("q_emb"), books, dsub))
     if (keepEmb) withLut else withLut.drop("q_emb")
   }
 
