@@ -17,6 +17,29 @@ object LlmExt2 {
       |    list_transform(range(1, strlen(text) + 1), i -> CAST(ord(text[i]) AS BIGINT)),
       |    (h, c) -> (h * 131 + c) % 2147483647)""".stripMargin
 
+  // per-index-path build locks (same discipline as Llm.ensureIvfIndex)
+  private val ndBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The pid-scoped persisted near-dup band index of `dir`'s corpus
+    * half, built ONCE per JVM (the build-once lifecycle the operator
+    * exists to demonstrate — rebuilding per query would re-sign the
+    * whole corpus each run). Keyed on a 128-bit digest of the data dir;
+    * `shingles/_SUCCESS` is the built-ness marker because it is the
+    * LAST artifact the builder writes (params → buckets → shingles), so
+    * a half-built index is never trusted. */
+  private def ensureNearDupIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ndidx-" + graft.TmpDirs.pathKey(dir))
+    val lock = ndBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(s"$idx/shingles/_SUCCESS").exists())
+        Dedup.buildNearDupIndex(
+          Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), idx)
+    }
+    idx
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // Simpson (Herfindahl) token-diversity index — the rational cousin of
@@ -156,17 +179,16 @@ object LlmExt2 {
     },
 
     // the same incremental dedup against a PREBUILT persisted index
-    // (build once on files, dedup every later batch with zero corpus
-    // recompute — the cross-session lifecycle llm45 demonstrates for
-    // ANN): identical results to llm44, so the same oracle holds
+    // (build ONCE on files — ensureNearDupIndex guards with the marker —
+    // dedup every later batch with zero corpus recompute, the
+    // cross-session lifecycle llm45 demonstrates for ANN): identical
+    // results to llm44, so the same oracle holds
     QDef("llm46_neardup_from_index",
       s"""WITH ${OracleSql.prefixFilterCtes(0.8)}
          |${OracleSql.verifiedPairsSelect(0.8,
              extraWhere = " AND (id_a % 10 = 0 OR id_b % 10 = 0)")}""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val idx = graft.TmpDirs.scoped(
-        "graft-ndidx-" + java.lang.Integer.toHexString(dir.hashCode))
-      Dedup.buildNearDupIndex(docs.filter(col("doc_id") % 10 =!= 0), idx)
+      val idx = ensureNearDupIndex(s, dir)
       Dedup.incrementalNearDupFromIndex(s, idx,
         docs.filter(col("doc_id") % 10 === 0), threshold = 0.8)
     },
