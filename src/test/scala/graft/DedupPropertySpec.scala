@@ -53,6 +53,20 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("hashSpans coverage equals the string form over collision-heavy random corpora") {
+    // the 4-word vocabulary makes nearly every span a cross-doc
+    // duplicate — the densest hash-key workload the 128-bit form sees
+    Seq(5L, 13L, 29L).foreach { seed =>
+      val docs = randomCorpus(120, seed).toDF("doc_id", "text").localCheckpoint(true)
+      val str = graft.ops.Dedup.spanDupCoverage(docs, "text", "doc_id", w = 4)
+        .orderBy("doc_id").collect().toSeq
+      val hsh = graft.ops.Dedup.spanDupCoverage(docs, "text", "doc_id", w = 4,
+          hashSpans = true)
+        .orderBy("doc_id").collect().toSeq
+      assert(str == hsh, s"seed $seed: hash-keyed coverage diverged from string form")
+    }
+  }
+
   test("duplicatedSpans over random corpora equals the exact reference multiset") {
     val docs = randomCorpus(150, 7L)
     val w = 4
