@@ -27,7 +27,12 @@ object Bench {
     "llm09_knn_brute", "llm16_knn_ivf", "llm17_pipeline",
     "llm22_embed_quantize", "llm27_curriculum_order", "llm30_ngram_topk",
     // round-5 additions: span-level dedup coverage and semantic dedup
-    "llm49_span_coverage", "llm50_semdedup")
+    "llm49_span_coverage", "llm50_semdedup",
+    // round-6 additions: the composed production ANN index (IVF cells x
+    // PQ codes) and the prebuilt-index serving path — headline-worthy
+    // once the codebook/centroid plan-literal overhead was removed
+    // (reference-object expressions); both were 4-10x slower before
+    "llm42_knn_ivfpq", "llm45_knn_ivf_prebuilt")
 
   /** Timed samples per query (the published JSON derives from this —
     * one knob, no drift between the loop and the declared methodology). */
