@@ -232,6 +232,13 @@ class SpanSemDedupSpec extends SparkTestBase {
     val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Dedup.semDedup(noVecs, "embedding", "vec_id", seeds = noVecs,
       seedId = "vec_id", seedEmb = "embedding", threshold = 0.5).count() == 0)
+    // an empty quantizer assigns NOTHING in both assignment forms (the
+    // probe branch short-circuits driver-side instead of argmax-ing
+    // over zero seeds)
+    val someVecs = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(someVecs, "embedding", "vec_id", seeds = noVecs,
+      seedId = "vec_id", seedEmb = "embedding", threshold = 0.5,
+      probeAssign = true).count() == 0)
   }
 
   test("semDedup: maxCluster guard fails loud on a degenerate quantizer") {
