@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (builder mandate +
@@ -273,6 +274,48 @@ object TextAnalysis {
       .drop("__w")
       .orderBy(col("priority"), col(id))
       .limit(k)
+  }
+
+  /** Deterministic sampling to a TOKEN budget — the knob a data-mixture
+    * recipe actually turns ("20 B tokens of web, 5 B of code"), where
+    * per-document sampling rates only hit a token target in
+    * expectation. Documents are taken in content-hash priority order
+    * (portable mod-poly hash, doc-id tiebreak) while the running token
+    * total stays ≤ `budget` — a deterministic prefix: content-gated
+    * (duplicate corpora pick identical prefixes), and monotone in the
+    * budget (a bigger budget keeps a superset).
+    *
+    * The running sum is the same two-level cumsum as sequence packing
+    * (the single-partition global window's scale path): per-row windows
+    * partition by a contiguous PRIORITY-range bucket, bucket offsets
+    * are a #buckets-row window, and — the budget-specific win — buckets
+    * whose offset already exceeds the budget are pruned BEFORE the
+    * per-row pass, so the heavy window touches ~budget worth of
+    * documents no matter the corpus size. */
+  def tokenBudgetSample(df: DataFrame, textCol: String, id: String,
+      budget: Long, bucketSize: Long = 1L << 21): DataFrame = {
+    require(budget >= 0, s"token budget must be >= 0, got $budget")
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val withP = df.select(col(id),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        mod_poly_hash(col(textCol)).as("priority"))
+      .withColumn("__bucket", expr(s"priority DIV $bucketSize"))
+    val wB = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withP.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"))
+      .withColumn("__boffset", sum(col("__btotal")).over(wB) - col("__btotal"))
+      // a bucket whose offset is already past the budget cannot
+      // contribute a kept row (cum > offset for every row in it)
+      .filter(col("__boffset") < budget)
+      .select(col("__bucket"), col("__boffset"))
+    val wIn = Window.partitionBy(col("__bucket"))
+      .orderBy(col("priority"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP.join(broadcast(offsets), "__bucket")
+      .withColumn("cum_tokens", col("__boffset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(id), col("n_tokens"), col("priority"), col("cum_tokens"))
   }
 
   /** Train/eval contamination check: for every document of `evalSplit`,

@@ -375,6 +375,26 @@ object LlmExt2 {
           sum(col("dup_tokens")).cast("bigint").as("residual_dup_tokens"))
     },
 
+    // deterministic sampling to a TOKEN budget (the data-mixture knob:
+    // "N tokens of this source"): content-hash-priority prefix whose
+    // running token total stays within budget. The oracle IS the naive
+    // single-window global cumsum; the engine runs the two-level
+    // bucket cumsum with budget-pruned buckets (only ~budget worth of
+    // docs reach the per-row window at any corpus size)
+    QDef("llm55_token_budget",
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $hashSql AS priority
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens, priority,
+         |    SUM(n_tokens) OVER (ORDER BY priority, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, n_tokens, priority, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 5000""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenBudgetSample(Tables.load(s, dir, "documents"),
+        "text", "doc_id", budget = 5000L)
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

@@ -135,6 +135,39 @@ class TextOps2Spec extends SparkTestBase {
     assert(again == out.orderBy($"lang", $"doc_id").collect().toSeq)
   }
 
+  test("token-budget sample: equals the naive global-window prefix; budget edges; monotone") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.mod_poly_hash
+    val naiveW = Window.orderBy(col("priority"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def naive(budget: Long) = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mod_poly_hash(col("text")).as("priority"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy("doc_id").collect().toSeq
+    def got(budget: Long, bucketSize: Long = 64L) = // tiny buckets: many offsets
+      TextAnalysis.tokenBudgetSample(docs, "text", "doc_id", budget, bucketSize)
+        .orderBy("doc_id").collect().toSeq
+    val g5k = got(5000L)
+    assert(g5k == naive(5000L) && g5k.nonEmpty,
+      "two-level cumsum must equal the naive single-window prefix")
+    assert(got(0L).isEmpty, "zero budget keeps nothing")
+    val total = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head().getLong(0)
+    assert(got(total).size == docs.count(),
+      "a budget covering the corpus keeps every doc")
+    // monotone: the 5k prefix is a subset of the 20k prefix
+    val ids5 = g5k.map(_.getLong(0)).toSet
+    val ids20 = got(20000L).map(_.getLong(0)).toSet
+    assert(ids5.subsetOf(ids20), "a bigger budget must keep a superset")
+    // partition invariance (the bucket cumsum must not depend on layout)
+    val repart = TextAnalysis.tokenBudgetSample(docs.repartition(7), "text",
+      "doc_id", 5000L, 64L).orderBy("doc_id").collect().toSeq
+    assert(repart == g5k)
+  }
+
   test("funnel stages shrink monotonically and corr is in [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
     val funnel = SparkEntry.queries("q74_funnel")(spark, dir).head()
