@@ -318,6 +318,45 @@ object TextAnalysis {
       .select(col(id), col("n_tokens"), col("priority"), col("cum_tokens"))
   }
 
+  /** The full data-mixture form of [[tokenBudgetSample]]: one token
+    * budget PER GROUP (source/domain/language — "20 B web, 5 B code"),
+    * each group taking its own content-hash-priority prefix. Groups
+    * absent from `budgets` are dropped — a mixture recipe enumerates
+    * its sources. Same two-level cumsum, with every window additionally
+    * partitioned by the group (bucket offsets are #groups × #buckets
+    * rows — still tiny) and the bucket prune applied against each
+    * group's own budget. */
+  def tokenBudgetMixture(df: DataFrame, textCol: String, id: String,
+      groupCol: String, budgets: Map[String, Long],
+      bucketSize: Long = 1L << 21): DataFrame = {
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    require(budgets.values.forall(_ >= 0L), s"budgets must be >= 0: $budgets")
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toSeq.toDF("__grp", "__budget"))
+    val withP = df.select(col(groupCol).as("__grp"), col(id),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        mod_poly_hash(col(textCol)).as("priority"))
+      .join(bdf, Seq("__grp")) // drops un-budgeted groups
+      .withColumn("__bucket", expr(s"priority DIV $bucketSize"))
+    val wB = Window.partitionBy(col("__grp")).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = withP.groupBy(col("__grp"), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"), first(col("__budget")).as("__b"))
+      .withColumn("__boffset", sum(col("__btotal")).over(wB) - col("__btotal"))
+      .filter(col("__boffset") < col("__b"))
+      .select(col("__grp"), col("__bucket"), col("__boffset"))
+    val wIn = Window.partitionBy(col("__grp"), col("__bucket"))
+      .orderBy(col("priority"), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withP.join(broadcast(offsets), Seq("__grp", "__bucket"))
+      .withColumn("cum_tokens", col("__boffset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .select(col("__grp").as(groupCol), col(id), col("n_tokens"),
+        col("priority"), col("cum_tokens"))
+  }
+
   /** Train/eval contamination check: for every document of `evalSplit`,
     * the fraction of its distinct n-token shingles that also occur in any
     * `trainSplit` document. The standard decontamination pass a training

@@ -395,6 +395,26 @@ object LlmExt2 {
         "text", "doc_id", budget = 5000L)
     },
 
+    // the per-source mixture form: one token budget per group ("4000
+    // tokens of en, 1500 of zh, 800 of de"; fr/es unlisted -> dropped),
+    // each group taking its own hash-priority prefix. Oracle = the
+    // naive per-group window cumsum
+    QDef("llm56_token_mixture",
+      s"""WITH b(lang, budget) AS (VALUES ('en', 4000), ('zh', 1500), ('de', 800)),
+         |t AS (SELECT d.lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $hashSql AS priority, b.budget
+         |  FROM documents d JOIN b USING (lang)),
+         |c AS (SELECT lang, doc_id, n_tokens, priority, budget,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY priority, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM t)
+         |SELECT lang, doc_id, n_tokens, priority, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= budget""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenBudgetMixture(Tables.load(s, dir, "documents"),
+        "text", "doc_id", "lang",
+        budgets = Map("en" -> 4000L, "zh" -> 1500L, "de" -> 800L))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

@@ -168,6 +168,32 @@ class TextOps2Spec extends SparkTestBase {
     assert(repart == g5k)
   }
 
+  test("token-budget mixture: per-group naive equivalence; un-budgeted groups dropped") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.mod_poly_hash
+    val budgets = Map("en" -> 3000L, "zh" -> 900L)
+    val naiveW = Window.partitionBy(col("lang"))
+      .orderBy(col("priority"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        mod_poly_hash(col("text")).as("priority"))
+      .filter(col("lang").isin(budgets.keys.toSeq: _*))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(naiveW))
+      .withColumn("__b", when(col("lang") === "en", 3000L).otherwise(900L))
+      .filter(col("cum_tokens") <= col("__b")).drop("__b")
+      .orderBy("doc_id").collect().toSeq
+    val got = TextAnalysis.tokenBudgetMixture(docs, "text", "doc_id", "lang",
+        budgets, bucketSize = 64L)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == naive && got.nonEmpty,
+      "mixture must equal the per-group naive window prefixes")
+    val langs = got.map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "zh")), s"un-budgeted groups must drop: $langs")
+    assert(langs == Set("en", "zh"), "both budgeted groups must contribute")
+  }
+
   test("funnel stages shrink monotonically and corr is in [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
     val funnel = SparkEntry.queries("q74_funnel")(spark, dir).head()
