@@ -300,6 +300,29 @@ object Streaming {
         .filter(col("doc_id") % 10 === 0)
       drain(StreamOps.spanCoverageStream(corpus, arriving),
         "str13_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
+    },
+
+    // streaming token-budget ingestion gate: each language admits
+    // arriving docs IN ARRIVAL (doc_id) ORDER until its token budget is
+    // spent — the admission-control twin of llm56's priority-order
+    // mixture. Prefix-cut semantics (running total counts rejected docs
+    // too), so the oracle is a plain per-group window cumsum; state is
+    // one running total per group
+    QDef("str14_token_budget_gate",
+      """WITH b(lang, budget) AS (VALUES ('en', 4000), ('zh', 1500), ('de', 800)),
+        |t AS (SELECT d.lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    b.budget
+        |  FROM documents d JOIN b USING (lang)),
+        |c AS (SELECT lang, doc_id, n_tokens, budget,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= budget""".stripMargin) { (s, dir) =>
+      val arriving = StreamOps.documentsStream(s, dir)
+      drain(StreamOps.tokenBudgetGateStream(arriving, "text", "doc_id", "lang",
+          budgets = Map("en" -> 4000L, "zh" -> 1500L, "de" -> 800L)),
+        "str14_" + java.lang.Integer.toHexString(dir.hashCode), "update")
     }
   )
 }

@@ -214,6 +214,48 @@ object StreamOps {
       .toDF("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Streaming token-budget ingestion gate — the arrival-order twin of
+    * `TextAnalysis.tokenBudgetMixture`: each group (source/language)
+    * admits arriving documents IN ARRIVAL ORDER until its token budget
+    * is exhausted; later arrivals of that group are dropped, across
+    * micro-batches (one running-total `GroupState` per group — state is
+    * O(#groups), the smallest state shape in this module). Within a
+    * batch the group's rows process in `orderCol` order, which makes a
+    * bounded replay deterministic (the file source delivers one batch
+    * in file order; the oracle replays the same per-group running sum).
+    * Un-budgeted groups drop before the shuffle. Emits one row per
+    * ADMITTED doc with its group running total. */
+  def tokenBudgetGateStream(arriving: DataFrame, textCol: String,
+      id: String, groupCol: String, budgets: Map[String, Long]): DataFrame = {
+    val spark = arriving.sparkSession
+    import spark.implicits._
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    val typed = arriving
+      .filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+      .select(col(groupCol), col(id).cast("long"),
+        size(graft.ops.TextAnalysis.tokens(col(textCol))).cast("long"))
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (grp, rows, state: GroupState[Long]) =>
+          val budget = budgets(grp)
+          var total = state.getOption.getOrElse(0L)
+          // prefix CUT, not greedy fill: the running total accumulates
+          // every arrival (admitted or not) and a doc is admitted iff
+          // the total through it fits — the batch operator's
+          // cum <= budget semantics, which a window-cumsum oracle can
+          // replay (greedy fill is a sequential fold no window computes)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, docId, n) =>
+            total += n
+            if (total <= budget) Some((grp, docId, n, total)) else None
+          }
+          state.update(total)
+          out.iterator
+      }
+      .toDF(groupCol, id, "n_tokens", "cum_tokens")
+  }
+
   /** State rows for the TTL'd streaming top-k (one heap per query). */
   case class TopKEntry(neighbor_id: Long, sim: Double)
   case class TopKState(entries: Seq[TopKEntry])

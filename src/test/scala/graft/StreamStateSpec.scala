@@ -114,6 +114,30 @@ class StreamStateSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBudgetGateStream: budget enforced ACROSS micro-batches; rejected tokens still count") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)] // (doc_id, lang, text)
+    val arriving = in.toDF().toDF("doc_id", "lang", "text")
+    val out = StreamOps.tokenBudgetGateStream(arriving, "text", "doc_id",
+      "lang", budgets = Map("en" -> 10L))
+    val q = out.writeStream.format("memory").queryName("budget_gate")
+      .outputMode("update").option("checkpointLocation", ckpt("budget-gate")).start()
+    try {
+      // batch 1: 4 + 4 tokens admitted (cum 8); "fr" has no budget -> dropped
+      in.addData((1L, "en", "a b c d"), (2L, "en", "e f g h"), (3L, "fr", "x y"))
+      q.processAllAvailable()
+      // batch 2: doc 4 (4 tokens) overflows cum to 12 -> rejected, but its
+      // tokens COUNT (prefix cut), so doc 5 (2 tokens, cum 14) is also
+      // rejected even though 8 + 2 would have fit greedily
+      in.addData((4L, "en", "i j k l"), (5L, "en", "m n"))
+      q.processAllAvailable()
+      val got = spark.table("budget_gate")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == Set(("en", 1L, 4L), ("en", 2L, 8L)),
+        s"only the cross-batch prefix under budget may pass the gate: $got")
+    } finally q.stop()
+  }
+
   test("incrementalNearDupStream: watermarked pair-dedup state expires; a re-arriving pair re-emits") {
     val corpus = Seq((100L, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"))
       .toDF("doc_id", "text")
