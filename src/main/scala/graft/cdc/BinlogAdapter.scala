@@ -2,11 +2,14 @@ package graft.cdc
 
 import org.apache.spark.sql.types.StructType
 
-/** The REAL-binlog adapter seam (SURVEY.md §7.0/§7.4 declares the MySQL
-  * wire format a non-goal — no client/driver libraries exist offline;
-  * DESIGN.md "Real-binlog adapter seam" documents the mapping). The
-  * engine's scan, pushdown, partition-planning, streaming-offset, and
-  * schema-synthesis layers consume ONLY this interface's vocabulary:
+/** The binlog-format adapter seam. The engine's scan, pushdown,
+  * partition-planning, streaming-offset, and schema-synthesis layers
+  * consume ONLY this interface's vocabulary, so a wire format is a
+  * pluggable decoder, not an engine fork. Two implementations exist:
+  * [[GcdcAdapter]] (the self-contained test format) and
+  * [[MysqlBinlogAdapter]] (the REAL MySQL binlog v4 byte layout,
+  * decoded pure-JVM in MysqlBinlog.scala — no client library). The
+  * shared vocabulary:
   *
   *   - [[CdcCodec.RawEvent]]: (type, timestamp, payload bytes, byte
   *     offsets). MySQL's 19-byte v4 event header carries exactly these
@@ -27,13 +30,10 @@ import org.apache.spark.sql.types.StructType
   *     share the one-path-per-line format (reference :12-19) —
   *     [[CdcCodec.readIndex]] already parses both.
   *
-  * So a `mysql-binlog-connector`-style decoder plugs in as ONE
-  * [[BinlogFormatAdapter]] implementation: no partition planner,
-  * pushdown rule, or streaming-offset change — the non-goal is an
-  * adapter away, not a rewrite. [[GcdcAdapter]] below is the engine's
-  * own format expressed through the same interface, which keeps the
-  * seam honest at compile time (the traits are implemented, not
-  * aspirational).
+  * Each format plugs in as ONE [[BinlogFormatAdapter]] implementation:
+  * no partition planner, pushdown rule, or streaming-offset change.
+  * The `binlogFormat` source option selects the adapter by name (see
+  * [[BinlogFormats]]).
   */
 trait RawEventSource extends Iterator[CdcCodec.RawEvent] with AutoCloseable
 
@@ -45,18 +45,62 @@ trait CdcRowDecoder {
 }
 
 /** One pluggable binlog format: index enumeration + per-file event
-  * iteration + stateful row decode. */
+  * iteration + stateful row decode, plus the format-dependent offsets
+  * the scan/streaming layers need (file header length, row-event type
+  * test, torn-tail boundary, schema inference). */
 trait BinlogFormatAdapter {
+  /** Byte offset of the first event (GCDC: 8-byte magic+version;
+    * MySQL: the 4-byte 0xfe 'b' 'i' 'n' magic). */
+  def headerLen: Long
   def readIndex(indexFile: String): Seq[String]
   def open(path: String): RawEventSource
   def decoder(targetDb: String, targetTable: String,
       needed: Int => Boolean = _ => true,
       expectedSchema: Option[StructType] = None,
       driftEpochs: Boolean = false): CdcRowDecoder
+  /** Does this event type carry row images (vs control state)? The
+    * partition reader uses this to skip out-of-range row events without
+    * decoding while still replaying control events for state. */
+  def isRowEvent(tpe: Byte): Boolean
+  /** Offset of the last COMPLETE event — the streaming admission
+    * boundary (a producer's in-flight append may leave a torn tail). */
+  def lastCompleteOffset(path: String): Long
+  /** Newest matching TABLE_MAP schema for DSv2 schema inference. */
+  def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType]
+}
+
+/** Registry resolving the `binlogFormat` source option — a NAME ships
+  * to executors (plain string serialization) and resolves locally, so
+  * adapter objects never need to be serializable themselves. */
+object BinlogFormats {
+  def forName(name: String): BinlogFormatAdapter = name match {
+    case "gcdc" => GcdcAdapter
+    case "mysql" => MysqlBinlogAdapter
+    case other => throw new IllegalArgumentException(
+      s"binlogcdc: unknown binlogFormat '$other' (supported: gcdc, mysql)")
+  }
+}
+
+/** Format-agnostic fixture producer interface: the CDC fixtures write
+  * one event storyline through either format's writer, so the same
+  * DuckDB oracle checks both decoders (see CdcFixture). Timestamps are
+  * epoch millis; value conventions are the engine-internal ones
+  * (micros-Long timestamps, epoch-day Int dates, String/UTF8String). */
+trait FixtureSink extends AutoCloseable {
+  def tableMap(tsMs: Long, tableId: Long, db: String, table: String,
+      schema: StructType): Unit
+  def gtid(tsMs: Long, gno: Long, sourceId: String): Unit
+  def writeRows(tsMs: Long, tableId: Long, schema: StructType,
+      rows: Seq[Array[Any]]): Unit
+  def deleteRows(tsMs: Long, tableId: Long, schema: StructType,
+      rows: Seq[Array[Any]]): Unit
+  def updateRows(tsMs: Long, tableId: Long, schema: StructType,
+      pairs: Seq[(Array[Any], Array[Any])]): Unit
 }
 
 /** The built-in GCDC format behind the adapter interface. */
 object GcdcAdapter extends BinlogFormatAdapter {
+  override def headerLen: Long = CdcCodec.HeaderLen.toLong
   override def readIndex(indexFile: String): Seq[String] =
     CdcCodec.readIndex(indexFile)
   override def open(path: String): RawEventSource =
@@ -66,4 +110,13 @@ object GcdcAdapter extends BinlogFormatAdapter {
       driftEpochs: Boolean): CdcRowDecoder =
     new CdcCodec.RowDecoder(targetDb, targetTable, needed,
       expectedSchema, driftEpochs)
+  override def isRowEvent(tpe: Byte): Boolean =
+    tpe == CdcCodec.EventType.WriteRows ||
+      tpe == CdcCodec.EventType.UpdateRows ||
+      tpe == CdcCodec.EventType.DeleteRows
+  override def lastCompleteOffset(path: String): Long =
+    CdcCodec.lastCompleteOffset(path)
+  override def inferSourceSchema(indexFile: String, db: String,
+      table: String): Option[StructType] =
+    CdcCodec.inferSourceSchema(indexFile, db, table)
 }

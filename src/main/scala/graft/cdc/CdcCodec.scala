@@ -53,7 +53,7 @@ object CdcCodec {
 
   /** Fixture/test encoder (the reference never writes — mysqld does; our
     * writer replaces that producer for tests, per SURVEY.md §5.2). */
-  final class LogWriter(path: String) extends AutoCloseable {
+  final class LogWriter(path: String) extends FixtureSink {
     private val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
     out.writeInt(Magic); out.writeInt(Version)

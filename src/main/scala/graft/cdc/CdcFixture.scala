@@ -48,6 +48,7 @@ object CdcFixture {
   private val cache = mutable.Map.empty[String, String]
   private val cacheMs = mutable.Map.empty[String, String]
   private val cacheDr = mutable.Map.empty[String, String]
+  private val cacheMy = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -73,7 +74,17 @@ object CdcFixture {
   /** Idempotently generate the CDC log for sfDir; returns index file path. */
   def ensure(spark: SparkSession, sfDir: String): String =
     // v3: GTID events carry the source id
-    ensureLog(cache, "graft-cdc3", sfDir)(generate(spark, sfDir, _))
+    ensureLog(cache, "graft-cdc3", sfDir)(
+      generate(spark, sfDir, _, p => new CdcCodec.LogWriter(p)))
+
+  /** The SAME event storyline written as a REAL MySQL binlog v4 (CRC32
+    * checksummed, FULL row metadata) — so the MysqlBinlog decoder is
+    * verified by the same DuckDB oracle as the GCDC one (cdc21-cdc23).
+    * No sidecars: a real mysqld writes none, so sidecar-served pushdowns
+    * (aggregates, OFFSET, file pruning) honestly decline on this log. */
+  def ensureMysql(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMy, "graft-cdcmy", sfDir)(
+      generate(spark, sfDir, _, p => new MysqlBinlog.Writer(p, checksum = true)))
 
   /** Multi-source replication log: two servers write interleaved
     * transactions into ONE log, each with its own gno sequence starting
@@ -171,7 +182,8 @@ object CdcFixture {
     Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
   }
 
-  private def generate(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+  private def generate(spark: SparkSession, sfDir: String, outDir: String,
+      newSink: String => FixtureSink): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
     val keyIdx = schema.fieldIndex("o_orderkey")
@@ -239,7 +251,7 @@ object CdcFixture {
     val perFile = (txns.length + NumFiles - 1) / NumFiles
     val files = txns.grouped(perFile).zipWithIndex.map { case (chunk, i) =>
       val name = f"binlog.$i%06d"
-      val w = new CdcCodec.LogWriter(s"$outDir/$name")
+      val w = newSink(s"$outDir/$name")
       try {
         val t0 = ts(chunk.head.gno)
         w.tableMap(t0, TableId, Db, Table, schema)

@@ -1,0 +1,850 @@
+package graft.cdc
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, FileInputStream, FileOutputStream, IOException}
+import java.nio.charset.StandardCharsets
+import java.time.LocalDateTime
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-JVM MySQL binlog v4 reader/decoder — the real wire format the
+  * reference consumes (its event loop at
+  * /root/reference/binlog_table_reader.cc:163-432 walks exactly these
+  * byte layouts via libbinlogevents). No MySQL client library: the v4
+  * framing is a plain public byte layout —
+  *
+  *   file   = 0xfe 'b' 'i' 'n' magic, then events back-to-back
+  *   event  = 19-byte header [timestamp:u32le][type:u8][server_id:u32le]
+  *            [event_size:u32le][log_pos:u32le][flags:u16le] + payload
+  *            (+ trailing CRC32 when the FORMAT_DESCRIPTION event
+  *            declares checksum algorithm 1)
+  *
+  * The subset decoded here is the reference's own working set:
+  * FORMAT_DESCRIPTION (15), ROTATE (4), TABLE_MAP (19), GTID (33),
+  * WRITE/UPDATE/DELETE_ROWS v2 (30/31/32); XID/QUERY and anything else
+  * are skipped like the reference's default branch. Column types:
+  * TINY/SHORT/LONG/LONGLONG (signed), FLOAT/DOUBLE, VARCHAR, BLOB,
+  * DATE, TIMESTAMP2, DATETIME2 — the `Field::unpack` layouts the
+  * reference relies on (binlog_table_reader.cc:151-157), hand-decoded.
+  *
+  * TABLE_MAP carries column TYPES but (unless the producer ran with
+  * `binlog_row_metadata=FULL`) no column NAMES; the optional-metadata
+  * TLV block (type 4 = COLUMN_NAME) supplies names when present. The
+  * decoder matches the query schema by (name, type) when names exist,
+  * positionally by type otherwise.
+  *
+  * [[MysqlBinlogAdapter]] plugs this into the engine through the
+  * [[BinlogFormatAdapter]] seam: the DSv2 scan, pushdown, partition
+  * planning, and streaming-offset layers are untouched — selecting
+  * `.option("binlogFormat", "mysql")` swaps the byte decoder only.
+  * [[MysqlBinlog.Writer]] is the fixture producer standing in for
+  * mysqld (same role as [[CdcCodec.LogWriter]] for the GCDC format).
+  */
+object MysqlBinlog {
+
+  val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
+  val MagicLen = 4
+  val HeaderLen = 19
+
+  object EventType {
+    val Query = 2: Byte
+    val Rotate = 4: Byte
+    val FormatDescription = 15: Byte
+    val Xid = 16: Byte
+    val TableMap = 19: Byte
+    val WriteRowsV2 = 30: Byte
+    val UpdateRowsV2 = 31: Byte
+    val DeleteRowsV2 = 32: Byte
+    val Gtid = 33: Byte
+    val AnonymousGtid = 34: Byte
+    val PreviousGtids = 35: Byte
+  }
+
+  /** MySQL column type codes (enum_field_types — public protocol). */
+  object ColType {
+    val Tiny = 1
+    val Short = 2
+    val Long = 3
+    val Float = 4
+    val Double = 5
+    val LongLong = 8
+    val Date = 10
+    val Timestamp2 = 17
+    val Datetime2 = 18
+    val Varchar = 15
+    val Blob = 252
+
+    def toSpark(t: Int): DataType = t match {
+      case Tiny => ByteType
+      case Short => ShortType
+      case Long => IntegerType
+      case Float => FloatType
+      case Double => DoubleType
+      case LongLong => LongType
+      case Date => DateType
+      case Timestamp2 => TimestampType
+      case Datetime2 => TimestampNTZType
+      case Varchar => StringType
+      case Blob => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unsupported MySQL column type $other (subset: tiny/short/int/bigint/" +
+          "float/double/varchar/blob/date/timestamp2/datetime2)")
+    }
+
+    def fromSpark(dt: DataType): Int = dt match {
+      case ByteType => Tiny
+      case ShortType => Short
+      case IntegerType => Long
+      case FloatType => Float
+      case DoubleType => Double
+      case LongType => LongLong
+      case DateType => Date
+      case TimestampType => Timestamp2
+      case TimestampNTZType => Datetime2
+      case StringType => Varchar
+      case BinaryType => Blob
+      case other => throw new IllegalArgumentException(
+        s"no MySQL column type for Spark type $other")
+    }
+  }
+
+  /** Optional-metadata TLV type codes in TABLE_MAP (MySQL 8.0,
+    * `binlog_row_metadata=FULL`). Only the ones we consume. */
+  private val MetaSignedness = 1
+  private val MetaColumnName = 4
+
+  // ------------------------------------------------------------ byte cursor
+
+  /** Little-endian cursor over one event payload. */
+  private final class Cur(val a: Array[Byte], var p: Int, val end: Int) {
+    def this(a: Array[Byte]) = this(a, 0, a.length)
+    def remaining: Int = end - p
+    def u8(): Int = { val v = a(p) & 0xff; p += 1; v }
+    def u16(): Int = { val v = (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8); p += 2; v }
+    def u24(): Int = {
+      val v = (a(p) & 0xff) | ((a(p + 1) & 0xff) << 8) | ((a(p + 2) & 0xff) << 16)
+      p += 3; v
+    }
+    def u32(): Long = {
+      val v = (a(p) & 0xffL) | ((a(p + 1) & 0xffL) << 8) |
+        ((a(p + 2) & 0xffL) << 16) | ((a(p + 3) & 0xffL) << 24)
+      p += 4; v
+    }
+    def u48(): Long = {
+      var v = 0L; var i = 0
+      while (i < 6) { v |= (a(p + i) & 0xffL) << (8 * i); i += 1 }
+      p += 6; v
+    }
+    def i32(): Int = u32().toInt
+    def i64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v |= (a(p + i) & 0xffL) << (8 * i); i += 1 }
+      p += 8; v
+    }
+    /** Big-endian unsigned read of n bytes (MySQL's *2 temporal types
+      * are the one big-endian island in the protocol). */
+    def beU(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (a(p + i) & 0xffL); i += 1 }
+      p += n; v
+    }
+    /** Protocol length-encoded integer. */
+    def lenenc(): Long = {
+      val first = u8()
+      if (first < 0xfb) first.toLong
+      else if (first == 0xfc) u16().toLong
+      else if (first == 0xfd) u24().toLong
+      else if (first == 0xfe) i64()
+      else throw new IOException(s"bad length-encoded integer prefix 0x${first.toHexString}")
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(a, p, p + n); p += n; b
+    }
+    def str(n: Int): String = {
+      val s = new String(a, p, n, StandardCharsets.UTF_8); p += n; s
+    }
+    def skip(n: Int): Unit = p += n
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  /** Sequential raw-event reader over one MySQL binlog file. Emits
+    * [[CdcCodec.RawEvent]] with `tpe` = the MySQL type code, `tsMs` =
+    * header seconds ×1000, `pos`/`endPos` = on-disk byte offsets of the
+    * event (the streaming-offset unit, same contract as the GCDC
+    * reader). A torn tail — header or payload cut short by the
+    * producer's in-flight append — ends iteration cleanly. When the
+    * FORMAT_DESCRIPTION event declares CRC32 checksums, every
+    * subsequent event's CRC is VERIFIED (fail loud on corruption) and
+    * stripped, so downstream decoders never see checksum bytes. */
+  final class EventReader(path: String) extends RawEventSource {
+    private val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
+    locally {
+      val m = in.readNBytes(MagicLen)
+      require(m.length == MagicLen && java.util.Arrays.equals(m, Magic),
+        s"$path: not a MySQL binlog (bad magic)")
+    }
+    private var pos: Long = MagicLen.toLong
+    private var checksummed = false // set by the FORMAT_DESCRIPTION event
+    private var nextEvent: CdcCodec.RawEvent = _
+    private var done = false
+
+    private def advance(): Unit = {
+      val header = in.readNBytes(HeaderLen)
+      if (header.length < HeaderLen) { done = true; nextEvent = null; return }
+      val h = new Cur(header)
+      val tsSec = h.u32()
+      val tpe = h.u8().toByte
+      h.u32() // server_id
+      val eventSize = h.u32()
+      h.u32() // log_pos (end position; derivable, not trusted)
+      h.u16() // flags
+      if (eventSize < HeaderLen) { done = true; nextEvent = null; return }
+      val bodyLen = (eventSize - HeaderLen).toInt
+      val body = in.readNBytes(bodyLen)
+      if (body.length < bodyLen) { done = true; nextEvent = null; return } // torn tail
+      val start = pos
+      pos += eventSize
+
+      // FORMAT_DESCRIPTION declares the checksum algorithm for the rest
+      // of the file (alg byte sits 5 bytes from the event end; the FDE
+      // itself is checksummed under the alg it declares).
+      var payload = body
+      if (tpe == EventType.FormatDescription) {
+        val c = new Cur(body)
+        val binlogVersion = c.u16()
+        require(binlogVersion == 4, s"$path: binlog version $binlogVersion (need v4)")
+        c.skip(50) // server_version
+        c.u32() // create_timestamp
+        val commonHeaderLen = c.u8()
+        require(commonHeaderLen == HeaderLen,
+          s"$path: common header length $commonHeaderLen (need $HeaderLen)")
+        val alg = if (body.length >= 5) body(body.length - 5) & 0xff else 0
+        require(alg <= 1, s"$path: unsupported binlog checksum algorithm $alg")
+        checksummed = alg == 1
+        if (checksummed) payload = verifyAndStrip(header, body, start)
+      } else if (checksummed) {
+        payload = verifyAndStrip(header, body, start)
+      }
+      nextEvent = CdcCodec.RawEvent(tpe, tsSec * 1000L, payload, start, pos)
+    }
+
+    private def verifyAndStrip(header: Array[Byte], body: Array[Byte],
+        start: Long): Array[Byte] = {
+      require(body.length >= 4, s"$path: checksummed event shorter than its CRC")
+      val crc = new CRC32()
+      crc.update(header)
+      crc.update(body, 0, body.length - 4)
+      val stored = new Cur(body, body.length - 4, body.length).u32()
+      if (crc.getValue != stored)
+        throw new IOException(f"$path: CRC32 mismatch at offset $start " +
+          f"(stored 0x$stored%08x, computed 0x${crc.getValue}%08x) — corrupt event")
+      java.util.Arrays.copyOf(body, body.length - 4)
+    }
+
+    def hasNext: Boolean = { if (nextEvent == null && !done) advance(); nextEvent != null }
+    def next(): CdcCodec.RawEvent = {
+      if (!hasNext) throw new NoSuchElementException
+      val e = nextEvent; nextEvent = null; e
+    }
+    def close(): Unit = in.close()
+  }
+
+  /** Offset of the last COMPLETE event (same torn-tail contract as
+    * [[CdcCodec.lastCompleteOffset]]): streaming offsets must never
+    * point past it. */
+  def lastCompleteOffset(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists() || f.length() < MagicLen) return MagicLen.toLong
+    val r = new EventReader(path)
+    try {
+      var end = MagicLen.toLong
+      while (r.hasNext) end = r.next().endPos
+      end
+    } catch {
+      case _: Exception => MagicLen.toLong
+    } finally r.close()
+  }
+
+  // ------------------------------------------------------------ table maps
+
+  /** Parsed TABLE_MAP: declared column types + per-type metadata, plus
+    * names when the producer logged FULL row metadata. */
+  final case class MysqlTableMap(tableId: Long, db: String, table: String,
+      colTypes: Array[Int], colMeta: Array[Int], names: Option[Array[String]]) {
+    def sparkSchema(fallbackNames: Int => String): StructType =
+      StructType(colTypes.indices.map { i =>
+        StructField(names.map(_(i)).getOrElse(fallbackNames(i)),
+          ColType.toSpark(colTypes(i)))
+      })
+  }
+
+  def parseTableMap(payload: Array[Byte]): MysqlTableMap = {
+    val c = new Cur(payload)
+    val tableId = c.u48()
+    c.u16() // flags
+    val dbLen = c.u8(); val db = c.str(dbLen); c.skip(1) // NUL
+    val tblLen = c.u8(); val table = c.str(tblLen); c.skip(1) // NUL
+    val n = c.lenenc().toInt
+    val types = new Array[Int](n)
+    var i = 0
+    while (i < n) { types(i) = c.u8(); i += 1 }
+    val metaLen = c.lenenc().toInt
+    val metaEnd = c.p + metaLen
+    val meta = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      meta(i) = types(i) match {
+        case ColType.Varchar => c.u16() // declared max length in bytes
+        case ColType.Float | ColType.Double => c.u8() // pack length
+        case ColType.Blob => c.u8() // number of length bytes
+        case ColType.Timestamp2 | ColType.Datetime2 => c.u8() // fsp
+        case _ => 0
+      }
+      i += 1
+    }
+    require(c.p == metaEnd, s"TABLE_MAP metadata length mismatch for $db.$table")
+    c.skip((n + 7) / 8) // column nullability bitmap (schema-level; unused)
+    // optional metadata TLVs (MySQL 8.0): [type:u8][len:lenenc][value]
+    var names: Option[Array[String]] = None
+    while (c.remaining > 0) {
+      val t = c.u8()
+      val len = c.lenenc().toInt
+      if (t == MetaColumnName) {
+        val end = c.p + len
+        val buf = Array.newBuilder[String]
+        while (c.p < end) buf += c.str(c.lenenc().toInt)
+        names = Some(buf.result())
+      } else c.skip(len) // SIGNEDNESS etc.: not consumed (all types signed)
+    }
+    MysqlTableMap(tableId, db, table, types, meta, names)
+  }
+
+  // ---------------------------------------------------------------- decoder
+
+  /** Stateful MySQL event→row decode for one (db, table) target — the
+    * [[CdcRowDecoder]] twin of [[CdcCodec.RowDecoder]], same envelope
+    * semantics (per-table-id TABLE_MAP registry, transaction GTID with
+    * the server-uuid source id, atomic before/after update pairs, null
+    * bitmaps, column pruning via `needed`).
+    *
+    * Schema matching: by (name, type) when the TABLE_MAP carries FULL
+    * metadata names (exact match, or the additive strict-prefix rule of
+    * the GCDC decoder), positionally by type when it doesn't. Any other
+    * disagreement fails loud — `schemaDrift=epochs` is a GCDC-format
+    * feature (the drift-epoch remap needs names, which MINIMAL-metadata
+    * MySQL logs don't ship). */
+  final class RowDecoder(targetDb: String, targetTable: String,
+      needed: Int => Boolean = _ => true,
+      expectedSchema: Option[StructType] = None) extends CdcRowDecoder {
+
+    private val tableMaps = scala.collection.mutable.Map.empty[Long, MysqlTableMap]
+    private var currentGtid = 0L
+    private var currentSourceId: UTF8String =
+      UTF8String.fromString(CdcSchema.AnonymousSourceId)
+
+    def decode(ev: CdcCodec.RawEvent): Seq[CdcCodec.CdcRow] = ev.tpe match {
+      case EventType.TableMap =>
+        val tm = parseTableMap(ev.payload)
+        if (tm.db == targetDb && tm.table == targetTable) checkSchema(tm, ev.pos)
+        tableMaps(tm.tableId) = tm
+        Nil
+      case EventType.Gtid =>
+        val c = new Cur(ev.payload)
+        c.u8() // flags (commit-ordered etc.)
+        val sid = c.bytes(16)
+        currentGtid = c.i64()
+        currentSourceId = UTF8String.fromString(formatUuid(sid))
+        Nil // trailing logical-timestamp fields (5.7+): ignored
+      case EventType.WriteRowsV2 =>
+        rowsEvent(ev, CdcSchema.Op.Insert, images = 1)
+      case EventType.DeleteRowsV2 =>
+        rowsEvent(ev, CdcSchema.Op.Delete, images = 1)
+      case EventType.UpdateRowsV2 =>
+        rowsEvent(ev, CdcSchema.Op.UpdateBefore, images = 2)
+      case _ => Nil // FDE/ROTATE/XID/QUERY/...: control or ignorable
+    }
+
+    private def checkSchema(tm: MysqlTableMap, pos: Long): Unit =
+      expectedSchema.foreach { exp =>
+        val expP = exp.fields.map(f => (f.name, f.dataType)).toSeq
+        val ok = tm.names match {
+          case Some(ns) =>
+            val got = ns.toSeq.zip(tm.colTypes.toSeq.map(ColType.toSpark))
+            got == expP || (got.length < expP.length &&
+              expP.take(got.length) == got &&
+              exp.fields.drop(got.length).forall(_.nullable))
+          case None =>
+            val got = tm.colTypes.toSeq.map(ColType.toSpark)
+            val expT = expP.map(_._2)
+            got == expT || (got.length < expT.length &&
+              expT.take(got.length) == got &&
+              exp.fields.drop(got.length).forall(_.nullable))
+        }
+        if (!ok)
+          throw new IllegalStateException(
+            s"schema drift for $targetDb.$targetTable at log offset $pos: " +
+              s"TABLE_MAP declares ${tm.sparkSchema(i => s"_c$i").simpleString}, " +
+              s"query expects ${exp.simpleString}; restart the query to pick " +
+              "up the new schema (schemaDrift=epochs requires the gcdc format)")
+      }
+
+    private def rowsEvent(ev: CdcCodec.RawEvent, op: Int,
+        images: Int): Seq[CdcCodec.CdcRow] = {
+      val c = new Cur(ev.payload)
+      val tableId = c.u48()
+      tableMaps.get(tableId) match {
+        case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+          c.u16() // flags
+          val extraLen = c.u16() // v2 extra-data length, includes these 2 bytes
+          c.skip(math.max(0, extraLen - 2))
+          val width = c.lenenc().toInt
+          require(width == tm.colTypes.length,
+            s"rows event width $width != TABLE_MAP width ${tm.colTypes.length} " +
+              s"for ${tm.db}.${tm.table}")
+          val present1 = c.bytes((width + 7) / 8)
+          val present2 = if (images == 2) c.bytes((width + 7) / 8) else present1
+          val tmMicros = DateTimeUtils.millisToMicros(ev.tsMs)
+          val out = Seq.newBuilder[CdcCodec.CdcRow]
+          // MySQL rows events carry no row count: parse images to the end
+          while (c.remaining > 0) {
+            if (images == 2) {
+              val before = readImage(c, tm, present1)
+              val after = readImage(c, tm, present2)
+              out += CdcCodec.CdcRow(CdcSchema.Op.UpdateBefore, currentGtid,
+                tmMicros, currentSourceId, before)
+              out += CdcCodec.CdcRow(CdcSchema.Op.UpdateAfter, currentGtid,
+                tmMicros, currentSourceId, after)
+            } else {
+              out += CdcCodec.CdcRow(op, currentGtid, tmMicros, currentSourceId,
+                readImage(c, tm, present1))
+            }
+          }
+          out.result()
+        case _ => Nil // other table, or rows before any TABLE_MAP: skip
+      }
+    }
+
+    /** One row image: null bitmap over PRESENT columns (bit j = j-th
+      * present column, LSB-first), then values for present non-null
+      * columns in column order. */
+    private def readImage(c: Cur, tm: MysqlTableMap,
+        present: Array[Byte]): Array[Any] = {
+      val n = tm.colTypes.length
+      var presentCount = 0
+      var i = 0
+      while (i < n) {
+        if ((present(i / 8) & (1 << (i % 8))) != 0) presentCount += 1
+        i += 1
+      }
+      val nulls = c.bytes((presentCount + 7) / 8)
+      val vals = new Array[Any](n)
+      var j = 0 // ordinal among present columns
+      i = 0
+      while (i < n) {
+        if ((present(i / 8) & (1 << (i % 8))) != 0) {
+          val isNull = (nulls(j / 8) & (1 << (j % 8))) != 0
+          if (!isNull) {
+            if (needed(i)) vals(i) = readValue(c, tm.colTypes(i), tm.colMeta(i))
+            else skipValue(c, tm.colTypes(i), tm.colMeta(i))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      vals
+    }
+
+    private def readValue(c: Cur, tpe: Int, meta: Int): Any = tpe match {
+      case ColType.Tiny => c.u8().toByte
+      case ColType.Short => c.u16().toShort
+      case ColType.Long => c.i32()
+      case ColType.LongLong => c.i64()
+      case ColType.Float => java.lang.Float.intBitsToFloat(c.i32())
+      case ColType.Double => java.lang.Double.longBitsToDouble(c.i64())
+      case ColType.Varchar =>
+        val len = if (meta < 256) c.u8() else c.u16()
+        UTF8String.fromBytes(c.bytes(len))
+      case ColType.Blob =>
+        val len = meta match {
+          case 1 => c.u8().toLong
+          case 2 => c.u16().toLong
+          case 3 => c.u24().toLong
+          case 4 => c.u32()
+          case m => throw new IOException(s"bad BLOB length-byte count $m")
+        }
+        c.bytes(len.toInt)
+      case ColType.Date =>
+        // 3-byte LE packed: day + month*32 + year*512 -> Spark epoch days
+        val v = c.u24()
+        val day = v & 31; val month = (v >> 5) & 15; val year = v >> 9
+        if (v == 0) null // MySQL zero-date: no epoch-day representation
+        else java.time.LocalDate.of(year, month, day).toEpochDay.toInt
+      case ColType.Timestamp2 =>
+        // 4-byte BE unix seconds + big-endian fractional (fsp in meta)
+        val sec = c.beU(4)
+        sec * 1000000L + readFrac(c, meta)
+      case ColType.Datetime2 =>
+        // 5-byte BE packed intpart (offset by 0x8000000000) + fractional
+        val packed = c.beU(5) - 0x8000000000L
+        val ymd = (packed >> 17).toInt
+        val hms = (packed & 0x1ffff).toInt
+        val ym = ymd >> 5
+        val ldt = LocalDateTime.of(ym / 13, ym % 13, ymd & 31,
+          hms >> 12, (hms >> 6) & 63, hms & 63)
+        DateTimeUtils.localDateTimeToMicros(ldt) + readFrac(c, meta)
+      case other => throw new IOException(s"unsupported MySQL column type $other")
+    }
+
+    /** Fractional seconds: ceil(fsp/2) big-endian bytes holding the
+      * fraction in units of 10^-fsp seconds → micros. */
+    private def readFrac(c: Cur, fsp: Int): Long = {
+      val bytes = (fsp + 1) / 2
+      if (bytes == 0) 0L
+      else {
+        val raw = c.beU(bytes)
+        raw * pow10(6 - fsp)
+      }
+    }
+    private def pow10(e: Int): Long = { var v = 1L; var i = 0; while (i < e) { v *= 10; i += 1 }; v }
+
+    private def skipValue(c: Cur, tpe: Int, meta: Int): Unit = tpe match {
+      case ColType.Tiny => c.skip(1)
+      case ColType.Short => c.skip(2)
+      case ColType.Long | ColType.Float => c.skip(4)
+      case ColType.LongLong | ColType.Double => c.skip(8)
+      case ColType.Varchar =>
+        val len = if (meta < 256) c.u8() else c.u16(); c.skip(len)
+      case ColType.Blob =>
+        val len = meta match {
+          case 1 => c.u8().toLong
+          case 2 => c.u16().toLong
+          case 3 => c.u24().toLong
+          case 4 => c.u32()
+          case m => throw new IOException(s"bad BLOB length-byte count $m")
+        }
+        c.skip(len.toInt)
+      case ColType.Date => c.skip(3)
+      case ColType.Timestamp2 => c.skip(4 + (meta + 1) / 2)
+      case ColType.Datetime2 => c.skip(5 + (meta + 1) / 2)
+      case other => throw new IOException(s"unsupported MySQL column type $other")
+    }
+  }
+
+  def formatUuid(sid: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(sid)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
+
+  def uuidBytes(uuid: String): Array[Byte] = {
+    val u = java.util.UUID.fromString(uuid)
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+    bb.array()
+  }
+
+  /** Newest matching TABLE_MAP's schema, like
+    * [[CdcCodec.inferSourceSchema]]. Requires FULL row metadata (column
+    * names) — a MINIMAL-metadata log has types but no names, so schema
+    * inference fails loud and the caller must supply an explicit schema
+    * (the DSv2 provider supports external metadata). */
+  def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
+    CdcCodec.readIndex(indexFile).reverseIterator.flatMap { f =>
+      val r = new EventReader(f)
+      try {
+        var res: Option[MysqlTableMap] = None
+        while (r.hasNext) {
+          val ev = r.next()
+          if (ev.tpe == EventType.TableMap) {
+            val tm = parseTableMap(ev.payload)
+            if (tm.db == db && tm.table == table) res = Some(tm)
+          }
+        }
+        res
+      } finally r.close()
+    }.nextOption().map { tm =>
+      if (tm.names.isEmpty)
+        throw new IllegalArgumentException(
+          s"MySQL TABLE_MAP for $db.$table carries no column names " +
+            "(producer logged binlog_row_metadata=MINIMAL); pass an explicit " +
+            "schema via spark.read.schema(...)")
+      tm.sparkSchema(i => s"_c$i")
+    }
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  /** Fixture producer writing REAL MySQL binlog v4 bytes (the mysqld
+    * stand-in for tests, same role as [[CdcCodec.LogWriter]]). Emits the
+    * magic, a FORMAT_DESCRIPTION event (checksum algorithm 0 or CRC32),
+    * FULL optional metadata (column names) in TABLE_MAP, and v2 rows
+    * events. Value conventions match the engine's internal
+    * representation: Long/Int/Double/Float/Short/Byte primitives,
+    * String/UTF8String for VARCHAR, Array[Byte] for BLOB, micros-Long
+    * for TIMESTAMP2/DATETIME2 (fsp=6), epoch-day Int for DATE. */
+  final class Writer(path: String, serverId: Long = 1L,
+      checksum: Boolean = false,
+      varcharMeta: String => Int = _ => 65535) extends FixtureSink {
+    private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    out.write(Magic)
+    private var pos: Long = MagicLen.toLong
+
+    formatDescription()
+
+    private def writeEvent(tpe: Byte, tsMs: Long)(body: ByteBuf => Unit): Unit = {
+      val b = new ByteBuf
+      body(b)
+      val crcLen = if (checksum) 4 else 0
+      val eventSize = HeaderLen + b.size + crcLen
+      val h = new ByteBuf
+      h.u32(tsMs / 1000)
+      h.u8(tpe & 0xff)
+      h.u32(serverId)
+      h.u32(eventSize.toLong)
+      h.u32(pos + eventSize) // log_pos = end of this event (<4 GiB files)
+      h.u16(0) // flags
+      out.write(h.arr, 0, h.size)
+      out.write(b.arr, 0, b.size)
+      if (checksum) {
+        val crc = new CRC32()
+        crc.update(h.arr, 0, h.size)
+        crc.update(b.arr, 0, b.size)
+        val t = new ByteBuf; t.u32(crc.getValue)
+        out.write(t.arr, 0, t.size)
+      }
+      pos += eventSize
+    }
+
+    private def formatDescription(): Unit = writeEvent(EventType.FormatDescription, 0L) { b =>
+      b.u16(4) // binlog_version
+      val ver = "8.0.36-graft".getBytes(StandardCharsets.US_ASCII)
+      b.raw(java.util.Arrays.copyOf(ver, 50)) // NUL-padded server_version
+      b.u32(0) // create_timestamp
+      b.u8(HeaderLen)
+      // post-header lengths for event types 1..38 (the ones we emit are
+      // accurate; the rest are 0 — parsers decode payloads self-described)
+      val ph = new Array[Byte](38)
+      ph(EventType.Query - 1) = 13
+      ph(EventType.Rotate - 1) = 8
+      ph(EventType.FormatDescription - 1) = 84
+      ph(EventType.TableMap - 1) = 8
+      ph(EventType.WriteRowsV2 - 1) = 10
+      ph(EventType.UpdateRowsV2 - 1) = 10
+      ph(EventType.DeleteRowsV2 - 1) = 10
+      ph(EventType.Gtid - 1) = 42
+      ph(EventType.AnonymousGtid - 1) = 42
+      b.raw(ph)
+      b.u8(if (checksum) 1 else 0) // checksum algorithm descriptor
+      // NOTE: the 4 CRC bytes (when enabled) are appended by writeEvent
+      // over header+body INCLUDING this descriptor byte — matching how
+      // the reader verifies.
+    }
+
+    def tableMap(tsMs: Long, tableId: Long, db: String, table: String,
+        schema: StructType): Unit = writeEvent(EventType.TableMap, tsMs) { b =>
+      b.u48(tableId)
+      b.u16(1) // flags
+      val dbB = db.getBytes(StandardCharsets.UTF_8)
+      val tbB = table.getBytes(StandardCharsets.UTF_8)
+      require(dbB.length < 256 && tbB.length < 256, "db/table name too long")
+      b.u8(dbB.length); b.raw(dbB); b.u8(0)
+      b.u8(tbB.length); b.raw(tbB); b.u8(0)
+      b.lenenc(schema.length.toLong)
+      schema.fields.foreach(f => b.u8(ColType.fromSpark(f.dataType)))
+      val meta = new ByteBuf
+      schema.fields.foreach { f =>
+        ColType.fromSpark(f.dataType) match {
+          case ColType.Varchar => meta.u16(varcharMeta(f.name))
+          case ColType.Float => meta.u8(4)
+          case ColType.Double => meta.u8(8)
+          case ColType.Blob => meta.u8(2) // 2 length bytes (BLOB/TEXT)
+          case ColType.Timestamp2 | ColType.Datetime2 => meta.u8(6) // fsp
+          case _ => ()
+        }
+      }
+      b.lenenc(meta.size.toLong)
+      b.raw(meta.arr, meta.size)
+      val nullBits = new Array[Byte]((schema.length + 7) / 8)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (f.nullable) nullBits(i / 8) = (nullBits(i / 8) | (1 << (i % 8))).toByte
+      }
+      b.raw(nullBits)
+      // optional metadata: SIGNEDNESS (all signed) + COLUMN_NAME (FULL)
+      val numericCount = schema.fields.count(f => Set[DataType](ByteType,
+        ShortType, IntegerType, LongType, FloatType, DoubleType)(f.dataType))
+      if (numericCount > 0) {
+        val sign = new Array[Byte]((numericCount + 7) / 8) // all zero: signed
+        b.u8(MetaSignedness); b.lenenc(sign.length.toLong); b.raw(sign)
+      }
+      val names = new ByteBuf
+      schema.fields.foreach { f =>
+        val nb = f.name.getBytes(StandardCharsets.UTF_8)
+        names.lenenc(nb.length.toLong); names.raw(nb)
+      }
+      b.u8(MetaColumnName); b.lenenc(names.size.toLong); b.raw(names.arr, names.size)
+    }
+
+    def gtid(tsMs: Long, gno: Long, sourceId: String): Unit =
+      writeEvent(EventType.Gtid, tsMs) { b =>
+        b.u8(1) // flags: commit-ordered
+        b.raw(uuidBytes(sourceId))
+        b.i64(gno)
+        // 5.7+ logical clock trailer (readers ignore it; we write it for
+        // layout fidelity): lt_type, last_committed, sequence_number
+        b.u8(2); b.i64(gno - 1); b.i64(gno)
+      }
+
+    def writeRows(tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      rowsEvent(EventType.WriteRowsV2, tsMs, tableId, schema, rows.map(Seq(_)))
+
+    def deleteRows(tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      rowsEvent(EventType.DeleteRowsV2, tsMs, tableId, schema, rows.map(Seq(_)))
+
+    def updateRows(tsMs: Long, tableId: Long, schema: StructType,
+        pairs: Seq[(Array[Any], Array[Any])]): Unit =
+      rowsEvent(EventType.UpdateRowsV2, tsMs, tableId, schema,
+        pairs.map(p => Seq(p._1, p._2)))
+
+    private def rowsEvent(tpe: Byte, tsMs: Long, tableId: Long,
+        schema: StructType, rowImages: Seq[Seq[Array[Any]]]): Unit =
+      writeEvent(tpe, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0) // flags
+        b.u16(2) // v2 extra-data length (2 = none beyond the field itself)
+        val n = schema.length
+        b.lenenc(n.toLong)
+        val allPresent = Array.fill[Byte]((n + 7) / 8) {
+          0xff.toByte
+        }
+        // trailing bits beyond n must be zero-tolerant for readers; keep
+        // them set like mysqld does (readers index only bits < n)
+        b.raw(allPresent)
+        if (tpe == EventType.UpdateRowsV2) b.raw(allPresent)
+        rowImages.foreach(_.foreach(img => writeImage(b, schema, img)))
+      }
+
+    private def writeImage(b: ByteBuf, schema: StructType, vals: Array[Any]): Unit = {
+      val n = schema.length
+      require(vals.length == n, s"row arity ${vals.length} != $n")
+      val nulls = new Array[Byte]((n + 7) / 8)
+      var i = 0
+      while (i < n) {
+        if (vals(i) == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+        i += 1
+      }
+      b.raw(nulls)
+      i = 0
+      while (i < n) {
+        if (vals(i) != null) writeValue(b, schema(i), vals(i))
+        i += 1
+      }
+    }
+
+    private def writeValue(b: ByteBuf, f: StructField, v: Any): Unit =
+      ColType.fromSpark(f.dataType) match {
+        case ColType.Tiny => b.u8(v.asInstanceOf[Byte] & 0xff)
+        case ColType.Short => b.u16(v.asInstanceOf[Short] & 0xffff)
+        case ColType.Long => b.i32(v.asInstanceOf[Int])
+        case ColType.LongLong => b.i64(v.asInstanceOf[Long])
+        case ColType.Float => b.i32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+        case ColType.Double => b.i64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+        case ColType.Varchar =>
+          val bytes = v match {
+            case u: UTF8String => u.getBytes
+            case s: String => s.getBytes(StandardCharsets.UTF_8)
+          }
+          if (varcharMeta(f.name) < 256) {
+            require(bytes.length < 256, s"${f.name}: value exceeds VARCHAR meta")
+            b.u8(bytes.length)
+          } else b.u16(bytes.length)
+          b.raw(bytes)
+        case ColType.Blob =>
+          val bytes = v.asInstanceOf[Array[Byte]]
+          b.u16(bytes.length); b.raw(bytes) // meta=2 length bytes
+        case ColType.Date =>
+          val ld = java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+          b.u24((ld.getYear << 9) | (ld.getMonthValue << 5) | ld.getDayOfMonth)
+        case ColType.Timestamp2 =>
+          val micros = v.asInstanceOf[Long]
+          require(micros >= 0, "TIMESTAMP2 cannot encode pre-1970 instants")
+          b.beU(micros / 1000000L, 4)
+          b.beU(micros % 1000000L, 3) // fsp=6
+        case ColType.Datetime2 =>
+          val micros = v.asInstanceOf[Long]
+          val ldt = DateTimeUtils.microsToLocalDateTime(micros)
+          val ymd = ((ldt.getYear * 13 + ldt.getMonthValue) << 5) | ldt.getDayOfMonth
+          val hms = (ldt.getHour << 12) | (ldt.getMinute << 6) | ldt.getSecond
+          b.beU((ymd.toLong << 17 | hms.toLong) + 0x8000000000L, 5)
+          b.beU(ldt.getNano / 1000L, 3) // fsp=6
+        case other => throw new IllegalArgumentException(
+          s"MysqlBinlog.Writer: unsupported type ${f.dataType} (code $other)")
+      }
+
+    def rotate(tsMs: Long, nextFile: String): Unit =
+      writeEvent(EventType.Rotate, tsMs) { b =>
+        b.i64(4L) // position in the next file
+        b.raw(nextFile.getBytes(StandardCharsets.UTF_8))
+      }
+
+    def close(): Unit = out.close()
+  }
+
+  /** Growable little-endian byte builder for event bodies. */
+  private final class ByteBuf {
+    var arr: Array[Byte] = new Array[Byte](64)
+    var size: Int = 0
+    private def ensure(n: Int): Unit =
+      if (size + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, size + n))
+    def u8(v: Int): Unit = { ensure(1); arr(size) = v.toByte; size += 1 }
+    def u16(v: Int): Unit = { ensure(2); arr(size) = v.toByte; arr(size + 1) = (v >> 8).toByte; size += 2 }
+    def u24(v: Int): Unit = { ensure(3); arr(size) = v.toByte; arr(size + 1) = (v >> 8).toByte; arr(size + 2) = (v >> 16).toByte; size += 3 }
+    def u32(v: Long): Unit = { ensure(4); var i = 0; while (i < 4) { arr(size + i) = (v >> (8 * i)).toByte; i += 1 }; size += 4 }
+    def u48(v: Long): Unit = { ensure(6); var i = 0; while (i < 6) { arr(size + i) = (v >> (8 * i)).toByte; i += 1 }; size += 6 }
+    def i32(v: Int): Unit = u32(v.toLong & 0xffffffffL)
+    def i64(v: Long): Unit = { ensure(8); var i = 0; while (i < 8) { arr(size + i) = (v >> (8 * i)).toByte; i += 1 }; size += 8 }
+    /** Big-endian n-byte unsigned write (the *2 temporal types). */
+    def beU(v: Long, n: Int): Unit = { ensure(n); var i = 0; while (i < n) { arr(size + i) = (v >> (8 * (n - 1 - i))).toByte; i += 1 }; size += n }
+    def lenenc(v: Long): Unit =
+      if (v < 0xfb) u8(v.toInt)
+      else if (v < 0x10000) { u8(0xfc); u16(v.toInt) }
+      else if (v < 0x1000000) { u8(0xfd); u24(v.toInt) }
+      else { u8(0xfe); i64(v) }
+    def raw(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, arr, size, b.length); size += b.length }
+    def raw(b: Array[Byte], n: Int): Unit = { ensure(n); System.arraycopy(b, 0, arr, size, n); size += n }
+  }
+}
+
+/** The MySQL binlog v4 format behind the [[BinlogFormatAdapter]] seam —
+  * select with `.option("binlogFormat", "mysql")` on the `binlogcdc`
+  * source. Index enumeration shares [[CdcCodec.readIndex]] (the
+  * `mysql-bin.index` one-path-per-line format is identical,
+  * /root/reference/binlog_table_reader.cc:12-19). */
+object MysqlBinlogAdapter extends BinlogFormatAdapter {
+  override def headerLen: Long = MysqlBinlog.MagicLen.toLong
+  override def readIndex(indexFile: String): Seq[String] =
+    CdcCodec.readIndex(indexFile)
+  override def open(path: String): RawEventSource =
+    new MysqlBinlog.EventReader(path)
+  override def decoder(targetDb: String, targetTable: String,
+      needed: Int => Boolean, expectedSchema: Option[StructType],
+      driftEpochs: Boolean): CdcRowDecoder = {
+    require(!driftEpochs,
+      "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
+        "remap matches columns by name; MySQL MINIMAL row metadata has none)")
+    new MysqlBinlog.RowDecoder(targetDb, targetTable, needed, expectedSchema)
+  }
+  override def isRowEvent(tpe: Byte): Boolean =
+    tpe == MysqlBinlog.EventType.WriteRowsV2 ||
+      tpe == MysqlBinlog.EventType.UpdateRowsV2 ||
+      tpe == MysqlBinlog.EventType.DeleteRowsV2
+  override def lastCompleteOffset(path: String): Long =
+    MysqlBinlog.lastCompleteOffset(path)
+  override def inferSourceSchema(indexFile: String, db: String,
+      table: String): Option[StructType] =
+    MysqlBinlog.inferSourceSchema(indexFile, db, table)
+}

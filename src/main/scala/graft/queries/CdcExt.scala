@@ -6,11 +6,61 @@ import org.apache.spark.sql.functions._
 
 /** CDC capabilities beyond the plain scan: time-travel snapshots by GTID
   * (the CDC idiom the reference enables but cannot express itself),
-  * change-range deltas, and multi-table logs.
+  * change-range deltas, multi-table logs, and the REAL MySQL binlog v4
+  * wire format (cdc21-cdc23).
   */
 object CdcExt {
 
+  /** The same event storyline as [[Cdc.scan]], but read from a REAL
+    * MySQL binlog v4 file set (CRC32-checksummed, FULL row metadata)
+    * through the `binlogFormat=mysql` adapter — the byte layout the
+    * reference itself decodes (binlog_table_reader.cc:98-435). */
+  private def mysqlScan(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val index = CdcFixture.ensureMysql(s, dir)
+    s.read.format("binlogcdc")
+      .option("indexFile", index)
+      .option("database", CdcFixture.Db)
+      .option("table", CdcFixture.Table)
+      .option("binlogFormat", "mysql")
+      .load()
+  }
+
   val defs: Seq[QDef] = Seq(
+
+    // cdc01 through the MySQL v4 decoder: full scan, hash-compared to
+    // the same oracle — schema inference (FULL-metadata column names),
+    // the 19-byte header walk, CRC verification, TABLE_MAP/GTID state,
+    // multi-row events, null bitmaps, and every column type in orders
+    // all sit on this one hash
+    QDef("cdc21_mysql_scan",
+      s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) => mysqlScan(s, dir) },
+
+    // cdc03 through the MySQL decoder: latest-image compaction
+    QDef("cdc22_mysql_latest_image",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 <> 0""".stripMargin) { (s, dir) =>
+      Cdc.latestImage(mysqlScan(s, dir), Seq("o_orderkey"))
+    },
+
+    // cdc06 through the MySQL decoder: atomic before/after update pairs
+    QDef("cdc23_mysql_update_deltas",
+      """SELECT o_orderkey,
+        |  o_totalprice AS before_price,
+        |  o_totalprice * 1.1 AS after_price,
+        |  o_totalprice * 1.1 - o_totalprice AS delta
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
+      val cdc = mysqlScan(s, dir)
+      val before = cdc.filter(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateBefore)
+        .select(col(CdcSchema.GtidCol), col("o_orderkey"),
+          col("o_totalprice").as("before_price"))
+      val after = cdc.filter(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateAfter)
+        .select(col(CdcSchema.GtidCol).as("g2"), col("o_totalprice").as("after_price"))
+      before.join(after, col(CdcSchema.GtidCol) === col("g2"))
+        .select(col("o_orderkey"), col("before_price"), col("after_price"),
+          (col("after_price") - col("before_price")).as("delta"))
+    },
 
     // as-of snapshot: the table's state as of transaction G. The __gtid
     // filter pushes into the source, so only the needed log prefix is

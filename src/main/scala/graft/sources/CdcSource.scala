@@ -5,7 +5,7 @@ import java.util
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import graft.cdc.{CdcCodec, CdcSchema}
+import graft.cdc.{BinlogFormats, CdcCodec, CdcSchema}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -46,7 +46,8 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
-    val src = CdcCodec.inferSourceSchema(idx, db, tbl).getOrElse {
+    val adapter = BinlogFormats.forName(CdcTableProvider.formatName(options))
+    val src = adapter.inferSourceSchema(idx, db, tbl).getOrElse {
       throw new IllegalArgumentException(
         s"no TABLE_MAP for $db.$tbl found in CDC log $idx")
     }
@@ -69,6 +70,15 @@ object CdcTableProvider {
     }
     (req("indexFile"), req("database"), req("table"))
   }
+
+  /** The wire format behind the index file: `gcdc` (default) or
+    * `mysql` (real binlog v4, MysqlBinlog.scala). Validated here so a
+    * typo fails at planning, not inside an executor. */
+  def formatName(options: CaseInsensitiveStringMap): String = {
+    val f = Option(options.get("binlogFormat")).getOrElse("gcdc")
+    BinlogFormats.forName(f) // fail loud on unknown names
+    f
+  }
 }
 
 class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
@@ -89,7 +99,11 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
       case other => throw new IllegalArgumentException(
         s"binlogcdc: schemaDrift must be 'fail' or 'epochs', got '$other'")
     }
-    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift)
+    val format = CdcTableProvider.formatName(options)
+    require(!(drift && format != "gcdc"),
+      "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
+        "remap matches columns by name; MySQL MINIMAL row metadata has none)")
+    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift, format)
   }
 }
 
@@ -97,7 +111,8 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   * are accepted; everything else is returned to Spark (contrast with the
   * reference advertising indexes it cannot serve, SURVEY.md §3.2). */
 class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
-    maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false)
+    maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false,
+    format: String = "gcdc")
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
     with SupportsPushDownAggregates {
@@ -251,7 +266,7 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
       // Partitions must not re-read ~1M metas, and a sidecar vanishing
       // between push time and plan time must not shift the skip boundary
       new CdcScan(indexFile, db, table, full, required, pushed, maxBytesPerTrigger,
-        limit, offset.map(o => (o, perFileRows.get)), driftEpochs)
+        limit, offset.map(o => (o, perFileRows.get)), driftEpochs, format)
   }
 }
 
@@ -287,15 +302,17 @@ class CdcScan(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
     maxBytesPerTrigger: Option[Long] = None, limit: Option[Int] = None,
     offset: Option[(Long, Seq[(String, Long)])] = None,
-    driftEpochs: Boolean = false)
+    driftEpochs: Boolean = false, format: String = "gcdc")
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  private def adapter = BinlogFormats.forName(format)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(indexFile, db, table, full, required, filters,
-      maxBytesPerTrigger, driftEpochs)
+      maxBytesPerTrigger, driftEpochs, format)
 
   /** Runtime filtering (the DPP analogue for a log source): when the CDC
     * table joins a filtered build side on an envelope column, Spark hands
@@ -332,12 +349,12 @@ class CdcScan(indexFile: String, db: String, table: String,
         else {
           val skip = remaining
           remaining = 0L
-          Some(CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue,
+          Some(CdcInputPartition(f, adapter.headerLen, Long.MaxValue,
             skip): InputPartition)
         }
       }.toArray
     case None =>
-      CdcCodec.readIndex(indexFile)
+      adapter.readIndex(indexFile)
         .filter { f =>
           val meta = CdcCodec.readMeta(f)
           // v2 sidecars prune per-TABLE: a file whose map omits the table
@@ -349,12 +366,13 @@ class CdcScan(indexFile: String, db: String, table: String,
               EnvelopePredicate.narrowToTable(db, table, meta))
         }
         .map { f =>
-          CdcInputPartition(f, CdcCodec.HeaderLen.toLong, Long.MaxValue): InputPartition
+          CdcInputPartition(f, adapter.headerLen, Long.MaxValue): InputPartition
         }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(db, table, full, required, allFilters, limit, driftEpochs)
+    CdcReaderFactory(db, table, full, required, allFilters, limit, driftEpochs,
+      format)
 
   /** Reference's cost hooks (binlogdb.h:178-187) map to Catalyst stats:
     * sizeInBytes = Σ log-file sizes feeds broadcast decisions. */
@@ -381,17 +399,21 @@ final case class CdcInputPartition(path: String, startPos: Long, endPos: Long,
 
 final case class CdcReaderFactory(db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    limit: Option[Int] = None, driftEpochs: Boolean = false)
+    limit: Option[Int] = None, driftEpochs: Boolean = false,
+    format: String = "gcdc")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new CdcPartitionReader(partition.asInstanceOf[CdcInputPartition],
-      db, table, full, required, filters, limit, driftEpochs)
+      db, table, full, required, filters, limit, driftEpochs, format)
 }
 
 class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    limit: Option[Int] = None, driftEpochs: Boolean = false)
+    limit: Option[Int] = None, driftEpochs: Boolean = false,
+    format: String = "gcdc")
     extends PartitionReader[InternalRow] {
+
+  private val adapter = BinlogFormats.forName(format)
 
   private val sourceWidth = full.length - CdcSchema.envelope.length
   // projection map: required field -> source column index, or negative
@@ -414,9 +436,9 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
     m
   }
   private val predicate = EnvelopePredicate.compile(filters)
-  private val events = new CdcCodec.EventReader(part.path)
+  private val events = adapter.open(part.path)
   private val sourceSchema = org.apache.spark.sql.types.StructType(full.fields.take(sourceWidth))
-  private val decoder = new CdcCodec.RowDecoder(db, table, i => neededMask(i),
+  private val decoder = adapter.decoder(db, table, i => neededMask(i),
     expectedSchema = Some(sourceSchema), driftEpochs = driftEpochs)
   private var queue: Iterator[CdcCodec.CdcRow] = Iterator.empty
   private var current: InternalRow = _
@@ -446,10 +468,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
       while (!refilled && events.hasNext) {
         val ev = events.next()
         if (ev.pos >= part.endPos) return false
-        val isRowEvent = ev.tpe == CdcCodec.EventType.WriteRows ||
-          ev.tpe == CdcCodec.EventType.UpdateRows ||
-          ev.tpe == CdcCodec.EventType.DeleteRows
-        if (isRowEvent) {
+        if (adapter.isRowEvent(ev.tpe)) {
           if (ev.pos >= part.startPos) {
             val rows = decoder.decode(ev)
             if (rows.nonEmpty) { queue = rows.iterator; refilled = true }
@@ -646,12 +665,15 @@ object EnvelopePredicate {
   * `maxBytesPerTrigger` bounds each micro-batch (admission control). */
 class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
-    maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false)
+    maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false,
+    format: String = "gcdc")
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  private def files: Seq[String] = CdcCodec.readIndex(indexFile)
+  private val adapter = BinlogFormats.forName(format)
 
-  override def initialOffset(): Offset = CdcOffset(0, CdcCodec.HeaderLen.toLong)
+  private def files: Seq[String] = adapter.readIndex(indexFile)
+
+  override def initialOffset(): Offset = CdcOffset(0, adapter.headerLen)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -659,8 +681,8 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
 
   private def unboundedLatest(): CdcOffset = {
     val fs = files
-    if (fs.isEmpty) CdcOffset(0, CdcCodec.HeaderLen.toLong)
-    else CdcOffset(fs.length - 1, CdcCodec.lastCompleteOffset(fs.last))
+    if (fs.isEmpty) CdcOffset(0, adapter.headerLen)
+    else CdcOffset(fs.length - 1, adapter.lastCompleteOffset(fs.last))
   }
 
   override def latestOffset(): Offset = unboundedLatest()
@@ -691,11 +713,11 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     var last = start
     var admitted = false
     while (fi < fs.length) {
-      val from = if (fi == start.fileIdx) start.pos else CdcCodec.HeaderLen.toLong
-      val fileEnd = CdcCodec.lastCompleteOffset(fs(fi))
+      val from = if (fi == start.fileIdx) start.pos else adapter.headerLen
+      val fileEnd = adapter.lastCompleteOffset(fs(fi))
       if (fileEnd > from) {
         // scan event boundaries within [from, fileEnd]
-        val r = new CdcCodec.EventReader(fs(fi))
+        val r = adapter.open(fs(fi))
         try {
           var done = false
           while (!done && r.hasNext) {
@@ -717,7 +739,7 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
       fi += 1
       if (fi < fs.length && last.fileIdx < fi && budget > 0) {
         // advance into the next file only if the budget allows more
-        last = if (admitted) last else CdcOffset(fi, CdcCodec.HeaderLen.toLong)
+        last = if (admitted) last else CdcOffset(fi, adapter.headerLen)
       }
     }
     last
@@ -730,7 +752,7 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     var i = s.fileIdx
     while (i <= e.fileIdx && i < fs.length) {
-      val startPos = if (i == s.fileIdx) s.pos else CdcCodec.HeaderLen.toLong
+      val startPos = if (i == s.fileIdx) s.pos else adapter.headerLen
       val endPos = if (i == e.fileIdx) e.pos else new java.io.File(fs(i)).length()
       if (endPos > startPos) parts += CdcInputPartition(fs(i), startPos, endPos)
       i += 1
@@ -739,7 +761,8 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CdcReaderFactory(db, table, full, required, filters, driftEpochs = driftEpochs)
+    CdcReaderFactory(db, table, full, required, filters, driftEpochs = driftEpochs,
+      format = format)
 
   override def deserializeOffset(json: String): Offset = CdcOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()

@@ -1,0 +1,301 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.{CdcCodec, CdcSchema, MysqlBinlog, MysqlBinlogAdapter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The pure-JVM MySQL binlog v4 decoder: hand-built fixtures decoded
+  * through the [[MysqlBinlogAdapter]] seam, plus end-to-end equivalence
+  * with the GCDC format through the DSv2 source (the cdc21-cdc23 oracle
+  * queries cover the same path at sf0.01 against DuckDB).
+  */
+class MysqlBinlogSpec extends SparkTestBase {
+
+  private val Sid = "11111111-2222-3333-4444-555555555555"
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("mysql-binlog-spec").toString
+
+  /** All supported column types in one row. */
+  private val wideSchema = StructType(Seq(
+    StructField("c_long", LongType), StructField("c_int", IntegerType),
+    StructField("c_short", ShortType), StructField("c_byte", ByteType),
+    StructField("c_float", FloatType), StructField("c_double", DoubleType),
+    StructField("c_str", StringType), StructField("c_bin", BinaryType),
+    StructField("c_date", DateType), StructField("c_ts", TimestampType),
+    StructField("c_ntz", TimestampNTZType)))
+
+  private def wideRow(i: Long): Array[Any] = Array[Any](
+    i, (i + 1).toInt, (i + 2).toShort, (i % 100).toByte,
+    1.5f + i, 2.25 + i, s"s$i", Array[Byte](i.toByte, (i + 1).toByte),
+    19000 + i.toInt /* epoch days */,
+    1704067200000000L + i * 1000000L /* micros */,
+    1704067200000000L + i * 1000000L + 123456L)
+
+  private def decodeAll(path: String, db: String, table: String,
+      needed: Int => Boolean = _ => true,
+      expected: Option[StructType] = None): Seq[CdcCodec.CdcRow] = {
+    val r = MysqlBinlogAdapter.open(path)
+    val dec = MysqlBinlogAdapter.decoder(db, table, needed, expected)
+    try {
+      val out = Seq.newBuilder[CdcCodec.CdcRow]
+      while (r.hasNext) out ++= dec.decode(r.next())
+      out.result()
+    } finally r.close()
+  }
+
+  test("v4 round trip: all column types, multi-row events, update pairs, nulls") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(10000L, 7L, "db", "t", wideSchema)
+    w.gtid(10000L, 5L, Sid)
+    w.writeRows(10000L, 7L, wideSchema, Seq(wideRow(1), wideRow(2), wideRow(3)))
+    w.gtid(11000L, 6L, Sid)
+    val before = wideRow(2)
+    val after = wideRow(2); after(5) = 99.75
+    w.updateRows(11000L, 7L, wideSchema, Seq((before, after)))
+    w.gtid(12000L, 7L, Sid)
+    val withNulls = wideRow(4)
+    withNulls(6) = null; withNulls(9) = null // c_str, c_ts
+    w.deleteRows(12000L, 7L, wideSchema, Seq(withNulls))
+    w.close()
+
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.map(_.op) == Seq(1, 1, 1, 2, 3, 0))
+    assert(rows.map(_.gtid) == Seq(5L, 5L, 5L, 6L, 6L, 7L))
+    assert(rows.forall(_.sourceId == UTF8String.fromString(Sid)))
+    assert(rows.head.tmMicros == 10000L * 1000L)
+
+    val r1 = rows.head.values
+    assert(r1(0) == 1L && r1(1) == 2 && r1(2) == 3.toShort && r1(3) == 1.toByte)
+    assert(r1(4) == 2.5f && r1(5) == 3.25)
+    assert(r1(6) == UTF8String.fromString("s1"))
+    assert(java.util.Arrays.equals(r1(7).asInstanceOf[Array[Byte]], Array[Byte](1, 2)))
+    assert(r1(8) == 19001)
+    assert(r1(9) == 1704067200000000L + 1000000L)
+    assert(r1(10) == 1704067200000000L + 1000000L + 123456L)
+
+    // update pair: before then after, same gtid, price changed
+    assert(rows(3).op == CdcSchema.Op.UpdateBefore && rows(3).values(5) == 4.25)
+    assert(rows(4).op == CdcSchema.Op.UpdateAfter && rows(4).values(5) == 99.75)
+
+    // nulls survive the null bitmap
+    val del = rows(5).values
+    assert(del(6) == null && del(9) == null && del(0) == 4L)
+  }
+
+  test("CRC32 checksums verify and strip; corruption fails loud") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    w.tableMap(1000L, 1L, "db", "t", schema)
+    w.gtid(1000L, 1L, Sid)
+    w.writeRows(1000L, 1L, schema, Seq(Array[Any](1L, "a"), Array[Any](2L, "b")))
+    w.close()
+
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.map(_.values(0)) == Seq(1L, 2L))
+
+    // flip one payload byte near the end of the file -> CRC mismatch
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      raf.seek(raf.length() - 10)
+      val b = raf.read(); raf.seek(raf.length() - 10); raf.write(b ^ 0x01)
+    } finally raf.close()
+    val ex = intercept[Exception] {
+      decodeAll(path, "db", "t")
+    }
+    assert(ex.getMessage.contains("CRC32 mismatch"))
+  }
+
+  test("varchar 1-byte vs 2-byte length prefixes (declared max length)") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val schema = StructType(Seq(
+      StructField("short_v", StringType), StructField("long_v", StringType)))
+    val w = new MysqlBinlog.Writer(path,
+      varcharMeta = { case "short_v" => 100; case _ => 65535 })
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(0L, 1L, Sid)
+    val big = "x" * 700 // forces the 2-byte path for long_v
+    w.writeRows(0L, 1L, schema, Seq(Array[Any]("ab", big)))
+    w.close()
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.head.values(0) == UTF8String.fromString("ab"))
+    assert(rows.head.values(1) == UTF8String.fromString(big))
+  }
+
+  test("column pruning mask skips bytes without corrupting later columns") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t", wideSchema)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, wideSchema, Seq(wideRow(5)))
+    w.close()
+    // keep only the last column: everything before must byte-skip cleanly
+    val last = wideSchema.length - 1
+    val rows = decodeAll(path, "db", "t", needed = _ == last)
+    assert(rows.head.values(last) == 1704067200000000L + 5000000L + 123456L)
+    assert(rows.head.values(0) == null) // pruned, not decoded
+  }
+
+  test("interleaved tables: per-table-id TABLE_MAP registry isolates decode") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val sa = StructType(Seq(StructField("id", LongType)))
+    val sb = StructType(Seq(StructField("x", StringType), StructField("y", IntegerType)))
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "a", sa)
+    w.tableMap(0L, 2L, "db", "b", sb)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, sa, Seq(Array[Any](10L)))
+    w.writeRows(0L, 2L, sb, Seq(Array[Any]("z", 3)))
+    w.gtid(1000L, 2L, Sid)
+    w.writeRows(1000L, 1L, sa, Seq(Array[Any](20L)))
+    w.close()
+    val aRows = decodeAll(path, "db", "a")
+    assert(aRows.map(_.values(0)) == Seq(10L, 20L))
+    val bRows = decodeAll(path, "db", "b")
+    assert(bRows.map(_.values(0)) == Seq(UTF8String.fromString("z")))
+  }
+
+  test("torn tail: lastCompleteOffset snaps to the last whole event") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, schema, Seq(Array[Any](1L)))
+    w.gtid(1000L, 2L, Sid)
+    w.writeRows(1000L, 1L, schema, Seq(Array[Any](2L)))
+    w.close()
+    val whole = MysqlBinlog.lastCompleteOffset(path)
+    assert(whole == new java.io.File(path).length())
+    // truncate into the LAST event: boundary must snap back to the
+    // previous whole event, and the torn event must never be emitted
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try raf.setLength(raf.length() - 5) finally raf.close()
+    val snapped = MysqlBinlog.lastCompleteOffset(path)
+    assert(snapped < whole)
+    // the torn file still decodes its complete prefix without crashing:
+    // only the first row survives (the second writeRows is torn)
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.map(_.gtid) == Seq(1L))
+    assert(rows.map(_.values(0)) == Seq(1L))
+  }
+
+  // ------------------------------------------------------- DSv2 end-to-end
+
+  /** Same logical content written through both formats. */
+  private def writeBoth(): (String, String) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("s", StringType)))
+    def r(id: Long, v: Double, s: String): Array[Any] = Array[Any](id, v, s)
+    def story(w: graft.cdc.FixtureSink): Unit = {
+      w.tableMap(0L, 1L, "db", "t", schema)
+      w.gtid(1000L, 1L, Sid)
+      w.writeRows(1000L, 1L, schema, Seq(r(1, 1.0, "a"), r(2, 2.0, "b")))
+      w.gtid(2000L, 2L, Sid)
+      w.updateRows(2000L, 1L, schema, Seq((r(2, 2.0, "b"), r(2, 22.0, "b2"))))
+      w.gtid(3000L, 3L, Sid)
+      w.deleteRows(3000L, 1L, schema, Seq(r(1, 1.0, "a")))
+      w.gtid(4000L, 4L, Sid)
+      w.writeRows(4000L, 1L, schema, Seq(r(3, 3.0, null)))
+      w.close()
+    }
+    val gdir = tmpDir(); val mdir = tmpDir()
+    story(new CdcCodec.LogWriter(s"$gdir/b.0"))
+    story(new MysqlBinlog.Writer(s"$mdir/mysql-bin.000001", checksum = true))
+    Files.writeString(Paths.get(gdir, "binlog.index"), "b.0\n")
+    Files.writeString(Paths.get(mdir, "binlog.index"), "mysql-bin.000001\n")
+    (s"$gdir/binlog.index", s"$mdir/binlog.index")
+  }
+
+  private def readFmt(index: String, format: String) =
+    spark.read.format("binlogcdc")
+      .option("indexFile", index).option("database", "db").option("table", "t")
+      .option("binlogFormat", format)
+      .load()
+
+  test("DSv2: mysql-format scan equals gcdc-format scan (schema + rows)") {
+    val (gIdx, mIdx) = writeBoth()
+    val g = readFmt(gIdx, "gcdc")
+    val m = readFmt(mIdx, "mysql")
+    assert(m.schema == g.schema) // inference via FULL-metadata column names
+    val gr = g.orderBy("__gtid", "__op", "id").collect().toSeq
+    val mr = m.orderBy("__gtid", "__op", "id").collect().toSeq
+    assert(mr == gr)
+    assert(mr.length == 6) // 3 ins + 2 upd images + 1 del
+  }
+
+  test("DSv2: envelope filter pushdown + column pruning through the mysql decoder") {
+    val (_, mIdx) = writeBoth()
+    val m = readFmt(mIdx, "mysql")
+    val filtered = m.filter(col("__op") === 1 && col("__gtid") >= 4L)
+      .select("id", "v")
+    assert(filtered.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((3L, 3.0)))
+    // pushed filters visible in the plan (honest: envelope-only)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("binlogcdc"))
+  }
+
+  test("DSv2: mysql-format streaming equals batch (memory sink drain)") {
+    val (_, mIdx) = writeBoth()
+    val name = "mysql_stream_" + java.lang.Integer.toHexString(mIdx.hashCode)
+    val stream = spark.readStream.format("binlogcdc")
+      .option("indexFile", mIdx).option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql")
+      .load()
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).orderBy("__gtid", "__op", "id").collect().toSeq
+    val batch = readFmt(mIdx, "mysql").orderBy("__gtid", "__op", "id").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("schemaDrift=epochs is rejected for the mysql format (fail loud)") {
+    val (_, mIdx) = writeBoth()
+    val ex = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", mIdx).option("database", "db").option("table", "t")
+        .option("binlogFormat", "mysql").option("schemaDrift", "epochs")
+        .load().collect()
+    }
+    assert(ex.getMessage.contains("binlogFormat=gcdc"))
+  }
+
+  test("schema drift in a mysql log fails loud with position context") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val s1 = StructType(Seq(StructField("id", LongType)))
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("x", IntegerType)))
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t", s2)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, s2, Seq(Array[Any](1L, 2)))
+    w.close()
+    // expect the OLD (narrower, non-prefix-compatible in reverse) schema
+    val ex = intercept[Exception] {
+      decodeAll(path, "db", "t", expected = Some(s1))
+    }
+    assert(ex.getMessage.contains("schema drift"))
+  }
+
+  test("unknown binlogFormat fails at planning with a clear message") {
+    val (_, mIdx) = writeBoth()
+    val ex = intercept[IllegalArgumentException] {
+      readFmt(mIdx, "maria").collect()
+    }
+    assert(ex.getMessage.contains("unknown binlogFormat"))
+  }
+}
