@@ -1,24 +1,41 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling (builder mandate): image/audio/video as
-  * opaque `BinaryType` payloads with typed metadata structs; decode /
-  * feature-extract / resize / frame-sample operators whose decode step is
-  * STUBBED (no image/audio libs in this container) behind a deterministic
-  * fake, while the Spark-side plumbing — schema, batch shape, partition
-  * iteration, column pruning — is real and tested.
+  * opaque `BinaryType` payloads with typed metadata structs.
+  *
+  * The IMAGE path is real end to end: [[imageTable]] encodes genuine
+  * PNGs (JDK `javax.imageio`, no external codec), [[extractFeatures]]
+  * decodes real pixels per partition and histograms them, [[resize]]
+  * nearest-neighbor-resamples decoded pixels and re-encodes. Because
+  * the source pixels are a deterministic function of the media id and
+  * PNG is lossless, every decoded value is DuckDB-recomputable — the
+  * llm12/llm32 oracles hash-check the full encode→decode→transform
+  * pipeline, not a fake. VIDEO keyframe extraction ([[sampleFrames]])
+  * remains a byte-slicing stand-in: no video codec ships with the JDK,
+  * so that one op keeps the declared-stub shape over [[mediaTable]]'s
+  * opaque byte-stream payloads.
   *
   * 100 TB posture: payloads live in parquet binary columns, so column
-  * pruning keeps blobs unread unless selected; per-partition batch
-  * processing (mapPartitions) is the Scala analogue of `mapInPandas` —
-  * decode state (a codec handle, a model) initializes once per partition,
-  * not per row.
+  * pruning keeps blobs unread unless selected; decode runs per
+  * partition (mapPartitions — the Scala analogue of `mapInPandas`),
+  * so codec state initializes once per partition, not per row, and the
+  * work is embarrassingly parallel across partitions.
   */
 object Multimodal {
+
+  // ImageIO's default temp-FILE cache would turn every tiny in-memory
+  // encode into disk I/O on the executor — stream-only is correct here
+  ImageIO.setUseCache(false)
 
   val MediaMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType),
@@ -26,10 +43,11 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("format", StringType)))
 
-  /** Synthesize a media table from documents: payload = UTF-8 bytes of
-    * the text standing in for encoded media, metadata derived
-    * deterministically. Stands in for `spark.read.parquet` over a real
-    * media lake with an identical schema. */
+  /** Synthesize an opaque byte-stream media table from documents:
+    * payload = UTF-8 bytes of the text standing in for an ENCODED VIDEO
+    * stream, metadata derived deterministically. Serves the ops whose
+    * codec genuinely does not exist in the JDK (frame sampling); the
+    * image ops use [[imageTable]]'s real PNGs instead. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -41,61 +59,151 @@ object Multimodal {
         (when(col("doc_id") % 2 === 0, "png").otherwise("jpeg")).as("format"))
         .as("meta"))
 
-  /** ======== STUB ======== placeholder for a real image decode: a
-    * deterministic 16-bin byte histogram normalized by payload length.
-    * A production build replaces `fakeDecodeFeatures` with a codec call;
-    * everything around it (batching, schema, iteration) is unchanged. */
-  def fakeDecodeFeatures(payload: Array[Byte], bins: Int = 16): Array[Float] = {
-    val hist = new Array[Float](bins)
-    if (payload == null || payload.isEmpty) return hist
-    var i = 0
-    while (i < payload.length) {
-      hist(((payload(i) & 0xFF) * bins) / 256) += 1f
-      i += 1
-    }
-    var b = 0
-    while (b < bins) { hist(b) /= payload.length; b += 1 }
-    hist
+  // ------------------------------------------------------------ real images
+
+  /** Deterministic tiny test image for one media id: dims w=(id%8)+2,
+    * h=(id%6)+2, channel values r=(7id+3x+5y)%256, g=(11id+17x+23y)%256,
+    * b=(29id+13x+19y)%256 — pure integer functions a SQL oracle
+    * recomputes exactly (PNG is lossless, so decode returns these very
+    * values). */
+  def imageDims(id: Long): (Int, Int) =
+    (((id % 8) + 2).toInt, ((id % 6) + 2).toInt)
+
+  def pixelRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((7 * id + 3 * x + 5 * y) % 256).toInt
+    val g = ((11 * id + 17 * x + 23 * y) % 256).toInt
+    val b = ((29 * id + 13 * x + 19 * y) % 256).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  /** Batch feature extraction over partitions — the mapInPandas-shaped
-    * path: one iterator pass per partition, per-partition init, output
-    * schema declared up front. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
+  /** One real PNG for one media id (JDK encoder). */
+  def encodePng(id: Long): Array[Byte] = {
+    require(id >= 0, s"media id must be non-negative, got $id")
+    val (w, h) = imageDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodePng(payload: Array[Byte], ctx: String): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalStateException(
+        s"$ctx: payload is not a decodable image (corrupt media lake?)")
+    img
+  }
+
+  /** A real image lake stand-in: one PNG per document id, encoded per
+    * partition. Stands in for `spark.read.parquet` over a media lake
+    * whose ingest wrote (id, encoded_bytes, metadata). */
+  def imageTable(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id").cast("long").as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", MediaMetaType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = imageDims(id)
+        Row(id, encodePng(id), Row(w, h, 3, "png"))
+      }
+    }(enc)
+  }
+
+  /** Batch feature extraction with a REAL per-partition image decode:
+    * 16-bin histogram over all decoded channel bytes (normalized), the
+    * exact pixel count, and the exact channel sum. The two integer
+    * columns pin every pixel of every image to the oracle; the float
+    * histogram feeds downstream similarity ops. */
+  def extractFeatures(media: DataFrame, bins: Int = 16): DataFrame = {
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "payload") ++ Seq(
-      StructField("n_bytes", IntegerType),
+      StructField("n_pixels", IntegerType),
+      StructField("channel_sum", LongType),
       StructField("features", ArrayType(FloatType))))
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     val keepIdx = media.schema.fields.indices.filter(_ != payloadIdx)
     media.mapPartitions { rows =>
-      // per-partition init happens here (codec handle, model, ...)
+      // per-partition init: ImageIO plugin lookup happens once here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val kept = keepIdx.map(r.get)
-        Row.fromSeq(kept ++ Seq(
-          if (payload == null) 0 else payload.length,
-          fakeDecodeFeatures(payload).toSeq))
+        val img = decodePng(payload, "extractFeatures")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Float](bins)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            var c = 0
+            while (c < 3) {
+              val v = (rgb >> (8 * c)) & 0xff
+              hist((v * bins) / 256) += 1f
+              sum += v
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val total = 3 * w * h
+        var b = 0
+        while (b < bins) { hist(b) /= total; b += 1 }
+        Row.fromSeq(keepIdx.map(r.get) ++ Seq(w * h, sum, hist.toSeq))
       }
     }(enc)
   }
 
-  /** ======== STUB ======== "resize": deterministic payload truncation to
-    * maxBytes standing in for a pixel resample; metadata updated to the
-    * target dims the way a real resize would. */
-  def resizeStub(media: DataFrame, w: Int, h: Int, maxBytes: Int = 256): DataFrame =
-    media
-      .withColumn("payload",
-        when(length(col("payload")) > maxBytes,
-          expr(s"substring(payload, 1, $maxBytes)")).otherwise(col("payload")))
-      .withColumn("meta", struct(
-        lit(w).as("width"), lit(h).as("height"),
-        col("meta.channels").as("channels"), col("meta.format").as("format")))
+  /** Real resize: decode, nearest-neighbor resample to (dw, dh) —
+    * out(x,y) = src(x·sw/dw, y·sh/dh), the deterministic integer
+    * mapping — and re-encode as PNG. Metadata rewritten to the target
+    * dims. Downstream decodes see genuinely resampled pixels (llm32
+    * re-decodes and oracle-checks the channel sum). */
+  def resize(media: DataFrame, dw: Int, dh: Int): DataFrame = {
+    require(dw > 0 && dh > 0, s"resize: bad target dims ${dw}x$dh")
+    val outSchema = media.schema
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val src = decodePng(r.getAs[Array[Byte]](payloadIdx), "resize")
+        val (sw, sh) = (src.getWidth, src.getHeight)
+        val out = new BufferedImage(dw, dh, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            out.setRGB(x, y, src.getRGB(x * sw / dw, y * sh / dh))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        val meta = r.getAs[Row](metaIdx)
+        val vals = r.toSeq.toArray
+        vals(payloadIdx) = bos.toByteArray
+        vals(metaIdx) = Row(dw, dh, meta.get(2), meta.get(3))
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }(enc)
+  }
 
   /** Frame sampling for "video" payloads: split the byte stream into
-    * nFrames equal slices (stub for keyframe extraction), one output row
-    * per frame — a generator-shaped op done with posexplode. */
+    * nFrames equal slices (STUB for keyframe extraction — the JDK ships
+    * no video codec), one output row per frame — a generator-shaped op
+    * done with posexplode. */
   def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame = {
     val sliced = media
       .withColumn("n", length(col("payload")))

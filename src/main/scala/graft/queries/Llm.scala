@@ -603,27 +603,39 @@ object Llm {
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
     },
 
-    // output is scalars only (the raw feature array isn't hashable by the
-    // driver's compare): argmax bin of the byte histogram — equal to the
-    // argmax over raw counts, so the float normalization cancels out and
-    // the oracle can recompute it from character codes (corpus is ASCII,
-    // so char code == UTF-8 byte)
+    // REAL image pipeline: encode genuine PNGs (javax.imageio), decode
+    // real pixels per partition, histogram the channel bytes. The pixel
+    // values are pure integer functions of (media_id, x, y) and PNG is
+    // lossless, so the oracle recomputes every decoded byte exactly:
+    // channel_sum pins all pixels, top_bin pins the histogram (argmax
+    // over counts == argmax over the normalized floats — the division
+    // by a shared positive total preserves order and ties, and both
+    // engines take the FIRST max on ties)
     QDef("llm12_multimodal_features",
-      """WITH h AS (SELECT doc_id AS media_id,
-        |    CAST((doc_id % 640) + 32 AS INTEGER) AS width,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-        |    CAST(strlen(text) AS INTEGER) AS n_bytes,
-        |    list_transform(range(0, 16), b -> len(list_filter(
-        |      list_transform(range(1, strlen(text) + 1), i -> (ord(text[i]) * 16) // 256),
-        |      x -> x = b))) AS counts
-        |  FROM documents)
-        |SELECT media_id, width, format, n_bytes,
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 8 + 2 AS INTEGER) AS w,
+        |    CAST(doc_id % 6 + 2 AS INTEGER) AS h
+        |  FROM documents),
+        |v AS (SELECT media_id, w, h,
+        |    flatten(list_transform(range(0, h), y ->
+        |      flatten(list_transform(range(0, w), x ->
+        |        [(7*media_id + 3*x + 5*y) % 256,
+        |         (11*media_id + 17*x + 23*y) % 256,
+        |         (29*media_id + 13*x + 19*y) % 256])))) AS vals
+        |  FROM g),
+        |c AS (SELECT media_id, w, h, vals,
+        |    list_transform(range(0, 16), b ->
+        |      len(list_filter(vals, x -> x // 16 = b))) AS counts
+        |  FROM v)
+        |SELECT media_id, w AS width, h AS height,
+        |  CAST(w * h AS INTEGER) AS n_pixels,
+        |  CAST(list_aggregate(vals, 'sum') AS BIGINT) AS channel_sum,
         |  CAST(list_indexof(counts, list_aggregate(counts, 'max')) - 1 AS INTEGER) AS top_bin
-        |FROM h""".stripMargin) { (s, dir) =>
-      val media = Multimodal.mediaTable(Tables.load(s, dir, "documents"))
+        |FROM c""".stripMargin) { (s, dir) =>
+      val media = Multimodal.imageTable(Tables.load(s, dir, "documents"))
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("meta.width").as("width"),
-          col("meta.format").as("format"), col("n_bytes"),
+          col("meta.height").as("height"), col("n_pixels"), col("channel_sum"),
           (array_position(col("features"), array_max(col("features"))) - 1)
             .cast("int").as("top_bin"))
     },

@@ -202,20 +202,30 @@ object LlmExt {
           / count(lit(1))).as("mean_quality"))
     },
 
-    // multimodal resize plumbing (Multimodal.resizeStub): stubbed pixel
-    // resample (payload truncation), real metadata/schema update — the
-    // oracle checks the byte arithmetic and the rewritten dims
+    // REAL image resize: decode the PNG, nearest-neighbor resample to
+    // 8x8 (out(x,y) = src(x*w//8, y*h//8)), re-encode, then RE-decode
+    // via extractFeatures — the oracle recomputes the resampled pixels'
+    // channel sum from the source-pixel formula at the mapped
+    // coordinates, so the full decode→resample→encode→decode chain is
+    // hash-checked
     QDef("llm32_multimodal_resize",
-      """SELECT doc_id AS media_id,
-        |  LEAST(strlen(text), 256) AS n_bytes,
-        |  224 AS width, 224 AS height,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
-        |FROM documents""".stripMargin) { (s, dir) =>
-      val media = graft.ops.Multimodal.mediaTable(Tables.load(s, dir, "documents"))
-      graft.ops.Multimodal.resizeStub(media, w = 224, h = 224, maxBytes = 256)
-        .select(col("media_id"), length(col("payload")).as("n_bytes"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.format").as("format"))
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    doc_id % 8 + 2 AS w, doc_id % 6 + 2 AS h
+        |  FROM documents)
+        |SELECT media_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(64 AS INTEGER) AS n_pixels,
+        |  CAST(list_aggregate(flatten(list_transform(range(0, 8), y ->
+        |    flatten(list_transform(range(0, 8), x ->
+        |      [(7*media_id + 3*((x*w)//8) + 5*((y*h)//8)) % 256,
+        |       (11*media_id + 17*((x*w)//8) + 23*((y*h)//8)) % 256,
+        |       (29*media_id + 13*((x*w)//8) + 19*((y*h)//8)) % 256])))),
+        |    'sum') AS BIGINT) AS channel_sum
+        |FROM g""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.imageTable(Tables.load(s, dir, "documents"))
+      val resized = graft.ops.Multimodal.resize(media, dw = 8, dh = 8)
+      graft.ops.Multimodal.extractFeatures(resized)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("n_pixels"), col("channel_sum"))
     }
   )
 }

@@ -324,27 +324,57 @@ class LlmOpsSpec extends SparkTestBase {
     assert(byId(0L)._1 != byId(1L)._1)
   }
 
-  test("multimodal: stub pipeline preserves ids, emits fixed-width features, frames cover payload") {
-    val media = Multimodal.mediaTable(docs.withColumnRenamed("doc_id", "doc_id"))
+  test("multimodal: real PNG decode — every decoded pixel equals the source formula") {
+    // raw codec round trip, no Spark: encode then decode one image
+    val id = 42L
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodePng(id)))
+    val (w, h) = Multimodal.imageDims(id)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRGB(x, y) & 0xffffff) == Multimodal.pixelRgb(id, x, y))
+
+    // distributed path: features over real decoded pixels
+    val media = Multimodal.imageTable(docs)
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() == docs.count())
-    val f0 = feats.orderBy("media_id").select("features").head().getSeq[Float](0)
+    val r0 = feats.filter($"media_id" === id)
+      .select("features", "n_pixels", "channel_sum").head()
+    val f0 = r0.getSeq[Float](0)
     assert(f0.length == 16)
     assert(math.abs(f0.sum - 1.0f) < 1e-3) // normalized histogram
-    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+    assert(r0.getInt(1) == w * h)
+    val expectedSum = (for (y <- 0 until h; x <- 0 until w) yield {
+      val rgb = Multimodal.pixelRgb(id, x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }).map(_.toLong).sum
+    assert(r0.getLong(2) == expectedSum)
+
+    // frame slicing still covers the byte-stream payloads exactly
+    val stream = Multimodal.mediaTable(docs)
+    val frames = Multimodal.sampleFrames(stream, nFrames = 4)
     val tot = frames.groupBy("media_id").agg(sum(length($"frame_bytes")).as("n"))
-      .join(media.select($"media_id", length($"payload").as("p")), "media_id")
+      .join(stream.select($"media_id", length($"payload").as("p")), "media_id")
       .filter($"n" =!= $"p").count()
-    assert(tot == 0) // frame slices exactly cover the payload
+    assert(tot == 0)
   }
 
-  test("multimodal resize stub: payload bounded, metadata updated") {
-    val media = graft.ops.Multimodal.mediaTable(docs)
-    val resized = graft.ops.Multimodal.resizeStub(media, w = 64, h = 64, maxBytes = 100)
-    val rows = resized.select(length($"payload").as("len"), $"meta.width", $"meta.height").collect()
-    assert(rows.forall(_.getInt(0) <= 100))
-    assert(rows.forall(r => r.getInt(1) == 64 && r.getInt(2) == 64))
-    assert(resized.count() == docs.count())
+  test("multimodal resize: nearest-neighbor resample survives the re-encode round trip") {
+    val media = graft.ops.Multimodal.imageTable(docs)
+    val resized = graft.ops.Multimodal.resize(media, dw = 8, dh = 8)
+    val rows = resized.select($"media_id", $"payload", $"meta.width", $"meta.height").collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(r => r.getInt(2) == 8 && r.getInt(3) == 8))
+    // decode a resized payload: pixel (x,y) must equal the SOURCE pixel
+    // at the nearest-neighbor coordinates — through encode, resample,
+    // re-encode, and a second decode
+    val some = rows.find(_.getLong(0) == 7L).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(some.getAs[Array[Byte]](1)))
+    val (sw, sh) = graft.ops.Multimodal.imageDims(7L)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((img.getRGB(x, y) & 0xffffff) ==
+        graft.ops.Multimodal.pixelRgb(7L, x * sw / 8, y * sh / 8))
   }
 
   test("mod_poly_hash: matches hand fold, stable under codegen, in [0, 2^31)") {
