@@ -32,7 +32,13 @@ object Bench {
     // PQ codes) and the prebuilt-index serving path — headline-worthy
     // once the codebook/centroid plan-literal overhead was removed
     // (reference-object expressions); both were 4-10x slower before
-    "llm42_knn_ivfpq", "llm45_knn_ivf_prebuilt")
+    "llm42_knn_ivfpq", "llm45_knn_ivf_prebuilt",
+    // round-7 additions: the token-budget sampling family (the
+    // data-mixture knob) — new operators get bench visibility the round
+    // they land (the llm16 lesson: a regression hid for a round in an
+    // unbenched query), and the MySQL-format CDC decode so the real wire
+    // format's throughput tracks the GCDC path round-over-round
+    "llm55_token_budget", "llm56_token_mixture", "cdc21_mysql_scan")
 
   /** Timed samples per query (the published JSON derives from this —
     * one knob, no drift between the loop and the declared methodology). */

@@ -187,6 +187,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   */
 case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     nProbe: Int) extends UnaryExpression {
+  // plan-time, fails loud once: nProbe <= 0 would otherwise surface as a
+  // NegativeArraySizeException deep inside the codegen'd eval kernel
+  require(nProbe >= 1, s"NearestCells: nProbe must be >= 1, got $nProbe")
+  require(centroids.nonEmpty, "NearestCells: empty centroid table")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any =

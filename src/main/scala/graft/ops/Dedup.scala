@@ -340,17 +340,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Connected components over an undirected edge list by min-label
-    * propagation: every node's label converges to the smallest node id
-    * reachable from it. Rounds = graph diameter (near-dup clusters are
-    * shallow — a handful of rounds); each round is one shuffle join +
-    * one min-aggregation, and `localCheckpoint` truncates the growing
-    * lineage so round N doesn't re-run rounds 1..N-1. For adversarial
-    * long-chain graphs switch to the large-star/small-star variant
-    * (doubles label reach per round, O(log d) rounds) — near-dup graphs
-    * never need it. Fails loud past `maxIters` instead of looping. */
+  /** Connected components over an undirected edge list. Two algorithms
+    * behind one output contract ((id, label), label = smallest reachable
+    * node id):
+    *
+    *  - `largeStar = false` (default): min-label propagation. Rounds =
+    *    graph diameter — near-dup clusters are shallow (a handful of
+    *    rounds), and each round is ONE join + ONE min-aggregation, the
+    *    cheapest per-round shape.
+    *  - `largeStar = true`: the large-star/small-star alternation
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond"): each round contracts strictly-larger neighbors onto
+    *    the neighborhood minimum (large-star) then folds the rest
+    *    (small-star), roughly squaring label reach — O(log d) rounds.
+    *    The generic-graph insurance: a 10k-node chain converges in ~14
+    *    rounds instead of failing the 50-round cap (ScaleSmoke pins the
+    *    round-count drop; the equivalence spec pins label parity on
+    *    random graphs).
+    *
+    * Both checkpoint per round (lineage truncation) and fail loud past
+    * `maxIters` instead of looping. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxIters: Int = 50): DataFrame = {
+      dstCol: String = "dst", maxIters: Int = 50,
+      largeStar: Boolean = false): DataFrame =
+    if (largeStar) connectedComponentsStars(edges, srcCol, dstCol, maxIters)._1
+    else connectedComponentsMinLabel(edges, srcCol, dstCol, maxIters)._1
+
+  private[graft] def connectedComponentsMinLabel(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxIters: Int = 50): (DataFrame, Int) = {
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
@@ -381,7 +399,73 @@ object Dedup {
       labels = next
       iters += 1
     }
-    labels
+    (labels, iters)
+  }
+
+  /** The O(log d) star-contraction rounds (see [[connectedComponents]]).
+    * State is the EDGE set, kept in canonical (src > dst) orientation;
+    * at the fixpoint it is a star forest — every edge points a node at
+    * its component's minimum — from which the (id, label) output reads
+    * off directly. Convergence = edge set unchanged (count + one-sided
+    * except; both tiny once stars form). */
+  private[graft] def connectedComponentsStars(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // every endpoint is a node — including self-loop-only ones, which
+    // label themselves (parity with the min-label form's output)
+    val allNodes = fwd.select(col("src").as("id"))
+      .union(fwd.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    // canonical orientation (larger, smaller) — one row per undirected edge
+    var cur = fwd.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    def symmetrize(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // m(u) = min(N(u) ∪ {u}) per node, from the symmetric view
+    def mins(sym: DataFrame): DataFrame =
+      sym.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
+    var iters = 0
+    var converged = cur.isEmpty
+    while (!converged) {
+      require(iters < maxIters,
+        s"connectedComponents(largeStar) did not converge within $maxIters rounds")
+      // LARGE-STAR: (v, m(u)) for every neighbor v > u — strictly-larger
+      // neighbors re-point at the neighborhood minimum
+      val sym1 = symmetrize(cur)
+      val large = sym1.join(mins(sym1), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint(true)
+      // SMALL-STAR: (v, m(u)) for every v ∈ N(u) ∪ {u}, v ≤ u, v ≠ m —
+      // folds u and its smaller neighbors onto the minimum
+      val sym2 = symmetrize(large)
+      val m2 = mins(sym2)
+      val viaNbr = sym2.join(m2, "src")
+        .filter(col("dst") <= col("src") && col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val viaSelf = m2.filter(col("src") =!= col("m"))
+        .select(col("src"), col("m").as("dst"))
+      val next = viaNbr.union(viaSelf)
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint(true)
+      // fixpoint test: same count and nothing new ⇒ identical sets
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).isEmpty
+      cur = next
+      iters += 1
+    }
+    // star forest → labels: leaf v gets its root, roots (and any node
+    // absent from the final edges) label themselves
+    val leaf = cur.select(col("src").as("id"), col("dst").as("label"))
+    val labels = allNodes.join(leaf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    (labels, iters)
   }
 
   /** Near-dup canonicalization — the step an exact/fuzzy dedup pipeline
@@ -582,17 +666,37 @@ object Dedup {
       // to the driver and rides into ONE narrow per-row argmax
       // expression, so assignment is a single corpus scan with no n×k
       // intermediate rows and no partial-agg pass. Cosines and
-      // tie-breaks are byte-identical to the join form (spec-pinned);
-      // seed ids must be integral (they surface as LongType cluster_id)
+      // tie-breaks are byte-identical to the join form (spec-pinned).
+      // Input contracts fail loud HERE (a silent cast("long") of a
+      // string id used to surface as an opaque NPE deep in collect):
+      val seedIdType = seeds.schema(seedId).dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+          .contains(seedIdType),
+        s"semDedup(probeAssign=true): seed id column '$seedId' must be an " +
+          s"integral type, got $seedIdType (the probe argmax carries ids as longs)")
+      require(seeds.schema(seedEmb).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) => true
+          case _ => false
+        },
+        s"semDedup(probeAssign=true): seed embedding column '$seedEmb' must be " +
+          s"array<float>, got ${seeds.schema(seedEmb).dataType}")
       val rows = seeds
         .select(col(seedId).cast("long"), col(seedEmb)).collect()
+      require(!rows.exists(r => r.isNullAt(0) || r.isNullAt(1)),
+        s"semDedup(probeAssign=true): null seed id or embedding in the quantizer")
       if (rows.isEmpty) // an empty quantizer assigns nothing (join parity)
-        df.select(col(id), lit(0L).as("cluster_id"), col(embCol).as("__emb"))
-          .filter(lit(false))
+        df.select(col(id), lit(0L).cast(seedIdType).as("cluster_id"),
+          col(embCol).as("__emb")).filter(lit(false))
       else
         df.select(col(id),
+          // cast back to the seed column's native type: cluster_id has
+          // the SAME type in both assignment modes (values originated
+          // from that type, so the narrowing is exact)
           argmax_cosine_seed(col(embCol), rows.map(_.getLong(0)),
-            rows.map(_.getSeq[Float](1).toArray)).as("cluster_id"),
+            rows.map(_.getSeq[Float](1).toArray)).cast(seedIdType).as("cluster_id"),
           col(embCol).as("__emb"))
     } else {
       val s = broadcast(seeds.select(col(seedId).as("__seed_id"),

@@ -276,6 +276,17 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Output + helper names of the token-budget operators. Their first
+    * projection drops every input column except the id (and group), so
+    * these can only collide with THOSE names — rejected here with a
+    * clear message (case-insensitive, like Spark's default resolver). */
+  private val tokenBudgetReserved = Seq("n_tokens", "priority", "cum_tokens",
+    "__bucket", "__boffset", "__btotal", "__grp", "__budget", "__b")
+  private def requireIdNotReserved(op: String, name: String): Unit =
+    require(!tokenBudgetReserved.exists(_.equalsIgnoreCase(name)),
+      s"$op: column '$name' collides with a reserved output/helper name " +
+        s"(${tokenBudgetReserved.mkString(", ")}); rename it first")
+
   /** Deterministic sampling to a TOKEN budget — the knob a data-mixture
     * recipe actually turns ("20 B tokens of web, 5 B of code"), where
     * per-document sampling rates only hit a token target in
@@ -296,6 +307,10 @@ object TextAnalysis {
       budget: Long, bucketSize: Long = 1L << 21): DataFrame = {
     require(budget >= 0, s"token budget must be >= 0, got $budget")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    // the first projection keeps ONLY the id column from the input, so
+    // the declared outputs and internal helpers can collide with nothing
+    // but the id itself — fail loud instead of a duplicate-column plan
+    requireIdNotReserved("tokenBudgetSample", id)
     val withP = df.select(col(id),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         mod_poly_hash(col(textCol)).as("priority"))
@@ -332,6 +347,10 @@ object TextAnalysis {
     require(budgets.nonEmpty, "budgets must name at least one group")
     require(budgets.values.forall(_ >= 0L), s"budgets must be >= 0: $budgets")
     require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
+    // only id and groupCol survive the first projection (see
+    // tokenBudgetSample) — guard both against the reserved names
+    requireIdNotReserved("tokenBudgetMixture", id)
+    requireIdNotReserved("tokenBudgetMixture", groupCol)
     val spark = df.sparkSession
     import spark.implicits._
     val bdf = broadcast(budgets.toSeq.toDF("__grp", "__budget"))

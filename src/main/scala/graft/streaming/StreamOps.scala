@@ -155,6 +155,18 @@ object StreamOps {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[OrderImage]) =>
           var cur = state.getOption.orNull
+          // BOUNDED-BATCH CONTRACT: toSeq buffers ONE key's micro-batch
+          // rows to sort by (gtid, op) — memory is O(max per-key events
+          // per batch), bounded here by admission control (CDC batches
+          // are byte-budgeted; one key's events per batch are few). The
+          // sort exists because a micro-batch's iterator order is not
+          // gtid order across files; the FOLD below is otherwise
+          // order-free (max by (gtid, op) is associative), so an input
+          // pre-sorted by log position could skip the buffer entirely —
+          // if a deployment ever sees giant single-key batches, drop the
+          // sortBy and keep the same fold (same winner; the before-image
+          // guard only needs per-gtid pair adjacency, which log order
+          // guarantees).
           rows.toSeq.sortBy(r => (r._4, r._5)).foreach { case (k, ck, price, gtid, op) =>
             if (cur == null || gtid > cur.gtid || (gtid == cur.gtid && op != CdcSchema.Op.UpdateBefore)) {
               op match {
@@ -246,6 +258,16 @@ object StreamOps {
           // the total through it fits — the batch operator's
           // cum <= budget semantics, which a window-cumsum oracle can
           // replay (greedy fill is a sequential fold no window computes)
+          //
+          // BOUNDED-BATCH CONTRACT: toSeq buffers ONE group's micro-batch
+          // rows to impose the deterministic orderCol order — memory is
+          // O(max per-group docs per batch), fine under admission
+          // control. A gate fed giant single-group batches should bound
+          // its trigger (maxBytes/maxFiles) rather than drop the sort:
+          // the prefix cut is order-SENSITIVE (which docs get admitted
+          // depends on order), so an unsorted fold would make admission
+          // depend on partition iteration order — nondeterministic
+          // across runs, and unreplayable by any oracle.
           val out = rows.toSeq.sortBy(_._2).flatMap { case (_, docId, n) =>
             total += n
             if (total <= budget) Some((grp, docId, n, total)) else None
@@ -279,7 +301,12 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
         timers: TimerValues): Iterator[(Long, Long, Double, Int)] = {
       val prev = Option(state.get()).map(_.entries).getOrElse(Seq.empty)
+      // dedupe by neighbor_id (keep the best sim) BEFORE the k-cut: a
+      // re-queried key re-scores its neighbors, and without the dedupe
+      // the same neighbor would hold multiple ranks in the heap and the
+      // emitted top-k would carry duplicate neighbors
       val merged = (prev ++ rows.map(r => TopKEntry(r._1, r._2)).toSeq)
+        .groupBy(_.neighbor_id).valuesIterator.map(_.maxBy(_.sim)).toSeq
         .sortBy(e => (-e.sim, e.neighbor_id)).take(k)
       state.update(TopKState(merged))
       merged.iterator.zipWithIndex.map { case (e, i) =>

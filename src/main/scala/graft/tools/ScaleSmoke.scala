@@ -42,10 +42,21 @@ object ScaleSmoke {
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
+    // drain the ASYNC listener bus before reading the counter: a fixed
+    // sleep lets stage-completed events land outside the window on a
+    // loaded machine, skewing the byte totals in either direction (a
+    // flaky assert — or a spurious PASS from an over-counted baseline).
+    // LiveListenerBus.waitUntilEmpty is private[spark]; reflection keeps
+    // this measurement-tool-only dependency out of the library surface.
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
     def measuredShuffle[T](body: => T): (T, Long) = {
-      Thread.sleep(1000); shuffleBytes.set(0L)
+      drainListenerBus(); shuffleBytes.set(0L)
       val r = body
-      Thread.sleep(1000)
+      drainListenerBus()
       (r, shuffleBytes.get())
     }
 
@@ -286,6 +297,28 @@ object ScaleSmoke {
       println(f"SCALE ivfPq recall@10 over $total%d: $recall%.3f")
       assert(recall >= 0.4,
         f"IVF-PQ recall@10 at 1M must clear the spec bound 0.4, got $recall%.3f")
+    }
+
+    // connected components on an adversarial 10k-node chain: diameter
+    // 9,999, so min-label propagation would need ~10k rounds (it fails
+    // its cap by design — DedupPropertySpec pins that); the large-star/
+    // small-star alternation must finish in O(log d) rounds. This is
+    // the generic-graph insurance path behind connectedComponents'
+    // largeStar flag — near-dup clusters never need it, arbitrary
+    // graphs do.
+    timed("ccStars(10k chain)") {
+      val chain = spark.range(9999L)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      val (labels, iters) = graft.ops.Dedup.connectedComponentsStars(
+        chain, "src", "dst", maxIters = 60)
+      val row = labels.agg(count(lit(1)).as("n"),
+        sum(col("label")).as("s"), max(col("id")).as("mx")).head()
+      assert(row.getLong(0) == 10000L && row.getLong(1) == 0L
+          && row.getLong(2) == 9999L,
+        s"every chain node must label to node 0: $row")
+      println(s"SCALE ccStars: 10k-chain (diameter 9999) converged in " +
+        s"$iters rounds")
+      assert(iters <= 20, s"star contraction must stay O(log d): $iters rounds")
     }
 
     // CDC decode throughput: a synthetic 8-file log scanned end-to-end

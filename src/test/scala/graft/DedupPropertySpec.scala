@@ -37,6 +37,45 @@ class DedupPropertySpec extends SparkTestBase {
     }.toMap
   }
 
+  test("connectedComponents: large-star/small-star equals min-label on random graphs") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 120
+      // sparse random graph + a planted 30-node chain (depth stressor)
+      // + self loops + duplicate and reversed edges (input noise)
+      val random = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val chain = (200L until 230L).sliding(2).map(p => (p(0), p(1))).toSeq
+      val noise = Seq((5L, 5L), (3L, 9L), (9L, 3L), (3L, 9L))
+      val edges = (random ++ chain ++ noise).toDF("src", "dst")
+      val a = graft.ops.Dedup.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val b = graft.ops.Dedup.connectedComponents(edges, largeStar = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(a == b, s"seed=$seed: star-contraction labels diverge from min-label")
+      // chain sanity: the planted chain is one component rooted at 200
+      assert((200L until 230L).forall(b(_) == 200L))
+    }
+  }
+
+  test("connectedComponents: star contraction converges in far fewer rounds on a long chain") {
+    // a 400-node path has diameter 399: min-label needs ~400 rounds (it
+    // would blow the default 50-round cap), star contraction O(log d)
+    val chain = (0L until 400L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val (labels, iters) =
+      graft.ops.Dedup.connectedComponentsStars(chain, "src", "dst", maxIters = 50)
+    assert(iters <= 16, s"star contraction took $iters rounds on a 400-chain")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 400 && got.forall(_._2 == 0L),
+      "every chain node must label to the minimum node 0")
+    // and the min-label form genuinely cannot do this within the cap —
+    // the flag exists for a reason
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.connectedComponents(chain, maxIters = 50)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("spanDupCoverage over random corpora equals the exact position-set reference") {
     Seq(11L, 23L, 37L).foreach { seed =>
       val docs = randomCorpus(120, seed)

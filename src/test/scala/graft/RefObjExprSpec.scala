@@ -39,6 +39,22 @@ class RefObjExprSpec extends SparkTestBase {
     assert(out.count() == 0, s"nearest_cells diverged:\n${out.head(3).mkString("\n")}")
   }
 
+  test("NearestCells fails loud at plan time on nProbe < 1 or empty centroids") {
+    val cents = Array.fill(4)(Array.fill(8)(rnd.nextGaussian()))
+    val e1 = intercept[IllegalArgumentException] {
+      nearest_cells(col("embedding"), cents, 0)
+    }
+    assert(e1.getMessage.contains("nProbe"))
+    val e2 = intercept[IllegalArgumentException] {
+      nearest_cells(col("embedding"), cents, -1)
+    }
+    assert(e2.getMessage.contains("nProbe"))
+    val e3 = intercept[IllegalArgumentException] {
+      nearest_cells(col("embedding"), Array.empty[Array[Double]], 1)
+    }
+    assert(e3.getMessage.contains("empty centroid"))
+  }
+
   test("PqCodes/PqLut equal the literal struct-min / sliced-dot constructions") {
     val dim = 16; val m = 4; val dsub = dim / m; val ksub = 8
     val books = Array.fill(m)(Array.fill(ksub)(Array.fill(dsub)(rnd.nextGaussian())))

@@ -185,6 +185,32 @@ class SpanSemDedupSpec extends SparkTestBase {
     }
   }
 
+  test("semDedup probeAssign: non-integral seed ids and non-float embeddings fail loud") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val strSeeds = Seq(("a", Seq(1f, 0f))).toDF("sid", "emb")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.semDedup(df, "embedding", "vec_id", strSeeds, "sid", "emb",
+        threshold = 0.9, probeAssign = true)
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val dblSeeds = Seq((1L, Seq(1.0, 0.0))).toDF("sid", "emb")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.semDedup(df, "embedding", "vec_id", dblSeeds, "sid", "emb",
+        threshold = 0.9, probeAssign = true)
+    }
+    assert(e2.getMessage.contains("array<float>"), e2.getMessage)
+    // INT seed ids work and surface as INT cluster_id (type alignment
+    // with the join form, which keeps the seed column's native type)
+    val intSeeds = Seq((1, Seq(1f, 0f)), (2, Seq(0f, 1f))).toDF("sid", "emb")
+    def clusterType(probe: Boolean) =
+      graft.ops.Dedup.semDedup(df, "embedding", "vec_id", intSeeds, "sid", "emb",
+        threshold = 0.9, probeAssign = probe).schema("cluster_id").dataType
+    assert(clusterType(true) == org.apache.spark.sql.types.IntegerType)
+    assert(clusterType(true) == clusterType(false),
+      "cluster_id type must agree across assignment modes")
+  }
+
   test("semDedupTrained: planted exact copies always flag under the k-means quantizer") {
     // identical vectors share a cell under ANY quantizer (identical
     // argmax), so every planted copy must flag no matter where the

@@ -79,6 +79,52 @@ class StreamStateSpec extends SparkTestBase {
     }
   }
 
+  test("TopKTtlProcessor: a re-scored neighbor holds ONE rank (dedupe keeps max sim)") {
+    withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Double)]
+      val out = in.toDS()
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .transformWithState(
+          new StreamOps.TopKTtlProcessor(3, java.time.Duration.ofMinutes(10)),
+          TimeMode.ProcessingTime(), OutputMode.Update())
+        .toDF("query_id", "neighbor_id", "sim", "rank")
+      val q = out.writeStream.format("memory").queryName("ttl_rescore")
+        .outputMode("update").option("checkpointLocation", ckpt("ttl-rescore")).start()
+      try {
+        // NOTE: pollUntil, never processAllAvailable — TTL state keeps
+        // scheduling cleanup batches, so "all available" may never hold
+        in.addData((1L, 10L, 0.9), (1L, 11L, 0.5))
+        assert(pollUntil(60000) { spark.table("ttl_rescore").count() >= 2L },
+          "first batch's top-k must reach the sink")
+        // key 1 re-arrives BEFORE the TTL: neighbor 10 re-scores higher.
+        // Without the dedupe it would occupy two ranks of the heap.
+        in.addData((1L, 10L, 0.95), (1L, 12L, 0.4))
+        assert(pollUntil(60000) {
+          spark.table("ttl_rescore").filter(col("sim") === 0.95).count() >= 1L
+        }, "re-scored batch must reach the sink")
+        val last = spark.table("ttl_rescore")
+          .groupBy("query_id", "neighbor_id")
+          .agg(org.apache.spark.sql.functions.max_by(
+            struct(col("sim"), col("rank")), col("sim")).as("s"))
+          .select(col("neighbor_id"), col("s.sim"), col("s.rank"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+        assert(last.contains((10L, 0.95, 1)),
+          s"re-scored neighbor must surface once at rank 1 with the max sim: $last")
+        // the refreshed emission must hold each neighbor exactly once
+        val emitted = spark.table("ttl_rescore")
+          .filter(col("sim") === 0.95 || col("sim") === 0.4 ||
+            (col("neighbor_id") === 11L && col("rank") === 2))
+          .select("neighbor_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(emitted == Set((10L, 1), (11L, 2), (12L, 3)),
+          s"final heap must be 10@1, 11@2, 12@3 with no duplicate neighbor: $emitted")
+      } finally q.stop()
+    }
+  }
+
   test("ivfKnnStreamTtl: one streamed query batch matches the batch index lookup exactly") {
     withSQLConf("spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {

@@ -194,6 +194,20 @@ class TextOps2Spec extends SparkTestBase {
     assert(langs == Set("en", "zh"), "both budgeted groups must contribute")
   }
 
+  test("token-budget operators reject reserved id/group column names loud") {
+    val renamed = docs.withColumnRenamed("doc_id", "priority")
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetSample(renamed, "text", "priority", 1000L)
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetMixture(
+        docs.withColumnRenamed("lang", "N_TOKENS"), "text", "doc_id",
+        "N_TOKENS", Map("en" -> 10L)) // case-insensitive, like the resolver
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
   test("funnel stages shrink monotonically and corr is in [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
     val funnel = SparkEntry.queries("q74_funnel")(spark, dir).head()
