@@ -53,10 +53,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-        SparkEntry.queries.keys.toSeq.sorted
-      else Headline.filter(SparkEntry.queries.contains)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: bench exactly those queries under
+    // the same warmup/min-of-N harness — the apples-to-apples re-check
+    // for a flagged regression (Profile's cold-JVM numbers are not
+    // comparable to bench numbers)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val only = list.split(',').map(_.trim).filter(_.nonEmpty)
+        val missing = only.filterNot(SparkEntry.queries.contains)
+        require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
+        only.toSeq
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+          SparkEntry.queries.keys.toSeq.sorted
+        else Headline.filter(SparkEntry.queries.contains)
+    }
     import scala.util.control.NonFatal
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

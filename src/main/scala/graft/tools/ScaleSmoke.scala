@@ -372,6 +372,60 @@ object ScaleSmoke {
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
+    // the same decode-throughput measurement over the REAL MySQL binlog
+    // v4 format (CRC32-checksummed): the number comparable to the
+    // reference's own binlog walk, and the round-over-round guard that
+    // the pure-JVM v4 decoder keeps pace with the GCDC path (same
+    // row count + id-sum invariants; the CRC of every event verifies
+    // on the way through)
+    timed(s"mysqlDecodeScan($nCdc)") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("mysql-scale").toString
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", DoubleType), StructField("s", StringType)))
+      val nFiles = 8
+      val perFile = nCdc / nFiles
+      val sid = "11111111-1111-1111-1111-111111111111"
+      val gen = timed(s"mysqlLogGen($nCdc)") {
+        var id = 0L
+        (0 until nFiles).foreach { fi =>
+          val w = new graft.cdc.MysqlBinlog.Writer(f"$dir/mysql-bin.$fi%06d",
+            checksum = true)
+          try {
+            w.tableMap(0L, 1L, "db", "big", schema)
+            var written = 0L
+            val batch = new Array[Array[Any]](100)
+            while (written < perFile) {
+              val n = math.min(100L, perFile - written).toInt
+              var j = 0
+              while (j < n) {
+                batch(j) = Array[Any](id, id * 0.5, s"r$id"); id += 1; j += 1
+              }
+              w.gtid(id, id / 100, sid)
+              w.writeRows(id, 1L, schema, batch.take(n).toSeq)
+              written += n
+            }
+          } finally w.close()
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "binlog.index"),
+          (0 until nFiles).map(fi => f"mysql-bin.$fi%06d").mkString("", "\n", "\n"))
+        (0 until nFiles).map(fi =>
+          new java.io.File(f"$dir/mysql-bin.$fi%06d").length()).sum
+      }
+      val df = spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "big")
+        .option("binlogFormat", "mysql").load()
+      val t0 = System.nanoTime()
+      val row = df.agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val total = nFiles * perFile
+      assert(row.getLong(1) == total, s"decoded ${row.getLong(1)} of $total rows")
+      assert(row.getLong(0) == total * (total - 1) / 2, "decoded ids must sum exactly")
+      println(f"SCALE mysqlDecode: ${total / secs / 1e6}%.2f Mrows/s, ${gen / secs / 1e6}%.0f MB/s over $nFiles files (CRC32 verified)")
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+    }
+
     spark.stop()
   }
 }
