@@ -584,9 +584,15 @@ object MysqlBinlog {
     * representation: Long/Int/Double/Float/Short/Byte primitives,
     * String/UTF8String for VARCHAR, Array[Byte] for BLOB, micros-Long
     * for TIMESTAMP2/DATETIME2 (fsp=6), epoch-day Int for DATE. */
+  /** @param fullMetadata write the MySQL-8.0 optional-metadata TLVs
+    *        (SIGNEDNESS + COLUMN_NAME — `binlog_row_metadata=FULL`).
+    *        `false` mimics the PRODUCTION DEFAULT (`MINIMAL`): types
+    *        only, no names — readers must supply an explicit schema
+    *        (matched positionally by type). */
   final class Writer(path: String, serverId: Long = 1L,
       checksum: Boolean = false,
-      varcharMeta: String => Int = _ => 65535) extends FixtureSink {
+      varcharMeta: String => Int = _ => 65535,
+      fullMetadata: Boolean = true) extends FixtureSink {
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
     private var pos: Long = MagicLen.toLong
@@ -672,18 +678,20 @@ object MysqlBinlog {
       }
       b.raw(nullBits)
       // optional metadata: SIGNEDNESS (all signed) + COLUMN_NAME (FULL)
-      val numericCount = schema.fields.count(f => Set[DataType](ByteType,
-        ShortType, IntegerType, LongType, FloatType, DoubleType)(f.dataType))
-      if (numericCount > 0) {
-        val sign = new Array[Byte]((numericCount + 7) / 8) // all zero: signed
-        b.u8(MetaSignedness); b.lenenc(sign.length.toLong); b.raw(sign)
+      if (fullMetadata) {
+        val numericCount = schema.fields.count(f => Set[DataType](ByteType,
+          ShortType, IntegerType, LongType, FloatType, DoubleType)(f.dataType))
+        if (numericCount > 0) {
+          val sign = new Array[Byte]((numericCount + 7) / 8) // all zero: signed
+          b.u8(MetaSignedness); b.lenenc(sign.length.toLong); b.raw(sign)
+        }
+        val names = new ByteBuf
+        schema.fields.foreach { f =>
+          val nb = f.name.getBytes(StandardCharsets.UTF_8)
+          names.lenenc(nb.length.toLong); names.raw(nb)
+        }
+        b.u8(MetaColumnName); b.lenenc(names.size.toLong); b.raw(names.arr, names.size)
       }
-      val names = new ByteBuf
-      schema.fields.foreach { f =>
-        val nb = f.name.getBytes(StandardCharsets.UTF_8)
-        names.lenenc(nb.length.toLong); names.raw(nb)
-      }
-      b.u8(MetaColumnName); b.lenenc(names.size.toLong); b.raw(names.arr, names.size)
     }
 
     def gtid(tsMs: Long, gno: Long, sourceId: String): Unit =

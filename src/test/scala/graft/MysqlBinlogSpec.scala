@@ -263,6 +263,23 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("DSv2: mysql-format admission control (maxBytesPerTrigger) splits batches, no loss") {
+    val (_, mIdx) = writeBoth()
+    val name = "mysql_admit_" + java.lang.Integer.toHexString(mIdx.hashCode)
+    val stream = spark.readStream.format("binlogcdc")
+      .option("indexFile", mIdx).option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql")
+      .option("maxBytesPerTrigger", "200") // forces multiple micro-batches
+      .load()
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).orderBy("__gtid", "__op", "id").collect().toSeq
+    val batch = readFmt(mIdx, "mysql").orderBy("__gtid", "__op", "id").collect().toSeq
+    assert(streamed == batch,
+      "byte-budgeted micro-batches must reassemble the exact batch result")
+  }
+
   test("schemaDrift=epochs is rejected for the mysql format (fail loud)") {
     val (_, mIdx) = writeBoth()
     val ex = intercept[Exception] {
@@ -289,6 +306,53 @@ class MysqlBinlogSpec extends SparkTestBase {
       decodeAll(path, "db", "t", expected = Some(s1))
     }
     assert(ex.getMessage.contains("schema drift"))
+  }
+
+  test("MINIMAL row metadata (the production default): explicit schema reads positionally") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("s", StringType)))
+    val w = new MysqlBinlog.Writer(path, fullMetadata = false)
+    w.tableMap(1000L, 1L, "db", "t", schema)
+    w.gtid(1000L, 1L, Sid)
+    w.writeRows(1000L, 1L, schema, Seq(Array[Any](1L, 0.5, "x"), Array[Any](2L, 1.5, null)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+
+    // schema inference needs names -> fail loud with the remedy
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "t")
+        .option("binlogFormat", "mysql").load()
+    }
+    assert(e.getMessage.contains("MINIMAL"), e.getMessage)
+
+    // explicit schema: decode matches positionally by type
+    val df = spark.read.format("binlogcdc")
+      .schema(graft.cdc.CdcSchema.withEnvelope(schema))
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").load()
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(0.5, 1.5))
+    assert(rows(0).getString(2) == "x" && rows(1).isNullAt(2))
+
+    // a WRONG explicit schema (type sequence mismatch) fails loud
+    val bad = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("s", StringType)))
+    val e2 = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .schema(graft.cdc.CdcSchema.withEnvelope(bad))
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "t")
+        .option("binlogFormat", "mysql").load().collect()
+    }
+    assert(e2.getMessage != null)
   }
 
   test("unknown binlogFormat fails at planning with a clear message") {
