@@ -604,6 +604,11 @@ object MysqlBinlog {
       body(b)
       val crcLen = if (checksum) 4 else 0
       val eventSize = HeaderLen + b.size + crcLen
+      // v4 log_pos is u32: a real mysqld rotates at max_binlog_size
+      // (<= 1 GiB) long before this; the fixture writer fails loud
+      // rather than writing a wrapped position
+      require(pos + eventSize <= 0xffffffffL,
+        s"$path: binlog file would exceed the 4 GiB v4 log_pos range — rotate")
       val h = new ByteBuf
       h.u32(tsMs / 1000)
       h.u8(tpe & 0xff)

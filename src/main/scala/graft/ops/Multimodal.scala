@@ -16,14 +16,18 @@ import org.apache.spark.sql.types._
   * The IMAGE path is real end to end: [[imageTable]] encodes genuine
   * PNGs (JDK `javax.imageio`, no external codec), [[extractFeatures]]
   * decodes real pixels per partition and histograms them, [[resize]]
-  * nearest-neighbor-resamples decoded pixels and re-encodes. Because
-  * the source pixels are a deterministic function of the media id and
-  * PNG is lossless, every decoded value is DuckDB-recomputable — the
-  * llm12/llm32 oracles hash-check the full encode→decode→transform
-  * pipeline, not a fake. VIDEO keyframe extraction ([[sampleFrames]])
-  * remains a byte-slicing stand-in: no video codec ships with the JDK,
-  * so that one op keeps the declared-stub shape over [[mediaTable]]'s
-  * opaque byte-stream payloads.
+  * nearest-neighbor-resamples decoded pixels and re-encodes. The AUDIO
+  * path is real too: [[audioTable]] encodes genuine RIFF/PCM WAVs (JDK
+  * `javax.sound.sampled`), [[audioFeatures]] decodes the 16-bit
+  * samples per partition and computes integer signal stats. Because
+  * the source pixels/samples are deterministic functions of the media
+  * id and both codecs are lossless, every decoded value is
+  * DuckDB-recomputable — the llm12/llm32/llm57 oracles hash-check the
+  * full encode→decode→transform pipelines, not fakes. VIDEO keyframe
+  * extraction ([[sampleFrames]]) remains a byte-slicing stand-in: no
+  * video codec ships with the JDK, so that one op keeps the
+  * declared-stub shape over [[mediaTable]]'s opaque byte-stream
+  * payloads.
   *
   * 100 TB posture: payloads live in parquet binary columns, so column
   * pruning keeps blobs unread unless selected; decode runs per
@@ -196,6 +200,121 @@ object Multimodal {
         vals(payloadIdx) = bos.toByteArray
         vals(metaIdx) = Row(dw, dh, meta.get(2), meta.get(3))
         Row.fromSeq(vals.toIndexedSeq)
+      }
+    }(enc)
+  }
+
+  // ------------------------------------------------------------- real audio
+
+  /** Deterministic PCM test signal for one media id: mono 16-bit at
+    * 8 kHz, n = (id%50)+20 samples, sample k = ((73·id + 37·k) % 4096)
+    * − 2048 — a pure integer function a SQL oracle recomputes exactly
+    * (WAV/PCM is lossless, so decode returns these very values). */
+  def audioLen(id: Long): Int = ((id % 50) + 20).toInt
+
+  def audioSample(id: Long, k: Int): Int =
+    (((73 * id + 37 * k) % 4096) - 2048).toInt
+
+  /** One real WAV (RIFF/PCM, JDK `javax.sound.sampled` encoder). */
+  def encodeWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"media id must be non-negative, got $id")
+    val n = audioLen(id)
+    val data = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = audioSample(id, k)
+      data(2 * k) = (s & 0xff).toByte // little-endian 16-bit signed
+      data(2 * k + 1) = ((s >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  val AudioMetaType: StructType = StructType(Seq(
+    StructField("n_samples", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("format", StringType)))
+
+  /** A real audio lake stand-in: one WAV per document id. */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id").cast("long").as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", AudioMetaType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeWav(id), Row(audioLen(id), 8000, 1, "wav"))
+      }
+    }(enc)
+  }
+
+  /** Decode one WAV payload to its 16-bit PCM samples (JDK codec). */
+  def decodeWavSamples(payload: Array[Byte], ctx: String): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(payload))
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        throw new IllegalStateException(
+          s"$ctx: expected mono 16-bit signed PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var k = 0
+      while (k < n) {
+        val lo = bytes(2 * k) & 0xff
+        val hi = bytes(2 * k + 1).toInt // sign-extends
+        out(k) = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+        k += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** Batch audio features with a REAL per-partition WAV decode: exact
+    * sample count, sum of absolute amplitudes, zero-crossing count, and
+    * peak amplitude — all integers, so the oracle pins every decoded
+    * sample (the audio analogue of [[extractFeatures]]'s pixel sums).
+    * The signal-shaped stats (zero-crossing rate ~ pitch, RMS energy ~
+    * loudness) are the standard cheap audio-quality filters a training
+    * pipeline gates on before an expensive model pass. */
+  def audioFeatures(audio: DataFrame): DataFrame = {
+    val outSchema = StructType(audio.schema.fields.filterNot(_.name == "payload") ++ Seq(
+      StructField("n_samples", IntegerType),
+      StructField("sum_abs", LongType),
+      StructField("zero_crossings", IntegerType),
+      StructField("peak", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = audio.schema.fieldIndex("payload")
+    val keepIdx = audio.schema.fields.indices.filter(_ != payloadIdx)
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val s = decodeWavSamples(r.getAs[Array[Byte]](payloadIdx), "audioFeatures")
+        var sumAbs = 0L; var zc = 0; var peak = 0
+        var k = 0
+        while (k < s.length) {
+          val a = math.abs(s(k))
+          sumAbs += a
+          if (a > peak) peak = a
+          if (k > 0 && s(k - 1) * s(k) < 0) zc += 1
+          k += 1
+        }
+        // Seq[Any]: a plain Seq(Int, Long, Int, Int) numeric-widens every
+        // element to Long (weak conformance) and the encoder rejects the
+        // boxed Long where the schema says INT
+        Row.fromSeq(keepIdx.map(r.get) ++ Seq[Any](s.length, sumAbs, zc, peak))
       }
     }(enc)
   }

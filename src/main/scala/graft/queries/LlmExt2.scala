@@ -415,6 +415,34 @@ object LlmExt2 {
         budgets = Map("en" -> 4000L, "zh" -> 1500L, "de" -> 800L))
     },
 
+    // REAL audio pipeline: encode genuine RIFF/PCM WAVs (JDK
+    // javax.sound.sampled), decode the 16-bit samples per partition,
+    // compute integer signal stats (sum |amplitude|, zero crossings,
+    // peak — the cheap quality gates an audio training pipeline runs
+    // before a model pass). Samples are a pure integer function of
+    // (media_id, k) and PCM is lossless, so the oracle recomputes every
+    // decoded sample exactly — the audio twin of llm12's pixel check.
+    // DuckDB lists are 1-based: s[k] for k in range(1, n) pairs each
+    // sample with its successor s[k+1], replaying Spark's 0-based
+    // consecutive-pair sign test
+    QDef("llm57_audio_features",
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 50 + 20 AS BIGINT) AS n
+        |  FROM documents),
+        |v AS (SELECT media_id, n,
+        |    list_transform(range(0, n), k -> (73*media_id + 37*k) % 4096 - 2048) AS s
+        |  FROM g)
+        |SELECT media_id, CAST(n AS INTEGER) AS n_samples,
+        |  CAST(list_aggregate(list_transform(s, x -> abs(x)), 'sum') AS BIGINT) AS sum_abs,
+        |  CAST(len(list_filter(range(1, n), k -> s[k] * s[k + 1] < 0)) AS INTEGER) AS zero_crossings,
+        |  CAST(list_aggregate(list_transform(s, x -> abs(x)), 'max') AS INTEGER) AS peak
+        |FROM v""".stripMargin) { (s, dir) =>
+      val audio = graft.ops.Multimodal.audioTable(Tables.load(s, dir, "documents"))
+      graft.ops.Multimodal.audioFeatures(audio)
+        .select(col("media_id"), col("n_samples"), col("sum_abs"),
+          col("zero_crossings"), col("peak"))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

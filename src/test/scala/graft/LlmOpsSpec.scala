@@ -359,6 +359,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(tot == 0)
   }
 
+  test("multimodal: real WAV decode — every decoded sample equals the source formula") {
+    // raw codec round trip, no Spark
+    val id = 17L
+    val samples = Multimodal.decodeWavSamples(Multimodal.encodeWav(id), "spec")
+    assert(samples.length == Multimodal.audioLen(id))
+    samples.indices.foreach(k => assert(samples(k) == Multimodal.audioSample(id, k)))
+
+    // distributed path: integer stats over real decoded samples
+    val audio = Multimodal.audioTable(docs)
+    val feats = Multimodal.audioFeatures(audio)
+    assert(feats.count() == docs.count())
+    val r0 = feats.filter($"media_id" === id)
+      .select("n_samples", "sum_abs", "zero_crossings", "peak").head()
+    val ref = (0 until Multimodal.audioLen(id)).map(Multimodal.audioSample(id, _))
+    assert(r0.getInt(0) == ref.length)
+    assert(r0.getLong(1) == ref.map(s => math.abs(s).toLong).sum)
+    assert(r0.getInt(2) == ref.sliding(2).count(p => p(0) * p(1) < 0))
+    assert(r0.getInt(3) == ref.map(math.abs).max)
+  }
+
   test("multimodal resize: nearest-neighbor resample survives the re-encode round trip") {
     val media = graft.ops.Multimodal.imageTable(docs)
     val resized = graft.ops.Multimodal.resize(media, dw = 8, dh = 8)
