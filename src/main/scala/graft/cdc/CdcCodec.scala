@@ -322,6 +322,48 @@ object CdcCodec {
 
   // ------------------------------------------------------------- row decode
 
+  /** Big-endian cursor over one event payload — the decoder's hot path.
+    * Replaces per-value DataInputStream reads (each 8-byte long = eight
+    * stream calls with their own bounds checks): the MySQL-format
+    * decoder's cursor measured 2.3× the stream-based decode at the 4M-row
+    * smoke, and this is the same win for the GCDC format. Bounds safety
+    * comes from the array itself (a truncated payload throws
+    * ArrayIndexOutOfBounds, surfaced as a decode error — the EventReader
+    * already guarantees whole payloads). */
+  private final class BeCur(a: Array[Byte]) {
+    var p = 0
+    def u8(): Int = { val v = a(p) & 0xff; p += 1; v }
+    def s8(): Byte = { val v = a(p); p += 1; v }
+    def i16(): Short = {
+      val v = (((a(p) & 0xff) << 8) | (a(p + 1) & 0xff)).toShort; p += 2; v
+    }
+    def i32(): Int = {
+      val v = ((a(p) & 0xff) << 24) | ((a(p + 1) & 0xff) << 16) |
+        ((a(p + 2) & 0xff) << 8) | (a(p + 3) & 0xff)
+      p += 4; v
+    }
+    def i64(): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (a(p + i) & 0xffL); i += 1 }
+      p += 8; v
+    }
+    def f32(): Float = java.lang.Float.intBitsToFloat(i32())
+    def f64(): Double = java.lang.Double.longBitsToDouble(i64())
+    def bool(): Boolean = u8() != 0
+    def bytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(a, p, p + n); p += n; b
+    }
+    def str(): String = {
+      val n = i32()
+      val s = new String(a, p, n, StandardCharsets.UTF_8); p += n; s
+    }
+    def utf8(): UTF8String = {
+      val n = i32()
+      val s = UTF8String.fromBytes(a, p, n); p += n; s
+    }
+    def skip(n: Int): Unit = p += n
+  }
+
   /** Stateful decoder: feed raw events in log order, get CDC rows for the
     * target (db, table). State = per-table-id TABLE_MAP schemas + the
     * current transaction GTID (binlog_table_reader.cc:393-416).
@@ -356,15 +398,15 @@ object CdcCodec {
       UTF8String.fromString(CdcSchema.AnonymousSourceId)
 
     def decode(ev: RawEvent): Seq[CdcRow] = {
-      val d = new DataInputStream(new java.io.ByteArrayInputStream(ev.payload))
+      val d = new BeCur(ev.payload)
       ev.tpe match {
         case EventType.TableMap =>
-          val tableId = d.readLong()
-          val db = readStr(d); val table = readStr(d)
-          val n = d.readInt()
+          val tableId = d.i64()
+          val db = d.str(); val table = d.str()
+          val n = d.i32()
           val fields = (0 until n).map { _ =>
-            val name = readStr(d)
-            val tag = d.readByte(); val p = d.readByte(); val s = d.readByte()
+            val name = d.str()
+            val tag = d.s8(); val p = d.s8(); val s = d.s8()
             StructField(name, CdcSchema.Tag.toDataType(tag, p, s))
           }
           // Fix of reference defect #2: id and schema recorded atomically,
@@ -410,12 +452,12 @@ object CdcCodec {
           tableMaps(tableId) = TableMap(tableId, db, table, schema)
           Nil
         case EventType.Gtid =>
-          currentGtid = d.readLong()
+          currentGtid = d.i64()
           // legacy 8-byte payloads (pre-source-id logs) synthesize the
           // anonymous id; the payload is self-delimiting so the length
           // check is exact, not a guess
           currentSourceId =
-            if (ev.payload.length > 8) UTF8String.fromString(readStr(d))
+            if (ev.payload.length > 8) UTF8String.fromString(d.str())
             else UTF8String.fromString(CdcSchema.AnonymousSourceId)
           Nil
         case EventType.WriteRows =>
@@ -428,7 +470,7 @@ object CdcCodec {
           }
         case EventType.UpdateRows =>
           rowsFor(d, ev) { (schema, tm, plan) =>
-            val n = d.readInt()
+            val n = d.i32()
             (0 until n).flatMap { _ =>
               // the 1→2 flatMap (§1.5): before image then after image —
               // emitted atomically so a micro-batch can never split them
@@ -445,9 +487,9 @@ object CdcCodec {
     }
 
     /** Source-side table-identity predicate (binlog_table_reader.cc:178). */
-    private def rowsFor(d: DataInputStream, ev: RawEvent)(
+    private def rowsFor(d: BeCur, ev: RawEvent)(
         f: (StructType, Long, EpochPlan) => Seq[CdcRow]): Seq[CdcRow] = {
-      val tableId = d.readLong()
+      val tableId = d.i64()
       tableMaps.get(tableId) match {
         case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
           f(tm.schema, DateTimeUtils.millisToMicros(ev.tsMs),
@@ -456,17 +498,16 @@ object CdcCodec {
       }
     }
 
-    private def readRows(d: DataInputStream, schema: StructType,
+    private def readRows(d: BeCur, schema: StructType,
         plan: EpochPlan): Seq[Array[Any]] = {
-      val n = d.readInt()
+      val n = d.i32()
       (0 until n).map(_ => readRow(d, schema, plan))
     }
 
-    private def readRow(d: DataInputStream, schema: StructType,
+    private def readRow(d: BeCur, schema: StructType,
         plan: EpochPlan): Array[Any] = {
       val n = schema.length
-      val nullBits = new Array[Byte]((n + 7) / 8)
-      d.readFully(nullBits)
+      val nullBits = d.bytes((n + 7) / 8)
       val vals = new Array[Any](n)
       var i = 0
       while (i < n) {
@@ -483,33 +524,31 @@ object CdcCodec {
       vals
     }
 
-    private def skipValue(d: DataInputStream, dt: DataType): Unit = dt match {
-      case LongType | DoubleType | TimestampType | TimestampNTZType => d.skipBytes(8)
-      case IntegerType | DateType | FloatType => d.skipBytes(4)
-      case ShortType => d.skipBytes(2)
-      case ByteType | BooleanType => d.skipBytes(1)
-      case StringType | BinaryType => d.skipBytes(d.readInt())
-      case _: DecimalType => d.skipBytes(4); d.skipBytes(d.readInt())
+    private def skipValue(d: BeCur, dt: DataType): Unit = dt match {
+      case LongType | DoubleType | TimestampType | TimestampNTZType => d.skip(8)
+      case IntegerType | DateType | FloatType => d.skip(4)
+      case ShortType => d.skip(2)
+      case ByteType | BooleanType => d.skip(1)
+      case StringType | BinaryType => d.skip(d.i32())
+      case _: DecimalType => d.skip(4); d.skip(d.i32())
       case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
     }
 
-    private def readValue(d: DataInputStream, dt: DataType): Any = dt match {
-      case LongType => d.readLong()
-      case IntegerType => d.readInt()
-      case DoubleType => d.readDouble()
-      case StringType =>
-        val b = new Array[Byte](d.readInt()); d.readFully(b); UTF8String.fromBytes(b)
-      case TimestampType | TimestampNTZType => d.readLong()
-      case BinaryType =>
-        val b = new Array[Byte](d.readInt()); d.readFully(b); b
-      case DateType => d.readInt()
-      case FloatType => d.readFloat()
-      case ShortType => d.readShort()
-      case ByteType => d.readByte()
-      case BooleanType => d.readBoolean()
+    private def readValue(d: BeCur, dt: DataType): Any = dt match {
+      case LongType => d.i64()
+      case IntegerType => d.i32()
+      case DoubleType => d.f64()
+      case StringType => d.utf8()
+      case TimestampType | TimestampNTZType => d.i64()
+      case BinaryType => d.bytes(d.i32())
+      case DateType => d.i32()
+      case FloatType => d.f32()
+      case ShortType => d.i16()
+      case ByteType => d.s8()
+      case BooleanType => d.bool()
       case dec: DecimalType =>
-        val scale = d.readInt()
-        val b = new Array[Byte](d.readInt()); d.readFully(b)
+        val scale = d.i32()
+        val b = d.bytes(d.i32())
         Decimal(new java.math.BigDecimal(new java.math.BigInteger(b), scale),
           dec.precision, dec.scale)
       case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
@@ -541,10 +580,6 @@ object CdcCodec {
       CdcRow(op, currentGtid, tmMicros, currentSourceId, shaped)
     }
 
-    private def readStr(d: DataInputStream): String = {
-      val b = new Array[Byte](d.readInt()); d.readFully(b)
-      new String(b, StandardCharsets.UTF_8)
-    }
   }
 
   /** Last complete-event boundary in a log file. A producer (mysqld)

@@ -408,8 +408,17 @@ object MysqlBinlog {
           val present2 = if (images == 2) c.bytes((width + 7) / 8) else present1
           val tmMicros = DateTimeUtils.millisToMicros(ev.tsMs)
           val out = Seq.newBuilder[CdcCodec.CdcRow]
-          // MySQL rows events carry no row count: parse images to the end
+          // MySQL rows events carry no row count: parse images to the end.
+          // PROGRESS GUARD: a corrupted all-zero columns-present bitmap
+          // would make an image consume zero bytes — without the check
+          // the parse-to-end loop never terminates
+          var lastP = -1
           while (c.remaining > 0) {
+            if (c.p == lastP)
+              throw new IOException(
+                s"rows event stalled at offset ${ev.pos}: zero-byte row image " +
+                  "(corrupt columns-present bitmap?)")
+            lastP = c.p
             if (images == 2) {
               val before = readImage(c, tm, present1)
               val after = readImage(c, tm, present2)

@@ -355,6 +355,47 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage != null)
   }
 
+  test("fuzz: single-bit corruption always terminates cleanly (decode or fail loud)") {
+    // with checksums OFF, a flipped bit can mis-frame values (that is
+    // exactly the failure CRC32 exists to catch — see the CRC test);
+    // what the PARSER itself must guarantee is termination with bounded
+    // output or a clean exception — never a hang, and never unbounded
+    // allocation from a corrupted length field
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val schema = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    val w = new MysqlBinlog.Writer(path) // checksum OFF: corruption reaches the decoder
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, schema, Seq(Array[Any](1L, "aa"), Array[Any](2L, "bb")))
+    w.close()
+    val clean = decodeAll(path, "db", "t").map(r => (r.gtid, r.values(0)))
+    assert(clean == Seq((1L, 1L), (1L, 2L)))
+    val original = java.nio.file.Files.readAllBytes(Paths.get(path))
+    val rnd = new scala.util.Random(5)
+    var decoded = 0; var failures = 0
+    (0 until 300).foreach { _ =>
+      val mutated = original.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      val p2 = s"$dir/fuzz.bin"
+      java.nio.file.Files.write(Paths.get(p2), mutated)
+      try {
+        val rows = decodeAll(p2, "db", "t")
+        // a row image consumes at least its null bitmap: output is
+        // bounded by the file size, corrupted or not
+        assert(rows.length <= original.length,
+          s"corruption at $at yielded unbounded rows (${rows.length})")
+        decoded += 1
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: Exception => failures += 1 // fail-loud is an acceptable outcome
+      }
+    }
+    assert(decoded + failures == 300)
+    assert(decoded > 0, "value-level flips should still decode (CRC off)")
+  }
+
   test("unknown binlogFormat fails at planning with a clear message") {
     val (_, mIdx) = writeBoth()
     val ex = intercept[IllegalArgumentException] {
