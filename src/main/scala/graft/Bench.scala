@@ -38,7 +38,11 @@ object Bench {
     // they land (the llm16 lesson: a regression hid for a round in an
     // unbenched query), and the MySQL-format CDC decode so the real wire
     // format's throughput tracks the GCDC path round-over-round
-    "llm55_token_budget", "llm56_token_mixture", "cdc21_mysql_scan")
+    "llm55_token_budget", "llm56_token_mixture", "cdc21_mysql_scan",
+    // the real-codec multimodal paths (PNG decode llm12 landed r7's
+    // real pipeline; WAV decode llm57 is new) — codec-bound operators
+    // whose cost profile differs from everything else in the set
+    "llm12_multimodal_features", "llm57_audio_features")
 
   /** Timed samples per query (the published JSON derives from this —
     * one knob, no drift between the loop and the declared methodology). */

@@ -283,6 +283,7 @@ object CdcCodec {
     * [[RawEventSource]] — see BinlogAdapter.scala for the seam a real
     * MySQL-binlog reader implements instead). */
   final class EventReader(path: String) extends RawEventSource {
+    private val fileLen = new java.io.File(path).length()
     private val in = new DataInputStream(
       new BufferedInputStream(new FileInputStream(path), 1 << 16))
     require(in.readInt() == Magic, s"$path: bad magic")
@@ -296,6 +297,12 @@ object CdcCodec {
         val tpe = in.readByte()
         val tsMs = in.readLong()
         val len = in.readInt()
+        // ALLOCATION GUARD: len is attacker/corruption-controlled bytes;
+        // a flipped high bit would otherwise pre-allocate up to 2 GiB
+        // before readFully ever hits EOF. A length beyond the file's
+        // remaining bytes can only be a torn tail or corruption — fail
+        // via EOF semantics (stop at the last complete event).
+        if (len < 0 || len > fileLen - pos - 13) throw new EOFException()
         val payload = new Array[Byte](len)
         in.readFully(payload)
         val start = pos

@@ -64,6 +64,42 @@ class CdcCodecSpec extends AnyFunSuite {
     assert(rows(1).values.forall(_ == null)) // null bitmap across 2 bytes (13 cols)
   }
 
+  test("fuzz: single-bit corruption terminates cleanly, never over-allocates") {
+    // GCDC has no CRC, so a corrupted event-length field is
+    // indistinguishable from a torn tail — the reader must stop at the
+    // last whole event (or fail loud in the decoder), and above all
+    // must never pre-allocate a payload larger than the file's
+    // remaining bytes (a flipped length high bit used to demand 2 GiB)
+    val dir = tmp()
+    val f = s"$dir/fuzz-src.0"
+    val w = new CdcCodec.LogWriter(f)
+    val s2 = StructType(Seq(StructField("id", LongType), StructField("s", StringType)))
+    w.tableMap(0L, 1L, "db", "t", s2)
+    w.gtid(0L, 1L)
+    w.writeRows(0L, 1L, s2, Seq(Array[Any](1L, "aa"), Array[Any](2L, "bb")))
+    w.close()
+    val original = Files.readAllBytes(java.nio.file.Paths.get(f))
+    val rnd = new scala.util.Random(9)
+    var decoded = 0; var failures = 0
+    (0 until 300).foreach { _ =>
+      val mutated = original.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      val p2 = s"$dir/fuzz.bin"
+      Files.write(java.nio.file.Paths.get(p2), mutated)
+      try {
+        val rows = decodeAll(p2)
+        assert(rows.length <= original.length)
+        decoded += 1
+      } catch {
+        case e: org.scalatest.exceptions.TestFailedException => throw e
+        case _: Exception => failures += 1
+      }
+    }
+    assert(decoded + failures == 300)
+    assert(decoded > 0)
+  }
+
   test("BinlogFormatAdapter seam: the GCDC implementation decodes through the interface") {
     // the adapter traits (BinlogAdapter.scala) are the documented seam a
     // real MySQL-binlog decoder implements; this drives the built-in
