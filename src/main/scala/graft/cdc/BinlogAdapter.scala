@@ -67,6 +67,14 @@ trait BinlogFormatAdapter {
   def lastCompleteOffset(path: String): Long
   /** Newest matching TABLE_MAP schema for DSv2 schema inference. */
   def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType]
+  /** Per-file pruning metadata for the WHOLE file list (one call — the
+    * planner must not pay per-file I/O twice), aligned with `files`.
+    * None = unprunable (conservative keep). GCDC serves this from its
+    * log-close sidecars; MySQL derives gtid bounds from consecutive
+    * files' PREVIOUS_GTIDS events — the format's OWN metadata, so
+    * gtid-range scans prune files on a real binlog with nothing extra
+    * written. */
+  def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]]
 }
 
 /** Registry resolving the `binlogFormat` source option — a NAME ships
@@ -87,6 +95,12 @@ object BinlogFormats {
   * epoch millis; value conventions are the engine-internal ones
   * (micros-Long timestamps, epoch-day Int dates, String/UTF8String). */
 trait FixtureSink extends AutoCloseable {
+  /** Declare the set of transactions executed BEFORE this log file
+    * (sid → disjoint sorted [start, end) gno intervals) — MySQL's
+    * PREVIOUS_GTIDS event, written by mysqld at every binlog's start.
+    * Formats without the concept ignore it (GCDC's sidecars carry
+    * richer bounds already). Call before any other event. */
+  def previousGtids(executed: Map[String, Seq[(Long, Long)]]): Unit = ()
   def tableMap(tsMs: Long, tableId: Long, db: String, table: String,
       schema: StructType): Unit
   def gtid(tsMs: Long, gno: Long, sourceId: String): Unit
@@ -119,4 +133,6 @@ object GcdcAdapter extends BinlogFormatAdapter {
   override def inferSourceSchema(indexFile: String, db: String,
       table: String): Option[StructType] =
     CdcCodec.inferSourceSchema(indexFile, db, table)
+  override def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]] =
+    files.map(CdcCodec.readMeta)
 }

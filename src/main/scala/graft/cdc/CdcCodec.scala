@@ -239,6 +239,13 @@ object CdcCodec {
       var minGtid: Long = Long.MaxValue, var maxGtid: Long = Long.MinValue,
       var minTs: Long = Long.MaxValue, var maxTs: Long = Long.MinValue)
 
+  /** Sentinel (min,max) event-time bounds for file metadata derived
+    * from sources that carry gtid information only (MySQL
+    * PREVIOUS_GTIDS): wide enough to never prune on __tm, small enough
+    * that millisToMicros cannot overflow. */
+  val TsUnknownLoMs: Long = -9000000000000000L
+  val TsUnknownHiMs: Long = 9000000000000000L
+
   /** Pruning sidecar contents, if present. Times in epoch millis.
     * `tables` (v2 sidecars) maps each table to its per-table stats —
     * None for v1 sidecars, whose stats are unknown (a table absent from

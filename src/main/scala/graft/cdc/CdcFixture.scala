@@ -249,10 +249,15 @@ object CdcFixture {
     def ts(gno: Long): Long = BaseMs + gno * 1000L
 
     val perFile = (txns.length + NumFiles - 1) / NumFiles
+    // executed-before gno set per file (MySQL PREVIOUS_GTIDS; the GCDC
+    // sink ignores it — its sidecars carry tighter bounds already)
+    val executedSoFar = mutable.ArrayBuffer.empty[Long]
     val files = txns.grouped(perFile).zipWithIndex.map { case (chunk, i) =>
       val name = f"binlog.$i%06d"
       val w = newSink(s"$outDir/$name")
       try {
+        w.previousGtids(Map(SourceId -> toIntervals(executedSoFar.toSeq)))
+        executedSoFar ++= chunk.map(_.gno)
         val t0 = ts(chunk.head.gno)
         w.tableMap(t0, TableId, Db, Table, schema)
         w.tableMap(t0, AuditTableId, Db, "audit", auditSchema)
@@ -272,5 +277,16 @@ object CdcFixture {
       name
     }.toList
     Files.writeString(Paths.get(outDir, "binlog.index"), files.mkString("", "\n", "\n"))
+  }
+
+  /** Sorted distinct gnos → disjoint [start, end) intervals. */
+  private def toIntervals(gnos: Seq[Long]): Seq[(Long, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    gnos.distinct.sorted.foreach { g =>
+      if (out.nonEmpty && out.last._2 == g)
+        out(out.length - 1) = (out.last._1, g + 1)
+      else out += ((g, g + 1))
+    }
+    out.toSeq
   }
 }

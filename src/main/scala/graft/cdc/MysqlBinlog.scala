@@ -542,6 +542,89 @@ object MysqlBinlog {
     }
   }
 
+  // ------------------------------------------------------ PREVIOUS_GTIDS
+
+  /** Parse a PREVIOUS_GTIDS payload: the gtid set executed before this
+    * file. Layout (public protocol): n_sids u64le, then per sid:
+    * sid(16) + n_intervals u64le + per interval (start u64le inclusive,
+    * end u64le EXCLUSIVE). Returns sid-uuid → sorted disjoint
+    * [start, end) intervals. */
+  def parsePreviousGtids(payload: Array[Byte]): Map[String, Seq[(Long, Long)]] = {
+    val c = new Cur(payload)
+    val nSids = c.i64()
+    (0L until nSids).map { _ =>
+      val sid = formatUuid(c.bytes(16))
+      val nIv = c.i64()
+      sid -> (0L until nIv).map(_ => (c.i64(), c.i64())).toSeq
+    }.toMap
+  }
+
+  /** First PREVIOUS_GTIDS event of a file (scans at most the leading
+    * control events; row events never precede it in a real binlog). */
+  def readPreviousGtids(path: String): Option[Map[String, Seq[(Long, Long)]]] = {
+    val r = new EventReader(path)
+    try {
+      var scanned = 0
+      while (r.hasNext && scanned < 8) { // FDE + a few control events
+        val ev = r.next()
+        if (ev.tpe == EventType.PreviousGtids)
+          return Some(parsePreviousGtids(ev.payload))
+        scanned += 1
+      }
+      None
+    } catch {
+      case scala.util.control.NonFatal(_) => None // unreadable: unprunable
+    } finally r.close()
+  }
+
+  /** Per-file gtid bounds from consecutive files' PREVIOUS_GTIDS sets:
+    * file i's transactions are exactly S(i+1) \ S(i), so its gno range
+    * is the min/max of that set difference — file pruning for
+    * __gtid-range scans using ONLY metadata mysqld itself writes (the
+    * reference's commented-out PREVIOUS_GTIDS block at
+    * binlog_table_reader.cc:418-425 never landed; this is what it was
+    * for). The LAST file has no successor set → unprunable (None), as
+    * is any file pair missing the event. A file whose difference is
+    * EMPTY committed no transactions: bounds (0, -1) — an empty range
+    * that any gtid predicate prunes (a filterless scan still reads the
+    * file, which is correct: it may hold non-transactional events). */
+  def fileGtidBounds(files: Seq[String]): Seq[Option[(Long, Long)]] = {
+    if (files.isEmpty) return Nil
+    val sets = files.map(readPreviousGtids)
+    files.indices.map { i =>
+      if (i + 1 >= files.length) None
+      else (sets(i), sets(i + 1)) match {
+        case (Some(cur), Some(next)) =>
+          var lo = Long.MaxValue; var hi = Long.MinValue
+          next.foreach { case (sid, nextIvs) =>
+            val curIvs = cur.getOrElse(sid, Nil)
+            subtractIntervals(nextIvs, curIvs).foreach { case (s, e) =>
+              if (s < lo) lo = s
+              if (e - 1 > hi) hi = e - 1
+            }
+          }
+          if (lo == Long.MaxValue) Some((0L, -1L)) // no new gtids: empty range
+          else Some((lo, hi))
+        case _ => None
+      }
+    }
+  }
+
+  /** `a` minus `b` over sorted disjoint [start, end) interval lists. */
+  private[graft] def subtractIntervals(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val out = Seq.newBuilder[(Long, Long)]
+    a.foreach { case (s0, e0) =>
+      var s = s0
+      b.foreach { case (bs, be) =>
+        if (bs > s && bs < e0) { out += ((s, math.min(bs, e0))); s = math.max(s, be) }
+        else if (bs <= s) s = math.max(s, math.min(be, e0))
+      }
+      if (s < e0) out += ((s, e0))
+    }
+    out.result().filter(iv => iv._1 < iv._2)
+  }
+
   def formatUuid(sid: Array[Byte]): String = {
     val bb = java.nio.ByteBuffer.wrap(sid)
     new java.util.UUID(bb.getLong, bb.getLong).toString
@@ -708,6 +791,22 @@ object MysqlBinlog {
       }
     }
 
+    /** PREVIOUS_GTIDS: the executed-before set (mysqld writes this as
+      * every binlog's second event; see [[parsePreviousGtids]] for the
+      * layout). Call before any table/row events. */
+    override def previousGtids(executed: Map[String, Seq[(Long, Long)]]): Unit =
+      writeEvent(EventType.PreviousGtids, 0L) { b =>
+        b.i64(executed.size.toLong)
+        executed.toSeq.sortBy(_._1).foreach { case (sid, ivs) =>
+          b.raw(uuidBytes(sid))
+          b.i64(ivs.length.toLong)
+          ivs.foreach { case (s, e) =>
+            require(s < e, s"previousGtids: bad interval [$s, $e)")
+            b.i64(s); b.i64(e)
+          }
+        }
+      }
+
     def gtid(tsMs: Long, gno: Long, sourceId: String): Unit =
       writeEvent(EventType.Gtid, tsMs) { b =>
         b.u8(1) // flags: commit-ordered
@@ -869,4 +968,12 @@ object MysqlBinlogAdapter extends BinlogFormatAdapter {
   override def inferSourceSchema(indexFile: String, db: String,
       table: String): Option[StructType] =
     MysqlBinlog.inferSourceSchema(indexFile, db, table)
+  /** Gtid bounds from consecutive PREVIOUS_GTIDS sets (the format's own
+    * metadata — see [[MysqlBinlog.fileGtidBounds]]); event-time bounds
+    * are unknown (sentinels that never prune on __tm), and no per-table
+    * row counts exist, so aggregate/OFFSET pushdown stays declined. */
+  override def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]] =
+    MysqlBinlog.fileGtidBounds(files).map(_.map { case (lo, hi) =>
+      CdcCodec.FileMeta(lo, hi, CdcCodec.TsUnknownLoMs, CdcCodec.TsUnknownHiMs)
+    })
 }

@@ -354,9 +354,13 @@ class CdcScan(indexFile: String, db: String, table: String,
         }
       }.toArray
     case None =>
-      adapter.readIndex(indexFile)
-        .filter { f =>
-          val meta = CdcCodec.readMeta(f)
+      // one adapter call for the whole list: GCDC reads its per-file
+      // sidecars, MySQL derives gtid bounds from consecutive files'
+      // PREVIOUS_GTIDS events — either way, files provably outside the
+      // pushed/runtime filters never open
+      val files = adapter.readIndex(indexFile)
+      files.zip(adapter.filesMeta(files))
+        .filter { case (_, meta) =>
           // v2 sidecars prune per-TABLE: a file whose map omits the table
           // has zero rows for it (skip outright, filters or not), and the
           // table's own gtid/time bounds are tighter than the file-global
@@ -365,7 +369,7 @@ class CdcScan(indexFile: String, db: String, table: String,
             EnvelopePredicate.mightMatchFile(allFilters,
               EnvelopePredicate.narrowToTable(db, table, meta))
         }
-        .map { f =>
+        .map { case (f, _) =>
           CdcInputPartition(f, adapter.headerLen, Long.MaxValue): InputPartition
         }.toArray
   }

@@ -355,6 +355,64 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage != null)
   }
 
+  test("PREVIOUS_GTIDS: interval subtraction and per-file bounds derivation") {
+    import MysqlBinlog.subtractIntervals
+    assert(subtractIntervals(Seq((1L, 21L)), Seq((1L, 11L))) == Seq((11L, 21L)))
+    assert(subtractIntervals(Seq((1L, 31L)), Seq((1L, 11L), (21L, 26L))) ==
+      Seq((11L, 21L), (26L, 31L)))
+    assert(subtractIntervals(Seq((5L, 10L)), Seq((20L, 30L))) == Seq((5L, 10L)))
+    assert(subtractIntervals(Seq((5L, 10L)), Seq((0L, 30L))) == Nil)
+    assert(subtractIntervals(Nil, Seq((1L, 5L))) == Nil)
+  }
+
+  test("PREVIOUS_GTIDS file pruning: gtid-range scans skip whole files — soundly") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // three files: gnos 1-10, 11-20, 21-30; each declares the set
+    // executed before it, exactly as mysqld would
+    (0 until 3).foreach { fi =>
+      val w = new MysqlBinlog.Writer(s"$dir/mysql-bin.00000$fi", checksum = true)
+      if (fi > 0) w.previousGtids(Map(Sid -> Seq((1L, fi * 10L + 1L))))
+      else w.previousGtids(Map.empty)
+      w.tableMap(0L, 1L, "db", "t", schema)
+      (1L to 10L).foreach { k =>
+        val gno = fi * 10L + k
+        w.gtid(gno * 1000L, gno, Sid)
+        w.writeRows(gno * 1000L, 1L, schema, Seq(Array[Any](gno)))
+      }
+      w.close()
+    }
+    Files.writeString(Paths.get(dir, "binlog.index"),
+      (0 until 3).map(fi => s"mysql-bin.00000$fi").mkString("", "\n", "\n"))
+    val index = s"$dir/binlog.index"
+
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.size
+        }.getOrElse(-1)
+
+    val full = readFmt(index, "mysql")
+    assert(partsOf(full) == 3)
+    // __gtid <= 5: only file 0 can match; the LAST file has no successor
+    // set so it is never prunable (conservative) -> 2 partitions
+    val low = full.filter(col("__gtid") <= 5L)
+    assert(partsOf(low) == 2, "files 1 must prune; file 2 is the unprunable tail")
+    assert(low.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L), "pruning must not change results")
+    // __gtid > 25: files 0 and 1 prune
+    val high = full.filter(col("__gtid") > 25L)
+    assert(partsOf(high) == 1)
+    assert(high.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (26L to 30L))
+    // mid-range: only file 1 (+ the unprunable tail)
+    val mid = full.filter(col("__gtid") >= 12L && col("__gtid") <= 18L)
+    assert(partsOf(mid) == 2)
+    assert(mid.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (12L to 18L))
+  }
+
   test("fuzz: single-bit corruption always terminates cleanly (decode or fail loud)") {
     // with checksums OFF, a flipped bit can mis-frame values (that is
     // exactly the failure CRC32 exists to catch — see the CRC test);
