@@ -443,6 +443,33 @@ object LlmExt2 {
           col("zero_crossings"), col("peak"))
     },
 
+    // REAL video pipeline: each doc's clip is a genuine RIFF/AVI
+    // container of real JPEG frames (MJPEG — both formats produced and
+    // parsed by the JDK); keyframe extraction walks the RIFF chunks and
+    // decodes every frame per partition. JPEG is lossy, so decoded
+    // channel means are checked against the solid-color source formula
+    // as BOUND BOOLEANS (|mean − target| ≤ 4) — the exact+bound oracle
+    // pattern of q47/q61: the oracle pins frame counts, dims, and that
+    // every bound holds; a broken container walk or decode flips a
+    // boolean and the hash mismatches
+    QDef("llm58_video_frames",
+      """WITH g AS (SELECT doc_id AS media_id, doc_id % 3 + 2 AS nf,
+        |    CAST(doc_id % 6 + 8 AS INTEGER) AS w, CAST(doc_id % 4 + 8 AS INTEGER) AS h
+        |  FROM documents),
+        |f AS (SELECT media_id, w, h, unnest(range(0, nf)) AS fi FROM g)
+        |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx, w AS width, h AS height,
+        |  TRUE AS color_ok
+        |FROM f""".stripMargin) { (s, dir) =>
+      val video = graft.ops.Multimodal.videoTable(Tables.load(s, dir, "documents"))
+      val vf = graft.ops.Multimodal.videoFrames(video)
+      def target(mult: Int, add: Int) =
+        lit(32) + pmod(lit(mult) * col("media_id") + lit(add) * col("frame_idx"), lit(192))
+      vf.select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        (abs(col("mean_r") - target(7, 29)) <= 4.0 &&
+          abs(col("mean_g") - target(11, 31)) <= 4.0 &&
+          abs(col("mean_b") - target(13, 37)) <= 4.0).as("color_ok"))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

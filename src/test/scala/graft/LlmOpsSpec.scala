@@ -379,6 +379,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r0.getInt(3) == ref.map(math.abs).max)
   }
 
+  test("multimodal: real MJPEG clip — RIFF walk + JPEG decode recover every frame") {
+    // raw container round trip, no Spark
+    val id = 23L
+    val frames = Multimodal.decodeMjpegFrames(Multimodal.encodeMjpegAvi(id), "spec")
+    assert(frames.length == Multimodal.videoFrameCount(id))
+    val (w, h) = Multimodal.videoDims(id)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == w && img.getHeight == h)
+      val (r, g, b) = Multimodal.videoFrameRgb(id, f)
+      // JPEG is lossy: solid-color frames round-trip within a small
+      // quantization bound, which is the decodable-pixels invariant
+      val p = img.getRGB(w / 2, h / 2)
+      assert(math.abs(((p >> 16) & 0xff) - r) <= 4)
+      assert(math.abs(((p >> 8) & 0xff) - g) <= 4)
+      assert(math.abs((p & 0xff) - b) <= 4)
+    }
+    // malformed container fails loud
+    val e = intercept[IllegalStateException] {
+      Multimodal.decodeMjpegFrames("not a riff".getBytes, "spec")
+    }
+    assert(e.getMessage.contains("RIFF"))
+
+    // distributed path: every doc's clip yields its declared frame count
+    val vf = Multimodal.videoFrames(Multimodal.videoTable(docs))
+    val counts = vf.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size == docs.count())
+    counts.foreach { case (mid, n) =>
+      assert(n == Multimodal.videoFrameCount(mid))
+    }
+  }
+
   test("multimodal resize: nearest-neighbor resample survives the re-encode round trip") {
     val media = graft.ops.Multimodal.imageTable(docs)
     val resized = graft.ops.Multimodal.resize(media, dw = 8, dh = 8)
