@@ -169,6 +169,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Content hash over DECODED pixels: fold h = (h·131 + channelByte)
+    * mod (2^31 − 1) across (w, h, then every pixel's r,g,b in scan
+    * order) — two images hash equal iff their decoded content is equal,
+    * regardless of how the bytes were encoded (PNG vs re-encode vs
+    * different compressor settings). The fold is the same portable
+    * polynomial the text fingerprints use, so a SQL oracle replays it
+    * exactly. */
+  def decodedPixelHash(img: BufferedImage): Long = {
+    val P = 2147483647L // 2^31 - 1
+    var hsh = 0L
+    def mix(v: Int): Unit = hsh = (hsh * 131 + v) % P
+    mix(img.getWidth); mix(img.getHeight)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        mix((p >> 16) & 0xff); mix((p >> 8) & 0xff); mix(p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    hsh
+  }
+
+  /** Content-addressable image dedup: decode every payload, hash the
+    * PIXELS (not the bytes — the same picture re-encoded by a different
+    * compressor byte-differs but pixel-matches), then min-id survivor
+    * per content group. One narrow decode pass + one hash-keyed
+    * aggregation — the image twin of `Dedup.exact`, and the dedup a
+    * media lake actually needs (byte-hash dedup misses every
+    * re-encoded copy). */
+  def imageContentDedup(media: DataFrame): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content_hash", LongType)))
+    val enc = RowEncoder.encoderFor(hashSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val hashed = media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodePng(r.getAs[Array[Byte]](payloadIdx), "imageContentDedup")
+        Row(r.getLong(idIdx), decodedPixelHash(img))
+      }
+    }(enc)
+    val canon = hashed.groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("canon_id"))
+    hashed.join(canon, "content_hash")
+      .select(col("media_id"), col("content_hash"), col("canon_id"),
+        (col("media_id") =!= col("canon_id")).as("is_dup"))
+  }
+
   /** Real resize: decode, nearest-neighbor resample to (dw, dh) —
     * out(x,y) = src(x·sw/dw, y·sh/dh), the deterministic integer
     * mapping — and re-encode as PNG. Metadata rewritten to the target

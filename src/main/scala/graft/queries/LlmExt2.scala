@@ -470,6 +470,39 @@ object LlmExt2 {
           abs(col("mean_b") - target(13, 37)) <= 4.0).as("color_ok"))
     },
 
+    // content-addressable image dedup: hash the DECODED pixels, not the
+    // encoded bytes — the same picture re-encoded by a different
+    // compressor byte-differs but pixel-matches (byte-hash dedup misses
+    // every such copy). Spark decodes real PNGs and folds the portable
+    // polynomial over (w, h, r,g,b scan order); the oracle replays the
+    // identical fold over the pixel formula with list_reduce (DuckDB's
+    // first element seeds the accumulator, matching mix(w) first). Ids
+    // ≡ (mod 768) produce pixel-identical images (the channel formulas
+    // share period 256, dims 8 and 6 → lcm 768), so duplicate groups
+    // exist at sf ≥ 0.01 and the min-id survivor is pinned
+    QDef("llm59_image_content_dedup",
+      """WITH g AS (SELECT doc_id AS media_id,
+        |    CAST(doc_id % 8 + 2 AS BIGINT) AS w, CAST(doc_id % 6 + 2 AS BIGINT) AS h
+        |  FROM documents),
+        |v AS (SELECT media_id,
+        |    list_reduce(
+        |      list_concat([w, h],
+        |        flatten(list_transform(range(0, h), y ->
+        |          flatten(list_transform(range(0, w), x ->
+        |            [(7*media_id + 3*x + 5*y) % 256,
+        |             (11*media_id + 17*x + 23*y) % 256,
+        |             (29*media_id + 13*x + 19*y) % 256]))))),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS content_hash
+        |  FROM g)
+        |SELECT media_id, content_hash,
+        |  MIN(media_id) OVER (PARTITION BY content_hash) AS canon_id,
+        |  media_id <> MIN(media_id) OVER (PARTITION BY content_hash) AS is_dup
+        |FROM v""".stripMargin) { (s, dir) =>
+      val media = graft.ops.Multimodal.imageTable(Tables.load(s, dir, "documents"))
+      graft.ops.Multimodal.imageContentDedup(media)
+        .select(col("media_id"), col("content_hash"), col("canon_id"), col("is_dup"))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

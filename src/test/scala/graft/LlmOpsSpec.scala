@@ -411,6 +411,40 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal: content dedup matches byte-DIFFERENT re-encodes of the same pixels") {
+    import org.apache.spark.sql.types._
+    // same pixels, two genuinely different PNG encodings: the default
+    // sequential layout vs Adam7 INTERLACED — byte-different files, one
+    // picture (exactly the re-encoded-copy case byte-hash dedup misses)
+    val id = 11L
+    val a = Multimodal.encodePng(id)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    writer.dispose(); ios.close()
+    val b = bos.toByteArray
+    assert(!java.util.Arrays.equals(a, b), "the two encodes must byte-differ")
+
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(100L, a), org.apache.spark.sql.Row(200L, b),
+        org.apache.spark.sql.Row(300L, Multimodal.encodePng(12L))),
+      schema)
+    val out = Multimodal.imageContentDedup(media)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("canon_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(100L) == (100L, false))
+    assert(out(200L) == (100L, true), "byte-different same-pixels copy must dedupe")
+    assert(out(300L) == (300L, false))
+  }
+
   test("multimodal resize: nearest-neighbor resample survives the re-encode round trip") {
     val media = graft.ops.Multimodal.imageTable(docs)
     val resized = graft.ops.Multimodal.resize(media, dw = 8, dh = 8)
