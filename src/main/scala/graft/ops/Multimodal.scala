@@ -169,6 +169,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[imageTable]] with every `corruptEvery`-th payload TRUNCATED to
+    * half its bytes — the realistic broken-blob population (failed
+    * uploads, torn writes) an ingest gate must survive. Works on batch
+    * and streaming inputs alike (stateless narrow map). */
+  def corruptedImageTable(docs: DataFrame, corruptEvery: Long): DataFrame = {
+    require(corruptEvery > 0, s"corruptEvery must be positive, got $corruptEvery")
+    val ids = docs.select(col("doc_id").cast("long").as("media_id"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    ids.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val png = encodePng(id)
+        val payload =
+          if (id % corruptEvery == 0) java.util.Arrays.copyOf(png, png.length / 2)
+          else png
+        Row(id, payload)
+      }
+    }(enc)
+  }
+
+  /** Decode if possible; None on any codec failure (truncated/corrupt
+    * payloads must not kill a pipeline that GATES on decodability). */
+  def tryDecodePng(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Media admission gate: keep only payloads that actually DECODE,
+    * emitting the decoded dims — the validation pass a media lake runs
+    * at ingest (fail-soft: a corrupt blob is dropped, never a query
+    * failure). Stateless and narrow, so the same operator serves batch
+    * audits and streaming ingest (str15). */
+  def imageAdmissionGate(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val idIdx = media.schema.fieldIndex("media_id")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        tryDecodePng(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          Row(r.getLong(idIdx), img.getWidth, img.getHeight,
+            img.getWidth * img.getHeight)
+        }
+      }
+    }(enc)
+  }
+
   /** Content hash over DECODED pixels: fold h = (h·131 + channelByte)
     * mod (2^31 − 1) across (w, h, then every pixel's r,g,b in scan
     * order) — two images hash equal iff their decoded content is equal,

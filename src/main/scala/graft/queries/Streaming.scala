@@ -323,6 +323,25 @@ object Streaming {
       drain(StreamOps.tokenBudgetGateStream(arriving, "text", "doc_id", "lang",
           budgets = Map("en" -> 4000L, "zh" -> 1500L, "de" -> 800L)),
         "str14_" + java.lang.Integer.toHexString(dir.hashCode), "update")
+    },
+
+    // streaming media admission gate: every 37th arriving image payload
+    // is truncated (the failed-upload population); the gate REALLY
+    // decodes each blob per partition and admits only decodable ones,
+    // fail-soft — a corrupt blob drops, the stream never dies. Pure
+    // stateless narrow ops, so append mode with no watermark; the
+    // oracle replays the survivor set and the decoded dims from the
+    // image formula
+    QDef("str15_image_gate",
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+        |  CAST(doc_id % 6 + 2 AS INTEGER) AS height,
+        |  CAST((doc_id % 8 + 2) * (doc_id % 6 + 2) AS INTEGER) AS n_pixels
+        |FROM documents WHERE doc_id % 37 <> 0""".stripMargin) { (s, dir) =>
+      val arriving = StreamOps.documentsStream(s, dir)
+      val media = graft.ops.Multimodal.corruptedImageTable(arriving, corruptEvery = 37L)
+      drain(graft.ops.Multimodal.imageAdmissionGate(media),
+        "str15_" + java.lang.Integer.toHexString(dir.hashCode), "append")
     }
   )
 }

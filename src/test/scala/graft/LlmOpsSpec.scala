@@ -445,6 +445,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(300L) == (300L, false))
   }
 
+  test("multimodal: admission gate drops exactly the undecodable payloads, fail-soft") {
+    val media = Multimodal.corruptedImageTable(docs, corruptEvery = 37L)
+    val admitted = Multimodal.imageAdmissionGate(media)
+      .collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == all.filter(_ % 37 != 0),
+      "exactly the truncated payloads must drop; no collateral damage")
+    // dims on survivors are the REAL decoded dims
+    val r = Multimodal.imageAdmissionGate(media)
+      .filter($"media_id" === 11L).head()
+    val (w, h) = Multimodal.imageDims(11L)
+    assert(r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == w * h)
+  }
+
   test("multimodal resize: nearest-neighbor resample survives the re-encode round trip") {
     val media = graft.ops.Multimodal.imageTable(docs)
     val resized = graft.ops.Multimodal.resize(media, dw = 8, dh = 8)
