@@ -49,6 +49,7 @@ object CdcFixture {
   private val cacheMs = mutable.Map.empty[String, String]
   private val cacheDr = mutable.Map.empty[String, String]
   private val cacheMy = mutable.Map.empty[String, String]
+  private val cacheMyDec = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -85,6 +86,54 @@ object CdcFixture {
   def ensureMysql(spark: SparkSession, sfDir: String): String =
     ensureLog(cacheMy, "graft-cdcmy", sfDir)(
       generate(spark, sfDir, _, p => new MysqlBinlog.Writer(p, checksum = true)))
+
+  /** MySQL-format log whose table is decimal-typed — NEWDECIMAL on the
+    * real wire (packed base-10^9 groups, sign-complemented bytes; the
+    * layout the reference reads via Field_new_decimal::unpack,
+    * binlog_table_reader.cc:151-157). Every column is a deterministic
+    * SQL cast of orders, so the cdc24 oracle recomputes it in DuckDB and
+    * hash-compares decoded values: five (precision, scale) shapes across
+    * the partial/full group boundaries, a negative column, and a
+    * nullable one. Inserts only, batches of 100, gno = batch index. */
+  def ensureMysqlDecimal(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyDec, "graft-cdcmydec", sfDir)(
+      generateMysqlDecimal(spark, sfDir, _))
+
+  val DecimalTable = "decorders"
+  val DecimalTableId = 9L
+
+  /** The decimal column derivations, shared verbatim with the cdc24
+    * oracle SQL (Spark and DuckDB both evaluate these casts; the 2-dp
+    * double → decimal casts are exact in both engines at these scales —
+    * see the determinism notes in queries/Relational.scala). */
+  val DecimalDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    "CAST(o_custkey AS DECIMAL(9,0)) AS cust",
+    "CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price",
+    "CAST(-o_totalprice AS DECIMAL(18,6)) AS neg",
+    "CAST(o_totalprice AS DECIMAL(20,9)) AS fine",
+    "CAST(o_orderkey * 1000003 AS DECIMAL(28,6)) AS wide",
+    "o_orderpriority AS prio")
+
+  private def generateMysqlDecimal(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr(DecimalDerivations: _*)
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(r.get).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      w.tableMap(BaseMs, DecimalTableId, Db, DecimalTable, schema)
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        val ts = BaseMs + i * 1000L
+        w.gtid(ts, i.toLong, SourceId)
+        w.writeRows(ts, DecimalTableId, schema, batch.toSeq)
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
 
   /** Multi-source replication log: two servers write interleaved
     * transactions into ONE log, each with its own gno sequence starting

@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * WRITE/UPDATE/DELETE_ROWS v2 (30/31/32); XID/QUERY and anything else
   * are skipped like the reference's default branch. Column types:
   * TINY/SHORT/LONG/LONGLONG (signed), FLOAT/DOUBLE, VARCHAR, BLOB,
-  * DATE, TIMESTAMP2, DATETIME2 — the `Field::unpack` layouts the
-  * reference relies on (binlog_table_reader.cc:151-157), hand-decoded.
+  * DATE, TIMESTAMP2, DATETIME2, NEWDECIMAL — the `Field::unpack`
+  * layouts the reference relies on (binlog_table_reader.cc:151-157),
+  * hand-decoded. (MySQL has no boolean wire type — BOOLEAN is
+  * TINYINT(1), surfaced as ByteType — so with NEWDECIMAL this covers
+  * every GCDC-expressible column shape the real format can carry.)
   *
   * TABLE_MAP carries column TYPES but (unless the producer ran with
   * `binlog_row_metadata=FULL`) no column NAMES; the optional-metadata
@@ -74,9 +77,14 @@ object MysqlBinlog {
     val Timestamp2 = 17
     val Datetime2 = 18
     val Varchar = 15
+    val NewDecimal = 246
     val Blob = 252
 
-    def toSpark(t: Int): DataType = t match {
+    /** Spark type for a wire type + its TABLE_MAP metadata. NEWDECIMAL
+      * is the one type whose Spark shape depends on metadata (precision
+      * and scale travel in the two meta bytes, packed here as
+      * `(precision << 8) | scale`). */
+    def toSpark(t: Int, meta: Int): DataType = t match {
       case Tiny => ByteType
       case Short => ShortType
       case Long => IntegerType
@@ -87,10 +95,11 @@ object MysqlBinlog {
       case Timestamp2 => TimestampType
       case Datetime2 => TimestampNTZType
       case Varchar => StringType
+      case NewDecimal => DecimalType(meta >> 8, meta & 0xff)
       case Blob => BinaryType
       case other => throw new IllegalArgumentException(
         s"unsupported MySQL column type $other (subset: tiny/short/int/bigint/" +
-          "float/double/varchar/blob/date/timestamp2/datetime2)")
+          "float/double/decimal/varchar/blob/date/timestamp2/datetime2)")
     }
 
     def fromSpark(dt: DataType): Int = dt match {
@@ -104,10 +113,66 @@ object MysqlBinlog {
       case TimestampType => Timestamp2
       case TimestampNTZType => Datetime2
       case StringType => Varchar
+      case _: DecimalType => NewDecimal
       case BinaryType => Blob
       case other => throw new IllegalArgumentException(
-        s"no MySQL column type for Spark type $other")
+        s"no MySQL column type for Spark type $other" +
+          (if (dt == BooleanType)
+             " (MySQL has no boolean wire type: BOOLEAN is TINYINT(1) —" +
+               " model the column as ByteType)"
+           else ""))
     }
+
+    // -------------------------------------------- NEWDECIMAL byte layout
+    //
+    // The packed format of decimal2bin/bin2decimal (public, strings/
+    // decimal.cc; the reference reads it through Field_new_decimal::
+    // unpack at binlog_table_reader.cc:151-157): digits in base 10^9,
+    // one big-endian u32 per full 9-digit group, partial groups in the
+    // minimal byte count; layout = [partial int][full int…][full frac…]
+    // [partial frac]; negative values complement every byte; the first
+    // byte's MSB is then flipped so it doubles as the sign bit.
+
+    /** Bytes needed for d leading/trailing digits outside full groups. */
+    val Dig2Bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4)
+
+    /** On-wire size of a DECIMAL(precision, scale) value. */
+    def decimalBinSize(precision: Int, scale: Int): Int = {
+      val intg = precision - scale
+      intg / 9 * 4 + Dig2Bytes(intg % 9) + scale / 9 * 4 + Dig2Bytes(scale % 9)
+    }
+  }
+
+  /** decimal2bin: pack `bd` (already at the target scale) into the
+    * NEWDECIMAL wire bytes for DECIMAL(precision, scale). */
+  def encodeDecimal(bd: java.math.BigDecimal, precision: Int,
+      scale: Int): Array[Byte] = {
+    require(bd.scale == scale, s"value scale ${bd.scale} != declared $scale")
+    val negative = bd.signum() < 0
+    val digits = bd.abs().unscaledValue().toString
+    require(digits.length <= precision,
+      s"$bd does not fit DECIMAL($precision,$scale)")
+    val padded = "0" * (precision - digits.length) + digits
+    val intg = precision - scale
+    val out = new Array[Byte](ColType.decimalBinSize(precision, scale))
+    var pos = 0
+    def putBE(v: Long, n: Int): Unit = {
+      var x = v; var i = n - 1
+      while (i >= 0) { out(pos + i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      pos += n
+    }
+    val intgX = intg % 9
+    if (intgX > 0) putBE(padded.substring(0, intgX).toLong, ColType.Dig2Bytes(intgX))
+    var idx = intgX
+    while (idx < intg) { putBE(padded.substring(idx, idx + 9).toLong, 4); idx += 9 }
+    idx = intg
+    val fracFullEnd = intg + scale / 9 * 9
+    while (idx < fracFullEnd) { putBE(padded.substring(idx, idx + 9).toLong, 4); idx += 9 }
+    val fracX = scale % 9
+    if (fracX > 0) putBE(padded.substring(fracFullEnd).toLong, ColType.Dig2Bytes(fracX))
+    if (negative) { var i = 0; while (i < out.length) { out(i) = (~out(i)).toByte; i += 1 } }
+    out(0) = (out(0) ^ 0x80).toByte
+    out
   }
 
   /** Optional-metadata TLV type codes in TABLE_MAP (MySQL 8.0,
@@ -274,10 +339,12 @@ object MysqlBinlog {
     * names when the producer logged FULL row metadata. */
   final case class MysqlTableMap(tableId: Long, db: String, table: String,
       colTypes: Array[Int], colMeta: Array[Int], names: Option[Array[String]]) {
+    def sparkTypes: Seq[DataType] =
+      colTypes.indices.map(i => ColType.toSpark(colTypes(i), colMeta(i)))
     def sparkSchema(fallbackNames: Int => String): StructType =
       StructType(colTypes.indices.map { i =>
         StructField(names.map(_(i)).getOrElse(fallbackNames(i)),
-          ColType.toSpark(colTypes(i)))
+          ColType.toSpark(colTypes(i), colMeta(i)))
       })
   }
 
@@ -301,6 +368,7 @@ object MysqlBinlog {
         case ColType.Float | ColType.Double => c.u8() // pack length
         case ColType.Blob => c.u8() // number of length bytes
         case ColType.Timestamp2 | ColType.Datetime2 => c.u8() // fsp
+        case ColType.NewDecimal => (c.u8() << 8) | c.u8() // precision, scale
         case _ => 0
       }
       i += 1
@@ -372,12 +440,12 @@ object MysqlBinlog {
         val expP = exp.fields.map(f => (f.name, f.dataType)).toSeq
         val ok = tm.names match {
           case Some(ns) =>
-            val got = ns.toSeq.zip(tm.colTypes.toSeq.map(ColType.toSpark))
+            val got = ns.toSeq.zip(tm.sparkTypes)
             got == expP || (got.length < expP.length &&
               expP.take(got.length) == got &&
               exp.fields.drop(got.length).forall(_.nullable))
           case None =>
-            val got = tm.colTypes.toSeq.map(ColType.toSpark)
+            val got = tm.sparkTypes
             val expT = expP.map(_._2)
             got == expT || (got.length < expT.length &&
               expT.take(got.length) == got &&
@@ -504,7 +572,43 @@ object MysqlBinlog {
         val ldt = LocalDateTime.of(ym / 13, ym % 13, ymd & 31,
           hms >> 12, (hms >> 6) & 63, hms & 63)
         DateTimeUtils.localDateTimeToMicros(ldt) + readFrac(c, meta)
+      case ColType.NewDecimal =>
+        val precision = meta >> 8; val scale = meta & 0xff
+        val raw = c.bytes(ColType.decimalBinSize(precision, scale))
+        val negative = (raw(0) & 0x80) == 0 // MSB set ⇒ positive
+        raw(0) = (raw(0) ^ 0x80).toByte
+        if (negative) { var i = 0; while (i < raw.length) { raw(i) = (~raw(i)).toByte; i += 1 } }
+        val rc = new Cur(raw)
+        val intg = precision - scale
+        val sb = new java.lang.StringBuilder(precision + 1)
+        val intgX = intg % 9
+        if (intgX > 0) sb.append(rc.beU(ColType.Dig2Bytes(intgX)))
+        var g = intg / 9
+        while (g > 0) { appendGroup(sb, rc.beU(4), pad = sb.length > 0); g -= 1 }
+        if (sb.length == 0) sb.append('0')
+        g = scale / 9
+        while (g > 0) { appendGroup(sb, rc.beU(4), pad = true); g -= 1 }
+        val fracX = scale % 9
+        if (fracX > 0) {
+          val v = rc.beU(ColType.Dig2Bytes(fracX))
+          val s = java.lang.Long.toString(v)
+          var p = fracX - s.length; while (p > 0) { sb.append('0'); p -= 1 }
+          sb.append(s)
+        }
+        val unscaled = new java.math.BigInteger(sb.toString)
+        val bd = new java.math.BigDecimal(
+          if (negative) unscaled.negate() else unscaled, scale)
+        Decimal(bd, precision, scale)
       case other => throw new IOException(s"unsupported MySQL column type $other")
+    }
+
+    /** Append one base-10^9 group as exactly 9 digits (zero-padded) when
+      * higher-order digits exist, minimal digits otherwise. */
+    private def appendGroup(sb: java.lang.StringBuilder, v: Long,
+        pad: Boolean): Unit = {
+      val s = java.lang.Long.toString(v)
+      if (pad) { var p = 9 - s.length; while (p > 0) { sb.append('0'); p -= 1 } }
+      sb.append(s)
     }
 
     /** Fractional seconds: ceil(fsp/2) big-endian bytes holding the
@@ -538,6 +642,8 @@ object MysqlBinlog {
       case ColType.Date => c.skip(3)
       case ColType.Timestamp2 => c.skip(4 + (meta + 1) / 2)
       case ColType.Datetime2 => c.skip(5 + (meta + 1) / 2)
+      case ColType.NewDecimal =>
+        c.skip(ColType.decimalBinSize(meta >> 8, meta & 0xff))
       case other => throw new IOException(s"unsupported MySQL column type $other")
     }
   }
@@ -764,6 +870,9 @@ object MysqlBinlog {
           case ColType.Double => meta.u8(8)
           case ColType.Blob => meta.u8(2) // 2 length bytes (BLOB/TEXT)
           case ColType.Timestamp2 | ColType.Datetime2 => meta.u8(6) // fsp
+          case ColType.NewDecimal =>
+            val dt = f.dataType.asInstanceOf[DecimalType]
+            meta.u8(dt.precision); meta.u8(dt.scale)
           case _ => ()
         }
       }
@@ -901,6 +1010,16 @@ object MysqlBinlog {
           val hms = (ldt.getHour << 12) | (ldt.getMinute << 6) | ldt.getSecond
           b.beU((ymd.toLong << 17 | hms.toLong) + 0x8000000000L, 5)
           b.beU(ldt.getNano / 1000L, 3) // fsp=6
+        case ColType.NewDecimal =>
+          val dt = f.dataType.asInstanceOf[DecimalType]
+          val bd = (v match {
+            case d: Decimal => d.toJavaBigDecimal
+            case d: java.math.BigDecimal => d
+            case d: BigDecimal => d.bigDecimal
+          }).setScale(dt.scale) // throws on precision loss: fail loud
+          require(bd.precision - bd.scale <= dt.precision - dt.scale,
+            s"${f.name}: $bd exceeds DECIMAL(${dt.precision},${dt.scale})")
+          b.raw(encodeDecimal(bd, dt.precision, dt.scale))
         case other => throw new IllegalArgumentException(
           s"MysqlBinlog.Writer: unsupported type ${f.dataType} (code $other)")
       }

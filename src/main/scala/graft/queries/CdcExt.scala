@@ -35,6 +35,30 @@ object CdcExt {
     QDef("cdc21_mysql_scan",
       s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) => mysqlScan(s, dir) },
 
+    // NEWDECIMAL on the real wire: a decimal-typed table (five
+    // precision/scale shapes across the base-10^9 group boundaries, a
+    // negative column, a nullable one) decoded from packed bytes and
+    // hash-compared against DuckDB recomputing the same casts. Inserts
+    // in batches of 100, gno = batch index.
+    QDef("cdc24_mysql_decimal",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.DecimalDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlDecimal(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.DecimalTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -26,14 +26,16 @@ class MysqlBinlogSpec extends SparkTestBase {
     StructField("c_float", FloatType), StructField("c_double", DoubleType),
     StructField("c_str", StringType), StructField("c_bin", BinaryType),
     StructField("c_date", DateType), StructField("c_ts", TimestampType),
-    StructField("c_ntz", TimestampNTZType)))
+    StructField("c_ntz", TimestampNTZType),
+    StructField("c_dec", DecimalType(12, 2))))
 
   private def wideRow(i: Long): Array[Any] = Array[Any](
     i, (i + 1).toInt, (i + 2).toShort, (i % 100).toByte,
     1.5f + i, 2.25 + i, s"s$i", Array[Byte](i.toByte, (i + 1).toByte),
     19000 + i.toInt /* epoch days */,
     1704067200000000L + i * 1000000L /* micros */,
-    1704067200000000L + i * 1000000L + 123456L)
+    1704067200000000L + i * 1000000L + 123456L,
+    java.math.BigDecimal.valueOf(i * 100 + 25, 2))
 
   private def decodeAll(path: String, db: String, table: String,
       needed: Int => Boolean = _ => true,
@@ -86,6 +88,67 @@ class MysqlBinlogSpec extends SparkTestBase {
     // nulls survive the null bitmap
     val del = rows(5).values
     assert(del(6) == null && del(9) == null && del(0) == 4L)
+
+    // decimal rides along at the tail of every image
+    assert(r1(11) == org.apache.spark.sql.types.Decimal(
+      java.math.BigDecimal.valueOf(125, 2), 12, 2))
+    assert(del(11) == org.apache.spark.sql.types.Decimal(
+      java.math.BigDecimal.valueOf(425, 2), 12, 2))
+  }
+
+  test("NEWDECIMAL: documented wire bytes, group boundaries, signs, round trip") {
+    import MysqlBinlog.{encodeDecimal, ColType}
+    // The worked example from the public format description:
+    // DECIMAL(14,4) of 1234567890.1234 packs to 81 0D FB 38 D2 04 D2.
+    val known = encodeDecimal(new java.math.BigDecimal("1234567890.1234"), 14, 4)
+    assert(known.map(b => f"$b%02X").mkString(" ") == "81 0D FB 38 D2 04 D2")
+    assert(known.length == ColType.decimalBinSize(14, 4))
+
+    // negative of the same value: every byte complemented before the
+    // sign-bit flip — decodes back exactly
+    val neg = encodeDecimal(new java.math.BigDecimal("-1234567890.1234"), 14, 4)
+    assert((neg(0) & 0x80) == 0 && neg.length == known.length)
+
+    // round trip through a real log across the group-boundary shapes:
+    // full-group-only ints, partial groups both sides, frac-only,
+    // multi-group wide ints, scale-9 full frac group, max digits
+    val shapes = Seq(
+      (DecimalType(9, 0), Seq("0", "1", "999999999", "-999999999")),
+      (DecimalType(12, 2), Seq("0.00", "0.05", "-0.05", "1234567890.12")),
+      (DecimalType(18, 6), Seq("123456789012.345678", "-0.000001")),
+      (DecimalType(20, 9), Seq("12345678901.234567891", "-99999999999.999999999")),
+      (DecimalType(28, 6), Seq("1234567890123456789012.345678", "-1000003.000000")),
+      (DecimalType(6, 6), Seq("0.123456", "-0.999999")),
+      (DecimalType(38, 10), Seq("9999999999999999999999999999.9999999999",
+        "-9999999999999999999999999999.9999999999")))
+    shapes.foreach { case (dt, vals) =>
+      val schema = StructType(Seq(StructField("k", LongType),
+        StructField("d", dt)))
+      val dir = tmpDir()
+      val path = s"$dir/mysql-bin.000001"
+      val w = new MysqlBinlog.Writer(path)
+      w.tableMap(1000L, 3L, "db", "t", schema)
+      w.gtid(1000L, 1L, Sid)
+      w.writeRows(1000L, 3L, schema,
+        vals.zipWithIndex.map { case (v, i) =>
+          Array[Any](i.toLong, new java.math.BigDecimal(v))
+        } :+ Array[Any](vals.length.toLong, null))
+      w.close()
+      val rows = decodeAll(path, "db", "t")
+      assert(rows.length == vals.length + 1)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        val got = rows(i).values(1).asInstanceOf[org.apache.spark.sql.types.Decimal]
+        assert(got.toJavaBigDecimal.compareTo(new java.math.BigDecimal(v)) == 0,
+          s"$dt: $v decoded as $got")
+        assert(got.precision == dt.precision && got.scale == dt.scale)
+      }
+      assert(rows.last.values(1) == null) // null bitmap covers decimal too
+    }
+
+    // precision overflow fails loud at write time, not as corrupt bytes
+    intercept[IllegalArgumentException] {
+      encodeDecimal(new java.math.BigDecimal("100.00"), 4, 2)
+    }
   }
 
   test("CRC32 checksums verify and strip; corruption fails loud") {
@@ -141,8 +204,13 @@ class MysqlBinlogSpec extends SparkTestBase {
     // keep only the last column: everything before must byte-skip cleanly
     val last = wideSchema.length - 1
     val rows = decodeAll(path, "db", "t", needed = _ == last)
-    assert(rows.head.values(last) == 1704067200000000L + 5000000L + 123456L)
+    assert(rows.head.values(last) == org.apache.spark.sql.types.Decimal(
+      java.math.BigDecimal.valueOf(525, 2), 12, 2))
     assert(rows.head.values(0) == null) // pruned, not decoded
+    // and keep only the NTZ column: the decimal tail is never touched
+    val ntz = wideSchema.fieldIndex("c_ntz")
+    val rows2 = decodeAll(path, "db", "t", needed = _ == ntz)
+    assert(rows2.head.values(ntz) == 1704067200000000L + 5000000L + 123456L)
   }
 
   test("interleaved tables: per-table-id TABLE_MAP registry isolates decode") {
