@@ -16,6 +16,13 @@ object ScaleTechniques {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Z-order dimensions for q76/q77: lineitem's part/supplier keys with
+    * sf0.1-wide fixed bounds (values beyond clamp into edge buckets —
+    * the oracle applies the same clamp). */
+  private val ZDims = Seq(graft.ops.Layout.Dim("l_partkey", 0L, 19999L),
+    graft.ops.Layout.Dim("l_suppkey", 0L, 999L))
+  private val ZBits = 8
+
   /** Idempotently create bucketed saved tables for sfDir (bucketBy is
     * only available via saveAsTable). Bucket count would be sized to
     * target-file-size at scale; 8 here. */
@@ -116,6 +123,43 @@ object ScaleTechniques {
       graft.ops.RangeJoin.pointInInterval(points, intervals,
         "l_extendedprice", "lo", "hi", binWidth = 50.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"), col("l_extendedprice"))
+    },
+
+    // Z-order (Morton) layout key: the multi-dimensional clustering a
+    // 100 TB table needs for file-stat pruning on EVERY interleaved
+    // dimension, not just the leading sort column. Exact integer
+    // formula (fixed-range buckets, bit interleave) — DuckDB recomputes
+    // the identical key from the identical rendered SQL
+    QDef("q76_zorder_key",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.ops.Layout.zValueSql(ZDims, ZBits, duck = true)} AS z
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.zValue(ZDims, ZBits).as("z"))
+    },
+
+    // the layout operator end-to-end: cluster on the z-curve (one range
+    // exchange), then per z-prefix cluster report the span of BOTH
+    // dimensions — the min/max file stats a scan would prune on. The
+    // oracle reproduces the buckets arithmetically; the tight per-
+    // cluster spans (vs a single-column sort, where dim 2's span is the
+    // whole domain) are the pruning argument, made hash-checkable
+    QDef("q77_zorder_stats",
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${graft.ops.Layout.zValueSql(ZDims, ZBits, duck = true)} AS zk
+         |  FROM lineitem
+         |)
+         |SELECT zk >> 4 AS cluster, COUNT(*) AS n,
+         |  MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+         |  MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+         |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.ops.Layout.zOrderBy(t(s, dir, "lineitem"), ZDims, ZBits,
+          numFiles = 8)
+        .groupBy(shiftright(col("__z"), 4).as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+          min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
     },
 
     // sliding windows (2h width, 1h slide): every event lands in exactly
