@@ -42,7 +42,11 @@ object Bench {
     // the real-codec multimodal paths (PNG decode llm12 landed r7's
     // real pipeline; WAV decode llm57 is new) — codec-bound operators
     // whose cost profile differs from everything else in the set
-    "llm12_multimodal_features", "llm57_audio_features")
+    "llm12_multimodal_features", "llm57_audio_features",
+    // late round-7 additions: NEWDECIMAL decode on the real wire format
+    // and the z-order layout operator (range exchange + per-cluster
+    // stats) — same new-operator-visibility rule as above
+    "cdc24_mysql_decimal", "q77_zorder_stats")
 
   /** Timed samples per query (the published JSON derives from this —
     * one knob, no drift between the loop and the declared methodology). */

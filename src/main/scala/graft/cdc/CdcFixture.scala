@@ -50,6 +50,7 @@ object CdcFixture {
   private val cacheDr = mutable.Map.empty[String, String]
   private val cacheMy = mutable.Map.empty[String, String]
   private val cacheMyDec = mutable.Map.empty[String, String]
+  private val cacheMyZ = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -86,6 +87,15 @@ object CdcFixture {
   def ensureMysql(spark: SparkSession, sfDir: String): String =
     ensureLog(cacheMy, "graft-cdcmy", sfDir)(
       generate(spark, sfDir, _, p => new MysqlBinlog.Writer(p, checksum = true)))
+
+  /** The SAME storyline again with `binlog_transaction_compression=ON`
+    * semantics: every transaction's TABLE_MAP/rows events ride inside
+    * one zstd TRANSACTION_PAYLOAD event (MySQL 8.0.20+). cdc25 proves
+    * the compressed wire decodes to the identical oracle result. */
+  def ensureMysqlZstd(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyZ, "graft-cdcmyz", sfDir)(
+      generate(spark, sfDir, _, p =>
+        new MysqlBinlog.Writer(p, checksum = true, compressTxns = true)))
 
   /** MySQL-format log whose table is decimal-typed — NEWDECIMAL on the
     * real wire (packed base-10^9 groups, sign-complemented bytes; the

@@ -63,7 +63,21 @@ object MysqlBinlog {
     val Gtid = 33: Byte
     val AnonymousGtid = 34: Byte
     val PreviousGtids = 35: Byte
+    val TransactionPayload = 40: Byte
   }
+
+  /** TLV field types of TRANSACTION_PAYLOAD (MySQL 8.0.20+
+    * binlog_transaction_compression — public one-the-wire codec):
+    * lenenc type, lenenc length, value bytes; type 0 ends the header
+    * and the (possibly compressed) inner event stream follows. */
+  private val PayloadEndMark = 0L
+  private val PayloadCompressionType = 2L
+  private val PayloadUncompressedSize = 3L
+  private val CompressionZstd = 0
+  private val CompressionNone = 255
+  /** Fail-loud bound on one decompressed transaction (mysqld rotates
+    * files at 1 GiB; a single txn claiming more is corrupt). */
+  private val MaxUncompressedTxn: Long = 1L << 30
 
   /** MySQL column type codes (enum_field_types — public protocol). */
   object ColType {
@@ -432,7 +446,79 @@ object MysqlBinlog {
         rowsEvent(ev, CdcSchema.Op.Delete, images = 1)
       case EventType.UpdateRowsV2 =>
         rowsEvent(ev, CdcSchema.Op.UpdateBefore, images = 2)
+      case EventType.TransactionPayload =>
+        // one whole transaction's inner events (TABLE_MAP + rows + XID),
+        // zstd-compressed by the producer; the preceding outer GTID has
+        // already set this txn's identity. Inner events carry the OUTER
+        // event's offsets so streaming resume stays outer-granular.
+        unwrapPayload(ev).flatMap(decode)
       case _ => Nil // FDE/ROTATE/XID/QUERY/...: control or ignorable
+    }
+
+    /** TRANSACTION_PAYLOAD → inner raw events. TLV header first (see
+      * the field constants above), then the inner v4 event stream —
+      * plain 19-byte headers, NO per-event CRC (the outer event's
+      * checksum already covered these bytes). */
+    private def unwrapPayload(ev: CdcCodec.RawEvent): Seq[CdcCodec.RawEvent] = {
+      val c = new Cur(ev.payload)
+      var comp = CompressionNone
+      var uncompressedSize = -1L
+      var end = false
+      while (!end) {
+        val t = c.lenenc()
+        if (t == PayloadEndMark) end = true
+        else {
+          val len = c.lenenc().toInt
+          t match {
+            case PayloadCompressionType =>
+              if (len < 1) throw new IOException(
+                s"transaction payload at ${ev.pos}: empty compression field")
+              comp = c.u8(); c.skip(len - 1)
+            case PayloadUncompressedSize =>
+              uncompressedSize = new Cur(c.bytes(len)).lenenc()
+            case _ => c.skip(len) // unknown optional field: tolerated
+          }
+        }
+      }
+      val body = c.bytes(c.remaining)
+      val inner = comp match {
+        case CompressionNone => body
+        case CompressionZstd =>
+          if (uncompressedSize < 0 || uncompressedSize > MaxUncompressedTxn)
+            throw new IOException(s"transaction payload at ${ev.pos}: " +
+              s"bad uncompressed size $uncompressedSize")
+          val out =
+            try com.github.luben.zstd.Zstd.decompress(body, uncompressedSize.toInt)
+            catch { case e: RuntimeException =>
+              throw new IOException(s"transaction payload at ${ev.pos}: " +
+                s"zstd decompression failed: ${e.getMessage}")
+            }
+          if (out.length != uncompressedSize)
+            throw new IOException(s"transaction payload at ${ev.pos}: " +
+              s"decompressed ${out.length} of $uncompressedSize bytes")
+          out
+        case other => throw new IOException(
+          s"transaction payload at ${ev.pos}: unsupported compression $other")
+      }
+      val events = Seq.newBuilder[CdcCodec.RawEvent]
+      val ic = new Cur(inner)
+      while (ic.remaining > 0) {
+        if (ic.remaining < HeaderLen)
+          throw new IOException(s"transaction payload at ${ev.pos}: torn inner header")
+        val tsSec = ic.u32()
+        val tpe = ic.u8().toByte
+        ic.u32() // server_id
+        val size = ic.u32()
+        ic.u32(); ic.u16() // log_pos (0 for inner events), flags
+        if (size < HeaderLen || size - HeaderLen > ic.remaining)
+          throw new IOException(s"transaction payload at ${ev.pos}: " +
+            s"inner event size $size out of range")
+        if (tpe == EventType.TransactionPayload)
+          throw new IOException(s"transaction payload at ${ev.pos}: nested payload")
+        events += CdcCodec.RawEvent(tpe, tsSec * 1000L,
+          ic.bytes((size - HeaderLen).toInt), ev.pos, ev.endPos)
+      }
+      events.result()
     }
 
     private def checkSchema(tm: MysqlTableMap, pos: Long): Unit =
@@ -790,12 +876,54 @@ object MysqlBinlog {
   final class Writer(path: String, serverId: Long = 1L,
       checksum: Boolean = false,
       varcharMeta: String => Int = _ => 65535,
-      fullMetadata: Boolean = true) extends FixtureSink {
+      fullMetadata: Boolean = true,
+      compressTxns: Boolean = false) extends FixtureSink {
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
     private var pos: Long = MagicLen.toLong
+    // compressTxns: between two GTIDs, row-level events buffer here and
+    // flush as ONE zstd TRANSACTION_PAYLOAD event (binlog_transaction_
+    // compression=ON), headers included, no inner CRCs — mysqld's layout
+    private var innerBuf: ByteBuf = null
+    private var innerTs: Long = 0L
 
     formatDescription()
+
+    /** Row-level events (TABLE_MAP/rows): into the open transaction
+      * buffer when compressing, straight to the file otherwise. */
+    private def writeRowLevelEvent(tpe: Byte, tsMs: Long)(
+        body: ByteBuf => Unit): Unit =
+      if (innerBuf != null) {
+        val b = new ByteBuf
+        body(b)
+        val eventSize = HeaderLen + b.size
+        val h = innerBuf
+        h.u32(tsMs / 1000)
+        h.u8(tpe & 0xff)
+        h.u32(serverId)
+        h.u32(eventSize.toLong)
+        h.u32(0L) // log_pos: 0 for payload-inner events
+        h.u16(0) // flags
+        h.raw(b.arr, b.size)
+      } else writeEvent(tpe, tsMs)(body)
+
+    /** Close the open transaction: compress its inner event stream and
+      * emit one TRANSACTION_PAYLOAD (TLV header, then zstd bytes). */
+    private def flushTxn(): Unit = if (innerBuf != null) {
+      if (innerBuf.size > 0) {
+        val raw = java.util.Arrays.copyOf(innerBuf.arr, innerBuf.size)
+        val compressed = com.github.luben.zstd.Zstd.compress(raw, 3)
+        writeEvent(EventType.TransactionPayload, innerTs) { b =>
+          b.lenenc(PayloadCompressionType); b.lenenc(1L); b.u8(CompressionZstd)
+          val sz = new ByteBuf; sz.lenenc(raw.length.toLong)
+          b.lenenc(PayloadUncompressedSize); b.lenenc(sz.size.toLong)
+          b.raw(sz.arr, sz.size)
+          b.lenenc(PayloadEndMark)
+          b.raw(compressed)
+        }
+      }
+      innerBuf = null
+    }
 
     private def writeEvent(tpe: Byte, tsMs: Long)(body: ByteBuf => Unit): Unit = {
       val b = new ByteBuf
@@ -852,7 +980,7 @@ object MysqlBinlog {
     }
 
     def tableMap(tsMs: Long, tableId: Long, db: String, table: String,
-        schema: StructType): Unit = writeEvent(EventType.TableMap, tsMs) { b =>
+        schema: StructType): Unit = writeRowLevelEvent(EventType.TableMap, tsMs) { b =>
       b.u48(tableId)
       b.u16(1) // flags
       val dbB = db.getBytes(StandardCharsets.UTF_8)
@@ -916,7 +1044,8 @@ object MysqlBinlog {
         }
       }
 
-    def gtid(tsMs: Long, gno: Long, sourceId: String): Unit =
+    def gtid(tsMs: Long, gno: Long, sourceId: String): Unit = {
+      flushTxn()
       writeEvent(EventType.Gtid, tsMs) { b =>
         b.u8(1) // flags: commit-ordered
         b.raw(uuidBytes(sourceId))
@@ -925,6 +1054,8 @@ object MysqlBinlog {
         // layout fidelity): lt_type, last_committed, sequence_number
         b.u8(2); b.i64(gno - 1); b.i64(gno)
       }
+      if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
+    }
 
     def writeRows(tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit =
@@ -941,7 +1072,7 @@ object MysqlBinlog {
 
     private def rowsEvent(tpe: Byte, tsMs: Long, tableId: Long,
         schema: StructType, rowImages: Seq[Seq[Array[Any]]]): Unit =
-      writeEvent(tpe, tsMs) { b =>
+      writeRowLevelEvent(tpe, tsMs) { b =>
         b.u48(tableId)
         b.u16(0) // flags
         b.u16(2) // v2 extra-data length (2 = none beyond the field itself)
@@ -1024,13 +1155,15 @@ object MysqlBinlog {
           s"MysqlBinlog.Writer: unsupported type ${f.dataType} (code $other)")
       }
 
-    def rotate(tsMs: Long, nextFile: String): Unit =
+    def rotate(tsMs: Long, nextFile: String): Unit = {
+      flushTxn()
       writeEvent(EventType.Rotate, tsMs) { b =>
         b.i64(4L) // position in the next file
         b.raw(nextFile.getBytes(StandardCharsets.UTF_8))
       }
+    }
 
-    def close(): Unit = out.close()
+    def close(): Unit = { flushTxn(); out.close() }
   }
 
   /** Growable little-endian byte builder for event bodies. */
@@ -1081,7 +1214,11 @@ object MysqlBinlogAdapter extends BinlogFormatAdapter {
   override def isRowEvent(tpe: Byte): Boolean =
     tpe == MysqlBinlog.EventType.WriteRowsV2 ||
       tpe == MysqlBinlog.EventType.UpdateRowsV2 ||
-      tpe == MysqlBinlog.EventType.DeleteRowsV2
+      tpe == MysqlBinlog.EventType.DeleteRowsV2 ||
+      // a compressed transaction carries row events (the partition
+      // reader must treat its decode output as rows, and byte-range
+      // slicing must not split it — one payload = one atomic txn)
+      tpe == MysqlBinlog.EventType.TransactionPayload
   override def lastCompleteOffset(path: String): Long =
     MysqlBinlog.lastCompleteOffset(path)
   override def inferSourceSchema(indexFile: String, db: String,

@@ -35,6 +35,22 @@ object CdcExt {
     QDef("cdc21_mysql_scan",
       s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) => mysqlScan(s, dir) },
 
+    // cdc01 again through MySQL 8.0 transaction compression: each
+    // transaction's TABLE_MAP + rows events decode out of one zstd
+    // TRANSACTION_PAYLOAD event — same storyline, same oracle hash, so
+    // the compressed wire is provably lossless through the full DSv2
+    // path (scan, filters, streaming offsets all outer-event-granular)
+    QDef("cdc25_mysql_compressed",
+      s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) =>
+      val index = CdcFixture.ensureMysqlZstd(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // NEWDECIMAL on the real wire: a decimal-typed table (five
     // precision/scale shapes across the base-10^9 group boundaries, a
     // negative column, a nullable one) decoded from packed bytes and

@@ -426,6 +426,104 @@ object ScaleSmoke {
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
+    // the same mysql-format measurement with binlog_transaction_
+    // compression=ON: every 100-row txn decodes out of one zstd
+    // TRANSACTION_PAYLOAD event. Reports the on-disk compression ratio
+    // (why a 100 TB log ships this way) and the decode cost it buys.
+    timed(s"mysqlZstdDecodeScan($nCdc)") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("mysqlz-scale").toString
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", DoubleType), StructField("s", StringType)))
+      val nFiles = 8
+      val perFile = nCdc / nFiles
+      val sid = "11111111-1111-1111-1111-111111111111"
+      val gen = timed(s"mysqlZstdLogGen($nCdc)") {
+        var id = 0L
+        (0 until nFiles).foreach { fi =>
+          val w = new graft.cdc.MysqlBinlog.Writer(f"$dir/mysql-bin.$fi%06d",
+            checksum = true, compressTxns = true)
+          try {
+            w.tableMap(0L, 1L, "db", "big", schema)
+            var written = 0L
+            val batch = new Array[Array[Any]](100)
+            while (written < perFile) {
+              val n = math.min(100L, perFile - written).toInt
+              var j = 0
+              while (j < n) {
+                batch(j) = Array[Any](id, id * 0.5, s"r$id"); id += 1; j += 1
+              }
+              w.gtid(id, id / 100, sid)
+              w.writeRows(id, 1L, schema, batch.take(n).toSeq)
+              written += n
+            }
+          } finally w.close()
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "binlog.index"),
+          (0 until nFiles).map(fi => f"mysql-bin.$fi%06d").mkString("", "\n", "\n"))
+        (0 until nFiles).map(fi =>
+          new java.io.File(f"$dir/mysql-bin.$fi%06d").length()).sum
+      }
+      val df = spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "big")
+        .option("binlogFormat", "mysql").load()
+      val t0 = System.nanoTime()
+      val row = df.agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val total = nFiles * perFile
+      assert(row.getLong(1) == total, s"decoded ${row.getLong(1)} of $total rows")
+      assert(row.getLong(0) == total * (total - 1) / 2, "decoded ids must sum exactly")
+      println(f"SCALE mysqlZstdDecode: ${total / secs / 1e6}%.2f Mrows/s over " +
+        f"$gen%d on-disk bytes (zstd txns)")
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+    }
+
+    // Z-order layout at 10M rows: write the same 2-D uniform corpus
+    // once linearly sorted and once z-ordered into 64 files, read the
+    // parquet footer stats, and count files a 1/16-of-domain box query
+    // on the NON-leading dimension can skip. This is the actual
+    // file-stat pruning a 100 TB scan does — measured, not asserted
+    // from the layout's definition. The leading dimension must keep
+    // pruning too (z-order trades a little x-locality, not all of it).
+    timed(s"zorderPruning($nBig)") {
+      import graft.ops.Layout
+      val dims = Seq(Layout.Dim("x", 0L, 4095L), Layout.Dim("y", 0L, 4095L))
+      val pts = spark.range(nBig).select(
+        (col("id") % 4096L).as("x"),
+        ((col("id") * 2654435761L % nBig) % 4096L).as("y"))
+      val base = java.nio.file.Files.createTempDirectory("zorder-scale").toString
+      pts.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+        .write.parquet(s"$base/linear")
+      Layout.zOrderBy(pts, dims, bits = 12, numFiles = 64)
+        .drop("__z").write.parquet(s"$base/zorder")
+      // per-file min/max from the parquet footers via the file-name
+      // pseudo-column — the same stats a reader's filter pushdown sees
+      def spans(path: String) = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(
+          min("x").as("xlo"), max("x").as("xhi"),
+          min("y").as("ylo"), max("y").as("yhi"))
+        .select("xlo", "xhi", "ylo", "yhi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val lin = spans(s"$base/linear")
+      val zor = spans(s"$base/zorder")
+      // box: y in [0, 255] (1/16 of the domain), any x
+      def skipped(s: Array[(Long, Long, Long, Long)]): Int =
+        s.count { case (_, _, ylo, yhi) => yhi < 0L || ylo > 255L }
+      val (skLin, skZ) = (skipped(lin), skipped(zor))
+      println(s"SCALE zorder: box-on-y skips $skZ/${zor.length} z-ordered " +
+        s"files vs $skLin/${lin.length} linear-sorted")
+      assert(skLin == 0, "a linear x-sort cannot prune on y — control check")
+      assert(skZ * 4 >= zor.length * 3,
+        s"z-layout must skip >= 3/4 of files for a 1/16 box, got $skZ/${zor.length}")
+      // leading-dimension pruning survives: an x-box still skips files
+      def skippedX(s: Array[(Long, Long, Long, Long)]): Int =
+        s.count { case (xlo, xhi, _, _) => xhi < 0L || xlo > 255L }
+      assert(skippedX(zor) * 2 >= zor.length,
+        s"z-layout must still skip >= half the files on x, got ${skippedX(zor)}/${zor.length}")
+      graft.TmpDirs.deleteRecursively(new java.io.File(base))
+    }
+
     spark.stop()
   }
 }

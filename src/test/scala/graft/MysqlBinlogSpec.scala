@@ -151,6 +151,120 @@ class MysqlBinlogSpec extends SparkTestBase {
     }
   }
 
+  test("compressed transactions: zstd payload decodes to the identical stream") {
+    // the same storyline written plain and with binlog_transaction_
+    // compression semantics must decode to byte-identical rows
+    def writeStory(path: String, compress: Boolean): Unit = {
+      val w = new MysqlBinlog.Writer(path, checksum = true,
+        compressTxns = compress)
+      w.tableMap(10000L, 7L, "db", "t", wideSchema)
+      (0 until 5).foreach { g =>
+        w.gtid(10000L + g, g.toLong, Sid)
+        w.tableMap(10000L + g, 7L, "db", "t", wideSchema) // per-txn, like mysqld
+        w.writeRows(10000L + g, 7L, wideSchema,
+          Seq(wideRow(g * 3L), wideRow(g * 3L + 1)))
+        if (g % 2 == 0) {
+          val before = wideRow(g * 3L); val after = wideRow(g * 3L); after(5) = 7.5
+          w.updateRows(10000L + g, 7L, wideSchema, Seq((before, after)))
+        }
+      }
+      w.close()
+    }
+    val dir = tmpDir()
+    writeStory(s"$dir/plain.000001", compress = false)
+    writeStory(s"$dir/zstd.000001", compress = true)
+    val plain = decodeAll(s"$dir/plain.000001", "db", "t")
+    val zstd = decodeAll(s"$dir/zstd.000001", "db", "t")
+    assert(plain.length == zstd.length && plain.length == 16)
+    plain.zip(zstd).foreach { case (p, z) =>
+      assert(p.op == z.op && p.gtid == z.gtid && p.tmMicros == z.tmMicros)
+      p.values.zip(z.values).foreach {
+        case (a: Array[Byte], b: Array[Byte]) =>
+          assert(java.util.Arrays.equals(a, b))
+        case (a, b) => assert(a == b)
+      }
+    }
+    // the compressed file is genuinely smaller (whole point of the mode)
+    val plainLen = new java.io.File(s"$dir/plain.000001").length()
+    val zstdLen = new java.io.File(s"$dir/zstd.000001").length()
+    assert(zstdLen < plainLen, s"zstd $zstdLen !< plain $plainLen")
+
+    // corrupt one byte INSIDE a compressed payload: the outer CRC
+    // fails loud before zstd ever sees the bytes
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/zstd.000001"))
+    bytes(bytes.length - 20) = (bytes(bytes.length - 20) ^ 0x40).toByte
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/corrupt.000001"), bytes)
+    val e = intercept[Exception] { decodeAll(s"$dir/corrupt.000001", "db", "t") }
+    assert(e.getMessage != null)
+  }
+
+  test("compressed transactions: TLV tolerance and fail-loud bounds") {
+    import graft.cdc.CdcCodec.RawEvent
+    def dec(payload: Array[Byte]): Seq[graft.cdc.CdcCodec.CdcRow] =
+      MysqlBinlogAdapter.decoder("db", "t", _ => true, None)
+        .decode(RawEvent(MysqlBinlog.EventType.TransactionPayload,
+          0L, payload, 0L, payload.length.toLong))
+    // uncompressed payload (compression type NONE) with an unknown
+    // leading TLV field: both must be tolerated; the inner stream is
+    // one empty-body XID event → zero rows, no exception
+    val xid = Array[Byte](0, 0, 0, 0, MysqlBinlog.EventType.Xid,
+      1, 0, 0, 0, 27, 0, 0, 0, 0, 0, 0, 0, 0, 0, /* body: */ 1, 2, 3, 4, 5, 6, 7, 8)
+    val payload = Array[Byte](
+      9, 1, 42, // unknown field type 9, len 1
+      2, 1, -1, // compression type = 255 (NONE)
+      0) ++ xid // end mark, then inner stream
+    assert(dec(payload).isEmpty)
+    // a zstd payload whose declared uncompressed size is absurd fails
+    // loud instead of allocating it
+    val huge = Array[Byte](2, 1, 0, // ZSTD
+      3, 9, -2, -1, -1, -1, -1, -1, -1, -1, 127, // lenenc 8-byte size: huge
+      0) ++ Array[Byte](1, 2, 3)
+    val err = intercept[java.io.IOException] { dec(huge) }
+    assert(err.getMessage.contains("bad uncompressed size"))
+    // nested payload events are rejected
+    val nested = Array[Byte](2, 1, -1, 0, // NONE, end mark
+      0, 0, 0, 0, MysqlBinlog.EventType.TransactionPayload,
+      1, 0, 0, 0, 19, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val err2 = intercept[java.io.IOException] { dec(nested) }
+    assert(err2.getMessage.contains("nested payload"))
+  }
+
+  test("DSv2: compressed-transaction mysql log scans + streams like the plain one") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val plainIdx = graft.cdc.CdcFixture.ensureMysql(spark, sfDir)
+    val zstdIdx = graft.cdc.CdcFixture.ensureMysqlZstd(spark, sfDir)
+    def scan(idx: String) = spark.read.format("binlogcdc")
+      .option("indexFile", idx)
+      .option("database", graft.cdc.CdcFixture.Db)
+      .option("table", graft.cdc.CdcFixture.Table)
+      .option("binlogFormat", "mysql").load()
+    val a = scan(plainIdx)
+    val b = scan(zstdIdx)
+    assert(a.schema == b.schema)
+    assert(b.except(a).isEmpty && a.except(b).isEmpty)
+    // envelope pushdown still reaches the source over compressed bytes
+    val ups = b.filter(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateAfter).count()
+    assert(ups == a.filter(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateAfter).count())
+    // and the streaming path drains the same rows (admission/offset
+    // slicing is outer-event-granular, so payloads are never split)
+    val name = "zstd_stream_" + java.lang.Integer.toHexString(zstdIdx.hashCode)
+    val q = spark.readStream.format("binlogcdc")
+      .option("indexFile", zstdIdx)
+      .option("database", graft.cdc.CdcFixture.Db)
+      .option("table", graft.cdc.CdcFixture.Table)
+      .option("binlogFormat", "mysql")
+      .option("maxBytesPerTrigger", "65536")
+      .load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+    assert(streamed.count() == a.count())
+    assert(streamed.except(a).isEmpty && a.except(streamed).isEmpty)
+  }
+
   test("CRC32 checksums verify and strip; corruption fails loud") {
     val dir = tmpDir()
     val path = s"$dir/mysql-bin.000001"
