@@ -298,4 +298,26 @@ object ExprHelpers {
     }
     new GenericArrayData(out)
   }
+
+  /** Position of cell (x, y) on the order-`bits` Hilbert curve over the
+    * 2^bits × 2^bits grid — the classic xy2d quadrant-rotation walk
+    * (public algorithm). Eval kernel of `graft.ops.HilbertIndex`;
+    * inputs are pre-bucketed to [0, 2^bits). */
+  def hilbertIndex(x0: Long, y0: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var x = x0; var y = y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) { // rotate the quadrant
+        if (rx == 1L) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

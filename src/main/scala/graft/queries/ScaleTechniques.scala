@@ -162,6 +162,18 @@ object ScaleTechniques {
           min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
     },
 
+    // Hilbert-curve layout key — Z-order's no-diagonal-jump sibling,
+    // compiled as a codegen'd Catalyst expression (the quadrant-
+    // rotation walk is iterative, not shift/or algebra). The oracle is
+    // an INDEPENDENT implementation: DuckDB walks the same public xy2d
+    // algorithm as a recursive CTE, and the hashes must agree
+    QDef("q78_hilbert_key",
+      graft.ops.Layout.hilbertSqlDuck(ZDims(0), ZDims(1), ZBits,
+        Seq("l_orderkey", "l_linenumber"), "lineitem")) { (s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.ops.Layout.hilbertValue(ZDims(0), ZDims(1), ZBits).as("h"))
+    },
+
     // sliding windows (2h width, 1h slide): every event lands in exactly
     // two windows; oracle reconstructs via a two-way union of hour buckets
     QDef("str04_sliding_window",

@@ -56,6 +56,45 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("hilbert: bijective over the grid and every curve step is a grid neighbor") {
+    val bits = 6 // 64x64 grid, 4096 cells
+    val dims = (Dim("a", 0L, 63L), Dim("b", 0L, 63L))
+    val grid = for { a <- 0L to 63L; b <- 0L to 63L } yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.hilbertValue(dims._1, dims._2, bits).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+    // bijective: positions are exactly [0, 4096)
+    assert(got.map(_._1).sorted.toSeq == (0L until 4096L).toSeq)
+    // the defining property Z-order lacks: consecutive curve positions
+    // are ALWAYS grid neighbors (|dx| + |dy| == 1) — no diagonal jumps
+    val byPos = got.sortBy(_._1).map(_._2)
+    byPos.sliding(2).filter(_.length == 2).foreach { w =>
+      val ((ax, ay), (bx, by)) = (w(0), w(1))
+      assert(math.abs(ax - bx) + math.abs(ay - by) == 1,
+        s"jump from ($ax,$ay) to ($bx,$by)")
+    }
+    // matches the scalar kernel (the expression's codegen and eval paths
+    // share it; this pins the bucket plumbing around it)
+    val direct = graft.functions.ExprHelpers.hilbertIndex(5L, 40L, bits)
+    assert(got.find(_._2 == ((5L, 40L))).get._1 == direct)
+  }
+
+  test("hilbertOrderBy clusters: per-file spans stay tight on both dims") {
+    val dims = (Dim("x", 0L, 127L), Dim("y", 0L, 127L))
+    val df = spark.range(1 << 14).select(
+      (col("id") % 128).as("x"), ((col("id") * 2654435761L % (1 << 14)) % 128).as("y"))
+    val out = Layout.hilbertOrderBy(df, dims._1, dims._2, bits = 7, numFiles = 16)
+    assert(out.drop("__h").except(df).isEmpty && df.except(out.drop("__h")).isEmpty)
+    val spans = out.groupBy(spark_partition_id()).agg(
+      min("x"), max("x"), min("y"), max("y"))
+      .collect().map(r => (r.getLong(2) - r.getLong(1), r.getLong(4) - r.getLong(3)))
+    // Hilbert has no quadrant-transition diagonal: every 1/16 segment of
+    // the curve stays inside a bounded window on BOTH dimensions
+    assert(spans.forall { case (dx, dy) => dx <= 80 && dy <= 80 },
+      spans.mkString(","))
+  }
+
   test("pruning: z-layout bounds BOTH dimensions' per-file spans; linear does not") {
     val n = 1 << 14
     val dims = Seq(Dim("x", 0L, 127L), Dim("y", 0L, 127L))
