@@ -51,6 +51,7 @@ object CdcFixture {
   private val cacheMy = mutable.Map.empty[String, String]
   private val cacheMyDec = mutable.Map.empty[String, String]
   private val cacheMyZ = mutable.Map.empty[String, String]
+  private val cacheMyU = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -126,20 +127,50 @@ object CdcFixture {
     "o_orderpriority AS prio")
 
   private def generateMysqlDecimal(spark: SparkSession, sfDir: String,
-      outDir: String): Unit = {
+      outDir: String): Unit =
+    generateDerivedMysql(spark, sfDir, outDir, DecimalDerivations,
+      DecimalTable, DecimalTableId, Set.empty)
+
+  /** UNSIGNED columns on the real wire: the SIGNEDNESS TLV marks them,
+    * values decode into the widened Spark surface (u8→SMALLINT,
+    * u16→INT, u32→BIGINT, u64→DECIMAL(20,0)). u32/u64 values sit near
+    * their type maxima so the sign bit of the narrow encoding is
+    * exercised, and u16 is nullable. cdc26's oracle recomputes the same
+    * derivations. */
+  def ensureMysqlUnsigned(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyU, "graft-cdcmyu", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, UnsignedDerivations,
+        UnsignedTable, UnsignedTableId, Set("u8", "u16", "u32", "u64")))
+
+  val UnsignedTable = "uorders"
+  val UnsignedTableId = 11L
+
+  val UnsignedDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    "CAST(o_orderkey % 256 AS SMALLINT) AS u8",
+    "CASE WHEN o_orderkey % 5 = 2 THEN NULL ELSE CAST(o_orderkey % 65536 AS INT) END AS u16",
+    "CAST(4294967295 - o_orderkey AS BIGINT) AS u32",
+    "CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) - o_orderkey AS DECIMAL(20,0)) AS u64")
+
+  /** One derived-from-orders table, inserts only, batches of 100,
+    * gno = batch index — the storyline shared by cdc24/cdc26. */
+  private def generateDerivedMysql(spark: SparkSession, sfDir: String,
+      outDir: String, derivations: Seq[String], table: String,
+      tableId: Long, unsignedCols: Set[String]): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
-      .selectExpr(DecimalDerivations: _*)
+      .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
     val rows: Array[Array[Any]] = df.collect()
       .map(r => schema.fields.indices.map(r.get).toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
-    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
+      unsignedCols = unsignedCols)
     try {
-      w.tableMap(BaseMs, DecimalTableId, Db, DecimalTable, schema)
+      w.tableMap(BaseMs, tableId, Db, table, schema)
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
         val ts = BaseMs + i * 1000L
         w.gtid(ts, i.toLong, SourceId)
-        w.writeRows(ts, DecimalTableId, schema, batch.toSeq)
+        w.writeRows(ts, tableId, schema, batch.toSeq)
       }
     } finally w.close()
     Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")

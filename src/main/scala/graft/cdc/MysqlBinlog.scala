@@ -97,7 +97,20 @@ object MysqlBinlog {
     /** Spark type for a wire type + its TABLE_MAP metadata. NEWDECIMAL
       * is the one type whose Spark shape depends on metadata (precision
       * and scale travel in the two meta bytes, packed here as
-      * `(precision << 8) | scale`). */
+      * `(precision << 8) | scale`). UNSIGNED integers (SIGNEDNESS TLV)
+      * widen one Spark type up so every value fits: u8→Short, u16→Int,
+      * u32→Long, u64→DECIMAL(20,0) — the same surface mysql clients
+      * present. */
+    def toSpark(t: Int, meta: Int, unsigned: Boolean): DataType =
+      if (!unsigned) toSpark(t, meta)
+      else t match {
+        case Tiny => ShortType
+        case Short => IntegerType
+        case Long => LongType
+        case LongLong => DecimalType(20, 0)
+        case _ => toSpark(t, meta) // float/double/decimal: layout unchanged
+      }
+
     def toSpark(t: Int, meta: Int): DataType = t match {
       case Tiny => ByteType
       case Short => ShortType
@@ -352,13 +365,14 @@ object MysqlBinlog {
   /** Parsed TABLE_MAP: declared column types + per-type metadata, plus
     * names when the producer logged FULL row metadata. */
   final case class MysqlTableMap(tableId: Long, db: String, table: String,
-      colTypes: Array[Int], colMeta: Array[Int], names: Option[Array[String]]) {
-    def sparkTypes: Seq[DataType] =
-      colTypes.indices.map(i => ColType.toSpark(colTypes(i), colMeta(i)))
+      colTypes: Array[Int], colMeta: Array[Int], names: Option[Array[String]],
+      unsigned: Array[Boolean]) {
+    def sparkTypes: Seq[DataType] = colTypes.indices.map(i =>
+      ColType.toSpark(colTypes(i), colMeta(i), unsigned(i)))
     def sparkSchema(fallbackNames: Int => String): StructType =
       StructType(colTypes.indices.map { i =>
         StructField(names.map(_(i)).getOrElse(fallbackNames(i)),
-          ColType.toSpark(colTypes(i), colMeta(i)))
+          ColType.toSpark(colTypes(i), colMeta(i), unsigned(i)))
       })
   }
 
@@ -391,6 +405,7 @@ object MysqlBinlog {
     c.skip((n + 7) / 8) // column nullability bitmap (schema-level; unused)
     // optional metadata TLVs (MySQL 8.0): [type:u8][len:lenenc][value]
     var names: Option[Array[String]] = None
+    val unsigned = new Array[Boolean](n)
     while (c.remaining > 0) {
       val t = c.u8()
       val len = c.lenenc().toInt
@@ -399,9 +414,29 @@ object MysqlBinlog {
         val buf = Array.newBuilder[String]
         while (c.p < end) buf += c.str(c.lenenc().toInt)
         names = Some(buf.result())
-      } else c.skip(len) // SIGNEDNESS etc.: not consumed (all types signed)
+      } else if (t == MetaSignedness) {
+        // one bit per NUMERIC column (column order, MSB first within
+        // each byte); bit set = UNSIGNED
+        val bits = c.bytes(len)
+        var num = 0
+        var col = 0
+        while (col < n) {
+          if (isNumeric(types(col))) {
+            unsigned(col) = num < len * 8 &&
+              (bits(num / 8) & (0x80 >> (num % 8))) != 0
+            num += 1
+          }
+          col += 1
+        }
+      } else c.skip(len) // other optional fields: not consumed
     }
-    MysqlTableMap(tableId, db, table, types, meta, names)
+    MysqlTableMap(tableId, db, table, types, meta, names, unsigned)
+  }
+
+  private def isNumeric(t: Int): Boolean = t match {
+    case ColType.Tiny | ColType.Short | ColType.Long | ColType.LongLong |
+        ColType.Float | ColType.Double | ColType.NewDecimal => true
+    case _ => false
   }
 
   // ---------------------------------------------------------------- decoder
@@ -610,7 +645,8 @@ object MysqlBinlog {
         if ((present(i / 8) & (1 << (i % 8))) != 0) {
           val isNull = (nulls(j / 8) & (1 << (j % 8))) != 0
           if (!isNull) {
-            if (needed(i)) vals(i) = readValue(c, tm.colTypes(i), tm.colMeta(i))
+            if (needed(i))
+              vals(i) = readValue(c, tm.colTypes(i), tm.colMeta(i), tm.unsigned(i))
             else skipValue(c, tm.colTypes(i), tm.colMeta(i))
           }
           j += 1
@@ -619,6 +655,26 @@ object MysqlBinlog {
       }
       vals
     }
+
+    /** Unsigned integers decode into the widened Spark type the
+      * SIGNEDNESS-aware schema declared (u64 → DECIMAL(20,0): the raw
+      * two's-complement long reinterprets through BigInteger + 2^64).
+      * Byte widths are sign-independent, so skipValue needs no flag. */
+    private def readValue(c: Cur, tpe: Int, meta: Int,
+        unsigned: Boolean): Any =
+      if (!unsigned) readValue(c, tpe, meta)
+      else tpe match {
+        case ColType.Tiny => c.u8().toShort
+        case ColType.Short => c.u16()
+        case ColType.Long => c.u32()
+        case ColType.LongLong =>
+          val v = c.i64()
+          val bd = if (v >= 0) java.math.BigDecimal.valueOf(v)
+            else new java.math.BigDecimal(java.math.BigInteger.valueOf(v)
+              .add(java.math.BigInteger.ONE.shiftLeft(64)))
+          Decimal(bd, 20, 0)
+        case _ => readValue(c, tpe, meta)
+      }
 
     private def readValue(c: Cur, tpe: Int, meta: Int): Any = tpe match {
       case ColType.Tiny => c.u8().toByte
@@ -877,7 +933,8 @@ object MysqlBinlog {
       checksum: Boolean = false,
       varcharMeta: String => Int = _ => 65535,
       fullMetadata: Boolean = true,
-      compressTxns: Boolean = false) extends FixtureSink {
+      compressTxns: Boolean = false,
+      unsignedCols: Set[String] = Set.empty) extends FixtureSink {
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
     private var pos: Long = MagicLen.toLong
@@ -989,10 +1046,10 @@ object MysqlBinlog {
       b.u8(dbB.length); b.raw(dbB); b.u8(0)
       b.u8(tbB.length); b.raw(tbB); b.u8(0)
       b.lenenc(schema.length.toLong)
-      schema.fields.foreach(f => b.u8(ColType.fromSpark(f.dataType)))
+      schema.fields.foreach(f => b.u8(wireType(f)))
       val meta = new ByteBuf
       schema.fields.foreach { f =>
-        ColType.fromSpark(f.dataType) match {
+        wireType(f) match {
           case ColType.Varchar => meta.u16(varcharMeta(f.name))
           case ColType.Float => meta.u8(4)
           case ColType.Double => meta.u8(8)
@@ -1011,12 +1068,18 @@ object MysqlBinlog {
         if (f.nullable) nullBits(i / 8) = (nullBits(i / 8) | (1 << (i % 8))).toByte
       }
       b.raw(nullBits)
-      // optional metadata: SIGNEDNESS (all signed) + COLUMN_NAME (FULL)
+      // optional metadata: SIGNEDNESS + COLUMN_NAME (FULL). The
+      // signedness bitmap allocates one bit per numeric column in
+      // column order, MSB first — the same accounting the parser uses
+      // (decimal counts as numeric), so the bits line up.
       if (fullMetadata) {
-        val numericCount = schema.fields.count(f => Set[DataType](ByteType,
-          ShortType, IntegerType, LongType, FloatType, DoubleType)(f.dataType))
-        if (numericCount > 0) {
-          val sign = new Array[Byte]((numericCount + 7) / 8) // all zero: signed
+        val numerics = schema.fields.filter(f => isNumericWire(wireType(f)))
+        if (numerics.nonEmpty) {
+          val sign = new Array[Byte]((numerics.length + 7) / 8)
+          numerics.zipWithIndex.foreach { case (f, i) =>
+            if (unsignedCols(f.name))
+              sign(i / 8) = (sign(i / 8) | (0x80 >> (i % 8))).toByte
+          }
           b.u8(MetaSignedness); b.lenenc(sign.length.toLong); b.raw(sign)
         }
         val names = new ByteBuf
@@ -1105,8 +1168,56 @@ object MysqlBinlog {
       }
     }
 
+    /** Wire type of a schema field: unsigned columns declare the NARROW
+      * unsigned type whose widened Spark surface the field carries
+      * (Short⇒u8 TINY, Int⇒u16 SHORT, Long⇒u32 INT, DECIMAL(20,0)⇒u64
+      * BIGINT) — the inverse of the decoder's SIGNEDNESS widening. */
+    private def wireType(f: StructField): Int =
+      if (!unsignedCols(f.name)) ColType.fromSpark(f.dataType)
+      else f.dataType match {
+        case ShortType => ColType.Tiny
+        case IntegerType => ColType.Short
+        case LongType => ColType.Long
+        case dt: DecimalType if dt.precision == 20 && dt.scale == 0 =>
+          ColType.LongLong
+        case other => throw new IllegalArgumentException(
+          s"${f.name}: unsigned columns carry the widened type " +
+            s"(short/int/long/decimal(20,0)), got $other")
+      }
+
+    private def isNumericWire(t: Int): Boolean = t match {
+      case ColType.Tiny | ColType.Short | ColType.Long | ColType.LongLong |
+          ColType.Float | ColType.Double | ColType.NewDecimal => true
+      case _ => false
+    }
+
     private def writeValue(b: ByteBuf, f: StructField, v: Any): Unit =
-      ColType.fromSpark(f.dataType) match {
+      if (unsignedCols(f.name)) wireType(f) match {
+        case ColType.Tiny =>
+          val x = v.asInstanceOf[Short]
+          require(x >= 0 && x <= 255, s"${f.name}: $x out of u8 range")
+          b.u8(x)
+        case ColType.Short =>
+          val x = v.asInstanceOf[Int]
+          require(x >= 0 && x <= 0xffff, s"${f.name}: $x out of u16 range")
+          b.u16(x)
+        case ColType.Long =>
+          val x = v.asInstanceOf[Long]
+          require(x >= 0 && x <= 0xffffffffL, s"${f.name}: $x out of u32 range")
+          b.i32(x.toInt)
+        case ColType.LongLong =>
+          val bd = (v match {
+            case d: Decimal => d.toJavaBigDecimal
+            case d: java.math.BigDecimal => d
+            case d: BigDecimal => d.bigDecimal
+          }).toBigIntegerExact
+          require(bd.signum() >= 0 && bd.bitLength() <= 64,
+            s"${f.name}: $bd out of u64 range")
+          b.i64(bd.longValue()) // two's-complement low 64 bits
+        case other => throw new IllegalArgumentException(
+          s"${f.name}: unexpected unsigned wire type $other")
+      }
+      else ColType.fromSpark(f.dataType) match {
         case ColType.Tiny => b.u8(v.asInstanceOf[Byte] & 0xff)
         case ColType.Short => b.u16(v.asInstanceOf[Short] & 0xffff)
         case ColType.Long => b.i32(v.asInstanceOf[Int])

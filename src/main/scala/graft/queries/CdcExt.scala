@@ -75,6 +75,29 @@ object CdcExt {
         .load()
     },
 
+    // UNSIGNED integers on the real wire: the SIGNEDNESS TLV drives
+    // type widening (u8→SMALLINT, u16→INT, u32→BIGINT, u64→DECIMAL),
+    // with u32/u64 values near their maxima so the narrow encoding's
+    // sign bit is live, and a nullable unsigned column
+    QDef("cdc26_mysql_unsigned",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.UnsignedDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlUnsigned(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.UnsignedTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

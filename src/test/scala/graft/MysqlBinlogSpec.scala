@@ -265,6 +265,62 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(streamed.except(a).isEmpty && a.except(streamed).isEmpty)
   }
 
+  test("SIGNEDNESS: unsigned columns widen and round-trip their extremes") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), // signed, interleaved with unsigned
+      StructField("u8", ShortType), StructField("u16", IntegerType),
+      StructField("u32", LongType), StructField("u64", DecimalType(20, 0)),
+      StructField("s32", IntegerType))) // signed numeric AFTER unsigned ones
+    def u64(s: String) = new java.math.BigDecimal(s)
+    val rows = Seq(
+      Array[Any](1L, 0.toShort, 0, 0L, u64("0"), -5),
+      Array[Any](2L, 255.toShort, 65535, 4294967295L,
+        u64("18446744073709551615"), Int.MinValue),
+      Array[Any](3L, 128.toShort, 32768, 2147483648L,
+        u64("9223372036854775808"), 7), // each narrow type's sign boundary
+      Array[Any](4L, 9.toShort, null, 17L, u64("12345678901234567890"), 0))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true,
+      unsignedCols = Set("u8", "u16", "u32", "u64"))
+    w.tableMap(1000L, 5L, "db", "t", schema)
+    w.gtid(1000L, 1L, Sid)
+    w.writeRows(1000L, 5L, schema, rows)
+    w.close()
+    val got = decodeAll(path, "db", "t")
+    assert(got.length == 4)
+    rows.zip(got).foreach { case (exp, r) =>
+      assert(r.values(0) == exp(0) && r.values(1) == exp(1)
+        && r.values(2) == exp(2) && r.values(3) == exp(3)
+        && r.values(5) == exp(5))
+      (exp(4), r.values(4)) match {
+        case (e: java.math.BigDecimal, g: org.apache.spark.sql.types.Decimal) =>
+          assert(g.toJavaBigDecimal.compareTo(e) == 0, s"u64: $e decoded as $g")
+        case other => fail(s"unexpected u64 shapes: $other")
+      }
+    }
+    // the TABLE_MAP round-trips the widened schema (SIGNEDNESS-aware)
+    val r = MysqlBinlogAdapter.open(path)
+    val tmEv = Iterator.continually(r.next())
+      .find(_.tpe == MysqlBinlog.EventType.TableMap).get
+    r.close()
+    val tm = MysqlBinlog.parseTableMap(tmEv.payload)
+    assert(tm.sparkSchema(i => s"_c$i").map(_.dataType) ==
+      Seq(LongType, ShortType, IntegerType, LongType, DecimalType(20, 0),
+        IntegerType))
+    assert(tm.unsigned.toSeq == Seq(false, true, true, true, true, false))
+    // out-of-range writes fail loud instead of wrapping
+    val w2 = new MysqlBinlog.Writer(s"$dir/bad.000001",
+      unsignedCols = Set("u8"))
+    w2.tableMap(0L, 5L, "db", "t", schema)
+    w2.gtid(0L, 1L, Sid)
+    intercept[IllegalArgumentException] {
+      w2.writeRows(0L, 5L, schema,
+        Seq(Array[Any](1L, 256.toShort, 0, 0L, u64("0"), 0)))
+    }
+    w2.close()
+  }
+
   test("CRC32 checksums verify and strip; corruption fails loud") {
     val dir = tmpDir()
     val path = s"$dir/mysql-bin.000001"
