@@ -52,6 +52,7 @@ object CdcFixture {
   private val cacheMyDec = mutable.Map.empty[String, String]
   private val cacheMyZ = mutable.Map.empty[String, String]
   private val cacheMyU = mutable.Map.empty[String, String]
+  private val cacheMyC = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -145,6 +146,26 @@ object CdcFixture {
   val UnsignedTable = "uorders"
   val UnsignedTableId = 11L
 
+  /** CHAR columns on the real wire (MYSQL_TYPE_STRING, the TABLE_MAP
+    * metadata quirk that folds the length's high bits into the type
+    * byte): CHAR(1), CHAR(15), and a >255-byte CHAR exercising the
+    * folded-length encoding. cdc27's oracle recomputes the same
+    * derivations. */
+  def ensureMysqlChar(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyC, "graft-cdcmyc", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, CharDerivations,
+        CharTable, CharTableId, Set.empty,
+        Map("status_c" -> 1, "prio_c" -> 15, "wide_c" -> 300)))
+
+  val CharTable = "corders"
+  val CharTableId = 13L
+
+  val CharDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    "o_orderstatus AS status_c",
+    "CASE WHEN o_orderkey % 9 = 4 THEN NULL ELSE o_orderpriority END AS prio_c",
+    "rpad(o_orderpriority, 300, 'x') AS wide_c")
+
   val UnsignedDerivations: Seq[String] = Seq(
     "o_orderkey",
     "CAST(o_orderkey % 256 AS SMALLINT) AS u8",
@@ -156,7 +177,8 @@ object CdcFixture {
     * gno = batch index — the storyline shared by cdc24/cdc26. */
   private def generateDerivedMysql(spark: SparkSession, sfDir: String,
       outDir: String, derivations: Seq[String], table: String,
-      tableId: Long, unsignedCols: Set[String]): Unit = {
+      tableId: Long, unsignedCols: Set[String],
+      charCols: Map[String, Int] = Map.empty): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
@@ -164,7 +186,7 @@ object CdcFixture {
       .map(r => schema.fields.indices.map(r.get).toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
     val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
-      unsignedCols = unsignedCols)
+      unsignedCols = unsignedCols, charCols = charCols)
     try {
       w.tableMap(BaseMs, tableId, Db, table, schema)
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>

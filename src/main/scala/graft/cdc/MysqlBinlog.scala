@@ -93,6 +93,7 @@ object MysqlBinlog {
     val Varchar = 15
     val NewDecimal = 246
     val Blob = 252
+    val String254 = 254 // CHAR: fixed declared length, space-stripped
 
     /** Spark type for a wire type + its TABLE_MAP metadata. NEWDECIMAL
       * is the one type whose Spark shape depends on metadata (precision
@@ -122,11 +123,12 @@ object MysqlBinlog {
       case Timestamp2 => TimestampType
       case Datetime2 => TimestampNTZType
       case Varchar => StringType
+      case String254 => StringType
       case NewDecimal => DecimalType(meta >> 8, meta & 0xff)
       case Blob => BinaryType
       case other => throw new IllegalArgumentException(
         s"unsupported MySQL column type $other (subset: tiny/short/int/bigint/" +
-          "float/double/decimal/varchar/blob/date/timestamp2/datetime2)")
+          "float/double/decimal/char/varchar/blob/date/timestamp2/datetime2)")
     }
 
     def fromSpark(dt: DataType): Int = dt match {
@@ -397,6 +399,18 @@ object MysqlBinlog {
         case ColType.Blob => c.u8() // number of length bytes
         case ColType.Timestamp2 | ColType.Datetime2 => c.u8() // fsp
         case ColType.NewDecimal => (c.u8() << 8) | c.u8() // precision, scale
+        case ColType.String254 =>
+          // CHAR quirk: byte0 folds the real type with the length's
+          // high bits complemented into bits 4-5; byte1 = low 8 bits
+          val b0 = c.u8(); val b1 = c.u8()
+          val (realType, len) =
+            if ((b0 & 0x30) != 0x30)
+              (b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4))
+            else (b0, b1)
+          require(realType == ColType.String254,
+            s"TABLE_MAP: packed string real type $realType unsupported " +
+              "(ENUM/SET not in the subset)")
+          len
         case _ => 0
       }
       i += 1
@@ -683,7 +697,7 @@ object MysqlBinlog {
       case ColType.LongLong => c.i64()
       case ColType.Float => java.lang.Float.intBitsToFloat(c.i32())
       case ColType.Double => java.lang.Double.longBitsToDouble(c.i64())
-      case ColType.Varchar =>
+      case ColType.Varchar | ColType.String254 =>
         val len = if (meta < 256) c.u8() else c.u16()
         UTF8String.fromBytes(c.bytes(len))
       case ColType.Blob =>
@@ -770,7 +784,7 @@ object MysqlBinlog {
       case ColType.Short => c.skip(2)
       case ColType.Long | ColType.Float => c.skip(4)
       case ColType.LongLong | ColType.Double => c.skip(8)
-      case ColType.Varchar =>
+      case ColType.Varchar | ColType.String254 =>
         val len = if (meta < 256) c.u8() else c.u16(); c.skip(len)
       case ColType.Blob =>
         val len = meta match {
@@ -934,7 +948,8 @@ object MysqlBinlog {
       varcharMeta: String => Int = _ => 65535,
       fullMetadata: Boolean = true,
       compressTxns: Boolean = false,
-      unsignedCols: Set[String] = Set.empty) extends FixtureSink {
+      unsignedCols: Set[String] = Set.empty,
+      charCols: Map[String, Int] = Map.empty) extends FixtureSink {
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
     private var pos: Long = MagicLen.toLong
@@ -1058,6 +1073,12 @@ object MysqlBinlog {
           case ColType.NewDecimal =>
             val dt = f.dataType.asInstanceOf[DecimalType]
             meta.u8(dt.precision); meta.u8(dt.scale)
+          case ColType.String254 =>
+            val len = charCols(f.name)
+            require(len >= 1 && len <= 1023, s"${f.name}: CHAR byte length $len")
+            // inverse of the parse quirk: complement length bits 8-9
+            // into type-byte bits 4-5 (identity when len <= 255)
+            meta.u8(0xce | (((len >> 8) << 4) ^ 0x30)); meta.u8(len & 0xff)
           case _ => ()
         }
       }
@@ -1173,7 +1194,11 @@ object MysqlBinlog {
       * (Short⇒u8 TINY, Int⇒u16 SHORT, Long⇒u32 INT, DECIMAL(20,0)⇒u64
       * BIGINT) — the inverse of the decoder's SIGNEDNESS widening. */
     private def wireType(f: StructField): Int =
-      if (!unsignedCols(f.name)) ColType.fromSpark(f.dataType)
+      if (charCols.contains(f.name)) {
+        require(f.dataType == StringType,
+          s"${f.name}: charCols requires StringType, got ${f.dataType}")
+        ColType.String254
+      } else if (!unsignedCols(f.name)) ColType.fromSpark(f.dataType)
       else f.dataType match {
         case ShortType => ColType.Tiny
         case IntegerType => ColType.Short
@@ -1216,6 +1241,17 @@ object MysqlBinlog {
           b.i64(bd.longValue()) // two's-complement low 64 bits
         case other => throw new IllegalArgumentException(
           s"${f.name}: unexpected unsigned wire type $other")
+      }
+      else if (charCols.contains(f.name)) {
+        val declared = charCols(f.name)
+        val bytes = (v match {
+          case u: UTF8String => u.getBytes
+          case s: String => s.getBytes(StandardCharsets.UTF_8)
+        })
+        require(bytes.length <= declared,
+          s"${f.name}: ${bytes.length} bytes exceeds CHAR($declared)")
+        if (declared < 256) b.u8(bytes.length) else b.u16(bytes.length)
+        b.raw(bytes)
       }
       else ColType.fromSpark(f.dataType) match {
         case ColType.Tiny => b.u8(v.asInstanceOf[Byte] & 0xff)

@@ -98,6 +98,29 @@ object CdcExt {
         .load()
     },
 
+    // CHAR columns on the real wire: MYSQL_TYPE_STRING's TABLE_MAP
+    // metadata folds the declared length's high bits into the type
+    // byte — CHAR(1), nullable CHAR(15), and a 300-byte CHAR hit both
+    // sides of the folded-length encoding
+    QDef("cdc27_mysql_char",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.CharDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlChar(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.CharTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -321,6 +321,50 @@ class MysqlBinlogSpec extends SparkTestBase {
     w2.close()
   }
 
+  test("CHAR: folded-length TABLE_MAP metadata and values round-trip") {
+    // declared byte lengths straddling the high-bit fold: <=255 keeps
+    // the type byte verbatim; 256..1023 complements the length's bits
+    // 8-9 into type-byte bits 4-5
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("c1", StringType), StructField("c255", StringType),
+      StructField("c300", StringType), StructField("c1020", StringType),
+      StructField("v", StringType))) // a VARCHAR alongside, undisturbed
+    val chars = Map("c1" -> 1, "c255" -> 255, "c300" -> 300, "c1020" -> 1020)
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true, charCols = chars)
+    w.tableMap(0L, 5L, "db", "t", schema)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 5L, schema, Seq(
+      Array[Any](1L, "A", "x" * 255, "y" * 300, "z" * 1020, "var"),
+      Array[Any](2L, "B", "s", null, "t", "var2")))
+    w.close()
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.length == 2)
+    assert(rows.head.values(1) == UTF8String.fromString("A"))
+    assert(rows.head.values(2) == UTF8String.fromString("x" * 255))
+    assert(rows.head.values(3) == UTF8String.fromString("y" * 300))
+    assert(rows.head.values(4) == UTF8String.fromString("z" * 1020))
+    assert(rows(1).values(3) == null)
+    // the parsed TABLE_MAP recovers the exact declared lengths
+    val r = MysqlBinlogAdapter.open(path)
+    val tmEv = Iterator.continually(r.next())
+      .find(_.tpe == MysqlBinlog.EventType.TableMap).get
+    r.close()
+    val tm = MysqlBinlog.parseTableMap(tmEv.payload)
+    assert(tm.colTypes.toSeq == Seq(MysqlBinlog.ColType.LongLong,
+      254, 254, 254, 254, MysqlBinlog.ColType.Varchar))
+    assert(tm.colMeta.slice(1, 5).toSeq == Seq(1, 255, 300, 1020))
+    // over-length write fails loud
+    intercept[IllegalArgumentException] {
+      val w2 = new MysqlBinlog.Writer(s"$dir/bad.000001", charCols = chars)
+      w2.tableMap(0L, 5L, "db", "t", schema)
+      w2.gtid(0L, 1L, Sid)
+      w2.writeRows(0L, 5L, schema,
+        Seq(Array[Any](1L, "AB", "s", "s", "s", "v")))
+    }
+  }
+
   test("CRC32 checksums verify and strip; corruption fails loud") {
     val dir = tmpDir()
     val path = s"$dir/mysql-bin.000001"
