@@ -362,6 +362,72 @@ object MysqlBinlog {
     } finally r.close()
   }
 
+  /** TRANSACTION_PAYLOAD → inner raw events. TLV header first (see
+    * the field constants above), then the inner v4 event stream —
+    * plain 19-byte headers, NO per-event CRC (the outer event's
+    * checksum already covered these bytes). */
+  def unwrapPayload(ev: CdcCodec.RawEvent): Seq[CdcCodec.RawEvent] = {
+    val c = new Cur(ev.payload)
+    var comp = CompressionNone
+    var uncompressedSize = -1L
+    var end = false
+    while (!end) {
+      val t = c.lenenc()
+      if (t == PayloadEndMark) end = true
+      else {
+        val len = c.lenenc().toInt
+        t match {
+          case PayloadCompressionType =>
+            if (len < 1) throw new IOException(
+              s"transaction payload at ${ev.pos}: empty compression field")
+            comp = c.u8(); c.skip(len - 1)
+          case PayloadUncompressedSize =>
+            uncompressedSize = new Cur(c.bytes(len)).lenenc()
+          case _ => c.skip(len) // unknown optional field: tolerated
+        }
+      }
+    }
+    val body = c.bytes(c.remaining)
+    val inner = comp match {
+      case CompressionNone => body
+      case CompressionZstd =>
+        if (uncompressedSize < 0 || uncompressedSize > MaxUncompressedTxn)
+          throw new IOException(s"transaction payload at ${ev.pos}: " +
+            s"bad uncompressed size $uncompressedSize")
+        val out =
+          try com.github.luben.zstd.Zstd.decompress(body, uncompressedSize.toInt)
+          catch { case e: RuntimeException =>
+            throw new IOException(s"transaction payload at ${ev.pos}: " +
+              s"zstd decompression failed: ${e.getMessage}")
+          }
+        if (out.length != uncompressedSize)
+          throw new IOException(s"transaction payload at ${ev.pos}: " +
+            s"decompressed ${out.length} of $uncompressedSize bytes")
+        out
+      case other => throw new IOException(
+        s"transaction payload at ${ev.pos}: unsupported compression $other")
+    }
+    val events = Seq.newBuilder[CdcCodec.RawEvent]
+    val ic = new Cur(inner)
+    while (ic.remaining > 0) {
+      if (ic.remaining < HeaderLen)
+        throw new IOException(s"transaction payload at ${ev.pos}: torn inner header")
+      val tsSec = ic.u32()
+      val tpe = ic.u8().toByte
+      ic.u32() // server_id
+      val size = ic.u32()
+      ic.u32(); ic.u16() // log_pos (0 for inner events), flags
+      if (size < HeaderLen || size - HeaderLen > ic.remaining)
+        throw new IOException(s"transaction payload at ${ev.pos}: " +
+          s"inner event size $size out of range")
+      if (tpe == EventType.TransactionPayload)
+        throw new IOException(s"transaction payload at ${ev.pos}: nested payload")
+      events += CdcCodec.RawEvent(tpe, tsSec * 1000L,
+        ic.bytes((size - HeaderLen).toInt), ev.pos, ev.endPos)
+    }
+    events.result()
+  }
+
   // ------------------------------------------------------------ table maps
 
   /** Parsed TABLE_MAP: declared column types + per-type metadata, plus
@@ -504,71 +570,6 @@ object MysqlBinlog {
       case _ => Nil // FDE/ROTATE/XID/QUERY/...: control or ignorable
     }
 
-    /** TRANSACTION_PAYLOAD → inner raw events. TLV header first (see
-      * the field constants above), then the inner v4 event stream —
-      * plain 19-byte headers, NO per-event CRC (the outer event's
-      * checksum already covered these bytes). */
-    private def unwrapPayload(ev: CdcCodec.RawEvent): Seq[CdcCodec.RawEvent] = {
-      val c = new Cur(ev.payload)
-      var comp = CompressionNone
-      var uncompressedSize = -1L
-      var end = false
-      while (!end) {
-        val t = c.lenenc()
-        if (t == PayloadEndMark) end = true
-        else {
-          val len = c.lenenc().toInt
-          t match {
-            case PayloadCompressionType =>
-              if (len < 1) throw new IOException(
-                s"transaction payload at ${ev.pos}: empty compression field")
-              comp = c.u8(); c.skip(len - 1)
-            case PayloadUncompressedSize =>
-              uncompressedSize = new Cur(c.bytes(len)).lenenc()
-            case _ => c.skip(len) // unknown optional field: tolerated
-          }
-        }
-      }
-      val body = c.bytes(c.remaining)
-      val inner = comp match {
-        case CompressionNone => body
-        case CompressionZstd =>
-          if (uncompressedSize < 0 || uncompressedSize > MaxUncompressedTxn)
-            throw new IOException(s"transaction payload at ${ev.pos}: " +
-              s"bad uncompressed size $uncompressedSize")
-          val out =
-            try com.github.luben.zstd.Zstd.decompress(body, uncompressedSize.toInt)
-            catch { case e: RuntimeException =>
-              throw new IOException(s"transaction payload at ${ev.pos}: " +
-                s"zstd decompression failed: ${e.getMessage}")
-            }
-          if (out.length != uncompressedSize)
-            throw new IOException(s"transaction payload at ${ev.pos}: " +
-              s"decompressed ${out.length} of $uncompressedSize bytes")
-          out
-        case other => throw new IOException(
-          s"transaction payload at ${ev.pos}: unsupported compression $other")
-      }
-      val events = Seq.newBuilder[CdcCodec.RawEvent]
-      val ic = new Cur(inner)
-      while (ic.remaining > 0) {
-        if (ic.remaining < HeaderLen)
-          throw new IOException(s"transaction payload at ${ev.pos}: torn inner header")
-        val tsSec = ic.u32()
-        val tpe = ic.u8().toByte
-        ic.u32() // server_id
-        val size = ic.u32()
-        ic.u32(); ic.u16() // log_pos (0 for inner events), flags
-        if (size < HeaderLen || size - HeaderLen > ic.remaining)
-          throw new IOException(s"transaction payload at ${ev.pos}: " +
-            s"inner event size $size out of range")
-        if (tpe == EventType.TransactionPayload)
-          throw new IOException(s"transaction payload at ${ev.pos}: nested payload")
-        events += CdcCodec.RawEvent(tpe, tsSec * 1000L,
-          ic.bytes((size - HeaderLen).toInt), ev.pos, ev.endPos)
-      }
-      events.result()
-    }
 
     private def checkSchema(tm: MysqlTableMap, pos: Long): Unit =
       expectedSchema.foreach { exp =>
@@ -909,13 +910,16 @@ object MysqlBinlog {
       val r = new EventReader(f)
       try {
         var res: Option[MysqlTableMap] = None
-        while (r.hasNext) {
-          val ev = r.next()
+        def consider(ev: CdcCodec.RawEvent): Unit =
           if (ev.tpe == EventType.TableMap) {
             val tm = parseTableMap(ev.payload)
             if (tm.db == db && tm.table == table) res = Some(tm)
+          } else if (ev.tpe == EventType.TransactionPayload) {
+            // a real mysqld with txn compression puts EVERY TABLE_MAP
+            // inside payload events — unwrap for inference too
+            unwrapPayload(ev).foreach(consider)
           }
-        }
+        while (r.hasNext) consider(r.next())
         res
       } finally r.close()
     }.nextOption().map { tm =>

@@ -200,6 +200,33 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("compressed transactions: schema inference sees payload-inner TABLE_MAPs") {
+    // a real mysqld with txn compression emits EVERY TABLE_MAP inside
+    // payload events — no outer one exists to infer from
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true, compressTxns = true)
+    (0 until 3).foreach { g =>
+      w.gtid(1000L + g, g.toLong, Sid) // txn FIRST: tableMap lands inner
+      w.tableMap(1000L + g, 9L, "db", "t", schema)
+      w.writeRows(1000L + g, 9L, schema, Seq(Array[Any](g.toLong, s"n$g")))
+    }
+    w.close()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val inferred = MysqlBinlog.inferSourceSchema(s"$dir/binlog.index", "db", "t")
+    assert(inferred.map(_.map(_.dataType)) == Some(Seq(LongType, StringType)))
+    val df = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").load()
+    assert(df.count() == 3)
+    assert(df.select("name").orderBy("id").collect().map(_.getString(0)).toSeq
+      == Seq("n0", "n1", "n2"))
+  }
+
   test("compressed transactions: TLV tolerance and fail-loud bounds") {
     import graft.cdc.CdcCodec.RawEvent
     def dec(payload: Array[Byte]): Seq[graft.cdc.CdcCodec.CdcRow] =
