@@ -39,6 +39,45 @@ class CdcPropertySpec extends AnyFunSuite {
     case (x, y) => x == y
   }
 
+  test("property: NEWDECIMAL wire bytes round-trip arbitrary (p, s, value)") {
+    import graft.cdc.MysqlBinlog
+    val genCase: Gen[(Int, Int, java.math.BigDecimal)] = for {
+      p <- Gen.chooseNum(1, 38)
+      s <- Gen.chooseNum(0, p)
+      // unscaled digits within precision, full range incl. boundaries
+      digits <- Gen.chooseNum(1, p)
+      unscaled <- Gen.listOfN(digits, Gen.chooseNum(0, 9))
+        .map(_.mkString).map(new java.math.BigInteger(_))
+      neg <- Gen.oneOf(true, false)
+    } yield (p, s,
+      new java.math.BigDecimal(if (neg) unscaled.negate() else unscaled, s))
+    check(Prop.forAll(genCase) { case (p, s, bd) =>
+      val bytes = MysqlBinlog.encodeDecimal(bd, p, s)
+      // size invariant: exactly the declared wire width
+      val sized = bytes.length == MysqlBinlog.ColType.decimalBinSize(p, s)
+      // decode via a real log round trip (covers the reader path too)
+      val schema = StructType(Seq(StructField("d", DecimalType(p, s))))
+      val dir = Files.createTempDirectory("dec-prop").toString
+      val f = s"$dir/mysql-bin.000001"
+      val w = new MysqlBinlog.Writer(f, checksum = true)
+      w.tableMap(0L, 1L, "db", "t", schema)
+      w.gtid(0L, 1L, "11111111-2222-3333-4444-555555555555")
+      w.writeRows(0L, 1L, schema, Seq(Array[Any](bd)))
+      w.close()
+      val r = graft.cdc.MysqlBinlogAdapter.open(f)
+      val dec = graft.cdc.MysqlBinlogAdapter.decoder("db", "t", _ => true, None)
+      val rows = try {
+        val out = Seq.newBuilder[CdcCodec.CdcRow]
+        while (r.hasNext) out ++= dec.decode(r.next())
+        out.result()
+      } finally r.close()
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+      val got = rows.head.values(0)
+        .asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+      sized && got.compareTo(bd) == 0
+    })
+  }
+
   test("property: encode→decode round-trips arbitrary row batches") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.nonEmptyListOf(genValue))) { batches =>
       val dir = Files.createTempDirectory("cdc-prop").toString
