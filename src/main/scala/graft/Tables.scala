@@ -18,12 +18,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects. Read nanos as long and convert to a microsecond
-      // TimestampType (the driver data is µs-precision, so lossless).
+      // events.ts has shipped as TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — read nanos as long and convert) and
+      // as TIMESTAMP(MICROS) isAdjustedToUTC=false (reads as NTZ).
+      // Normalize either to a microsecond TimestampType; the session
+      // timezone is UTC everywhere, so the NTZ cast is value-identity.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts: unexpected parquet type $other")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -53,6 +53,7 @@ object CdcFixture {
   private val cacheMyZ = mutable.Map.empty[String, String]
   private val cacheMyU = mutable.Map.empty[String, String]
   private val cacheMyC = mutable.Map.empty[String, String]
+  private val cacheMyJ = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -166,6 +167,39 @@ object CdcFixture {
     "CASE WHEN o_orderkey % 9 = 4 THEN NULL ELSE o_orderpriority END AS prio_c",
     "rpad(o_orderpriority, 300, 'x') AS wide_c")
 
+  /** JSON columns on the real wire (MYSQL_TYPE_JSON: the binary JSON
+    * document layout of json_binary.h, decoded to canonical compact
+    * text). The constructed text is ALREADY canonical — object keys
+    * pre-sorted the way MySQL sorts them (length, then bytes), compact
+    * separators, shortest-form numbers — so writer-encode → binary →
+    * decoder-emit is the identity and DuckDB rebuilds the exact string.
+    * Exercises: nested object/array, empty object/array, int16-inline
+    * array elements, int32/int64 members, doubles, a >127-byte string
+    * (2-byte varlen), negative ints, literals, scalar roots (int and
+    * string), array roots, and a nullable JSON column. */
+  def ensureMysqlJson(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyJ, "graft-cdcmyj", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, JsonDerivations,
+        JsonTable, JsonTableId, Set.empty,
+        jsonCols = Set("jdoc", "jsc", "jarr")))
+
+  val JsonTable = "jorders"
+  val JsonTableId = 15L
+
+  val JsonDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    "CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE " +
+      "'{\"k\":' || o_orderkey || ',\"st\":\"' || o_orderstatus || " +
+      "'\",\"big\":' || (o_orderkey * 1000003) || ',\"pad\":\"' || " +
+      "rpad(o_orderpriority, 140, 'x') || '\",\"meta\":{\"d\":' || " +
+      "CASE WHEN o_orderkey % 2 = 0 THEN '0.5' ELSE '1.5' END || " +
+      "',\"em\":{},\"pri\":\"' || o_orderpriority || '\"},\"tags\":[' || " +
+      "(o_orderkey % 3) || ',true,false,null,[]]}' END AS jdoc",
+    "CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 100 AS STRING) " +
+      "ELSE '\"s' || (o_orderkey % 10) || '\"' END AS jsc",
+    "'[' || (o_orderkey % 5) || ',\"a\",null,' || (0 - (o_orderkey % 50) - 1) || " +
+      "',{\"x\":' || (o_orderkey % 9) || '}]' AS jarr")
+
   val UnsignedDerivations: Seq[String] = Seq(
     "o_orderkey",
     "CAST(o_orderkey % 256 AS SMALLINT) AS u8",
@@ -178,7 +212,8 @@ object CdcFixture {
   private def generateDerivedMysql(spark: SparkSession, sfDir: String,
       outDir: String, derivations: Seq[String], table: String,
       tableId: Long, unsignedCols: Set[String],
-      charCols: Map[String, Int] = Map.empty): Unit = {
+      charCols: Map[String, Int] = Map.empty,
+      jsonCols: Set[String] = Set.empty): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
@@ -186,7 +221,7 @@ object CdcFixture {
       .map(r => schema.fields.indices.map(r.get).toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
     val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
-      unsignedCols = unsignedCols, charCols = charCols)
+      unsignedCols = unsignedCols, charCols = charCols, jsonCols = jsonCols)
     try {
       w.tableMap(BaseMs, tableId, Db, table, schema)
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>

@@ -91,6 +91,7 @@ object MysqlBinlog {
     val Timestamp2 = 17
     val Datetime2 = 18
     val Varchar = 15
+    val Json = 245 // binary JSON document (json_binary.h layout)
     val NewDecimal = 246
     val Blob = 252
     val String254 = 254 // CHAR: fixed declared length, space-stripped
@@ -126,9 +127,10 @@ object MysqlBinlog {
       case String254 => StringType
       case NewDecimal => DecimalType(meta >> 8, meta & 0xff)
       case Blob => BinaryType
+      case Json => StringType // decoded to canonical JSON text (JsonBinary)
       case other => throw new IllegalArgumentException(
         s"unsupported MySQL column type $other (subset: tiny/short/int/bigint/" +
-          "float/double/decimal/char/varchar/blob/date/timestamp2/datetime2)")
+          "float/double/decimal/char/varchar/blob/json/date/timestamp2/datetime2)")
     }
 
     def fromSpark(dt: DataType): Int = dt match {
@@ -462,7 +464,7 @@ object MysqlBinlog {
       meta(i) = types(i) match {
         case ColType.Varchar => c.u16() // declared max length in bytes
         case ColType.Float | ColType.Double => c.u8() // pack length
-        case ColType.Blob => c.u8() // number of length bytes
+        case ColType.Blob | ColType.Json => c.u8() // number of length bytes
         case ColType.Timestamp2 | ColType.Datetime2 => c.u8() // fsp
         case ColType.NewDecimal => (c.u8() << 8) | c.u8() // precision, scale
         case ColType.String254 =>
@@ -710,6 +712,15 @@ object MysqlBinlog {
           case m => throw new IOException(s"bad BLOB length-byte count $m")
         }
         c.bytes(len.toInt)
+      case ColType.Json =>
+        val len = meta match {
+          case 1 => c.u8().toLong
+          case 2 => c.u16().toLong
+          case 3 => c.u24().toLong
+          case 4 => c.u32()
+          case m => throw new IOException(s"bad JSON length-byte count $m")
+        }
+        UTF8String.fromString(JsonBinary.decode(c.bytes(len.toInt)))
       case ColType.Date =>
         // 3-byte LE packed: day + month*32 + year*512 -> Spark epoch days
         val v = c.u24()
@@ -787,7 +798,7 @@ object MysqlBinlog {
       case ColType.LongLong | ColType.Double => c.skip(8)
       case ColType.Varchar | ColType.String254 =>
         val len = if (meta < 256) c.u8() else c.u16(); c.skip(len)
-      case ColType.Blob =>
+      case ColType.Blob | ColType.Json =>
         val len = meta match {
           case 1 => c.u8().toLong
           case 2 => c.u16().toLong
@@ -953,7 +964,8 @@ object MysqlBinlog {
       fullMetadata: Boolean = true,
       compressTxns: Boolean = false,
       unsignedCols: Set[String] = Set.empty,
-      charCols: Map[String, Int] = Map.empty) extends FixtureSink {
+      charCols: Map[String, Int] = Map.empty,
+      jsonCols: Set[String] = Set.empty) extends FixtureSink {
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
     private var pos: Long = MagicLen.toLong
@@ -1073,6 +1085,7 @@ object MysqlBinlog {
           case ColType.Float => meta.u8(4)
           case ColType.Double => meta.u8(8)
           case ColType.Blob => meta.u8(2) // 2 length bytes (BLOB/TEXT)
+          case ColType.Json => meta.u8(4) // mysqld: 4 length bytes
           case ColType.Timestamp2 | ColType.Datetime2 => meta.u8(6) // fsp
           case ColType.NewDecimal =>
             val dt = f.dataType.asInstanceOf[DecimalType]
@@ -1198,7 +1211,11 @@ object MysqlBinlog {
       * (Short⇒u8 TINY, Int⇒u16 SHORT, Long⇒u32 INT, DECIMAL(20,0)⇒u64
       * BIGINT) — the inverse of the decoder's SIGNEDNESS widening. */
     private def wireType(f: StructField): Int =
-      if (charCols.contains(f.name)) {
+      if (jsonCols(f.name)) {
+        require(f.dataType == StringType,
+          s"${f.name}: jsonCols requires StringType (JSON text), got ${f.dataType}")
+        ColType.Json
+      } else if (charCols.contains(f.name)) {
         require(f.dataType == StringType,
           s"${f.name}: charCols requires StringType, got ${f.dataType}")
         ColType.String254
@@ -1245,6 +1262,15 @@ object MysqlBinlog {
           b.i64(bd.longValue()) // two's-complement low 64 bits
         case other => throw new IllegalArgumentException(
           s"${f.name}: unexpected unsigned wire type $other")
+      }
+      else if (jsonCols(f.name)) {
+        val text = v match {
+          case u: UTF8String => u.toString
+          case s: String => s
+        }
+        val doc = JsonBinary.encode(text)
+        b.u32(doc.length.toLong) // meta=4 length bytes
+        b.raw(doc)
       }
       else if (charCols.contains(f.name)) {
         val declared = charCols(f.name)

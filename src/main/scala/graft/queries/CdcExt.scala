@@ -121,6 +121,71 @@ object CdcExt {
         .load()
     },
 
+    // JSON columns on the real wire: MYSQL_TYPE_JSON's binary document
+    // format (json_binary.h — sorted-key containers with u16/u32 offset
+    // tables, inline scalars, varlen strings) decoded to canonical
+    // compact text. The fixture constructs the text in already-canonical
+    // form, so the binary round-trip is the identity and DuckDB rebuilds
+    // the same strings character-for-character: nested/empty containers,
+    // int16-inline array elements, int64 members, doubles, a >127-byte
+    // string, scalar and array roots, and a nullable JSON column all sit
+    // on this hash.
+    QDef("cdc28_mysql_json",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.JsonDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlJson(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.JsonTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
+    // JSON consumption over the CDC stream: the decoded JSON column fed
+    // through Spark's codegen'd get_json_object (path extraction of
+    // strings, nested members, array elements, nested objects, and a
+    // numeric cast) — DuckDB re-parses the same documents with its own
+    // JSON reader, so the hash proves two independent JSON parsers agree
+    // on every extracted value. This is the "query the JSON payload"
+    // shape a real CDC consumer runs constantly.
+    QDef("cdc29_mysql_json_extract",
+      s"""WITH ord AS (
+         |  SELECT * FROM orders
+         |), j AS (
+         |  SELECT o_orderkey, ${CdcFixture.JsonDerivations(1)}
+         |  FROM ord
+         |)
+         |SELECT o_orderkey,
+         |  json_extract_string(jdoc, '$$.st') AS st,
+         |  json_extract_string(jdoc, '$$.meta.pri') AS pri,
+         |  json_extract_string(jdoc, '$$.tags[0]') AS t0,
+         |  json_extract_string(jdoc, '$$.meta.em') AS em,
+         |  CAST(json_extract_string(jdoc, '$$.big') AS BIGINT) AS big
+         |FROM j WHERE jdoc IS NOT NULL""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlJson(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.JsonTable)
+        .option("binlogFormat", "mysql")
+        .load()
+        .filter(col("jdoc").isNotNull)
+        .select(col("o_orderkey"),
+          get_json_object(col("jdoc"), "$.st").as("st"),
+          get_json_object(col("jdoc"), "$.meta.pri").as("pri"),
+          get_json_object(col("jdoc"), "$.tags[0]").as("t0"),
+          get_json_object(col("jdoc"), "$.meta.em").as("em"),
+          get_json_object(col("jdoc"), "$.big").cast("bigint").as("big"))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

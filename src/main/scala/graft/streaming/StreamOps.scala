@@ -56,15 +56,26 @@ object StreamOps {
 
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // declare ts with whatever physical type this copy of events.parquet
+    // carries (LongType under nanos-as-long, TimestampNTZ for µs files —
+    // the driver has shipped both), then normalize like Tables.load
+    val tsPhys = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", tsPhys),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    stagedStream(spark, sfDir, "events.parquet", "graft-events-", schema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val staged = stagedStream(spark, sfDir, "events.parquet", "graft-events-", schema)
+    tsPhys match {
+      case org.apache.spark.sql.types.LongType =>
+        staged.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        staged.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Tumbling event-time window aggregation. */
