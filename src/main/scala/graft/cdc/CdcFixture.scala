@@ -54,6 +54,8 @@ object CdcFixture {
   private val cacheMyU = mutable.Map.empty[String, String]
   private val cacheMyC = mutable.Map.empty[String, String]
   private val cacheMyJ = mutable.Map.empty[String, String]
+  private val cacheMyE = mutable.Map.empty[String, String]
+  private val cacheMyY = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -200,6 +202,64 @@ object CdcFixture {
     "'[' || (o_orderkey % 5) || ',\"a\",null,' || (0 - (o_orderkey % 50) - 1) || " +
       "',{\"x\":' || (o_orderkey % 9) || '}]' AS jarr")
 
+  /** ENUM/SET columns on the real wire: values travel as 1/2-byte
+    * member indexes (ENUM) and a member bitmask (SET) inside a STRING
+    * slot whose metadata carries the real type; the member lists ride
+    * the ENUM/SET_STR_VALUE optional-metadata TLVs, so FULL-metadata
+    * readers surface label strings. cdc30's oracle recomputes the same
+    * label/membership strings from orders directly. */
+  def ensureMysqlEnum(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyE, "graft-cdcmye", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, EnumDerivations,
+        EnumTable, EnumTableId, Set.empty,
+        enumCols = Map(
+          "status_e" -> EnumStatusMembers,
+          "prio_e" -> EnumPrioMembers),
+        setCols = Map("flags_s" -> SetFlagMembers)))
+
+  val EnumTable = "eorders"
+  val EnumTableId = 17L
+  val EnumStatusMembers: IndexedSeq[String] = IndexedSeq("F", "O", "P")
+  val EnumPrioMembers: IndexedSeq[String] = IndexedSeq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  val SetFlagMembers: IndexedSeq[String] = IndexedSeq("a", "b", "c", "d")
+
+  val EnumDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    "o_orderstatus AS status_e",
+    "CASE WHEN o_orderkey % 11 = 5 THEN NULL ELSE o_orderpriority END AS prio_e",
+    "concat_ws(',', CASE WHEN o_orderkey % 2 = 1 THEN 'a' END, " +
+      "CASE WHEN o_orderkey % 3 = 1 THEN 'b' END, " +
+      "CASE WHEN o_orderkey % 5 = 1 THEN 'c' END, " +
+      "CASE WHEN o_orderkey % 7 = 1 THEN 'd' END) AS flags_s")
+
+  /** YEAR / BIT / TIME columns on the real wire: YEAR's offset-1900
+    * byte (0 = literal 0000), BIT's big-endian bitfield with the split
+    * (bits%8, bits/8) metadata, and TIME2's offset-binary signed
+    * duration (6-byte fsp=6 form, ±838 h range — surfaced as signed
+    * microseconds). cdc31's oracle recomputes all of it as integer
+    * arithmetic, identical in both engines. */
+  def ensureMysqlYearBitTime(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyY, "graft-cdcmyy", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, YearBitTimeDerivations,
+        YearBitTimeTable, YearBitTimeTableId, Set.empty,
+        yearCols = Set("yr", "yr_n"),
+        bitCols = Map("b10" -> 10, "b64" -> 64),
+        timeCols = Set("t_us")))
+
+  val YearBitTimeTable = "yorders"
+  val YearBitTimeTableId = 19L
+
+  val YearBitTimeDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    "CAST(CASE WHEN o_orderkey % 13 = 6 THEN 0 ELSE 1901 + o_orderkey % 255 END AS SMALLINT) AS yr",
+    "CASE WHEN o_orderkey % 9 = 2 THEN NULL ELSE CAST(1901 + o_orderkey % 100 AS SMALLINT) END AS yr_n",
+    "CAST(o_orderkey % 1024 AS BIGINT) AS b10",
+    "CAST(o_orderkey * 2654435761 AS BIGINT) AS b64",
+    "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * " +
+      "((o_orderkey % 839) * 3600000000 + (o_orderkey % 60) * 60000000 + " +
+      "(o_orderkey % 53) * 1000000 + o_orderkey % 1000000) AS BIGINT) AS t_us")
+
   val UnsignedDerivations: Seq[String] = Seq(
     "o_orderkey",
     "CAST(o_orderkey % 256 AS SMALLINT) AS u8",
@@ -213,7 +273,12 @@ object CdcFixture {
       outDir: String, derivations: Seq[String], table: String,
       tableId: Long, unsignedCols: Set[String],
       charCols: Map[String, Int] = Map.empty,
-      jsonCols: Set[String] = Set.empty): Unit = {
+      jsonCols: Set[String] = Set.empty,
+      enumCols: Map[String, IndexedSeq[String]] = Map.empty,
+      setCols: Map[String, IndexedSeq[String]] = Map.empty,
+      yearCols: Set[String] = Set.empty,
+      bitCols: Map[String, Int] = Map.empty,
+      timeCols: Set[String] = Set.empty): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
@@ -221,7 +286,9 @@ object CdcFixture {
       .map(r => schema.fields.indices.map(r.get).toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
     val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
-      unsignedCols = unsignedCols, charCols = charCols, jsonCols = jsonCols)
+      unsignedCols = unsignedCols, charCols = charCols, jsonCols = jsonCols,
+      enumCols = enumCols, setCols = setCols,
+      yearCols = yearCols, bitCols = bitCols, timeCols = timeCols)
     try {
       w.tableMap(BaseMs, tableId, Db, table, schema)
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>

@@ -88,11 +88,16 @@ object MysqlBinlog {
     val Double = 5
     val LongLong = 8
     val Date = 10
+    val Year = 13 // 1 byte, value - 1900 (0 = literal 0000)
+    val Bit = 16 // big-endian bitfield, metadata = (bits%8, bits/8)
     val Timestamp2 = 17
     val Datetime2 = 18
+    val Time2 = 19 // signed duration, ±838:59:59[.ffffff]
     val Varchar = 15
     val Json = 245 // binary JSON document (json_binary.h layout)
     val NewDecimal = 246
+    val Enum = 247 // 1/2-byte 1-based member index (0 = invalid/empty)
+    val SetT = 248 // 1-8 byte member bitmask, LSB = first member
     val Blob = 252
     val String254 = 254 // CHAR: fixed declared length, space-stripped
 
@@ -121,8 +126,14 @@ object MysqlBinlog {
       case Double => DoubleType
       case LongLong => LongType
       case Date => DateType
+      case Year => ShortType // the year number itself (1901-2155, or 0)
+      case Bit => LongType // bitfield as a 64-bit mask (widths <= 64)
       case Timestamp2 => TimestampType
       case Datetime2 => TimestampNTZType
+      // TIME is a SIGNED duration spanning ±838 h — outside any
+      // time-of-day type; surfaces as signed microseconds (BIGINT),
+      // the same honest widening mysql clients apply
+      case Time2 => LongType
       case Varchar => StringType
       case String254 => StringType
       case NewDecimal => DecimalType(meta >> 8, meta & 0xff)
@@ -210,6 +221,8 @@ object MysqlBinlog {
     * `binlog_row_metadata=FULL`). Only the ones we consume. */
   private val MetaSignedness = 1
   private val MetaColumnName = 4
+  private val MetaSetStrValue = 5
+  private val MetaEnumStrValue = 6
 
   // ------------------------------------------------------------ byte cursor
 
@@ -436,13 +449,25 @@ object MysqlBinlog {
     * names when the producer logged FULL row metadata. */
   final case class MysqlTableMap(tableId: Long, db: String, table: String,
       colTypes: Array[Int], colMeta: Array[Int], names: Option[Array[String]],
-      unsigned: Array[Boolean]) {
-    def sparkTypes: Seq[DataType] = colTypes.indices.map(i =>
-      ColType.toSpark(colTypes(i), colMeta(i), unsigned(i)))
+      unsigned: Array[Boolean],
+      enumLabels: Map[Int, IndexedSeq[String]] = Map.empty,
+      setLabels: Map[Int, IndexedSeq[String]] = Map.empty) {
+    /** ENUM/SET surface as their label strings when the producer logged
+      * FULL metadata (ENUM/SET_STR_VALUE TLVs carry the member lists);
+      * under MINIMAL metadata only the raw index/bitmask is on the wire,
+      * so that is what surfaces (the same posture mysql CDC clients
+      * take: you cannot invent labels the log does not carry). */
+    private def colSpark(i: Int): DataType = colTypes(i) match {
+      case ColType.Enum =>
+        if (enumLabels.contains(i)) StringType else IntegerType
+      case ColType.SetT =>
+        if (setLabels.contains(i)) StringType else LongType
+      case t => ColType.toSpark(t, colMeta(i), unsigned(i))
+    }
+    def sparkTypes: Seq[DataType] = colTypes.indices.map(colSpark)
     def sparkSchema(fallbackNames: Int => String): StructType =
       StructType(colTypes.indices.map { i =>
-        StructField(names.map(_(i)).getOrElse(fallbackNames(i)),
-          ColType.toSpark(colTypes(i), colMeta(i), unsigned(i)))
+        StructField(names.map(_(i)).getOrElse(fallbackNames(i)), colSpark(i))
       })
   }
 
@@ -465,19 +490,33 @@ object MysqlBinlog {
         case ColType.Varchar => c.u16() // declared max length in bytes
         case ColType.Float | ColType.Double => c.u8() // pack length
         case ColType.Blob | ColType.Json => c.u8() // number of length bytes
-        case ColType.Timestamp2 | ColType.Datetime2 => c.u8() // fsp
+        case ColType.Timestamp2 | ColType.Datetime2 | ColType.Time2 =>
+          c.u8() // fsp
+        case ColType.Bit =>
+          // (bits % 8, whole bytes) — fold to the total bit width
+          val rem = c.u8(); val whole = c.u8()
+          val bits = whole * 8 + rem
+          require(bits >= 1 && bits <= 64,
+            s"TABLE_MAP: BIT($bits) outside the 64-bit subset")
+          bits
         case ColType.NewDecimal => (c.u8() << 8) | c.u8() // precision, scale
         case ColType.String254 =>
           // CHAR quirk: byte0 folds the real type with the length's
-          // high bits complemented into bits 4-5; byte1 = low 8 bits
+          // high bits complemented into bits 4-5; byte1 = low 8 bits.
+          // ENUM/SET also ride in a STRING slot: byte0 = the real type
+          // (0xf7/0xf8 — bits 4-5 set, so never mistaken for a folded
+          // CHAR), byte1 = the value's pack length in bytes.
           val b0 = c.u8(); val b1 = c.u8()
           val (realType, len) =
             if ((b0 & 0x30) != 0x30)
               (b0 | 0x30, b1 | (((b0 & 0x30) ^ 0x30) << 4))
             else (b0, b1)
-          require(realType == ColType.String254,
-            s"TABLE_MAP: packed string real type $realType unsupported " +
-              "(ENUM/SET not in the subset)")
+          if (realType == ColType.Enum || realType == ColType.SetT) {
+            types(i) = realType // dispatch row decode on the real type
+            require(b1 >= 1 && b1 <= 8,
+              s"TABLE_MAP: ENUM/SET pack length $b1 out of range")
+          } else require(realType == ColType.String254,
+            s"TABLE_MAP: packed string real type $realType unsupported")
           len
         case _ => 0
       }
@@ -488,6 +527,8 @@ object MysqlBinlog {
     // optional metadata TLVs (MySQL 8.0): [type:u8][len:lenenc][value]
     var names: Option[Array[String]] = None
     val unsigned = new Array[Boolean](n)
+    val enumLabels = scala.collection.mutable.Map.empty[Int, IndexedSeq[String]]
+    val setLabels = scala.collection.mutable.Map.empty[Int, IndexedSeq[String]]
     while (c.remaining > 0) {
       val t = c.u8()
       val len = c.lenenc().toInt
@@ -510,9 +551,27 @@ object MysqlBinlog {
           }
           col += 1
         }
+      } else if (t == MetaEnumStrValue || t == MetaSetStrValue) {
+        // per ENUM (resp. SET) column in column order: member count
+        // (lenenc), then that many lenenc-length strings
+        val target = if (t == MetaEnumStrValue) ColType.Enum else ColType.SetT
+        val end = c.p + len
+        var col = 0
+        while (col < n && c.p < end) {
+          if (types(col) == target) {
+            val cnt = c.lenenc().toInt
+            val labels = (0 until cnt).map(_ => c.str(c.lenenc().toInt))
+            if (t == MetaEnumStrValue) enumLabels(col) = labels
+            else setLabels(col) = labels
+          }
+          col += 1
+        }
+        require(c.p == end,
+          s"TABLE_MAP: ENUM/SET_STR_VALUE TLV length mismatch for $db.$table")
       } else c.skip(len) // other optional fields: not consumed
     }
-    MysqlTableMap(tableId, db, table, types, meta, names, unsigned)
+    MysqlTableMap(tableId, db, table, types, meta, names, unsigned,
+      enumLabels.toMap, setLabels.toMap)
   }
 
   private def isNumeric(t: Int): Boolean = t match {
@@ -663,7 +722,11 @@ object MysqlBinlog {
           val isNull = (nulls(j / 8) & (1 << (j % 8))) != 0
           if (!isNull) {
             if (needed(i))
-              vals(i) = readValue(c, tm.colTypes(i), tm.colMeta(i), tm.unsigned(i))
+              vals(i) = tm.colTypes(i) match {
+                case ColType.Enum => readEnum(c, tm, i)
+                case ColType.SetT => readSet(c, tm, i)
+                case t => readValue(c, t, tm.colMeta(i), tm.unsigned(i))
+              }
             else skipValue(c, tm.colTypes(i), tm.colMeta(i))
           }
           j += 1
@@ -727,6 +790,27 @@ object MysqlBinlog {
         val day = v & 31; val month = (v >> 5) & 15; val year = v >> 9
         if (v == 0) null // MySQL zero-date: no epoch-day representation
         else java.time.LocalDate.of(year, month, day).toEpochDay.toInt
+      case ColType.Year =>
+        // 1 byte, year-1900; 0 is the literal year 0000
+        val v = c.u8()
+        (if (v == 0) 0 else 1900 + v).toShort
+      case ColType.Bit =>
+        // big-endian bitfield in ceil(bits/8) bytes (meta = bit width)
+        c.beU((meta + 7) / 8)
+      case ColType.Time2 =>
+        // fsp=6 layout: 6-byte BE of (packed + 2^47), where packed =
+        // ±((hour<<12|min<<6|sec) << 24 | frac-µs) — negative durations
+        // are the arithmetic negation, so |packed| splits cleanly
+        require(meta == 6, s"TIME2 fsp $meta unsupported (writer uses 6)")
+        val raw = c.beU(6) - 0x800000000000L
+        val abs = math.abs(raw)
+        val intpart = abs >> 24
+        val frac = abs & 0xffffff
+        val h = (intpart >> 12) & 0x3ff
+        val m = (intpart >> 6) & 0x3f
+        val s = intpart & 0x3f
+        val micros = (h * 3600L + m * 60L + s) * 1000000L + frac
+        if (raw < 0) -micros else micros
       case ColType.Timestamp2 =>
         // 4-byte BE unix seconds + big-endian fractional (fsp in meta)
         val sec = c.beU(4)
@@ -770,6 +854,57 @@ object MysqlBinlog {
       case other => throw new IOException(s"unsupported MySQL column type $other")
     }
 
+    /** ENUM: 1/2-byte 1-based member index. With FULL metadata the
+      * label string surfaces (index 0, mysqld's invalid-value marker,
+      * surfaces as the empty string — the same text mysql renders);
+      * under MINIMAL the raw index does. An index past the member list
+      * fails loud rather than guessing. */
+    private def readEnum(c: Cur, tm: MysqlTableMap, i: Int): Any = {
+      val idx = tm.colMeta(i) match {
+        case 1 => c.u8()
+        case 2 => c.u16()
+        case m => throw new IOException(s"bad ENUM pack length $m")
+      }
+      tm.enumLabels.get(i) match {
+        case None => idx
+        case Some(labels) =>
+          if (idx == 0) UTF8String.EMPTY_UTF8
+          else if (idx <= labels.length) UTF8String.fromString(labels(idx - 1))
+          else throw new IOException(
+            s"ENUM index $idx out of range (${labels.length} members) " +
+              s"in ${tm.db}.${tm.table} col $i")
+      }
+    }
+
+    /** SET: little-endian member bitmask (1-8 bytes, LSB = first
+      * member). With FULL metadata the comma-joined member list in
+      * declaration order surfaces (mysql's text form); under MINIMAL
+      * the raw bitmask does. Bits past the member list fail loud. */
+    private def readSet(c: Cur, tm: MysqlTableMap, i: Int): Any = {
+      val bytes = tm.colMeta(i)
+      var bits = 0L
+      var b = 0
+      while (b < bytes) { bits |= (c.u8().toLong << (8 * b)); b += 1 }
+      tm.setLabels.get(i) match {
+        case None => bits
+        case Some(labels) =>
+          if (labels.length < 64 && (bits >>> labels.length) != 0)
+            throw new IOException(
+              s"SET bitmask 0x${bits.toHexString} has bits past the " +
+                s"${labels.length}-member list in ${tm.db}.${tm.table} col $i")
+          val sb = new java.lang.StringBuilder
+          var m = 0
+          while (m < labels.length) {
+            if ((bits & (1L << m)) != 0) {
+              if (sb.length > 0) sb.append(',')
+              sb.append(labels(m))
+            }
+            m += 1
+          }
+          UTF8String.fromString(sb.toString)
+      }
+    }
+
     /** Append one base-10^9 group as exactly 9 digits (zero-padded) when
       * higher-order digits exist, minimal digits otherwise. */
     private def appendGroup(sb: java.lang.StringBuilder, v: Long,
@@ -808,10 +943,14 @@ object MysqlBinlog {
         }
         c.skip(len.toInt)
       case ColType.Date => c.skip(3)
+      case ColType.Year => c.skip(1)
+      case ColType.Bit => c.skip((meta + 7) / 8)
       case ColType.Timestamp2 => c.skip(4 + (meta + 1) / 2)
       case ColType.Datetime2 => c.skip(5 + (meta + 1) / 2)
+      case ColType.Time2 => c.skip(3 + (meta + 1) / 2)
       case ColType.NewDecimal =>
         c.skip(ColType.decimalBinSize(meta >> 8, meta & 0xff))
+      case ColType.Enum | ColType.SetT => c.skip(meta) // meta = pack length
       case other => throw new IOException(s"unsupported MySQL column type $other")
     }
   }
@@ -965,7 +1104,18 @@ object MysqlBinlog {
       compressTxns: Boolean = false,
       unsignedCols: Set[String] = Set.empty,
       charCols: Map[String, Int] = Map.empty,
-      jsonCols: Set[String] = Set.empty) extends FixtureSink {
+      jsonCols: Set[String] = Set.empty,
+      enumCols: Map[String, IndexedSeq[String]] = Map.empty,
+      setCols: Map[String, IndexedSeq[String]] = Map.empty,
+      yearCols: Set[String] = Set.empty,
+      bitCols: Map[String, Int] = Map.empty,
+      timeCols: Set[String] = Set.empty) extends FixtureSink {
+    bitCols.foreach { case (n, bits) =>
+      require(bits >= 1 && bits <= 64, s"$n: BIT($bits) outside 1..64") }
+    enumCols.foreach { case (n, ls) =>
+      require(ls.nonEmpty && ls.length <= 0xffff, s"$n: bad ENUM member count") }
+    setCols.foreach { case (n, ls) =>
+      require(ls.nonEmpty && ls.length <= 64, s"$n: SET allows at most 64 members") }
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
     private var pos: Long = MagicLen.toLong
@@ -1077,16 +1227,30 @@ object MysqlBinlog {
       b.u8(dbB.length); b.raw(dbB); b.u8(0)
       b.u8(tbB.length); b.raw(tbB); b.u8(0)
       b.lenenc(schema.length.toLong)
-      schema.fields.foreach(f => b.u8(wireType(f)))
+      // ENUM/SET ride in a STRING slot on the wire (real type in meta)
+      schema.fields.foreach(f => b.u8(wireType(f) match {
+        case ColType.Enum | ColType.SetT => ColType.String254
+        case t => t
+      }))
       val meta = new ByteBuf
       schema.fields.foreach { f =>
         wireType(f) match {
           case ColType.Varchar => meta.u16(varcharMeta(f.name))
+          case ColType.Enum =>
+            meta.u8(ColType.Enum)
+            meta.u8(if (enumCols(f.name).length < 256) 1 else 2)
+          case ColType.SetT =>
+            meta.u8(ColType.SetT)
+            meta.u8((setCols(f.name).length + 7) / 8)
           case ColType.Float => meta.u8(4)
           case ColType.Double => meta.u8(8)
           case ColType.Blob => meta.u8(2) // 2 length bytes (BLOB/TEXT)
           case ColType.Json => meta.u8(4) // mysqld: 4 length bytes
-          case ColType.Timestamp2 | ColType.Datetime2 => meta.u8(6) // fsp
+          case ColType.Timestamp2 | ColType.Datetime2 | ColType.Time2 =>
+            meta.u8(6) // fsp
+          case ColType.Bit =>
+            val bits = bitCols(f.name)
+            meta.u8(bits % 8); meta.u8(bits / 8)
           case ColType.NewDecimal =>
             val dt = f.dataType.asInstanceOf[DecimalType]
             meta.u8(dt.precision); meta.u8(dt.scale)
@@ -1126,6 +1290,25 @@ object MysqlBinlog {
           names.lenenc(nb.length.toLong); names.raw(nb)
         }
         b.u8(MetaColumnName); b.lenenc(names.size.toLong); b.raw(names.arr, names.size)
+        // ENUM/SET member lists (one lenenc-count + strings group per
+        // enum/set column, column order — what the parser replays)
+        def strValues(tlv: Int, cols: Map[String, IndexedSeq[String]],
+            wire: Int): Unit = if (cols.nonEmpty) {
+          val v = new ByteBuf
+          schema.fields.foreach { f =>
+            if (wireType(f) == wire) {
+              val labels = cols(f.name)
+              v.lenenc(labels.length.toLong)
+              labels.foreach { l =>
+                val lb = l.getBytes(StandardCharsets.UTF_8)
+                v.lenenc(lb.length.toLong); v.raw(lb)
+              }
+            }
+          }
+          b.u8(tlv); b.lenenc(v.size.toLong); b.raw(v.arr, v.size)
+        }
+        strValues(MetaSetStrValue, setCols, ColType.SetT)
+        strValues(MetaEnumStrValue, enumCols, ColType.Enum)
       }
     }
 
@@ -1211,7 +1394,27 @@ object MysqlBinlog {
       * (Short⇒u8 TINY, Int⇒u16 SHORT, Long⇒u32 INT, DECIMAL(20,0)⇒u64
       * BIGINT) — the inverse of the decoder's SIGNEDNESS widening. */
     private def wireType(f: StructField): Int =
-      if (jsonCols(f.name)) {
+      if (yearCols(f.name)) {
+        require(f.dataType == ShortType,
+          s"${f.name}: yearCols requires ShortType (the year number)")
+        ColType.Year
+      } else if (bitCols.contains(f.name)) {
+        require(f.dataType == LongType,
+          s"${f.name}: bitCols requires LongType (the bitmask)")
+        ColType.Bit
+      } else if (timeCols(f.name)) {
+        require(f.dataType == LongType,
+          s"${f.name}: timeCols requires LongType (signed microseconds)")
+        ColType.Time2
+      } else if (enumCols.contains(f.name)) {
+        require(f.dataType == StringType,
+          s"${f.name}: enumCols requires StringType (the member label)")
+        ColType.Enum
+      } else if (setCols.contains(f.name)) {
+        require(f.dataType == StringType,
+          s"${f.name}: setCols requires StringType (comma-joined members)")
+        ColType.SetT
+      } else if (jsonCols(f.name)) {
         require(f.dataType == StringType,
           s"${f.name}: jsonCols requires StringType (JSON text), got ${f.dataType}")
         ColType.Json
@@ -1262,6 +1465,59 @@ object MysqlBinlog {
           b.i64(bd.longValue()) // two's-complement low 64 bits
         case other => throw new IllegalArgumentException(
           s"${f.name}: unexpected unsigned wire type $other")
+      }
+      else if (yearCols(f.name)) {
+        val y = v.asInstanceOf[Short].toInt
+        require(y == 0 || (y >= 1901 && y <= 2155),
+          s"${f.name}: YEAR $y outside 1901-2155 (or 0)")
+        b.u8(if (y == 0) 0 else y - 1900)
+      }
+      else if (bitCols.contains(f.name)) {
+        val bits = bitCols(f.name)
+        val x = v.asInstanceOf[Long]
+        require(bits == 64 || (x >>> bits) == 0,
+          s"${f.name}: value 0x${x.toHexString} exceeds BIT($bits)")
+        b.beU(x, (bits + 7) / 8)
+      }
+      else if (timeCols(f.name)) {
+        val micros = v.asInstanceOf[Long]
+        val abs = math.abs(micros)
+        val frac = abs % 1000000L
+        var sec = abs / 1000000L
+        val h = sec / 3600; sec %= 3600
+        require(h <= 838, s"${f.name}: |$micros µs| exceeds ±838:59:59")
+        val intpart = (h << 12) | ((sec / 60) << 6) | (sec % 60)
+        val packed = (intpart << 24) | frac
+        b.beU((if (micros < 0) -packed else packed) + 0x800000000000L, 6)
+      }
+      else if (enumCols.contains(f.name)) {
+        val label = v match {
+          case u: UTF8String => u.toString
+          case s: String => s
+        }
+        val labels = enumCols(f.name)
+        val idx = if (label.isEmpty) 0 else {
+          val found = labels.indexOf(label)
+          require(found >= 0, s"${f.name}: '$label' is not an ENUM member")
+          found + 1
+        }
+        if (labels.length < 256) b.u8(idx) else b.u16(idx)
+      }
+      else if (setCols.contains(f.name)) {
+        val text = v match {
+          case u: UTF8String => u.toString
+          case s: String => s
+        }
+        val labels = setCols(f.name)
+        var bits = 0L
+        if (text.nonEmpty) text.split(',').foreach { m =>
+          val found = labels.indexOf(m)
+          require(found >= 0, s"${f.name}: '$m' is not a SET member")
+          bits |= 1L << found
+        }
+        val bytes = (labels.length + 7) / 8
+        var i = 0
+        while (i < bytes) { b.u8(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
       }
       else if (jsonCols(f.name)) {
         val text = v match {

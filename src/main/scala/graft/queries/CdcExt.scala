@@ -186,6 +186,56 @@ object CdcExt {
           get_json_object(col("jdoc"), "$.big").cast("bigint").as("big"))
     },
 
+    // ENUM/SET columns on the real wire: 1/2-byte member indexes and a
+    // member bitmask packed in a STRING slot, unfolded via the metadata
+    // real-type bytes, with member lists from the ENUM/SET_STR_VALUE
+    // TLVs driving label decode. The oracle recomputes the same labels
+    // and comma-joined memberships from orders — ENUM with 3 and 5
+    // members, a nullable ENUM, and a 4-member SET with every subset
+    // shape (incl. empty) sit on this hash.
+    QDef("cdc30_mysql_enum",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.EnumDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlEnum(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.EnumTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
+    // YEAR/BIT/TIME columns on the real wire: the offset-1900 year
+    // byte (with the literal-0000 zero), big-endian bitfields at both
+    // a sub-byte width and the full 64 bits, and TIME2's offset-binary
+    // signed duration with live sign and fractional bits. All integer
+    // arithmetic — the oracle recomputes identical values in DuckDB.
+    QDef("cdc31_mysql_year_bit_time",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.YearBitTimeDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlYearBitTime(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.YearBitTimeTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -664,6 +664,123 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage != null)
   }
 
+  test("ENUM/SET: labels under FULL metadata, raw index/bitmask under MINIMAL") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("col", StringType), // ENUM('red','green','blue')
+      StructField("fl", StringType))) // SET('x','y','z')
+    val members = IndexedSeq("red", "green", "blue")
+    val flags = IndexedSeq("x", "y", "z")
+    def write(path: String, full: Boolean): Unit = {
+      val w = new MysqlBinlog.Writer(path, fullMetadata = full,
+        enumCols = Map("col" -> members), setCols = Map("fl" -> flags))
+      w.tableMap(1000L, 3L, "db", "e", schema)
+      w.gtid(1000L, 1L, Sid)
+      w.writeRows(1000L, 3L, schema, Seq(
+        Array[Any](1L, "red", "x,z"),
+        Array[Any](2L, "blue", ""),
+        Array[Any](3L, "", "x,y,z"), // "" = mysqld's invalid-value 0 index
+        Array[Any](4L, null, null)))
+      w.close()
+    }
+    def u(s: String) = UTF8String.fromString(s)
+
+    val p1 = s"$dir/full.000001"; write(p1, full = true)
+    val r1 = decodeAll(p1, "db", "e")
+    assert(r1.map(_.values(1)) == Seq(u("red"), u("blue"), u(""), null))
+    assert(r1.map(_.values(2)) == Seq(u("x,z"), u(""), u("x,y,z"), null))
+
+    // MINIMAL: the log carries no member lists — the raw 1-based index
+    // and bitmask surface (explicit schema, matched positionally)
+    val p2 = s"$dir/min.000001"; write(p2, full = false)
+    val r2 = decodeAll(p2, "db", "e", expected = Some(StructType(Seq(
+      StructField("id", LongType), StructField("col", IntegerType),
+      StructField("fl", LongType)))))
+    assert(r2.map(_.values(1)) == Seq(1, 3, 0, null))
+    assert(r2.map(_.values(2)) == Seq(5L, 0L, 7L, null))
+
+    // writer rejects non-members up front
+    val w2 = new MysqlBinlog.Writer(s"$dir/bad.000001",
+      enumCols = Map("col" -> members), setCols = Map("fl" -> flags))
+    w2.tableMap(1000L, 3L, "db", "e", schema)
+    w2.gtid(1000L, 1L, Sid)
+    intercept[IllegalArgumentException] {
+      w2.writeRows(1000L, 3L, schema, Seq(Array[Any](9L, "mauve", "")))
+    }
+    intercept[IllegalArgumentException] {
+      w2.writeRows(1000L, 3L, schema, Seq(Array[Any](9L, "red", "x,q")))
+    }
+    w2.close()
+  }
+
+  test("ENUM/SET wide member lists: u16 indexes and multi-byte bitmasks") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("e", StringType), StructField("s", StringType)))
+    val members = (0 until 300).map(i => s"m$i") // 2-byte indexes
+    val flags = (0 until 11).map(i => s"f$i") // 2-byte bitmask
+    val path = s"$dir/wide.000001"
+    val w = new MysqlBinlog.Writer(path,
+      enumCols = Map("e" -> members), setCols = Map("s" -> flags))
+    w.tableMap(1000L, 3L, "db", "w", schema)
+    w.gtid(1000L, 1L, Sid)
+    w.writeRows(1000L, 3L, schema, Seq(
+      Array[Any](1L, "m299", "f0,f10"),
+      Array[Any](2L, "m0", "f9")))
+    w.close()
+    def u(s: String) = UTF8String.fromString(s)
+    val rows = decodeAll(path, "db", "w")
+    assert(rows.map(_.values(1)) == Seq(u("m299"), u("m0")))
+    assert(rows.map(_.values(2)) == Seq(u("f0,f10"), u("f9")))
+  }
+
+  test("YEAR/BIT/TIME2: boundary values round-trip exactly") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("yr", ShortType), // YEAR
+      StructField("b3", LongType), // BIT(3)
+      StructField("b64", LongType), // BIT(64)
+      StructField("t", LongType))) // TIME(6), signed micros
+    val path = s"$dir/ybt.000001"
+    val w = new MysqlBinlog.Writer(path, yearCols = Set("yr"),
+      bitCols = Map("b3" -> 3, "b64" -> 64), timeCols = Set("t"))
+    w.tableMap(1000L, 3L, "db", "y", schema)
+    w.gtid(1000L, 1L, Sid)
+    val maxT = (838L * 3600 + 59 * 60 + 59) * 1000000L + 999999L
+    w.writeRows(1000L, 3L, schema, Seq(
+      Array[Any](1L, 1901.toShort, 5L, -1L, maxT), // all-ones 64-bit mask
+      Array[Any](2L, 2155.toShort, 0L, Long.MinValue, -maxT),
+      Array[Any](3L, 0.toShort, 7L, 0L, 0L), // YEAR 0000
+      Array[Any](4L, 2026.toShort, 1L, 1L, -1L))) // -1 µs: sign on frac only
+    w.close()
+    val rows = decodeAll(path, "db", "y")
+    assert(rows.map(_.values(1)) ==
+      Seq(1901.toShort, 2155.toShort, 0.toShort, 2026.toShort))
+    assert(rows.map(_.values(2)) == Seq(5L, 0L, 7L, 1L))
+    assert(rows.map(_.values(3)) == Seq(-1L, Long.MinValue, 0L, 1L))
+    assert(rows.map(_.values(4)) == Seq(maxT, -maxT, 0L, -1L))
+
+    // out-of-range inputs fail loud at write time
+    val w2 = new MysqlBinlog.Writer(s"$dir/bad.000001",
+      yearCols = Set("yr"), bitCols = Map("b3" -> 3, "b64" -> 64),
+      timeCols = Set("t"))
+    w2.tableMap(1000L, 3L, "db", "y", schema)
+    w2.gtid(1000L, 1L, Sid)
+    intercept[IllegalArgumentException] { // 1900 is not a YEAR value
+      w2.writeRows(1000L, 3L, schema, Seq(Array[Any](9L, 1900.toShort, 0L, 0L, 0L)))
+    }
+    intercept[IllegalArgumentException] { // 8 needs 4 bits
+      w2.writeRows(1000L, 3L, schema, Seq(Array[Any](9L, 2000.toShort, 8L, 0L, 0L)))
+    }
+    intercept[IllegalArgumentException] { // past ±838:59:59.999999
+      w2.writeRows(1000L, 3L, schema, Seq(Array[Any](9L, 2000.toShort, 0L, 0L, maxT + 1)))
+    }
+    w2.close()
+  }
+
   test("PREVIOUS_GTIDS: interval subtraction and per-file bounds derivation") {
     import MysqlBinlog.subtractIntervals
     assert(subtractIntervals(Seq((1L, 21L)), Seq((1L, 11L))) == Seq((11L, 21L)))
