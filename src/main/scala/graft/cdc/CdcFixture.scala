@@ -111,24 +111,49 @@ object CdcFixture {
     * the partial/full group boundaries, a negative column, and a
     * nullable one. Inserts only, batches of 100, gno = batch index. */
   def ensureMysqlDecimal(spark: SparkSession, sfDir: String): String =
-    ensureLog(cacheMyDec, "graft-cdcmydec", sfDir)(
+    // v2: integer-derived values (no double→decimal rounding in the loop)
+    ensureLog(cacheMyDec, "graft-cdcmydec2", sfDir)(
       generateMysqlDecimal(spark, sfDir, _))
 
   val DecimalTable = "decorders"
   val DecimalTableId = 9L
 
   /** The decimal column derivations, shared verbatim with the cdc24
-    * oracle SQL (Spark and DuckDB both evaluate these casts; the 2-dp
-    * double → decimal casts are exact in both engines at these scales —
-    * see the determinism notes in queries/Relational.scala). */
+    * oracle SQL (Spark and DuckDB both evaluate them). Every value is
+    * built from INTEGER arithmetic and an exact string→decimal cast, so
+    * no engine's double→decimal rounding participates; the five
+    * (precision, scale) shapes still cross the base-10^9 packed-group
+    * boundaries of the NEWDECIMAL wire layout. */
   val DecimalDerivations: Seq[String] = Seq(
     "o_orderkey",
     "CAST(o_custkey AS DECIMAL(9,0)) AS cust",
-    "CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price",
-    "CAST(-o_totalprice AS DECIMAL(18,6)) AS neg",
-    "CAST(o_totalprice AS DECIMAL(20,9)) AS fine",
-    "CAST(o_orderkey * 1000003 AS DECIMAL(28,6)) AS wide",
+    "CASE WHEN o_orderkey % 7 = 3 THEN NULL ELSE " +
+      "CAST(CAST(o_orderkey * 97 + 11 AS STRING) || '.' || " +
+      "lpad(CAST(o_orderkey % 100 AS STRING), 2, '0') AS DECIMAL(12,2)) END AS price",
+    "CAST('-' || CAST(o_orderkey + 5 AS STRING) || '.' || " +
+      "lpad(CAST(o_orderkey * 7 % 1000000 AS STRING), 6, '0') AS DECIMAL(18,6)) AS neg",
+    "CAST(CAST(o_orderkey AS STRING) || '.' || " +
+      "lpad(CAST(o_orderkey * 31 % 1000000000 AS STRING), 9, '0') AS DECIMAL(20,9)) AS fine",
+    "CAST(CAST(o_orderkey * 1000003 AS STRING) || '.' || " +
+      "lpad(CAST(o_orderkey * 13 % 1000000 AS STRING), 6, '0') AS DECIMAL(28,6)) AS wide",
     "o_orderpriority AS prio")
+
+  /** Output projection shared by the cdc24 Spark query and oracle: every
+    * decimal column leaves the comparison as its canonical full-scale
+    * string (Spark `Decimal.toString` ≡ DuckDB decimal→VARCHAR for
+    * values with a nonzero integer part), because the driver's hash
+    * canonicalization of DECIMAL at precision > 18 is
+    * representation-sensitive across engines even when values agree.
+    * The wire decode itself still round-trips typed decimals — the cast
+    * sits on top of the decoded column. */
+  val DecimalOutputCols: Seq[String] = Seq(
+    "o_orderkey",
+    "CAST(cust AS STRING) AS cust",
+    "CAST(price AS STRING) AS price",
+    "CAST(neg AS STRING) AS neg",
+    "CAST(fine AS STRING) AS fine",
+    "CAST(wide AS STRING) AS wide",
+    "prio")
 
   private def generateMysqlDecimal(spark: SparkSession, sfDir: String,
       outDir: String): Unit =
@@ -266,6 +291,12 @@ object CdcFixture {
     "CASE WHEN o_orderkey % 5 = 2 THEN NULL ELSE CAST(o_orderkey % 65536 AS INT) END AS u16",
     "CAST(4294967295 - o_orderkey AS BIGINT) AS u32",
     "CAST(CAST('18446744073709551615' AS DECIMAL(20,0)) - o_orderkey AS DECIMAL(20,0)) AS u64")
+
+  /** cdc26's output projection: u64 (the one DECIMAL(20,0) column)
+    * leaves as its canonical digit string — same representation-
+    * robustness rationale as [[DecimalOutputCols]]. */
+  val UnsignedOutputCols: Seq[String] = Seq(
+    "o_orderkey", "u8", "u16", "u32", "CAST(u64 AS STRING) AS u64")
 
   /** One derived-from-orders table, inserts only, batches of 100,
     * gno = batch index — the storyline shared by cdc24/cdc26. */

@@ -54,18 +54,26 @@ object CdcExt {
     // NEWDECIMAL on the real wire: a decimal-typed table (five
     // precision/scale shapes across the base-10^9 group boundaries, a
     // negative column, a nullable one) decoded from packed bytes and
-    // hash-compared against DuckDB recomputing the same casts. Inserts
-    // in batches of 100, gno = batch index.
+    // hash-compared against DuckDB recomputing the same derivations.
+    // Values are integer-derived (exact string→decimal casts — no
+    // double rounding in either engine), and every decimal column is
+    // compared as its canonical full-scale string because hash
+    // canonicalization of >18-precision DECIMAL is representation-
+    // sensitive across engines even when values agree. Inserts in
+    // batches of 100, gno = batch index.
     QDef("cdc24_mysql_decimal",
       s"""WITH ord AS (
          |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |), t AS (
+         |  SELECT ${CdcFixture.DecimalDerivations.mkString(",\n  ")},
+         |  idx FROM ord
          |)
-         |SELECT ${CdcFixture.DecimalDerivations.mkString(",\n  ")},
+         |SELECT ${CdcFixture.DecimalOutputCols.mkString(",\n  ")},
          |  1 AS __op,
          |  CAST(idx // 100 AS BIGINT) AS __gtid,
          |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
          |  '${CdcFixture.SourceId}' AS __source_id
-         |FROM ord""".stripMargin) { (s, dir) =>
+         |FROM t""".stripMargin) { (s, dir) =>
       val index = CdcFixture.ensureMysqlDecimal(s, dir)
       s.read.format("binlogcdc")
         .option("indexFile", index)
@@ -73,22 +81,29 @@ object CdcExt {
         .option("table", CdcFixture.DecimalTable)
         .option("binlogFormat", "mysql")
         .load()
+        .selectExpr(CdcFixture.DecimalOutputCols ++
+          Seq("__op", "__gtid", "__tm", "__source_id"): _*)
     },
 
     // UNSIGNED integers on the real wire: the SIGNEDNESS TLV drives
     // type widening (u8→SMALLINT, u16→INT, u32→BIGINT, u64→DECIMAL),
     // with u32/u64 values near their maxima so the narrow encoding's
-    // sign bit is live, and a nullable unsigned column
+    // sign bit is live, and a nullable unsigned column. u64 — the one
+    // DECIMAL(20,0) — is compared as its canonical digit string (same
+    // representation-robustness rationale as cdc24).
     QDef("cdc26_mysql_unsigned",
       s"""WITH ord AS (
          |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |), t AS (
+         |  SELECT ${CdcFixture.UnsignedDerivations.mkString(",\n  ")},
+         |  idx FROM ord
          |)
-         |SELECT ${CdcFixture.UnsignedDerivations.mkString(",\n  ")},
+         |SELECT ${CdcFixture.UnsignedOutputCols.mkString(",\n  ")},
          |  1 AS __op,
          |  CAST(idx // 100 AS BIGINT) AS __gtid,
          |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
          |  '${CdcFixture.SourceId}' AS __source_id
-         |FROM ord""".stripMargin) { (s, dir) =>
+         |FROM t""".stripMargin) { (s, dir) =>
       val index = CdcFixture.ensureMysqlUnsigned(s, dir)
       s.read.format("binlogcdc")
         .option("indexFile", index)
@@ -96,6 +111,8 @@ object CdcExt {
         .option("table", CdcFixture.UnsignedTable)
         .option("binlogFormat", "mysql")
         .load()
+        .selectExpr(CdcFixture.UnsignedOutputCols ++
+          Seq("__op", "__gtid", "__tm", "__source_id"): _*)
     },
 
     // CHAR columns on the real wire: MYSQL_TYPE_STRING's TABLE_MAP
