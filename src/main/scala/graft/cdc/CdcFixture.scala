@@ -56,6 +56,7 @@ object CdcFixture {
   private val cacheMyJ = mutable.Map.empty[String, String]
   private val cacheMyE = mutable.Map.empty[String, String]
   private val cacheMyY = mutable.Map.empty[String, String]
+  private val cacheMyL = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -285,6 +286,52 @@ object CdcFixture {
       "((o_orderkey % 839) * 3600000000 + (o_orderkey % 60) * 60000000 + " +
       "(o_orderkey % 53) * 1000000 + o_orderkey % 1000000) AS BIGINT) AS t_us")
 
+  /** MEDIUMINT + legacy temporal columns on the real wire: INT24's
+    * 3-byte two's complement (signed near ±max, unsigned near 2^24-1
+    * via the SIGNEDNESS TLV, and a nullable one), plus the pre-5.6.4
+    * temporal encodings a modern reader must still accept: TIME
+    * (3-byte LE ±HHMMSS), DATETIME (8-byte LE decimal YYYYMMDDHHMMSS,
+    * nullable), TIMESTAMP (4-byte LE unix seconds). The reference
+    * decodes all of these through Field::unpack
+    * (binlog_table_reader.cc:151-157). */
+  def ensureMysqlLegacy(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyL, "graft-cdcmyl", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, LegacyDerivations,
+        LegacyTable, LegacyTableId, Set("um24"),
+        int24Cols = Set("m24", "m24_n", "um24"),
+        legacyTimeCols = Set("t_old"),
+        legacyDatetimeCols = Set("dt_old"),
+        legacyTimestampCols = Set("ts_old")))
+
+  val LegacyTable = "morders"
+  val LegacyTableId = 21L
+
+  /** The integer-valued derivations, shared VERBATIM with cdc32's
+    * oracle SQL (pure integer arithmetic — identical in both engines). */
+  val LegacyIntDerivations: Seq[String] = Seq(
+    "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * " +
+      "(8388607 - o_orderkey % 8388608) AS INT) AS m24",
+    "CASE WHEN o_orderkey % 6 = 1 THEN NULL ELSE " +
+      "CAST(o_orderkey % 100 - 50 AS INT) END AS m24_n",
+    "CAST(16777215 - o_orderkey % 16777216 AS INT) AS um24",
+    "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * " +
+      "((o_orderkey % 839) * 3600 + (o_orderkey % 60) * 60 + " +
+      "o_orderkey % 53) * 1000000 AS BIGINT) AS t_old")
+
+  /** Fixture-side (Spark dialect) derivations: the integer columns plus
+    * whole-second timestamp constructors. cdc32's oracle rebuilds the
+    * same VALUES with DuckDB's constructors (`make_timestamp`,
+    * `TIMESTAMP + to_seconds`) — the one query family whose fixture and
+    * oracle expressions differ textually, because neither engine parses
+    * the other's NTZ constructor. */
+  val LegacyDerivations: Seq[String] =
+    "o_orderkey" +: LegacyIntDerivations :+
+    ("CASE WHEN o_orderkey % 11 = 7 THEN NULL ELSE " +
+      "make_timestamp_ntz(1997, 1 + o_orderkey % 12, 1 + o_orderkey % 28, " +
+      "CAST(o_orderkey % 24 AS INT), CAST(o_orderkey % 60 AS INT), " +
+      "o_orderkey % 60) END AS dt_old") :+
+    "timestamp_seconds(1700000000 + o_orderkey % 100000) AS ts_old"
+
   val UnsignedDerivations: Seq[String] = Seq(
     "o_orderkey",
     "CAST(o_orderkey % 256 AS SMALLINT) AS u8",
@@ -309,17 +356,33 @@ object CdcFixture {
       setCols: Map[String, IndexedSeq[String]] = Map.empty,
       yearCols: Set[String] = Set.empty,
       bitCols: Map[String, Int] = Map.empty,
-      timeCols: Set[String] = Set.empty): Unit = {
+      timeCols: Set[String] = Set.empty,
+      int24Cols: Set[String] = Set.empty,
+      legacyTimeCols: Set[String] = Set.empty,
+      legacyDatetimeCols: Set[String] = Set.empty,
+      legacyTimestampCols: Set[String] = Set.empty): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
     val rows: Array[Array[Any]] = df.collect()
-      .map(r => schema.fields.indices.map(r.get).toArray[Any])
+      .map(r => schema.fields.indices.map { i =>
+        if (r.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case TimestampType =>
+            DateTimeUtils.fromJavaTimestamp(r.getAs[java.sql.Timestamp](i))
+          case TimestampNTZType =>
+            DateTimeUtils.localDateTimeToMicros(r.getAs[java.time.LocalDateTime](i))
+          case _ => r.get(i)
+        }
+      }.toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
     val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
       unsignedCols = unsignedCols, charCols = charCols, jsonCols = jsonCols,
       enumCols = enumCols, setCols = setCols,
-      yearCols = yearCols, bitCols = bitCols, timeCols = timeCols)
+      yearCols = yearCols, bitCols = bitCols, timeCols = timeCols,
+      int24Cols = int24Cols, legacyTimeCols = legacyTimeCols,
+      legacyDatetimeCols = legacyDatetimeCols,
+      legacyTimestampCols = legacyTimestampCols)
     try {
       w.tableMap(BaseMs, tableId, Db, table, schema)
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>

@@ -92,7 +92,9 @@ object JsonBinary {
   }
 
   private def checkBounds(a: Array[Byte], p: Int, n: Int): Unit =
-    if (p < 0 || p + n > a.length)
+    // long arithmetic: a corrupt varlen length near Int.MaxValue would
+    // overflow p + n negative and slip past an int comparison
+    if (p < 0 || n < 0 || p.toLong + n > a.length)
       throw new IOException(
         s"json binary: read of $n bytes at $p past end (${a.length})")
 
@@ -277,8 +279,14 @@ object JsonBinary {
         else if (v >= Int.MinValue && v <= Int.MaxValue) (Int32, le(v, 4))
         else (Int64, le(v, 8))
       }
-    } else if (node.isNumber)
-      (DoubleT, le(java.lang.Double.doubleToLongBits(node.doubleValue()), 8))
+    } else if (node.isNumber) {
+      val d = node.doubleValue()
+      // e.g. 1e400 → Infinity, which decode would emit as bare
+      // 'Infinity' — invalid JSON; reject instead of corrupting
+      require(!d.isNaN && !d.isInfinite,
+        s"JSON number ${node.asText} outside the double range")
+      (DoubleT, le(java.lang.Double.doubleToLongBits(d), 8))
+    }
     else if (node.isTextual) {
       val bytes = node.textValue().getBytes(StandardCharsets.UTF_8)
       val lenB = varlenBytes(bytes.length)

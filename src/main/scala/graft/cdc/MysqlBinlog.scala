@@ -86,8 +86,12 @@ object MysqlBinlog {
     val Long = 3
     val Float = 4
     val Double = 5
+    val Timestamp = 7 // legacy (pre-5.6.4): 4-byte LE unix seconds
     val LongLong = 8
+    val Int24 = 9 // MEDIUMINT: 3-byte LE two's complement
     val Date = 10
+    val Time = 11 // legacy TIME: 3-byte LE signed ±(H*10000 + M*100 + S)
+    val DateTime = 12 // legacy DATETIME: 8-byte LE decimal YYYYMMDDHHMMSS
     val Year = 13 // 1 byte, value - 1900 (0 = literal 0000)
     val Bit = 16 // big-endian bitfield, metadata = (bits%8, bits/8)
     val Timestamp2 = 17
@@ -125,7 +129,14 @@ object MysqlBinlog {
       case Float => FloatType
       case Double => DoubleType
       case LongLong => LongType
+      // MEDIUMINT: both signednesses fit IntegerType (±2^23 / 0..2^24-1)
+      case Int24 => IntegerType
       case Date => DateType
+      // legacy temporals (pre-5.6.4 servers, still legal on the wire):
+      // same Spark surfaces as their v2 successors
+      case Timestamp => TimestampType
+      case DateTime => TimestampNTZType
+      case Time => LongType // signed microseconds, like Time2
       case Year => ShortType // the year number itself (1901-2155, or 0)
       case Bit => LongType // bitfield as a 64-bit mask (widths <= 64)
       case Timestamp2 => TimestampType
@@ -140,8 +151,9 @@ object MysqlBinlog {
       case Blob => BinaryType
       case Json => StringType // decoded to canonical JSON text (JsonBinary)
       case other => throw new IllegalArgumentException(
-        s"unsupported MySQL column type $other (subset: tiny/short/int/bigint/" +
-          "float/double/decimal/char/varchar/blob/json/date/timestamp2/datetime2)")
+        s"unsupported MySQL column type $other (subset: tiny/short/mediumint/" +
+          "int/bigint/float/double/decimal/char/varchar/blob/json/date/year/" +
+          "bit/enum/set/time/datetime/timestamp, legacy and v2 temporals)")
     }
 
     def fromSpark(dt: DataType): Int = dt match {
@@ -223,6 +235,10 @@ object MysqlBinlog {
   private val MetaColumnName = 4
   private val MetaSetStrValue = 5
   private val MetaEnumStrValue = 6
+
+  private def pow10(e: Int): Long = {
+    var v = 1L; var i = 0; while (i < e) { v *= 10; i += 1 }; v
+  }
 
   // ------------------------------------------------------------ byte cursor
 
@@ -575,8 +591,9 @@ object MysqlBinlog {
   }
 
   private def isNumeric(t: Int): Boolean = t match {
-    case ColType.Tiny | ColType.Short | ColType.Long | ColType.LongLong |
-        ColType.Float | ColType.Double | ColType.NewDecimal => true
+    case ColType.Tiny | ColType.Short | ColType.Int24 | ColType.Long |
+        ColType.LongLong | ColType.Float | ColType.Double |
+        ColType.NewDecimal => true
     case _ => false
   }
 
@@ -746,6 +763,7 @@ object MysqlBinlog {
       else tpe match {
         case ColType.Tiny => c.u8().toShort
         case ColType.Short => c.u16()
+        case ColType.Int24 => c.u24() // 0..2^24-1 fits the signed Int surface
         case ColType.Long => c.u32()
         case ColType.LongLong =>
           val v = c.i64()
@@ -759,6 +777,9 @@ object MysqlBinlog {
     private def readValue(c: Cur, tpe: Int, meta: Int): Any = tpe match {
       case ColType.Tiny => c.u8().toByte
       case ColType.Short => c.u16().toShort
+      case ColType.Int24 =>
+        val v = c.u24()
+        if ((v & 0x800000) != 0) v | 0xff000000 else v // sign-extend 24→32
       case ColType.Long => c.i32()
       case ColType.LongLong => c.i64()
       case ColType.Float => java.lang.Float.intBitsToFloat(c.i32())
@@ -783,7 +804,10 @@ object MysqlBinlog {
           case 4 => c.u32()
           case m => throw new IOException(s"bad JSON length-byte count $m")
         }
-        UTF8String.fromString(JsonBinary.decode(c.bytes(len.toInt)))
+        // real mysqld emits a zero-length value for null JSON documents
+        // in some binlog paths (CDC clients special-case empty → null)
+        if (len == 0L) null
+        else UTF8String.fromString(JsonBinary.decode(c.bytes(len.toInt)))
       case ColType.Date =>
         // 3-byte LE packed: day + month*32 + year*512 -> Spark epoch days
         val v = c.u24()
@@ -794,15 +818,57 @@ object MysqlBinlog {
         // 1 byte, year-1900; 0 is the literal year 0000
         val v = c.u8()
         (if (v == 0) 0 else 1900 + v).toShort
+      case ColType.Timestamp =>
+        // legacy TIMESTAMP: 4-byte LE unix seconds (no fractional part)
+        c.u32() * 1000000L
+      case ColType.Time =>
+        // legacy TIME: 3-byte LE signed ±(H*10000 + M*100 + S) — same
+        // signed-microseconds surface as TIME2
+        val v0 = c.u24()
+        val v = if ((v0 & 0x800000) != 0) v0 | 0xff000000 else v0
+        val a = math.abs(v)
+        val micros = ((a / 10000) * 3600L + (a / 100 % 100) * 60L +
+          a % 100) * 1000000L
+        if (v < 0) -micros else micros
+      case ColType.DateTime =>
+        // legacy DATETIME: 8-byte LE decimal YYYYMMDDHHMMSS
+        val v = c.i64()
+        if (v == 0L) null // MySQL zero-datetime: no NTZ representation
+        else {
+          val d = (v / 1000000L).toInt; val t = (v % 1000000L).toInt
+          DateTimeUtils.localDateTimeToMicros(LocalDateTime.of(
+            d / 10000, d / 100 % 100, d % 100,
+            t / 10000, t / 100 % 100, t % 100))
+        }
       case ColType.Bit =>
         // big-endian bitfield in ceil(bits/8) bytes (meta = bit width)
         c.beU((meta + 7) / 8)
       case ColType.Time2 =>
-        // fsp=6 layout: 6-byte BE of (packed + 2^47), where packed =
-        // ±((hour<<12|min<<6|sec) << 24 | frac-µs) — negative durations
-        // are the arithmetic negation, so |packed| splits cleanly
-        require(meta == 6, s"TIME2 fsp $meta unsupported (writer uses 6)")
-        val raw = c.beU(6) - 0x800000000000L
+        // packed = ±((hour<<12|min<<6|sec) << 24 | frac-µs); negative
+        // durations are the arithmetic negation, so |packed| splits
+        // cleanly. Storage by fsp (my_time.cc my_time_packed_to_binary):
+        // fsp 0-4 store a 3-byte BE intpart (packed >> 24, offset 2^23)
+        // plus 0/1/2 SIGNED BE bytes of packed%2^24 scaled down to
+        // centi-/hundred-µs units; fsp 5-6 store all of packed+2^47 in
+        // 6 BE bytes. mysqld defaults TIME to fsp=0 (meta 0).
+        // fsp 1-4 negatives: intpart is the FLOOR shift but the frac
+        // byte/short is the TRUNCATED mod of packed — inconsistent
+        // decompositions, reconciled exactly like mysqld: when
+        // intpart < 0 and frac != 0, bump intpart by one and read the
+        // frac as its negative complement
+        def fracAdjusted(ip: Long, u: Int, mod: Int, scale: Long): Long =
+          if (ip < 0 && u != 0) ((ip + 1) << 24) + (u - mod).toLong * scale
+          else (ip << 24) + u.toLong * scale
+        val raw = meta match {
+          case 0 => (c.beU(3) - 0x800000L) << 24
+          case 1 | 2 =>
+            fracAdjusted(c.beU(3) - 0x800000L, c.u8(), 0x100, 10000L)
+          case 3 | 4 =>
+            val ip = c.beU(3) - 0x800000L
+            fracAdjusted(ip, (c.u8() << 8) | c.u8(), 0x10000, 100L)
+          case 5 | 6 => c.beU(6) - 0x800000000000L
+          case m => throw new IOException(s"TIME2 fsp $m out of range")
+        }
         val abs = math.abs(raw)
         val intpart = abs >> 24
         val frac = abs & 0xffffff
@@ -924,13 +990,12 @@ object MysqlBinlog {
         raw * pow10(6 - fsp)
       }
     }
-    private def pow10(e: Int): Long = { var v = 1L; var i = 0; while (i < e) { v *= 10; i += 1 }; v }
-
     private def skipValue(c: Cur, tpe: Int, meta: Int): Unit = tpe match {
       case ColType.Tiny => c.skip(1)
       case ColType.Short => c.skip(2)
-      case ColType.Long | ColType.Float => c.skip(4)
-      case ColType.LongLong | ColType.Double => c.skip(8)
+      case ColType.Int24 | ColType.Time => c.skip(3)
+      case ColType.Long | ColType.Float | ColType.Timestamp => c.skip(4)
+      case ColType.LongLong | ColType.Double | ColType.DateTime => c.skip(8)
       case ColType.Varchar | ColType.String254 =>
         val len = if (meta < 256) c.u8() else c.u16(); c.skip(len)
       case ColType.Blob | ColType.Json =>
@@ -1109,7 +1174,14 @@ object MysqlBinlog {
       setCols: Map[String, IndexedSeq[String]] = Map.empty,
       yearCols: Set[String] = Set.empty,
       bitCols: Map[String, Int] = Map.empty,
-      timeCols: Set[String] = Set.empty) extends FixtureSink {
+      timeCols: Set[String] = Set.empty,
+      timeFsp: Map[String, Int] = Map.empty,
+      int24Cols: Set[String] = Set.empty,
+      legacyTimeCols: Set[String] = Set.empty,
+      legacyDatetimeCols: Set[String] = Set.empty,
+      legacyTimestampCols: Set[String] = Set.empty) extends FixtureSink {
+    timeFsp.foreach { case (n, fsp) =>
+      require(fsp >= 0 && fsp <= 6, s"$n: TIME2 fsp $fsp outside 0..6") }
     bitCols.foreach { case (n, bits) =>
       require(bits >= 1 && bits <= 64, s"$n: BIT($bits) outside 1..64") }
     enumCols.foreach { case (n, ls) =>
@@ -1246,7 +1318,8 @@ object MysqlBinlog {
           case ColType.Double => meta.u8(8)
           case ColType.Blob => meta.u8(2) // 2 length bytes (BLOB/TEXT)
           case ColType.Json => meta.u8(4) // mysqld: 4 length bytes
-          case ColType.Timestamp2 | ColType.Datetime2 | ColType.Time2 =>
+          case ColType.Time2 => meta.u8(timeFsp.getOrElse(f.name, 6)) // fsp
+          case ColType.Timestamp2 | ColType.Datetime2 =>
             meta.u8(6) // fsp
           case ColType.Bit =>
             val bits = bitCols(f.name)
@@ -1402,10 +1475,26 @@ object MysqlBinlog {
         require(f.dataType == LongType,
           s"${f.name}: bitCols requires LongType (the bitmask)")
         ColType.Bit
-      } else if (timeCols(f.name)) {
+      } else if (timeCols(f.name) || timeFsp.contains(f.name)) {
         require(f.dataType == LongType,
           s"${f.name}: timeCols requires LongType (signed microseconds)")
         ColType.Time2
+      } else if (int24Cols(f.name)) {
+        require(f.dataType == IntegerType,
+          s"${f.name}: int24Cols requires IntegerType")
+        ColType.Int24
+      } else if (legacyTimeCols(f.name)) {
+        require(f.dataType == LongType,
+          s"${f.name}: legacyTimeCols requires LongType (signed microseconds)")
+        ColType.Time
+      } else if (legacyDatetimeCols(f.name)) {
+        require(f.dataType == TimestampNTZType,
+          s"${f.name}: legacyDatetimeCols requires TimestampNTZType")
+        ColType.DateTime
+      } else if (legacyTimestampCols(f.name)) {
+        require(f.dataType == TimestampType,
+          s"${f.name}: legacyTimestampCols requires TimestampType")
+        ColType.Timestamp
       } else if (enumCols.contains(f.name)) {
         require(f.dataType == StringType,
           s"${f.name}: enumCols requires StringType (the member label)")
@@ -1435,8 +1524,9 @@ object MysqlBinlog {
       }
 
     private def isNumericWire(t: Int): Boolean = t match {
-      case ColType.Tiny | ColType.Short | ColType.Long | ColType.LongLong |
-          ColType.Float | ColType.Double | ColType.NewDecimal => true
+      case ColType.Tiny | ColType.Short | ColType.Int24 | ColType.Long |
+          ColType.LongLong | ColType.Float | ColType.Double |
+          ColType.NewDecimal => true
       case _ => false
     }
 
@@ -1450,6 +1540,10 @@ object MysqlBinlog {
           val x = v.asInstanceOf[Int]
           require(x >= 0 && x <= 0xffff, s"${f.name}: $x out of u16 range")
           b.u16(x)
+        case ColType.Int24 =>
+          val x = v.asInstanceOf[Int]
+          require(x >= 0 && x <= 0xffffff, s"${f.name}: $x out of u24 range")
+          b.u24(x)
         case ColType.Long =>
           val x = v.asInstanceOf[Long]
           require(x >= 0 && x <= 0xffffffffL, s"${f.name}: $x out of u32 range")
@@ -1479,16 +1573,68 @@ object MysqlBinlog {
           s"${f.name}: value 0x${x.toHexString} exceeds BIT($bits)")
         b.beU(x, (bits + 7) / 8)
       }
-      else if (timeCols(f.name)) {
+      else if (timeCols(f.name) || timeFsp.contains(f.name)) {
+        val fsp = timeFsp.getOrElse(f.name, 6)
         val micros = v.asInstanceOf[Long]
+        require(micros % pow10(6 - fsp) == 0L,
+          s"${f.name}: $micros µs not representable at TIME($fsp)")
         val abs = math.abs(micros)
         val frac = abs % 1000000L
         var sec = abs / 1000000L
         val h = sec / 3600; sec %= 3600
         require(h <= 838, s"${f.name}: |$micros µs| exceeds ±838:59:59")
         val intpart = (h << 12) | ((sec / 60) << 6) | (sec % 60)
-        val packed = (intpart << 24) | frac
-        b.beU((if (micros < 0) -packed else packed) + 0x800000000000L, 6)
+        val packed0 = (intpart << 24) | frac
+        val packed = if (micros < 0) -packed0 else packed0
+        // my_time_packed_to_binary: fsp 0-4 store the FLOOR-shift
+        // intpart and the TRUNCATED-mod frac (negative byte/short for
+        // negative durations); fsp 5-6 store the whole packed number
+        fsp match {
+          case 0 => b.beU((packed >> 24) + 0x800000L, 3)
+          case 1 | 2 =>
+            b.beU((packed >> 24) + 0x800000L, 3)
+            b.u8(((packed % (1L << 24)) / 10000L).toInt & 0xff)
+          case 3 | 4 =>
+            b.beU((packed >> 24) + 0x800000L, 3)
+            val fr = ((packed % (1L << 24)) / 100L).toInt
+            b.u8((fr >> 8) & 0xff); b.u8(fr & 0xff)
+          case _ => b.beU(packed + 0x800000000000L, 6)
+        }
+      }
+      else if (int24Cols(f.name)) {
+        val x = v.asInstanceOf[Int]
+        require(x >= -0x800000 && x <= 0x7fffff,
+          s"${f.name}: $x out of MEDIUMINT range")
+        b.u24(x & 0xffffff)
+      }
+      else if (legacyTimeCols(f.name)) {
+        val micros = v.asInstanceOf[Long]
+        require(micros % 1000000L == 0L,
+          s"${f.name}: legacy TIME holds whole seconds, got $micros µs")
+        val abs = math.abs(micros) / 1000000L
+        val h = abs / 3600
+        require(h <= 838, s"${f.name}: |$micros µs| exceeds ±838:59:59")
+        val packed0 = (h * 10000L + (abs / 60 % 60) * 100L + abs % 60).toInt
+        val packed = if (micros < 0) -packed0 else packed0
+        b.u24(packed & 0xffffff)
+      }
+      else if (legacyDatetimeCols(f.name)) {
+        val ldt = DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long])
+        require(ldt.getNano == 0,
+          s"${f.name}: legacy DATETIME holds whole seconds, got $ldt")
+        val num = (ldt.getYear * 10000L + ldt.getMonthValue * 100L +
+          ldt.getDayOfMonth) * 1000000L +
+          ldt.getHour * 10000L + ldt.getMinute * 100L + ldt.getSecond
+        b.i64(num)
+      }
+      else if (legacyTimestampCols(f.name)) {
+        val micros = v.asInstanceOf[Long]
+        require(micros % 1000000L == 0L,
+          s"${f.name}: legacy TIMESTAMP holds whole seconds, got $micros µs")
+        val sec = micros / 1000000L
+        require(sec >= 0 && sec <= 0xffffffffL,
+          s"${f.name}: $sec s outside the u32 unix-seconds range")
+        b.u32(sec)
       }
       else if (enumCols.contains(f.name)) {
         val label = v match {

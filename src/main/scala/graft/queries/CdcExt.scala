@@ -253,6 +253,38 @@ object CdcExt {
         .load()
     },
 
+    // MEDIUMINT + the legacy temporal encodings on the real wire:
+    // INT24's 3-byte two's complement (signed near ±max, unsigned near
+    // 2^24-1, nullable), legacy TIME's ±HHMMSS 3-byte LE, legacy
+    // DATETIME's 8-byte decimal YYYYMMDDHHMMSS, legacy TIMESTAMP's
+    // 4-byte unix seconds. Integer columns share the derivation text
+    // with the oracle; the timestamp constructors are per-engine
+    // (make_timestamp_ntz has no DuckDB spelling) but whole-second, so
+    // values agree exactly.
+    QDef("cdc32_mysql_mediumint_legacy_temporals",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT o_orderkey,
+         |  ${CdcFixture.LegacyIntDerivations.mkString(",\n  ")},
+         |  CASE WHEN o_orderkey % 11 = 7 THEN NULL ELSE
+         |    make_timestamp(1997, 1 + o_orderkey % 12, 1 + o_orderkey % 28,
+         |      o_orderkey % 24, o_orderkey % 60, o_orderkey % 60) END AS dt_old,
+         |  TIMESTAMP '2023-11-14 22:13:20' + to_seconds(CAST(o_orderkey % 100000 AS BIGINT)) AS ts_old,
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlLegacy(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.LegacyTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

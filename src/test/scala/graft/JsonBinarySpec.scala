@@ -99,6 +99,43 @@ class JsonBinarySpec extends AnyFunSuite {
     intercept[IOException](JsonBinary.decode(Array.emptyByteArray))
   }
 
+  test("golden bytes: hand-authored documents decode to pinned text") {
+    // laid out from the public json_binary.h spec, NOT via encode() —
+    // pins the byte layout so encoder/decoder co-drift cannot pass
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2)
+        .map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+    // small object {"a":1,"bc":"x"}: count=2, size=0x17, key entries
+    // (offset,len), value entries (type, inline-or-offset), keys, values
+    assert(JsonBinary.decode(hex(
+      "00 0200 1700 1200 0100 1300 0200 05 0100 0c 1500 61 6263 01 78"))
+      === """{"a":1,"bc":"x"}""")
+    // small array [true,null,-1]: literals inline (0x04/01, 0x04/00),
+    // int16 inline (0x05 ffff)
+    assert(JsonBinary.decode(hex("02 0300 0d00 04 0100 04 0000 05 ffff"))
+      === "[true,null,-1]")
+    // scalar roots: int32 (0x07), uint64 past Long.MaxValue (0x0a),
+    // double 0.5 (0x0b IEEE LE), string with 1-byte varlen (0x0c)
+    assert(JsonBinary.decode(hex("07 40e20100")) === "123456")
+    assert(JsonBinary.decode(hex("0a ffffffffffffffff"))
+      === "18446744073709551615")
+    assert(JsonBinary.decode(hex("0b 000000000000e03f")) === "0.5")
+    assert(JsonBinary.decode(hex("0c 02 6869")) === "\"hi\"")
+  }
+
+  test("huge varlen string length fails loud instead of overflowing the bounds check") {
+    // varlen 0x7fffffff: int arithmetic would wrap p + n negative and
+    // slip past the check into an ArrayIndexOutOfBounds crash
+    val doc = Array[Byte](0x0c, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+      0xff.toByte, 0x07)
+    intercept[IOException](JsonBinary.decode(doc))
+  }
+
+  test("numbers outside the double range are rejected at encode") {
+    intercept[IllegalArgumentException](JsonBinary.encode("1e400"))
+    intercept[IllegalArgumentException](JsonBinary.encode("""{"a":-1e999}"""))
+  }
+
   test("corrupt bytes surface as IOException, never as runtime crashes") {
     val seeds = Seq("""{"a":[1,2,{"b":"c"}],"d":0.5}""", "[1,2,3]", "\"abc\"")
       .map(JsonBinary.encode)

@@ -781,6 +781,169 @@ class MysqlBinlogSpec extends SparkTestBase {
     w2.close()
   }
 
+  test("MEDIUMINT + legacy temporals: boundary values round-trip exactly") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m24", IntegerType), // MEDIUMINT
+      StructField("um24", IntegerType), // MEDIUMINT UNSIGNED
+      StructField("t", LongType), // legacy TIME, signed micros
+      StructField("dt", TimestampNTZType), // legacy DATETIME
+      StructField("ts", TimestampType))) // legacy TIMESTAMP
+    val path = s"$dir/leg.000001"
+    val w = new MysqlBinlog.Writer(path,
+      int24Cols = Set("m24", "um24"), unsignedCols = Set("um24"),
+      legacyTimeCols = Set("t"), legacyDatetimeCols = Set("dt"),
+      legacyTimestampCols = Set("ts"))
+    w.tableMap(1000L, 3L, "db", "m", schema)
+    w.gtid(1000L, 1L, Sid)
+    val maxT = (838L * 3600 + 59 * 60 + 59) * 1000000L
+    val dtMicros = 1786665598000000L // 2026-08-13T23:59:58
+    w.writeRows(1000L, 3L, schema, Seq(
+      Array[Any](1L, -8388608, 0, maxT, dtMicros, 1700000000000000L),
+      Array[Any](2L, 8388607, 16777215, -maxT, 0L, 0L),
+      Array[Any](3L, -1, 1, 0L, dtMicros, 4294967295000000L)))
+    w.close()
+    val rows = decodeAll(path, "db", "m")
+    assert(rows.map(_.values(1)) == Seq(-8388608, 8388607, -1))
+    assert(rows.map(_.values(2)) == Seq(0, 16777215, 1))
+    assert(rows.map(_.values(3)) == Seq(maxT, -maxT, 0L))
+    assert(rows.map(_.values(4)) == Seq(dtMicros, 0L, dtMicros))
+    assert(rows.map(_.values(5)) ==
+      Seq(1700000000000000L, 0L, 4294967295000000L))
+
+    // out-of-range / unrepresentable inputs fail loud at write time
+    val w2 = new MysqlBinlog.Writer(s"$dir/bad.000001",
+      int24Cols = Set("m24", "um24"), unsignedCols = Set("um24"),
+      legacyTimeCols = Set("t"), legacyDatetimeCols = Set("dt"),
+      legacyTimestampCols = Set("ts"))
+    w2.tableMap(1000L, 3L, "db", "m", schema)
+    w2.gtid(1000L, 1L, Sid)
+    def bad(row: Array[Any]): Unit = intercept[IllegalArgumentException] {
+      w2.writeRows(1000L, 3L, schema, Seq(row))
+    }
+    bad(Array[Any](9L, 8388608, 0, 0L, 0L, 0L)) // past MEDIUMINT max
+    bad(Array[Any](9L, 0, -1, 0L, 0L, 0L)) // negative unsigned
+    bad(Array[Any](9L, 0, 0, 1500L, 0L, 0L)) // fractional legacy TIME
+    bad(Array[Any](9L, 0, 0, 0L, 1L, 0L)) // fractional legacy DATETIME
+    bad(Array[Any](9L, 0, 0, 0L, 0L, -1000000L)) // pre-1970 legacy TIMESTAMP
+    w2.close()
+  }
+
+  test("TIME2: every fsp layout round-trips, including negative fractions") {
+    // the negative-fraction cases cross the floor-shift/truncated-mod
+    // seam of the storage format (intpart++ compensation) — real mysqld
+    // TIME columns default to fsp=0, so every branch here is live
+    val dir = tmpDir()
+    val maxSec = 838L * 3600 + 59 * 60 + 59
+    for (fsp <- 0 to 6) {
+      val unit = { var v = 1L; (0 until (6 - fsp)).foreach(_ => v *= 10); v }
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("t", LongType)))
+      val path = s"$dir/fsp$fsp.000001"
+      val w = new MysqlBinlog.Writer(path, timeFsp = Map("t" -> fsp))
+      w.tableMap(1000L, 4L, "db", "f", schema)
+      w.gtid(1000L, 1L, Sid)
+      val vals = Seq(
+        maxSec * 1000000L + (if (fsp == 0) 0L else 999999L / unit * unit),
+        -(maxSec * 1000000L) - (if (fsp == 0) 0L else 999999L / unit * unit),
+        0L,
+        if (fsp == 0) 1000000L else unit, // smallest positive step
+        if (fsp == 0) -1000000L else -unit, // negative, zero int part
+        -3723000000L - (if (fsp == 0) 0L else unit)) // negative with both parts
+      w.writeRows(1000L, 4L, schema,
+        vals.zipWithIndex.map { case (v, i) => Array[Any](i.toLong, v) })
+      w.close()
+      val rows = decodeAll(path, "db", "f")
+      assert(rows.map(_.values(1)) == vals, s"fsp=$fsp")
+    }
+  }
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+
+  /** Feed hand-authored TABLE_MAP + WRITE_ROWS payload bytes (laid out
+    * from the public protocol docs, NOT produced by this repo's Writer)
+    * through the decoder — pins the byte layout so Writer/decoder
+    * co-drift cannot pass silently. */
+  private def goldenRows(tableMapHex: String, rowsHex: String,
+      table: String): Seq[CdcCodec.CdcRow] = {
+    val dec = MysqlBinlogAdapter.decoder("d", table, _ => true, None)
+    dec.decode(CdcCodec.RawEvent(MysqlBinlog.EventType.TableMap, 0L,
+      hex(tableMapHex), 0L, 0L))
+    dec.decode(CdcCodec.RawEvent(MysqlBinlog.EventType.WriteRowsV2, 1000L,
+      hex(rowsHex), 0L, 0L)).toSeq
+  }
+
+  test("golden bytes: MEDIUMINT + legacy temporals decode to pinned values") {
+    // table d.t: [INT24, TIME, DATETIME, TIMESTAMP, YEAR] — no metadata
+    val tm = "210000000000 0100 016400 017400 05 090b0c070d 00 00"
+    val rows = goldenRows(tm,
+      "210000000000 0000 0200 05 1f" +
+        "00 ffffff 590a80 f66693566d120000 00f15365 7e" + // row 1
+        "00 ffff7f db2700 0000000000000000 00000000 00", // row 2
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(
+      Seq(-1, -3020399000000L, 1786665598000000L, 1700000000000000L,
+        2026.toShort),
+      Seq(8388607, 3723000000L, null, 0L, 0.toShort)))
+  }
+
+  test("golden bytes: TIME2 fsp storage forms decode to pinned values") {
+    // six TIME2 columns at fsp 0,2,2,4,6,6 (meta = fsp byte each)
+    val tm = "220000000000 0100 016400 017400 06 131313131313 06 000202040606 00"
+    val rows = goldenRows(tm,
+      "220000000000 0000 0200 06 3f" +
+        "00 4b9105 80108304 7fffffff 7fffffffff 800000000001 4b9104f0bdc1",
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(
+      Seq(-3020399000000L, 3723040000L, -10000L, -100L, 1L,
+        -3020399999999L)))
+  }
+
+  test("golden bytes: DATETIME2/TIMESTAMP2/VARCHAR/folded CHAR decode to pinned values") {
+    // [DATETIME2 fsp6, TIMESTAMP2 fsp6, VARCHAR(512) (2-byte length
+    // prefix), CHAR(300) (folded-length metadata 0xee 0x2c)]
+    val tm = "230000000000 0100 016400 017400 04 12110ffe 06 0606 0002 ee2c 00"
+    val rows = goldenRows(tm,
+      "230000000000 0000 0200 04 0f" +
+        "00 99ba9b7efa01e240 6553f100000001 0300616263 040074657374",
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(
+      Seq(1786665598123456L, 1700000000000001L,
+        UTF8String.fromString("abc"), UTF8String.fromString("test"))))
+  }
+
+  test("golden bytes: zero-length JSON value decodes as SQL null") {
+    // real mysqld emits zero-length values for null JSON documents in
+    // some binlog paths — must surface as null, not an IOException
+    val tm = "250000000000 0100 016400 017400 02 08f5 01 04 00"
+    val rows = goldenRows(tm,
+      "250000000000 0000 0200 02 03" +
+        "00 0100000000000000 00000000", // id=1, JSON length 0
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(Seq(1L, null)))
+  }
+
+  test("golden bytes: SIGNEDNESS + ENUM/SET TLV optional metadata decode to pinned values") {
+    // table d.t: [INT24 unsigned, ENUM{A,B} pack-1, SET{x,y} pack-1];
+    // optional metadata: SIGNEDNESS (type 1) bitmap 0x80 (first numeric
+    // col unsigned), ENUM_STR_VALUE (type 6), SET_STR_VALUE (type 5)
+    val tm = "240000000000 0100 016400 017400 03 09fefe 04 f701f801 00" +
+      "0101 80" + // SIGNEDNESS TLV
+      "0605 0201410142" + // ENUM members A,B
+      "0505 0201780179" // SET members x,y
+    val rows = goldenRows(tm,
+      "240000000000 0000 0200 03 07" +
+        "00 ffffff 02 03" + // 16777215, enum idx 2 -> B, mask 3 -> x,y
+        "00 000000 00 00", // 0, enum idx 0 -> '', empty set
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(
+      Seq(16777215, UTF8String.fromString("B"), UTF8String.fromString("x,y")),
+      Seq(0, UTF8String.fromString(""), UTF8String.fromString(""))))
+  }
+
   test("PREVIOUS_GTIDS: interval subtraction and per-file bounds derivation") {
     import MysqlBinlog.subtractIntervals
     assert(subtractIntervals(Seq((1L, 21L)), Seq((1L, 11L))) == Seq((11L, 21L)))
