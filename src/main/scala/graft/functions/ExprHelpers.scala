@@ -269,6 +269,10 @@ object ExprHelpers {
     * the output. */
   def nearestCells(q: ArrayData, centroids: Array[Array[Double]],
       nProbe: Int): ArrayData = {
+    // nProbe <= 0 would silently return zero cells — every probe scan
+    // would match nothing and an IVF query would return an empty result
+    // that looks like "no neighbors" instead of a misconfiguration
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val k = centroids.length
     val neg = new Array[Double](k)
     var c = 0

@@ -344,25 +344,25 @@ object Dedup {
     * behind one output contract ((id, label), label = smallest reachable
     * node id):
     *
-    *  - `largeStar = false` (default): min-label propagation. Rounds =
-    *    graph diameter — near-dup clusters are shallow (a handful of
-    *    rounds), and each round is ONE join + ONE min-aggregation, the
-    *    cheapest per-round shape.
-    *  - `largeStar = true`: the large-star/small-star alternation
-    *    (Kiveris et al., "Connected Components in MapReduce and
-    *    Beyond"): each round contracts strictly-larger neighbors onto
-    *    the neighborhood minimum (large-star) then folds the rest
+    *  - `largeStar = true` (default): the large-star/small-star
+    *    alternation (Kiveris et al., "Connected Components in MapReduce
+    *    and Beyond"): each round contracts strictly-larger neighbors
+    *    onto the neighborhood minimum (large-star) then folds the rest
     *    (small-star), roughly squaring label reach — O(log d) rounds.
-    *    The generic-graph insurance: a 10k-node chain converges in ~14
-    *    rounds instead of failing the 50-round cap (ScaleSmoke pins the
+    *    A 10k-node chain converges in ~14 rounds instead of failing the
+    *    50-round cap, and real near-dup graphs settle in fewer, cheaper
+    *    rounds than diameter-bound propagation (ScaleSmoke pins the
     *    round-count drop; the equivalence spec pins label parity on
     *    random graphs).
+    *  - `largeStar = false`: min-label propagation. Rounds = graph
+    *    diameter, each ONE join + ONE min-aggregation — can win on
+    *    known-tiny-diameter graphs where total rounds ≤ 3.
     *
     * Both checkpoint per round (lineage truncation) and fail loud past
     * `maxIters` instead of looping. */
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIters: Int = 50,
-      largeStar: Boolean = false): DataFrame =
+      largeStar: Boolean = true): DataFrame =
     if (largeStar) connectedComponentsStars(edges, srcCol, dstCol, maxIters)._1
     else connectedComponentsMinLabel(edges, srcCol, dstCol, maxIters)._1
 

@@ -256,10 +256,14 @@ object Similarity {
   /** (query_id, q_emb, cell) probe rows: each query explodes to its
     * nProbe nearest centroid cells. */
   private[graft] def ivfProbes(queries: DataFrame, centroids: Array[Array[Double]],
-      nProbe: Int, embCol: String, id: String): DataFrame =
+      nProbe: Int, embCol: String, id: String): DataFrame = {
+    // fail at plan time: nProbe <= 0 would probe zero cells and surface
+    // as an empty result rather than a misconfiguration
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     queries
       .select(col(id).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("cell", explode(nearest_cells(col("q_emb"), centroids, nProbe)))
+  }
 
   /** Exact-cosine scoring of a cell-assigned corpus against broadcast
     * probe rows; per-query top-k with deterministic ties. */

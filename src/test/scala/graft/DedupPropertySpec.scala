@@ -47,7 +47,7 @@ class DedupPropertySpec extends SparkTestBase {
       val chain = (200L until 230L).sliding(2).map(p => (p(0), p(1))).toSeq
       val noise = Seq((5L, 5L), (3L, 9L), (9L, 3L), (3L, 9L))
       val edges = (random ++ chain ++ noise).toDF("src", "dst")
-      val a = graft.ops.Dedup.connectedComponents(edges)
+      val a = graft.ops.Dedup.connectedComponents(edges, largeStar = false)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val b = graft.ops.Dedup.connectedComponents(edges, largeStar = true)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -69,9 +69,10 @@ class DedupPropertySpec extends SparkTestBase {
     assert(got.length == 400 && got.forall(_._2 == 0L),
       "every chain node must label to the minimum node 0")
     // and the min-label form genuinely cannot do this within the cap —
-    // the flag exists for a reason
+    // which is why star contraction is the default
     val e = intercept[IllegalArgumentException] {
-      graft.ops.Dedup.connectedComponents(chain, maxIters = 50)
+      graft.ops.Dedup.connectedComponents(chain, maxIters = 50,
+        largeStar = false)
     }
     assert(e.getMessage.contains("did not converge"))
   }
