@@ -104,6 +104,7 @@ object MysqlBinlog {
     val SetT = 248 // 1-8 byte member bitmask, LSB = first member
     val Blob = 252
     val String254 = 254 // CHAR: fixed declared length, space-stripped
+    val Geometry = 255 // length-prefixed 4-byte-SRID + WKB bytes
 
     /** Spark type for a wire type + its TABLE_MAP metadata. NEWDECIMAL
       * is the one type whose Spark shape depends on metadata (precision
@@ -149,6 +150,9 @@ object MysqlBinlog {
       case String254 => StringType
       case NewDecimal => DecimalType(meta >> 8, meta & 0xff)
       case Blob => BinaryType
+      // SRID + WKB bytes, surfaced opaque — the same honest widening
+      // mysql clients apply (spatial interpretation is a reader concern)
+      case Geometry => BinaryType
       case Json => StringType // decoded to canonical JSON text (JsonBinary)
       case other => throw new IllegalArgumentException(
         s"unsupported MySQL column type $other (subset: tiny/short/mediumint/" +
@@ -505,7 +509,8 @@ object MysqlBinlog {
       meta(i) = types(i) match {
         case ColType.Varchar => c.u16() // declared max length in bytes
         case ColType.Float | ColType.Double => c.u8() // pack length
-        case ColType.Blob | ColType.Json => c.u8() // number of length bytes
+        case ColType.Blob | ColType.Json | ColType.Geometry =>
+          c.u8() // number of length bytes
         case ColType.Timestamp2 | ColType.Datetime2 | ColType.Time2 =>
           c.u8() // fsp
         case ColType.Bit =>
@@ -787,7 +792,7 @@ object MysqlBinlog {
       case ColType.Varchar | ColType.String254 =>
         val len = if (meta < 256) c.u8() else c.u16()
         UTF8String.fromBytes(c.bytes(len))
-      case ColType.Blob =>
+      case ColType.Blob | ColType.Geometry =>
         val len = meta match {
           case 1 => c.u8().toLong
           case 2 => c.u16().toLong
@@ -998,7 +1003,7 @@ object MysqlBinlog {
       case ColType.LongLong | ColType.Double | ColType.DateTime => c.skip(8)
       case ColType.Varchar | ColType.String254 =>
         val len = if (meta < 256) c.u8() else c.u16(); c.skip(len)
-      case ColType.Blob | ColType.Json =>
+      case ColType.Blob | ColType.Json | ColType.Geometry =>
         val len = meta match {
           case 1 => c.u8().toLong
           case 2 => c.u16().toLong

@@ -915,6 +915,20 @@ class MysqlBinlogSpec extends SparkTestBase {
         UTF8String.fromString("abc"), UTF8String.fromString("test"))))
   }
 
+  test("golden bytes: GEOMETRY decodes as opaque SRID+WKB binary") {
+    // [BIGINT, GEOMETRY meta=4]; value = u32 length prefix + SRID 4326
+    // (LE) + WKB POINT(1 2) — surfaced as the raw 25 payload bytes
+    val payload = "e6100000 0101000000 000000000000f03f 0000000000000040"
+    val tm = "260000000000 0100 016400 017400 02 08ff 01 04 00"
+    val rows = goldenRows(tm,
+      "260000000000 0000 0200 02 03" +
+        s"00 0700000000000000 19000000 $payload",
+      "t")
+    assert(rows.head.values(0) == 7L)
+    assert(rows.head.values(1).asInstanceOf[Array[Byte]].toSeq ==
+      hex(payload).toSeq)
+  }
+
   test("golden bytes: zero-length JSON value decodes as SQL null") {
     // real mysqld emits zero-length values for null JSON documents in
     // some binlog paths — must surface as null, not an IOException
