@@ -127,7 +127,12 @@ object RelationalExt3 {
       // clobber each other, repeated runs don't leak dataset copies
       val out = graft.TmpDirs.scoped(
         "graft-q72-" + java.lang.Integer.toHexString(dir.hashCode))
-      t(s, dir, "documents")
+      // repartition BY the partition column first: without it every
+      // input task writes a file into every lang directory (tasks ×
+      // langs small files — the classic partitioned-write explosion;
+      // at 100 TB that's millions of tiny files). One shuffle buys one
+      // file per partition value, independent of input layout.
+      t(s, dir, "documents").repartition(col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
         .filter(col("lang").isin("en", "fr"))

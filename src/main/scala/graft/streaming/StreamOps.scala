@@ -31,26 +31,51 @@ object StreamOps {
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     // staging dir keyed on a 128-bit digest of the FULL sfDir path (the
     // 32-bit hashCode it replaced could alias two datasets' staging dirs)
-    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+    import java.nio.file.{Files, LinkOption, Paths}
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
       prefix + graft.TmpDirs.pathKey(sfDir))
-    val target = java.nio.file.Paths.get(sfDir, fileName)
-    val link = dir.resolve(fileName)
-    if (!java.nio.file.Files.exists(link,
-        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      java.nio.file.Files.createDirectories(dir)
-      try java.nio.file.Files.createSymbolicLink(link, target)
-      catch { // lost the race to another JVM: same target, nothing to do
-        case _: java.nio.file.FileAlreadyExistsException => ()
+    val target = Paths.get(sfDir, fileName)
+    if (Files.isDirectory(target)) {
+      // a Spark-written dataset DIRECTORY (e.g. the bench's re-laid
+      // tables): the file-stream source does not recurse through a
+      // directory symlink, so link each contained part file instead —
+      // and drop dangling links left by a regenerated target first
+      Files.createDirectories(dir)
+      def withListing[A](p: java.nio.file.Path)(
+          f: java.util.stream.Stream[java.nio.file.Path] => A): A = {
+        val s = Files.list(p)
+        try f(s) finally s.close()
       }
+      withListing(dir)(_.forEach { p =>
+        if (Files.isSymbolicLink(p) && !Files.exists(p)) Files.delete(p)
+      })
+      withListing(target)(_.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith(".")) {
+          try Files.createSymbolicLink(dir.resolve(n), p)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        }
+      })
+      require(withListing(dir)(_.filter(f => Files.exists(f)).count()) > 0,
+        s"staged dataset dir $dir is empty — no part files under $target")
+    } else {
+      val link = dir.resolve(fileName)
+      if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS)) {
+        Files.createDirectories(dir)
+        try Files.createSymbolicLink(link, target)
+        catch { // lost the race to another JVM: same target, nothing to do
+          case _: java.nio.file.FileAlreadyExistsException => ()
+        }
+      }
+      // the pre-existing entry must BE a symlink AND point at exactly this
+      // dataset — anything else (aliased dir, stray file) would silently
+      // stream the wrong data; fail loud instead
+      require(Files.isSymbolicLink(link) &&
+          Files.readSymbolicLink(link) == target,
+        s"staging entry $link is not a symlink to $target")
+      require(Files.exists(link),
+        s"staged dataset symlink $link is dangling — target $target missing")
     }
-    // the pre-existing entry must BE a symlink AND point at exactly this
-    // dataset — anything else (aliased dir, stray file) would silently
-    // stream the wrong data; fail loud instead
-    require(java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) == target,
-      s"staging entry $link is not a symlink to $target")
-    require(java.nio.file.Files.exists(link),
-      s"staged dataset symlink $link is dangling — target $target missing")
     spark.readStream.schema(schema).parquet(dir.toString)
   }
 
