@@ -66,16 +66,29 @@ object Bench {
     * alongside, so environment effects and plan regressions stay
     * separable round-over-round. Reads go through [[Tables.load]]
     * (normalizing events.ts once — the rewrite is type-idempotent). */
+  /** Only the compute-heavy tables split into n files — a source's
+    * partition count seeds every downstream narrow stage (an iterative
+    * job over a 1-partition source runs 1-wide until its first
+    * shuffle: llm24's CC rounds measured 23 s from a single file vs
+    * 7 s from 32). The small dimension tables and events symlink
+    * through unchanged: 32 few-KB files taxed every sub-second query
+    * ~0.2-0.4 s in listing/task overhead and bought nothing. */
+  private val RelaidSplit = Set("orders", "lineitem", "documents", "embeddings")
+
   private def ensureRelaid(spark: SparkSession, sfDir: String, n: Int): String = {
     import java.nio.file.{Files, Paths}
     val tag = java.lang.Integer.toHexString(s"$sfDir#$n".hashCode)
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid-$tag")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid2-$tag")
     val done = dir.resolve("_RELAID_OK")
     if (!Files.exists(done)) {
       Files.createDirectories(dir)
       Tables.names.foreach { t =>
-        Tables.load(spark, sfDir, t).repartition(n)
-          .write.mode("overwrite").parquet(dir.resolve(s"$t.parquet").toString)
+        val out = dir.resolve(s"$t.parquet")
+        if (RelaidSplit(t))
+          Tables.load(spark, sfDir, t).repartition(n)
+            .write.mode("overwrite").parquet(out.toString)
+        else if (!Files.exists(out, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(out, Paths.get(sfDir, s"$t.parquet"))
       }
       Files.createFile(done)
     }

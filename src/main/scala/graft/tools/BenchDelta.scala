@@ -1,0 +1,81 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Round-over-round bench comparison — the delta gate.
+  *
+  * `runMain graft.tools.BenchDelta <old.json> <new.json> [pctThreshold]`
+  *
+  * Reads two Bench JSON artifacts (either the raw one-line form or the
+  * driver's wrapper with a `parsed` field), compares the common query
+  * set, and prints a table of queries whose time moved more than
+  * `pctThreshold` (default 25) in either direction, plus the
+  * common-subset totals and the median per-query ratio. The MEDIAN is
+  * the environment detector: ambient host drift moves every query by a
+  * similar factor (median ≈ the drift), while a plan regression moves
+  * one query far off the median. Exit code 1 when any query regresses
+  * past the threshold AFTER dividing out the median ratio — i.e. only
+  * plan-shaped regressions fail the gate, uniform host drift does not.
+  * When both artifacts carry a re-laid series (`"relaid":true`), the
+  * headline `queries` maps are already layout-normalized; pass files
+  * from the same series to keep the compare apples-to-apples.
+  */
+object BenchDelta {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: BenchDelta <old.json> <new.json> [pct]")
+    val pct = if (args.length > 2) args(2).toDouble else 25.0
+    val m = new ObjectMapper
+    def queriesOf(path: String): Map[String, Double] = {
+      var node = m.readTree(new java.io.File(path))
+      if (node.has("parsed")) node = node.get("parsed")
+      val q = node.get("queries")
+      require(q != null, s"$path: no 'queries' field")
+      val it = q.properties().iterator()
+      val out = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue.asDouble()
+        if (v >= 0) out += e.getKey -> v // -1 = failed: excluded
+      }
+      out.result()
+    }
+    val a = queriesOf(args(0))
+    val b = queriesOf(args(1))
+    val common = (a.keySet & b.keySet).toSeq.sorted
+    require(common.nonEmpty, "no common queries between the two artifacts")
+    // median ratio over queries big enough for the ratio to mean
+    // anything (a 30 ms query's ratio is scheduling noise)
+    val ratios = common.collect {
+      case q if a(q) > 0.05 => b(q) / a(q)
+    }.sorted
+    val median =
+      if (ratios.isEmpty) 1.0
+      else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+      else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2
+    val sumA = common.map(a).sum
+    val sumB = common.map(b).sum
+    println(f"common ${common.length} queries: old ${sumA}%.2f s -> new " +
+      f"${sumB}%.2f s (${sumB / sumA}%.2fx); median per-query ratio " +
+      f"$median%.2fx (ambient drift estimate)")
+    val flagged = common.flatMap { q =>
+      val adj = b(q) / median // divide out ambient drift
+      val d = (adj - a(q)) / math.max(a(q), 0.001) * 100
+      if (math.abs(d) > pct && math.max(a(q), b(q)) > 0.05)
+        Some((d, q, a(q), b(q), adj))
+      else None
+    }.sortBy(-_._1)
+    if (flagged.isEmpty) println(s"no query moved >$pct% beyond ambient drift")
+    else {
+      println(f"${"query"}%-38s ${"old"}%8s ${"new"}%8s ${"adj"}%8s ${"delta"}%8s")
+      flagged.foreach { case (d, q, oa, ob, adj) =>
+        println(f"$q%-38s $oa%8.3f $ob%8.3f $adj%8.3f ${d}%+7.1f%%")
+      }
+    }
+    val regressed = flagged.count(_._1 > 0)
+    if (regressed > 0) {
+      println(s"$regressed quer${if (regressed == 1) "y" else "ies"} " +
+        s"regressed >$pct% beyond ambient drift")
+      sys.exit(1)
+    }
+  }
+}
