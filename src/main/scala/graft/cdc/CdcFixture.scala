@@ -57,6 +57,7 @@ object CdcFixture {
   private val cacheMyE = mutable.Map.empty[String, String]
   private val cacheMyY = mutable.Map.empty[String, String]
   private val cacheMyL = mutable.Map.empty[String, String]
+  private val cacheMyF = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -286,6 +287,43 @@ object CdcFixture {
       "((o_orderkey % 839) * 3600000000 + (o_orderkey % 60) * 60000000 + " +
       "(o_orderkey % 53) * 1000000 + o_orderkey % 1000000) AS BIGINT) AS t_us")
 
+  /** TIME2 at every sub-fsp6 storage form on the real wire: fsp 0
+    * (3-byte intpart only — the mysqld DEFAULT for a plain TIME
+    * column), fsp 1/2 (one SIGNED frac byte), fsp 3/4 (a signed frac
+    * short), fsp 5 (the 6-byte combined form) — with signs alternating
+    * and small-magnitude negatives whose integer part is zero, the
+    * case that crosses the floor-shift/truncated-mod seam
+    * (intpart++ compensation). All integer arithmetic; cdc33's oracle
+    * recomputes identical microsecond values in DuckDB. */
+  def ensureMysqlTimeFsp(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyF, "graft-cdcmyf", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, TimeFspDerivations,
+        TimeFspTable, TimeFspTableId, Set.empty,
+        timeFsp = Map("t0" -> 0, "t1" -> 1, "t3" -> 3, "t4" -> 4, "t5" -> 5)))
+
+  val TimeFspTable = "forders"
+  val TimeFspTableId = 23L
+
+  val TimeFspDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    // whole seconds, full ±838 h range
+    "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * " +
+      "((o_orderkey % 839) * 3600 + (o_orderkey % 60) * 60 + o_orderkey % 53) " +
+      "* 1000000 AS BIGINT) AS t0",
+    // deciseconds, nullable
+    "CASE WHEN o_orderkey % 9 = 4 THEN NULL ELSE " +
+      "CAST((CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE -1 END) * " +
+      "((o_orderkey % 3600) * 1000000 + (o_orderkey % 10) * 100000) AS BIGINT) END AS t1",
+    // milliseconds, many |value| < 1 s negatives (zero int part)
+    "CAST((CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE -1 END) * " +
+      "(o_orderkey % 2000) * 1000 AS BIGINT) AS t3",
+    // hundred-microsecond steps, sub-second magnitudes
+    "CAST((CASE WHEN o_orderkey % 5 = 2 THEN -1 ELSE 1 END) * " +
+      "(o_orderkey % 10000) * 100 AS BIGINT) AS t4",
+    // ten-microsecond steps through the 6-byte combined form
+    "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * " +
+      "((o_orderkey % 100) * 1000000 + (o_orderkey % 100000) * 10) AS BIGINT) AS t5")
+
   /** MEDIUMINT + legacy temporal columns on the real wire: INT24's
     * 3-byte two's complement (signed near ±max, unsigned near 2^24-1
     * via the SIGNEDNESS TLV, and a nullable one), plus the pre-5.6.4
@@ -357,6 +395,7 @@ object CdcFixture {
       yearCols: Set[String] = Set.empty,
       bitCols: Map[String, Int] = Map.empty,
       timeCols: Set[String] = Set.empty,
+      timeFsp: Map[String, Int] = Map.empty,
       int24Cols: Set[String] = Set.empty,
       legacyTimeCols: Set[String] = Set.empty,
       legacyDatetimeCols: Set[String] = Set.empty,
@@ -380,6 +419,7 @@ object CdcFixture {
       unsignedCols = unsignedCols, charCols = charCols, jsonCols = jsonCols,
       enumCols = enumCols, setCols = setCols,
       yearCols = yearCols, bitCols = bitCols, timeCols = timeCols,
+      timeFsp = timeFsp,
       int24Cols = int24Cols, legacyTimeCols = legacyTimeCols,
       legacyDatetimeCols = legacyDatetimeCols,
       legacyTimestampCols = legacyTimestampCols)

@@ -285,6 +285,30 @@ object CdcExt {
         .load()
     },
 
+    // TIME2's sub-fsp6 storage forms on the real wire: fsp 0 (the
+    // mysqld default for plain TIME), 1, 3, 4 (signed frac byte/short
+    // with the intpart++ negative-fraction seam), and 5 (6-byte
+    // combined) — including sub-second negatives whose integer part is
+    // zero. All integer arithmetic, recomputed identically by DuckDB.
+    QDef("cdc33_mysql_time_fsp",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT ${CdcFixture.TimeFspDerivations.mkString(",\n  ")},
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlTimeFsp(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.TimeFspTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,
