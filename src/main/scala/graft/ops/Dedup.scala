@@ -411,7 +411,13 @@ object Dedup {
   private[graft] def connectedComponentsStars(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
       maxIters: Int = 50): (DataFrame, Int) = {
+    // checkpoint the INPUT first: allNodes and the canonical edge set
+    // below are separate eager materializations, and without this each
+    // would re-execute the upstream edge plan — for near-dup callers
+    // that plan is the expensive similarity self-join (llm24's
+    // dominant term ran twice)
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     // every endpoint is a node — including self-loop-only ones, which
     // label themselves (parity with the min-label form's output)
     val allNodes = fwd.select(col("src").as("id"))
