@@ -369,7 +369,11 @@ object Dedup {
   private[graft] def connectedComponentsMinLabel(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
       maxIters: Int = 50): (DataFrame, Int) = {
+    // input checkpoint first: the self-union below references the edge
+    // plan twice in one DAG (no subtree reuse across union branches),
+    // which would run the caller's similarity self-join twice
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
