@@ -915,6 +915,34 @@ class MysqlBinlogSpec extends SparkTestBase {
         UTF8String.fromString("abc"), UTF8String.fromString("test"))))
   }
 
+  test("golden bytes: primitive types, DATE (incl. zero-date), VARCHAR-1B, BLOB") {
+    // [TINY, SHORT, LONG, LONGLONG, FLOAT(meta 4), DOUBLE(meta 8),
+    //  DATE, VARCHAR(20) (1-byte length), BLOB(meta 2)]
+    val tm = "270000000000 0100 016400 017400 09" +
+      "010203080405 0a0ffc" + // tiny short long longlong float double date varchar blob
+      "05" + "04 08 1400 02" + // meta: float 4, double 8, varchar 20 (u16 LE), blob 2
+      "0000" // schema null bitmap (9 cols -> 2 bytes)
+    val rows = goldenRows(tm,
+      "270000000000 0000 0200 09 ff01" +
+        // -5, -300, -70000, 2^40+7, 1.5f, -2.25, 2026-08-13, "ho", 0x010203
+        "00 00 fb d4fe 90eefeff 0700000000010000 0000c03f 00000000000002c0" +
+        " 0dd50f 02686f 0300010203" +
+        "00 00 01 0100 01000000 0100000000000000 0000803f 000000000000f03f" +
+        " 000000 00 0000", // 1, 1, 1, 1, 1f, 1.0, zero-date -> null, "", empty blob
+      "t")
+    val r0 = rows(0).values
+    assert(r0(0) == (-5).toByte && r0(1) == (-300).toShort && r0(2) == -70000)
+    assert(r0(3) == (1L << 40) + 7)
+    assert(r0(4) == 1.5f && r0(5) == -2.25)
+    assert(r0(6) == 20678) // epoch days of 2026-08-13
+    assert(r0(7) == UTF8String.fromString("ho"))
+    assert(r0(8).asInstanceOf[Array[Byte]].toSeq == Seq[Byte](1, 2, 3))
+    val r1 = rows(1).values
+    assert(r1(6) == null, "MySQL zero-date must surface as SQL null")
+    assert(r1(7) == UTF8String.fromString("") &&
+      r1(8).asInstanceOf[Array[Byte]].isEmpty)
+  }
+
   test("golden bytes: GEOMETRY decodes as opaque SRID+WKB binary") {
     // [BIGINT, GEOMETRY meta=4]; value = u32 length prefix + SRID 4326
     // (LE) + WKB POINT(1 2) — surfaced as the raw 25 payload bytes
