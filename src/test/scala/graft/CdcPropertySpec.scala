@@ -39,6 +39,50 @@ class CdcPropertySpec extends AnyFunSuite {
     case (x, y) => x == y
   }
 
+  test("property: TIME2 round-trips arbitrary (fsp, signed micros); legacy temporals too") {
+    import graft.cdc.MysqlBinlog
+    val maxSec = 838L * 3600 + 59 * 60 + 59
+    val genCase: Gen[(Int, Long, Long, Long)] = for {
+      fsp <- Gen.chooseNum(0, 6)
+      unit = math.pow(10, 6 - fsp).toLong
+      // TIME2: random duration in range, snapped to the fsp grid —
+      // small magnitudes included so negative values with a zero
+      // integer part (the intpart++ seam) are generated often
+      t2raw <- Gen.oneOf(
+        Gen.chooseNum(-maxSec * 1000000L, maxSec * 1000000L),
+        Gen.chooseNum(-2000000L, 2000000L))
+      t2 = t2raw / unit * unit
+      // legacy TIME: whole seconds
+      tl <- Gen.chooseNum(-maxSec, maxSec).map(_ * 1000000L)
+      // legacy TIMESTAMP: u32 unix seconds
+      ts <- Gen.chooseNum(0L, 0xffffffffL).map(_ * 1000000L)
+    } yield (fsp, t2, tl, ts)
+    check(Prop.forAll(genCase) { case (fsp, t2, tl, ts) =>
+      val schema = StructType(Seq(
+        StructField("t2", LongType), StructField("tl", LongType),
+        StructField("ts", TimestampType)))
+      val dir = Files.createTempDirectory("time-prop").toString
+      val f = s"$dir/mysql-bin.000001"
+      val w = new MysqlBinlog.Writer(f, checksum = true,
+        timeFsp = Map("t2" -> fsp), legacyTimeCols = Set("tl"),
+        legacyTimestampCols = Set("ts"))
+      w.tableMap(0L, 1L, "db", "t", schema)
+      w.gtid(0L, 1L, "11111111-2222-3333-4444-555555555555")
+      w.writeRows(0L, 1L, schema, Seq(Array[Any](t2, tl, ts)))
+      w.close()
+      val r = graft.cdc.MysqlBinlogAdapter.open(f)
+      val dec = graft.cdc.MysqlBinlogAdapter.decoder("db", "t", _ => true, None)
+      val rows = try {
+        val out = Seq.newBuilder[CdcCodec.CdcRow]
+        while (r.hasNext) out ++= dec.decode(r.next())
+        out.result()
+      } finally r.close()
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+      val v = rows.head.values
+      v(0) == t2 && v(1) == tl && v(2) == ts
+    })
+  }
+
   test("property: NEWDECIMAL wire bytes round-trip arbitrary (p, s, value)") {
     import graft.cdc.MysqlBinlog
     val genCase: Gen[(Int, Int, java.math.BigDecimal)] = for {
