@@ -58,6 +58,7 @@ object CdcFixture {
   private val cacheMyY = mutable.Map.empty[String, String]
   private val cacheMyL = mutable.Map.empty[String, String]
   private val cacheMyF = mutable.Map.empty[String, String]
+  private val cacheMyM = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -94,6 +95,16 @@ object CdcFixture {
   def ensureMysql(spark: SparkSession, sfDir: String): String =
     ensureLog(cacheMy, "graft-cdcmy", sfDir)(
       generate(spark, sfDir, _, p => new MysqlBinlog.Writer(p, checksum = true)))
+
+  /** The SAME storyline with `binlog_row_metadata=MINIMAL` — the
+    * mysqld PRODUCTION DEFAULT: no column names, no SIGNEDNESS, no
+    * ENUM/SET member lists in the TABLE_MAP. Readers must supply an
+    * explicit schema (positional type matching); cdc34 proves the
+    * whole DSv2 path over it against the same oracle as cdc21. */
+  def ensureMysqlMinimal(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyM, "graft-cdcmym", sfDir)(
+      generate(spark, sfDir, _, p =>
+        new MysqlBinlog.Writer(p, checksum = true, fullMetadata = false)))
 
   /** The SAME storyline again with `binlog_transaction_compression=ON`
     * semantics: every transaction's TABLE_MAP/rows events ride inside

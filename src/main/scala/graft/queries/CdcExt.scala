@@ -285,6 +285,25 @@ object CdcExt {
         .load()
     },
 
+    // cdc21 again under binlog_row_metadata=MINIMAL — the mysqld
+    // PRODUCTION DEFAULT (no column names or signedness TLVs on the
+    // wire): the reader supplies the schema explicitly and the decoder
+    // matches positionally by type; same storyline, same oracle hash
+    QDef("cdc34_mysql_minimal_metadata",
+      s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) =>
+      val index = CdcFixture.ensureMysqlMinimal(s, dir)
+      val base = s.read.parquet(s"$dir/orders.parquet").schema
+      val schema = org.apache.spark.sql.types.StructType(
+        base.fields.map(_.copy(nullable = true)))
+      s.read.format("binlogcdc")
+        .schema(CdcSchema.withEnvelope(schema))
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // TIME2's sub-fsp6 storage forms on the real wire: fsp 0 (the
     // mysqld default for plain TIME), 1, 3, 4 (signed frac byte/short
     // with the intpart++ negative-fraction seam), and 5 (6-byte
