@@ -51,9 +51,15 @@ object Bench {
     // remaining wire types) — same rule
     "cdc32_mysql_mediumint_legacy_temporals")
 
-  /** Timed samples per query (the published JSON derives from this —
-    * one knob, no drift between the loop and the declared methodology). */
-  val timedRuns = 3
+  /** Timed samples per query per layout series (the published JSON
+    * derives from this — one knob, no drift between the loop and the
+    * declared methodology). The published number is the MEDIAN of the
+    * samples: round 8 archived a 3.5x single-query ghost (llm08) that
+    * three same-HEAD series contradicted — min-of-3 in one contiguous
+    * host window is hostage to that window, while the median of
+    * interleaved samples is not. `SPARK_GRAFT_BENCH_RUNS` overrides
+    * (full-surface runs use fewer reps to bound wall time). */
+  val timedRuns = 5
 
   /** Re-lay the driver's parquet tables into `n` files each, cached in
     * a tmp dir keyed by (sfDir, n). The driver's regenerated tables
@@ -75,11 +81,38 @@ object Bench {
     * ~0.2-0.4 s in listing/task overhead and bought nothing. */
   private val RelaidSplit = Set("orders", "lineitem", "documents", "embeddings")
 
+  /** Newest mtime under a source table path (file or parquet dir, one
+    * level deep) — the relaid-cache staleness signal. */
+  private def newestMtime(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) 0L
+    else if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try (s.mapToLong(c => Files.getLastModifiedTime(c).toMillis).max.orElse(0L))
+        .max(Files.getLastModifiedTime(p).toMillis)
+      finally s.close()
+    } else Files.getLastModifiedTime(p).toMillis
+  }
+
   private def ensureRelaid(spark: SparkSession, sfDir: String, n: Int): String = {
     import java.nio.file.{Files, Paths}
-    val tag = java.lang.Integer.toHexString(s"$sfDir#$n".hashCode)
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid2-$tag")
+    // 128-bit pathKey, not String.hashCode: a 32-bit key can alias two
+    // (sfDir, n) pairs and silently bench the wrong data (the same
+    // pattern StreamOps already replaced for its staging dirs)
+    val tag = TmpDirs.pathKey(s"$sfDir#$n")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid3-$tag")
     val done = dir.resolve("_RELAID_OK")
+    // invalidate when the driver regenerated a source table after the
+    // re-lay: a stale copy would get timed against a fresh oracle
+    val stale = Files.exists(done) && {
+      val relaidAt = Files.getLastModifiedTime(done).toMillis
+      Tables.names.exists(t =>
+        newestMtime(Paths.get(sfDir, s"$t.parquet")) > relaidAt)
+    }
+    if (stale) {
+      System.err.println(s"[bench] source tables newer than re-laid cache $dir — re-laying")
+      TmpDirs.deleteRecursively(dir.toFile)
+    }
     if (!Files.exists(done)) {
       Files.createDirectories(dir)
       Tables.names.foreach { t =>
@@ -93,6 +126,43 @@ object Bench {
       Files.createFile(done)
     }
     dir.toString
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  /** Previous headline archive (BENCH_r{N}.json with the highest N in
+    * cwd, or `SPARK_GRAFT_BENCH_PREV`) → its per-query seconds, for the
+    * in-artifact normalized ratio. */
+  private def prevArchive(): Option[(String, Map[String, Double])] = {
+    val f = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
+      .orElse {
+        val re = "^BENCH_r(\\d+)\\.json$".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f)); case _ => None
+          }).sortBy(-_._1).headOption.map(_._2)
+      }
+    f.filter(_.isFile).flatMap { file =>
+      try {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper
+        var node = m.readTree(file)
+        if (node.has("parsed")) node = node.get("parsed")
+        Option(node.get("queries")).map { q =>
+          val it = q.properties().iterator()
+          val out = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.asDouble() >= 0) out += e.getKey -> e.getValue.asDouble()
+          }
+          (file.getName, out.result())
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,45 +200,53 @@ object Bench {
         None
       }
     val benchDir = relaidDir.getOrElse(sfDir)
-    val results = names.map { name =>
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(
+      // full-surface sweeps bound wall time with fewer reps; the
+      // headline set gets the full median-of-5 treatment
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) 2 else timedRuns)
+    // release eagerly-cached state (localCheckpoint RDDs) after every
+    // run: each execution of a checkpointing query pins another RDD
+    // copy, and the accumulated heap pressure bleeds into later
+    // samples (llm06/llm08 drifted +30-90% across iterations until
+    // the copies were dropped). BLOCKING: async removal would defer
+    // the block-drop work into the next sample's timed window
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // per query: warm BOTH layouts once (codegen + JIT + plan cache),
+    // then INTERLEAVE the timed reps across layouts (A/B/A/B, not
+    // AAA/BBB): round 8's archive sampled each series in one contiguous
+    // host window, so a transient spike landed entirely on one series
+    // and read as a 3.5x single-query regression that three same-HEAD
+    // series contradicted. Interleaving spreads any host window across
+    // both series and the per-query MEDIAN absorbs it.
+    val dirs: Seq[String] =
+      benchDir +: (if (relaidDir.isDefined) Seq(sfDir) else Nil)
+    val perQuery: Seq[(String, Seq[(Double, Boolean)])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      try { fn(spark, benchDir).count() } catch { case NonFatal(_) => () } // warmup
-      // min of `timedRuns`: a single sample is hostage to transient
-      // noise (GC pause, page-cache miss, competing load on the host) —
-      // and with only two, one bad pair still showed a phantom 4x
-      // "regression" on a 0.4 s query in round-5 testing
-      // release eagerly-cached state (localCheckpoint RDDs) after every
-      // run: each execution of a checkpointing query pins another RDD
-      // copy, and the accumulated heap pressure bleeds into later
-      // samples (llm06/llm08 drifted +30-90% across iterations until
-      // the copies were dropped). BLOCKING: async removal would defer
-      // the block-drop work into the next sample's timed window
-      def release(): Unit =
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      release() // after warmup
-      val samples = (1 to timedRuns).map { _ =>
+      def once(dir: String): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, benchDir).count(); true } catch { case NonFatal(_) => false }
+        val ok = try { fn(spark, dir).count(); true } catch { case NonFatal(_) => false }
         val dt = (System.nanoTime() - t0) / 1e9
         release()
         (dt, ok)
       }
-      val ok = samples.forall(_._2)
-      (name, samples.map(_._1).min, ok)
-    }
-    // the raw-layout comparison series: ONE sample per query against the
-    // driver's original files (the JVM is warm from the headline runs, so
-    // the delta to the headline series isolates the file-layout effect)
-    val rawResults: Option[Seq[(String, Double, Boolean)]] = relaidDir.map { _ =>
-      names.map { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case NonFatal(_) => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        (name, dt, ok)
+      dirs.foreach { d =>
+        try { fn(spark, d).count() } catch { case NonFatal(_) => () }
+        release()
       }
+      val reps: Seq[Seq[(Double, Boolean)]] = (1 to runs).map(_ => dirs.map(once))
+      val byDir = dirs.indices.map { i =>
+        val s = reps.map(_(i))
+        (median(s.map(_._1)), s.forall(_._2))
+      }
+      (name, byDir)
     }
+    val results: Seq[(String, Double, Boolean)] =
+      perQuery.map { case (n, ds) => (n, ds.head._1, ds.head._2) }
+    val rawResults: Option[Seq[(String, Double, Boolean)]] =
+      if (dirs.length > 1)
+        Some(perQuery.map { case (n, ds) => (n, ds(1)._1, ds(1)._2) })
+      else None
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
     // decimal separator would break the driver's JSON parse.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -181,8 +259,9 @@ object Bench {
     // consumer that only reads `value` — publish a sentinel total
     val total =
       if (anyFailed) -1.0 else results.collect { case (_, v, true) => v }.sum
-    // the raw-layout series rides alongside (runs=1, warm JVM) so
-    // environment vs plan regressions stay separable
+    // the raw-layout series rides alongside (same rep count, samples
+    // interleaved with the headline series) so environment vs plan
+    // regressions stay separable
     val rawPart = rawResults match {
       case None => ""","relaid":false"""
       case Some(rs) =>
@@ -191,9 +270,25 @@ object Bench {
         val rTotal = if (rs.exists(!_._3)) -1.0 else rs.map(_._2).sum
         s""","relaid":true,"value_raw":${r3(rTotal)},"queries_raw":$rq"""
     }
-    // runs/warmup declared so a consumer can tell steady-state numbers
-    // from cold single-shots when comparing across rounds
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$timedRuns,"warmup":1,"sf":"$sfDir"$rawPart}""")
+    // in-artifact comparison vs the previous round's headline archive:
+    // prev_median_ratio estimates ambient host drift (every query moves
+    // by ≈ the same factor), prev_norm_total_ratio divides it out — the
+    // BenchDelta normalization, embedded so a one-window host spike can
+    // never masquerade as a plan regression in the archive itself
+    val prevPart = prevArchive().map { case (fname, prev) =>
+      val cur = results.collect { case (k, v, true) => k -> v }.toMap
+      val common = (prev.keySet & cur.keySet).toSeq.sorted
+      val ratios = common.collect { case q if prev(q) > 0.05 => cur(q) / prev(q) }
+      if (ratios.isEmpty) ""
+      else {
+        val med = median(ratios)
+        val tot = common.map(cur).sum / common.map(prev).sum
+        s""","prev":"$fname","prev_total_ratio":${r3(tot)},"prev_median_ratio":${r3(med)},"prev_norm_total_ratio":${r3(tot / med)}"""
+      }
+    }.getOrElse("")
+    // runs/warmup/agg declared so a consumer can tell median-of-N
+    // steady-state numbers from cold single-shots across rounds
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$rawPart$prevPart}""")
     spark.stop()
   }
 }

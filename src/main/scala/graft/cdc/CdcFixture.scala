@@ -97,12 +97,15 @@ object CdcFixture {
       generate(spark, sfDir, _, p => new MysqlBinlog.Writer(p, checksum = true)))
 
   /** The SAME storyline with `binlog_row_metadata=MINIMAL` — the
-    * mysqld PRODUCTION DEFAULT: no column names, no SIGNEDNESS, no
-    * ENUM/SET member lists in the TABLE_MAP. Readers must supply an
-    * explicit schema (positional type matching); cdc34 proves the
-    * whole DSv2 path over it against the same oracle as cdc21. */
+    * mysqld PRODUCTION DEFAULT: no column names and no ENUM/SET member
+    * lists in the TABLE_MAP, but SIGNEDNESS (like charset/geometry
+    * type) IS still logged — only names, label lists, and PK info are
+    * FULL-only. Readers must supply an explicit schema (positional
+    * type matching); cdc34 proves the whole DSv2 path over it against
+    * the same oracle as cdc21. */
   def ensureMysqlMinimal(spark: SparkSession, sfDir: String): String =
-    ensureLog(cacheMyM, "graft-cdcmym", sfDir)(
+    // v2: SIGNEDNESS TLV present under MINIMAL (matches real mysqld)
+    ensureLog(cacheMyM, "graft-cdcmym2", sfDir)(
       generate(spark, sfDir, _, p =>
         new MysqlBinlog.Writer(p, checksum = true, fullMetadata = false)))
 

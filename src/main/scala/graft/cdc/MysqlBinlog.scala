@@ -832,8 +832,12 @@ object MysqlBinlog {
         val v0 = c.u24()
         val v = if ((v0 & 0x800000) != 0) v0 | 0xff000000 else v0
         val a = math.abs(v)
-        val micros = ((a / 10000) * 3600L + (a / 100 % 100) * 60L +
-          a % 100) * 1000000L
+        val hh = a / 10000; val mm = a / 100 % 100; val ss = a % 100
+        // fail loud on wire values mysqld can't produce (MM/SS are
+        // base-60 digits; TIME range is ±838:59:59)
+        if (mm >= 60 || ss >= 60 || hh > 838)
+          throw new IOException(s"legacy TIME out of range: ${hh}:${mm}:${ss}")
+        val micros = (hh * 3600L + mm * 60L + ss) * 1000000L
         if (v < 0) -micros else micros
       case ColType.DateTime =>
         // legacy DATETIME: 8-byte LE decimal YYYYMMDDHHMMSS
@@ -1162,11 +1166,15 @@ object MysqlBinlog {
     * representation: Long/Int/Double/Float/Short/Byte primitives,
     * String/UTF8String for VARCHAR, Array[Byte] for BLOB, micros-Long
     * for TIMESTAMP2/DATETIME2 (fsp=6), epoch-day Int for DATE. */
-  /** @param fullMetadata write the MySQL-8.0 optional-metadata TLVs
-    *        (SIGNEDNESS + COLUMN_NAME — `binlog_row_metadata=FULL`).
-    *        `false` mimics the PRODUCTION DEFAULT (`MINIMAL`): types
-    *        only, no names — readers must supply an explicit schema
-    *        (matched positionally by type). */
+  /** @param fullMetadata write the FULL-only MySQL-8.0 optional-metadata
+    *        TLVs (COLUMN_NAME + ENUM/SET_STR_VALUE —
+    *        `binlog_row_metadata=FULL`). `false` mimics the PRODUCTION
+    *        DEFAULT (`MINIMAL`): mysqld still logs SIGNEDNESS (and
+    *        charset/geometry-type) under MINIMAL — only names, enum/set
+    *        label lists, and PK info are FULL-only — so SIGNEDNESS is
+    *        emitted unconditionally; readers must supply an explicit
+    *        schema (matched positionally by type) when names are
+    *        absent. */
   final class Writer(path: String, serverId: Long = 1L,
       checksum: Boolean = false,
       varcharMeta: String => Int = _ => 65535,
@@ -1348,20 +1356,23 @@ object MysqlBinlog {
         if (f.nullable) nullBits(i / 8) = (nullBits(i / 8) | (1 << (i % 8))).toByte
       }
       b.raw(nullBits)
-      // optional metadata: SIGNEDNESS + COLUMN_NAME (FULL). The
+      // optional metadata. SIGNEDNESS is logged by mysqld under BOTH
+      // binlog_row_metadata settings (MINIMAL keeps signedness/charset/
+      // geometry-type; only COLUMN_NAME, ENUM/SET_STR_VALUE, and PK
+      // fields are FULL-only) — so it is emitted unconditionally. The
       // signedness bitmap allocates one bit per numeric column in
       // column order, MSB first — the same accounting the parser uses
       // (decimal counts as numeric), so the bits line up.
-      if (fullMetadata) {
-        val numerics = schema.fields.filter(f => isNumericWire(wireType(f)))
-        if (numerics.nonEmpty) {
-          val sign = new Array[Byte]((numerics.length + 7) / 8)
-          numerics.zipWithIndex.foreach { case (f, i) =>
-            if (unsignedCols(f.name))
-              sign(i / 8) = (sign(i / 8) | (0x80 >> (i % 8))).toByte
-          }
-          b.u8(MetaSignedness); b.lenenc(sign.length.toLong); b.raw(sign)
+      val numerics = schema.fields.filter(f => isNumericWire(wireType(f)))
+      if (numerics.nonEmpty) {
+        val sign = new Array[Byte]((numerics.length + 7) / 8)
+        numerics.zipWithIndex.foreach { case (f, i) =>
+          if (unsignedCols(f.name))
+            sign(i / 8) = (sign(i / 8) | (0x80 >> (i % 8))).toByte
         }
+        b.u8(MetaSignedness); b.lenenc(sign.length.toLong); b.raw(sign)
+      }
+      if (fullMetadata) {
         val names = new ByteBuf
         schema.fields.foreach { f =>
           val nb = f.name.getBytes(StandardCharsets.UTF_8)

@@ -286,9 +286,11 @@ object CdcExt {
     },
 
     // cdc21 again under binlog_row_metadata=MINIMAL — the mysqld
-    // PRODUCTION DEFAULT (no column names or signedness TLVs on the
-    // wire): the reader supplies the schema explicitly and the decoder
-    // matches positionally by type; same storyline, same oracle hash
+    // PRODUCTION DEFAULT (no column names or ENUM/SET label lists on
+    // the wire; SIGNEDNESS is still logged, as real mysqld does even
+    // under MINIMAL): the reader supplies the schema explicitly and the
+    // decoder matches positionally by type; same storyline, same oracle
+    // hash
     QDef("cdc34_mysql_minimal_metadata",
       s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) =>
       val index = CdcFixture.ensureMysqlMinimal(s, dir)

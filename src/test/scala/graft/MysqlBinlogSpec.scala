@@ -620,13 +620,20 @@ class MysqlBinlogSpec extends SparkTestBase {
   test("MINIMAL row metadata (the production default): explicit schema reads positionally") {
     val dir = tmpDir()
     val path = s"$dir/mysql-bin.000001"
+    // `u` is UNSIGNED INT (u32 on the wire, widened LongType surface):
+    // mysqld logs the SIGNEDNESS TLV even under MINIMAL (only names,
+    // ENUM/SET labels, and PK info are FULL-only), so unsigned decode
+    // must work without FULL metadata — value above Int.MaxValue proves
+    // the widening actually engaged.
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("v", DoubleType),
-      StructField("s", StringType)))
-    val w = new MysqlBinlog.Writer(path, fullMetadata = false)
+      StructField("u", LongType), StructField("s", StringType)))
+    val w = new MysqlBinlog.Writer(path, fullMetadata = false,
+      unsignedCols = Set("u"))
     w.tableMap(1000L, 1L, "db", "t", schema)
     w.gtid(1000L, 1L, Sid)
-    w.writeRows(1000L, 1L, schema, Seq(Array[Any](1L, 0.5, "x"), Array[Any](2L, 1.5, null)))
+    w.writeRows(1000L, 1L, schema, Seq(
+      Array[Any](1L, 0.5, 0xfffffffeL, "x"), Array[Any](2L, 1.5, 7L, null)))
     w.close()
     Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
 
@@ -648,12 +655,15 @@ class MysqlBinlogSpec extends SparkTestBase {
     val rows = df.orderBy("id").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(rows.map(_.getDouble(1)).toSeq == Seq(0.5, 1.5))
-    assert(rows(0).getString(2) == "x" && rows(1).isNullAt(2))
+    // unsigned u32 decodes to its positive widened value (a signed-int
+    // misread would surface -2)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0xfffffffeL, 7L))
+    assert(rows(0).getString(3) == "x" && rows(1).isNullAt(3))
 
     // a WRONG explicit schema (type sequence mismatch) fails loud
     val bad = StructType(Seq(
       StructField("id", LongType), StructField("v", LongType),
-      StructField("s", StringType)))
+      StructField("u", LongType), StructField("s", StringType)))
     val e2 = intercept[Exception] {
       spark.read.format("binlogcdc")
         .schema(graft.cdc.CdcSchema.withEnvelope(bad))
