@@ -59,6 +59,7 @@ object CdcFixture {
   private val cacheMyL = mutable.Map.empty[String, String]
   private val cacheMyF = mutable.Map.empty[String, String]
   private val cacheMyM = mutable.Map.empty[String, String]
+  private val cacheMyDt = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -338,6 +339,68 @@ object CdcFixture {
     "CAST((CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END) * " +
       "((o_orderkey % 100) * 1000000 + (o_orderkey % 100000) * 10) AS BIGINT) AS t5")
 
+  /** DATETIME2/TIMESTAMP2 at sub-fsp6 storage forms on the real wire:
+    * the fractional part is stored in ceil(fsp/2) big-endian bytes
+    * whose UNIT follows the byte count, not the digit count (1 byte =
+    * centiseconds, 2 = hundred-µs, 3 = µs) — so the odd fsps 1/3/5
+    * exercise the seam where a digits-based decode would be off by 10x
+    * (DATETIME(3) is the common production shape). Coverage: DATETIME
+    * fsp 0/1/3/4/6 (one nullable), TIMESTAMP fsp 1/3/5/6 (one
+    * nullable). All integer arithmetic from o_orderkey; cdc35's oracle
+    * rebuilds identical instants with DuckDB's interval constructors
+    * (the reference decodes these via Field::unpack field metadata,
+    * binlog_table_reader.cc:151-157). */
+  def ensureMysqlDtFsp(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyDt, "graft-cdcmydt", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, DtFspDerivations,
+        DtFspTable, DtFspTableId, Set.empty,
+        dtFsp = Map("dt0" -> 0, "dt1" -> 1, "dt3" -> 3, "dt4" -> 4,
+          "dt6" -> 6, "ts1" -> 1, "ts3" -> 3, "ts5" -> 5, "ts6" -> 6)))
+
+  val DtFspTable = "dtorders"
+  val DtFspTableId = 25L
+
+  /** Spark-dialect derivations; cdc35's oracle mirrors each with
+    * DuckDB's `TIMESTAMP '<base>' + to_microseconds(...)` — the same
+    * split-dialect convention as cdc32 (neither engine parses the
+    * other's NTZ constructor). Every fraction is an exact multiple of
+    * 10^(6-fsp) µs, the only values mysqld can store at that fsp. */
+  val DtFspDerivations: Seq[String] = Seq(
+    "o_orderkey",
+    // DATETIME(0): whole seconds
+    "timestampadd(SECOND, CAST(o_orderkey % 86400 AS BIGINT), " +
+      "TIMESTAMP_NTZ '1997-03-05 00:00:00') AS dt0",
+    // DATETIME(1): decisecond steps through the 1-byte (centi) form
+    "timestampadd(MICROSECOND, CAST((o_orderkey % 3600) * 1000000 + " +
+      "(o_orderkey % 10) * 100000 AS BIGINT), " +
+      "TIMESTAMP_NTZ '1997-03-05 00:00:00') AS dt1",
+    // DATETIME(3): milliseconds (2-byte hundred-µs form), nullable
+    "CASE WHEN o_orderkey % 9 = 4 THEN NULL ELSE " +
+      "timestampadd(MICROSECOND, CAST((o_orderkey % 86400) * 1000000 + " +
+      "(o_orderkey % 1000) * 1000 AS BIGINT), " +
+      "TIMESTAMP_NTZ '1997-03-05 00:00:00') END AS dt3",
+    // DATETIME(4): hundred-µs steps
+    "timestampadd(MICROSECOND, CAST((o_orderkey % 86400) * 1000000 + " +
+      "(o_orderkey % 10000) * 100 AS BIGINT), " +
+      "TIMESTAMP_NTZ '1997-03-05 00:00:00') AS dt4",
+    // DATETIME(6): full microseconds
+    "timestampadd(MICROSECOND, CAST((o_orderkey % 86400) * 1000000 + " +
+      "o_orderkey * 31 % 1000000 AS BIGINT), " +
+      "TIMESTAMP_NTZ '1997-03-05 00:00:00') AS dt6",
+    // TIMESTAMP(1): decisecond steps (base 2023-11-14 22:13:20 UTC)
+    "timestamp_micros(1700000000000000 + (o_orderkey % 100000) * 1000000 + " +
+      "(o_orderkey % 10) * 100000) AS ts1",
+    // TIMESTAMP(3): milliseconds
+    "timestamp_micros(1700000000000000 + (o_orderkey % 100000) * 1000000 + " +
+      "(o_orderkey % 1000) * 1000) AS ts3",
+    // TIMESTAMP(5): ten-µs steps through the 3-byte form
+    "timestamp_micros(1700000000000000 + (o_orderkey % 100000) * 1000000 + " +
+      "(o_orderkey % 100000) * 10) AS ts5",
+    // TIMESTAMP(6): full microseconds, nullable
+    "CASE WHEN o_orderkey % 7 = 2 THEN NULL ELSE " +
+      "timestamp_micros(1700000000000000 + (o_orderkey % 100000) * 1000000 + " +
+      "o_orderkey * 97 % 1000000) END AS ts6")
+
   /** MEDIUMINT + legacy temporal columns on the real wire: INT24's
     * 3-byte two's complement (signed near ±max, unsigned near 2^24-1
     * via the SIGNEDNESS TLV, and a nullable one), plus the pre-5.6.4
@@ -413,7 +476,8 @@ object CdcFixture {
       int24Cols: Set[String] = Set.empty,
       legacyTimeCols: Set[String] = Set.empty,
       legacyDatetimeCols: Set[String] = Set.empty,
-      legacyTimestampCols: Set[String] = Set.empty): Unit = {
+      legacyTimestampCols: Set[String] = Set.empty,
+      dtFsp: Map[String, Int] = Map.empty): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
@@ -436,7 +500,8 @@ object CdcFixture {
       timeFsp = timeFsp,
       int24Cols = int24Cols, legacyTimeCols = legacyTimeCols,
       legacyDatetimeCols = legacyDatetimeCols,
-      legacyTimestampCols = legacyTimestampCols)
+      legacyTimestampCols = legacyTimestampCols,
+      dtFsp = dtFsp)
     try {
       w.tableMap(BaseMs, tableId, Db, table, schema)
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>

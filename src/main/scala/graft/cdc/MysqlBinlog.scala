@@ -990,13 +990,18 @@ object MysqlBinlog {
     }
 
     /** Fractional seconds: ceil(fsp/2) big-endian bytes holding the
-      * fraction in units of 10^-fsp seconds → micros. */
+      * fraction in units of 10^(2·bytes−6) seconds — mysqld scales the
+      * fraction by BYTES, not digits (my_timestamp_from_binary /
+      * my_datetime_packed_from_binary): 1 byte = centiseconds, 2 bytes
+      * = hundred-µs, 3 bytes = µs. An odd fsp (1/3/5) therefore shares
+      * its even neighbor's unit — reading it as 10^-fsp units would
+      * misdecode every DATETIME(3) fraction by 10x. */
     private def readFrac(c: Cur, fsp: Int): Long = {
       val bytes = (fsp + 1) / 2
       if (bytes == 0) 0L
       else {
         val raw = c.beU(bytes)
-        raw * pow10(6 - fsp)
+        raw * pow10(6 - 2 * bytes)
       }
     }
     private def skipValue(c: Cur, tpe: Int, meta: Int): Unit = tpe match {
@@ -1165,7 +1170,8 @@ object MysqlBinlog {
     * events. Value conventions match the engine's internal
     * representation: Long/Int/Double/Float/Short/Byte primitives,
     * String/UTF8String for VARCHAR, Array[Byte] for BLOB, micros-Long
-    * for TIMESTAMP2/DATETIME2 (fsp=6), epoch-day Int for DATE. */
+    * for TIMESTAMP2/DATETIME2 (fsp per `dtFsp`, default 6), epoch-day
+    * Int for DATE. */
   /** @param fullMetadata write the FULL-only MySQL-8.0 optional-metadata
     *        TLVs (COLUMN_NAME + ENUM/SET_STR_VALUE —
     *        `binlog_row_metadata=FULL`). `false` mimics the PRODUCTION
@@ -1192,9 +1198,13 @@ object MysqlBinlog {
       int24Cols: Set[String] = Set.empty,
       legacyTimeCols: Set[String] = Set.empty,
       legacyDatetimeCols: Set[String] = Set.empty,
-      legacyTimestampCols: Set[String] = Set.empty) extends FixtureSink {
+      legacyTimestampCols: Set[String] = Set.empty,
+      dtFsp: Map[String, Int] = Map.empty) extends FixtureSink {
     timeFsp.foreach { case (n, fsp) =>
       require(fsp >= 0 && fsp <= 6, s"$n: TIME2 fsp $fsp outside 0..6") }
+    // dtFsp: declared fsp for DATETIME2/TIMESTAMP2 columns (default 6)
+    dtFsp.foreach { case (n, fsp) =>
+      require(fsp >= 0 && fsp <= 6, s"$n: DATETIME2/TIMESTAMP2 fsp $fsp outside 0..6") }
     bitCols.foreach { case (n, bits) =>
       require(bits >= 1 && bits <= 64, s"$n: BIT($bits) outside 1..64") }
     enumCols.foreach { case (n, ls) =>
@@ -1333,7 +1343,7 @@ object MysqlBinlog {
           case ColType.Json => meta.u8(4) // mysqld: 4 length bytes
           case ColType.Time2 => meta.u8(timeFsp.getOrElse(f.name, 6)) // fsp
           case ColType.Timestamp2 | ColType.Datetime2 =>
-            meta.u8(6) // fsp
+            meta.u8(dtFsp.getOrElse(f.name, 6)) // fsp
           case ColType.Bit =>
             val bits = bitCols(f.name)
             meta.u8(bits % 8); meta.u8(bits / 8)
@@ -1546,6 +1556,15 @@ object MysqlBinlog {
       case _ => false
     }
 
+    /** Fractional-second encode, the inverse of the reader's readFrac:
+      * ceil(fsp/2) big-endian bytes in units of 10^(2·bytes−6) seconds
+      * (mysqld scales by BYTES, not digits — odd fsp shares its even
+      * neighbor's unit). */
+    private def writeFrac(b: ByteBuf, fracMicros: Long, fsp: Int): Unit = {
+      val bytes = (fsp + 1) / 2
+      if (bytes > 0) b.beU(fracMicros / pow10(6 - 2 * bytes), bytes)
+    }
+
     private def writeValue(b: ByteBuf, f: StructField, v: Any): Unit =
       if (unsignedCols(f.name)) wireType(f) match {
         case ColType.Tiny =>
@@ -1727,15 +1746,21 @@ object MysqlBinlog {
         case ColType.Timestamp2 =>
           val micros = v.asInstanceOf[Long]
           require(micros >= 0, "TIMESTAMP2 cannot encode pre-1970 instants")
+          val fsp = dtFsp.getOrElse(f.name, 6)
+          require(micros % pow10(6 - fsp) == 0L,
+            s"${f.name}: $micros µs not representable at TIMESTAMP($fsp)")
           b.beU(micros / 1000000L, 4)
-          b.beU(micros % 1000000L, 3) // fsp=6
+          writeFrac(b, micros % 1000000L, fsp)
         case ColType.Datetime2 =>
           val micros = v.asInstanceOf[Long]
+          val fsp = dtFsp.getOrElse(f.name, 6)
+          require(micros % pow10(6 - fsp) == 0L,
+            s"${f.name}: $micros µs not representable at DATETIME($fsp)")
           val ldt = DateTimeUtils.microsToLocalDateTime(micros)
           val ymd = ((ldt.getYear * 13 + ldt.getMonthValue) << 5) | ldt.getDayOfMonth
           val hms = (ldt.getHour << 12) | (ldt.getMinute << 6) | ldt.getSecond
           b.beU((ymd.toLong << 17 | hms.toLong) + 0x8000000000L, 5)
-          b.beU(ldt.getNano / 1000L, 3) // fsp=6
+          writeFrac(b, ldt.getNano / 1000L, fsp)
         case ColType.NewDecimal =>
           val dt = f.dataType.asInstanceOf[DecimalType]
           val bd = (v match {

@@ -330,6 +330,42 @@ object CdcExt {
         .load()
     },
 
+    // DATETIME2/TIMESTAMP2 sub-fsp6 fractional seconds on the real
+    // wire: the fraction is stored in ceil(fsp/2) BE bytes whose unit
+    // follows the BYTE count (1 byte = centiseconds, 2 = hundred-µs,
+    // 3 = µs), so the odd fsps 1/3/5 are the seam where a digits-based
+    // decode is off by 10x — DATETIME(3) is the common production
+    // shape. Full microsecond fidelity against the DuckDB oracle.
+    QDef("cdc35_mysql_datetime_fsp",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT o_orderkey,
+         |  TIMESTAMP '1997-03-05 00:00:00' + to_seconds(CAST(o_orderkey % 86400 AS BIGINT)) AS dt0,
+         |  TIMESTAMP '1997-03-05 00:00:00' + to_microseconds(CAST((o_orderkey % 3600) * 1000000 + (o_orderkey % 10) * 100000 AS BIGINT)) AS dt1,
+         |  CASE WHEN o_orderkey % 9 = 4 THEN NULL ELSE
+         |    TIMESTAMP '1997-03-05 00:00:00' + to_microseconds(CAST((o_orderkey % 86400) * 1000000 + (o_orderkey % 1000) * 1000 AS BIGINT)) END AS dt3,
+         |  TIMESTAMP '1997-03-05 00:00:00' + to_microseconds(CAST((o_orderkey % 86400) * 1000000 + (o_orderkey % 10000) * 100 AS BIGINT)) AS dt4,
+         |  TIMESTAMP '1997-03-05 00:00:00' + to_microseconds(CAST((o_orderkey % 86400) * 1000000 + o_orderkey * 31 % 1000000 AS BIGINT)) AS dt6,
+         |  TIMESTAMP '2023-11-14 22:13:20' + to_microseconds(CAST((o_orderkey % 100000) * 1000000 + (o_orderkey % 10) * 100000 AS BIGINT)) AS ts1,
+         |  TIMESTAMP '2023-11-14 22:13:20' + to_microseconds(CAST((o_orderkey % 100000) * 1000000 + (o_orderkey % 1000) * 1000 AS BIGINT)) AS ts3,
+         |  TIMESTAMP '2023-11-14 22:13:20' + to_microseconds(CAST((o_orderkey % 100000) * 1000000 + (o_orderkey % 100000) * 10 AS BIGINT)) AS ts5,
+         |  CASE WHEN o_orderkey % 7 = 2 THEN NULL ELSE
+         |    TIMESTAMP '2023-11-14 22:13:20' + to_microseconds(CAST((o_orderkey % 100000) * 1000000 + o_orderkey * 97 % 1000000 AS BIGINT)) END AS ts6,
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlDtFsp(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.DtFspTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -925,6 +925,28 @@ class MysqlBinlogSpec extends SparkTestBase {
         UTF8String.fromString("abc"), UTF8String.fromString("test"))))
   }
 
+  test("golden bytes: DATETIME2/TIMESTAMP2 odd-fsp fractions decode to pinned values") {
+    // [DATETIME2(3), DATETIME2(1), TIMESTAMP2(1), TIMESTAMP2(5)] — the
+    // fraction rides in ceil(fsp/2) BE bytes whose unit follows the
+    // BYTE count (1 byte = centiseconds, 2 = hundred-µs, 3 = µs), so a
+    // digits-based (10^-fsp) decode misreads every odd fsp by 10x.
+    // Bytes derived from the documented layouts, not the Writer:
+    //   dt3 '2024-01-15 10:30:45.123': ym=2024*13+1, ymd=ym<<5|15,
+    //     hms=10<<12|30<<6|45, 5B BE of (ymd<<17|hms)+2^39, then
+    //     frac 123000µs/100 = 1230 = 0x04ce in 2 bytes
+    //   dt1 '1999-12-31 23:59:59.9': frac byte = 900000µs/10^4 = 90
+    //   ts1 1700000000.5: 4B BE seconds + frac byte 500000/10^4 = 50
+    //   ts5 1700000000.12345: frac 3 bytes = 123450 µs = 0x01e23a
+    val tm = "280000000000 0100 016400 017400 04 12121111 04 03010105 00"
+    val rows = goldenRows(tm,
+      "280000000000 0000 0200 04 0f" +
+        "00 99b25ea7ad04ce 9963ff7efb5a 6553f10032 6553f10001e23a",
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(
+      Seq(1705314645123000L, 946684799900000L,
+        1700000000500000L, 1700000000123450L)))
+  }
+
   test("golden bytes: primitive types, DATE (incl. zero-date), VARCHAR-1B, BLOB") {
     // [TINY, SHORT, LONG, LONGLONG, FLOAT(meta 4), DOUBLE(meta 8),
     //  DATE, VARCHAR(20) (1-byte length), BLOB(meta 2)]
