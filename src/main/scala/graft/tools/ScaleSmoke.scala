@@ -34,8 +34,7 @@ object ScaleSmoke {
 
     // shuffle-write accounting for the string-vs-hash span-key
     // comparison: a listener tallies per-stage shuffle bytes; the bus is
-    // async, so measurements drain it with a short sleep (diagnostic
-    // tool — a second of slack per measurement is fine)
+    // async, so each measurement drains it with waitUntilEmpty below
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -319,6 +318,56 @@ object ScaleSmoke {
       println(s"SCALE ccStars: 10k-chain (diameter 9999) converged in " +
         s"$iters rounds")
       assert(iters <= 20, s"star contraction must stay O(log d): $iters rounds")
+    }
+
+    // star contraction vs min-label on a NEAR-DUP-SHAPED graph at 10x
+    // the sf0.1 documents corpus (~600k nodes): mostly 3-node clusters
+    // (the shape real near-dup graphs have) plus 300 32-node chains
+    // (the adversarial tail that makes diameter-bound propagation pay).
+    // Pins BOTH the round count and the wall time, so the largeStar
+    // default's win is measured, not assumed.
+    timed("ccDefaultVsMinLabel(600k near-dup graph)") {
+      val nTriples = 197120L // ids [0, 591360) in clusters of 3
+      val chainLen = 32L
+      val nChains = 300L
+      val chainBase = nTriples * 3
+      val triples = spark.range(nTriples * 3)
+        .filter(col("id") % 3 =!= 0)
+        .select(col("id").as("src"), (col("id") - col("id") % 3).as("dst"))
+      val chains = spark.range(nChains * chainLen)
+        .filter(col("id") % chainLen =!= chainLen - 1)
+        .select((col("id") + chainBase).as("src"),
+          (col("id") + chainBase + 1).as("dst"))
+      val edges = triples.union(chains).localCheckpoint(true)
+      def labelErrors(labels: org.apache.spark.sql.DataFrame): Long =
+        labels.filter(
+          when(col("id") < chainBase, col("label") =!= (col("id") - col("id") % 3))
+            .otherwise(col("label") =!=
+              (col("id") - chainBase - (col("id") - chainBase) % chainLen + chainBase)))
+          .count()
+      def run(largeStar: Boolean): (Int, Double) = {
+        val t0 = System.nanoTime()
+        val (labels, iters) =
+          if (largeStar) graft.ops.Dedup.connectedComponentsStars(
+            edges, "src", "dst", maxIters = 60)
+          else graft.ops.Dedup.connectedComponentsMinLabel(
+            edges, "src", "dst", maxIters = 60)
+        val bad = labelErrors(labels)
+        val dt = (System.nanoTime() - t0) / 1e9
+        assert(bad == 0L, s"largeStar=$largeStar: $bad mislabeled nodes")
+        (iters, dt)
+      }
+      val (starIters, starSecs) = run(largeStar = true)
+      val (mlIters, mlSecs) = run(largeStar = false)
+      println(f"SCALE ccDefault: largeStar $starIters rounds $starSecs%.1f s " +
+        f"vs min-label $mlIters rounds $mlSecs%.1f s " +
+        f"(${mlSecs / starSecs}%.1fx) on 600k nodes, chain diameter ${chainLen - 1}")
+      assert(starIters <= 12, s"star contraction must stay O(log d): $starIters rounds")
+      assert(mlIters >= chainLen.toInt - 5,
+        s"min-label must pay ~diameter rounds here, got $mlIters (bad graph shape?)")
+      assert(starSecs <= mlSecs,
+        f"the largeStar default must not lose on the near-dup shape: " +
+          f"$starSecs%.1f s vs $mlSecs%.1f s")
     }
 
     // CDC decode throughput: a synthetic 8-file log scanned end-to-end
