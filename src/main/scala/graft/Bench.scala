@@ -72,14 +72,39 @@ object Bench {
     * alongside, so environment effects and plan regressions stay
     * separable round-over-round. Reads go through [[Tables.load]]
     * (normalizing events.ts once — the rewrite is type-idempotent). */
-  /** Only the compute-heavy tables split into n files — a source's
-    * partition count seeds every downstream narrow stage (an iterative
-    * job over a 1-partition source runs 1-wide until its first
-    * shuffle: llm24's CC rounds measured 23 s from a single file vs
-    * 7 s from 32). The small dimension tables and events symlink
-    * through unchanged: 32 few-KB files taxed every sub-second query
-    * ~0.2-0.4 s in listing/task overhead and bought nothing. */
+  /** Only the compute-heavy tables split — the small dimension tables
+    * and events symlink through unchanged (32 few-KB files taxed every
+    * sub-second query ~0.2-0.4 s in listing/task overhead and bought
+    * nothing). The split COUNT is size-proportional (~4 MiB per file,
+    * floor 2, cap cpus) rather than a flat per-core fan-out: round-9
+    * interleaved A/B measurement showed 32-way splitting of the
+    * 2000-row embeddings / 5000-row documents tables was pure
+    * listing/tiny-task tax on the ANN/text queries (+3.9-5.1 s across
+    * the headline set in two of three runs), and the original
+    * justification — llm24's CC rounds running 1-wide from a 1-file
+    * source (23 s vs 7 s at r7) — no longer reproduces at HEAD
+    * (5.2 s re-laid vs 4.7 s raw) because the round-8 input
+    * localCheckpoint + star-contraction default fixed the width
+    * problem in the operator itself. The floor of 2 keeps multi-file
+    * code paths exercised (the r8 dir-symlink streaming bug was caught
+    * by exactly that). */
   private val RelaidSplit = Set("orders", "lineitem", "documents", "embeddings")
+
+  /** Size-proportional file count for a re-laid table. */
+  private def splitCount(srcBytes: Long, cpus: Int): Int =
+    math.max(2, math.min(cpus, math.ceil(srcBytes / (4.0 * 1024 * 1024)).toInt))
+
+  /** Total byte size of a source table path (file or parquet dir, one
+    * level deep) — drives the size-proportional split count. */
+  private def newestSize(p: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    if (!Files.exists(p)) 0L
+    else if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.mapToLong(c => if (Files.isRegularFile(c)) Files.size(c) else 0L).sum()
+      finally s.close()
+    } else Files.size(p)
+  }
 
   /** Newest mtime under a source table path (file or parquet dir, one
     * level deep) — the relaid-cache staleness signal. */
@@ -100,7 +125,9 @@ object Bench {
     // (sfDir, n) pairs and silently bench the wrong data (the same
     // pattern StreamOps already replaced for its staging dirs)
     val tag = TmpDirs.pathKey(s"$sfDir#$n")
-    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid3-$tag")
+    // relaid4: size-proportional split counts (see splitCount) — a new
+    // prefix so caches from the flat per-core policy never serve
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid4-$tag")
     val done = dir.resolve("_RELAID_OK")
     // invalidate when the driver regenerated a source table after the
     // re-lay: a stale copy would get timed against a fresh oracle
@@ -117,10 +144,13 @@ object Bench {
       Files.createDirectories(dir)
       Tables.names.foreach { t =>
         val out = dir.resolve(s"$t.parquet")
-        if (RelaidSplit(t))
-          Tables.load(spark, sfDir, t).repartition(n)
+        if (RelaidSplit(t)) {
+          val src = Paths.get(sfDir, s"$t.parquet")
+          val nf = splitCount(newestSize(src), n)
+          System.err.println(s"[bench] re-laying $t into $nf files")
+          Tables.load(spark, sfDir, t).repartition(nf)
             .write.mode("overwrite").parquet(out.toString)
-        else if (!Files.exists(out, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        } else if (!Files.exists(out, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           Files.createSymbolicLink(out, Paths.get(sfDir, s"$t.parquet"))
       }
       Files.createFile(done)
@@ -221,7 +251,7 @@ object Bench {
     // both series and the per-query MEDIAN absorbs it.
     val dirs: Seq[String] =
       benchDir +: (if (relaidDir.isDefined) Seq(sfDir) else Nil)
-    val perQuery: Seq[(String, Seq[(Double, Boolean)])] = names.map { name =>
+    val perQuery: Seq[(String, Seq[(Double, Boolean)], Double)] = names.map { name =>
       val fn = SparkEntry.queries(name)
       def once(dir: String): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -239,13 +269,20 @@ object Bench {
         val s = reps.map(_(i))
         (median(s.map(_._1)), s.forall(_._2))
       }
-      (name, byDir)
+      // within-run sample spread (max/min across the headline series'
+      // reps): the in-artifact noise floor — a cross-round delta smaller
+      // than a query's own spread is not evidence of a plan change
+      val hs = reps.map(_.head._1)
+      val spread = if (hs.min > 0) hs.max / hs.min else -1.0
+      (name, byDir, spread)
     }
     val results: Seq[(String, Double, Boolean)] =
-      perQuery.map { case (n, ds) => (n, ds.head._1, ds.head._2) }
+      perQuery.map { case (n, ds, _) => (n, ds.head._1, ds.head._2) }
+    val spreads: Seq[(String, Double)] =
+      perQuery.map { case (n, _, sp) => (n, sp) }
     val rawResults: Option[Seq[(String, Double, Boolean)]] =
       if (dirs.length > 1)
-        Some(perQuery.map { case (n, ds) => (n, ds(1)._1, ds(1)._2) })
+        Some(perQuery.map { case (n, ds, _) => (n, ds(1)._1, ds(1)._2) })
       else None
     // Locale.ROOT: the f"" interpolator is locale-sensitive and a comma
     // decimal separator would break the driver's JSON parse.
@@ -268,8 +305,11 @@ object Bench {
         val rq = rs.map { case (k, v, ok) =>
           "\"" + k + "\":" + (if (ok) r3(v) else "-1") }.mkString("{", ",", "}")
         val rTotal = if (rs.exists(!_._3)) -1.0 else rs.map(_._2).sum
-        s""","relaid":true,"value_raw":${r3(rTotal)},"queries_raw":$rq"""
+        s""","relaid":true,"relaid_policy":"bytes/4MiB,min2,max-cpus","value_raw":${r3(rTotal)},"queries_raw":$rq"""
     }
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val spreadPart = ""","spread":""" + spreads.map { case (k, sp) =>
+      "\"" + k + "\":" + (if (sp > 0) r2(sp) else "-1") }.mkString("{", ",", "}")
     // in-artifact comparison vs the previous round's headline archive:
     // prev_median_ratio estimates ambient host drift (every query moves
     // by ≈ the same factor), prev_norm_total_ratio divides it out — the
@@ -288,7 +328,7 @@ object Bench {
     }.getOrElse("")
     // runs/warmup/agg declared so a consumer can tell median-of-N
     // steady-state numbers from cold single-shots across rounds
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$rawPart$prevPart}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$rawPart$spreadPart$prevPart}""")
     spark.stop()
   }
 }

@@ -62,6 +62,7 @@ object MysqlBinlog {
     val DeleteRowsV2 = 32: Byte
     val Gtid = 33: Byte
     val AnonymousGtid = 34: Byte
+    val PartialUpdateRows = 39: Byte
     val PreviousGtids = 35: Byte
     val TransactionPayload = 40: Byte
   }
@@ -624,6 +625,12 @@ object MysqlBinlog {
     private var currentGtid = 0L
     private var currentSourceId: UTF8String =
       UTF8String.fromString(CdcSchema.AnonymousSourceId)
+    // gtid_mode=OFF txn marker seen: the wire carries NO transaction
+    // identity, so target-table rows under it cannot be given a truthful
+    // __gtid — decoding them fails loud (below) instead of silently
+    // stamping a stale/zero gtid, which would corrupt latest-image
+    // ordering and update-pair joins.
+    private var anonymousTxn = false
 
     def decode(ev: CdcCodec.RawEvent): Seq[CdcCodec.CdcRow] = ev.tpe match {
       case EventType.TableMap =>
@@ -637,7 +644,25 @@ object MysqlBinlog {
         val sid = c.bytes(16)
         currentGtid = c.i64()
         currentSourceId = UTF8String.fromString(formatUuid(sid))
+        anonymousTxn = false
         Nil // trailing logical-timestamp fields (5.7+): ignored
+      case EventType.AnonymousGtid =>
+        anonymousTxn = true
+        Nil
+      case EventType.PartialUpdateRows =>
+        // binlog_row_value_options=PARTIAL_JSON encodes updates as JSON
+        // diffs — silently returning Nil would DROP the target table's
+        // updates (data loss). Other tables' events stay ignorable.
+        val tableId = new Cur(ev.payload).u48()
+        tableMaps.get(tableId) match {
+          case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+            throw new IOException(
+              s"partial-JSON update event for $targetDb.$targetTable at log " +
+                s"offset ${ev.pos}: binlog_row_value_options=PARTIAL_JSON is " +
+                "not supported — write the log with the default (full) row " +
+                "value options")
+          case _ => Nil
+        }
       case EventType.WriteRowsV2 =>
         rowsEvent(ev, CdcSchema.Op.Insert, images = 1)
       case EventType.DeleteRowsV2 =>
@@ -684,6 +709,11 @@ object MysqlBinlog {
       val tableId = c.u48()
       tableMaps.get(tableId) match {
         case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+          if (anonymousTxn) throw new IOException(
+            s"rows event for $targetDb.$targetTable at log offset ${ev.pos} " +
+              "inside an ANONYMOUS_GTID transaction (gtid_mode=OFF): the wire " +
+              "carries no transaction identity for __gtid — enable GTIDs on " +
+              "the producer (gtid_mode=ON) to read this table's changes")
           c.u16() // flags
           val extraLen = c.u16() // v2 extra-data length, includes these 2 bytes
           c.skip(math.max(0, extraLen - 2))

@@ -83,6 +83,47 @@ class CdcPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: DATETIME2/TIMESTAMP2 round-trip arbitrary (fsp, micros)") {
+    import graft.cdc.MysqlBinlog
+    // the fsp-grid snap matters: the fraction is stored in ceil(fsp/2)
+    // bytes whose unit follows the BYTE count, so odd fsps (1/3/5)
+    // exercise the seam where a digits-based scale is off by 10x
+    val genCase: Gen[(Int, Long, Long)] = for {
+      fsp <- Gen.chooseNum(0, 6)
+      unit = math.pow(10, 6 - fsp).toLong
+      // DATETIME2: years 1000-9999 (the MySQL DATETIME domain)
+      dtRaw <- Gen.chooseNum(-30610224000L, 253402300799L) // epoch sec range
+      dtFrac <- Gen.chooseNum(0L, 999999L)
+      dt = dtRaw * 1000000L + dtFrac / unit * unit
+      // TIMESTAMP2: u32 unix seconds + frac
+      tsRaw <- Gen.chooseNum(0L, 0xffffffffL)
+      tsFrac <- Gen.chooseNum(0L, 999999L)
+      ts = tsRaw * 1000000L + tsFrac / unit * unit
+    } yield (fsp, dt, ts)
+    check(Prop.forAll(genCase) { case (fsp, dt, ts) =>
+      val schema = StructType(Seq(
+        StructField("dt", TimestampNTZType), StructField("ts", TimestampType)))
+      val dir = Files.createTempDirectory("dtfsp-prop").toString
+      val f = s"$dir/mysql-bin.000001"
+      val w = new MysqlBinlog.Writer(f, checksum = true,
+        dtFsp = Map("dt" -> fsp, "ts" -> fsp))
+      w.tableMap(0L, 1L, "db", "t", schema)
+      w.gtid(0L, 1L, "11111111-2222-3333-4444-555555555555")
+      w.writeRows(0L, 1L, schema, Seq(Array[Any](dt, ts)))
+      w.close()
+      val r = graft.cdc.MysqlBinlogAdapter.open(f)
+      val dec = graft.cdc.MysqlBinlogAdapter.decoder("db", "t", _ => true, None)
+      val rows = try {
+        val out = Seq.newBuilder[CdcCodec.CdcRow]
+        while (r.hasNext) out ++= dec.decode(r.next())
+        out.result()
+      } finally r.close()
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+      val v = rows.head.values
+      v(0) == dt && v(1) == ts
+    })
+  }
+
   test("property: NEWDECIMAL wire bytes round-trip arbitrary (p, s, value)") {
     import graft.cdc.MysqlBinlog
     val genCase: Gen[(Int, Int, java.math.BigDecimal)] = for {

@@ -947,6 +947,57 @@ class MysqlBinlogSpec extends SparkTestBase {
         1700000000500000L, 1700000000123450L)))
   }
 
+  test("ANONYMOUS_GTID (gtid_mode=OFF): target rows fail loud, GTID resumes decode") {
+    // table d.t = [BIGINT]; d.o = [BIGINT] is an unrelated table
+    val dec = MysqlBinlogAdapter.decoder("d", "t", _ => true, None)
+    def ev(tpe: Byte, hexBody: String) =
+      CdcCodec.RawEvent(tpe, 1000L, hex(hexBody), 42L, 43L)
+    dec.decode(ev(MysqlBinlog.EventType.TableMap,
+      "150000000000 0100 016400 017400 01 08 00 00"))
+    dec.decode(ev(MysqlBinlog.EventType.TableMap,
+      "160000000000 0100 016400 016f00 01 08 00 00"))
+    val anon = "00" + "00" * 16 + "0000000000000000" // flags + sid + gno
+    dec.decode(ev(MysqlBinlog.EventType.AnonymousGtid, anon))
+    // another table's rows inside the anonymous txn: ignorable as ever
+    assert(dec.decode(ev(MysqlBinlog.EventType.WriteRowsV2,
+      "160000000000 0000 0200 01 01 00 0700000000000000")).isEmpty)
+    // the TARGET table's rows have no truthful __gtid -> fail loud
+    val ex = intercept[java.io.IOException] {
+      dec.decode(ev(MysqlBinlog.EventType.WriteRowsV2,
+        "150000000000 0000 0200 01 01 00 0700000000000000"))
+    }
+    assert(ex.getMessage.contains("ANONYMOUS_GTID") &&
+      ex.getMessage.contains("gtid_mode"), ex.getMessage)
+    // a real GTID event ends the anonymous state; decode resumes
+    dec.decode(ev(MysqlBinlog.EventType.Gtid,
+      "00" + "11" * 16 + "0500000000000000"))
+    val rows = dec.decode(ev(MysqlBinlog.EventType.WriteRowsV2,
+      "150000000000 0000 0200 01 01 00 0700000000000000"))
+    assert(rows.map(r => (r.values(0), r.gtid)) == Seq((7L, 5L)))
+  }
+
+  test("PARTIAL_UPDATE_ROWS: fails loud for the target table, ignorable otherwise") {
+    // binlog_row_value_options=PARTIAL_JSON — silently dropping the
+    // target's updates would be data loss
+    val dec = MysqlBinlogAdapter.decoder("d", "t", _ => true, None)
+    def ev(tpe: Byte, hexBody: String) =
+      CdcCodec.RawEvent(tpe, 1000L, hex(hexBody), 99L, 100L)
+    dec.decode(ev(MysqlBinlog.EventType.TableMap,
+      "150000000000 0100 016400 017400 01 08 00 00"))
+    dec.decode(ev(MysqlBinlog.EventType.TableMap,
+      "160000000000 0100 016400 016f00 01 08 00 00"))
+    // other table / unknown table id: ignored
+    assert(dec.decode(ev(MysqlBinlog.EventType.PartialUpdateRows,
+      "160000000000 0000")).isEmpty)
+    assert(dec.decode(ev(MysqlBinlog.EventType.PartialUpdateRows,
+      "990000000000 0000")).isEmpty)
+    val ex = intercept[java.io.IOException] {
+      dec.decode(ev(MysqlBinlog.EventType.PartialUpdateRows,
+        "150000000000 0000"))
+    }
+    assert(ex.getMessage.contains("PARTIAL_JSON"), ex.getMessage)
+  }
+
   test("golden bytes: primitive types, DATE (incl. zero-date), VARCHAR-1B, BLOB") {
     // [TINY, SHORT, LONG, LONGLONG, FLOAT(meta 4), DOUBLE(meta 8),
     //  DATE, VARCHAR(20) (1-byte length), BLOB(meta 2)]
