@@ -409,6 +409,60 @@ object TextAnalysis {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Gopher-style per-document repetition fractions (Rae et al. 2021's
+    * repetition filters, token-based): `top2_frac` = the most frequent
+    * bigram's share of all bigram occurrences, `dup5_frac` = the share
+    * of 5-gram occurrences whose 5-gram appears more than once in the
+    * document. Templated/looping generator output scores high on both;
+    * natural text sits low. ENTIRELY narrow — per-gram counts are
+    * recovered as run lengths over the SORTED per-doc gram array
+    * (sorting groups equal grams adjacently), so the whole operator is
+    * a per-row transform with no shuffle: at 100 TB it runs map-side at
+    * scan speed, unlike a (doc, gram) groupBy whose shuffle would carry
+    * every gram occurrence. Fractions are integer-over-integer IEEE
+    * divisions — oracle-exact. Docs too short for a gram size emit 0. */
+  def repetitionSignals(df: DataFrame, textCol: String = "text",
+      id: String = "doc_id"): DataFrame = {
+    val tkName = freshCol(df, "__tk")
+    val t = col(tkName)
+    def grams(n: Int): Column =
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    // (max run, occurrences inside runs of length >= 2) over the sorted
+    // array — the shuffle-free equivalent of per-gram counts
+    def runStats(arr: Column): Column =
+      aggregate(
+        array_sort(arr),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best"), lit(0L).as("dup")),
+        (acc, x) => {
+          val same = coalesce(acc.getField("prev") === x, lit(false))
+          val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+          val dup = acc.getField("dup") +
+            when(!same && acc.getField("run") >= 2, acc.getField("run"))
+              .otherwise(lit(0L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"), dup.as("dup"))
+        },
+        acc => struct(acc.getField("best").as("max_run"),
+          (acc.getField("dup") +
+            when(acc.getField("run") >= 2, acc.getField("run"))
+              .otherwise(lit(0L))).as("dup_occ")))
+    df.withColumn(tkName, tokens(col(textCol)))
+      .withColumn("__b2", grams(2))
+      .withColumn("__g5", grams(5))
+      .withColumn("__bs", runStats(col("__b2")))
+      .withColumn("__fs", runStats(col("__g5")))
+      .select(col(id), size(t).cast("bigint").as("n_tokens"),
+        when(size(col("__b2")) === 0, lit(0.0))
+          .otherwise(col("__bs").getField("max_run").cast("double") /
+            size(col("__b2")).cast("double")).as("top2_frac"),
+        when(size(col("__g5")) === 0, lit(0.0))
+          .otherwise(col("__fs").getField("dup_occ").cast("double") /
+            size(col("__g5")).cast("double")).as("dup5_frac"))
+  }
+
   /** Count-based bigram language-model scoring (the CCNet-style
     * statistical quality filter, log-free): score = mean conditional
     * probability P(w2|w1) of a doc's bigrams under the corpus's own

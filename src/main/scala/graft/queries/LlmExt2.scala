@@ -503,6 +503,33 @@ object LlmExt2 {
         .select(col("media_id"), col("content_hash"), col("canon_id"), col("is_dup"))
     },
 
+    // Gopher-style repetition fractions (top-bigram share + duplicated
+    // 5-gram share): the oracle recovers the same numbers via (doc,
+    // gram) grouped counts, while the engine's narrow run-length-over-
+    // sorted-array form never shuffles — two independent formulations
+    // of the same integer ratios
+    QDef("llm60_repetition_signals",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, len(tk) AS n_tokens,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) AS b2,
+        |    list_transform(range(1, len(tk) - 3), i ->
+        |      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]) AS g5
+        |  FROM t),
+        |bc AS (SELECT doc_id, gram, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(b2) AS gram FROM g) GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bc GROUP BY 1),
+        |fc AS (SELECT doc_id, gram, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(g5) AS gram FROM g) GROUP BY 1, 2),
+        |ft AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup,
+        |    SUM(c) AS tot FROM fc GROUP BY 1)
+        |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+        |  COALESCE(CAST(bt.mx AS DOUBLE) / bt.tot, 0.0) AS top2_frac,
+        |  COALESCE(CAST(ft.dup AS DOUBLE) / ft.tot, 0.0) AS dup5_frac
+        |FROM g LEFT JOIN bt USING (doc_id) LEFT JOIN ft USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        TextAnalysis.repetitionSignals(Tables.load(s, dir, "documents"))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

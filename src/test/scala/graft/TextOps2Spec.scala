@@ -28,6 +28,35 @@ class TextOps2Spec extends SparkTestBase {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) < 1.0)
   }
 
+  test("repetition signals: hand-computed fractions; short docs emit 0; bounds on the corpus") {
+    val df = Seq(
+      // "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> top "a b" 3/5;
+      // 5-grams [ababa, babab] all unique -> dup5 = 0
+      (1L, "a b a b a b"),
+      // "x x x x x x": 5 identical bigrams -> 3/5... no: top 5/5 = 1;
+      // two identical 5-grams -> dup5 = 2/2 = 1
+      (2L, "x x x x x x"),
+      // all-distinct tokens: every gram unique
+      (3L, "a b c d e f g"),
+      // 4 tokens: no 5-grams -> dup5 = 0; 1 token: neither
+      (4L, "p q p q"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 3.0 / 5.0, 0.0)))
+    assert(out(2L) == ((6L, 1.0, 1.0)))
+    assert(out(3L) == ((7L, 1.0 / 6.0, 0.0)))
+    assert(out(4L) == ((4L, 2.0 / 3.0, 0.0)))
+    assert(out(5L) == ((1L, 0.0, 0.0)))
+    // corpus-wide: fractions live in [0, 1], one row per doc
+    val corpus = TextAnalysis.repetitionSignals(docs)
+    val row = corpus.agg(count(lit(1)), min($"top2_frac"), max($"top2_frac"),
+      min($"dup5_frac"), max($"dup5_frac")).head()
+    assert(row.getLong(0) == docs.count())
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(2) <= 1.0)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(4) <= 1.0)
+  }
+
   test("weighted sample: deterministic across partitionings, k rows, weight-monotone inclusion") {
     val a = TextAnalysis.weightedPrioritySample(docs, "text", "n_chars", "doc_id", k = 40)
       .select($"doc_id").as[Long].collect().toSeq
