@@ -49,7 +49,10 @@ object Bench {
     "cdc24_mysql_decimal", "q77_zorder_stats",
     // round-8 addition: MEDIUMINT + legacy temporal decode (the
     // remaining wire types) — same rule
-    "cdc32_mysql_mediumint_legacy_temporals")
+    "cdc32_mysql_mediumint_legacy_temporals",
+    // round-9 additions, same rule: DATETIME2/TIMESTAMP2 fsp decode on
+    // the real wire, and the narrow Gopher-repetition scorer
+    "cdc35_mysql_datetime_fsp", "llm60_repetition_signals")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
