@@ -150,6 +150,59 @@ class GoldenBinlogSpec extends SparkTestBase {
     } finally r.close()
   }
 
+  /** A TRANSACTION_PAYLOAD binlog (binlog_transaction_compression=ON)
+    * authored from the documented TLV layout — type 2 = compression
+    * algorithm (0 = zstd), type 3 = lenenc uncompressed size, 0 = end —
+    * with the inner v4 event stream (plain 19-byte headers, log_pos 0,
+    * no per-event CRC) zstd-compressed by an INDEPENDENT encoder (the
+    * zstd CLI at level 19), not this repo's writer. One txn: gtid 9 →
+    * TABLE_MAP + WRITE_ROWS (10,"pz"),(11,NULL) + XID. */
+  private val PayloadZstdHex =
+    """fe62696e90f253650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000090
+      |f2536513000d0008000000000000000000005400000008000000000000000000000a0a0a2a2a
+      |0000000000000001d9a650a190f25365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620900000000000000020800000000000000090000000000000069456a
+      |2b90f2536528010000007a0000003901000000000201000301820028b52ffd04687d02007285
+      |0f19b0a9350cc3302c012e25b40c6a96548a724410a5106b64cb14ff61caeff817cd9ada9f08
+      |b4cd6fa9ee919a10bc6b93660c2d759fa8bd2f647e08e464570500a00a570503388455961060
+      |0ee39aff42b5a74376""".stripMargin
+
+  /** The same transaction under compression algorithm 255 (NONE) — the
+    * wire state mysqld emits when compression would not gain — with no
+    * uncompressed-size field (only zstd requires it). */
+  private val PayloadNoneHex =
+    """fe62696e90f253650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000090
+      |f2536513000d0008000000000000000000005400000008000000000000000000000a0a0a2a2a
+      |0000000000000001d9a650a190f25365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620900000000000000020800000000000000090000000000000069456a
+      |2b90f2536528010000009d0000005c01000000000201ff0090f2536513010000003300000000
+      |000000000005000000000001000267640001740002080f021400020101000405026964017690
+      |f253651e0100000034000000000000000000050000000000010002000203000a000000000000
+      |0002707a020b0000000000000090f2536510010000001b000000000000000000910100000000
+      |000031d2ea7a""".stripMargin
+
+  test("authored TRANSACTION_PAYLOAD decodes: independent zstd frame and NONE variant") {
+    for ((hexStr, label) <- Seq((PayloadZstdHex, "zstd"), (PayloadNoneHex, "none"))) {
+      val dir = Files.createTempDirectory(s"golden-payload-$label").toString
+      Files.write(Paths.get(dir, "golden-bin.000001"), hex(hexStr))
+      Files.writeString(Paths.get(dir, "binlog.index"), "golden-bin.000001\n")
+      val rows = spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "gd").option("table", "t")
+        .option("binlogFormat", "mysql")
+        .load()
+        .collect().map { r =>
+          (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+            r.getInt(2), r.getLong(3), r.getString(5))
+        }.toSeq.sortBy(_._1)
+      assert(rows == Seq(
+        (10L, "pz", CdcSchema.Op.Insert, 9L, Sid),
+        (11L, null, CdcSchema.Op.Insert, 9L, Sid)), s"variant $label")
+    }
+  }
+
   test("mid-file resume: a stream offset inside file 2 replays nothing before it") {
     import graft.sources.{CdcMicroBatchStream, CdcOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
