@@ -320,6 +320,30 @@ object ScaleSmoke {
       assert(iters <= 20, s"star contraction must stay O(log d): $iters rounds")
     }
 
+    // repetition signals at 1M docs: every doc starts "r r r" then 9
+    // per-doc-unique tokens, so EVERY doc's top-bigram share is exactly
+    // 2/11 ("r r" twice of 11 bigrams) and its dup-5-gram share is 0
+    // (each 5-gram contains a unique token); every 10th doc is "r"x12
+    // (top2 = 1, dup5 = 1). Two exact doubles corpus-wide — the narrow
+    // run-length fold demonstrated at scale with zero shuffles.
+    timed(s"repetitionSignals($nText)") {
+      val docs = spark.range(nText).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0,
+          concat_ws(" ", (0 until 12).map(_ => lit("r")): _*))
+          .otherwise(concat_ws(" ",
+            lit("r") +: lit("r") +: lit("r") +: (0 until 9).map(j =>
+              concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+      val out = graft.ops.TextAnalysis.repetitionSignals(docs)
+      val planted = (nText + 9) / 10
+      val row = out.agg(count(lit(1)).as("n"),
+        count(when(col("top2_frac") === 1.0 && col("dup5_frac") === 1.0, 1)).as("rep"),
+        count(when(col("top2_frac") === 2.0 / 11.0 && col("dup5_frac") === 0.0, 1)).as("nat"),
+        countDistinct(col("top2_frac")).as("nd")).head()
+      assert(row.getLong(0) == nText && row.getLong(1) == planted
+          && row.getLong(2) == nText - planted && row.getLong(3) == 2L,
+        s"every doc must score exactly 2/11 or 1: $row")
+    }
+
     // star contraction vs min-label on a NEAR-DUP-SHAPED graph at 10x
     // the sf0.1 documents corpus (~600k nodes): mostly 3-node clusters
     // (the shape real near-dup graphs have) plus 300 32-node chains

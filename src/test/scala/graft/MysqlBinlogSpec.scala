@@ -998,6 +998,21 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(ex.getMessage.contains("PARTIAL_JSON"), ex.getMessage)
   }
 
+  test("golden bytes: MINIMAL row metadata — SIGNEDNESS without COLUMN_NAME") {
+    // the binlog_row_metadata=MINIMAL wire shape: mysqld still logs the
+    // SIGNEDNESS TLV (only names/labels/PK are FULL-only), so an
+    // unsigned INT must widen correctly with no names present
+    // [INT unsigned (u32), VARCHAR(20) nullable]
+    val tm = "290000000000 0100 016400 017400 02 030f 02 1400 02" +
+      "0101 80" // SIGNEDNESS TLV only — no COLUMN_NAME
+    val rows = goldenRows(tm,
+      "290000000000 0000 0200 02 03" +
+        "00 feffffff 026869", // u32 0xfffffffe, "hi"
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(
+      Seq(4294967294L, UTF8String.fromString("hi"))))
+  }
+
   test("golden bytes: primitive types, DATE (incl. zero-date), VARCHAR-1B, BLOB") {
     // [TINY, SHORT, LONG, LONGLONG, FLOAT(meta 4), DOUBLE(meta 8),
     //  DATE, VARCHAR(20) (1-byte length), BLOB(meta 2)]
