@@ -41,6 +41,31 @@ object BenchDelta {
     }
     val a = queriesOf(args(0))
     val b = queriesOf(args(1))
+    // per-query in-run sample spreads (max/min across reps), when the
+    // artifacts carry them: a cross-run ratio smaller than the query's
+    // own within-run spread is not evidence of anything — the noise
+    // floor the round-9 A/B/C triplet demonstrated (each pair of clean
+    // identical-binary runs flagged a DIFFERENT >25% mover set)
+    def spreadsOf(path: String): Map[String, Double] = {
+      var node = m.readTree(new java.io.File(path))
+      if (node.has("parsed")) node = node.get("parsed")
+      val s = node.get("spread")
+      if (s == null) Map.empty
+      else {
+        val it = s.properties().iterator()
+        val out = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.asDouble() > 0) out += e.getKey -> e.getValue.asDouble()
+        }
+        out.result()
+      }
+    }
+    val noise = {
+      val sa = spreadsOf(args(0)); val sb = spreadsOf(args(1))
+      (sa.keySet ++ sb.keySet).map(k =>
+        k -> math.max(sa.getOrElse(k, 1.0), sb.getOrElse(k, 1.0))).toMap
+    }
     val common = (a.keySet & b.keySet).toSeq.sorted
     require(common.nonEmpty, "no common queries between the two artifacts")
     // median ratio over queries big enough for the ratio to mean
@@ -60,7 +85,12 @@ object BenchDelta {
     val flagged = common.flatMap { q =>
       val adj = b(q) / median // divide out ambient drift
       val d = (adj - a(q)) / math.max(a(q), 0.001) * 100
-      if (math.abs(d) > pct && math.max(a(q), b(q)) > 0.05)
+      // beyond the threshold AND beyond the query's own within-run
+      // sample spread (when the artifacts carry one)
+      val ratio = adj / math.max(a(q), 0.001)
+      val beyondNoise = ratio > noise.getOrElse(q, 1.0) ||
+        ratio < 1.0 / noise.getOrElse(q, 1.0)
+      if (math.abs(d) > pct && math.max(a(q), b(q)) > 0.05 && beyondNoise)
         Some((d, q, a(q), b(q), adj))
       else None
     }.sortBy(-_._1)
