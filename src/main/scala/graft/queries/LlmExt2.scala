@@ -364,11 +364,19 @@ object LlmExt2 {
         |  CAST(SUM(dup_tokens) AS BIGINT) AS residual_dup_tokens
         |FROM kept GROUP BY lang""".stripMargin) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val cleaned = TextAnalysis.collapseRepeats(docs)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // spanDupCoverage executes its input frame three times (dup agg,
+      // hits join, n_tokens), so `cleaned` is materialized ONCE with an
+      // eager checkpoint: collapseRepeats' interpreted filter-lambda
+      // over every token is the expensive part, and re-running it 3x
+      // measured 4.7 s vs 3.0 s when the old pre-coverage lang join
+      // accidentally served as a shuffle-reuse barrier. The checkpoint
+      // gets the reuse without the join in the hot path; lang joins
+      // AFTER coverage against one small row per doc — the 100 TB
+      // shape (compact doc rows are the cheap thing to persist).
+      val cleaned = TextAnalysis.collapseRepeats(docs).localCheckpoint(true)
       Dedup.spanDupCoverage(cleaned, "clean_text", "doc_id", w = 8)
-        .join(cleaned.select(col("doc_id"), col("lang")), "doc_id")
         .filter(col("dup_ratio") < 0.5)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("total_tokens"),
