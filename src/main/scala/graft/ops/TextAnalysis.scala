@@ -311,10 +311,15 @@ object TextAnalysis {
     // the declared outputs and internal helpers can collide with nothing
     // but the id itself — fail loud instead of a duplicate-column plan
     requireIdNotReserved("tokenBudgetSample", id)
+    // checkpointed: both the bucket-offset aggregation and the final
+    // join consume this frame, and re-executing it re-folds the
+    // whole-text priority hash per row (the multi-consumption rule in
+    // DESIGN.md — narrow but per-row expensive, output compact)
     val withP = df.select(col(id),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         mod_poly_hash(col(textCol)).as("priority"))
       .withColumn("__bucket", expr(s"priority DIV $bucketSize"))
+      .localCheckpoint(true)
     val wB = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = withP.groupBy(col("__bucket"))
@@ -354,11 +359,15 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val bdf = broadcast(budgets.toSeq.toDF("__grp", "__budget"))
+    // checkpointed for the same two-consumer reason as
+    // tokenBudgetSample's withP (the broadcast budget join is narrow,
+    // so nothing else materializes this frame)
     val withP = df.select(col(groupCol).as("__grp"), col(id),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         mod_poly_hash(col(textCol)).as("priority"))
       .join(bdf, Seq("__grp")) // drops un-budgeted groups
       .withColumn("__bucket", expr(s"priority DIV $bucketSize"))
+      .localCheckpoint(true)
     val wB = Window.partitionBy(col("__grp")).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = withP.groupBy(col("__grp"), col("__bucket"))
