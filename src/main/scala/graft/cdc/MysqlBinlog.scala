@@ -318,6 +318,7 @@ object MysqlBinlog {
     }
     private var pos: Long = MagicLen.toLong
     private var checksummed = false // set by the FORMAT_DESCRIPTION event
+    private var sawFde = false
     private var nextEvent: CdcCodec.RawEvent = _
     private var done = false
 
@@ -327,6 +328,16 @@ object MysqlBinlog {
       val h = new Cur(header)
       val tsSec = h.u32()
       val tpe = h.u8().toByte
+      // every real binlog's first event is its FORMAT_DESCRIPTION (it
+      // declares the checksum algorithm the rest of the file is read
+      // under) — anything else means a misaligned or corrupt file, and
+      // decoding on silently would skip CRC verification entirely
+      if (!sawFde) {
+        if (tpe != EventType.FormatDescription)
+          throw new IOException(s"$path: first event is type $tpe, not " +
+            "FORMAT_DESCRIPTION — misaligned or corrupt binlog")
+        sawFde = true
+      }
       h.u32() // server_id
       val eventSize = h.u32()
       h.u32() // log_pos (end position; derivable, not trusted)

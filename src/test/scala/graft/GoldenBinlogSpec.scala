@@ -135,6 +135,21 @@ class GoldenBinlogSpec extends SparkTestBase {
     assert(MysqlBinlog.lastCompleteOffset(s"$dir/golden-bin.000002") == 603L)
   }
 
+  test("a file whose first event is not FORMAT_DESCRIPTION fails loud") {
+    // splice the FDE out of file 1: the remaining events are valid, but
+    // reading them without the FDE would skip checksum verification —
+    // misaligned/corrupt files must not decode silently
+    val dir = materialize()
+    val bytes = Files.readAllBytes(Paths.get(dir, "golden-bin.000001"))
+    val spliced = bytes.slice(0, 4) ++ bytes.drop(126) // magic + post-FDE
+    Files.write(Paths.get(dir, "golden-bin.000001"), spliced)
+    val r = new MysqlBinlog.EventReader(s"$dir/golden-bin.000001")
+    try {
+      val ex = intercept[java.io.IOException] { r.hasNext }
+      assert(ex.getMessage.contains("FORMAT_DESCRIPTION"), ex.getMessage)
+    } finally r.close()
+  }
+
   test("a flipped bit in an authored event fails the CRC check loud") {
     val dir = materialize()
     val p = Paths.get(dir, "golden-bin.000001")
