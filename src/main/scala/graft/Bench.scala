@@ -51,8 +51,10 @@ object Bench {
     // remaining wire types) — same rule
     "cdc32_mysql_mediumint_legacy_temporals",
     // round-9 additions, same rule: DATETIME2/TIMESTAMP2 fsp decode on
-    // the real wire, and the narrow Gopher-repetition scorer
-    "cdc35_mysql_datetime_fsp", "llm60_repetition_signals")
+    // the real wire, the narrow Gopher-repetition scorer, and the
+    // two-corpus benchmark decontamination pass
+    "cdc35_mysql_datetime_fsp", "llm60_repetition_signals",
+    "llm61_decontaminate")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the

@@ -472,6 +472,37 @@ object TextAnalysis {
             size(col("__g5")).cast("double")).as("dup5_frac"))
   }
 
+  /** Two-corpus decontamination (the production direction): flag every
+    * TRAINING document sharing at least one n-token gram with an
+    * external eval/benchmark set, with the count of distinct shared
+    * grams. This is the pass a pretraining corpus runs against each
+    * benchmark before training — the inverse direction of
+    * [[crossSplitContamination]], which audits an internal hash split.
+    *
+    * Plan shape: both sides explode to per-doc DISTINCT grams; one
+    * equi-join keyed by the gram; one per-doc count. The eval side is a
+    * benchmark suite — orders of magnitude smaller than the corpus — so
+    * its distinct-gram set is broadcast and the corpus side never
+    * shuffles: at 100 TB this is a map-side semi-join at scan speed.
+    * Docs shorter than n tokens have no grams and cannot be flagged. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String = "text", id: String = "doc_id",
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"gram size must be >= 2 tokens, got $n")
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val tk = freshCol(df, "__tk")
+      df.withColumn(tk, tokens(col(textCol)))
+        .filter(size(col(tk)) >= n)
+        .select(cols :+ explode(array_distinct(
+          shinglesFromTokens(col(tk), n))).as("__gram"): _*)
+    }
+    val evalGrams = grams(evalDocs, Seq.empty).distinct()
+    grams(docs, Seq(col(id)))
+      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Count-based bigram language-model scoring (the CCNet-style
     * statistical quality filter, log-free): score = mean conditional
     * probability P(w2|w1) of a doc's bigrams under the corpus's own

@@ -538,6 +538,29 @@ object LlmExt2 {
         TextAnalysis.repetitionSignals(Tables.load(s, dir, "documents"))
     },
 
+    // two-corpus decontamination: training docs sharing any 8-token
+    // gram with the src0 "benchmark" slice, with distinct-gram hit
+    // counts — the pass a pretraining corpus runs against each eval
+    // suite. The eval gram set broadcasts (benchmarks are tiny next to
+    // the corpus), so the corpus side never shuffles pre-aggregation.
+    QDef("llm61_decontaminate",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 6), i ->
+        |      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |      tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
+        |  FROM t WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, COUNT(*) AS n_hits
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.source <> 'src0'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    },
+
     // consecutive-repeat collapse (repetition normalization): DuckDB's
     // 1-based list_filter lambda replays Spark's 0-based filter exactly
     // (both guard the first element, both compare against the previous)

@@ -57,6 +57,35 @@ class TextOps2Spec extends SparkTestBase {
     assert(row.getDouble(3) >= 0.0 && row.getDouble(4) <= 1.0)
   }
 
+  test("decontaminate: planted eval gram flags its carrier; disjoint doc clean; broadcast plan") {
+    val ev = Seq((100L, "e1 e2 e3 e4 e5 e6 e7 e8")).toDF("doc_id", "text")
+    val train = Seq(
+      // carries the eval 8-gram inside a longer doc -> exactly 1 hit
+      (1L, "x0 e1 e2 e3 e4 e5 e6 e7 e8 x1"),
+      // shares only a 7-token prefix -> no 8-gram hit
+      (2L, "e1 e2 e3 e4 e5 e6 e7 y1 y2"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+      // too short for any 8-gram
+      (4L, "e1 e2 e3")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, ev)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L)))
+    // the corpus side must not shuffle before aggregation: eval grams
+    // broadcast into a left-semi hash join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join, got:\n$plan")
+    // duplicated shared grams count once per distinct gram: a doc
+    // repeating the eval gram twice still reports 1 distinct hit
+    val rep = Seq((5L, "e1 e2 e3 e4 e5 e6 e7 e8 e1 e2 e3 e4 e5 e6 e7 e8"))
+      .toDF("doc_id", "text")
+    val r2 = TextAnalysis.decontaminate(rep, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the repeated doc contains the planted 8-gram plus wrap-around
+    // grams; only the planted one exists in the eval set
+    assert(r2 == Seq((5L, 1L)))
+  }
+
   test("weighted sample: deterministic across partitionings, k rows, weight-monotone inclusion") {
     val a = TextAnalysis.weightedPrioritySample(docs, "text", "n_chars", "doc_id", k = 40)
       .select($"doc_id").as[Long].collect().toSeq
