@@ -858,7 +858,9 @@ object MysqlBinlog {
         // 3-byte LE packed: day + month*32 + year*512 -> Spark epoch days
         val v = c.u24()
         val day = v & 31; val month = (v >> 5) & 15; val year = v >> 9
-        if (v == 0) null // MySQL zero-date: no epoch-day representation
+        // zero-date AND zero-in-date ('2024-00-15', legal when sql_mode
+        // omits NO_ZERO_IN_DATE): no epoch-day representation -> null
+        if (month == 0 || day == 0) null
         else java.time.LocalDate.of(year, month, day).toEpochDay.toInt
       case ColType.Year =>
         // 1 byte, year-1900; 0 is the literal year 0000
@@ -883,13 +885,12 @@ object MysqlBinlog {
       case ColType.DateTime =>
         // legacy DATETIME: 8-byte LE decimal YYYYMMDDHHMMSS
         val v = c.i64()
-        if (v == 0L) null // MySQL zero-datetime: no NTZ representation
-        else {
-          val d = (v / 1000000L).toInt; val t = (v % 1000000L).toInt
-          DateTimeUtils.localDateTimeToMicros(LocalDateTime.of(
-            d / 10000, d / 100 % 100, d % 100,
-            t / 10000, t / 100 % 100, t % 100))
-        }
+        val d = (v / 1000000L).toInt; val t = (v % 1000000L).toInt
+        // zero-datetime and zero-in-date parts -> null (see ColType.Date)
+        if (d / 100 % 100 == 0 || d % 100 == 0) null
+        else DateTimeUtils.localDateTimeToMicros(LocalDateTime.of(
+          d / 10000, d / 100 % 100, d % 100,
+          t / 10000, t / 100 % 100, t % 100))
       case ColType.Bit =>
         // big-endian bitfield in ceil(bits/8) bytes (meta = bit width)
         c.beU((meta + 7) / 8)
@@ -937,9 +938,18 @@ object MysqlBinlog {
         val ymd = (packed >> 17).toInt
         val hms = (packed & 0x1ffff).toInt
         val ym = ymd >> 5
-        val ldt = LocalDateTime.of(ym / 13, ym % 13, ymd & 31,
-          hms >> 12, (hms >> 6) & 63, hms & 63)
-        DateTimeUtils.localDateTimeToMicros(ldt) + readFrac(c, meta)
+        val frac = readFrac(c, meta) // consume even when the value nulls
+        // mysqld stores '0000-00-00 00:00:00' (and zero-in-date parts)
+        // as a real DATETIME2 value — packed 0 is the zero-datetime;
+        // month/day 0 have no LocalDateTime form -> SQL null (a naive
+        // LocalDateTime.of here throws on every zero-date, crashing the
+        // scan of any permissive-sql_mode server's log)
+        if (ym % 13 == 0 || (ymd & 31) == 0) null
+        else {
+          val ldt = LocalDateTime.of(ym / 13, ym % 13, ymd & 31,
+            hms >> 12, (hms >> 6) & 63, hms & 63)
+          DateTimeUtils.localDateTimeToMicros(ldt) + frac
+        }
       case ColType.NewDecimal =>
         val precision = meta >> 8; val scale = meta & 0xff
         val raw = c.bytes(ColType.decimalBinSize(precision, scale))

@@ -998,6 +998,20 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(ex.getMessage.contains("PARTIAL_JSON"), ex.getMessage)
   }
 
+  test("golden bytes: zero-datetime and zero-in-date values surface as SQL null") {
+    // [DATETIME2(0), DATE, legacy DATETIME] — mysqld stores
+    // '0000-00-00 00:00:00' as packed 0 (5 bytes 0x8000000000 after the
+    // offset), and sql_mode without NO_ZERO_IN_DATE permits month/day 0
+    // ('2024-00-15'); none has a LocalDate(Time) form -> SQL null (a
+    // naive decode THROWS on the zero-datetime, killing the scan)
+    val tm = "2a0000000000 0100 016400 017400 03 120a0c 01 00 00"
+    val rows = goldenRows(tm,
+      "2a0000000000 0000 0200 03 07" +
+        "00 8000000000 0fd00f c081e77e68120000", // zero-dt2, 2024-00-15, 2024-00-15 00:00:00
+      "t")
+    assert(rows.map(_.values.toSeq) == Seq(Seq(null, null, null)))
+  }
+
   test("golden bytes: MINIMAL row metadata — SIGNEDNESS without COLUMN_NAME") {
     // the binlog_row_metadata=MINIMAL wire shape: mysqld still logs the
     // SIGNEDNESS TLV (only names/labels/PK are FULL-only), so an
