@@ -867,8 +867,12 @@ object MysqlBinlog {
         val v = c.u8()
         (if (v == 0) 0 else 1900 + v).toShort
       case ColType.Timestamp =>
-        // legacy TIMESTAMP: 4-byte LE unix seconds (no fractional part)
-        c.u32() * 1000000L
+        // legacy TIMESTAMP: 4-byte LE unix seconds (no fractional part).
+        // 0 is the zero-date, NOT epoch 0 — TIMESTAMP's valid range
+        // starts at 1970-01-01 00:00:01, so mysqld uses 0 for
+        // '0000-00-00 00:00:00' -> SQL null
+        val s = c.u32()
+        if (s == 0L) null else s * 1000000L
       case ColType.Time =>
         // legacy TIME: 3-byte LE signed ±(H*10000 + M*100 + S) — same
         // signed-microseconds surface as TIME2
@@ -929,9 +933,17 @@ object MysqlBinlog {
         val micros = (h * 3600L + m * 60L + s) * 1000000L + frac
         if (raw < 0) -micros else micros
       case ColType.Timestamp2 =>
-        // 4-byte BE unix seconds + big-endian fractional (fsp in meta)
+        // 4-byte BE unix seconds + big-endian fractional (fsp in meta).
+        // seconds 0 = the zero-date (TIMESTAMP's range starts at
+        // 00:00:01; see legacy Timestamp) -> null; a nonzero fraction
+        // under zero seconds is not a value mysqld can store
         val sec = c.beU(4)
-        sec * 1000000L + readFrac(c, meta)
+        val frac = readFrac(c, meta)
+        if (sec == 0L) {
+          if (frac != 0L) throw new IOException(
+            s"TIMESTAMP2 zero seconds with nonzero fraction $frac")
+          null
+        } else sec * 1000000L + frac
       case ColType.Datetime2 =>
         // 5-byte BE packed intpart (offset by 0x8000000000) + fractional
         val packed = c.beU(5) - 0x8000000000L

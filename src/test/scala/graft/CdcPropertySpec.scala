@@ -54,8 +54,9 @@ class CdcPropertySpec extends AnyFunSuite {
       t2 = t2raw / unit * unit
       // legacy TIME: whole seconds
       tl <- Gen.chooseNum(-maxSec, maxSec).map(_ * 1000000L)
-      // legacy TIMESTAMP: u32 unix seconds
-      ts <- Gen.chooseNum(0L, 0xffffffffL).map(_ * 1000000L)
+      // legacy TIMESTAMP: u32 unix seconds (0 is the zero-date -> null,
+      // pinned separately by the golden-bytes test)
+      ts <- Gen.chooseNum(1L, 0xffffffffL).map(_ * 1000000L)
     } yield (fsp, t2, tl, ts)
     check(Prop.forAll(genCase) { case (fsp, t2, tl, ts) =>
       val schema = StructType(Seq(
@@ -95,8 +96,8 @@ class CdcPropertySpec extends AnyFunSuite {
       dtRaw <- Gen.chooseNum(-30610224000L, 253402300799L) // epoch sec range
       dtFrac <- Gen.chooseNum(0L, 999999L)
       dt = dtRaw * 1000000L + dtFrac / unit * unit
-      // TIMESTAMP2: u32 unix seconds + frac
-      tsRaw <- Gen.chooseNum(0L, 0xffffffffL)
+      // TIMESTAMP2: u32 unix seconds + frac (0 s = zero-date -> null)
+      tsRaw <- Gen.chooseNum(1L, 0xffffffffL)
       tsFrac <- Gen.chooseNum(0L, 999999L)
       ts = tsRaw * 1000000L + tsFrac / unit * unit
     } yield (fsp, dt, ts)

@@ -819,8 +819,10 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(rows.map(_.values(2)) == Seq(0, 16777215, 1))
     assert(rows.map(_.values(3)) == Seq(maxT, -maxT, 0L))
     assert(rows.map(_.values(4)) == Seq(dtMicros, 0L, dtMicros))
+    // legacy TIMESTAMP wire value 0 is the MySQL zero-date -> SQL null
+    // (the valid range starts at 00:00:01, so epoch 0 has no encoding)
     assert(rows.map(_.values(5)) ==
-      Seq(1700000000000000L, 0L, 4294967295000000L))
+      Seq(1700000000000000L, null, 4294967295000000L))
 
     // out-of-range / unrepresentable inputs fail loud at write time
     val w2 = new MysqlBinlog.Writer(s"$dir/bad.000001",
@@ -897,7 +899,8 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(rows.map(_.values.toSeq) == Seq(
       Seq(-1, -3020399000000L, 1786665598000000L, 1700000000000000L,
         2026.toShort),
-      Seq(8388607, 3723000000L, null, 0L, 0.toShort)))
+      // legacy TIMESTAMP 0 = the zero-date (range starts 00:00:01) -> null
+      Seq(8388607, 3723000000L, null, null, 0.toShort)))
   }
 
   test("golden bytes: TIME2 fsp storage forms decode to pinned values") {
