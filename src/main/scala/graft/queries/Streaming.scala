@@ -302,6 +302,31 @@ object Streaming {
         "str13_" + java.lang.Integer.toHexString(dir.hashCode), "complete")
     },
 
+    // streaming decontamination gate: arriving training docs check
+    // against the static src0 "benchmark" gram set before landing —
+    // llm61's admission-control twin (same oracle SQL; a doc's grams
+    // all arrive in its own micro-batch, so update mode emits each
+    // contaminated doc once)
+    QDef("str16_decontaminate_gate",
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 6), i ->
+        |      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+        |      tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6] || ' ' || tk[i+7]))) AS gram
+        |  FROM t WHERE len(tk) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT g.doc_id, COUNT(*) AS n_hits
+        |FROM g JOIN ev USING (gram)
+        |WHERE g.source <> 'src0'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val evalDocs = graft.Tables.load(s, dir, "documents")
+        .filter(col("source") === "src0")
+      val arriving = StreamOps.documentsStream(s, dir)
+        .filter(col("source") =!= "src0")
+      drain(StreamOps.decontaminateStream(evalDocs, arriving),
+        "str16_" + java.lang.Integer.toHexString(dir.hashCode), "update")
+    },
+
     // streaming token-budget ingestion gate: each language admits
     // arriving docs IN ARRIVAL (doc_id) ORDER until its token budget is
     // spent — the admission-control twin of llm56's priority-order

@@ -449,6 +449,34 @@ object StreamOps {
           .as("dup_ratio"))
   }
 
+  /** Streaming decontamination gate: each ARRIVING document checks
+    * against a STATIC eval/benchmark gram set — the admission-control
+    * twin of `TextAnalysis.decontaminate` (drop a training doc before
+    * it lands if it carries benchmark n-grams). The eval side
+    * materializes once (benchmark suites are tiny) and broadcasts into
+    * a stream-static left-semi join, so each micro-batch is a narrow
+    * map-side pass + one per-doc count; a doc's grams all arrive in its
+    * own batch, so update mode emits each contaminated doc exactly
+    * once. */
+  def decontaminateStream(evalDocs: DataFrame, arriving: DataFrame,
+      n: Int = 8): DataFrame = {
+    import graft.ops.TextAnalysis.{tokens, shinglesFromTokens}
+    val evalGrams = evalDocs
+      .select(tokens(col("text")).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(explode(array_distinct(shinglesFromTokens(col("__tk"), n))).as("__gram"))
+      .distinct()
+      .localCheckpoint(true)
+    arriving
+      .select(col("doc_id"), tokens(col("text")).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        shinglesFromTokens(col("__tk"), n))).as("__gram"))
+      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Streaming incremental near-dup: each ARRIVING document checks
     * against a STATIC corpus — the admission-control shape of
     * `Dedup.incrementalNearDup` (new data joins the corpus's persisted
