@@ -218,6 +218,39 @@ class GoldenBinlogSpec extends SparkTestBase {
     }
   }
 
+  /** A gtid_mode=OFF binlog: the transaction opens with ANONYMOUS_GTID
+    * (type 34) instead of GTID — no transaction identity on the wire,
+    * so reading the target table's rows must fail loud THROUGH the
+    * public source (silently stamping a stale __gtid would corrupt
+    * latest-image ordering). Authored from the documented layouts. */
+  private val AnonGtidHex =
+    """fe62696ef4f253650f010000007a0000007e00000000000400382e302e333600000000000000
+      |00000000000000000000000000000000000000000000000000000000000000000000000000f4
+      |f2536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001ce75880ef4f25365220100000041000000bf000000000001000000000000
+      |00000000000000000000000000000000000002ffffffffffffffff00000000000000004b8b7c
+      |09f4f25365130100000037000000f6000000000005000000000001000267640001740002080f
+      |0214000201010004050269640176ede0417ff4f253651e010000002f00000025010000000005
+      |0000000000010002000203000100000000000000026162985087c9f4f2536510010000001f00
+      |000044010000000007000000000000000c77dfa4""".stripMargin
+
+  test("authored gtid_mode=OFF binlog fails loud through the public source") {
+    val dir = Files.createTempDirectory("golden-anon").toString
+    Files.write(Paths.get(dir, "golden-bin.000001"), hex(AnonGtidHex))
+    Files.writeString(Paths.get(dir, "binlog.index"), "golden-bin.000001\n")
+    val ex = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "gd").option("table", "t")
+        .option("binlogFormat", "mysql")
+        .load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("ANONYMOUS_GTID") && all.contains("gtid_mode"), all)
+  }
+
   test("mid-file resume: a stream offset inside file 2 replays nothing before it") {
     import graft.sources.{CdcMicroBatchStream, CdcOffset}
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
