@@ -101,7 +101,7 @@ object Bench {
 
   /** Total byte size of a source table path (file or parquet dir, one
     * level deep) — drives the size-proportional split count. */
-  private def newestSize(p: java.nio.file.Path): Long = {
+  private def totalSize(p: java.nio.file.Path): Long = {
     import java.nio.file.Files
     if (!Files.exists(p)) 0L
     else if (Files.isDirectory(p)) {
@@ -151,7 +151,7 @@ object Bench {
         val out = dir.resolve(s"$t.parquet")
         if (RelaidSplit(t)) {
           val src = Paths.get(sfDir, s"$t.parquet")
-          val nf = splitCount(newestSize(src), n)
+          val nf = splitCount(totalSize(src), n)
           System.err.println(s"[bench] re-laying $t into $nf files")
           Tables.load(spark, sfDir, t).repartition(nf)
             .write.mode("overwrite").parquet(out.toString)
