@@ -96,7 +96,7 @@ object Bench {
   private val RelaidSplit = Set("orders", "lineitem", "documents", "embeddings")
 
   /** Size-proportional file count for a re-laid table. */
-  private def splitCount(srcBytes: Long, cpus: Int): Int =
+  private[graft] def splitCount(srcBytes: Long, cpus: Int): Int =
     math.max(2, math.min(cpus, math.ceil(srcBytes / (4.0 * 1024 * 1024)).toInt))
 
   /** Total byte size of a source table path (file or parquet dir, one

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The re-laid layout policy as a pure function — pinned so the bench
+  * methodology can't drift silently (the split count is part of what
+  * every published headline number means). */
+class BenchPolicySpec extends AnyFunSuite {
+  private val MiB = 1024L * 1024
+
+  test("splitCount: ~4 MiB per file, floor 2, cap cpus") {
+    // tiny tables never shatter (the round-9 62-row-file lesson) but
+    // always exercise the multi-file code paths (floor 2)
+    assert(Bench.splitCount(0L, 32) == 2)
+    assert(Bench.splitCount(600 * 1024, 32) == 2) // sf0.1 documents
+    assert(Bench.splitCount(800 * 1024, 32) == 2) // sf0.1 embeddings
+    // mid-size tables scale with bytes
+    assert(Bench.splitCount(2723766L, 32) == 2)   // sf0.1 orders (2.6 MiB)
+    assert(Bench.splitCount(10818932L, 32) == 3)  // sf0.1 lineitem (10.3 MiB)
+    assert(Bench.splitCount(100 * MiB, 32) == 25)
+    // the core count caps the fan-out
+    assert(Bench.splitCount(10L * 1024 * MiB, 32) == 32)
+    assert(Bench.splitCount(100 * MiB, 8) == 8)
+  }
+}
