@@ -99,30 +99,43 @@ object Bench {
   private[graft] def splitCount(srcBytes: Long, cpus: Int): Int =
     math.max(2, math.min(cpus, math.ceil(srcBytes / (4.0 * 1024 * 1024)).toInt))
 
-  /** Total byte size of a source table path (file or parquet dir, one
-    * level deep) — drives the size-proportional split count. */
+  /** Total byte size of a source table path (file or parquet dir,
+    * walked recursively) — drives the size-proportional split count
+    * and half of the staleness fingerprint. */
   private def totalSize(p: java.nio.file.Path): Long = {
     import java.nio.file.Files
     if (!Files.exists(p)) 0L
-    else if (Files.isDirectory(p)) {
-      val s = Files.list(p)
+    else {
+      val s = Files.walk(p)
       try s.mapToLong(c => if (Files.isRegularFile(c)) Files.size(c) else 0L).sum()
       finally s.close()
-    } else Files.size(p)
+    }
   }
 
-  /** Newest mtime under a source table path (file or parquet dir, one
-    * level deep) — the relaid-cache staleness signal. */
+  /** Newest mtime under a source table path (file or parquet dir,
+    * walked recursively) — half of the staleness fingerprint. */
   private def newestMtime(p: java.nio.file.Path): Long = {
     import java.nio.file.Files
     if (!Files.exists(p)) 0L
-    else if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try (s.mapToLong(c => Files.getLastModifiedTime(c).toMillis).max.orElse(0L))
-        .max(Files.getLastModifiedTime(p).toMillis)
+    else {
+      val s = Files.walk(p)
+      try s.mapToLong(c => Files.getLastModifiedTime(c).toMillis).max.orElse(0L)
       finally s.close()
-    } else Files.getLastModifiedTime(p).toMillis
+    }
   }
+
+  /** Per-table staleness fingerprint of the source dir. Size AND mtime:
+    * mtime alone misses a regenerated table restored with an old
+    * timestamp (mv / rsync -t), size alone misses a same-size rewrite;
+    * together they catch everything short of a deliberate same-size
+    * same-mtime forgery, which the driver (writing tables in place)
+    * never produces. Stored inside _RELAID_OK so the check compares
+    * against what was actually re-laid, not against a wall clock. */
+  private def sourceFingerprint(sfDir: String): String =
+    Tables.names.sorted.map { t =>
+      val p = java.nio.file.Paths.get(sfDir, s"$t.parquet")
+      s"$t:${newestMtime(p)}:${totalSize(p)}"
+    }.mkString("\n")
 
   private def ensureRelaid(spark: SparkSession, sfDir: String, n: Int): String = {
     import java.nio.file.{Files, Paths}
@@ -135,12 +148,13 @@ object Bench {
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-relaid4-$tag")
     val done = dir.resolve("_RELAID_OK")
     // invalidate when the driver regenerated a source table after the
-    // re-lay: a stale copy would get timed against a fresh oracle
-    val stale = Files.exists(done) && {
-      val relaidAt = Files.getLastModifiedTime(done).toMillis
-      Tables.names.exists(t =>
-        newestMtime(Paths.get(sfDir, s"$t.parquet")) > relaidAt)
-    }
+    // re-lay: a stale copy would get timed against a fresh oracle. The
+    // marker stores the source fingerprint (recursive size+mtime per
+    // table) taken at re-lay time; any drift — including a regenerated
+    // table restored with an old mtime — re-lays.
+    val fp = sourceFingerprint(sfDir)
+    val stale = Files.exists(done) &&
+      new String(Files.readAllBytes(done), "UTF-8") != fp
     if (stale) {
       System.err.println(s"[bench] source tables newer than re-laid cache $dir — re-laying")
       TmpDirs.deleteRecursively(dir.toFile)
@@ -158,7 +172,11 @@ object Bench {
         } else if (!Files.exists(out, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           Files.createSymbolicLink(out, Paths.get(sfDir, s"$t.parquet"))
       }
-      Files.createFile(done)
+      // store the PRE-relay fingerprint: if the driver rewrote a source
+      // while we were copying, the next run's fresh fingerprint differs
+      // from this snapshot and re-lays again (fail-stale, not
+      // fail-fresh)
+      Files.write(done, fp.getBytes("UTF-8"))
     }
     dir.toString
   }
@@ -170,23 +188,32 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
-  /** Previous headline archive (BENCH_r{N}.json with the highest N in
-    * cwd, or `SPARK_GRAFT_BENCH_PREV`) → its per-query seconds, for the
-    * in-artifact normalized ratio. */
+  /** Current git HEAD, embedded in the artifact as `"head"` so a later
+    * run can recognize (and skip) an archive produced by the same code.
+    * Empty when git is unavailable — then the skip is simply inert. */
+  private[graft] lazy val gitHead: String =
+    try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{40}")) out else ""
+    } catch { case scala.util.control.NonFatal(_) => "" }
+
+  /** Previous headline archive → its per-query seconds, for the
+    * in-artifact normalized ratio. `SPARK_GRAFT_BENCH_PREV` wins
+    * unconditionally; otherwise the highest-N BENCH_r{N}.json in cwd
+    * whose recorded `"head"` differs from the current HEAD — once the
+    * driver archives this round's run, a same-binary re-run would
+    * otherwise compare against itself and report a meaningless ~1.0
+    * cross-round ratio. Archives that pre-date the `"head"` field are
+    * never skipped. */
   private def prevArchive(): Option[(String, Map[String, Double])] = {
-    val f = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
-      .orElse {
-        val re = "^BENCH_r(\\d+)\\.json$".r
-        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case re(n) => Some((n.toInt, f)); case _ => None
-          }).sortBy(-_._1).headOption.map(_._2)
-      }
-    f.filter(_.isFile).flatMap { file =>
+    def parse(file: java.io.File): Option[(String, Map[String, Double], String)] =
       try {
         val m = new com.fasterxml.jackson.databind.ObjectMapper
         var node = m.readTree(file)
         if (node.has("parsed")) node = node.get("parsed")
+        val head = Option(node.get("head")).map(_.asText()).getOrElse("")
         Option(node.get("queries")).map { q =>
           val it = q.properties().iterator()
           val out = Map.newBuilder[String, Double]
@@ -194,9 +221,22 @@ object Bench {
             val e = it.next()
             if (e.getValue.asDouble() >= 0) out += e.getKey -> e.getValue.asDouble()
           }
-          (file.getName, out.result())
+          (file.getName, out.result(), head)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+    sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)) match {
+      case Some(f) => parse(f).map { case (n, q, _) => (n, q) }
+      case None =>
+        val re = "^BENCH_r(\\d+)\\.json$".r
+        val candidates = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f)); case _ => None
+          }).sortBy(-_._1).iterator.flatMap { case (_, f) => parse(f) }
+        candidates.collectFirst {
+          case (name, qs, head) if head.isEmpty || gitHead.isEmpty || head != gitHead =>
+            (name, qs)
+        }
     }
   }
 
@@ -333,7 +373,8 @@ object Bench {
     }.getOrElse("")
     // runs/warmup/agg declared so a consumer can tell median-of-N
     // steady-state numbers from cold single-shots across rounds
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$rawPart$spreadPart$prevPart}""")
+    val headPart = if (gitHead.isEmpty) "" else s""","head":"$gitHead""""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$headPart$rawPart$spreadPart$prevPart}""")
     spark.stop()
   }
 }

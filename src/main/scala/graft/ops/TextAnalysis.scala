@@ -458,18 +458,20 @@ object TextAnalysis {
           (acc.getField("dup") +
             when(acc.getField("run") >= 2, acc.getField("run"))
               .otherwise(lit(0L))).as("dup_occ")))
+    val b2 = freshCol(df, "__b2"); val g5 = freshCol(df, "__g5")
+    val bs = freshCol(df, "__bs"); val fs = freshCol(df, "__fs")
     df.withColumn(tkName, tokens(col(textCol)))
-      .withColumn("__b2", grams(2))
-      .withColumn("__g5", grams(5))
-      .withColumn("__bs", runStats(col("__b2")))
-      .withColumn("__fs", runStats(col("__g5")))
+      .withColumn(b2, grams(2))
+      .withColumn(g5, grams(5))
+      .withColumn(bs, runStats(col(b2)))
+      .withColumn(fs, runStats(col(g5)))
       .select(col(id), size(t).cast("bigint").as("n_tokens"),
-        when(size(col("__b2")) === 0, lit(0.0))
-          .otherwise(col("__bs").getField("max_run").cast("double") /
-            size(col("__b2")).cast("double")).as("top2_frac"),
-        when(size(col("__g5")) === 0, lit(0.0))
-          .otherwise(col("__fs").getField("dup_occ").cast("double") /
-            size(col("__g5")).cast("double")).as("dup5_frac"))
+        when(size(col(b2)) === 0, lit(0.0))
+          .otherwise(col(bs).getField("max_run").cast("double") /
+            size(col(b2)).cast("double")).as("top2_frac"),
+        when(size(col(g5)) === 0, lit(0.0))
+          .otherwise(col(fs).getField("dup_occ").cast("double") /
+            size(col(g5)).cast("double")).as("dup5_frac"))
   }
 
   /** Two-corpus decontamination (the production direction): flag every
