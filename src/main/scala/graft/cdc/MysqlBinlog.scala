@@ -57,6 +57,12 @@ object MysqlBinlog {
     val FormatDescription = 15: Byte
     val Xid = 16: Byte
     val TableMap = 19: Byte
+    // v1 rows events (5.1.15–5.6.x layout: no extra-data length field).
+    // Not decoded — recognized only to fail loud for the target table
+    // instead of silently decoding zero rows through the default arm.
+    val WriteRowsV1 = 23: Byte
+    val UpdateRowsV1 = 24: Byte
+    val DeleteRowsV1 = 25: Byte
     val WriteRowsV2 = 30: Byte
     val UpdateRowsV2 = 31: Byte
     val DeleteRowsV2 = 32: Byte
@@ -642,6 +648,16 @@ object MysqlBinlog {
     // stamping a stale/zero gtid, which would corrupt latest-image
     // ordering and update-pair joins.
     private var anonymousTxn = false
+    // A recognized transaction-identity event (GTID) governs the CURRENT
+    // transaction only: XID clears it. Target-table rows with no live
+    // identity fail loud — otherwise an identity event of an
+    // unrecognized type (e.g. MySQL 8.3+ tagged GTID, type 42, which the
+    // default arm skips as control) would leave the PREVIOUS
+    // transaction's gno in place and stamp the following rows with a
+    // stale __gtid: the same corruption class the anonymous-GTID check
+    // closes for gtid_mode=OFF, here closed for future/unknown wire
+    // states by construction.
+    private var txnIdentityValid = false
 
     def decode(ev: CdcCodec.RawEvent): Seq[CdcCodec.CdcRow] = ev.tpe match {
       case EventType.TableMap =>
@@ -656,10 +672,34 @@ object MysqlBinlog {
         currentGtid = c.i64()
         currentSourceId = UTF8String.fromString(formatUuid(sid))
         anonymousTxn = false
+        txnIdentityValid = true
         Nil // trailing logical-timestamp fields (5.7+): ignored
       case EventType.AnonymousGtid =>
         anonymousTxn = true
         Nil
+      case EventType.Xid =>
+        // transaction commit: the identity set by this txn's GTID event
+        // must not leak onto rows of a later transaction whose identity
+        // event we failed to recognize
+        txnIdentityValid = false
+        anonymousTxn = false
+        Nil
+      case EventType.WriteRowsV1 | EventType.UpdateRowsV1 |
+          EventType.DeleteRowsV1 =>
+        // pre-5.6 rows-event layout (no extra-data field): not decoded.
+        // Returning Nil for the target table would silently DROP its
+        // changes; the v1 post-header still leads with the 6-byte table
+        // id, so target-ness is decidable without decoding the body.
+        val tableId = new Cur(ev.payload).u48()
+        tableMaps.get(tableId) match {
+          case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+            throw new IOException(
+              s"v1 rows event (type ${ev.tpe}, pre-5.6 layout) for " +
+                s"$targetDb.$targetTable at log offset ${ev.pos}: only the " +
+                "v2 rows-event layout is supported — write the log with a " +
+                "MySQL 5.6+ server (binlog checksum-era format)")
+          case _ => Nil
+        }
       case EventType.PartialUpdateRows =>
         // binlog_row_value_options=PARTIAL_JSON encodes updates as JSON
         // diffs — silently returning Nil would DROP the target table's
@@ -725,6 +765,13 @@ object MysqlBinlog {
               "inside an ANONYMOUS_GTID transaction (gtid_mode=OFF): the wire " +
               "carries no transaction identity for __gtid — enable GTIDs on " +
               "the producer (gtid_mode=ON) to read this table's changes")
+          if (!txnIdentityValid) throw new IOException(
+            s"rows event for $targetDb.$targetTable at log offset ${ev.pos} " +
+              "with no live transaction identity: no recognized GTID event " +
+              "opened this transaction (an unrecognized identity event type — " +
+              "e.g. MySQL 8.3+ tagged GTID, type 42 — or a log spliced " +
+              "mid-transaction); decoding would stamp these rows with a " +
+              "stale __gtid, corrupting latest-image ordering")
           c.u16() // flags
           val extraLen = c.u16() // v2 extra-data length, includes these 2 bytes
           c.skip(math.max(0, extraLen - 2))
@@ -748,15 +795,15 @@ object MysqlBinlog {
                   "(corrupt columns-present bitmap?)")
             lastP = c.p
             if (images == 2) {
-              val before = readImage(c, tm, present1)
-              val after = readImage(c, tm, present2)
+              val before = readImage(c, tm, present1, ev.pos)
+              val after = readImage(c, tm, present2, ev.pos)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateBefore, currentGtid,
                 tmMicros, currentSourceId, before)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateAfter, currentGtid,
                 tmMicros, currentSourceId, after)
             } else {
               out += CdcCodec.CdcRow(op, currentGtid, tmMicros, currentSourceId,
-                readImage(c, tm, present1))
+                readImage(c, tm, present1, ev.pos))
             }
           }
           out.result()
@@ -766,9 +813,21 @@ object MysqlBinlog {
 
     /** One row image: null bitmap over PRESENT columns (bit j = j-th
       * present column, LSB-first), then values for present non-null
-      * columns in column order. */
+      * columns in column order.
+      *
+      * Partial row images (`binlog_row_image=MINIMAL`/`NOBLOB`: before
+      * images carry only the PK, after images only changed columns —
+      * the bitmaps the reference's update walk consumes via
+      * get_cols()/get_cols_ai(), binlog_table_reader.cc:321-323,385)
+      * are decodable EXACTLY as far as the projection reaches: an
+      * absent column the query does not select simply never surfaces,
+      * so PK-only / envelope-only reads of a MINIMAL log work. An
+      * absent column the query DOES select fails loud — surfacing it
+      * as SQL NULL would be indistinguishable from a true NULL and
+      * silently corrupt latest-image compaction, the same corruption
+      * class PARTIAL_JSON and anonymous-GTID fail loud on. */
     private def readImage(c: Cur, tm: MysqlTableMap,
-        present: Array[Byte]): Array[Any] = {
+        present: Array[Byte], pos: Long): Array[Any] = {
       val n = tm.colTypes.length
       var presentCount = 0
       var i = 0
@@ -781,7 +840,18 @@ object MysqlBinlog {
       var j = 0 // ordinal among present columns
       i = 0
       while (i < n) {
-        if ((present(i / 8) & (1 << (i % 8))) != 0) {
+        if ((present(i / 8) & (1 << (i % 8))) == 0) {
+          if (needed(i)) {
+            val colName = tm.names.map(_(i)).getOrElse(s"column #$i")
+            throw new IOException(
+              s"partial row image for ${tm.db}.${tm.table} at log offset " +
+                s"$pos omits selected column $colName " +
+                "(binlog_row_image=MINIMAL/NOBLOB): an absent column is " +
+                "indistinguishable from SQL NULL and would corrupt " +
+                "latest-image compaction — select only the columns the " +
+                "image carries, or write the log with binlog_row_image=FULL")
+          }
+        } else {
           val isNull = (nulls(j / 8) & (1 << (j % 8))) != 0
           if (!isNull) {
             if (needed(i))

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.CdcSchema
+
+/** Whole-file golden fixtures for the decoder's POLICY layer — the wire
+  * states a production 8.x binlog can contain that the value-decode
+  * goldens don't produce, each pinned to an explicit skip-vs-fail
+  * decision (the policy table lives in DESIGN.md §"MySQL event-type
+  * policy"). Bytes are authored from the public replication layouts
+  * with an independent tool (zlib CRC32), NOT by [[MysqlBinlog.Writer]]
+  * — a writer/reader-symmetric mistake cannot pass. Table `gd.t` =
+  * [id BIGINT, v VARCHAR(20) nullable], same identity as
+  * GoldenBinlogSpec.
+  *
+  * Policies pinned here:
+  *   - `binlog_row_image=MINIMAL/NOBLOB` partial row images: decodable
+  *     exactly as far as the projection reaches; selecting a column the
+  *     image omits fails loud (absent ≠ NULL — silently surfacing NULL
+  *     would corrupt latest-image compaction).
+  *   - Transaction identity: XID closes the identity scope; rows under
+  *     an UNRECOGNIZED identity event (MySQL 8.3+ tagged GTID, type 42)
+  *     fail loud instead of stamping the previous transaction's __gtid.
+  *   - v1 rows events (pre-5.6 layout, types 23-25) for the target
+  *     table fail loud instead of silently decoding zero rows.
+  *   - Control events a real log interleaves (QUERY/BEGIN, ROWS_QUERY,
+  *     HEARTBEAT, STOP, unknown future types) are skipped; rows decode
+  *     around them untouched.
+  */
+class GoldenPolicySpec extends SparkTestBase {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def materialize(hexStr: String): String = {
+    val dir = Files.createTempDirectory("golden-policy").toString
+    Files.write(Paths.get(dir, "golden-bin.000001"), hex(hexStr))
+    Files.writeString(Paths.get(dir, "binlog.index"), "golden-bin.000001\n")
+    dir
+  }
+
+  private def read(dir: String) = spark.read.format("binlogcdc")
+    .option("indexFile", s"$dir/binlog.index")
+    .option("database", "gd").option("table", "t")
+    .option("binlogFormat", "mysql")
+    .load()
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  /** Txn 1 (gtid 1): full-image INSERT (1,"ab"),(2,NULL); XID. Txn 2
+    * (gtid 2): UPDATE under binlog_row_image=MINIMAL — before image
+    * carries the PK only (columns-present 0x01), after image the PK +
+    * changed column (0x03): (1) → (1,"cd"); XID. */
+  private val MinimalImageHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f15365130100000037000000f6000000000005000000000001000267640001740002080f
+      |02140002010100040502696401769cc2379264f153651e01000000380000002e010000000005
+      |0000000000010002000203000100000000000000026162020200000000000000db735b9c64f1
+      |536510010000001f0000004d010000000065000000000000004c3952aa64f153652101000000
+      |410000008e0100000000003e11fa4771ca11e19e33c80aa94295620200000000000000020100
+      |00000000000002000000000000003e4d50d164f15365130100000037000000c5010000000005
+      |000000000001000267640001740002080f021400020101000405026964017612c6895a64f153
+      |651f0100000039000000fe010000000005000000000001000200020103000100000000000000
+      |00010000000000000002636437bccc2464f1536510010000001f0000001d0200000000660000
+      |0000000000fc991cbe""".stripMargin
+
+  test("partial row image: selecting an absent column fails loud") {
+    val dir = materialize(MinimalImageHex)
+    val ex = intercept[Exception] { read(dir).collect() }
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("binlog_row_image") && all.contains(" v "), all)
+  }
+
+  test("partial row image: a projection the images carry decodes exactly") {
+    val dir = materialize(MinimalImageHex)
+    val rows = read(dir)
+      .select("id", CdcSchema.OpCol, CdcSchema.GtidCol)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(t => (t._3, t._2, t._1))
+    assert(rows == Seq(
+      (1L, CdcSchema.Op.Insert, 1L),
+      (2L, CdcSchema.Op.Insert, 1L),
+      (1L, CdcSchema.Op.UpdateBefore, 2L),
+      (1L, CdcSchema.Op.UpdateAfter, 2L)))
+  }
+
+  /** Txn 1 (gtid 1): full INSERT; XID. Then an identity event of
+    * UNRECOGNIZED type 42 (the MySQL 8.3+ tagged-GTID slot) opens txn
+    * 2, whose rows follow. Decoding those rows with gtid 1 still in
+    * scope would be stale-stamp corruption — XID must have closed the
+    * scope and the rows must fail loud. */
+  private val TaggedGtidHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f15365130100000037000000f6000000000005000000000001000267640001740002080f
+      |02140002010100040502696401769cc2379264f153651e01000000380000002e010000000005
+      |0000000000010002000203000100000000000000026162020200000000000000db735b9c64f1
+      |536510010000001f0000004d010000000065000000000000004c3952aa64f153652a01000000
+      |39000000860100000000003e11fa4771ca11e19e33c80aa942956208736f6d65746167000200
+      |000000000000cfa01f0e64f15365130100000037000000bd0100000000050000000000010002
+      |67640001740002080f021400020101000405026964017605e8165364f153651e010000003800
+      |0000f50100000000050000000000010002000203000100000000000000026162020200000000
+      |0000001455b3ed""".stripMargin
+
+  test("unrecognized identity event (tagged GTID, type 42): following rows fail loud") {
+    val dir = materialize(TaggedGtidHex)
+    val ex = intercept[Exception] { read(dir).collect() }
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("no live transaction identity") &&
+      all.contains("type 42"), all)
+  }
+
+  /** GTID 1, TABLE_MAP, then a WRITE_ROWS_V1 (type 23, pre-5.6 layout:
+    * no extra-data length field) for the target table. */
+  private val V1RowsHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f15365130100000037000000f6000000000005000000000001000267640001740002080f
+      |02140002010100040502696401769cc2379264f1536517010000002d00000023010000000005
+      |000000000000000103000900000000000000027631290320b3""".stripMargin
+
+  test("v1 rows event (pre-5.6 layout) for the target table fails loud") {
+    val dir = materialize(V1RowsHex)
+    val ex = intercept[Exception] { read(dir).collect() }
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("v1 rows event") && all.contains("type 23"), all)
+  }
+
+  /** The control-event zoo of a production 8.x log: PREVIOUS_GTIDS,
+    * GTID, QUERY(BEGIN), TABLE_MAP, ROWS_QUERY (binlog_rows_query_
+    * log_events=ON), WRITE, XID, HEARTBEAT, an UNKNOWN future type
+    * (99), STOP — all control events skipped, the one transaction's
+    * rows decode exactly. */
+  private val EventZooHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f1536523010000001f0000009d000000000000000000000000
+      |0080d9c53e64f15365210100000041000000de0000000000003e11fa4771ca11e19e33c80aa9
+      |4295620100000000000000020000000000000000010000000000000071a45dac64f153650201
+      |0000002c0000000a010000000007000000000000000200000000676400424547494eefa983ac
+      |64f1536513010000003700000041010000000005000000000001000267640001740002080f02
+      |14000201010004050269640176f6b3f9ac64f153651d010000003a0000007b01000000002255
+      |50444154452074205345542076203d2027636427205748455245206964203d203154c8c74e64
+      |f153651e0100000038000000b301000000000500000000000100020002030001000000000000
+      |00026162020200000000000000fbd62e5f64f1536510010000001f000000d201000000006500
+      |000000000000345e071964f153651b0100000028000000fa0100000000676f6c64656e2d7a6f
+      |6f2e303030303031907cf84964f153656301000000210000001b020000000001020304667574
+      |75726553308db864f153650301000000170000003202000000005d895af0""".stripMargin
+
+  test("event zoo: control events and unknown types skip, rows decode around them") {
+    val dir = materialize(EventZooHex)
+    val rows = read(dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(
+      (1L, "ab", CdcSchema.Op.Insert, 1L),
+      (2L, null, CdcSchema.Op.Insert, 1L)))
+  }
+}

@@ -882,6 +882,9 @@ class MysqlBinlogSpec extends SparkTestBase {
   private def goldenRows(tableMapHex: String, rowsHex: String,
       table: String): Seq[CdcCodec.CdcRow] = {
     val dec = MysqlBinlogAdapter.decoder("d", table, _ => true, None)
+    // open a transaction: rows with no live GTID identity fail loud
+    dec.decode(CdcCodec.RawEvent(MysqlBinlog.EventType.Gtid, 0L,
+      hex("01" + "00" * 16 + "0100000000000000"), 0L, 0L))
     dec.decode(CdcCodec.RawEvent(MysqlBinlog.EventType.TableMap, 0L,
       hex(tableMapHex), 0L, 0L))
     dec.decode(CdcCodec.RawEvent(MysqlBinlog.EventType.WriteRowsV2, 1000L,
