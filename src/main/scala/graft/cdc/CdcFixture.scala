@@ -60,6 +60,8 @@ object CdcFixture {
   private val cacheMyF = mutable.Map.empty[String, String]
   private val cacheMyM = mutable.Map.empty[String, String]
   private val cacheMyDt = mutable.Map.empty[String, String]
+  private val cacheMyEm = mutable.Map.empty[String, String]
+  private val cacheMyRi = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -258,6 +260,78 @@ object CdcFixture {
           "status_e" -> EnumStatusMembers,
           "prio_e" -> EnumPrioMembers),
         setCols = Map("flags_s" -> SetFlagMembers)))
+
+  /** The SAME ENUM/SET storyline under `binlog_row_metadata=MINIMAL`
+    * (the mysqld production default): no COLUMN_NAME and no
+    * ENUM/SET_STR_VALUE TLVs on the wire, so the decoder surfaces the
+    * documented RAW value — the 1-based member index (INT) for ENUM,
+    * the member bitmask (BIGINT) for SET. cdc36's oracle recomputes
+    * exactly those integers from orders. */
+  def ensureMysqlEnumMinimalMeta(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyEm, "graft-cdcmyem", sfDir)(
+      generateDerivedMysql(spark, sfDir, _, EnumDerivations,
+        EnumTable, EnumTableId, Set.empty,
+        enumCols = Map(
+          "status_e" -> EnumStatusMembers,
+          "prio_e" -> EnumPrioMembers),
+        setCols = Map("flags_s" -> SetFlagMembers),
+        fullMetadata = false))
+
+  /** A `binlog_row_image=MINIMAL` log (the at-scale production setting):
+    * full-image INSERTs, then UPDATEs whose before images carry only the
+    * PK and whose after images carry the PK + the changed column, then
+    * DELETEs whose images carry only the PK. cdc37 reads it with a
+    * PK+envelope projection — exactly what the thinned images carry —
+    * and hash-checks the full op/gtid storyline against DuckDB; any
+    * wider projection fails loud at the decoder (GoldenPolicySpec /
+    * CdcHardeningSpec pin that direction). */
+  def ensureMysqlMinimalImage(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyRi, "graft-cdcmyri", sfDir)(
+      generateMinimalImage(spark, sfDir, _))
+
+  val MinImageTable = "porders"
+  val MinImageTableId = 27L
+
+  private def generateMinimalImage(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey",
+        "CAST(o_orderkey % 1000 AS BIGINT) AS val",
+        "concat('n', CAST(o_orderkey % 97 AS STRING)) AS note")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      w.tableMap(BaseMs, MinImageTableId, Db, MinImageTable, schema)
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        val ts = BaseMs + i * 1000L
+        w.gtid(ts, i.toLong, SourceId)
+        w.writeRows(ts, MinImageTableId, schema, batch.toSeq)
+      }
+      val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 100000L + b
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.updateRowsMinimal(ts, MinImageTableId, schema, batch.toSeq.map { r =>
+          val after = r.clone()
+          after(1) = r(1).asInstanceOf[Long] + 1000L
+          (r, after)
+        })
+      }
+      val del = rows.filter(_(0).asInstanceOf[Long] % 7 == 0)
+      del.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 200000L + b
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.deleteRowsMinimal(ts, MinImageTableId, schema, batch.toSeq)
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
 
   val EnumTable = "eorders"
   val EnumTableId = 17L
@@ -477,7 +551,8 @@ object CdcFixture {
       legacyTimeCols: Set[String] = Set.empty,
       legacyDatetimeCols: Set[String] = Set.empty,
       legacyTimestampCols: Set[String] = Set.empty,
-      dtFsp: Map[String, Int] = Map.empty): Unit = {
+      dtFsp: Map[String, Int] = Map.empty,
+      fullMetadata: Boolean = true): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr(derivations: _*)
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
@@ -494,6 +569,7 @@ object CdcFixture {
       }.toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
     val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
+      fullMetadata = fullMetadata,
       unsignedCols = unsignedCols, charCols = charCols, jsonCols = jsonCols,
       enumCols = enumCols, setCols = setCols,
       yearCols = yearCols, bitCols = bitCols, timeCols = timeCols,

@@ -1601,22 +1601,84 @@ object MysqlBinlog {
         // them set like mysqld does (readers index only bits < n)
         b.raw(allPresent)
         if (tpe == EventType.UpdateRowsV2) b.raw(allPresent)
-        rowImages.foreach(_.foreach(img => writeImage(b, schema, img)))
+        rowImages.foreach(_.foreach(img =>
+          writeImage(b, schema, img, _ => true)))
       }
 
-    private def writeImage(b: ByteBuf, schema: StructType, vals: Array[Any]): Unit = {
-      val n = schema.length
-      require(vals.length == n, s"row arity ${vals.length} != $n")
-      val nulls = new Array[Byte]((n + 7) / 8)
+    /** `binlog_row_image=MINIMAL` rows events: the before image carries
+      * only the PK (column 0 by fixture convention), the after image
+      * the PK plus the statement's changed columns (one shared bitmap
+      * per event, like mysqld's per-statement m_cols/m_cols_ai), delete
+      * images only the PK. Insert images stay full — MINIMAL does not
+      * thin writes. Emitted as a separate entry point so the FULL-image
+      * byte stream (and every cached fixture built from it) is
+      * bit-identical to before. */
+    def updateRowsMinimal(tsMs: Long, tableId: Long, schema: StructType,
+        pairs: Seq[(Array[Any], Array[Any])]): Unit =
+      writeRowLevelEvent(EventType.UpdateRowsV2, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0)
+        b.u16(2)
+        val n = schema.length
+        b.lenenc(n.toLong)
+        val changed = (0 until n).map(i =>
+          i == 0 || pairs.exists(p => p._1(i) != p._2(i)))
+        b.raw(exactBitmap(n, i => i == 0))
+        b.raw(exactBitmap(n, changed))
+        pairs.foreach { case (before, after) =>
+          writeImage(b, schema, before, i => i == 0)
+          writeImage(b, schema, after, changed)
+        }
+      }
+
+    /** MINIMAL-image DELETE: images carry the PK (column 0) only. */
+    def deleteRowsMinimal(tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      writeRowLevelEvent(EventType.DeleteRowsV2, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0)
+        b.u16(2)
+        val n = schema.length
+        b.lenenc(n.toLong)
+        b.raw(exactBitmap(n, i => i == 0))
+        rows.foreach(img => writeImage(b, schema, img, i => i == 0))
+      }
+
+    private def exactBitmap(n: Int, present: Int => Boolean): Array[Byte] = {
+      val a = new Array[Byte]((n + 7) / 8)
       var i = 0
       while (i < n) {
-        if (vals(i) == null) nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+        if (present(i)) a(i / 8) = (a(i / 8) | (1 << (i % 8))).toByte
+        i += 1
+      }
+      a
+    }
+
+    private def writeImage(b: ByteBuf, schema: StructType, vals: Array[Any],
+        present: Int => Boolean): Unit = {
+      val n = schema.length
+      require(vals.length == n, s"row arity ${vals.length} != $n")
+      var presentCount = 0
+      var i = 0
+      while (i < n) {
+        if (present(i)) presentCount += 1
+        i += 1
+      }
+      // null bits index PRESENT columns only (bit j = j-th present col)
+      val nulls = new Array[Byte]((presentCount + 7) / 8)
+      var j = 0
+      i = 0
+      while (i < n) {
+        if (present(i)) {
+          if (vals(i) == null) nulls(j / 8) = (nulls(j / 8) | (1 << (j % 8))).toByte
+          j += 1
+        }
         i += 1
       }
       b.raw(nulls)
       i = 0
       while (i < n) {
-        if (vals(i) != null) writeValue(b, schema(i), vals(i))
+        if (present(i) && vals(i) != null) writeValue(b, schema(i), vals(i))
         i += 1
       }
     }

@@ -366,6 +366,91 @@ object CdcExt {
         .load()
     },
 
+    // cdc30's ENUM/SET wire bytes under binlog_row_metadata=MINIMAL
+    // (the mysqld production default): no ENUM/SET_STR_VALUE label TLVs
+    // and no COLUMN_NAME on the wire, so the decoder surfaces the
+    // documented RAW values — the 1-based member index (INT) for ENUM,
+    // the member bitmask (BIGINT, LSB = first member) for SET. The
+    // oracle recomputes exactly those integers from orders.
+    QDef("cdc36_mysql_enum_minimal_metadata",
+      s"""WITH ord AS (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |)
+         |SELECT o_orderkey,
+         |  CAST(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 WHEN 'P' THEN 3 END AS INT) AS status_e,
+         |  CAST(CASE WHEN o_orderkey % 11 = 5 THEN NULL
+         |       ELSE CAST(substr(o_orderpriority, 1, 1) AS INT) END AS INT) AS prio_e,
+         |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END
+         |     + CASE WHEN o_orderkey % 3 = 1 THEN 2 ELSE 0 END
+         |     + CASE WHEN o_orderkey % 5 = 1 THEN 4 ELSE 0 END
+         |     + CASE WHEN o_orderkey % 7 = 1 THEN 8 ELSE 0 END AS BIGINT) AS flags_s,
+         |  1 AS __op,
+         |  CAST(idx // 100 AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(idx // 100 AS BIGINT)) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ord""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlEnumMinimalMeta(s, dir)
+      // MINIMAL metadata ships no names: the reader supplies the schema
+      // (positional type matching), typed at the raw-value surface
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("status_e",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("prio_e",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("flags_s",
+          org.apache.spark.sql.types.LongType)))
+      s.read.format("binlogcdc")
+        .schema(CdcSchema.withEnvelope(schema))
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.EnumTable)
+        .option("binlogFormat", "mysql")
+        .load()
+    },
+
+    // binlog_row_image=MINIMAL (the at-scale production setting):
+    // UPDATE before images carry only the PK, after images the PK +
+    // changed columns, DELETE images only the PK. The projection-exact
+    // decode policy means the PK+envelope projection — all the thinned
+    // images carry — reads the full op/gtid storyline; selecting a
+    // thinned column fails loud (GoldenPolicySpec). The pruned scan is
+    // also the scale shape: only PK bytes are ever materialized.
+    QDef("cdc37_mysql_minimal_row_image",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |up AS (
+         |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |del AS (
+         |  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS didx
+         |  FROM ord WHERE o_orderkey % 7 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, 1 AS __op, CAST(idx // 100 AS BIGINT) AS g FROM ord
+         |  UNION ALL SELECT o_orderkey, 2 AS __op, CAST(100000 + uidx // 100 AS BIGINT) FROM up
+         |  UNION ALL SELECT o_orderkey, 3 AS __op, CAST(100000 + uidx // 100 AS BIGINT) FROM up
+         |  UNION ALL SELECT o_orderkey, 0 AS __op, CAST(200000 + didx // 100 AS BIGINT) FROM del
+         |)
+         |SELECT o_orderkey, __op, g AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(g) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ev""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlMinimalImage(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.MinImageTable)
+        .option("binlogFormat", "mysql")
+        .load()
+        .select(col("o_orderkey"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol),
+          col(CdcSchema.SourceIdCol))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

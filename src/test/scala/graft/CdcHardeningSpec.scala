@@ -139,4 +139,27 @@ class CdcHardeningSpec extends SparkTestBase {
     val c2 = Similarity.kmeansCentroids(emb, "embedding", 4, iters = 2)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
+
+  test("minimal row-image fixture: thinned column fails loud, PK projection decodes") {
+    val index = graft.cdc.CdcFixture.ensureMysqlMinimalImage(
+      spark, "/root/testdata/sf0.001")
+    def scan = spark.read.format("binlogcdc")
+      .option("indexFile", index)
+      .option("database", graft.cdc.CdcFixture.Db)
+      .option("table", graft.cdc.CdcFixture.MinImageTable)
+      .option("binlogFormat", "mysql")
+      .load()
+    // `note` is absent from MINIMAL update/delete images: selecting it
+    // must fail loud (absent != NULL), not surface fake NULLs
+    val ex = intercept[Exception] { scan.select("note", "__op").collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("binlog_row_image") && all.contains("note"), all)
+    // the PK+envelope projection reads every op of the storyline
+    val ops = scan.select("__op").groupBy("__op").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ops.keySet == Set(0, 1, 2, 3), ops.toString)
+    assert(ops(2) == ops(3), "update before/after counts must pair")
+  }
 }
