@@ -460,7 +460,13 @@ object CdcExt {
       Cdc.latestImage(mysqlScan(s, dir), Seq("o_orderkey"))
     },
 
-    // cdc06 through the MySQL decoder: atomic before/after update pairs
+    // cdc06 through the MySQL decoder: atomic before/after update pairs.
+    // Single-pass pairing: ONE scan, conditional aggregation per
+    // (gtid, key) — the former before/after self-join referenced the
+    // scan twice, so every binlog byte was DECODED twice (the r9 plan
+    // audit's one efficiency flag). Decode cost is the dominant term
+    // for a CDC scan, and the same groupBy shuffle was being paid by
+    // the join anyway (16-byte keys, map-side partials).
     QDef("cdc23_mysql_update_deltas",
       """SELECT o_orderkey,
         |  o_totalprice AS before_price,
@@ -468,12 +474,14 @@ object CdcExt {
         |  o_totalprice * 1.1 - o_totalprice AS delta
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
       val cdc = mysqlScan(s, dir)
-      val before = cdc.filter(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateBefore)
-        .select(col(CdcSchema.GtidCol), col("o_orderkey"),
-          col("o_totalprice").as("before_price"))
-      val after = cdc.filter(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateAfter)
-        .select(col(CdcSchema.GtidCol).as("g2"), col("o_totalprice").as("after_price"))
-      before.join(after, col(CdcSchema.GtidCol) === col("g2"))
+      cdc.filter(col(CdcSchema.OpCol).isin(
+          CdcSchema.Op.UpdateBefore, CdcSchema.Op.UpdateAfter))
+        .groupBy(col(CdcSchema.GtidCol), col("o_orderkey"))
+        .agg(
+          max(when(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateBefore,
+            col("o_totalprice"))).as("before_price"),
+          max(when(col(CdcSchema.OpCol) === CdcSchema.Op.UpdateAfter,
+            col("o_totalprice"))).as("after_price"))
         .select(col("o_orderkey"), col("before_price"), col("after_price"),
           (col("after_price") - col("before_price")).as("delta"))
     },
