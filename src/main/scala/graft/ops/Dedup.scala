@@ -310,8 +310,13 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // materialized once (eager localCheckpoint): three consumers below
     // (dfreq, canon, sortedSh) would otherwise each re-run the full
-    // scan+tokenize+shingle lineage — three corpus passes at scale
-    val distinctSh = df.select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    // scan+tokenize+shingle lineage — three corpus passes at scale.
+    // Parallelism floor BEFORE tokenize+shingle: the narrow shingle
+    // stage (the CPU-dense part) otherwise runs only as wide as the
+    // input file count (round-10 adjudication: 2.0x on a 2-file layout)
+    val distinctSh = OpUtils.parallelismFloor(
+        df.select(col(id), col(textCol)))
+      .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col(id),
         array_distinct(TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
       .localCheckpoint(true)
