@@ -307,4 +307,78 @@ class CdcPropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("property: MINIMAL row images decode exactly up to the projection, fail beyond it") {
+    import graft.cdc.MysqlBinlog
+    // MySQL wire types only (no BooleanType on the wire)
+    val mySchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("s", StringType), StructField("b", ByteType)))
+    val genMyValue: Gen[Array[Any]] = for {
+      base <- genValue
+      bb <- Gen.chooseNum(-128, 127)
+    } yield Array[Any](base(0), base(1), base(2), bb.toByte)
+    // random update pairs over (id, v, s, b): before image = PK only,
+    // after image = PK + the pair set's changed columns (the writer
+    // derives the bitmap); a projection within the carried columns
+    // round-trips, a projection touching an absent column throws
+    val genPairs: Gen[List[(Array[Any], Array[Any])]] = for {
+      n <- Gen.chooseNum(1, 8)
+      pairs <- Gen.listOfN(n, for {
+        before <- genMyValue
+        changeV <- Gen.oneOf(true, false)
+        changeS <- Gen.oneOf(true, false)
+      } yield {
+        val after = before.clone()
+        if (changeV) after(1) = before(1).asInstanceOf[Double] + 1.0
+        if (changeS) after(2) = UTF8String.fromString("chg")
+        (before, after)
+      })
+    } yield pairs
+    check(Prop.forAll(genPairs) { pairs =>
+      val changed = (0 until mySchema.length).map(i =>
+        i == 0 || pairs.exists(p => p._1(i) != p._2(i)))
+      val dir = Files.createTempDirectory("minimg-prop").toString
+      val f = s"$dir/mysql-bin.000001"
+      val w = new MysqlBinlog.Writer(f, checksum = true)
+      w.tableMap(0L, 1L, "db", "t", mySchema)
+      w.gtid(0L, 1L, "11111111-2222-3333-4444-555555555555")
+      w.updateRowsMinimal(0L, 1L, mySchema, pairs)
+      w.close()
+      def decode(needed: Int => Boolean): Seq[CdcCodec.CdcRow] = {
+        val r = graft.cdc.MysqlBinlogAdapter.open(f)
+        val dec = graft.cdc.MysqlBinlogAdapter.decoder("db", "t", needed, None)
+        try {
+          val out = Seq.newBuilder[CdcCodec.CdcRow]
+          while (r.hasNext) out ++= dec.decode(r.next())
+          out.result()
+        } finally r.close()
+      }
+      // within the carried columns: PK always; changed columns on the
+      // after image only — so the widest SAFE projection is {0}
+      val keyOnly = decode(i => i == 0)
+      val keyOk = keyOnly.length == pairs.length * 2 &&
+        keyOnly.grouped(2).zip(pairs.iterator).forall { case (Seq(b, a), p) =>
+          b.op == CdcSchema.Op.UpdateBefore && a.op == CdcSchema.Op.UpdateAfter &&
+            sameVal(b.values(0), p._1(0)) && sameVal(a.values(0), p._2(0)) &&
+            (1 until mySchema.length).forall(i => b.values(i) == null)
+        }
+      // any column beyond the before image's PK: fail loud, not NULL
+      val widest = (1 until mySchema.length).find(changed) // absent from BEFORE
+      val narrowFails = widest.forall { i =>
+        try { decode(j => j == 0 || j == i); false }
+        catch { case e: java.io.IOException =>
+          e.getMessage.contains("binlog_row_image") }
+      }
+      // a column in NEITHER image: also fail loud
+      val unchanged = (1 until mySchema.length).find(i => !changed(i))
+      val absentFails = unchanged.forall { i =>
+        try { decode(j => j == 0 || j == i); false }
+        catch { case e: java.io.IOException =>
+          e.getMessage.contains("binlog_row_image") }
+      }
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+      keyOk && narrowFails && absentFails
+    })
+  }
 }
