@@ -505,6 +505,71 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Gopher-style quality RULE GATE with per-rule attribution — the
+    * rule-based document filter every production pretraining pipeline
+    * runs before model-based scoring (word-count bounds, mean-word-
+    * length bounds, a stopword floor, a distinct-token repetition
+    * floor), with the FIRST failing rule recorded as `drop_reason` so
+    * the filter's impact is auditable per rule (which rule dropped how
+    * much of which source — the attribution report data cards need).
+    * ENTIRELY narrow and shuffle-free: four arithmetic signals over the
+    * token array, evaluated at scan speed; at 100 TB this is a map-only
+    * pass. All signals are integer-count arithmetic + one IEEE division
+    * each, so DuckDB replays them bit-exactly.
+    *
+    * Rule order (first fail wins): word_count, mean_word_length,
+    * stopwords, repetition. `keep` = no rule fired. */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      id: String = "doc_id",
+      minWords: Long = 20, maxWords: Long = 90,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 5.1,
+      minStopHits: Int = 1, minUniqRatio: Double = 0.35,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val tk = freshCol(df, "__tk")
+    val t = col(tk)
+    val nW = size(t).cast("long")
+    // words are single-space separated: non-space chars = len - (n-1)
+    val meanLen = (length(col(textCol)) - size(t) + 1).cast("double") /
+      size(t).cast("double")
+    val stopHits = size(array_intersect(array_distinct(t),
+      typedLit(StopWords)))
+    val uniq = size(array_distinct(t)).cast("double") / size(t).cast("double")
+    val reason =
+      when(nW < minWords || nW > maxWords, lit("word_count"))
+        .when(meanLen < minMeanLen || meanLen > maxMeanLen,
+          lit("mean_word_length"))
+        .when(stopHits < minStopHits, lit("stopwords"))
+        .when(uniq < minUniqRatio, lit("repetition"))
+        .otherwise(lit(null).cast("string"))
+    df.withColumn(tk, tokens(col(textCol)))
+      .select((col(id) +: extraCols.map(col)) ++ Seq(
+        nW.as("n_words"), meanLen.as("mean_wlen"),
+        stopHits.as("stop_hits"), uniq.as("uniq_ratio"),
+        reason.isNull.as("keep"), reason.as("drop_reason")): _*)
+  }
+
+  /** Corpus data card: the per-(lang, source) report a pretraining
+    * mixture is planned from — document and token counts, exact token-
+    * count percentiles, and the share of documents surviving the
+    * [[gopherRules]] gate. One shuffle on the (lang, source) grid
+    * (hundreds of cells at production scale, map-side partials carry
+    * the counts; the exact percentile is the one full-width term, the
+    * standard data-card trade — swap in approx_percentile when the
+    * grid's value lists outgrow executor memory). */
+  def corpusDatacard(df: DataFrame, textCol: String = "text",
+      id: String = "doc_id", langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame =
+    gopherRules(df, textCol, id, extraCols = Seq(langCol, sourceCol))
+      .groupBy(col(langCol), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        expr("percentile(n_words, 0.5)").as("p50_words"),
+        expr("percentile(n_words, 0.95)").as("p95_words"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_share",
+        col("n_keep").cast("double") / col("n_docs").cast("double"))
+
   /** Count-based bigram language-model scoring (the CCNet-style
     * statistical quality filter, log-free): score = mean conditional
     * probability P(w2|w1) of a doc's bigrams under the corpus's own

@@ -571,6 +571,60 @@ object LlmExt2 {
         |  CAST(len(tk) - len(list_filter(tk, (x, i) -> i = 1 OR x <> tk[i - 1])) AS BIGINT) AS n_removed
         |FROM t""".stripMargin) { (s, dir) =>
       TextAnalysis.collapseRepeats(Tables.load(s, dir, "documents"))
+    },
+
+    // Gopher-style rule gate with per-rule attribution: four integer-
+    // arithmetic signals, first failing rule recorded as drop_reason —
+    // shuffle-free, map-only at 100 TB
+    QDef("llm62_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(strlen(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      [${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS INT) AS stop_hits,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio
+         |  FROM t),
+         |r AS (SELECT *,
+         |    CASE WHEN n_words < 20 OR n_words > 90 THEN 'word_count'
+         |         WHEN mean_wlen < 4.0 OR mean_wlen > 5.1 THEN 'mean_word_length'
+         |         WHEN stop_hits < 1 THEN 'stopwords'
+         |         WHEN uniq_ratio < 0.35 THEN 'repetition' END AS drop_reason
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_wlen, stop_hits, uniq_ratio,
+         |  drop_reason IS NULL AS keep, drop_reason
+         |FROM r""".stripMargin) { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"))
+    },
+
+    // corpus data card: the per-(lang, source) mixture-planning report —
+    // doc/token counts, exact token-count percentiles, rule-gate
+    // survival share; one shuffle on a small grid
+    QDef("llm63_corpus_datacard",
+      s"""WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS tk FROM documents),
+         |m AS (SELECT doc_id, lang, source,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(strlen(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      [${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS INT) AS stop_hits,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio
+         |  FROM t),
+         |r AS (SELECT *,
+         |    CASE WHEN n_words < 20 OR n_words > 90 THEN 'word_count'
+         |         WHEN mean_wlen < 4.0 OR mean_wlen > 5.1 THEN 'mean_word_length'
+         |         WHEN stop_hits < 1 THEN 'stopwords'
+         |         WHEN uniq_ratio < 0.35 THEN 'repetition' END AS drop_reason
+         |  FROM m)
+         |SELECT lang, source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+         |  quantile_cont(n_words, 0.5) AS p50_words,
+         |  quantile_cont(n_words, 0.95) AS p95_words,
+         |  CAST(SUM(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS keep_share
+         |FROM r GROUP BY lang, source""".stripMargin) { (s, dir) =>
+      TextAnalysis.corpusDatacard(Tables.load(s, dir, "documents"))
     }
   )
 }
