@@ -115,7 +115,7 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("meta", MediaMetaType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    OpUtils.parallelismFloor(ids).mapPartitions { rows =>
+    ids.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h) = imageDims(id)
@@ -137,7 +137,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     val keepIdx = media.schema.fields.indices.filter(_ != payloadIdx)
-    OpUtils.parallelismFloor(media).mapPartitions { rows =>
+    media.mapPartitions { rows =>
       // per-partition init: ImageIO plugin lookup happens once here
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
@@ -180,7 +180,7 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("payload", BinaryType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    OpUtils.parallelismFloor(ids).mapPartitions { rows =>
+    ids.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val png = encodePng(id)
@@ -212,7 +212,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     val idIdx = media.schema.fieldIndex("media_id")
-    OpUtils.parallelismFloor(media).mapPartitions { rows =>
+    media.mapPartitions { rows =>
       rows.flatMap { r =>
         tryDecodePng(r.getAs[Array[Byte]](payloadIdx)).map { img =>
           Row(r.getLong(idIdx), img.getWidth, img.getHeight,
@@ -261,7 +261,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(hashSchema)
     val payloadIdx = media.schema.fieldIndex("payload")
     val idIdx = media.schema.fieldIndex("media_id")
-    val hashed = OpUtils.parallelismFloor(media).mapPartitions { rows =>
+    val hashed = media.mapPartitions { rows =>
       rows.map { r =>
         val img = decodePng(r.getAs[Array[Byte]](payloadIdx), "imageContentDedup")
         Row(r.getLong(idIdx), decodedPixelHash(img))
@@ -357,7 +357,7 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("meta", AudioMetaType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    OpUtils.parallelismFloor(ids).mapPartitions { rows =>
+    ids.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, encodeWav(id), Row(audioLen(id), 8000, 1, "wav"))
@@ -405,7 +405,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     val payloadIdx = audio.schema.fieldIndex("payload")
     val keepIdx = audio.schema.fields.indices.filter(_ != payloadIdx)
-    OpUtils.parallelismFloor(audio).mapPartitions { rows =>
+    audio.mapPartitions { rows =>
       rows.map { r =>
         val s = decodeWavSamples(r.getAs[Array[Byte]](payloadIdx), "audioFeatures")
         var sumAbs = 0L; var zc = 0; var peak = 0
