@@ -140,6 +140,40 @@ class CdcHardeningSpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("MINIMAL row images compose with compressed transactions (zstd payload)") {
+    // binlog_row_image=MINIMAL and binlog_transaction_compression=ON are
+    // independent server settings a production log can combine: the
+    // partial-bitmap update rides INSIDE a TRANSACTION_PAYLOAD event
+    import graft.cdc.{MysqlBinlog, MysqlBinlogAdapter}
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val dir = Files.createTempDirectory("minimg-zstd").toString
+    val f = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(f, checksum = true, compressTxns = true)
+    w.tableMap(0L, 1L, "db", "t", schema)
+    w.gtid(0L, 7L, "11111111-2222-3333-4444-555555555555")
+    w.updateRowsMinimal(0L, 1L, schema, Seq(
+      (Array[Any](5L, UTF8String.fromString("old")),
+        Array[Any](5L, UTF8String.fromString("new")))))
+    w.close()
+    def decode(needed: Int => Boolean) = {
+      val r = MysqlBinlogAdapter.open(f)
+      val dec = MysqlBinlogAdapter.decoder("db", "t", needed, None)
+      try {
+        val out = Seq.newBuilder[CdcCodec.CdcRow]
+        while (r.hasNext) out ++= dec.decode(r.next())
+        out.result()
+      } finally r.close()
+    }
+    val rows = decode(i => i == 0)
+    assert(rows.map(r => (r.op, r.gtid, r.values(0))) == Seq(
+      (graft.cdc.CdcSchema.Op.UpdateBefore, 7L, 5L),
+      (graft.cdc.CdcSchema.Op.UpdateAfter, 7L, 5L)))
+    val ex = intercept[java.io.IOException] { decode(_ => true) }
+    assert(ex.getMessage.contains("binlog_row_image"), ex.getMessage)
+  }
+
   test("minimal row-image fixture: thinned column fails loud, PK projection decodes") {
     val index = graft.cdc.CdcFixture.ensureMysqlMinimalImage(
       spark, "/root/testdata/sf0.001")
