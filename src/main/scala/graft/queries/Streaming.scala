@@ -327,6 +327,34 @@ object Streaming {
         "str16_" + java.lang.Integer.toHexString(dir.hashCode), "update")
     },
 
+    // streaming quality-rule admission gate: every arriving doc is
+    // scored by the Gopher rule set at ingest and lands with keep /
+    // drop_reason attribution — llm62's admission-control twin (same
+    // oracle SQL). Pure stateless narrow ops: append mode, no
+    // watermark, no state store; at scale this runs at ingest speed.
+    QDef("str17_rule_gate",
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_words,
+         |    CAST(strlen(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      [${graft.ops.TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS INT) AS stop_hits,
+         |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio
+         |  FROM t),
+         |r AS (SELECT *,
+         |    CASE WHEN n_words < 20 OR n_words > 90 THEN 'word_count'
+         |         WHEN mean_wlen < 4.0 OR mean_wlen > 5.1 THEN 'mean_word_length'
+         |         WHEN stop_hits < 1 THEN 'stopwords'
+         |         WHEN uniq_ratio < 0.35 THEN 'repetition' END AS drop_reason
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_wlen, stop_hits, uniq_ratio,
+         |  drop_reason IS NULL AS keep, drop_reason
+         |FROM r""".stripMargin) { (s, dir) =>
+      val arriving = StreamOps.documentsStream(s, dir)
+      drain(graft.ops.TextAnalysis.gopherRules(arriving),
+        "str17_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+    },
+
     // streaming token-budget ingestion gate: each language admits
     // arriving docs IN ARRIVAL (doc_id) ORDER until its token budget is
     // spent — the admission-control twin of llm56's priority-order
