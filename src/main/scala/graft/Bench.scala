@@ -54,7 +54,13 @@ object Bench {
     // the real wire, the narrow Gopher-repetition scorer, and the
     // two-corpus benchmark decontamination pass
     "cdc35_mysql_datetime_fsp", "llm60_repetition_signals",
-    "llm61_decontaminate")
+    "llm61_decontaminate",
+    // round-10 additions, same rule: the MINIMAL-row-image storyline
+    // (PK-projection decode of thinned images — a distinct decoder
+    // path), the shuffle-free Gopher rule gate, and the data-card
+    // aggregation (exact percentiles over the mixture grid)
+    "cdc37_mysql_minimal_row_image", "llm62_gopher_rules",
+    "llm63_corpus_datacard")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
