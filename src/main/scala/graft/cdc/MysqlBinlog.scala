@@ -63,6 +63,10 @@ object MysqlBinlog {
     val WriteRowsV1 = 23: Byte
     val UpdateRowsV1 = 24: Byte
     val DeleteRowsV1 = 25: Byte
+    // INCIDENT_EVENT: mysqld's explicit "an incident occurred on the
+    // master, events may be missing" marker (e.g. LOST_EVENTS). Not
+    // table-scoped, so NO table's reader may claim continuity past it.
+    val Incident = 26: Byte
     val WriteRowsV2 = 30: Byte
     val UpdateRowsV2 = 31: Byte
     val DeleteRowsV2 = 32: Byte
@@ -684,6 +688,22 @@ object MysqlBinlog {
         txnIdentityValid = false
         anonymousTxn = false
         Nil
+      case EventType.Incident =>
+        // the master itself declares the stream may be missing events
+        // (LOST_EVENTS). The gap is not table-scoped, so continuity
+        // cannot be claimed for ANY table — skipping would silently
+        // serve a latest-image view with a hole in it.
+        val c = new Cur(ev.payload)
+        val number = c.u16()
+        val msgLen = if (c.remaining > 0) c.u8() else 0
+        val msg = if (msgLen > 0 && c.remaining >= msgLen)
+          new String(c.bytes(msgLen), java.nio.charset.StandardCharsets.UTF_8)
+        else ""
+        throw new IOException(
+          s"INCIDENT event (number=$number${if (msg.nonEmpty) s", '$msg'" else ""}) " +
+            s"at log offset ${ev.pos}: the producer recorded that events may " +
+            "have been lost — the log cannot serve a consistent change " +
+            "stream past this point; re-snapshot the table")
       case EventType.WriteRowsV1 | EventType.UpdateRowsV1 |
           EventType.DeleteRowsV1 =>
         // pre-5.6 rows-event layout (no extra-data field): not decoded.

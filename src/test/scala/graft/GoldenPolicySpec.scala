@@ -160,6 +160,34 @@ class GoldenPolicySpec extends SparkTestBase {
       |6f2e303030303031907cf84964f153656301000000210000001b020000000001020304667574
       |75726553308db864f153650301000000170000003202000000005d895af0""".stripMargin
 
+  /** A healthy txn, then an INCIDENT event (type 26, LOST_EVENTS) —
+    * the master's own "events may be missing" marker — then another
+    * txn. No reader may claim continuity past the incident. */
+  private val IncidentHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f15365130100000037000000f6000000000005000000000001000267640001740002080f
+      |02140002010100040502696401769cc2379264f153651e01000000380000002e010000000005
+      |0000000000010002000203000100000000000000026162020200000000000000db735b9c64f1
+      |536510010000001f0000004d010000000065000000000000004c3952aa64f153651a01000000
+      |2500000072010000000001000b4c4f53545f4556454e54534878ecbe64f15365210100000041
+      |000000b30100000000003e11fa4771ca11e19e33c80aa9429562020000000000000002010000
+      |00000000000200000000000000f531dd9a64f15365130100000037000000ea01000000000500
+      |0000000001000267640001740002080f02140002010100040502696401763321a44b64f15365
+      |1e01000000380000002202000000000500000000000100020002030001000000000000000261
+      |62020200000000000000d20c3d2964f1536510010000001f0000004102000000006600000000
+      |0000004cc3e2b3""".stripMargin
+
+  test("INCIDENT event (LOST_EVENTS): the scan fails loud, continuity is never claimed") {
+    val dir = materialize(IncidentHex)
+    val ex = intercept[Exception] { read(dir).collect() }
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("INCIDENT") && all.contains("LOST_EVENTS"), all)
+  }
+
   test("event zoo: control events and unknown types skip, rows decode around them") {
     val dir = materialize(EventZooHex)
     val rows = read(dir)
