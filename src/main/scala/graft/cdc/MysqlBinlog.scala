@@ -694,7 +694,7 @@ object MysqlBinlog {
         // cannot be claimed for ANY table — skipping would silently
         // serve a latest-image view with a hole in it.
         val c = new Cur(ev.payload)
-        val number = c.u16()
+        val number = if (c.remaining >= 2) c.u16() else -1
         val msgLen = if (c.remaining > 0) c.u8() else 0
         val msg = if (msgLen > 0 && c.remaining >= msgLen)
           new String(c.bytes(msgLen), java.nio.charset.StandardCharsets.UTF_8)

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -122,6 +122,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
   }
+
+  /** Metadata-FILTERED exact top-k — the production vector-search axis
+    * every serving stack needs (top-k among `label = X` / tenant = T /
+    * date-range): the predicate applies to the CORPUS before scoring,
+    * so each query's neighbors all satisfy it. Exact form: filter →
+    * broadcast-queries cross score → per-query k-window; the filter
+    * reaches the scan (column-pruned, predicate-pushed), so a selective
+    * predicate shrinks the scored set linearly. At 100 TB with a DENSE
+    * predicate, swap the scored side for the IVF cell scan and apply
+    * the predicate inside the probed cells (same composition:
+    * `ivfTopK(corpus.filter(pred), ...)`) — filtering before indexing
+    * beats post-filtering a k-deep result, which under-fills k when the
+    * predicate is selective. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      corpusPred: Column, embCol: String = "embedding",
+      id: String = "vec_id"): DataFrame =
+    bruteForceTopK(corpus.filter(corpusPred), queries, k, embCol, id)
 
   /** Deterministic k-means centroids for IVF, trained on a bounded
     * hash-ordered sample (the FAISS recipe: the coarse quantizer never

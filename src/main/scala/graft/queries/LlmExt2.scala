@@ -625,6 +625,36 @@ object LlmExt2 {
          |    / CAST(COUNT(*) AS DOUBLE) AS keep_share
          |FROM r GROUP BY lang, source""".stripMargin) { (s, dir) =>
       TextAnalysis.corpusDatacard(Tables.load(s, dir, "documents"))
+    },
+
+    // metadata-filtered vector search: exact top-k among corpus vectors
+    // satisfying a predicate (label % 3 = 1) — the tenant/category/
+    // date-scoped retrieval axis; filter-before-score (pushed to the
+    // scan), never post-filter-a-k-deep-result (which under-fills k).
+    // Oracle = llm09's bit-portable cosine fold + the same predicate.
+    QDef("llm64_knn_filtered", {
+      def fold(u: String, v: String, a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
+         |    ${fold("c.embedding", "c.embedding", "c.embedding", "q.q_emb")} AS na,
+         |    ${fold("q.q_emb", "q.q_emb", "c.embedding", "q.q_emb")} AS nb
+         |  FROM embeddings c, q
+         |  WHERE c.label % 3 = 1 AND c.vec_id <> q.query_id),
+         |sim AS (SELECT query_id, neighbor_id,
+         |    CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
+         |         ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim FROM d)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM sim)
+         |WHERE rank <= 10""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      graft.ops.Similarity.filteredTopK(emb, queries, k = 10,
+        corpusPred = col("label") % 3 === 1)
     }
   )
 }

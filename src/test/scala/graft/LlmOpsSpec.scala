@@ -640,4 +640,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(b1 == b2)
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
+
+  test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val filtered = Similarity.filteredTopK(emb, queries, k = 5,
+      corpusPred = $"label" % 3 === 1)
+    val rows = filtered.join(emb.select($"vec_id".as("neighbor_id"), $"label"),
+        "neighbor_id")
+      .select("query_id", "neighbor_id", "label", "rank")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) % 3 == 1), "a neighbor escaped the predicate")
+    // filter-before-score: k fills from the FULL filtered corpus — the
+    // result equals brute force over the pre-filtered corpus (a post-
+    // filtered global top-k would under-fill; this pins the semantics)
+    val expect = Similarity.bruteForceTopK(
+      emb.filter($"label" % 3 === 1), queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == expect)
+    // per-query count fills to min(k, filtered corpus size)
+    val counts = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(counts.values.forall(_ == 5), counts.toMap.toString)
+  }
 }
