@@ -316,6 +316,25 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** Append a NEW vector batch to a prebuilt IVF index WITHOUT
+    * retraining — the production index-maintenance path (FAISS `add()`
+    * semantics): cells stay the build-time Voronoi partition, the
+    * batch is assigned with one narrow pass against the persisted
+    * centroids, and the partitioned append touches only the batch's
+    * cell directories. At 100 TB this is the only affordable form —
+    * re-clustering the lake per batch is off the table; rebuild when
+    * drift makes appended cells grossly unbalanced (a production
+    * wrapper monitors per-cell counts). Serving via ivfTopKFromIndex
+    * sees old + new vectors transparently. */
+  def appendToIvfIndex(spark: SparkSession, path: String, batch: DataFrame,
+      embCol: String = "embedding", id: String = "vec_id"): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    batch.withColumn("cell", cellOf(centroids)(col(embCol)))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
   /** IVF top-k over a PREBUILT index (see buildIvfIndex) — no training,
     * no full-corpus assignment pass. The probed cells are collected from
     * the query side (small — it is broadcast anyway) and applied as a

@@ -63,6 +63,29 @@ object Llm {
     idx
   }
 
+  /** The llm65 index: built (train + assign) on the `vec_id % 10 != 9`
+    * 90% of the corpus, then the held-out 10% APPENDED assignment-only
+    * (Similarity.appendToIvfIndex) — same pid-scoped idempotent shape
+    * as ensureIvfIndex, with an explicit _APPENDED marker because the
+    * corpus dir's _SUCCESS appears at BUILD time and an interrupted
+    * append would otherwise serve a 90% index silently. */
+  private[queries] def ensureIvfAppendIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ivfapp-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$idx/_APPENDED")
+      if (!marker.exists()) {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 9), idx,
+          kClusters = 16)
+        Similarity.appendToIvfIndex(s, idx, emb.filter(col("vec_id") % 10 === 9))
+        marker.createNewFile()
+      }
+    }
+    idx
+  }
+
   private[queries] def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -503,6 +526,22 @@ object Llm {
     QDef("llm45_knn_ivf_prebuilt", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val idx = ensureIvfIndex(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
+        emb, k = 10, minMatches = 3)
+    },
+
+    // incremental index maintenance: the index is TRAINED AND BUILT on
+    // 90% of the corpus, the remaining 10% arrives later and is APPENDED
+    // without retraining (assignment-only against the persisted
+    // centroids — FAISS add() semantics, the only affordable form at
+    // lake scale); serving then answers over old + new through the same
+    // static-partition-filter scan, and the gate holds against the FULL
+    // corpus (appended vectors are first-class: exact sims, k filled,
+    // recall spot-checks pass)
+    QDef("llm65_knn_ivf_append", annGateOracle(10)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = ensureIvfAppendIndex(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
       annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
         emb, k = 10, minMatches = 3)

@@ -641,6 +641,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("IVF append: appended vectors are first-class index citizens") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 10 =!= 9), idx, kClusters = 8)
+    Similarity.appendToIvfIndex(spark, idx, emb.filter($"vec_id" % 10 === 9))
+    // the index now holds the FULL corpus
+    val n = spark.read.parquet(s"$idx/corpus").count()
+    assert(n == emb.count(), s"index holds $n of ${emb.count()}")
+    // appended vectors must be SERVED, not just stored: they appear as
+    // neighbors (self-matches are excluded by design, so check the
+    // neighbor population), and every returned sim is the exact cosine
+    // of the pair (appended rows indistinguishable from built rows)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val got = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 10, nProbe = 4)
+    val nAppended = got.filter($"neighbor_id" % 10 === 9).count()
+    assert(nAppended > 0, "no appended vector ever surfaced as a neighbor")
+    val mismatch = got
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb")),
+        "neighbor_id")
+      .join(emb.select($"vec_id".as("query_id"), $"embedding".as("q_emb")),
+        "query_id")
+      .filter($"sim" =!= cosine_sim($"q_emb", $"n_emb"))
+      .count()
+    assert(mismatch == 0, s"$mismatch served sims diverge from exact cosine")
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
