@@ -410,6 +410,11 @@ object CdcCodec {
     private var currentGtid: Long = 0L
     private var currentSourceId: UTF8String =
       UTF8String.fromString(CdcSchema.AnonymousSourceId)
+    // a spliced/truncated log can open with rows before any GTID event;
+    // stamping the initial 0L would be a fabricated transaction identity
+    // (same corruption class the mysql decoder's identity scope closes,
+    // in this closed format reachable only through log surgery)
+    private var seenGtid = false
 
     def decode(ev: RawEvent): Seq[CdcRow] = {
       val d = new BeCur(ev.payload)
@@ -467,6 +472,7 @@ object CdcCodec {
           Nil
         case EventType.Gtid =>
           currentGtid = d.i64()
+          seenGtid = true
           // legacy 8-byte payloads (pre-source-id logs) synthesize the
           // anonymous id; the payload is self-delimiting so the length
           // check is exact, not a guess
@@ -506,6 +512,10 @@ object CdcCodec {
       val tableId = d.i64()
       tableMaps.get(tableId) match {
         case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+          if (!seenGtid) throw new java.io.IOException(
+            s"rows event for $targetDb.$targetTable at log offset ${ev.pos} " +
+              "before any GTID event: a spliced or mid-transaction-truncated " +
+              "log cannot yield a truthful __gtid")
           f(tm.schema, DateTimeUtils.millisToMicros(ev.tsMs),
             epochs.getOrElse(tableId, null))
         case _ => Nil

@@ -140,6 +140,26 @@ class CdcHardeningSpec extends SparkTestBase {
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
+  test("gcdc: target rows before any GTID event fail loud (spliced log)") {
+    // a log opened mid-transaction (splice/truncation) must not stamp
+    // the fabricated initial gtid 0
+    val dir = Files.createTempDirectory("gcdc-splice").toString
+    val w = new CdcCodec.LogWriter(s"$dir/b.0")
+    w.tableMap(0L, 1L, "db", "t", schemaV1)
+    w.writeRows(0L, 1L, schemaV1, Seq(Array[Any](1L, 1.0))) // NO gtid yet
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\n")
+    val ex = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "t")
+        .load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).mkString(" | ").contains("before any GTID event"))
+  }
+
   test("MINIMAL row images compose with compressed transactions (zstd payload)") {
     // binlog_row_image=MINIMAL and binlog_transaction_compression=ON are
     // independent server settings a production log can combine: the
