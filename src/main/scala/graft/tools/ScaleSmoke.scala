@@ -501,6 +501,20 @@ object ScaleSmoke {
       assert(row.getLong(1) == total, s"decoded ${row.getLong(1)} of $total rows")
       assert(row.getLong(0) == total * (total - 1) / 2, "decoded ids must sum exactly")
       println(f"SCALE mysqlDecode: ${total / secs / 1e6}%.2f Mrows/s, ${gen / secs / 1e6}%.0f MB/s over $nFiles files (CRC32 verified)")
+
+      // the PK-only projection over the SAME log: the at-scale
+      // key-stream shape (cdc37's projection class). The decoder skips
+      // non-needed values (skipValue — no string allocation for `s`),
+      // so the pruned scan should comfortably beat the full decode;
+      // this quantifies how much the projection-pushdown path buys.
+      val t1 = System.nanoTime()
+      val row2 = df.select(col("id")).agg(sum(col("id")).as("s"),
+        count(lit(1)).as("n")).head()
+      val secs2 = (System.nanoTime() - t1) / 1e9
+      assert(row2.getLong(1) == total && row2.getLong(0) == total * (total - 1) / 2)
+      println(f"SCALE mysqlDecodePkOnly: ${total / secs2 / 1e6}%.2f Mrows/s " +
+        f"(vs full ${total / secs / 1e6}%.2f — pruned-decode speedup " +
+        f"${secs / secs2}%.2fx)")
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
