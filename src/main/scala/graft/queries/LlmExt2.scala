@@ -627,6 +627,41 @@ object LlmExt2 {
       TextAnalysis.corpusDatacard(Tables.load(s, dir, "documents"))
     },
 
+    // the dedup REPORT: duplicate-cluster size histogram over llm24's
+    // canonicalization (how many clusters of each size, how much doc
+    // mass they hold — the number a dedup run is judged by before
+    // anyone deletes anything). Two tiny aggregations on top of the CC
+    // labels; the oracle replays the same transitive closure and
+    // aggregates it identically.
+    QDef("llm66_dup_cluster_stats",
+      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
+        |edges0 AS (SELECT x, y FROM cand
+        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT x AS src, y AS dst FROM edges0
+        |  UNION SELECT y, x FROM edges0),
+        |reach AS (SELECT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN
+        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
+        |    USING (doc_id)),
+        |cl AS (SELECT canon_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM cl GROUP BY cluster_size""".stripMargin) { (s, dir) =>
+      Dedup.canonicalize(Tables.load(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.8)
+        .groupBy(col("canon_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+    },
+
     // metadata-filtered vector search: exact top-k among corpus vectors
     // satisfying a predicate (label % 3 = 1) — the tenant/category/
     // date-scoped retrieval axis; filter-before-score (pushed to the
