@@ -275,6 +275,8 @@ object ScaleSmoke {
     // (centers from an integer hash) + per-vector noise, so the coarse
     // quantizer has real structure to find.
     val nVec = if (args.length > 2) args(2).toLong else 1000000L
+    require(nVec >= 20, s"nVec (args(2)) must be >= 20, got $nVec — " +
+      "the query stride nVec/20 degenerates to mod-zero below that")
     timed(s"ivfPqTopK($nVec, k=10)") {
       val emb = spark.range(nVec).select(col("id").as("vec_id"),
         expr("""transform(sequence(0, 63), j -> CAST(
