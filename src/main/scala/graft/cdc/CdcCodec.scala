@@ -396,6 +396,32 @@ object CdcCodec {
     *               then spans any ALTER TABLE boundary; the per-epoch
     *               null semantics are deterministic (cdc20's oracle).
     */
+  /** Pre-resolved per-column value type codes — the readRow hot loop's
+    * dispatch is an Int tableswitch over these instead of a DataType
+    * pattern match per cell. */
+  private object TC {
+    final val L = 0; final val I = 1; final val D = 2
+    final val S = 3; final val Ts = 4; final val B = 5
+    final val Dt = 6; final val F = 7; final val Sh = 8
+    final val By = 9; final val Bo = 10; final val Dec = 11
+  }
+
+  private def tcode(dt: DataType): Int = dt match {
+    case LongType => TC.L
+    case IntegerType => TC.I
+    case DoubleType => TC.D
+    case StringType => TC.S
+    case TimestampType | TimestampNTZType => TC.Ts
+    case BinaryType => TC.B
+    case DateType => TC.Dt
+    case FloatType => TC.F
+    case ShortType => TC.Sh
+    case ByteType => TC.By
+    case BooleanType => TC.Bo
+    case _: DecimalType => TC.Dec
+    case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+  }
+
   final class RowDecoder(targetDb: String, targetTable: String,
       needed: Int => Boolean = _ => true,
       expectedSchema: Option[StructType] = None,
@@ -407,6 +433,12 @@ object CdcCodec {
     private final class EpochPlan(val remap: Array[Int],
       val declaredNeeded: Array[Boolean])
     private val epochs = scala.collection.mutable.Map.empty[Long, EpochPlan]
+    // per-table-id pre-resolved value type codes: the per-CELL work in
+    // readRow becomes an Int tableswitch instead of a DataType pattern
+    // match (reference-equality chain per cell — measured 0.95 Mrows/s
+    // vs the mysql decoder's 1.67 on the same-density smoke; the int
+    // dispatch is the same fix that decoder shipped with)
+    private val typeCodes = scala.collection.mutable.Map.empty[Long, Array[Int]]
     private var currentGtid: Long = 0L
     private var currentSourceId: UTF8String =
       UTF8String.fromString(CdcSchema.AnonymousSourceId)
@@ -469,6 +501,7 @@ object CdcCodec {
             }
           }
           tableMaps(tableId) = TableMap(tableId, db, table, schema)
+          typeCodes(tableId) = schema.fields.map(f => tcode(f.dataType))
           Nil
         case EventType.Gtid =>
           currentGtid = d.i64()
@@ -481,26 +514,26 @@ object CdcCodec {
             else UTF8String.fromString(CdcSchema.AnonymousSourceId)
           Nil
         case EventType.WriteRows =>
-          rowsFor(d, ev) { (schema, tm, plan) =>
-            readRows(d, schema, plan).map(envelope(_, CdcSchema.Op.Insert, tm, plan))
-          }
+          rowsFor(d, ev)(readImagesFused(d, CdcSchema.Op.Insert))
         case EventType.DeleteRows =>
-          rowsFor(d, ev) { (schema, tm, plan) =>
-            readRows(d, schema, plan).map(envelope(_, CdcSchema.Op.Delete, tm, plan))
-          }
+          rowsFor(d, ev)(readImagesFused(d, CdcSchema.Op.Delete))
         case EventType.UpdateRows =>
-          rowsFor(d, ev) { (schema, tm, plan) =>
+          rowsFor(d, ev) { (schema, codes, tm, plan) =>
             val n = d.i32()
-            (0 until n).flatMap { _ =>
+            val out = new Array[CdcRow](n * 2)
+            var r = 0
+            while (r < n) {
               // the 1→2 flatMap (§1.5): before image then after image —
               // emitted atomically so a micro-batch can never split them
               // (unlike the reference's cross-call stash at
               // binlog_table_reader.cc:385-388).
-              val before = readRow(d, schema, plan)
-              val after = readRow(d, schema, plan)
-              Seq(envelope(before, CdcSchema.Op.UpdateBefore, tm, plan),
-                envelope(after, CdcSchema.Op.UpdateAfter, tm, plan))
+              out(r * 2) = envelope(readRow(d, schema, codes, plan),
+                CdcSchema.Op.UpdateBefore, tm, plan)
+              out(r * 2 + 1) = envelope(readRow(d, schema, codes, plan),
+                CdcSchema.Op.UpdateAfter, tm, plan)
+              r += 1
             }
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
           }
         case _ => Nil // Rotate + unknown: skipped like the ref's default branch
       }
@@ -508,7 +541,7 @@ object CdcCodec {
 
     /** Source-side table-identity predicate (binlog_table_reader.cc:178). */
     private def rowsFor(d: BeCur, ev: RawEvent)(
-        f: (StructType, Long, EpochPlan) => Seq[CdcRow]): Seq[CdcRow] = {
+        f: (StructType, Array[Int], Long, EpochPlan) => Seq[CdcRow]): Seq[CdcRow] = {
       val tableId = d.i64()
       tableMaps.get(tableId) match {
         case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
@@ -516,19 +549,27 @@ object CdcCodec {
             s"rows event for $targetDb.$targetTable at log offset ${ev.pos} " +
               "before any GTID event: a spliced or mid-transaction-truncated " +
               "log cannot yield a truthful __gtid")
-          f(tm.schema, DateTimeUtils.millisToMicros(ev.tsMs),
+          f(tm.schema, typeCodes(tableId), DateTimeUtils.millisToMicros(ev.tsMs),
             epochs.getOrElse(tableId, null))
         case _ => Nil
       }
     }
 
-    private def readRows(d: BeCur, schema: StructType,
-        plan: EpochPlan): Seq[Array[Any]] = {
+    /** One rows event's images decoded and enveloped in ONE pass (no
+      * intermediate row Vector, no second map pass). */
+    private def readImagesFused(d: BeCur, op: Int)(schema: StructType,
+        codes: Array[Int], tm: Long, plan: EpochPlan): Seq[CdcRow] = {
       val n = d.i32()
-      (0 until n).map(_ => readRow(d, schema, plan))
+      val out = new Array[CdcRow](n)
+      var r = 0
+      while (r < n) {
+        out(r) = envelope(readRow(d, schema, codes, plan), op, tm, plan)
+        r += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
 
-    private def readRow(d: BeCur, schema: StructType,
+    private def readRow(d: BeCur, schema: StructType, codes: Array[Int],
         plan: EpochPlan): Array[Any] = {
       val n = schema.length
       val nullBits = d.bytes((n + 7) / 8)
@@ -540,42 +581,42 @@ object CdcCodec {
           // the row is laid out in the DECLARED (epoch) schema order;
           // under an epoch plan the mask is over declared columns
           val want = if (plan != null) plan.declaredNeeded(i) else needed(i)
-          if (want) vals(i) = readValue(d, schema(i).dataType)
-          else skipValue(d, schema(i).dataType)
+          if (want) vals(i) = readValue(d, codes(i), schema, i)
+          else skipValue(d, codes(i))
         }
         i += 1
       }
       vals
     }
 
-    private def skipValue(d: BeCur, dt: DataType): Unit = dt match {
-      case LongType | DoubleType | TimestampType | TimestampNTZType => d.skip(8)
-      case IntegerType | DateType | FloatType => d.skip(4)
-      case ShortType => d.skip(2)
-      case ByteType | BooleanType => d.skip(1)
-      case StringType | BinaryType => d.skip(d.i32())
-      case _: DecimalType => d.skip(4); d.skip(d.i32())
-      case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+    private def skipValue(d: BeCur, code: Int): Unit = (code: @annotation.switch) match {
+      case TC.L | TC.D | TC.Ts => d.skip(8)
+      case TC.I | TC.Dt | TC.F => d.skip(4)
+      case TC.Sh => d.skip(2)
+      case TC.By | TC.Bo => d.skip(1)
+      case TC.S | TC.B => d.skip(d.i32())
+      case TC.Dec => d.skip(4); d.skip(d.i32())
+      case _ => throw new IllegalStateException(s"bad type code $code")
     }
 
-    private def readValue(d: BeCur, dt: DataType): Any = dt match {
-      case LongType => d.i64()
-      case IntegerType => d.i32()
-      case DoubleType => d.f64()
-      case StringType => d.utf8()
-      case TimestampType | TimestampNTZType => d.i64()
-      case BinaryType => d.bytes(d.i32())
-      case DateType => d.i32()
-      case FloatType => d.f32()
-      case ShortType => d.i16()
-      case ByteType => d.s8()
-      case BooleanType => d.bool()
-      case dec: DecimalType =>
+    private def readValue(d: BeCur, code: Int, schema: StructType,
+        i: Int): Any = (code: @annotation.switch) match {
+      case TC.L | TC.Ts => d.i64()
+      case TC.I | TC.Dt => d.i32()
+      case TC.D => d.f64()
+      case TC.S => d.utf8()
+      case TC.B => d.bytes(d.i32())
+      case TC.F => d.f32()
+      case TC.Sh => d.i16()
+      case TC.By => d.s8()
+      case TC.Bo => d.bool()
+      case TC.Dec =>
+        val dec = schema(i).dataType.asInstanceOf[DecimalType]
         val scale = d.i32()
         val b = d.bytes(d.i32())
         Decimal(new java.math.BigDecimal(new java.math.BigInteger(b), scale),
           dec.precision, dec.scale)
-      case other => throw new IllegalArgumentException(s"unsupported CDC type: $other")
+      case _ => throw new IllegalStateException(s"bad type code $code")
     }
 
     private val expectedWidth: Int = expectedSchema.map(_.length).getOrElse(-1)
