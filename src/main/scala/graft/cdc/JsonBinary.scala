@@ -301,7 +301,7 @@ object JsonBinary {
       // MySQL key order: ascending by length, then by bytes; duplicate
       // keys keep the last value (mysqld's normalization)
       val fields = {
-        val it = node.fields()
+        val it = node.properties().iterator()
         val buf = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
         while (it.hasNext) { val e = it.next(); buf(e.getKey) = e.getValue }
         buf.toSeq
