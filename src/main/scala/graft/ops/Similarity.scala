@@ -335,12 +335,29 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** DELETE vectors from a prebuilt IVF index as TOMBSTONES — the third
+    * index-maintenance op next to build and append, and like append the
+    * only affordable form at lake scale: rewriting cell files per delete
+    * batch is off the table, so deletes land as an id list under
+    * `$path/tombstones` and serving anti-joins it (broadcast — the
+    * tombstone set is small relative to the corpus by operational
+    * contract; when it stops being small, COMPACT: rewrite the cells
+    * dropping tombstoned rows and clear the list, exactly the
+    * LSM/FAISS `remove_ids` trade). Idempotent: deleting an id twice
+    * just duplicates a tombstone row; the anti-join is set-semantic. */
+  def deleteFromIvfIndex(spark: SparkSession, path: String,
+      ids: DataFrame, id: String = "vec_id"): Unit =
+    ids.select(col(id)).write.mode("append").parquet(s"$path/tombstones")
+
   /** IVF top-k over a PREBUILT index (see buildIvfIndex) — no training,
     * no full-corpus assignment pass. The probed cells are collected from
     * the query side (small — it is broadcast anyway) and applied as a
     * STATIC partition filter, so the parquet scan plans only the probed
     * cell directories; results are identical to ivfTopK with the same
-    * parameters (same centroids, same deterministic ties). */
+    * parameters (same centroids, same deterministic ties). When the
+    * index carries tombstones (deleteFromIvfIndex), they are anti-joined
+    * out of the scored cells (broadcast, before scoring — a deleted
+    * vector neither costs a cosine nor occupies a k-slot). */
   def ivfTopKFromIndex(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
       embCol: String = "embedding", id: String = "vec_id"): DataFrame = {
@@ -355,8 +372,14 @@ object Similarity {
       .localCheckpoint(true)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cb = spark.read.parquet(s"$path/corpus")
+    val cb0 = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
+    val tombDir = new java.io.File(s"$path/tombstones")
+    val cb =
+      if (tombDir.exists())
+        cb0.join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
+          Seq(id), "left_anti")
+      else cb0
     ivfScore(cb, probes, k, embCol, id)
   }
 

@@ -86,6 +86,27 @@ object Llm {
     idx
   }
 
+  /** The llm67 index: full build, then the `vec_id % 7 == 3` population
+    * DELETED as tombstones (Similarity.deleteFromIvfIndex) — the
+    * LSM-style delete the serving path anti-joins out. _TOMBSTONED
+    * marker for the same interrupted-write reason as _APPENDED. */
+  private[queries] def ensureIvfDeleteIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ivfdel-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$idx/_TOMBSTONED")
+      if (!marker.exists()) {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+        Similarity.deleteFromIvfIndex(s, idx,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        marker.createNewFile()
+      }
+    }
+    idx
+  }
+
   private[queries] def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -130,16 +151,17 @@ object Llm {
   /** The DuckDB side of [[annGate]]: shape/contract booleans are
     * asserted `true`; exact_top1_sim is recomputed from scratch with the
     * bit-portable cosine fold (same construction as llm09's oracle). */
-  private[queries] def annGateOracle(k: Int): String = {
+  private[queries] def annGateOracle(k: Int, src: String = "embeddings",
+      extraCte: String = ""): String = {
     def fold(u: String, v: String, a: String, b: String) =
       s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
-       |  FROM embeddings WHERE vec_id % 50 = 0),
+    s"""WITH ${extraCte}q AS (SELECT vec_id AS query_id, embedding AS q_emb
+       |  FROM $src WHERE vec_id % 50 = 0),
        |d AS (SELECT q.query_id,
        |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
        |    ${fold("c.embedding", "c.embedding", "c.embedding", "q.q_emb")} AS na,
        |    ${fold("q.q_emb", "q.q_emb", "c.embedding", "q.q_emb")} AS nb
-       |  FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+       |  FROM $src c, q WHERE c.vec_id <> q.query_id),
        |t1 AS (SELECT query_id, max(CASE WHEN na = 0.0 OR nb = 0.0 THEN 0.0
        |    ELSE dot / (sqrt(na) * sqrt(nb)) END) AS exact_sim1
        |  FROM d GROUP BY query_id)
@@ -545,6 +567,24 @@ object Llm {
       val queries = emb.filter(col("vec_id") % 50 === 0)
       annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
         emb, k = 10, minMatches = 3)
+    },
+
+    // index deletions: the %7==3 population tombstoned out of the full
+    // index (LSM-style — cells never rewritten per delete batch; the
+    // serving path anti-joins the broadcast tombstone list BEFORE
+    // scoring, so a deleted vector neither costs a cosine nor occupies
+    // a k-slot). The gate runs against the LIVE corpus — a deleted
+    // vector surfacing as a neighbor fails sims_exact/recall, and the
+    // oracle recomputes exact_top1 over the same live view
+    QDef("llm67_knn_ivf_delete", annGateOracle(10,
+        src = "live",
+        extraCte = "live AS (SELECT * FROM embeddings WHERE NOT (vec_id % 7 = 3)), ")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = ensureIvfDeleteIndex(s, dir)
+      val live = emb.filter(col("vec_id") % 7 =!= 3)
+      val queries = live.filter(col("vec_id") % 50 === 0)
+      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
+        live, k = 10, minMatches = 3)
     },
 
     // PQ-compressed ANN with ADC scoring: the corpus searched holds only

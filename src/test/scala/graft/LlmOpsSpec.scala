@@ -668,6 +668,30 @@ class LlmOpsSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
+  test("IVF delete: tombstoned vectors never surface, k fills from live rows") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    Similarity.buildIvfIndex(emb, idx, kClusters = 8)
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    val queries = emb.filter($"vec_id" % 50 === 0 && $"vec_id" % 5 =!= 2)
+    val got = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 % 5 != 2), "a tombstoned vector surfaced as a neighbor")
+    // k fills from live rows: the anti-join happens BEFORE scoring, so
+    // deletions never leave holes in the top-k
+    val counts = got.groupBy(_._1).view.mapValues(_.length)
+    assert(counts.values.forall(_ == 5), counts.toMap.toString)
+    // idempotent: deleting the same ids again changes nothing
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    val again = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.sorted.toSeq == got.sorted.toSeq)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
