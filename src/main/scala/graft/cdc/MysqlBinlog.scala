@@ -653,8 +653,11 @@ object MysqlBinlog {
     // ordering and update-pair joins.
     private var anonymousTxn = false
     // A recognized transaction-identity event (GTID) governs the CURRENT
-    // transaction only: XID clears it. Target-table rows with no live
-    // identity fail loud — otherwise an identity event of an
+    // transaction only: XID clears it, and so does any QUERY event other
+    // than `BEGIN` — a GTID-governed scope can end WITHOUT an XID (DDL
+    // statements are GTID→QUERY(ALTER …) with no XID; non-transactional-
+    // engine txns close with QUERY(COMMIT)). Target-table rows with no
+    // live identity fail loud — otherwise an identity event of an
     // unrecognized type (e.g. MySQL 8.3+ tagged GTID, type 42, which the
     // default arm skips as control) would leave the PREVIOUS
     // transaction's gno in place and stamp the following rows with a
@@ -687,6 +690,19 @@ object MysqlBinlog {
         // event we failed to recognize
         txnIdentityValid = false
         anonymousTxn = false
+        Nil
+      case EventType.Query =>
+        // `BEGIN` opens a row-format transaction body (identity stays
+        // live for the rows that follow); any OTHER statement (DDL,
+        // COMMIT/ROLLBACK of a non-transactional-engine txn) both runs
+        // in and CLOSES the current GTID scope — these scopes have no
+        // XID, so without this a GTID→QUERY(ALTER …) pair would leave
+        // its gno live and stamp rows of a later transaction whose
+        // identity event we failed to recognize.
+        if (!queryIsBegin(ev.payload)) {
+          txnIdentityValid = false
+          anonymousTxn = false
+        }
         Nil
       case EventType.Incident =>
         // the master itself declares the stream may be missing events
@@ -746,7 +762,28 @@ object MysqlBinlog {
         // already set this txn's identity. Inner events carry the OUTER
         // event's offsets so streaming resume stays outer-granular.
         unwrapPayload(ev).flatMap(decode)
-      case _ => Nil // FDE/ROTATE/XID/QUERY/...: control or ignorable
+      case _ => Nil // FDE/ROTATE/HEARTBEAT/...: control or ignorable
+    }
+
+    /** QUERY_EVENT statement-text peek (public layout: thread_id u32,
+      * exec_time u32, schema_len u8, error_code u16, status_vars_len
+      * u16, status vars, schema, NUL, statement to end-of-body). mysqld
+      * writes the transaction-body opener as the exact ASCII statement
+      * `BEGIN`. A malformed body counts as not-BEGIN: the conservative
+      * direction (identity closes, later rows fail loud) — never the
+      * stale-stamp one. */
+    private def queryIsBegin(payload: Array[Byte]): Boolean = {
+      if (payload.length < 13) return false
+      val c = new Cur(payload)
+      c.skip(8) // thread id, exec time
+      val schemaLen = c.u8()
+      c.skip(2) // error code
+      val statusVarsLen = c.u16()
+      val stmtStart = 13 + statusVarsLen + schemaLen + 1
+      if (stmtStart > payload.length) return false
+      val stmt = new String(payload, stmtStart, payload.length - stmtStart,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      stmt.equalsIgnoreCase("BEGIN")
     }
 
 

@@ -188,6 +188,64 @@ class GoldenPolicySpec extends SparkTestBase {
     assert(all.contains("INCIDENT") && all.contains("LOST_EVENTS"), all)
   }
 
+  /** A GTID scope can end WITHOUT an XID: DDL is GTID→QUERY(ALTER …).
+    * Here gtid 1's DDL is followed by an UNRECOGNIZED identity event
+    * (tagged GTID, type 42) and then target rows — without the
+    * QUERY-closes-scope rule those rows would stamp the DDL's stale
+    * gno 1; they must fail loud instead. */
+  private val DdlThenUnknownIdentityHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f1536502010000004500000004010000000007000000000000000200000000676400414c
+      |544552205441424c4520742041444420434f4c554d4e207720494e54a1a9ab1164f153652a01
+      |000000390000003d0100000000003e11fa4771ca11e19e33c80aa942956208736f6d65746167
+      |0002000000000000000f95745264f15365130100000037000000740100000000050000000000
+      |01000267640001740002080f0214000201010004050269640176a9a0677f64f153651e010000
+      |0038000000ac0100000000050000000000010002000203000100000000000000026162020200
+      |000000000000781a8d47""".stripMargin
+
+  test("DDL closes the GTID scope: rows after an unrecognized identity fail loud") {
+    val dir = materialize(DdlThenUnknownIdentityHex)
+    val ex = intercept[Exception] { read(dir).collect() }
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("no live transaction identity"), all)
+  }
+
+  /** The positive twin: after gtid 1's DDL closes its scope, a
+    * RECOGNIZED GTID(2) reopens — QUERY(BEGIN), rows, and a
+    * non-transactional-engine QUERY(COMMIT) close. The rows decode
+    * with gno 2, and the trailing COMMIT (not an XID) leaves no stale
+    * identity behind. */
+  private val DdlThenNewIdentityHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f1536502010000004500000004010000000007000000000000000200000000676400414c
+      |544552205441424c4520742041444420434f4c554d4e207720494e54a1a9ab1164f153652101
+      |00000041000000450100000000003e11fa4771ca11e19e33c80aa94295620200000000000000
+      |0201000000000000000200000000000000201dfa1464f1536502010000002c00000071010000
+      |000007000000000000000200000000676400424547494e4c04ab9d64f1536513010000003700
+      |0000a8010000000005000000000001000267640001740002080f021400020101000405026964
+      |0176c11b9c3064f153651e0100000038000000e0010000000005000000000001000200020300
+      |01000000000000000261620202000000000000004ed9d97164f1536502010000002d0000000d
+      |020000000007000000000000000200000000676400434f4d4d495461c8436e""".stripMargin
+
+  test("recognized GTID after a DDL reopens the scope; QUERY(COMMIT) closes it") {
+    val dir = materialize(DdlThenNewIdentityHex)
+    val rows = read(dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(rows == Seq(
+      (1L, "ab", CdcSchema.Op.Insert, 2L),
+      (2L, null, CdcSchema.Op.Insert, 2L)))
+  }
+
   test("event zoo: control events and unknown types skip, rows decode around them") {
     val dir = materialize(EventZooHex)
     val rows = read(dir)
