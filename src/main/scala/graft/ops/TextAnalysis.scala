@@ -515,7 +515,9 @@ object TextAnalysis {
     * ENTIRELY narrow and shuffle-free: four arithmetic signals over the
     * token array, evaluated at scan speed; at 100 TB this is a map-only
     * pass. All signals are integer-count arithmetic + one IEEE division
-    * each, so DuckDB replays them bit-exactly.
+    * each, so DuckDB replays them bit-exactly. Word length is counted
+    * in CHARACTERS (Spark `length`, DuckDB `length`), not UTF-8 bytes —
+    * byte semantics would shift `mean_wlen` for every non-ASCII doc.
     *
     * Rule order (first fail wins): word_count, mean_word_length,
     * stopwords, repetition. `keep` = no rule fired. */

@@ -580,7 +580,7 @@ object LlmExt2 {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
          |m AS (SELECT doc_id,
          |    CAST(len(tk) AS BIGINT) AS n_words,
-         |    CAST(strlen(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+         |    CAST(length(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
          |    CAST(len(list_intersect(list_distinct(tk),
          |      [${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS INT) AS stop_hits,
          |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio
@@ -604,7 +604,7 @@ object LlmExt2 {
       s"""WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS tk FROM documents),
          |m AS (SELECT doc_id, lang, source,
          |    CAST(len(tk) AS BIGINT) AS n_words,
-         |    CAST(strlen(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+         |    CAST(length(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
          |    CAST(len(list_intersect(list_distinct(tk),
          |      [${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS INT) AS stop_hits,
          |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio

@@ -336,7 +336,7 @@ object Streaming {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
          |m AS (SELECT doc_id,
          |    CAST(len(tk) AS BIGINT) AS n_words,
-         |    CAST(strlen(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
+         |    CAST(length(text) - len(tk) + 1 AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_wlen,
          |    CAST(len(list_intersect(list_distinct(tk),
          |      [${graft.ops.TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}])) AS INT) AS stop_hits,
          |    CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS uniq_ratio

@@ -266,6 +266,18 @@ class TextOps2Spec extends SparkTestBase {
     assert(e2.getMessage.contains("reserved"))
   }
 
+  test("gopher rules: mean word length counts CHARACTERS, not UTF-8 bytes") {
+    import spark.implicits._
+    // "café résumé déjà vu" = 4 words, 16 non-space CHARS (mean 4.0,
+    // in-range) but 20 UTF-8 bytes (mean 5.0) — byte semantics would
+    // shift the signal for every non-ASCII doc. The paired oracles use
+    // DuckDB length() (chars) for the same reason.
+    val docs = Seq(("d1", "café résumé déjà vu")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, minWords = 1, maxWords = 90).head()
+    assert(math.abs(r.getAs[Double]("mean_wlen") - 4.0) < 1e-12,
+      s"mean_wlen must be chars (4.0), got ${r.getAs[Double]("mean_wlen")}")
+  }
+
   test("funnel stages shrink monotonically and corr is in [-1, 1]") {
     val dir = "/root/testdata/sf0.001"
     val funnel = SparkEntry.queries("q74_funnel")(spark, dir).head()
