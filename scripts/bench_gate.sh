@@ -25,7 +25,30 @@ PREV="${1:-}"
 OUT="${2:-/tmp/bench_gate_new.json}"
 
 if [ -z "$PREV" ]; then
-  PREV=$(ls BENCH_r*.json 2>/dev/null | grep -E '^BENCH_r[0-9]+\.json$' | sort -V | tail -1 || true)
+  # highest-N archive NOT produced at the current git HEAD — once the
+  # driver archives this round's artifact, a re-run (including the
+  # SPARK_GRAFT_BENCH_ONLY flagged-mover re-check) must still compare
+  # against the PREVIOUS round, not self-compare vacuously
+  PREV=$(python3 - <<'PY'
+import json, re, subprocess, glob
+head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                      text=True).stdout.strip()
+for f in sorted(glob.glob("BENCH_r*.json"),
+                key=lambda p: int(re.search(r"\d+", p).group()), reverse=True):
+    if not re.fullmatch(r"BENCH_r\d+\.json", f):
+        continue
+    try:
+        d = json.load(open(f))
+        if d.get("parsed") is not None:
+            d = d["parsed"]
+    except Exception:
+        continue
+    if d.get("head") == head:
+        continue  # same binary: self-compare would pass vacuously
+    print(f)
+    break
+PY
+)
 fi
 if [ -z "$PREV" ]; then
   echo "bench_gate: no previous BENCH_r{N}.json found and none given" >&2
@@ -41,6 +64,15 @@ import json, sys
 d = json.load(open(sys.argv[1]))
 print(f"bench_gate: total={d['value']}s failed={d['failed']} "
       f"prev={d.get('prev')} norm_ratio={d.get('prev_norm_total_ratio')}")
+if d["failed"]:
+    # a crashed query records -1, drops out of the queries map, and
+    # would silently vanish from BenchDelta's common set — failures
+    # fail the gate outright, they don't get adjudicated as drift
+    bad = [q for q, v in d.get("queries", {}).items() if v < 0]
+    print(f"bench_gate: FAIL — {d['failed']} quer"
+          f"{'y' if d['failed'] == 1 else 'ies'} failed outright: "
+          f"{', '.join(bad) or '(names not recorded)'}", file=sys.stderr)
+    sys.exit(3)
 PY
 
 # the gate: median-normalized, spread-aware (exit 1 = plan regression)

@@ -39,8 +39,33 @@ object BenchDelta {
       }
       out.result()
     }
+    // queries recorded as FAILED (value < 0) in an artifact: these are
+    // excluded from the timing compare, but a failure in the NEW
+    // artifact must fail the gate — otherwise a crashed query silently
+    // drops out of the common set and the compare passes vacuously
+    def failedOf(path: String): Seq[String] = {
+      var node = m.readTree(new java.io.File(path))
+      if (node.has("parsed")) node = node.get("parsed")
+      val q = node.get("queries")
+      if (q == null) Nil
+      else {
+        val it = q.properties().iterator()
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.asDouble() < 0) out += e.getKey
+        }
+        out.result()
+      }
+    }
     val a = queriesOf(args(0))
     val b = queriesOf(args(1))
+    val failedNew = failedOf(args(1))
+    if (failedNew.nonEmpty) {
+      println(s"FAILED in new artifact (no timing recorded): " +
+        failedNew.mkString(", "))
+      sys.exit(2)
+    }
     // per-query in-run sample spreads (max/min across reps), when the
     // artifacts carry them: a cross-run ratio smaller than the query's
     // own within-run spread is not evidence of anything — the noise
@@ -73,8 +98,24 @@ object BenchDelta {
     val ratios = common.collect {
       case q if a(q) > 0.05 => b(q) / a(q)
     }.sorted
+    // The median-as-drift-detector needs a mostly-STABLE query
+    // population: with only a handful of queries (a
+    // SPARK_GRAFT_BENCH_ONLY re-check of 2-3 flagged movers), a
+    // genuine shared regression IS the median and would be divided out
+    // entirely — certifying the regression as drift. Below 8 usable
+    // ratios, fall back to RAW ratios (median forced to 1.0): the
+    // conservative direction — drift may be flagged for a human to
+    // adjudicate, a real shared regression is never normalized away.
+    val medianUsable = ratios.length >= 8
     val median =
-      if (ratios.isEmpty) 1.0
+      if (!medianUsable) {
+        if (ratios.nonEmpty) println(
+          s"WARNING: only ${ratios.length} usable ratios — too few for " +
+            "drift estimation; comparing RAW ratios (no median " +
+            "normalization). Expect ambient-drift false flags; " +
+            "adjudicate by eye against the documented 1.4-2x wobble.")
+        1.0
+      }
       else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
       else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2
     val sumA = common.map(a).sum

@@ -14,8 +14,12 @@ import org.apache.spark.sql.SparkSession
   *
   *   - CartesianProduct        — unbounded pair blowup
   *   - BroadcastNestedLoopJoin — O(n*m) compare without an equi-key
-  *   - SinglePartition exchange / non-windowed global sort outside a
-  *     final presentation LIMIT — a one-task stage at any input size
+  *   - Exchange SinglePartition over NON-reduced input — a one-task
+  *     stage that serializes the whole input through one core (a
+  *     global window / repartition(1) shape). The partials-merge form
+  *     — SinglePartition feeding a Final aggregate whose input is
+  *     already partial-aggregated to O(#partitions) rows — is the
+  *     sound scalar-aggregate shape and passes.
   *
   * Prints one line per offender with the matched fragment. Exit 1 if
   * any query outside the recorded allowlist trips — so the check can
@@ -70,6 +74,21 @@ object PlanLint {
     "CartesianProduct",
     "BroadcastNestedLoopJoin")
 
+  /** First SinglePartition exchange whose direct child is NOT an
+    * aggregate (i.e. the rows entering the one-task stage are not
+    * already partial-reduced), as (childFragment). Text-level: in the
+    * rendered tree the child is the next line, one level deeper —
+    * robust under AQE's Initial/Final plan sections. */
+  private[graft] def singlePartitionOffense(plan: String): Option[String] = {
+    val lines = plan.linesIterator.toArray
+    val agg = Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    lines.zipWithIndex.collectFirst {
+      case (l, i) if l.contains("Exchange SinglePartition") &&
+          (i + 1 >= lines.length || !agg.exists(lines(i + 1).contains)) =>
+        if (i + 1 < lines.length) lines(i + 1).trim.take(90) else "(leaf)"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).headOption
@@ -99,6 +118,15 @@ object PlanLint {
                 bad += 1
                 println(s"FAIL  $name: $p")
               }
+            }
+          }
+          singlePartitionOffense(plan).foreach { frag =>
+            Allow.get((name, "SinglePartition")) match {
+              case Some(why) =>
+                println(s"ALLOW $name: SinglePartition ($why)")
+              case None =>
+                bad += 1
+                println(s"FAIL  $name: Exchange SinglePartition over $frag")
             }
           }
         } else println(s"SKIP  $name: streaming")

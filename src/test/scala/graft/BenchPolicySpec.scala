@@ -22,4 +22,25 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.splitCount(10L * 1024 * MiB, 32) == 32)
     assert(Bench.splitCount(100 * MiB, 8) == 8)
   }
+
+  test("plan-lint SinglePartition detector: fires on global-window, passes partials-merge") {
+    import graft.tools.PlanLint.singlePartitionOffense
+    // global window: the whole input funnels through one task — offender
+    val globalWindow =
+      """AdaptiveSparkPlan isFinalPlan=false
+        |+- Window [row_number() windowspecdefinition(...)], [ts ASC]
+        |   +- Sort [ts ASC NULLS FIRST], false, 0
+        |      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+        |         +- Project [ts, v]
+        |            +- FileScan parquet [ts,v]""".stripMargin
+    assert(singlePartitionOffense(globalWindow).exists(_.contains("Project")))
+    // scalar aggregate: partial-agg output (O(#partitions) rows) merges
+    // through SinglePartition — the sound shape, not an offender
+    val partialsMerge =
+      """HashAggregate(keys=[], functions=[sum(x)])
+        |+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+        |   +- HashAggregate(keys=[], functions=[partial_sum(x)])
+        |      +- FileScan parquet [x]""".stripMargin
+    assert(singlePartitionOffense(partialsMerge).isEmpty)
+  }
 }
