@@ -497,6 +497,76 @@ object Dedup {
       .select(col(id), coalesce(col("__canon"), col(id)).as("canon_id"))
   }
 
+  /** Quality-aware SURVIVOR selection over near-dup clusters — the
+    * decision production dedup actually makes: a cluster keeps its
+    * BEST-quality member, not an arbitrary one (min-id keeps whatever
+    * the crawl happened to fetch first; a boilerplate-ridden copy can
+    * shadow the clean original). Score = distinct-token ratio (the
+    * repetition signal, integer-count arithmetic so the oracle replays
+    * it bit-exactly); survivor = argmax(score, tie → min id) per
+    * cluster. Cost on top of [[canonicalize]]: one narrow per-doc score
+    * pass and one row_number window partitioned by the 8-byte canon
+    * key — clusters are near-dup groups (tiny), so no skewed-partition
+    * risk at 100 TB. Returns (id, canon_id, score, keep). */
+  def bestOfCluster(df: DataFrame, textCol: String, id: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val labeled = canonicalize(df, textCol, id, threshold, shingleN)
+    val tk = TextAnalysis.tokens(col(textCol))
+    val scored = df.select(col(id),
+      (size(array_distinct(tk)).cast("double") /
+        size(tk).cast("double")).as("score"))
+    val w = Window.partitionBy(col("canon_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    labeled.join(scored, Seq(id))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(id), col("canon_id"), col("score"), col("keep"))
+  }
+
+  /** MinHash CALIBRATION audit — the tuning report an LSH dedup rollout
+    * is parameterized from: over exactly-verified candidate pairs
+    * (prefix filter, j >= threshold), compare the k-slot portable
+    * minhash ESTIMATE (match fraction) against exact Jaccard, binned by
+    * floor(j*10): pairs per bin, mean estimate, and the count of pairs
+    * whose estimate misses by > maxErr. E[est] = j per slot, so a
+    * calibrated family shows avg_est tracking the bin — drift flags a
+    * broken hash family or too-small k before a production run trusts
+    * its bands. Slot hashes are (a_i*h + b_i) mod 2^31-1 over
+    * [[graft.functions.ExprHelpers.modPolyHash]] shingle hashes — every
+    * product fits 63 bits, so DuckDB replays the estimate bit-for-bit
+    * (the xxhash64 production signature in [[minhashCandidates]] is
+    * spec-pinned instead). All report fields derive from integer counts
+    * (the one division is integers-to-double), so cross-engine FP drift
+    * cannot enter. Two corpus passes (pair verify + slot build), both
+    * sub-quadratic; the report itself is ≤ 11 rows. */
+  def minhashCalibration(df: DataFrame, textCol: String, id: String,
+      threshold: Double = 0.6, maxErr: Double = 0.15,
+      shingleN: Int = 3): DataFrame = {
+    val P = 2147483647L
+    val A = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+    val B = Seq(0L, 101L, 203L, 307L, 401L, 503L, 601L, 701L)
+    val k = A.length
+    val pairs = jaccardSelfJoinExact(df, textCol, id, threshold, shingleN)
+    val slots = df
+      .select(col(id), array_distinct(TextAnalysis.shinglesFromTokens(
+        TextAnalysis.tokens(col(textCol)), shingleN)).as("__sh"))
+      .select(col(id), transform(col("__sh"), s => mod_poly_hash(s)).as("__hs"))
+      .select(col(id), array(A.indices.map(i =>
+        aggregate(col("__hs"), lit(P),
+          (acc, h) => least(acc, (h * A(i) + B(i)) % P))): _*).as("slots"))
+    pairs
+      .join(slots.select(col(id).as("id_a"), col("slots").as("sa")), "id_a")
+      .join(slots.select(col(id).as("id_b"), col("slots").as("sb")), "id_b")
+      .withColumn("matches",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          b => b)))
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("j_bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("matches")).cast("double") /
+          (count(lit(1)) * k).cast("double")).as("avg_est"),
+        sum(when(abs(col("matches").cast("double") / k - col("jaccard"))
+          > maxErr, 1L).otherwise(0L)).as("n_large_err"))
+  }
+
   /** Embedding-cosine near-dup via SRP-LSH buckets (see Similarity):
     * within-bucket pairs with cosine >= threshold. */
   def embeddingNearDup(df: DataFrame, embCol: String, id: String,

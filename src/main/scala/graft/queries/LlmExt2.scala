@@ -690,6 +690,72 @@ object LlmExt2 {
       val queries = emb.filter(col("vec_id") % 50 === 0)
       graft.ops.Similarity.filteredTopK(emb, queries, k = 10,
         corpusPred = col("label") % 3 === 1)
+    },
+
+    // quality-aware survivor selection: each near-dup cluster keeps its
+    // BEST member (distinct-token ratio, tie -> min id), not an
+    // arbitrary one — the decision production dedup actually ships.
+    // Oracle replays llm66's transitive closure + the same score/window.
+    QDef("llm68_best_of_cluster",
+      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
+        |edges0 AS (SELECT x, y FROM cand
+        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT x AS src, y AS dst FROM edges0
+        |  UNION SELECT y, x FROM edges0),
+        |reach AS (SELECT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN
+        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
+        |    USING (doc_id)),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT l.doc_id, l.canon_id, s.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY l.canon_id
+        |     ORDER BY s.score DESC, l.doc_id) = 1) AS keep
+        |FROM lab l JOIN sc s USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.bestOfCluster(Tables.load(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.8)
+    },
+
+    // minhash calibration audit: portable k=8 slot estimate vs exact
+    // Jaccard over verified candidate pairs, binned by floor(j*10) —
+    // the report an LSH rollout tunes bands/k from. Integer-count
+    // report fields; slot hashes are 63-bit-safe modular arithmetic
+    // DuckDB replays bit-for-bit.
+    QDef("llm69_minhash_calibration", {
+      val poly = "list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, strlen(sh) + 1), c -> CAST(ord(sh[c]) AS BIGINT)), " +
+        "(h, x) -> (h * 131 + x) % 2147483647)"
+      s"""WITH ${OracleSql.prefixFilterCtes(0.6)},
+         |mh AS (SELECT doc_id, list_transform(range(0, 8), i ->
+         |    list_reduce(list_transform(s, sh ->
+         |      ([1,3,5,7,11,13,17,19][i + 1] * $poly
+         |        + [0,101,203,307,401,503,601,701][i + 1]) % 2147483647),
+         |      (x, y) -> least(x, y))) AS slots
+         |  FROM sh0),
+         |pj AS (SELECT x, y, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) AS j
+         |  FROM cand JOIN sh0 sa ON cand.x = sa.doc_id
+         |  JOIN sh0 sb ON cand.y = sb.doc_id),
+         |pe AS (SELECT p.x, p.y, p.j,
+         |    len(list_filter(range(1, 9), i -> ma.slots[i] = mb.slots[i])) AS matches
+         |  FROM pj p JOIN mh ma ON p.x = ma.doc_id JOIN mh mb ON p.y = mb.doc_id
+         |  WHERE p.j >= 0.6)
+         |SELECT CAST(floor(j * 10) AS INT) AS j_bin,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(matches) AS DOUBLE) / CAST(COUNT(*) * 8 AS DOUBLE) AS avg_est,
+         |  CAST(SUM(CASE WHEN abs(CAST(matches AS DOUBLE) / 8 - j) > 0.15
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_large_err
+         |FROM pe GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      Dedup.minhashCalibration(Tables.load(s, dir, "documents"), "text",
+        "doc_id", threshold = 0.6)
     }
   )
 }

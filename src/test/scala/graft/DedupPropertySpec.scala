@@ -191,4 +191,61 @@ class DedupPropertySpec extends SparkTestBase {
       assert(n == ref(id)._1 && s == ref(id)._2, s"doc $id: got ($n,$s) want ${ref(id)}")
     }
   }
+
+  test("bestOfCluster keeps the highest-quality member, not the min id") {
+    // B (id 1) repeats a token (distinct ratio 39/40); A (id 2) is the
+    // clean original (ratio 1.0) — shingle jaccard 37/39 ≈ 0.949, one
+    // cluster. Min-id dedup would keep B; quality-aware keeps A.
+    val words = (1 to 40).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.take(39) :+ "w39").mkString(" ")
+    val lone = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, b), (2L, a), (3L, lone)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.bestOfCluster(docs, "text", "doc_id", 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(1L)._1 == got(2L)._1, "A and B must share a cluster")
+    assert(!got(1L)._3 && got(2L)._3,
+      s"survivor must be the clean doc 2 (scores ${got(1L)._2} vs ${got(2L)._2})")
+    assert(got(3L) == ((3L, 1.0, true)), "singleton keeps itself")
+  }
+
+  test("minhashCalibration equals an exact BigInt-fold reference on random corpora") {
+    val P = 2147483647L
+    val A = Seq(1L, 3L, 5L, 7L, 11L, 13L, 17L, 19L)
+    val B = Seq(0L, 101L, 203L, 307L, 401L, 503L, 601L, 701L)
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 131 + (c & 0xFF)) % P)
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) Set(t.mkString(" "))
+      else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    for (seed <- Seq(2, 13)) {
+      val docs = randomCorpus(60, seed)
+      // reference report from first principles
+      val sh = docs.map { case (id, tx) => id -> shingleSet(tx) }.toMap
+      val pairs = for {
+        (x, sx) <- sh.toSeq; (y, sy) <- sh.toSeq if x < y
+        j = sh(x).intersect(sh(y)).size.toDouble /
+          sh(x).union(sh(y)).size.toDouble
+        if j >= 0.6
+      } yield {
+        def slots(s: Set[String]) = A.indices.map(i =>
+          s.map(g => (poly(g) * A(i) + B(i)) % P).min)
+        val m = slots(sx).zip(slots(sy)).count(p => p._1 == p._2)
+        (math.floor(j * 10).toInt, m, j)
+      }
+      val ref = pairs.groupBy(_._1).map { case (bin, ps) =>
+        bin -> (ps.size.toLong,
+          ps.map(_._2).sum.toDouble / (8.0 * ps.size),
+          ps.count(p => math.abs(p._2 / 8.0 - p._3) > 0.15).toLong)
+      }
+      val got = graft.ops.Dedup.minhashCalibration(
+          docs.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.6)
+        .collect().map(r => r.getInt(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+      assert(got == ref, s"seed=$seed: got $got want $ref")
+    }
+  }
 }
