@@ -349,6 +349,41 @@ object Similarity {
       ids: DataFrame, id: String = "vec_id"): Unit =
     ids.select(col(id)).write.mode("append").parquet(s"$path/tombstones")
 
+  /** COMPACT a tombstoned IVF index: rewrite the cell-partitioned
+    * corpus dropping tombstoned rows, then clear the tombstone list —
+    * the LSM/FAISS `remove_ids` escape hatch [[deleteFromIvfIndex]]
+    * documents for when the tombstone set stops being small (every
+    * query pays the anti-join; one partitioned rewrite makes reads
+    * clean again). Serving before/after is identical by construction —
+    * the compaction materializes exactly the anti-join the read path
+    * applies. Crash-safe without a transaction log: the compacted
+    * corpus is written BESIDE the live one, swapped in with two
+    * renames, and the tombstone list dropped LAST — an interrupt at
+    * any step leaves tombstones in place over whichever corpus is
+    * visible, so deleted rows can never be resurrected (worst case, a
+    * crash between the renames leaves no `corpus` dir and reads fail
+    * loud; `corpus.old` remains for manual restore). At 100 TB the
+    * rewrite is a narrow distributed copy — the input is already
+    * cell-partitioned, so partitionBy re-writes without a shuffle —
+    * not a re-index. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      id: String = "vec_id"): Unit = {
+    val tombDir = new java.io.File(s"$path/tombstones")
+    if (!tombDir.exists()) return
+    val tmp = new java.io.File(s"$path/corpus.compacting") // crash leftovers overwritten
+    spark.read.parquet(s"$path/corpus")
+      .join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
+        Seq(id), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val corpus = new java.io.File(s"$path/corpus")
+    val old = new java.io.File(s"$path/corpus.old")
+    if (old.exists()) graft.TmpDirs.deleteRecursively(old)
+    java.nio.file.Files.move(corpus.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, corpus.toPath)
+    graft.TmpDirs.deleteRecursively(tombDir) // last: crash above never resurrects
+    graft.TmpDirs.deleteRecursively(old)
+  }
+
   /** IVF top-k over a PREBUILT index (see buildIvfIndex) — no training,
     * no full-corpus assignment pass. The probed cells are collected from
     * the query side (small — it is broadcast anyway) and applied as a

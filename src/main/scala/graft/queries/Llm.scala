@@ -107,6 +107,29 @@ object Llm {
     idx
   }
 
+  /** The llm70 index: llm67's build+tombstone lifecycle COMPLETED by a
+    * compaction (Similarity.compactIvfIndex) — the corpus is rewritten
+    * clean and the tombstone list dropped, so serving reads no
+    * anti-join. _COMPACTED marker for the same interrupted-write
+    * reason as _APPENDED/_TOMBSTONED. */
+  private[queries] def ensureIvfCompactIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ivfcmp-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$idx/_COMPACTED")
+      if (!marker.exists()) {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb, idx, kClusters = 16)
+        Similarity.deleteFromIvfIndex(s, idx,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+        Similarity.compactIvfIndex(s, idx)
+        marker.createNewFile()
+      }
+    }
+    idx
+  }
+
   private[queries] def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -581,6 +604,20 @@ object Llm {
         extraCte = "live AS (SELECT * FROM embeddings WHERE NOT (vec_id % 7 = 3)), ")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val idx = ensureIvfDeleteIndex(s, dir)
+      val live = emb.filter(col("vec_id") % 7 =!= 3)
+      val queries = live.filter(col("vec_id") % 50 === 0)
+      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
+        live, k = 10, minMatches = 3)
+    },
+
+    // the compaction that completes the delete lifecycle: tombstones
+    // materialized into a clean cell-partitioned rewrite, list dropped;
+    // serving = llm67's live view with NO anti-join in the plan
+    QDef("llm70_knn_ivf_compact", annGateOracle(10,
+        src = "live",
+        extraCte = "live AS (SELECT * FROM embeddings WHERE NOT (vec_id % 7 = 3)), ")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = ensureIvfCompactIndex(s, dir)
       val live = emb.filter(col("vec_id") % 7 =!= 3)
       val queries = live.filter(col("vec_id") % 50 === 0)
       annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),

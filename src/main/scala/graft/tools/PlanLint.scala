@@ -47,6 +47,7 @@ object PlanLint {
       ("llm64_knn_filtered", bnlj) -> knn,
       ("llm65_knn_ivf_append", bnlj) -> knn,
       ("llm67_knn_ivf_delete", bnlj) -> knn,
+      ("llm70_knn_ivf_compact", bnlj) -> knn,
       ("str12_stream_knn", bnlj) -> knn,
       ("llm20_embed_neardup_exact", bnlj) ->
         "exact-verify stage: candidate pairs broadcast (LSH-pruned, ≪ corpus)",

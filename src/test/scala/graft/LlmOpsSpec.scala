@@ -692,6 +692,36 @@ class LlmOpsSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
+  test("IVF compact: serving unchanged, tombstones materialized and dropped") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-cmp").toString
+    Similarity.buildIvfIndex(emb, idx, kClusters = 8)
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    val queries = emb.filter($"vec_id" % 50 === 0 && $"vec_id" % 5 =!= 2)
+    val before = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    Similarity.compactIvfIndex(spark, idx)
+    // the list is gone and the corpus physically holds only live rows
+    assert(!new java.io.File(s"$idx/tombstones").exists(), "tombstones survive compaction")
+    assert(!new java.io.File(s"$idx/corpus.compacting").exists(), "tmp dir left behind")
+    assert(!new java.io.File(s"$idx/corpus.old").exists(), "old corpus left behind")
+    val stored = spark.read.parquet(s"$idx/corpus")
+    assert(stored.filter($"vec_id" % 5 === 2).count() == 0,
+      "a tombstoned row survived the rewrite")
+    assert(stored.count() == emb.filter($"vec_id" % 5 =!= 2).count())
+    // serving is IDENTICAL: compaction only materializes the anti-join
+    val after = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(after == before, "compaction changed serving results")
+    // compact with no tombstones is a no-op (and so a second compact)
+    Similarity.compactIvfIndex(spark, idx)
+    val again = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(again == before)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
