@@ -62,6 +62,7 @@ object CdcFixture {
   private val cacheMyDt = mutable.Map.empty[String, String]
   private val cacheMyEm = mutable.Map.empty[String, String]
   private val cacheMyRi = mutable.Map.empty[String, String]
+  private val cacheMyDl = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -288,6 +289,66 @@ object CdcFixture {
   def ensureMysqlMinimalImage(spark: SparkSession, sfDir: String): String =
     ensureLog(cacheMyRi, "graft-cdcmyri", sfDir)(
       generateMinimalImage(spark, sfDir, _))
+
+  /** A log with the FULL production statement framing: every DML
+    * transaction is GTID → QUERY(BEGIN) → TABLE_MAP → rows → XID (the
+    * exact event chain mysqld writes), and DDL statements — which run
+    * in their OWN GTID scope with NO XID — are interleaved between
+    * transactions. Pins the identity-scope rules end-to-end through
+    * the driver oracle: BEGIN must NOT close the scope (rows follow
+    * it), each DDL consumes its gno (no DDL gno may ever stamp a
+    * row), and XID closes cleanly before the next GTID. cdc38 reads
+    * the storyline; the fail-loud directions (unrecognized identity
+    * after a DDL) are golden-pinned in GoldenPolicySpec. */
+  def ensureMysqlDdlScope(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyDl, "graft-cdcmydl", sfDir)(
+      generateDdlScope(spark, sfDir, _))
+
+  val DdlScopeTable = "dorders"
+  val DdlScopeTableId = 29L
+
+  private def generateDdlScope(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderkey % 1000 AS BIGINT) AS val")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      def txn(g: Long)(body: Long => Unit): Unit = {
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.query(ts, Db, "BEGIN")
+        w.tableMap(ts, DdlScopeTableId, Db, DdlScopeTable, schema)
+        body(ts)
+        w.xid(ts, g)
+      }
+      def ddl(g: Long): Unit = {
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.query(ts, Db,
+          s"ALTER TABLE $DdlScopeTable COMMENT 'epoch $g'") // no XID
+      }
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        txn(i.toLong)(ts => w.writeRows(ts, DdlScopeTableId, schema, batch.toSeq))
+        if (i % 5 == 4) ddl(50000L + i) // DDL between transactions
+      }
+      ddl(60000L) // DDL directly before the update phase
+      val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        txn(100000L + b)(ts =>
+          w.updateRows(ts, DdlScopeTableId, schema, batch.toSeq.map { r =>
+            val after = r.clone()
+            after(1) = r(1).asInstanceOf[Long] + 1000L
+            (r, after)
+          }))
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
 
   val MinImageTable = "porders"
   val MinImageTableId = 27L

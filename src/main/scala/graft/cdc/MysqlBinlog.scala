@@ -1630,6 +1630,30 @@ object MysqlBinlog {
       if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
     }
 
+    /** QUERY event (statement text): mysqld writes `BEGIN` to open a
+      * row-format transaction body, DDL statements in their own GTID
+      * scope (no XID), and `COMMIT` for non-transactional engines.
+      * 13-byte post-header (declared in the FDE), status vars empty.
+      * Rides the transaction buffer under compressTxns (mysqld puts
+      * BEGIN inside the payload). */
+    def query(tsMs: Long, db: String, sql: String): Unit =
+      writeRowLevelEvent(EventType.Query, tsMs) { b =>
+        val dbB = db.getBytes(StandardCharsets.UTF_8)
+        val sqlB = sql.getBytes(StandardCharsets.UTF_8)
+        require(dbB.length < 256, "db name too long")
+        b.u32(7L) // thread id (fixture constant)
+        b.u32(0L) // exec time
+        b.u8(dbB.length)
+        b.u16(0) // error code
+        b.u16(0) // status vars length
+        b.raw(dbB); b.u8(0)
+        b.raw(sqlB)
+      }
+
+    /** XID commit event closing the current transaction. */
+    def xid(tsMs: Long, x: Long): Unit =
+      writeRowLevelEvent(EventType.Xid, tsMs)(b => b.i64(x))
+
     def writeRows(tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit =
       rowsEvent(EventType.WriteRowsV2, tsMs, tableId, schema, rows.map(Seq(_)))

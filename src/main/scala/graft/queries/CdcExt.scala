@@ -451,6 +451,42 @@ object CdcExt {
           col(CdcSchema.SourceIdCol))
     },
 
+    // the FULL production statement framing: GTID → QUERY(BEGIN) →
+    // TABLE_MAP → rows → XID per transaction, DDL statements (own GTID
+    // scope, no XID) interleaved between them. Driver-checks the
+    // identity-scope rules the decoder enforces: BEGIN must not close
+    // the scope, every DDL consumes its gno (a DDL gno stamped on any
+    // row would hash-mismatch here), XID closes before the next GTID.
+    QDef("cdc38_mysql_ddl_scope",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |up AS (
+         |  SELECT o_orderkey, val, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, val, 1 AS __op, CAST(idx // 100 AS BIGINT) AS g FROM ord
+         |  UNION ALL SELECT o_orderkey, val, 2 AS __op, CAST(100000 + uidx // 100 AS BIGINT) FROM up
+         |  UNION ALL SELECT o_orderkey, val + 1000, 3 AS __op, CAST(100000 + uidx // 100 AS BIGINT) FROM up
+         |)
+         |SELECT o_orderkey, val, __op, g AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(g) AS __tm,
+         |  '${CdcFixture.SourceId}' AS __source_id
+         |FROM ev""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlDdlScope(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.DdlScopeTable)
+        .option("binlogFormat", "mysql")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol),
+          col(CdcSchema.SourceIdCol))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,
