@@ -200,6 +200,44 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e.getMessage != null)
   }
 
+  test("statement framing (BEGIN/XID/DDL) decodes identically plain and compressed") {
+    // the full mysqld event chain — GTID, QUERY(BEGIN), TABLE_MAP,
+    // rows, XID — with a DDL (own GTID scope, no XID) between
+    // transactions; under compressTxns the framing rides INSIDE the
+    // payloads. Decode must be byte-identical either way, rows must
+    // carry their own txn's gno, and no DDL gno may ever stamp a row.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    def writeStory(path: String, compress: Boolean): Unit = {
+      val w = new MysqlBinlog.Writer(path, checksum = true,
+        compressTxns = compress)
+      (0 until 4).foreach { g =>
+        val ts = 1000L + g
+        w.gtid(ts, g.toLong, Sid)
+        w.query(ts, "db", "BEGIN")
+        w.tableMap(ts, 9L, "db", "t", schema)
+        w.writeRows(ts, 9L, schema, Seq(Array[Any](g.toLong, s"n$g")))
+        w.xid(ts, g.toLong)
+        if (g % 2 == 1) { // DDL between transactions, no XID
+          w.gtid(ts, 500L + g, Sid)
+          w.query(ts, "db", s"ALTER TABLE t COMMENT 'epoch $g'")
+        }
+      }
+      w.close()
+    }
+    val dir = tmpDir()
+    writeStory(s"$dir/plain.000001", compress = false)
+    writeStory(s"$dir/zstd.000001", compress = true)
+    val plain = decodeAll(s"$dir/plain.000001", "db", "t")
+    val zstd = decodeAll(s"$dir/zstd.000001", "db", "t")
+    assert(plain.length == 4 && zstd.length == 4)
+    plain.zip(zstd).foreach { case (p, z) =>
+      assert(p.op == z.op && p.gtid == z.gtid && p.tmMicros == z.tmMicros)
+    }
+    assert(plain.map(_.gtid).toSeq == Seq(0L, 1L, 2L, 3L),
+      "rows must carry their own txn's gno — never a DDL gno")
+  }
+
   test("compressed transactions: schema inference sees payload-inner TABLE_MAPs") {
     // a real mysqld with txn compression emits EVERY TABLE_MAP inside
     // payload events — no outer one exists to infer from
