@@ -39,10 +39,12 @@ for f in sorted(glob.glob("BENCH_r*.json"),
         continue
     try:
         d = json.load(open(f))
-        if d.get("parsed") is not None:
-            d = d["parsed"]
+        if "parsed" in d:
+            d = d["parsed"]  # driver wrapper; may be null on tail truncation
     except Exception:
         continue
+    if not isinstance(d, dict) or not isinstance(d.get("queries"), dict):
+        continue  # unusable archive (e.g. driver tail-truncated, parsed=null)
     if d.get("head") == head:
         continue  # same binary: self-compare would pass vacuously
     print(f)
@@ -75,10 +77,14 @@ if d["failed"]:
     sys.exit(3)
 PY
 
-# the gate: median-normalized, spread-aware (exit 1 = plan regression)
+# the gate: median-normalized, spread-aware (exit 1 = plan regression).
+# sbt prefixes program stdout with "[info] " — STRIP the prefix rather
+# than dropping the lines (dropping hid both the delta table and
+# BenchDelta's own error messages).
 set +e
 sbt -batch "runMain graft.tools.BenchDelta $PREV $OUT" 2>/dev/null \
-  | grep -vE '^\[(info|success|error)\]'
+  | sed -E 's/^\[(info|error)\] //' \
+  | grep -vE '^(\[success\]|loading |set current project|running \(|welcome to sbt|Using Spark|Total time)'
 rc=${PIPESTATUS[0]}
 set -e
 if [ "$rc" -ne 0 ]; then
