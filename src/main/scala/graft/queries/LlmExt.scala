@@ -143,7 +143,7 @@ object LlmExt {
     QDef("llm34_scrub_audit",
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, 'key|hash')) AS INTEGER) AS n_redacted,
-        |  CAST(strlen(regexp_replace(text, 'key|hash', '[REDACTED]', 'g')) AS INTEGER)
+        |  CAST(length(regexp_replace(text, 'key|hash', '[REDACTED]', 'g')) AS INTEGER)
         |    AS n_chars_after
         |FROM documents""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "documents")
