@@ -33,10 +33,10 @@ if [ -z "$PREV" ]; then
 import json, re, subprocess, glob
 head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                       text=True).stdout.strip()
-for f in sorted(glob.glob("BENCH_r*.json"),
-                key=lambda p: int(re.search(r"\d+", p).group()), reverse=True):
-    if not re.fullmatch(r"BENCH_r\d+\.json", f):
-        continue
+cands = [f for f in glob.glob("BENCH_r*.json")
+         if re.fullmatch(r"BENCH_r\d+\.json", f)]  # filter BEFORE the int key
+for f in sorted(cands, key=lambda p: int(re.search(r"\d+", p).group()),
+                reverse=True):
     try:
         d = json.load(open(f))
         if "parsed" in d:
@@ -66,14 +66,16 @@ import json, sys
 d = json.load(open(sys.argv[1]))
 print(f"bench_gate: total={d['value']}s failed={d['failed']} "
       f"prev={d.get('prev')} norm_ratio={d.get('prev_norm_total_ratio')}")
-if d["failed"]:
+bad = d["failed"]  # the artifact records failed QUERY NAMES (a list)
+if not isinstance(bad, list):
+    bad = [q for q, v in d.get("queries", {}).items() if v < 0]
+if bad:
     # a crashed query records -1, drops out of the queries map, and
     # would silently vanish from BenchDelta's common set — failures
     # fail the gate outright, they don't get adjudicated as drift
-    bad = [q for q, v in d.get("queries", {}).items() if v < 0]
-    print(f"bench_gate: FAIL — {d['failed']} quer"
-          f"{'y' if d['failed'] == 1 else 'ies'} failed outright: "
-          f"{', '.join(bad) or '(names not recorded)'}", file=sys.stderr)
+    print(f"bench_gate: FAIL — {len(bad)} quer"
+          f"{'y' if len(bad) == 1 else 'ies'} failed outright: "
+          f"{', '.join(bad)}", file=sys.stderr)
     sys.exit(3)
 PY
 

@@ -653,10 +653,12 @@ object MysqlBinlog {
     // ordering and update-pair joins.
     private var anonymousTxn = false
     // A recognized transaction-identity event (GTID) governs the CURRENT
-    // transaction only: XID clears it, and so does any QUERY event other
-    // than `BEGIN` — a GTID-governed scope can end WITHOUT an XID (DDL
-    // statements are GTID→QUERY(ALTER …) with no XID; non-transactional-
-    // engine txns close with QUERY(COMMIT)). Target-table rows with no
+    // transaction only: XID clears it, and so does any QUERY statement
+    // that is not part of a live transaction body (body statements:
+    // BEGIN, SAVEPOINT, ROLLBACK TO SAVEPOINT, XA START/END) — a
+    // GTID-governed scope can end WITHOUT an XID (DDL statements are
+    // GTID→QUERY(ALTER …) with no XID; non-transactional-engine txns
+    // close with QUERY(COMMIT)). Target-table rows with no
     // live identity fail loud — otherwise an identity event of an
     // unrecognized type (e.g. MySQL 8.3+ tagged GTID, type 42, which the
     // default arm skips as control) would leave the PREVIOUS
@@ -692,14 +694,18 @@ object MysqlBinlog {
         anonymousTxn = false
         Nil
       case EventType.Query =>
-        // `BEGIN` opens a row-format transaction body (identity stays
-        // live for the rows that follow); any OTHER statement (DDL,
-        // COMMIT/ROLLBACK of a non-transactional-engine txn) both runs
-        // in and CLOSES the current GTID scope — these scopes have no
-        // XID, so without this a GTID→QUERY(ALTER …) pair would leave
-        // its gno live and stamp rows of a later transaction whose
-        // identity event we failed to recognize.
-        if (!queryIsBegin(ev.payload)) {
+        // Statements that live INSIDE a transaction body keep the
+        // identity scope open: `BEGIN` (the row-format opener) and the
+        // statements mysqld statement-logs mid-transaction even under
+        // binlog_format=ROW — SAVEPOINT / ROLLBACK TO SAVEPOINT — plus
+        // XA START/END, which bracket an XA transaction's rows. Any
+        // OTHER statement (DDL, COMMIT/ROLLBACK of a non-transactional-
+        // engine txn, XA PREPARE/COMMIT/ROLLBACK) both runs in and
+        // CLOSES the current GTID scope — these scopes have no XID, so
+        // without this a GTID→QUERY(ALTER …) pair would leave its gno
+        // live and stamp rows of a later transaction whose identity
+        // event we failed to recognize.
+        if (!queryKeepsScope(ev.payload)) {
           txnIdentityValid = false
           anonymousTxn = false
         }
@@ -767,12 +773,16 @@ object MysqlBinlog {
 
     /** QUERY_EVENT statement-text peek (public layout: thread_id u32,
       * exec_time u32, schema_len u8, error_code u16, status_vars_len
-      * u16, status vars, schema, NUL, statement to end-of-body). mysqld
-      * writes the transaction-body opener as the exact ASCII statement
-      * `BEGIN`. A malformed body counts as not-BEGIN: the conservative
-      * direction (identity closes, later rows fail loud) — never the
-      * stale-stamp one. */
-    private def queryIsBegin(payload: Array[Byte]): Boolean = {
+      * u16, status vars, schema, NUL, statement to end-of-body): does
+      * this statement KEEP the transaction-identity scope open?
+      * Scope-keeping statements are exactly the ones mysqld writes
+      * inside a live transaction body: `BEGIN`, `SAVEPOINT …`,
+      * `ROLLBACK TO [SAVEPOINT] …`, `XA START …`, `XA END …` (bare
+      * `ROLLBACK` ends the txn and does NOT match — the `ROLLBACK TO `
+      * prefix check requires the TO). A malformed body counts as
+      * scope-closing: the conservative direction (identity closes,
+      * later rows fail loud) — never the stale-stamp one. */
+    private def queryKeepsScope(payload: Array[Byte]): Boolean = {
       if (payload.length < 13) return false
       val c = new Cur(payload)
       c.skip(8) // thread id, exec time
@@ -782,8 +792,10 @@ object MysqlBinlog {
       val stmtStart = 13 + statusVarsLen + schemaLen + 1
       if (stmtStart > payload.length) return false
       val stmt = new String(payload, stmtStart, payload.length - stmtStart,
-        java.nio.charset.StandardCharsets.US_ASCII)
-      stmt.equalsIgnoreCase("BEGIN")
+        java.nio.charset.StandardCharsets.US_ASCII).toUpperCase
+      stmt == "BEGIN" || stmt.startsWith("SAVEPOINT ") ||
+        stmt.startsWith("ROLLBACK TO ") ||
+        stmt.startsWith("XA START") || stmt.startsWith("XA END")
     }
 
 

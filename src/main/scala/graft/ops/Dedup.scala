@@ -547,8 +547,9 @@ object Dedup {
     val k = A.length
     val pairs = jaccardSelfJoinExact(df, textCol, id, threshold, shingleN)
     val slots = df
-      .select(col(id), array_distinct(TextAnalysis.shinglesFromTokens(
-        TextAnalysis.tokens(col(textCol)), shingleN)).as("__sh"))
+      .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(id), array_distinct(
+        TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("__sh"))
       .select(col(id), transform(col("__sh"), s => mod_poly_hash(s)).as("__hs"))
       .select(col(id), array(A.indices.map(i =>
         aggregate(col("__hs"), lit(P),

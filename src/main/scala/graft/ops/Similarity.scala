@@ -375,6 +375,21 @@ object Similarity {
       .join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
         Seq(id), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // an all-rows-tombstoned compaction writes a part-file-less dir that
+    // every later read would REJECT (no footers to infer a schema from)
+    // — refuse and keep the servable tombstoned state instead of
+    // swapping in a bricked corpus
+    val walk = java.nio.file.Files.walk(tmp.toPath)
+    val anyPart =
+      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!anyPart) {
+      graft.TmpDirs.deleteRecursively(tmp)
+      throw new IllegalStateException(
+        s"compactIvfIndex($path): every corpus row is tombstoned — the " +
+          "compacted corpus would be empty and unreadable; delete the " +
+          "index directory instead of compacting it away")
+    }
     val corpus = new java.io.File(s"$path/corpus")
     val old = new java.io.File(s"$path/corpus.old")
     if (old.exists()) graft.TmpDirs.deleteRecursively(old)

@@ -25,42 +25,44 @@ object BenchDelta {
     require(args.length >= 2, "usage: BenchDelta <old.json> <new.json> [pct]")
     val pct = if (args.length > 2) args(2).toDouble else 25.0
     val m = new ObjectMapper
-    def queriesOf(path: String): Map[String, Double] = {
+    // each artifact parses ONCE (either the raw one-line form or the
+    // driver's wrapper with a `parsed` field); queries/failed/spread
+    // are in-memory views over the same tree
+    def rootOf(path: String): com.fasterxml.jackson.databind.JsonNode = {
       var node = m.readTree(new java.io.File(path))
       if (node.has("parsed")) node = node.get("parsed")
-      val q = node.get("queries")
-      require(q != null, s"$path: no 'queries' field")
-      val it = q.properties().iterator()
-      val out = Map.newBuilder[String, Double]
-      while (it.hasNext) {
-        val e = it.next()
-        val v = e.getValue.asDouble()
-        if (v >= 0) out += e.getKey -> v // -1 = failed: excluded
-      }
-      out.result()
+      node
     }
-    // queries recorded as FAILED (value < 0) in an artifact: these are
-    // excluded from the timing compare, but a failure in the NEW
-    // artifact must fail the gate — otherwise a crashed query silently
-    // drops out of the common set and the compare passes vacuously
-    def failedOf(path: String): Seq[String] = {
-      var node = m.readTree(new java.io.File(path))
-      if (node.has("parsed")) node = node.get("parsed")
-      val q = node.get("queries")
-      if (q == null) Nil
+    val rootA = rootOf(args(0))
+    val rootB = rootOf(args(1))
+    def numMap(node: com.fasterxml.jackson.databind.JsonNode,
+        field: String): Map[String, Double] = {
+      val q = node.get(field)
+      if (q == null) Map.empty
       else {
         val it = q.properties().iterator()
-        val out = Seq.newBuilder[String]
+        val out = Map.newBuilder[String, Double]
         while (it.hasNext) {
           val e = it.next()
-          if (e.getValue.asDouble() < 0) out += e.getKey
+          out += e.getKey -> e.getValue.asDouble()
         }
         out.result()
       }
     }
-    val a = queriesOf(args(0))
-    val b = queriesOf(args(1))
-    val failedNew = failedOf(args(1))
+    def queriesOf(node: com.fasterxml.jackson.databind.JsonNode,
+        path: String): Map[String, Double] = {
+      require(node.get("queries") != null, s"$path: no 'queries' field")
+      numMap(node, "queries").filter(_._2 >= 0) // -1 = failed: excluded
+    }
+    val a = queriesOf(rootA, args(0))
+    val b = queriesOf(rootB, args(1))
+    // queries recorded as FAILED (value < 0) in an artifact: these are
+    // excluded from the timing compare, but a failure in the NEW
+    // artifact must fail the gate — otherwise a crashed query silently
+    // drops out of the common set and the compare passes vacuously
+    val failedNew = numMap(rootB, "queries").collect {
+      case (k, v) if v < 0 => k
+    }.toSeq.sorted
     if (failedNew.nonEmpty) {
       println(s"FAILED in new artifact (no timing recorded): " +
         failedNew.mkString(", "))
@@ -71,23 +73,9 @@ object BenchDelta {
     // own within-run spread is not evidence of anything — the noise
     // floor the round-9 A/B/C triplet demonstrated (each pair of clean
     // identical-binary runs flagged a DIFFERENT >25% mover set)
-    def spreadsOf(path: String): Map[String, Double] = {
-      var node = m.readTree(new java.io.File(path))
-      if (node.has("parsed")) node = node.get("parsed")
-      val s = node.get("spread")
-      if (s == null) Map.empty
-      else {
-        val it = s.properties().iterator()
-        val out = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.asDouble() > 0) out += e.getKey -> e.getValue.asDouble()
-        }
-        out.result()
-      }
-    }
     val noise = {
-      val sa = spreadsOf(args(0)); val sb = spreadsOf(args(1))
+      val sa = numMap(rootA, "spread").filter(_._2 > 0)
+      val sb = numMap(rootB, "spread").filter(_._2 > 0)
       (sa.keySet ++ sb.keySet).map(k =>
         k -> math.max(sa.getOrElse(k, 1.0), sb.getOrElse(k, 1.0))).toMap
     }

@@ -68,24 +68,38 @@ object PlanLint {
       ("q62_kmv_distinct", bnlj) ->
         "merged KMV sketch (1 row) cross join",
       ("q74_funnel", bnlj) ->
-        "per-stage scalar counts (≤ #stages rows) cross join")
+        "per-stage scalar counts (≤ #stages rows) cross join") ++ {
+      val sp = "SinglePartition"
+      val cumsum = "bucket-offset cumsum: the exchange input is the " +
+        "per-__bucket totals — O(#buckets) rows by construction (fixed " +
+        "small bucket count; GlobalOrder/Packing two-level design)"
+      Map(
+        ("llm23_sequence_pack", sp) -> cumsum,
+        ("llm43_multimodal_pairs", sp) -> cumsum,
+        ("llm55_token_budget", sp) -> cumsum)
+    }
   }
 
   private val Patterns = Seq(
     "CartesianProduct",
     "BroadcastNestedLoopJoin")
 
-  /** First SinglePartition exchange whose direct child is NOT an
+  /** First SinglePartition exchange whose direct child is NOT a PARTIAL
     * aggregate (i.e. the rows entering the one-task stage are not
-    * already partial-reduced), as (childFragment). Text-level: in the
+    * already partial-reduced to O(#partitions)), as (childFragment).
+    * Requiring `partial_` matters: a FINAL keyed aggregate child means
+    * the exchange funnels O(#groups) rows — unbounded at scale, the
+    * exact one-task shape the lint exists to catch. Text-level: in the
     * rendered tree the child is the next line, one level deeper —
     * robust under AQE's Initial/Final plan sections. */
   private[graft] def singlePartitionOffense(plan: String): Option[String] = {
     val lines = plan.linesIterator.toArray
-    val agg = Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    def partialAgg(l: String) =
+      (l.contains("HashAggregate") || l.contains("SortAggregate") ||
+        l.contains("ObjectHashAggregate")) && l.contains("partial_")
     lines.zipWithIndex.collectFirst {
       case (l, i) if l.contains("Exchange SinglePartition") &&
-          (i + 1 >= lines.length || !agg.exists(lines(i + 1).contains)) =>
+          (i + 1 >= lines.length || !partialAgg(lines(i + 1))) =>
         if (i + 1 < lines.length) lines(i + 1).trim.take(90) else "(leaf)"
     }
   }

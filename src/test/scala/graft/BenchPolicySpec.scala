@@ -42,5 +42,14 @@ class BenchPolicySpec extends AnyFunSuite {
         |   +- HashAggregate(keys=[], functions=[partial_sum(x)])
         |      +- FileScan parquet [x]""".stripMargin
     assert(singlePartitionOffense(partialsMerge).isEmpty)
+    // a FINAL keyed aggregate feeding the exchange is NOT exempt: the
+    // one-task stage processes O(#groups) rows — unbounded at scale
+    val finalKeyedAgg =
+      """Window [row_number() windowspecdefinition(...)], [s ASC]
+        |+- Sort [s ASC NULLS FIRST], false, 0
+        |   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+        |      +- HashAggregate(keys=[k], functions=[sum(x)])
+        |         +- Exchange hashpartitioning(k, 32)""".stripMargin
+    assert(singlePartitionOffense(finalKeyedAgg).exists(_.contains("HashAggregate")))
   }
 }

@@ -719,6 +719,15 @@ class LlmOpsSpec extends SparkTestBase {
     val again = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(again == before)
+    // tombstoning EVERY remaining row and compacting would write an
+    // empty, part-file-less corpus that every later read rejects —
+    // refuse loud and keep the servable tombstoned state
+    Similarity.deleteFromIvfIndex(spark, idx, stored.select($"vec_id"))
+    val ex = intercept[IllegalStateException] { Similarity.compactIvfIndex(spark, idx) }
+    assert(ex.getMessage.contains("every corpus row is tombstoned"), ex.getMessage)
+    assert(new java.io.File(s"$idx/tombstones").exists(), "refusal must keep the tombstones")
+    assert(Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 8)
+      .count() == 0, "the tombstoned index must still serve (empty) reads")
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 

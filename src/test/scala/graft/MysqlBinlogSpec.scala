@@ -238,6 +238,49 @@ class MysqlBinlogSpec extends SparkTestBase {
       "rows must carry their own txn's gno — never a DDL gno")
   }
 
+  test("SAVEPOINT / ROLLBACK TO / XA START-END inside a txn body keep identity; bare ROLLBACK closes") {
+    // mysqld statement-logs these INSIDE a live row-format transaction —
+    // they must not close the identity scope (a SAVEPOINT mid-txn would
+    // otherwise fail-loud every row after it on a valid log)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, "a")))
+    w.query(1000L, "db", "SAVEPOINT `s1`")
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](2L, "b")))
+    w.query(1000L, "db", "ROLLBACK TO SAVEPOINT `s1`")
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](3L, "c")))
+    w.xid(1000L, 1L)
+    // XA transaction: XA START/END bracket the rows, XA PREPARE (its
+    // own statement) closes the scope like any other non-body statement
+    w.gtid(1001L, 2L, Sid)
+    w.query(1001L, "db", "XA START X'ab',X'01',1")
+    w.tableMap(1001L, 9L, "db", "t", schema)
+    w.writeRows(1001L, 9L, schema, Seq(Array[Any](4L, "d")))
+    w.query(1001L, "db", "XA END X'ab',X'01',1")
+    w.query(1001L, "db", "XA PREPARE X'ab',X'01',1")
+    w.close()
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.map(_.gtid).toSeq == Seq(1L, 1L, 1L, 2L),
+      "statements logged inside a txn body must not clear identity")
+    // bare ROLLBACK (no TO) ends the txn: rows after it with no new
+    // GTID fail loud instead of inheriting the rolled-back gno
+    val w2 = new MysqlBinlog.Writer(s"$dir/mysql-bin.000002", checksum = true)
+    w2.gtid(2000L, 5L, Sid)
+    w2.query(2000L, "db", "BEGIN")
+    w2.tableMap(2000L, 9L, "db", "t", schema)
+    w2.query(2000L, "db", "ROLLBACK")
+    w2.writeRows(2000L, 9L, schema, Seq(Array[Any](9L, "z")))
+    w2.close()
+    val e = intercept[Exception] { decodeAll(s"$dir/mysql-bin.000002", "db", "t") }
+    assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
+  }
+
   test("compressed transactions: schema inference sees payload-inner TABLE_MAPs") {
     // a real mysqld with txn compression emits EVERY TABLE_MAP inside
     // payload events — no outer one exists to infer from
