@@ -97,12 +97,19 @@ object Cdc {
         |  o_totalprice * 1.1 AS after_price,
         |  o_totalprice * 1.1 - o_totalprice AS delta
         |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin) { (s, dir) =>
-      val cdc = scan(s, dir)
-      val before = cdc.filter(col("__op") === CdcSchema.Op.UpdateBefore)
-        .select(col("__gtid"), col("o_orderkey"), col("o_totalprice").as("before_price"))
-      val after = cdc.filter(col("__op") === CdcSchema.Op.UpdateAfter)
-        .select(col("__gtid").as("g2"), col("o_totalprice").as("after_price"))
-      before.join(after, col("__gtid") === col("g2"))
+      // single-pass pairing (same shape as cdc23): ONE scan,
+      // conditional aggregation per (gtid, key) — the former
+      // before/after self-join referenced the scan twice, decoding
+      // every log byte twice
+      scan(s, dir)
+        .filter(col("__op").isin(
+          CdcSchema.Op.UpdateBefore, CdcSchema.Op.UpdateAfter))
+        .groupBy(col("__gtid"), col("o_orderkey"))
+        .agg(
+          max(when(col("__op") === CdcSchema.Op.UpdateBefore,
+            col("o_totalprice"))).as("before_price"),
+          max(when(col("__op") === CdcSchema.Op.UpdateAfter,
+            col("o_totalprice"))).as("after_price"))
         .select(col("o_orderkey"), col("before_price"), col("after_price"),
           (col("after_price") - col("before_price")).as("delta"))
     },

@@ -563,17 +563,21 @@ object CdcExt {
         |SELECT o_orderkey, price, CAST(valid_from AS BIGINT) AS valid_from,
         |  CAST(valid_to AS BIGINT) AS valid_to, valid_to IS NULL AS is_current
         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)""".stripMargin) { (s, dir) =>
-      val cdc = Cdc.scan(s, dir)
-      val versions = cdc
-        .filter(col(CdcSchema.OpCol).isin(CdcSchema.Op.Insert, CdcSchema.Op.UpdateAfter))
+      // ONE scan (the former versions/deletes pair read the log twice,
+      // decoding every byte twice): delete gtids ride a whole-partition
+      // window over the SAME per-key partitioning the version ordering
+      // needs, so the single shuffle serves both.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderkey"))
+      Cdc.scan(s, dir)
+        .filter(col(CdcSchema.OpCol).isin(
+          CdcSchema.Op.Insert, CdcSchema.Op.UpdateAfter, CdcSchema.Op.Delete))
         .select(col("o_orderkey"), col("o_totalprice").as("price"),
-          col(CdcSchema.GtidCol).as("valid_from"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_orderkey")).orderBy(col("valid_from"))
-      val closedByNext = versions.withColumn("next_from", lead(col("valid_from"), 1).over(w))
-      val dels = cdc.filter(col(CdcSchema.OpCol) === CdcSchema.Op.Delete)
-        .select(col("o_orderkey"), col(CdcSchema.GtidCol).as("del_gtid"))
-      closedByNext.join(dels, Seq("o_orderkey"), "left")
+          col(CdcSchema.GtidCol).as("valid_from"), col(CdcSchema.OpCol).as("__o"))
+        .withColumn("del_gtid", max(when(col("__o") === CdcSchema.Op.Delete,
+          col("valid_from"))).over(w))
+        .filter(col("__o") =!= CdcSchema.Op.Delete)
+        .withColumn("next_from",
+          lead(col("valid_from"), 1).over(w.orderBy(col("valid_from"))))
         .withColumn("valid_to", coalesce(col("next_from"), col("del_gtid")))
         .withColumn("is_current", col("valid_to").isNull)
         .select(col("o_orderkey"), col("price"), col("valid_from"),
