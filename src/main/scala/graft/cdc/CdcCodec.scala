@@ -46,8 +46,11 @@ object CdcCodec {
     * (UTF8String / micros-long / Decimal / …), envelope included.
     * `sourceId` is the originating server's identity from the GTID event
     * (UTF8String — it lands directly in an InternalRow). */
+  /** `query` = the transaction's ROWS_QUERY statement text (MySQL format
+    * with `binlog_rows_query_log_events=ON`); null when the wire carries
+    * none — including always for the GCDC format. */
   final case class CdcRow(op: Int, gtid: Long, tmMicros: Long,
-      sourceId: UTF8String, values: Array[Any])
+      sourceId: UTF8String, values: Array[Any], query: UTF8String = null)
 
   // ---------------------------------------------------------------- writer
 

@@ -63,6 +63,7 @@ object CdcFixture {
   private val cacheMyEm = mutable.Map.empty[String, String]
   private val cacheMyRi = mutable.Map.empty[String, String]
   private val cacheMyDl = mutable.Map.empty[String, String]
+  private val cacheMyQ = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -341,6 +342,62 @@ object CdcFixture {
       upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
         txn(100000L + b)(ts =>
           w.updateRows(ts, DdlScopeTableId, schema, batch.toSeq.map { r =>
+            val after = r.clone()
+            after(1) = r(1).asInstanceOf[Long] + 1000L
+            (r, after)
+          }))
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
+
+  /** A log written as if `binlog_rows_query_log_events=ON`: each DML
+    * statement's original SQL rides a ROWS_QUERY event ahead of its
+    * TABLE_MAP — except every 4th insert transaction, written WITHOUT
+    * one (a producer session with the flag off), so the nullable
+    * `__query` surface is exercised end-to-end. cdc39 reads the
+    * storyline with `rowsQuery=true`; the oracle recomputes every
+    * statement string (and the NULLs) from orders. */
+  def ensureMysqlRowsQuery(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyQ, "graft-cdcmyq", sfDir)(
+      generateRowsQuery(spark, sfDir, _))
+
+  val RowsQueryTable = "qorders"
+  val RowsQueryTableId = 31L
+
+  private def generateRowsQuery(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderkey % 1000 AS BIGINT) AS val")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      // mysqld's event order with binlog_rows_query_log_events=ON:
+      // GTID → QUERY(BEGIN) → ROWS_QUERY → TABLE_MAP → rows → XID
+      def txn(g: Long, stmt: Option[String])(body: Long => Unit): Unit = {
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.query(ts, Db, "BEGIN")
+        stmt.foreach(w.rowsQuery(ts, _))
+        w.tableMap(ts, RowsQueryTableId, Db, RowsQueryTable, schema)
+        body(ts)
+        w.xid(ts, g)
+      }
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        val stmt = if (i % 4 == 3) None // flag-off producer session
+          else Some(s"INSERT INTO $RowsQueryTable /* batch $i */")
+        txn(i.toLong, stmt)(ts =>
+          w.writeRows(ts, RowsQueryTableId, schema, batch.toSeq))
+      }
+      val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        txn(100000L + b,
+          Some(s"UPDATE $RowsQueryTable SET val = val + 1000 /* batch $b */"))(ts =>
+          w.updateRows(ts, RowsQueryTableId, schema, batch.toSeq.map { r =>
             val after = r.clone()
             after(1) = r(1).asInstanceOf[Long] + 1000L
             (r, after)

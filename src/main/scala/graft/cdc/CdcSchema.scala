@@ -38,15 +38,26 @@ object CdcSchema {
     * source-id field (MySQL's anonymous-GTID analogue). */
   val AnonymousSourceId = "00000000-0000-0000-0000-000000000000"
 
+  /** The originating SQL statement from ROWS_QUERY_LOG_EVENT (mysqld's
+    * `binlog_rows_query_log_events=ON` — one event per row-logged
+    * statement, written before the statement's TABLE_MAPs). Opt-in via
+    * the `rowsQuery` source option, nullable: a log written with the
+    * server default (OFF) truthfully reads NULL. MySQL-format only —
+    * the GCDC wire has no statement text. */
+  val QueryCol = "__query"
+
   val envelope: Seq[StructField] = Seq(
     StructField(OpCol, IntegerType, nullable = false),
     StructField(GtidCol, LongType, nullable = false),
     StructField(TmCol, TimestampNTZType, nullable = false),
     StructField(SourceIdCol, StringType, nullable = false))
 
-  /** CDC table schema = source columns (binlog column order) + envelope. */
-  def withEnvelope(source: StructType): StructType =
-    StructType(source.fields ++ envelope)
+  val queryField: StructField = StructField(QueryCol, StringType, nullable = true)
+
+  /** CDC table schema = source columns (binlog column order) + envelope
+    * (+ `__query` when the source is opened with `rowsQuery=true`). */
+  def withEnvelope(source: StructType, rowsQuery: Boolean = false): StructType =
+    StructType(source.fields ++ envelope ++ (if (rowsQuery) Seq(queryField) else Nil))
 
   /** Wire type tags for the self-contained log format (§7.0: no MySQL
     * binlog library exists offline; semantics, not bytes, are the

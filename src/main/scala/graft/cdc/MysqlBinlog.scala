@@ -67,6 +67,11 @@ object MysqlBinlog {
     // master, events may be missing" marker (e.g. LOST_EVENTS). Not
     // table-scoped, so NO table's reader may claim continuity past it.
     val Incident = 26: Byte
+    // ROWS_QUERY_LOG_EVENT (binlog_rows_query_log_events=ON): the
+    // original statement text, written before each statement's
+    // TABLE_MAPs. Body = 1 ignorable length byte + the query to
+    // end-of-body (the byte caps at 255; readers use the event size).
+    val RowsQuery = 29: Byte
     val WriteRowsV2 = 30: Byte
     val UpdateRowsV2 = 31: Byte
     val DeleteRowsV2 = 32: Byte
@@ -667,6 +672,13 @@ object MysqlBinlog {
     // closes for gtid_mode=OFF, here closed for future/unknown wire
     // states by construction.
     private var txnIdentityValid = false
+    // Statement text of the most recent ROWS_QUERY event in the live
+    // identity scope (binlog_rows_query_log_events=ON writes one per
+    // row-logged statement, before its TABLE_MAPs; the next statement's
+    // event replaces it). Cleared wherever the identity scope opens or
+    // closes, so a statement can never be stamped onto another
+    // transaction's rows. Null when the producer doesn't log them.
+    private var currentRowsQuery: UTF8String = null
 
     def decode(ev: CdcCodec.RawEvent): Seq[CdcCodec.CdcRow] = ev.tpe match {
       case EventType.TableMap =>
@@ -682,9 +694,11 @@ object MysqlBinlog {
         currentSourceId = UTF8String.fromString(formatUuid(sid))
         anonymousTxn = false
         txnIdentityValid = true
+        currentRowsQuery = null
         Nil // trailing logical-timestamp fields (5.7+): ignored
       case EventType.AnonymousGtid =>
         anonymousTxn = true
+        currentRowsQuery = null
         Nil
       case EventType.Xid =>
         // transaction commit: the identity set by this txn's GTID event
@@ -692,6 +706,14 @@ object MysqlBinlog {
         // event we failed to recognize
         txnIdentityValid = false
         anonymousTxn = false
+        currentRowsQuery = null
+        Nil
+      case EventType.RowsQuery =>
+        // 1 length byte (capped at 255 — ignored, as real readers do),
+        // then the statement text to end-of-body
+        currentRowsQuery =
+          if (ev.payload.length <= 1) null
+          else UTF8String.fromBytes(ev.payload, 1, ev.payload.length - 1)
         Nil
       case EventType.Query =>
         // Statements that live INSIDE a transaction body keep the
@@ -708,6 +730,7 @@ object MysqlBinlog {
         if (!queryKeepsScope(ev.payload)) {
           txnIdentityValid = false
           anonymousTxn = false
+          currentRowsQuery = null
         }
         Nil
       case EventType.Incident =>
@@ -867,12 +890,12 @@ object MysqlBinlog {
               val before = readImage(c, tm, present1, ev.pos)
               val after = readImage(c, tm, present2, ev.pos)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateBefore, currentGtid,
-                tmMicros, currentSourceId, before)
+                tmMicros, currentSourceId, before, currentRowsQuery)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateAfter, currentGtid,
-                tmMicros, currentSourceId, after)
+                tmMicros, currentSourceId, after, currentRowsQuery)
             } else {
               out += CdcCodec.CdcRow(op, currentGtid, tmMicros, currentSourceId,
-                readImage(c, tm, present1, ev.pos))
+                readImage(c, tm, present1, ev.pos), currentRowsQuery)
             }
           }
           out.result()
@@ -1665,6 +1688,18 @@ object MysqlBinlog {
     /** XID commit event closing the current transaction. */
     def xid(tsMs: Long, x: Long): Unit =
       writeRowLevelEvent(EventType.Xid, tsMs)(b => b.i64(x))
+
+    /** ROWS_QUERY event (binlog_rows_query_log_events=ON): the original
+      * statement, written before the statement's TABLE_MAPs. Body = one
+      * length byte capped at 255 (readers ignore it and use the event
+      * size) + the UTF-8 statement text. Rides the transaction buffer
+      * under compressTxns, as mysqld puts it inside the payload. */
+    def rowsQuery(tsMs: Long, sql: String): Unit =
+      writeRowLevelEvent(EventType.RowsQuery, tsMs) { b =>
+        val sqlB = sql.getBytes(StandardCharsets.UTF_8)
+        b.u8(math.min(sqlB.length, 255))
+        b.raw(sqlB)
+      }
 
     def writeRows(tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit =

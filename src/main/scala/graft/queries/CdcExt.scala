@@ -487,6 +487,48 @@ object CdcExt {
           col(CdcSchema.SourceIdCol))
     },
 
+    // ROWS_QUERY passthrough (binlog_rows_query_log_events=ON): with
+    // rowsQuery=true the nullable __query envelope column carries each
+    // statement's original SQL, stamped on every row the statement
+    // produced — and NULL for transactions whose producer session had
+    // the flag off (every 4th insert batch in the fixture). A statement
+    // leaking onto another transaction's rows, or a flag-off NULL
+    // filled with a stale statement, hash-mismatches here.
+    QDef("cdc39_mysql_rows_query",
+      """WITH ord AS (
+        |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+        |),
+        |up AS (
+        |  SELECT o_orderkey, val, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+        |  FROM ord WHERE o_orderkey % 3 = 0
+        |),
+        |ev AS (
+        |  SELECT o_orderkey, val, 1 AS __op, CAST(idx // 100 AS BIGINT) AS g,
+        |    CASE WHEN (idx // 100) % 4 = 3 THEN NULL
+        |      ELSE 'INSERT INTO qorders /* batch ' || CAST(idx // 100 AS VARCHAR) || ' */'
+        |    END AS __query
+        |  FROM ord
+        |  UNION ALL SELECT o_orderkey, val, 2, CAST(100000 + uidx // 100 AS BIGINT),
+        |    'UPDATE qorders SET val = val + 1000 /* batch ' || CAST(uidx // 100 AS VARCHAR) || ' */'
+        |  FROM up
+        |  UNION ALL SELECT o_orderkey, val + 1000, 3, CAST(100000 + uidx // 100 AS BIGINT),
+        |    'UPDATE qorders SET val = val + 1000 /* batch ' || CAST(uidx // 100 AS VARCHAR) || ' */'
+        |  FROM up
+        |)
+        |SELECT o_orderkey, val, __op, g AS __gtid, __query FROM ev""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlRowsQuery(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.RowsQueryTable)
+        .option("binlogFormat", "mysql")
+        .option("rowsQuery", "true")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.QueryCol))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -46,12 +46,13 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
+    val rq = CdcTableProvider.rowsQuery(options) // validate before file I/O
     val adapter = BinlogFormats.forName(CdcTableProvider.formatName(options))
     val src = adapter.inferSourceSchema(idx, db, tbl).getOrElse {
       throw new IllegalArgumentException(
         s"no TABLE_MAP for $db.$tbl found in CDC log $idx")
     }
-    CdcSchema.withEnvelope(src)
+    CdcSchema.withEnvelope(src, rowsQuery = rq)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -79,6 +80,18 @@ object CdcTableProvider {
     BinlogFormats.forName(f) // fail loud on unknown names
     f
   }
+
+  /** `rowsQuery=true` appends the nullable `__query` envelope column
+    * (ROWS_QUERY statement text). MySQL-format only: the GCDC wire has
+    * no statement-text event, so an all-null column there would read as
+    * "the producer logged none" — indistinguishable from lying. */
+  def rowsQuery(options: CaseInsensitiveStringMap): Boolean = {
+    val on = options.getBoolean("rowsQuery", false)
+    require(!on || formatName(options) == "mysql",
+      "binlogcdc: rowsQuery=true requires binlogFormat=mysql " +
+        "(ROWS_QUERY_LOG_EVENT is a MySQL wire event)")
+    on
+  }
 }
 
 class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
@@ -100,6 +113,7 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
         s"binlogcdc: schemaDrift must be 'fail' or 'epochs', got '$other'")
     }
     val format = CdcTableProvider.formatName(options)
+    CdcTableProvider.rowsQuery(options) // fail loud: rowsQuery needs mysql
     require(!(drift && format != "gcdc"),
       "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
         "remap matches columns by name; MySQL MINIMAL row metadata has none)")
@@ -419,15 +433,19 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
 
   private val adapter = BinlogFormats.forName(format)
 
-  private val sourceWidth = full.length - CdcSchema.envelope.length
+  // envelope columns always follow the source columns, __op first — so
+  // its index IS the source width whether or not __query is appended
+  private val sourceWidth = full.fieldIndex(CdcSchema.OpCol)
   // projection map: required field -> source column index, or negative
-  // envelope codes (-1 __op, -2 __gtid, -3 __tm, -4 __source_id)
+  // envelope codes (-1 __op, -2 __gtid, -3 __tm, -4 __source_id,
+  // -5 __query)
   private val proj: Array[Int] = required.fields.map { f =>
     f.name match {
       case CdcSchema.OpCol => -1
       case CdcSchema.GtidCol => -2
       case CdcSchema.TmCol => -3
       case CdcSchema.SourceIdCol => -4
+      case CdcSchema.QueryCol => -5
       case n =>
         val i = full.fieldIndex(n)
         require(i < sourceWidth, s"unexpected column $n")
@@ -497,6 +515,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
         case -2 => r.gtid
         case -3 => r.tmMicros
         case -4 => r.sourceId
+        case -5 => r.query
         case j => r.values(j)
       }
       i += 1

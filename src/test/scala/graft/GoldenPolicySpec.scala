@@ -246,6 +246,24 @@ class GoldenPolicySpec extends SparkTestBase {
       (2L, null, CdcSchema.Op.Insert, 2L)))
   }
 
+  test("ROWS_QUERY passthrough: rowsQuery=true surfaces the authored statement") {
+    // the zoo's ROWS_QUERY event (authored bytes, NOT this repo's
+    // writer) precedes the transaction's WRITE rows — with the option
+    // on, every row of that statement carries its exact text
+    val dir = materialize(EventZooHex)
+    val rows = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "gd").option("table", "t")
+      .option("binlogFormat", "mysql")
+      .option("rowsQuery", "true")
+      .load()
+      .select("id", CdcSchema.QueryCol)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(rows == Seq(
+      (1L, "UPDATE t SET v = 'cd' WHERE id = 1"),
+      (2L, "UPDATE t SET v = 'cd' WHERE id = 1")))
+  }
+
   test("event zoo: control events and unknown types skip, rows decode around them") {
     val dir = materialize(EventZooHex)
     val rows = read(dir)

@@ -281,6 +281,95 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
   }
 
+  test("ROWS_QUERY: per-statement stamping, replacement in a txn, cleared at XID") {
+    // binlog_rows_query_log_events=ON writes one ROWS_QUERY per
+    // row-logged statement, before its TABLE_MAPs. The decoder stamps
+    // the CURRENT statement on each row, replaces it at the next
+    // statement's event, and clears it with the identity scope — so a
+    // flag-off transaction reads null, never the previous txn's text.
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def writeStory(path: String, compress: Boolean): Unit = {
+      val w = new MysqlBinlog.Writer(path, checksum = true,
+        compressTxns = compress)
+      // txn 1: two statements, each under its own ROWS_QUERY
+      w.gtid(10000L, 1L, Sid)
+      w.query(10000L, "db", "BEGIN")
+      w.rowsQuery(10000L, "INSERT INTO t VALUES (1)")
+      w.tableMap(10000L, 7L, "db", "t", schema)
+      w.writeRows(10000L, 7L, schema, Seq(Array[Any](1L)))
+      w.rowsQuery(10000L, "UPDATE t SET id = 2 WHERE id = 1")
+      w.tableMap(10000L, 7L, "db", "t", schema)
+      w.updateRows(10000L, 7L, schema, Seq((Array[Any](1L), Array[Any](2L))))
+      w.xid(10000L, 1L)
+      // txn 2: producer session with the flag off — no ROWS_QUERY
+      w.gtid(11000L, 2L, Sid)
+      w.query(11000L, "db", "BEGIN")
+      w.tableMap(11000L, 7L, "db", "t", schema)
+      w.writeRows(11000L, 7L, schema, Seq(Array[Any](3L)))
+      w.xid(11000L, 2L)
+      w.close()
+    }
+    val dir = tmpDir()
+    writeStory(s"$dir/plain.000001", compress = false)
+    writeStory(s"$dir/zstd.000001", compress = true)
+    for (f <- Seq("plain.000001", "zstd.000001")) {
+      val rows = decodeAll(s"$dir/$f", "db", "t")
+      assert(rows.map(_.op) == Seq(1, 2, 3, 1), f)
+      assert(rows.map(r => Option(r.query).map(_.toString)) == Seq(
+        Some("INSERT INTO t VALUES (1)"),
+        Some("UPDATE t SET id = 2 WHERE id = 1"),
+        Some("UPDATE t SET id = 2 WHERE id = 1"),
+        None), s"$f: per-statement stamping with XID-scoped clearing")
+    }
+  }
+
+  test("DSv2: rowsQuery=true appends nullable __query; gcdc format declines") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dir = tmpDir()
+    val w = new MysqlBinlog.Writer(s"$dir/mysql-bin.000001", checksum = true)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.rowsQuery(1000L, "INSERT INTO t VALUES (1),(2)")
+    w.tableMap(1000L, 7L, "db", "t", schema)
+    w.writeRows(1000L, 7L, schema, Seq(Array[Any](1L), Array[Any](2L)))
+    w.xid(1000L, 1L)
+    w.gtid(2000L, 2L, Sid) // flag-off txn: __query must read null
+    w.query(2000L, "db", "BEGIN")
+    w.tableMap(2000L, 7L, "db", "t", schema)
+    w.writeRows(2000L, 7L, schema, Seq(Array[Any](3L)))
+    w.xid(2000L, 2L)
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val df = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").option("rowsQuery", "true")
+      .load()
+    assert(df.schema.fieldNames.last == CdcSchema.QueryCol)
+    assert(df.schema(CdcSchema.QueryCol).nullable)
+    val got = df.select("id", CdcSchema.QueryCol).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "INSERT INTO t VALUES (1),(2)"),
+      (2L, "INSERT INTO t VALUES (1),(2)"), (3L, null)))
+    // without the option the schema is unchanged (no __query)
+    val off = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql")
+      .load()
+    assert(!off.schema.fieldNames.contains(CdcSchema.QueryCol))
+    // gcdc has no statement-text wire event: fail loud, not all-null
+    val e = intercept[Exception] {
+      spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "t")
+        .option("rowsQuery", "true")
+        .load()
+    }
+    assert(e.getMessage.contains("rowsQuery"), e.getMessage)
+  }
+
   test("compressed transactions: schema inference sees payload-inner TABLE_MAPs") {
     // a real mysqld with txn compression emits EVERY TABLE_MAP inside
     // payload events — no outer one exists to infer from
