@@ -45,9 +45,9 @@ object CdcCodec {
   /** One decoded change-row in Catalyst-internal value representation
     * (UTF8String / micros-long / Decimal / …), envelope included.
     * `sourceId` is the originating server's identity from the GTID event
-    * (UTF8String — it lands directly in an InternalRow). */
-  /** `query` = the transaction's ROWS_QUERY statement text (MySQL format
-    * with `binlog_rows_query_log_events=ON`); null when the wire carries
+    * (UTF8String — it lands directly in an InternalRow). `query` is the
+    * transaction's ROWS_QUERY statement text (MySQL format with
+    * `binlog_rows_query_log_events=ON`); null when the wire carries
     * none — including always for the GCDC format. */
   final case class CdcRow(op: Int, gtid: Long, tmMicros: Long,
       sourceId: UTF8String, values: Array[Any], query: UTF8String = null)

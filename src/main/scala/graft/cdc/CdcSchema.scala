@@ -59,6 +59,29 @@ object CdcSchema {
   def withEnvelope(source: StructType, rowsQuery: Boolean = false): StructType =
     StructType(source.fields ++ envelope ++ (if (rowsQuery) Seq(queryField) else Nil))
 
+  /** Source-column count of a full CDC table schema, validating its
+    * shape: the envelope block (optionally followed by `__query`) must
+    * sit at the END, and no source column may reuse a reserved name —
+    * projection and width lookups are by NAME, so a source column
+    * called `__op`/`__query` would otherwise be silently hijacked by
+    * the envelope instead of failing loud. */
+  def sourceWidth(full: StructType): Int = {
+    val names = full.fieldNames
+    val hasQuery = names.nonEmpty && names.last == QueryCol
+    val expected = envelope.map(_.name) ++ (if (hasQuery) Seq(QueryCol) else Nil)
+    val w = names.length - expected.length
+    require(w >= 0 && names.drop(w).sameElements(expected),
+      s"binlogcdc: CDC schema must end with the envelope columns " +
+        s"${expected.mkString(", ")} (got ${names.mkString(", ")})")
+    val reserved = envelope.map(_.name).toSet + QueryCol
+    names.take(w).find(reserved) match {
+      case Some(n) => throw new IllegalArgumentException(
+        s"binlogcdc: source column '$n' collides with a reserved envelope " +
+          "column name — rename it in the source table")
+      case None => w
+    }
+  }
+
   /** Wire type tags for the self-contained log format (§7.0: no MySQL
     * binlog library exists offline; semantics, not bytes, are the
     * contract). Tags cover the §1.4 type table. */

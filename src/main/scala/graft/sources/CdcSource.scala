@@ -114,6 +114,7 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
     }
     val format = CdcTableProvider.formatName(options)
     CdcTableProvider.rowsQuery(options) // fail loud: rowsQuery needs mysql
+    CdcSchema.sourceWidth(tableSchema) // fail at planning, not in executors
     require(!(drift && format != "gcdc"),
       "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
         "remap matches columns by name; MySQL MINIMAL row metadata has none)")
@@ -433,9 +434,9 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
 
   private val adapter = BinlogFormats.forName(format)
 
-  // envelope columns always follow the source columns, __op first — so
-  // its index IS the source width whether or not __query is appended
-  private val sourceWidth = full.fieldIndex(CdcSchema.OpCol)
+  // validated: envelope block at the END, no source column reusing a
+  // reserved name — so the name-keyed projection below is unambiguous
+  private val sourceWidth = CdcSchema.sourceWidth(full)
   // projection map: required field -> source column index, or negative
   // envelope codes (-1 __op, -2 __gtid, -3 __tm, -4 __source_id,
   // -5 __query)

@@ -488,6 +488,26 @@ class CdcSourceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no TABLE_MAP"))
   }
 
+  test("reserved envelope name in the source schema fails loud, not hijacked") {
+    // projection maps columns by NAME — a source column called __op or
+    // __query would silently read envelope state instead of its own
+    // data, so the schema shape is validated at planning time
+    val index = writeLog()
+    for (bad <- Seq(CdcSchema.OpCol, CdcSchema.QueryCol)) {
+      val colliding = StructType(
+        StructField(bad, org.apache.spark.sql.types.LongType) +: schema.fields)
+      val e = intercept[Exception] {
+        spark.read.format("binlogcdc")
+          .schema(CdcSchema.withEnvelope(colliding))
+          .option("indexFile", index).option("database", "db")
+          .option("table", "t").load().collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).mkString(" | ").contains("reserved envelope"), e.getMessage)
+    }
+  }
+
   test("typed Dataset view: case-class rows, groupByKey aggregation") {
     val sfDir = "/root/testdata/sf0.001"
     val ds = graft.queries.Cdc.typedScan(spark, sfDir)
