@@ -368,6 +368,24 @@ class MysqlBinlogSpec extends SparkTestBase {
         .load()
     }
     assert(e.getMessage.contains("rowsQuery"), e.getMessage)
+    // streaming rides the same reader: __query flows through micro-batches
+    val ckpt = Files.createTempDirectory("rq-ckpt").toString
+    val outDir = Files.createTempDirectory("rq-out").toString
+    val q = spark.readStream.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").option("rowsQuery", "true")
+      .load()
+      .select("id", CdcSchema.QueryCol)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq.sortBy(_._1)
+    assert(streamed == got, "streaming __query must equal the batch read")
   }
 
   test("compressed transactions: schema inference sees payload-inner TABLE_MAPs") {
