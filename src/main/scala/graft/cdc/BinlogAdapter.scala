@@ -75,6 +75,15 @@ trait BinlogFormatAdapter {
     * gtid-range scans prune files on a real binlog with nothing extra
     * written. */
   def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]]
+  /** (db, table) pairs for catalog listing. Both formats re-emit
+    * TABLE_MAP per transaction, so the NEWEST file names every table
+    * still receiving changes — listing deliberately reads ONE file,
+    * bounded I/O at any log size (a 100 TB log lists as fast as a 100
+    * MB one). GCDC upgrades to the COMPLETE set when every file has a
+    * v2 sidecar (per-table stats maps — tiny reads, no log decode).
+    * `loadTable` stays exact either way: schema inference walks
+    * newest-first until the table's TABLE_MAP is found. */
+  def listTables(indexFile: String): Seq[(String, String)]
 }
 
 /** Registry resolving the `binlogFormat` source option — a NAME ships
@@ -135,4 +144,6 @@ object GcdcAdapter extends BinlogFormatAdapter {
     CdcCodec.inferSourceSchema(indexFile, db, table)
   override def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]] =
     files.map(CdcCodec.readMeta)
+  override def listTables(indexFile: String): Seq[(String, String)] =
+    CdcCodec.listTables(indexFile)
 }

@@ -695,6 +695,32 @@ object CdcCodec {
     * (older files then decode with null-padded trailing columns — see
     * RowDecoder's drift policy). Cost: reads one file in the common
     * case. */
+  /** Catalog listing: the complete (db, table) union from v2 sidecar
+    * per-table stats when every file carries one (tiny reads, the log
+    * itself never opens); otherwise the NEWEST file's TABLE_MAPs (the
+    * active-table set — bounded I/O at any log size). */
+  def listTables(indexFile: String): Seq[(String, String)] = {
+    val files = readIndex(indexFile)
+    if (files.isEmpty) return Nil
+    val metas = files.map(readMeta)
+    if (metas.forall(_.exists(_.tables.isDefined)))
+      metas.flatMap(_.get.tables.get.keys).distinct
+    else {
+      val r = new EventReader(files.last)
+      try {
+        val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+        while (r.hasNext) {
+          val ev = r.next()
+          if (ev.tpe == EventType.TableMap) {
+            val (db, table, _) = parseTableMap(ev.payload)
+            out += ((db, table))
+          }
+        }
+        out.toSeq
+      } finally r.close()
+    }
+  }
+
   def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
     readIndex(indexFile).reverseIterator.flatMap { f =>
       val r = new EventReader(f)

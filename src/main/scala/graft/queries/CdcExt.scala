@@ -529,6 +529,28 @@ object CdcExt {
           col(CdcSchema.GtidCol), col(CdcSchema.QueryCol))
     },
 
+    // DSv2 TableCatalog surface: pure-SQL access to the log's tables
+    // with no per-table registration (the reference's CREATE TABLE ...
+    // ENGINE=BINLOGDB surface, minus the DDL) — `cdc.<db>.<table>`
+    // resolves through CdcTableCatalog, schema inferred from the log's
+    // own TABLE_MAPs, and the WHERE __op pushdown still reaches the
+    // byte decoder through the catalog path.
+    QDef("cdc40_catalog_sql",
+      s"""${Cdc.eventsCte}
+         |SELECT o_orderkey, o_totalprice, __op, __gtid
+         |FROM cdc_tm WHERE __op = 1""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      // one catalog per distinct log (Spark caches catalog instances by
+      // name, and the index file differs per scale factor)
+      val cat = "cdc_" + java.lang.Integer.toHexString(index.hashCode)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CdcTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.indexFile", index)
+      s.sql(s"""SELECT o_orderkey, o_totalprice, __op, __gtid
+               |FROM $cat.${CdcFixture.Db}.${CdcFixture.Table}
+               |WHERE __op = 1""".stripMargin)
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -103,7 +103,13 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(runtime: CaseInsensitiveStringMap): ScanBuilder = {
+    // catalog-loaded tables carry indexFile/database/table as TABLE
+    // properties (the reader passes only per-scan options); runtime
+    // options win on conflict
+    val merged = new util.HashMap[String, String](properties)
+    merged.putAll(runtime.asCaseSensitiveMap())
+    val options = new CaseInsensitiveStringMap(merged)
     val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
     val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
     val drift = Option(options.get("schemaDrift")).getOrElse("fail") match {

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.cdc.{CdcCodec, MysqlBinlog}
+import graft.sources.CdcTableCatalog
+import org.apache.spark.sql.types._
+
+/** The DSv2 `TableCatalog` over a CDC log: namespaces/tables list from
+  * the log's own TABLE_MAPs, any table loads with its inferred schema,
+  * SQL reads push envelope filters into the byte decoder, and every
+  * mutating DDL fails loud (the log belongs to its producer). */
+class CdcCatalogSpec extends SparkTestBase {
+
+  private val Sid = "11111111-2222-3333-4444-555555555555"
+
+  private val tSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", DoubleType)))
+  private val uSchema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType)))
+
+  /** Two databases, three tables, two files (older file's extra table
+    * proves listing reads the NEWEST file only). */
+  private def writeGcdcLog(): String = {
+    val dir = Files.createTempDirectory("cdc-catalog").toString
+    val w0 = new CdcCodec.LogWriter(s"$dir/b.0")
+    w0.tableMap(0L, 1L, "db", "t", tSchema)
+    w0.tableMap(0L, 9L, "old", "gone", tSchema)
+    w0.gtid(1000L, 1L)
+    w0.writeRows(1000L, 1L, tSchema, Seq(Array[Any](1L, 1.0), Array[Any](2L, 2.0)))
+    w0.writeRows(1000L, 9L, tSchema, Seq(Array[Any](7L, 7.0)))
+    w0.close()
+    val w1 = new CdcCodec.LogWriter(s"$dir/b.1")
+    w1.tableMap(0L, 1L, "db", "t", tSchema)
+    w1.tableMap(0L, 2L, "db", "u", uSchema)
+    w1.tableMap(0L, 3L, "other", "t2", tSchema)
+    w1.gtid(2000L, 2L)
+    w1.writeRows(2000L, 1L, tSchema, Seq(Array[Any](3L, 3.0)))
+    w1.writeRows(2000L, 2L, uSchema, Seq(Array[Any](10L, "x")))
+    w1.writeRows(2000L, 3L, tSchema, Seq(Array[Any](20L, 20.0)))
+    w1.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "b.0\nb.1\n")
+    s"$dir/binlog.index"
+  }
+
+  private var n = 0
+  private def register(index: String, extra: (String, String)*): String = {
+    n += 1
+    val cat = s"cdccat$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[CdcTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.indexFile", index)
+    extra.foreach { case (k, v) =>
+      spark.conf.set(s"spark.sql.catalog.$cat.$k", v) }
+    cat
+  }
+
+  test("SHOW NAMESPACES / SHOW TABLES list the log's own TABLE_MAPs") {
+    val cat = register(writeGcdcLog())
+    // GCDC files carry v2 sidecars -> the COMPLETE union branch: every
+    // table any file ever mapped lists, including the older file's
+    // 'old' db (the newest-file-only bound is the sidecar-less
+    // fallback and the mysql format, covered below)
+    val ns = spark.sql(s"SHOW NAMESPACES IN $cat")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ns == Seq("db", "old", "other"))
+    val tables = spark.sql(s"SHOW TABLES IN $cat.db")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(tables == Seq("t", "u"))
+  }
+
+  test("pure-SQL reads resolve any listed table with its inferred schema") {
+    val cat = register(writeGcdcLog())
+    val t = spark.sql(s"SELECT id, v, __op, __gtid FROM $cat.db.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    assert(t.toSeq == Seq((1L, 1.0, 1, 1L), (2L, 2.0, 1, 1L), (3L, 3.0, 1, 2L)))
+    val u = spark.sql(s"SELECT k, s FROM $cat.db.u").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(u.toSeq == Seq((10L, "x")))
+    // a table only the OLDER file maps still loads (inference walks
+    // newest-first until found) even though listing doesn't show it
+    val gone = spark.sql(s"SELECT id FROM $cat.old.gone").collect()
+    assert(gone.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("envelope filter pushdown reaches the decoder through the catalog path") {
+    val cat = register(writeGcdcLog())
+    val df = spark.sql(s"SELECT id FROM $cat.db.t WHERE __gtid = 2")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("binlogcdc"), scanDesc)
+  }
+
+  test("unknown table or namespace fails as NOT_FOUND, read-only DDL fails loud") {
+    val cat = register(writeGcdcLog())
+    val e1 = intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.nope").collect() }
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[Exception] { spark.sql(s"SHOW TABLES IN $cat.missing").collect() }
+    assert(e2.getMessage.toLowerCase.contains("missing"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.x (a INT)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e3).mkString(" | ").contains("read-only"), e3.getMessage)
+    val e4 = intercept[Exception] { spark.sql(s"DROP TABLE $cat.db.t").collect() }
+    assert(msgs(e4).mkString(" | ").contains("read-only"), e4.getMessage)
+  }
+
+  test("mysql-format catalog: zstd-compressed logs list payload-inner TABLE_MAPs") {
+    val dir = Files.createTempDirectory("cdc-catalog-my").toString
+    def story(path: String, compress: Boolean): Unit = {
+      val w = new MysqlBinlog.Writer(path, checksum = true, compressTxns = compress)
+      w.gtid(1000L, 1L, Sid)
+      w.query(1000L, "db", "BEGIN")
+      w.tableMap(1000L, 1L, "db", "t", tSchema)
+      w.writeRows(1000L, 1L, tSchema, Seq(Array[Any](1L, 1.0)))
+      w.xid(1000L, 1L)
+      w.close()
+    }
+    story(s"$dir/mysql-bin.000001", compress = false)
+    story(s"$dir/mysql-bin.000002", compress = true)
+    Files.writeString(Paths.get(dir, "binlog.index"),
+      "mysql-bin.000001\nmysql-bin.000002\n")
+    val cat = register(s"$dir/binlog.index", "binlogFormat" -> "mysql")
+    // newest file is fully compressed: listing must unwrap its payloads
+    val tables = spark.sql(s"SHOW TABLES IN $cat.db")
+      .collect().map(_.getString(1)).toSeq
+    assert(tables == Seq("t"))
+    val rows = spark.sql(s"SELECT id, __gtid FROM $cat.db.t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(rows == Seq((1L, 1L), (1L, 1L)), "both files' txns decode")
+  }
+}
