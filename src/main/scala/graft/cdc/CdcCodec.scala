@@ -695,32 +695,6 @@ object CdcCodec {
     * (older files then decode with null-padded trailing columns — see
     * RowDecoder's drift policy). Cost: reads one file in the common
     * case. */
-  /** Catalog listing: the complete (db, table) union from v2 sidecar
-    * per-table stats when every file carries one (tiny reads, the log
-    * itself never opens); otherwise the NEWEST file's TABLE_MAPs (the
-    * active-table set — bounded I/O at any log size). */
-  def listTables(indexFile: String): Seq[(String, String)] = {
-    val files = readIndex(indexFile)
-    if (files.isEmpty) return Nil
-    val metas = files.map(readMeta)
-    if (metas.forall(_.exists(_.tables.isDefined)))
-      metas.flatMap(_.get.tables.get.keys).distinct
-    else {
-      val r = new EventReader(files.last)
-      try {
-        val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
-        while (r.hasNext) {
-          val ev = r.next()
-          if (ev.tpe == EventType.TableMap) {
-            val (db, table, _) = parseTableMap(ev.payload)
-            out += ((db, table))
-          }
-        }
-        out.toSeq
-      } finally r.close()
-    }
-  }
-
   def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
     readIndex(indexFile).reverseIterator.flatMap { f =>
       val r = new EventReader(f)
@@ -736,5 +710,36 @@ object CdcCodec {
         res
       } finally r.close()
     }.nextOption()
+  }
+
+  /** Catalog listing. With v2 sidecars on every file: the union of the
+    * per-table stats keys (every table that ever recorded a row — tiny
+    * reads) PLUS the newest mapping file's TABLE_MAPs (a mapped table
+    * whose rows haven't arrived yet still lists). Without: the newest
+    * file's TABLE_MAPs alone, walking back past freshly-rotated empty
+    * files until one maps something — bounded I/O either way (empty
+    * files cost a header read; the first mapping file ends the walk). */
+  def listTables(indexFile: String): Seq[(String, String)] = {
+    val files = readIndex(indexFile)
+    if (files.isEmpty) return Nil
+    def newestMapped: Seq[(String, String)] =
+      files.reverseIterator.map { f =>
+        val r = new EventReader(f)
+        try {
+          val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+          while (r.hasNext) {
+            val ev = r.next()
+            if (ev.tpe == EventType.TableMap) {
+              val (db, table, _) = parseTableMap(ev.payload)
+              out += ((db, table))
+            }
+          }
+          out.toSeq
+        } finally r.close()
+      }.find(_.nonEmpty).getOrElse(Nil)
+    val metas = files.map(readMeta)
+    if (metas.forall(_.exists(_.tables.isDefined)))
+      (metas.flatMap(_.get.tables.get.keys) ++ newestMapped).distinct
+    else newestMapped
   }
 }

@@ -1359,26 +1359,6 @@ object MysqlBinlog {
     * names) — a MINIMAL-metadata log has types but no names, so schema
     * inference fails loud and the caller must supply an explicit schema
     * (the DSv2 provider supports external metadata). */
-  /** Catalog listing: the NEWEST file's TABLE_MAPs (payload-inner ones
-    * included — a compressed-txn log keeps every TABLE_MAP inside its
-    * TRANSACTION_PAYLOADs). mysqld re-emits TABLE_MAP per transaction,
-    * so one file names the active tables; bounded I/O at any log size. */
-  def listTables(indexFile: String): Seq[(String, String)] =
-    CdcCodec.readIndex(indexFile).lastOption.toSeq.flatMap { f =>
-      val r = new EventReader(f)
-      try {
-        val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
-        def consider(ev: CdcCodec.RawEvent): Unit =
-          if (ev.tpe == EventType.TableMap) {
-            val tm = parseTableMap(ev.payload)
-            out += ((tm.db, tm.table))
-          } else if (ev.tpe == EventType.TransactionPayload)
-            unwrapPayload(ev).foreach(consider)
-        while (r.hasNext) consider(r.next())
-        out.toSeq
-      } finally r.close()
-    }
-
   def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
     CdcCodec.readIndex(indexFile).reverseIterator.flatMap { f =>
       val r = new EventReader(f)
@@ -1405,6 +1385,28 @@ object MysqlBinlog {
       tm.sparkSchema(i => s"_c$i")
     }
   }
+
+  /** Catalog listing: the newest mapping file's TABLE_MAPs
+    * (payload-inner ones included — a compressed-txn log keeps every
+    * TABLE_MAP inside its TRANSACTION_PAYLOADs), walking back past
+    * freshly-rotated empty files until one maps something. mysqld
+    * re-emits TABLE_MAP per transaction, so one file names the active
+    * tables; bounded I/O at any log size. */
+  def listTables(indexFile: String): Seq[(String, String)] =
+    CdcCodec.readIndex(indexFile).reverseIterator.map { f =>
+      val r = new EventReader(f)
+      try {
+        val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
+        def consider(ev: CdcCodec.RawEvent): Unit =
+          if (ev.tpe == EventType.TableMap) {
+            val tm = parseTableMap(ev.payload)
+            out += ((tm.db, tm.table))
+          } else if (ev.tpe == EventType.TransactionPayload)
+            unwrapPayload(ev).foreach(consider)
+        while (r.hasNext) consider(r.next())
+        out.toSeq
+      } finally r.close()
+    }.find(_.nonEmpty).getOrElse(Nil)
 
   // ---------------------------------------------------------------- writer
 

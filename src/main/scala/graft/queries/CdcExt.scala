@@ -540,9 +540,11 @@ object CdcExt {
          |SELECT o_orderkey, o_totalprice, __op, __gtid
          |FROM cdc_tm WHERE __op = 1""".stripMargin) { (s, dir) =>
       val index = CdcFixture.ensure(s, dir)
-      // one catalog per distinct log (Spark caches catalog instances by
-      // name, and the index file differs per scale factor)
-      val cat = "cdc_" + java.lang.Integer.toHexString(index.hashCode)
+      // one catalog per distinct log: Spark caches catalog INSTANCES by
+      // name (a later conf.set never re-initializes one), so the name
+      // embeds the full sanitized path — collision-free, unlike a
+      // 32-bit hash
+      val cat = "cdc_" + index.replaceAll("[^A-Za-z0-9]", "_")
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.CdcTableCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.indexFile", index)

@@ -106,9 +106,14 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   override def newScanBuilder(runtime: CaseInsensitiveStringMap): ScanBuilder = {
     // catalog-loaded tables carry indexFile/database/table as TABLE
     // properties (the reader passes only per-scan options); runtime
-    // options win on conflict
+    // options win on conflict — matched case-INsensitively, else a
+    // case-differing duplicate would survive into the
+    // CaseInsensitiveStringMap constructor and win nondeterministically
     val merged = new util.HashMap[String, String](properties)
-    merged.putAll(runtime.asCaseSensitiveMap())
+    runtime.asCaseSensitiveMap().forEach { (k, v) =>
+      merged.keySet.removeIf(_.equalsIgnoreCase(k))
+      merged.put(k, v)
+    }
     val options = new CaseInsensitiveStringMap(merged)
     val (idx, db, tbl) = CdcTableProvider.requiredOptions(options)
     val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)

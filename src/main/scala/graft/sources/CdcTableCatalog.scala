@@ -23,12 +23,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * }}}
   *
   * Namespaces are the log's databases; `SHOW TABLES`/`SHOW NAMESPACES`
-  * list from the adapter's bounded-I/O table enumeration (newest file's
-  * TABLE_MAPs — one file read at any log size; complete from sidecars
-  * on GCDC), while `loadTable` infers any table's schema exactly
-  * (newest-first walk, early exit). The catalog is read-only: the log
-  * is the producer's — create/alter/drop fail loud, same posture as
-  * the source's write rejection (A22-A23). Catalog options beyond
+  * list from the adapter's bounded-I/O table enumeration (newest
+  * mapping file's TABLE_MAPs — one file read at any log size; complete
+  * from sidecars on GCDC), memoized per log frontier so repeated
+  * SHOW/resolution calls don't re-read the file. `loadTable` infers
+  * any table's schema exactly (newest-first walk, early exit on a
+  * match; a MISS walks the whole log — same cost as the provider
+  * path's inference, so probe listed identifiers). For MINIMAL-
+  * metadata mysql logs (no column names on the wire) set the catalog
+  * option `schema.<db>.<table>` to a DDL string — the catalog-path
+  * twin of `spark.read.schema(...)`. Identifiers are CASE-SENSITIVE,
+  * matching the log's bytes (MySQL-on-Linux semantics,
+  * lower_case_table_names=0). The catalog is read-only: the log is
+  * the producer's — create/alter/drop fail loud, same posture as the
+  * source's write rejection (A22-A23). Catalog options beyond
   * `indexFile`/`binlogFormat` (e.g. `rowsQuery`) flow into every
   * loaded table as table properties; per-read options still win.
   */
@@ -36,6 +44,26 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var opts: CaseInsensitiveStringMap = _
+  // listing memo keyed on the log frontier (file count + newest file's
+  // identity/length/mtime): rotation or append invalidates, and a
+  // SHOW NAMESPACES followed by SHOW TABLES costs one file read, not
+  // one per catalog call
+  @volatile private var listingMemo: (String, Seq[(String, String)]) = _
+
+  private def listing: Seq[(String, String)] = {
+    val files = graft.cdc.CdcCodec.readIndex(indexFile)
+    val key = files.length + ":" + files.lastOption.map { f =>
+      val p = new java.io.File(f)
+      s"$f:${p.length}:${p.lastModified}"
+    }.getOrElse("")
+    val memo = listingMemo
+    if (memo != null && memo._1 == key) memo._2
+    else {
+      val l = adapter.listTables(indexFile)
+      listingMemo = (key, l)
+      l
+    }
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     require(options.get("indexFile") != null && options.get("indexFile").nonEmpty,
@@ -54,7 +82,7 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
   // ------------------------------------------------------------ namespaces
 
   override def listNamespaces(): Array[Array[String]] =
-    adapter.listTables(indexFile).map(_._1).distinct.map(Array(_)).toArray
+    listing.map(_._1).distinct.map(Array(_)).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
@@ -62,8 +90,7 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 &&
-      adapter.listTables(indexFile).exists(_._1 == namespace(0))
+    namespace.length == 1 && listing.exists(_._1 == namespace(0))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) util.Collections.emptyMap()
@@ -79,7 +106,7 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
   // ---------------------------------------------------------------- tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val listed = adapter.listTables(indexFile)
+    val listed = listing
     if (namespace.length != 1 || !listed.exists(_._1 == namespace(0)))
       throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
     listed.filter(_._1 == namespace(0))
@@ -90,8 +117,24 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
     val db = ident.namespace()(0)
     val tbl = ident.name()
-    val src = adapter.inferSourceSchema(indexFile, db, tbl)
-      .getOrElse(throw new NoSuchTableException(ident))
+    // MINIMAL-metadata escape hatch: the TABLE_MAP carries types but no
+    // names, so inference cannot work — the catalog-path twin of
+    // spark.read.schema(...) is a per-table DDL option
+    val src = Option(opts.get(s"schema.$db.$tbl")) match {
+      case Some(ddl) => StructType.fromDDL(ddl)
+      case None =>
+        try adapter.inferSourceSchema(indexFile, db, tbl)
+          .getOrElse(throw new NoSuchTableException(ident))
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("MINIMAL") =>
+            throw new IllegalArgumentException(
+              s"catalog '$catalogName': TABLE_MAP for $db.$tbl carries no " +
+                "column names (binlog_row_metadata=MINIMAL) — set the catalog " +
+                s"option 'spark.sql.catalog.$catalogName.schema.$db.$tbl' to " +
+                "the table's DDL (e.g. 'id BIGINT, name STRING')", e)
+        }
+    }
     val props = new util.HashMap[String, String]()
     opts.asCaseSensitiveMap().forEach((k, v) => props.put(k, v))
     props.put("database", db)

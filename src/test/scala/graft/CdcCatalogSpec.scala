@@ -56,16 +56,61 @@ class CdcCatalogSpec extends SparkTestBase {
 
   test("SHOW NAMESPACES / SHOW TABLES list the log's own TABLE_MAPs") {
     val cat = register(writeGcdcLog())
-    // GCDC files carry v2 sidecars -> the COMPLETE union branch: every
-    // table any file ever mapped lists, including the older file's
-    // 'old' db (the newest-file-only bound is the sidecar-less
-    // fallback and the mysql format, covered below)
+    // GCDC files carry v2 sidecars -> the union branch: every table
+    // any file ever recorded rows for lists, including the older
+    // file's 'old' db (the newest-file bound is the sidecar-less
+    // fallback, tested separately below, and the mysql format)
     val ns = spark.sql(s"SHOW NAMESPACES IN $cat")
       .collect().map(_.getString(0)).sorted.toSeq
     assert(ns == Seq("db", "old", "other"))
     val tables = spark.sql(s"SHOW TABLES IN $cat.db")
       .collect().map(_.getString(1)).sorted.toSeq
     assert(tables == Seq("t", "u"))
+  }
+
+  test("sidecar-less fallback: newest mapping file lists; empty rotated tail is walked past") {
+    val index = writeGcdcLog()
+    val dir = Paths.get(index).getParent
+    // strip the sidecars -> the TABLE_MAP-scan fallback branch
+    dir.toFile.listFiles.filter(_.getName.endsWith(".meta"))
+      .foreach(f => Files.delete(f.toPath))
+    // mysqld-style rotation: the newest file exists but has no events
+    // yet — listing must walk back to the last file that maps anything
+    new CdcCodec.LogWriter(s"$dir/b.2").close()
+    Files.writeString(Paths.get(dir.toString, "binlog.index"), "b.0\nb.1\nb.2\n")
+    val cat = register(index)
+    val ns = spark.sql(s"SHOW NAMESPACES IN $cat")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ns == Seq("db", "other"), "newest MAPPING file (b.1) names the set")
+    val tables = spark.sql(s"SHOW TABLES IN $cat.db")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(tables == Seq("t", "u"))
+  }
+
+  test("MINIMAL-metadata mysql log: schema.<db>.<table> catalog option loads it") {
+    val dir = Files.createTempDirectory("cdc-catalog-min").toString
+    val w = new MysqlBinlog.Writer(s"$dir/mysql-bin.000001", checksum = true,
+      fullMetadata = false)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.tableMap(1000L, 1L, "db", "t", tSchema)
+    w.writeRows(1000L, 1L, tSchema, Seq(Array[Any](5L, 5.0)))
+    w.xid(1000L, 1L)
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    // without the option: fail loud with catalog-path advice (the
+    // spark.read.schema(...) hint would be unusable in pure SQL)
+    val bare = register(s"$dir/binlog.index", "binlogFormat" -> "mysql")
+    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $bare.db.t").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).mkString(" | ").contains("schema.db.t"), e.getMessage)
+    // with it: positional type matching, full read
+    val cat = register(s"$dir/binlog.index", "binlogFormat" -> "mysql",
+      "schema.db.t" -> "id BIGINT, v DOUBLE")
+    val rows = spark.sql(s"SELECT id, v, __gtid FROM $cat.db.t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(rows == Seq((5L, 5.0, 1L)))
   }
 
   test("pure-SQL reads resolve any listed table with its inferred schema") {
@@ -104,6 +149,24 @@ class CdcCatalogSpec extends SparkTestBase {
     assert(msgs(e3).mkString(" | ").contains("read-only"), e3.getMessage)
     val e4 = intercept[Exception] { spark.sql(s"DROP TABLE $cat.db.t").collect() }
     assert(msgs(e4).mkString(" | ").contains("read-only"), e4.getMessage)
+  }
+
+  test("streaming reads a catalog table: readStream.table(cdc.db.t)") {
+    // catalog-loaded tables carry indexFile/database/table as table
+    // properties; the micro-batch path must resolve them the same way
+    // the batch path does
+    val cat = register(writeGcdcLog())
+    val ckpt = Files.createTempDirectory("cdc-cat-ckpt").toString
+    val outDir = Files.createTempDirectory("cdc-cat-out").toString
+    val q = spark.readStream.table(s"$cat.db.t")
+      .select("id", "v", "__gtid")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
   }
 
   test("mysql-format catalog: zstd-compressed logs list payload-inner TABLE_MAPs") {
