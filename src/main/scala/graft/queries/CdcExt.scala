@@ -553,6 +553,27 @@ object CdcExt {
                |WHERE __op = 1""".stripMargin)
     },
 
+    // SQL time travel through the catalog: VERSION AS OF <gno> is the
+    // log's own version axis (the event prefix up to transaction gno —
+    // cdc09's as-of snapshot is this plus latest-image compaction).
+    // The bound enters the scan as a base pushed filter, so
+    // sidecar/PREVIOUS_GTIDS pruning skips files wholly past the
+    // requested point: time travel deep into a 100 TB log reads the
+    // prefix, not the log.
+    QDef("cdc41_catalog_time_travel",
+      s"""${Cdc.eventsCte}
+         |SELECT o_orderkey, o_totalprice, __op, __gtid
+         |FROM cdc_tm WHERE __gtid <= 1000750""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      val cat = "cdc_" + index.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CdcTableCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.indexFile", index)
+      s.sql(s"""SELECT o_orderkey, o_totalprice, __op, __gtid
+               |FROM $cat.${CdcFixture.Db}.${CdcFixture.Table}
+               |VERSION AS OF 1000750""".stripMargin)
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -129,7 +129,16 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
     require(!(drift && format != "gcdc"),
       "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
         "remap matches columns by name; MySQL MINIMAL row metadata has none)")
-    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift, format)
+    // SQL time travel (catalog loadTable VERSION/TIMESTAMP AS OF):
+    // the as-of bound enters as a base pushed filter, so row filtering,
+    // sidecar/PREVIOUS_GTIDS file pruning, and honest pushdown declines
+    // (aggregates/offset) all treat it like any user predicate
+    val asof: Array[Filter] = Array(
+      Option(options.get("asofGtid")).map(v =>
+        LessThanOrEqual(CdcSchema.GtidCol, v.toLong): Filter),
+      Option(options.get("asofTm")).map(v =>
+        LessThanOrEqual(CdcSchema.TmCol, v.toLong): Filter)).flatten
+    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift, format, asof)
   }
 }
 
@@ -138,13 +147,15 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
   * reference advertising indexes it cannot serve, SURVEY.md §3.2). */
 class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructType,
     maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false,
-    format: String = "gcdc")
+    format: String = "gcdc", baseFilters: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private var required: StructType = full
-  private var pushed: Array[Filter] = Array.empty
+  // base filters (time travel) apply even if Spark never calls
+  // pushFilters (e.g. the streaming path)
+  private var pushed: Array[Filter] = baseFilters
   private var limit: Option[Int] = None
   private var offset: Option[Long] = None
   // resolved (value, type) per pushed aggregate expression, in order
@@ -152,7 +163,7 @@ class CdcScanBuilder(indexFile: String, db: String, table: String, full: StructT
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, theirs) = filters.partition(EnvelopePredicate.supports)
-    pushed = ours
+    pushed = baseFilters ++ ours
     theirs // Spark re-evaluates these above the scan
   }
   override def pushedFilters(): Array[Filter] = pushed

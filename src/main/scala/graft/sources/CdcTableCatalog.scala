@@ -113,7 +113,29 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
       .map { case (_, t) => Identifier.of(namespace, t) }.toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+
+  /** SQL time travel over the log's own ordering:
+    * `VERSION AS OF <gno>` = the event prefix up to and including
+    * transaction gno (the log's version axis — cdc09's as-of snapshot
+    * is this plus latest-image compaction on top), and
+    * `TIMESTAMP AS OF <t>` = events with `__tm <= t`. Both ride the
+    * ordinary envelope pushdown, so sidecar/PREVIOUS_GTIDS file
+    * pruning skips everything past the requested point — time travel
+    * deep into a 100 TB log reads the prefix, not the log. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val gno = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"catalog '$catalogName': VERSION AS OF over a CDC log takes the " +
+          s"transaction id (gtid gno, a number); got '$version'")
+    }
+    load(ident, Map("asofGtid" -> gno.toString))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    load(ident, Map("asofTm" -> timestampMicros.toString))
+
+  private def load(ident: Identifier, extra: Map[String, String]): Table = {
     if (ident.namespace.length != 1) throw new NoSuchTableException(ident)
     val db = ident.namespace()(0)
     val tbl = ident.name()
@@ -139,6 +161,7 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
     opts.asCaseSensitiveMap().forEach((k, v) => props.put(k, v))
     props.put("database", db)
     props.put("table", tbl)
+    extra.foreach { case (k, v) => props.put(k, v) }
     val rq = opts.getBoolean("rowsQuery", false)
     new CdcTable(CdcSchema.withEnvelope(src, rowsQuery = rq), props)
   }

@@ -151,6 +151,23 @@ class CdcCatalogSpec extends SparkTestBase {
     assert(msgs(e4).mkString(" | ").contains("read-only"), e4.getMessage)
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF prefix the log and prune files") {
+    val cat = register(writeGcdcLog())
+    // gtid 2 (file b.1) is past the requested version: its rows drop
+    val v = spark.sql(s"SELECT id FROM $cat.db.t VERSION AS OF 1")
+    assert(v.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // ... and the sidecar gtid bounds prune file b.1 from the PLAN
+    assert(v.rdd.getNumPartitions == 1,
+      "time travel must ride file pruning, not just row filtering")
+    val t = spark.sql(
+      s"SELECT id FROM $cat.db.t TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+    assert(t.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 'abc'").collect()
+    }
+    assert(e.getMessage.contains("gno"), e.getMessage)
+  }
+
   test("streaming reads a catalog table: readStream.table(cdc.db.t)") {
     // catalog-loaded tables carry indexFile/database/table as table
     // properties; the micro-batch path must resolve them the same way
