@@ -374,6 +374,10 @@ class CdcScan(indexFile: String, db: String, table: String,
     runtimeFilters = fs.filter(EnvelopePredicate.supports)
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
+  // set by planInputPartitions, read by reportDriverMetrics (Spark
+  // calls it after planning) — surfaces the pruning story in the UI
+  @volatile private var prunedFiles = 0L
+
   override def planInputPartitions(): Array[InputPartition] = offset match {
     case Some((o, fileRows)) =>
       // pushed OFFSET: whole files inside the skipped prefix drop out by
@@ -381,7 +385,7 @@ class CdcScan(indexFile: String, db: String, table: String,
       // skip. Builder guarantees v2 sidecars everywhere and no filters;
       // the per-file counts were captured at push time (one sweep).
       var remaining = o
-      fileRows.flatMap { case (f, rows) =>
+      val parts = fileRows.flatMap { case (f, rows) =>
         if (remaining >= rows) { remaining -= rows; None }
         else {
           val skip = remaining
@@ -390,13 +394,15 @@ class CdcScan(indexFile: String, db: String, table: String,
             skip): InputPartition)
         }
       }.toArray
+      prunedFiles = fileRows.length - parts.length
+      parts
     case None =>
       // one adapter call for the whole list: GCDC reads its per-file
       // sidecars, MySQL derives gtid bounds from consecutive files'
       // PREVIOUS_GTIDS events — either way, files provably outside the
       // pushed/runtime filters never open
       val files = adapter.readIndex(indexFile)
-      files.zip(adapter.filesMeta(files))
+      val parts = files.zip(adapter.filesMeta(files))
         .filter { case (_, meta) =>
           // v2 sidecars prune per-TABLE: a file whose map omits the table
           // has zero rows for it (skip outright, filters or not), and the
@@ -409,7 +415,16 @@ class CdcScan(indexFile: String, db: String, table: String,
         .map { case (f, _) =>
           CdcInputPartition(f, adapter.headerLen, Long.MaxValue): InputPartition
         }.toArray
+      prunedFiles = files.length - parts.length
+      parts
   }
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new CdcMetrics.EventsDecoded, new CdcMetrics.RowsEmitted,
+      new CdcMetrics.FilesPruned)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CdcMetrics.TaskMetric("cdcFilesPruned", prunedFiles))
 
   override def createReaderFactory(): PartitionReaderFactory =
     CdcReaderFactory(db, table, full, required, allFilters, limit, driftEpochs,
@@ -490,6 +505,12 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
 
   private var emitted = 0
   private var skipped = 0L
+  private var eventsDecoded = 0L
+  private var rowsEmitted = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(CdcMetrics.TaskMetric("cdcEventsDecoded", eventsDecoded),
+      CdcMetrics.TaskMetric("cdcRowsEmitted", rowsEmitted))
 
   override def next(): Boolean = {
     // pushed LIMIT: stop decoding this partition once `limit`
@@ -505,6 +526,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
           else {
             current = project(r)
             emitted += 1
+            rowsEmitted += 1
             return true
           }
         }
@@ -512,6 +534,7 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
       var refilled = false
       while (!refilled && events.hasNext) {
         val ev = events.next()
+        eventsDecoded += 1
         if (ev.pos >= part.endPos) return false
         if (adapter.isRowEvent(ev.tpe)) {
           if (ev.pos >= part.startPos) {

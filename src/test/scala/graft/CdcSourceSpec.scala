@@ -488,6 +488,24 @@ class CdcSourceSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no TABLE_MAP"))
   }
 
+  test("custom scan metrics: events decoded, rows emitted, files pruned") {
+    val index = writeLog()
+    // __gtid = 2 lives in b.1 only: b.0 prunes at planning (driver
+    // metric), and the surviving file's decode counts surface as task
+    // metrics — rows emitted < events decoded (control events + the
+    // other gtids' rows filter inside the reader)
+    val df = read(index).filter(org.apache.spark.sql.functions.col("__gtid") === 2)
+    val got = df.collect()
+    assert(got.length == 2)
+    val leaf = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.getClass.getSimpleName == "BatchScanExec").get
+    def metric(n: String): Long = leaf.metrics(n).value
+    assert(metric("cdcFilesPruned") == 1, "b.0 pruned by sidecar gtid bounds")
+    assert(metric("cdcRowsEmitted") == 2)
+    assert(metric("cdcEventsDecoded") > metric("cdcRowsEmitted"),
+      "control events and filtered rows decode without emitting")
+  }
+
   test("reserved envelope name in the source schema fails loud, not hijacked") {
     // projection maps columns by NAME — a source column called __op or
     // __query would silently read envelope state instead of its own
