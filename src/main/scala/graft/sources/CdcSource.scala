@@ -736,7 +736,36 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     full: StructType, required: StructType, filters: Array[Filter],
     maxBytesPerTrigger: Option[Long] = None, driftEpochs: Boolean = false,
     format: String = "gcdc")
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
+
+  /** Consumer lag in the unit that matters for a log consumer: bytes
+    * (and whole files) between the committed offset and the log's
+    * current complete-event frontier — per StreamingQueryProgress
+    * entry, the alerting signal for "is this pipeline keeping up".
+    * Costs one file-length stat per file plus the frontier probe the
+    * poll does anyway. */
+  override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
+    val fs = files
+    val frontier = unboundedLatest()
+    val consumed =
+      if (latestConsumed.isPresent)
+        CdcOffset.fromJson(latestConsumed.get.json())
+      else CdcOffset(0, adapter.headerLen)
+    def absPos(o: CdcOffset): Long = {
+      // bytes of all files wholly before the offset's file + its pos;
+      // clamp the file index (a consumed offset can reference a file
+      // count observed earlier)
+      val fi = math.min(o.fileIdx, math.max(0, fs.length - 1))
+      fs.take(fi).map(f => new java.io.File(f).length()).sum + o.pos
+    }
+    val behindBytes = math.max(0L, absPos(frontier) - absPos(consumed))
+    val behindFiles = math.max(0, frontier.fileIdx - consumed.fileIdx)
+    java.util.Map.of(
+      "behindBytes", behindBytes.toString,
+      "behindFiles", behindFiles.toString,
+      "frontierFileIdx", frontier.fileIdx.toString)
+  }
 
   private val adapter = BinlogFormats.forName(format)
 

@@ -506,6 +506,22 @@ class CdcSourceSpec extends SparkTestBase {
       "control events and filtered rows decode without emitting")
   }
 
+  test("streaming source metrics: bytes and files behind the log frontier") {
+    import graft.sources.CdcMicroBatchStream
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val index = writeLog()
+    val env = CdcSchema.withEnvelope(schema)
+    val stream = new CdcMicroBatchStream(index, "db", "t", env, env, Array.empty)
+    // nothing consumed yet: the whole log (both files) is lag
+    val m0 = stream.metrics(java.util.Optional.empty())
+    assert(m0.get("behindBytes").toLong > 0)
+    assert(m0.get("behindFiles") == "1", "frontier is in the second file")
+    // fully caught up: zero lag
+    val frontier = stream.latestOffset(stream.initialOffset(), ReadLimit.allAvailable())
+    val m1 = stream.metrics(java.util.Optional.of(frontier))
+    assert(m1.get("behindBytes") == "0" && m1.get("behindFiles") == "0")
+  }
+
   test("reserved envelope name in the source schema fails loud, not hijacked") {
     // projection maps columns by NAME — a source column called __op or
     // __query would silently read envelope state instead of its own
