@@ -93,6 +93,11 @@ object CdcCodec {
 
     def tableMap(tsMs: Long, tableId: Long, db: String, table: String, schema: StructType): Unit = {
       tableNames(tableId) = (db, table)
+      // register the mapping itself (rows stay 0 until row events):
+      // catalog listing can then serve mapped-but-rowless tables from
+      // the sidecar alone, and pruning is unaffected (it requires
+      // rows > 0)
+      tableStats.getOrElseUpdate((db, table), TableStats())
       event(EventType.TableMap, tsMs) { d =>
         d.writeLong(tableId); writeStr(d, db); writeStr(d, table)
         d.writeInt(schema.length)
@@ -204,7 +209,11 @@ object CdcCodec {
       * gtid/time-range predicates (SURVEY §4.3 partition pruning). */
     def close(): Unit = {
       out.close()
-      if (maxGtid >= minGtid) {
+      // a sidecar is published for ANY closed file that carries events
+      // (gtid bounds may be empty sentinels for a mapped-but-rowless
+      // file — such a file correctly prunes from every gtid-range scan,
+      // and its c-lines keep catalog listing sidecar-only)
+      if (maxGtid >= minGtid || tableStats.nonEmpty) {
         // names are URL-encoded: a db/table containing whitespace (legal
         // in MySQL, handled fine by the length-prefixed log itself)
         // would otherwise break the whitespace-split sidecar line and
@@ -712,18 +721,24 @@ object CdcCodec {
     }.nextOption()
   }
 
-  /** Catalog listing. With v2 sidecars on every file: the union of the
-    * per-table stats keys (every table that ever recorded a row — tiny
-    * reads) PLUS the newest mapping file's TABLE_MAPs (a mapped table
-    * whose rows haven't arrived yet still lists). Without: the newest
-    * file's TABLE_MAPs alone, walking back past freshly-rotated empty
-    * files until one maps something — bounded I/O either way (empty
-    * files cost a header read; the first mapping file ends the walk). */
+  /** Catalog listing: the union of every v2 sidecar's per-table keys
+    * (tiny reads — the log itself never opens for CLOSED files; the
+    * writer registers mappings at TABLE_MAP time, so mapped-but-rowless
+    * tables are in there) plus a TABLE_MAP scan of the newest
+    * SIDECAR-LESS file that holds data (normally exactly one: the open
+    * file the producer is appending; a mid-rotation zero-byte or
+    * headerless tail is skipped by length, never opened). Bounded I/O
+    * at any log size, and routine rotation never changes what lists. */
   def listTables(indexFile: String): Seq[(String, String)] = {
     val files = readIndex(indexFile)
     if (files.isEmpty) return Nil
-    def newestMapped: Seq[(String, String)] =
-      files.reverseIterator.map { f =>
+    val metas = files.map(readMeta)
+    val fromSidecars = metas.flatMap(_.flatMap(_.tables).getOrElse(Map.empty).keys)
+    val pending = files.zip(metas)
+      .filter(!_._2.exists(_.tables.isDefined)).map(_._1)
+    val scanned = pending.reverseIterator
+      .filter(f => new java.io.File(f).length > HeaderLen) // racing rotation
+      .map { f =>
         val r = new EventReader(f)
         try {
           val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
@@ -737,9 +752,6 @@ object CdcCodec {
           out.toSeq
         } finally r.close()
       }.find(_.nonEmpty).getOrElse(Nil)
-    val metas = files.map(readMeta)
-    if (metas.forall(_.exists(_.tables.isDefined)))
-      (metas.flatMap(_.get.tables.get.keys) ++ newestMapped).distinct
-    else newestMapped
+    (fromSidecars ++ scanned).distinct
   }
 }

@@ -88,8 +88,8 @@ object CdcFixture {
 
   /** Idempotently generate the CDC log for sfDir; returns index file path. */
   def ensure(spark: SparkSession, sfDir: String): String =
-    // v3: GTID events carry the source id
-    ensureLog(cache, "graft-cdc3", sfDir)(
+    // v4: sidecars register mappings at TABLE_MAP time (rows=0 c-lines)
+    ensureLog(cache, "graft-cdc4", sfDir)(
       generate(spark, sfDir, _, p => new CdcCodec.LogWriter(p)))
 
   /** The SAME event storyline written as a REAL MySQL binlog v4 (CRC32
@@ -716,7 +716,7 @@ object CdcFixture {
     * pure function of orders.parquet, so cdc19's oracle reconstructs it
     * in SQL. */
   def ensureMultiSource(spark: SparkSession, sfDir: String): String =
-    ensureLog(cacheMs, "graft-cdcms", sfDir)(generateMultiSource(spark, sfDir, _))
+    ensureLog(cacheMs, "graft-cdcms2", sfDir)(generateMultiSource(spark, sfDir, _))
 
   /** Schema-drift log: table `graft.evolving` changes shape between the
     * two files — epoch 1 declares (k, keep, v DOUBLE); epoch 2 renames
@@ -728,7 +728,7 @@ object CdcFixture {
     * `% 50 == 25` keys with price = o_totalprice * 2 and extra = key * 3
     * (gno = 100000 + row index). */
   def ensureDrifted(spark: SparkSession, sfDir: String): String =
-    ensureLog(cacheDr, "graft-cdcdr", sfDir)(generateDrifted(spark, sfDir, _))
+    ensureLog(cacheDr, "graft-cdcdr2", sfDir)(generateDrifted(spark, sfDir, _))
 
   val EvolvingTable = "evolving"
   val EvolvingTableId = 7L

@@ -1389,11 +1389,13 @@ object MysqlBinlog {
   /** Catalog listing: the newest mapping file's TABLE_MAPs
     * (payload-inner ones included — a compressed-txn log keeps every
     * TABLE_MAP inside its TRANSACTION_PAYLOADs), walking back past
-    * freshly-rotated empty files until one maps something. mysqld
-    * re-emits TABLE_MAP per transaction, so one file names the active
-    * tables; bounded I/O at any log size. */
+    * freshly-rotated empty files until one maps something (a
+    * mid-rotation zero-byte tail is skipped by length, never opened).
+    * mysqld re-emits TABLE_MAP per transaction, so one file names the
+    * active tables; bounded I/O at any log size. */
   def listTables(indexFile: String): Seq[(String, String)] =
-    CdcCodec.readIndex(indexFile).reverseIterator.map { f =>
+    CdcCodec.readIndex(indexFile).reverseIterator
+      .filter(f => new java.io.File(f).length > MagicLen).map { f =>
       val r = new EventReader(f)
       try {
         val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]

@@ -25,6 +25,21 @@ object CdcExt {
       .load()
   }
 
+  /** Register (idempotently) a CdcTableCatalog over `index` and return
+    * its name. One catalog per distinct log: Spark caches catalog
+    * INSTANCES by name and a later conf.set never re-initializes one,
+    * so the name embeds the sanitized path AND its hash — a collision
+    * needs two paths agreeing on both, vs. the sanitized form alone
+    * (`sf0.01` vs `sf0_01`) or a bare 32-bit hash. */
+  private def cdcCatalog(s: org.apache.spark.sql.SparkSession, index: String): String = {
+    val cat = "cdc_" + index.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + java.lang.Integer.toHexString(index.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CdcTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.indexFile", index)
+    cat
+  }
+
   val defs: Seq[QDef] = Seq(
 
     // cdc01 through the MySQL v4 decoder: full scan, hash-compared to
@@ -539,15 +554,7 @@ object CdcExt {
       s"""${Cdc.eventsCte}
          |SELECT o_orderkey, o_totalprice, __op, __gtid
          |FROM cdc_tm WHERE __op = 1""".stripMargin) { (s, dir) =>
-      val index = CdcFixture.ensure(s, dir)
-      // one catalog per distinct log: Spark caches catalog INSTANCES by
-      // name (a later conf.set never re-initializes one), so the name
-      // embeds the full sanitized path — collision-free, unlike a
-      // 32-bit hash
-      val cat = "cdc_" + index.replaceAll("[^A-Za-z0-9]", "_")
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.CdcTableCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.indexFile", index)
+      val cat = cdcCatalog(s, CdcFixture.ensure(s, dir))
       s.sql(s"""SELECT o_orderkey, o_totalprice, __op, __gtid
                |FROM $cat.${CdcFixture.Db}.${CdcFixture.Table}
                |WHERE __op = 1""".stripMargin)
@@ -564,11 +571,7 @@ object CdcExt {
       s"""${Cdc.eventsCte}
          |SELECT o_orderkey, o_totalprice, __op, __gtid
          |FROM cdc_tm WHERE __gtid <= 1000750""".stripMargin) { (s, dir) =>
-      val index = CdcFixture.ensure(s, dir)
-      val cat = "cdc_" + index.replaceAll("[^A-Za-z0-9]", "_")
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.CdcTableCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.indexFile", index)
+      val cat = cdcCatalog(s, CdcFixture.ensure(s, dir))
       s.sql(s"""SELECT o_orderkey, o_totalprice, __op, __gtid
                |FROM $cat.${CdcFixture.Db}.${CdcFixture.Table}
                |VERSION AS OF 1000750""".stripMargin)

@@ -534,14 +534,16 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
       var refilled = false
       while (!refilled && events.hasNext) {
         val ev = events.next()
-        eventsDecoded += 1
         if (ev.pos >= part.endPos) return false
         if (adapter.isRowEvent(ev.tpe)) {
           if (ev.pos >= part.startPos) {
+            eventsDecoded += 1
             val rows = decoder.decode(ev)
             if (rows.nonEmpty) { queue = rows.iterator; refilled = true }
-          } // out-of-range row events: skip entirely (no decode cost)
+          } // out-of-range row events: skip entirely (no decode cost,
+            // and NOT counted — the metric is decode work, not reads)
         } else {
+          eventsDecoded += 1
           decoder.decode(ev) // control event: state only
         }
       }
@@ -745,6 +747,11 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     * entry, the alerting signal for "is this pipeline keeping up".
     * Costs one file-length stat per file plus the frontier probe the
     * poll does anyway. */
+  // rotated (non-newest) files are immutable: their lengths memoize
+  // across progress ticks, so each metrics() call stats only the open
+  // newest file instead of ~1M closed ones
+  private val closedLengths = scala.collection.mutable.HashMap.empty[String, Long]
+
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val fs = files
     val frontier = unboundedLatest()
@@ -752,12 +759,22 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
       if (latestConsumed.isPresent)
         CdcOffset.fromJson(latestConsumed.get.json())
       else CdcOffset(0, adapter.headerLen)
+    // one cumulative prefix-sum of file lengths per call (not one
+    // File.length sweep per offset)
+    val prefix = new Array[Long](fs.length + 1)
+    var i = 0
+    while (i < fs.length) {
+      val len =
+        if (i == fs.length - 1) new java.io.File(fs(i)).length()
+        else closedLengths.getOrElseUpdate(fs(i), new java.io.File(fs(i)).length())
+      prefix(i + 1) = prefix(i) + len
+      i += 1
+    }
     def absPos(o: CdcOffset): Long = {
-      // bytes of all files wholly before the offset's file + its pos;
       // clamp the file index (a consumed offset can reference a file
       // count observed earlier)
       val fi = math.min(o.fileIdx, math.max(0, fs.length - 1))
-      fs.take(fi).map(f => new java.io.File(f).length()).sum + o.pos
+      prefix(fi) + o.pos
     }
     val behindBytes = math.max(0L, absPos(frontier) - absPos(consumed))
     val behindFiles = math.max(0, frontier.fileIdx - consumed.fileIdx)

@@ -45,16 +45,18 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var opts: CaseInsensitiveStringMap = _
   // listing memo keyed on the log frontier (file count + newest file's
-  // identity/length/mtime): rotation or append invalidates, and a
-  // SHOW NAMESPACES followed by SHOW TABLES costs one file read, not
-  // one per catalog call
+  // identity/length/mtime + its SIDECAR's length/mtime): rotation,
+  // append, or the final log-close — which publishes only the .meta,
+  // touching no data bytes — all invalidate, and a SHOW NAMESPACES
+  // followed by SHOW TABLES costs one file read, not one per call
   @volatile private var listingMemo: (String, Seq[(String, String)]) = _
 
   private def listing: Seq[(String, String)] = {
     val files = graft.cdc.CdcCodec.readIndex(indexFile)
     val key = files.length + ":" + files.lastOption.map { f =>
       val p = new java.io.File(f)
-      s"$f:${p.length}:${p.lastModified}"
+      val m = new java.io.File(f + ".meta")
+      s"$f:${p.length}:${p.lastModified}:${m.length}:${m.lastModified}"
     }.getOrElse("")
     val memo = listingMemo
     if (memo != null && memo._1 == key) memo._2
