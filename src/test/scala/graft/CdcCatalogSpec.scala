@@ -186,6 +186,24 @@ class CdcCatalogSpec extends SparkTestBase {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("catalog option rowsQuery=true flows into loaded tables (__query in SQL)") {
+    val dir = Files.createTempDirectory("cdc-catalog-rq").toString
+    val w = new MysqlBinlog.Writer(s"$dir/mysql-bin.000001", checksum = true)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.rowsQuery(1000L, "INSERT INTO t VALUES (9, 9.0)")
+    w.tableMap(1000L, 1L, "db", "t", tSchema)
+    w.writeRows(1000L, 1L, tSchema, Seq(Array[Any](9L, 9.0)))
+    w.xid(1000L, 1L)
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val cat = register(s"$dir/binlog.index",
+      "binlogFormat" -> "mysql", "rowsQuery" -> "true")
+    val rows = spark.sql(s"SELECT id, __query FROM $cat.db.t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((9L, "INSERT INTO t VALUES (9, 9.0)")))
+  }
+
   test("mysql-format catalog: zstd-compressed logs list payload-inner TABLE_MAPs") {
     val dir = Files.createTempDirectory("cdc-catalog-my").toString
     def story(path: String, compress: Boolean): Unit = {
