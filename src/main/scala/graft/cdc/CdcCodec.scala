@@ -209,11 +209,15 @@ object CdcCodec {
       * gtid/time-range predicates (SURVEY §4.3 partition pruning). */
     def close(): Unit = {
       out.close()
-      // a sidecar is published for ANY closed file that carries events
-      // (gtid bounds may be empty sentinels for a mapped-but-rowless
-      // file — such a file correctly prunes from every gtid-range scan,
-      // and its c-lines keep catalog listing sidecar-only)
-      if (maxGtid >= minGtid || tableStats.nonEmpty) {
+      // a sidecar is published when a gtid was logged, or for a
+      // mapped-but-ROWLESS file (sentinel gtid bounds — such a file
+      // correctly prunes from every gtid-range scan, and its c-lines
+      // keep catalog listing sidecar-only). Rows WITHOUT any gtid stay
+      // sidecar-less: fabricating gtid-0 bounds would let COUNT/MIN
+      // pushdown answer from metadata while a scan of the same log
+      // fails loud on rows-before-GTID.
+      if (maxGtid >= minGtid ||
+          (tableStats.nonEmpty && tableStats.values.forall(_.rows == 0))) {
         // names are URL-encoded: a db/table containing whitespace (legal
         // in MySQL, handled fine by the length-prefixed log itself)
         // would otherwise break the whitespace-split sidecar line and
@@ -728,7 +732,11 @@ object CdcCodec {
     * SIDECAR-LESS file that holds data (normally exactly one: the open
     * file the producer is appending; a mid-rotation zero-byte or
     * headerless tail is skipped by length, never opened). Bounded I/O
-    * at any log size, and routine rotation never changes what lists. */
+    * at any log size, and routine rotation never changes what lists.
+    * Compat note: sidecars written before mappings were registered
+    * (pre-graft-cdc4 caches) only name tables WITH rows — a
+    * mapped-but-rowless table in such a file doesn't list (it never
+    * did); regenerate the sidecar by rewriting the log. */
   def listTables(indexFile: String): Seq[(String, String)] = {
     val files = readIndex(indexFile)
     if (files.isEmpty) return Nil

@@ -754,7 +754,12 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
 
   override def metrics(latestConsumed: java.util.Optional[Offset]): java.util.Map[String, String] = {
     val fs = files
-    val frontier = unboundedLatest()
+    // frontier computed against the SAME file list as the prefix sums:
+    // a rotation between two independent index reads would otherwise
+    // count the new file's position against the wrong prefix
+    val frontier =
+      if (fs.isEmpty) CdcOffset(0, adapter.headerLen)
+      else CdcOffset(fs.length - 1, adapter.lastCompleteOffset(fs.last))
     val consumed =
       if (latestConsumed.isPresent)
         CdcOffset.fromJson(latestConsumed.get.json())
@@ -766,7 +771,17 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     while (i < fs.length) {
       val len =
         if (i == fs.length - 1) new java.io.File(fs(i)).length()
-        else closedLengths.getOrElseUpdate(fs(i), new java.io.File(fs(i)).length())
+        else closedLengths.get(fs(i)) match {
+          case Some(l) => l
+          case None =>
+            val l = new java.io.File(fs(i)).length()
+            // memoize only a plausible observation: a transiently
+            // shrunken/invisible file (the FS race latestOffset's
+            // monotonic guard documents) must re-stat next tick, not
+            // under-report lag forever
+            if (l > adapter.headerLen) closedLengths.update(fs(i), l)
+            l
+        }
       prefix(i + 1) = prefix(i) + len
       i += 1
     }
