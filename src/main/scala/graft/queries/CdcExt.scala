@@ -577,6 +577,27 @@ object CdcExt {
                |VERSION AS OF 1000750""".stripMargin)
     },
 
+    // startingGtid: "consume changes AFTER transaction G" (exclusive)
+    // — the Kafka startingOffsets analogue. The bound is a base pushed
+    // filter, so batch scans prune prefix files by sidecar gtid bounds
+    // and a FRESH stream's initial offset starts at the first
+    // possibly-relevant file instead of replaying the log (spec'd at
+    // the stream level; this oracle pins the option's row semantics).
+    QDef("cdc42_starting_gtid",
+      s"""${Cdc.eventsCte}
+         |SELECT o_orderkey, o_totalprice, __op, __gtid
+         |FROM cdc_tm WHERE __gtid > 1000200""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .option("startingGtid", "1000200")
+        .load()
+        .select(col("o_orderkey"), col("o_totalprice"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

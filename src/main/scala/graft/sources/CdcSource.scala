@@ -129,16 +129,23 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
     require(!(drift && format != "gcdc"),
       "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
         "remap matches columns by name; MySQL MINIMAL row metadata has none)")
-    // SQL time travel (catalog loadTable VERSION/TIMESTAMP AS OF):
-    // the as-of bound enters as a base pushed filter, so row filtering,
-    // sidecar/PREVIOUS_GTIDS file pruning, and honest pushdown declines
-    // (aggregates/offset) all treat it like any user predicate
-    val asof: Array[Filter] = Array(
+    // Position bounds as base pushed filters, so row filtering,
+    // sidecar/PREVIOUS_GTIDS file pruning, honest pushdown declines
+    // (aggregates/offset), AND the stream's initial-offset prefix skip
+    // all treat them like user predicates:
+    //  - asofGtid/asofTm (catalog VERSION/TIMESTAMP AS OF): upper bound
+    //  - startingGtid: lower bound — "consume changes AFTER transaction
+    //    G" (exclusive), the Kafka startingOffsets analogue; a fresh
+    //    stream starts at the first possibly-relevant file instead of
+    //    replaying the log
+    val bounds: Array[Filter] = Array(
       Option(options.get("asofGtid")).map(v =>
         LessThanOrEqual(CdcSchema.GtidCol, v.toLong): Filter),
       Option(options.get("asofTm")).map(v =>
-        LessThanOrEqual(CdcSchema.TmCol, v.toLong): Filter)).flatten
-    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift, format, asof)
+        LessThanOrEqual(CdcSchema.TmCol, v.toLong): Filter),
+      Option(options.get("startingGtid")).map(v =>
+        GreaterThan(CdcSchema.GtidCol, v.toLong): Filter)).flatten
+    new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift, format, bounds)
   }
 }
 
@@ -803,7 +810,28 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
 
   private def files: Seq[String] = adapter.readIndex(indexFile)
 
-  override def initialOffset(): Offset = CdcOffset(0, adapter.headerLen)
+  /** A FRESH query (no checkpoint) starts at the first file the pushed
+    * filters cannot prove irrelevant — the same sidecar/PREVIOUS_GTIDS
+    * pruning predicate the batch planner uses, applied to the log
+    * PREFIX (offsets are contiguous, so only a prefix can skip). With
+    * `startingGtid` (or any pushed `__gtid` lower bound), a consumer
+    * starting "from transaction G" on a 100 TB log opens the tail, not
+    * the history. Conservative: a file with unknown metadata stops the
+    * skip; checkpointed restarts never come through here. */
+  override def initialOffset(): Offset = {
+    val fs = files
+    if (fs.isEmpty || filters.isEmpty) return CdcOffset(0, adapter.headerLen)
+    val metas = adapter.filesMeta(fs)
+    var idx = 0
+    while (idx < fs.length &&
+        !(EnvelopePredicate.mightContainTable(db, table, metas(idx)) &&
+          EnvelopePredicate.mightMatchFile(filters,
+            EnvelopePredicate.narrowToTable(db, table, metas(idx)))))
+      idx += 1
+    if (idx >= fs.length) // whole log provably irrelevant: start at the frontier
+      CdcOffset(fs.length - 1, adapter.lastCompleteOffset(fs.last))
+    else CdcOffset(idx, adapter.headerLen)
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 

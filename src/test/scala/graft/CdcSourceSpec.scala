@@ -522,6 +522,51 @@ class CdcSourceSpec extends SparkTestBase {
     assert(m1.get("behindBytes") == "0" && m1.get("behindFiles") == "0")
   }
 
+  test("startingGtid: a fresh stream skips the provably-irrelevant prefix") {
+    import graft.sources.{CdcOffset, CdcScan}
+    val index = writeLog() // b.0 holds gtid 1, b.1 holds gtids 2-4
+    val full = StructType(schema.fields ++ CdcSchema.envelope)
+    def streamFor(opts: Map[String, String]) = {
+      import scala.jdk.CollectionConverters._
+      val props = (Map("indexFile" -> index, "database" -> "db",
+        "table" -> "t") ++ opts).asJava
+      new graft.sources.CdcTable(full, new java.util.HashMap(props))
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of()))
+        .build().asInstanceOf[CdcScan]
+        .toMicroBatchStream("unused")
+    }
+    // no bound: start at the log head, as before
+    val plain = streamFor(Map.empty).initialOffset().asInstanceOf[CdcOffset]
+    assert(plain == CdcOffset(0, CdcCodec.HeaderLen.toLong))
+    // startingGtid=1: b.0 (maxGtid 1) is provably irrelevant — the
+    // fresh stream's initial offset lands on b.1, never opening b.0
+    val skipped = streamFor(Map("startingGtid" -> "1"))
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(skipped.fileIdx == 1, s"expected to start at b.1, got $skipped")
+    // startingGtid past the whole log: start at the frontier
+    val tail = streamFor(Map("startingGtid" -> "99"))
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(tail.fileIdx == 1 && tail.pos > CdcCodec.HeaderLen.toLong)
+    // end-to-end: the streamed rows are exactly the gtid > 1 events
+    val ckpt = Files.createTempDirectory("sg-ckpt").toString
+    val outDir = Files.createTempDirectory("sg-out").toString
+    val q = spark.readStream.format("binlogcdc")
+      .option("indexFile", index).option("database", "db").option("table", "t")
+      .option("startingGtid", "1")
+      .load()
+      .select("id", CdcSchema.GtidCol)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got.forall(_._2 > 1L) && got.nonEmpty,
+      s"only gtid > 1 events may stream, got $got")
+  }
+
   test("reserved envelope name in the source schema fails loud, not hijacked") {
     // projection maps columns by NAME — a source column called __op or
     // __query would silently read envelope state instead of its own
