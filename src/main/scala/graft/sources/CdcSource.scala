@@ -415,9 +415,7 @@ class CdcScan(indexFile: String, db: String, table: String,
           // has zero rows for it (skip outright, filters or not), and the
           // table's own gtid/time bounds are tighter than the file-global
           // ones in a multi-table log
-          EnvelopePredicate.mightContainTable(db, table, meta) &&
-            EnvelopePredicate.mightMatchFile(allFilters,
-              EnvelopePredicate.narrowToTable(db, table, meta))
+          EnvelopePredicate.keepsFile(db, table, allFilters, meta)
         }
         .map { case (f, _) =>
           CdcInputPartition(f, adapter.headerLen, Long.MaxValue): InputPartition
@@ -583,6 +581,32 @@ class CdcPartitionReader(part: CdcInputPartition, db: String, table: String,
 
 /** Compiles pushed source filters into a predicate over the envelope. */
 object EnvelopePredicate {
+
+  /** The planner's whole-file keep/skip decision: does this file
+    * possibly hold relevant rows of the table under the pushed
+    * filters? ONE definition shared by batch planning and the stream's
+    * initial-offset prefix skip, so the two can never diverge. */
+  def keepsFile(db: String, table: String, filters: Array[Filter],
+      meta: Option[CdcCodec.FileMeta]): Boolean =
+    mightContainTable(db, table, meta) &&
+      mightMatchFile(filters, narrowToTable(db, table, meta))
+
+  /** Could the pushed filters prune a log PREFIX at all? Only a LOWER
+    * bound on a file-tracked column (__gtid/__tm) can: prefix files
+    * hold the LOW values, so upper bounds (asof) prune the tail, which
+    * an initial offset cannot use. Gates the stream's initial-offset
+    * metadata sweep so filter shapes that cannot skip pay nothing. */
+  def hasPrefixBound(filters: Array[Filter]): Boolean = {
+    def lower(f: Filter): Boolean = f match {
+      case GreaterThan(a, _) => numCols(a) && a != CdcSchema.OpCol
+      case GreaterThanOrEqual(a, _) => numCols(a) && a != CdcSchema.OpCol
+      case EqualTo(a, _) => numCols(a) && a != CdcSchema.OpCol
+      case In(a, _) => numCols(a) && a != CdcSchema.OpCol
+      case And(l, r) => lower(l) || lower(r)
+      case _ => false // Or/Not: conservative (no skip)
+    }
+    filters.exists(lower)
+  }
 
   /** Whole-file pruning against the (min,max) sidecar: returns false only
     * when the pushed filters PROVABLY reject every row the file can
@@ -820,16 +844,20 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     * skip; checkpointed restarts never come through here. */
   override def initialOffset(): Offset = {
     val fs = files
-    if (fs.isEmpty || filters.isEmpty) return CdcOffset(0, adapter.headerLen)
-    val metas = adapter.filesMeta(fs)
+    // gate on a prunable LOWER bound: upper-bound-only filter shapes
+    // (asof) cannot skip a prefix, so they must not pay the metadata
+    // sweep. When a lower bound exists, the sweep is one filesMeta
+    // call at stream CREATION — the same cost envelope as a single
+    // batch planning pass.
+    if (fs.isEmpty || !EnvelopePredicate.hasPrefixBound(filters))
+      return CdcOffset(0, adapter.headerLen)
+    val metas = adapter.filesMeta(fs).toIndexedSeq
+    val n = fs.length
     var idx = 0
-    while (idx < fs.length &&
-        !(EnvelopePredicate.mightContainTable(db, table, metas(idx)) &&
-          EnvelopePredicate.mightMatchFile(filters,
-            EnvelopePredicate.narrowToTable(db, table, metas(idx)))))
+    while (idx < n &&
+        !EnvelopePredicate.keepsFile(db, table, filters, metas(idx)))
       idx += 1
-    if (idx >= fs.length) // whole log provably irrelevant: start at the frontier
-      CdcOffset(fs.length - 1, adapter.lastCompleteOffset(fs.last))
+    if (idx >= n) unboundedLatest() // whole log provably irrelevant
     else CdcOffset(idx, adapter.headerLen)
   }
 

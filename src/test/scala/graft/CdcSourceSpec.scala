@@ -563,8 +563,11 @@ class CdcSourceSpec extends SparkTestBase {
     q.stop()
     val got = spark.read.parquet(outDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-    assert(got.forall(_._2 > 1L) && got.nonEmpty,
-      s"only gtid > 1 events may stream, got $got")
+    // the exact gtid > 1 multiset: inserts (3,4 @2), update pair
+    // (2 @3, both images), delete (3 @4) — a skip landing too deep
+    // would drop events and fail, not just "all > 1"
+    assert(got == Seq((2L, 3L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 2L)),
+      s"expected exactly the gtid > 1 events, got $got")
   }
 
   test("reserved envelope name in the source schema fails loud, not hijacked") {
