@@ -1348,6 +1348,22 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(partsOf(mid) == 2)
     assert(mid.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       (12L to 18L))
+    // streaming twin: startingGtid=10 proves file 0 (gnos 1-10)
+    // at-or-below via the format's OWN metadata — a fresh stream's
+    // initial offset lands on file 1 without opening file 0
+    import graft.sources.{CdcOffset, CdcScan, CdcTable}
+    val props = new java.util.HashMap[String, String]()
+    props.put("indexFile", index); props.put("database", "db")
+    props.put("table", "t"); props.put("binlogFormat", "mysql")
+    props.put("startingGtid", "10")
+    val off = new CdcTable(graft.cdc.CdcSchema.withEnvelope(schema), props)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .build().asInstanceOf[CdcScan]
+      .toMicroBatchStream("unused")
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(off.fileIdx == 1,
+      s"PREVIOUS_GTIDS must skip the stream's prefix, got $off")
   }
 
   test("fuzz: single-bit corruption always terminates cleanly (decode or fail loud)") {
