@@ -728,11 +728,14 @@ object CdcCodec {
   /** Catalog listing: the union of every v2 sidecar's per-table keys
     * (tiny reads — the log itself never opens for CLOSED files; the
     * writer registers mappings at TABLE_MAP time, so mapped-but-rowless
-    * tables are in there) plus a TABLE_MAP scan of the newest
-    * SIDECAR-LESS file that holds data (normally exactly one: the open
-    * file the producer is appending; a mid-rotation zero-byte or
-    * headerless tail is skipped by length, never opened). Bounded I/O
-    * at any log size, and routine rotation never changes what lists.
+    * tables are in there) plus a TABLE_MAP scan of EVERY sidecar-less
+    * file that holds data (normally exactly one: the open file the
+    * producer is appending — but a producer crash before close or a
+    * pre-v2 sidecar cache leaves older files sidecar-less too, and a
+    * table unique to one of those must still list; a mid-rotation
+    * zero-byte or headerless tail is skipped by length, never opened).
+    * Bounded I/O at any log size in the normal one-open-file case, and
+    * routine rotation never changes what lists.
     * Compat note: sidecars written before mappings were registered
     * (pre-graft-cdc4 caches) only name tables WITH rows — a
     * mapped-but-rowless table in such a file doesn't list (it never
@@ -759,7 +762,7 @@ object CdcCodec {
           }
           out.toSeq
         } finally r.close()
-      }.find(_.nonEmpty).getOrElse(Nil)
+      }.flatten.toSeq
     (fromSidecars ++ scanned).distinct
   }
 }

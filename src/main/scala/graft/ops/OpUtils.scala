@@ -28,14 +28,55 @@ private[graft] object OpUtils {
     * shuffle it inserts is small for the same reason the input is
     * narrow. Decode cost dominates blob-shuffle cost by orders of
     * magnitude whenever the branch triggers. Streaming frames pass
-    * through (micro-batch partitioning is the planner's). */
+    * through (micro-batch partitioning is the planner's).
+    *
+    * Width is estimated from the LOGICAL plan's file-scan leaves
+    * (Spark's own `FilePartition.maxSplitBytes` formula over the
+    * leaves' listed bytes) rather than `df.rdd.getNumPartitions`: the
+    * RDD conversion pays a second physical planning of the query and,
+    * under AQE on shuffled inputs, can materialize upstream query
+    * stages just to COUNT partitions before repartitioning re-executes
+    * them. By contract the helper is applied to un-shuffled scan
+    * inputs (narrow transforms of a file read); a frame whose leaves
+    * are not all file relations passes through untouched. */
   def parallelismFloor(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
-      if (target > 1 && df.rdd.getNumPartitions < math.max(2, target / 2))
+      if (target > 1 &&
+          fileScanWidth(df).exists(_ < math.max(2, target / 2)))
         df.repartition(target)
       else df
     }
+  }
+
+  /** Estimated scan width: for each leaf `HadoopFsRelation`, replay
+    * Spark's split-size formula (`FilePartition.maxSplitBytes`) over
+    * the file index's total bytes — openCostInBytes per file, capped
+    * at maxPartitionBytes, floored at bytes-per-core — and sum the
+    * resulting split counts. Listing comes from the already-cached
+    * `FileIndex`; nothing is planned or executed. None when any leaf
+    * is not a file relation (local/in-memory/v2 inputs — out of the
+    * helper's contract, caller's frame passes through). */
+  private def fileScanWidth(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val maxSplitDefault = conf.filesMaxPartitionBytes
+    val cores = math.max(1, spark.sparkContext.defaultParallelism)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val widths = leaves.map {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        val nFiles = fs.location.inputFiles.length.toLong
+        val totalBytes = fs.location.sizeInBytes + nFiles * openCost
+        val bytesPerCore = totalBytes / cores
+        val maxSplit = math.min(maxSplitDefault, math.max(openCost, bytesPerCore))
+        Some(if (maxSplit <= 0) nFiles
+             else (totalBytes + maxSplit - 1) / maxSplit)
+      case _ => None
+    }
+    if (widths.nonEmpty && widths.forall(_.isDefined)) Some(widths.flatten.sum)
+    else None
   }
 }

@@ -530,9 +530,14 @@ object TextAnalysis {
     val tk = freshCol(df, "__tk")
     val t = col(tk)
     val nW = size(t).cast("long")
-    // words are single-space separated: non-space chars = len - (n-1)
-    val meanLen = (length(col(textCol)) - size(t) + 1).cast("double") /
-      size(t).cast("double")
+    // words are single-space separated: non-space chars = len - (n-1).
+    // size(t) >= 1 for any non-null text (split("") = [""]) in BOTH
+    // Spark and DuckDB, so the zero branch is unreachable today — the
+    // guard pins a finite 0.0 (never Infinity/NaN in the report) if the
+    // tokenizer ever starts dropping empty tokens.
+    val meanLen = when(size(t) === 0, lit(0.0)).otherwise(
+      (length(col(textCol)) - size(t) + 1).cast("double") /
+        size(t).cast("double"))
     val stopHits = size(array_intersect(array_distinct(t),
       typedLit(StopWords)))
     val uniq = size(array_distinct(t)).cast("double") / size(t).cast("double")

@@ -141,8 +141,18 @@ object Llm {
     val nb = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val withEmb = nb.join(
       broadcast(qe.join(broadcast(ann), "query_id")), "neighbor_id")
+    // multi-consumption discipline (DESIGN.md): `exact` is consumed by
+    // TWO broadcast joins below (exactTop1 + exactSet), and the two
+    // broadcast exchanges differ, so without a barrier the brute-force
+    // crossJoin subtree plans AND EXECUTES twice — the round-11 lint
+    // recount surfaced exactly that (two identical BNLJ occurrences per
+    // gate user). The frame is compact (queries/250 × k rows) but
+    // per-row expensive (a corpus-wide cosine scan) — the checkpoint
+    // case. Lazy: query CONSTRUCTION stays execution-free (PlanLint /
+    // explain build all 207 frames without running the gate).
     val exact = Similarity.bruteForceTopK(
       emb, emb.filter(col("vec_id") % 250 === 0), k)
+      .localCheckpoint(false)
     val exactTop1 = exact.filter(col("rank") === 1)
       .select(col("query_id"), col("sim").as("exact_sim1"))
     val exactSet = exact.select(col("query_id"), col("neighbor_id"))

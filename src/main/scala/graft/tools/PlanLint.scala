@@ -28,55 +28,62 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanLint {
 
-  /** (query, pattern) pairs accepted with a recorded reason — the
-    * round-10 audit of every hit. A BroadcastNestedLoopJoin is sound
-    * exactly when its broadcast side is SMALL BY CONTRACT (a query set,
-    * a sketch, a scalar, a dimension table) — the op never replicates
-    * the corpus; each entry names that contract. New hits (and any
-    * CartesianProduct, never allowed) fail the lint. */
-  private val Allow: Map[(String, String), String] = {
+  /** (query, pattern) pairs accepted with a recorded reason AND an
+    * audited occurrence COUNT — the round-10 audit of every hit,
+    * recounted in round 11 when matching moved from boolean
+    * plan.contains to occurrence counting (the boolean form let a
+    * second, unaudited BNLJ hide behind the first). A
+    * BroadcastNestedLoopJoin is sound exactly when its broadcast side
+    * is SMALL BY CONTRACT (a query set, a sketch, a scalar, a
+    * dimension table) — the op never replicates the corpus; each
+    * entry names that contract and pins how many such stages the
+    * audited plan has. One MORE occurrence than the pinned count
+    * fails the lint. New hits (and any CartesianProduct, never
+    * allowed) fail too. */
+  private val Allow: Map[(String, String), (String, Int)] = {
     val bnlj = "BroadcastNestedLoopJoin"
-    val knn = "query set broadcast by contract; corpus side streams once" +
-      " (Similarity scaladoc)"
+    // every BNLJ in the ANN family broadcasts a by-contract-small
+    // frame (query set / probe cells / PQ codebook LUT); the corpus
+    // side streams once per stage (Similarity scaladoc). Round-11
+    // recount: the annGate brute-verify subtree is now localCheck-
+    // pointed (computed once, surfaces as an ExistingRDD leaf), so
+    // gate-only users (llm16/42/45/65/67/70, str12) show NO BNLJ in
+    // the main plan anymore — only queries whose OWN search path
+    // cross-joins the broadcast query set remain here.
+    val knn = "query set / probe cells / codebook broadcast by " +
+      "contract; corpus side streams once per stage (Similarity scaladoc)"
     Map(
-      ("llm09_knn_brute", bnlj) -> knn,
-      ("llm16_knn_ivf", bnlj) -> knn,
-      ("llm41_knn_pq", bnlj) -> knn,
-      ("llm42_knn_ivfpq", bnlj) -> knn,
-      ("llm45_knn_ivf_prebuilt", bnlj) -> knn,
-      ("llm64_knn_filtered", bnlj) -> knn,
-      ("llm65_knn_ivf_append", bnlj) -> knn,
-      ("llm67_knn_ivf_delete", bnlj) -> knn,
-      ("llm70_knn_ivf_compact", bnlj) -> knn,
-      ("str12_stream_knn", bnlj) -> knn,
+      ("llm09_knn_brute", bnlj) -> (knn, 1),
+      ("llm41_knn_pq", bnlj) -> (knn, 1),
+      ("llm64_knn_filtered", bnlj) -> (knn, 1),
       ("llm20_embed_neardup_exact", bnlj) ->
-        "exact-verify stage: candidate pairs broadcast (LSH-pruned, ≪ corpus)",
+        ("exact-verify stage: candidate pairs broadcast (LSH-pruned, ≪ corpus)", 1),
       ("llm19_jaccard_block", bnlj) ->
-        "prefix-filter candidates broadcast (pigeonhole-pruned, ≪ n²)",
+        ("prefix-filter candidates broadcast (pigeonhole-pruned, ≪ n²)", 1),
       ("llm26_tfidf_topterms", bnlj) ->
-        "1-row corpus-size scalar cross join",
+        ("1-row corpus-size scalar cross join", 1),
       ("cdc19_multi_source_identity", bnlj) ->
-        "per-source watermark frame (≤ #sources rows) broadcast",
+        ("per-source watermark frame (≤ #sources rows) broadcast", 1),
       ("q09_cross_join", bnlj) ->
-        "the cross-join capability itself, region×nation (tiny dims)",
+        ("the cross-join capability itself, region×nation (tiny dims)", 1),
       ("q10_theta_join", bnlj) ->
-        "non-equi theta join with a broadcast dimension side",
+        ("non-equi theta join with a broadcast dimension side", 1),
       ("q53_sample", bnlj) ->
-        "1-row sampling-threshold scalar cross join",
+        ("1-row sampling-threshold scalar cross join", 1),
       ("q61_heavy_hitters_cms", bnlj) ->
-        "merged CMS sketch (1 row) cross join",
+        ("merged CMS sketch (1 row) cross join", 1),
       ("q62_kmv_distinct", bnlj) ->
-        "merged KMV sketch (1 row) cross join",
+        ("merged KMV sketch (1 row) cross join", 1),
       ("q74_funnel", bnlj) ->
-        "per-stage scalar counts (≤ #stages rows) cross join") ++ {
+        ("per-stage 1-row scalar counts: one cross join per funnel-stage pair", 2)) ++ {
       val sp = "SinglePartition"
       val cumsum = "bucket-offset cumsum: the exchange input is the " +
         "per-__bucket totals — O(#buckets) rows by construction (fixed " +
         "small bucket count; GlobalOrder/Packing two-level design)"
       Map(
-        ("llm23_sequence_pack", sp) -> cumsum,
-        ("llm43_multimodal_pairs", sp) -> cumsum,
-        ("llm55_token_budget", sp) -> cumsum)
+        ("llm23_sequence_pack", sp) -> (cumsum, 1),
+        ("llm43_multimodal_pairs", sp) -> (cumsum, 1),
+        ("llm55_token_budget", sp) -> (cumsum, 1))
     }
   }
 
@@ -84,24 +91,42 @@ object PlanLint {
     "CartesianProduct",
     "BroadcastNestedLoopJoin")
 
-  /** First SinglePartition exchange whose direct child is NOT a PARTIAL
+  /** Count of non-overlapping occurrences of `pat` in `plan`. */
+  private[graft] def countOccurrences(plan: String, pat: String): Int = {
+    var n = 0
+    var i = plan.indexOf(pat)
+    while (i >= 0) { n += 1; i = plan.indexOf(pat, i + pat.length) }
+    n
+  }
+
+  /** The plan lines containing `pat`, trimmed — audit detail for the
+    * occurrence report (which join/exchange each count refers to). */
+  private def matchLines(plan: String, pat: String): Seq[String] =
+    plan.linesIterator.filter(_.contains(pat))
+      .map(_.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':'
+        || c == '*' || c == '(' || c.isDigit || c == ')').take(100))
+      .toSeq
+
+  /** EVERY SinglePartition exchange whose direct child is NOT a PARTIAL
     * aggregate (i.e. the rows entering the one-task stage are not
-    * already partial-reduced to O(#partitions)), as (childFragment).
+    * already partial-reduced to O(#partitions)), as (childFragment)s.
     * Requiring `partial_` matters: a FINAL keyed aggregate child means
     * the exchange funnels O(#groups) rows — unbounded at scale, the
     * exact one-task shape the lint exists to catch. Text-level: in the
     * rendered tree the child is the next line, one level deeper —
-    * robust under AQE's Initial/Final plan sections. */
-  private[graft] def singlePartitionOffense(plan: String): Option[String] = {
+    * robust under AQE's Initial/Final plan sections. Returning ALL
+    * offenders (not the first) lets the caller count them against the
+    * allowlist, so an allowed query can't mask a second one. */
+  private[graft] def singlePartitionOffenses(plan: String): Seq[String] = {
     val lines = plan.linesIterator.toArray
     def partialAgg(l: String) =
       (l.contains("HashAggregate") || l.contains("SortAggregate") ||
         l.contains("ObjectHashAggregate")) && l.contains("partial_")
-    lines.zipWithIndex.collectFirst {
+    lines.zipWithIndex.collect {
       case (l, i) if l.contains("Exchange SinglePartition") &&
           (i + 1 >= lines.length || !partialAgg(lines(i + 1))) =>
         if (i + 1 < lines.length) lines(i + 1).trim.take(90) else "(leaf)"
-    }
+    }.toSeq
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,23 +150,37 @@ object PlanLint {
           checked += 1
           val plan = df.queryExecution.executedPlan.toString
           Patterns.foreach { p =>
-            if (plan.contains(p)) {
-              val why = Allow.get((name, p))
-              if (why.isDefined)
-                println(s"ALLOW $name: $p (${why.get})")
-              else {
-                bad += 1
-                println(s"FAIL  $name: $p")
+            val n = countOccurrences(plan, p)
+            if (n > 0) {
+              Allow.get((name, p)) match {
+                case Some((why, allowed)) if n <= allowed =>
+                  println(s"ALLOW $name: $p x$n ($why)")
+                case Some((why, allowed)) =>
+                  bad += 1
+                  println(s"FAIL  $name: $p x$n exceeds audited " +
+                    s"x$allowed (allowlisted for: $why); occurrences: " +
+                    matchLines(plan, p).mkString(" | "))
+                case None =>
+                  bad += 1
+                  println(s"FAIL  $name: $p x$n; occurrences: " +
+                    matchLines(plan, p).mkString(" | "))
               }
             }
           }
-          singlePartitionOffense(plan).foreach { frag =>
+          val spOff = singlePartitionOffenses(plan)
+          if (spOff.nonEmpty) {
             Allow.get((name, "SinglePartition")) match {
-              case Some(why) =>
-                println(s"ALLOW $name: SinglePartition ($why)")
+              case Some((why, allowed)) if spOff.length <= allowed =>
+                println(s"ALLOW $name: SinglePartition x${spOff.length} ($why)")
+              case Some((why, allowed)) =>
+                bad += 1
+                println(s"FAIL  $name: SinglePartition x${spOff.length} " +
+                  s"exceeds audited x$allowed (allowlisted for: " +
+                  s"$why); over ${spOff.mkString("; ")}")
               case None =>
                 bad += 1
-                println(s"FAIL  $name: Exchange SinglePartition over $frag")
+                spOff.foreach(frag => println(
+                  s"FAIL  $name: Exchange SinglePartition over $frag"))
             }
           }
         } else println(s"SKIP  $name: streaming")

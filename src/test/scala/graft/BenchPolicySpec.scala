@@ -24,7 +24,7 @@ class BenchPolicySpec extends AnyFunSuite {
   }
 
   test("plan-lint SinglePartition detector: fires on global-window, passes partials-merge") {
-    import graft.tools.PlanLint.singlePartitionOffense
+    import graft.tools.PlanLint.singlePartitionOffenses
     // global window: the whole input funnels through one task — offender
     val globalWindow =
       """AdaptiveSparkPlan isFinalPlan=false
@@ -33,7 +33,7 @@ class BenchPolicySpec extends AnyFunSuite {
         |      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
         |         +- Project [ts, v]
         |            +- FileScan parquet [ts,v]""".stripMargin
-    assert(singlePartitionOffense(globalWindow).exists(_.contains("Project")))
+    assert(singlePartitionOffenses(globalWindow).exists(_.contains("Project")))
     // scalar aggregate: partial-agg output (O(#partitions) rows) merges
     // through SinglePartition — the sound shape, not an offender
     val partialsMerge =
@@ -41,7 +41,7 @@ class BenchPolicySpec extends AnyFunSuite {
         |+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
         |   +- HashAggregate(keys=[], functions=[partial_sum(x)])
         |      +- FileScan parquet [x]""".stripMargin
-    assert(singlePartitionOffense(partialsMerge).isEmpty)
+    assert(singlePartitionOffenses(partialsMerge).isEmpty)
     // a FINAL keyed aggregate feeding the exchange is NOT exempt: the
     // one-task stage processes O(#groups) rows — unbounded at scale
     val finalKeyedAgg =
@@ -50,6 +50,21 @@ class BenchPolicySpec extends AnyFunSuite {
         |   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
         |      +- HashAggregate(keys=[k], functions=[sum(x)])
         |         +- Exchange hashpartitioning(k, 32)""".stripMargin
-    assert(singlePartitionOffense(finalKeyedAgg).exists(_.contains("HashAggregate")))
+    assert(singlePartitionOffenses(finalKeyedAgg).exists(_.contains("HashAggregate")))
+    // TWO offending exchanges in one plan return TWO fragments — the
+    // allowlist admits exactly one occurrence, so a second unjustified
+    // SinglePartition entering an already-allowed query still fails
+    val twoOffenders = globalWindow + "\n" + finalKeyedAgg
+    assert(singlePartitionOffenses(twoOffenders).length == 2)
+  }
+
+  test("plan-lint pattern matching counts occurrences, not booleans") {
+    import graft.tools.PlanLint.countOccurrences
+    val plan =
+      """BroadcastNestedLoopJoin BuildRight, Inner
+        |+- Project [a]
+        |+- BroadcastNestedLoopJoin BuildLeft, Cross""".stripMargin
+    assert(countOccurrences(plan, "BroadcastNestedLoopJoin") == 2)
+    assert(countOccurrences(plan, "CartesianProduct") == 0)
   }
 }

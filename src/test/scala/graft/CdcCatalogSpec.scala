@@ -68,20 +68,24 @@ class CdcCatalogSpec extends SparkTestBase {
     assert(tables == Seq("t", "u"))
   }
 
-  test("sidecar-less fallback: newest mapping file lists; empty rotated tail is walked past") {
+  test("sidecar-less fallback: EVERY mapping file lists; empty rotated tail is walked past") {
     val index = writeGcdcLog()
     val dir = Paths.get(index).getParent
     // strip the sidecars -> the TABLE_MAP-scan fallback branch
     dir.toFile.listFiles.filter(_.getName.endsWith(".meta"))
       .foreach(f => Files.delete(f.toPath))
     // mysqld-style rotation: the newest file exists but has no events
-    // yet — listing must walk back to the last file that maps anything
+    // yet — listing walks past it; ALL older sidecar-less files scan
+    // (a producer crash before close / pre-v2 caches leave several,
+    // and a table unique to an older one — 'old' here, mapped only in
+    // b.0 — must not silently vanish from SHOW TABLES)
     new CdcCodec.LogWriter(s"$dir/b.2").close()
     Files.writeString(Paths.get(dir.toString, "binlog.index"), "b.0\nb.1\nb.2\n")
     val cat = register(index)
     val ns = spark.sql(s"SHOW NAMESPACES IN $cat")
       .collect().map(_.getString(0)).sorted.toSeq
-    assert(ns == Seq("db", "other"), "newest MAPPING file (b.1) names the set")
+    assert(ns == Seq("db", "old", "other"),
+      "all mapping files (b.0 + b.1) name the set")
     val tables = spark.sql(s"SHOW TABLES IN $cat.db")
       .collect().map(_.getString(1)).sorted.toSeq
     assert(tables == Seq("t", "u"))
