@@ -672,6 +672,16 @@ object MysqlBinlog {
     // closes for gtid_mode=OFF, here closed for future/unknown wire
     // states by construction.
     private var txnIdentityValid = false
+    // A BEGIN (or XA START) QUERY opened a transaction BODY that no XID
+    // / COMMIT / ROLLBACK / XA END has closed yet. Distinguishing
+    // in-body from standalone statements matters under
+    // binlog_format=MIXED: mysqld statement-logs a DML event INSIDE a
+    // live body (optimizer chose statement logging for that statement)
+    // before the target table's row events — such a QUERY must KEEP the
+    // scope open (the transaction's GTID governs all of it), while the
+    // same-looking QUERY outside a body is a DDL/standalone statement
+    // whose GTID scope ends with it (no XID follows).
+    private var txnBodyOpen = false
     // Statement text of the most recent ROWS_QUERY event in the live
     // identity scope (binlog_rows_query_log_events=ON writes one per
     // row-logged statement, before its TABLE_MAPs; the next statement's
@@ -694,10 +704,12 @@ object MysqlBinlog {
         currentSourceId = UTF8String.fromString(formatUuid(sid))
         anonymousTxn = false
         txnIdentityValid = true
+        txnBodyOpen = false
         currentRowsQuery = null
         Nil // trailing logical-timestamp fields (5.7+): ignored
       case EventType.AnonymousGtid =>
         anonymousTxn = true
+        txnBodyOpen = false
         currentRowsQuery = null
         Nil
       case EventType.Xid =>
@@ -706,6 +718,7 @@ object MysqlBinlog {
         // event we failed to recognize
         txnIdentityValid = false
         anonymousTxn = false
+        txnBodyOpen = false
         currentRowsQuery = null
         Nil
       case EventType.RowsQuery =>
@@ -716,20 +729,52 @@ object MysqlBinlog {
           else UTF8String.fromBytes(ev.payload, 1, ev.payload.length - 1)
         Nil
       case EventType.Query =>
-        // Statements that live INSIDE a transaction body keep the
-        // identity scope open: `BEGIN` (the row-format opener) and the
-        // statements mysqld statement-logs mid-transaction even under
-        // binlog_format=ROW — SAVEPOINT / ROLLBACK TO SAVEPOINT — plus
-        // XA START/END, which bracket an XA transaction's rows. Any
-        // OTHER statement (DDL, COMMIT/ROLLBACK of a non-transactional-
-        // engine txn, XA PREPARE/COMMIT/ROLLBACK) both runs in and
-        // CLOSES the current GTID scope — these scopes have no XID, so
-        // without this a GTID→QUERY(ALTER …) pair would leave its gno
-        // live and stamp rows of a later transaction whose identity
-        // event we failed to recognize.
-        if (!queryKeepsScope(ev.payload)) {
+        // Statement classification against the live transaction BODY:
+        //  - `BEGIN` / `XA START …` OPEN a body (row-format / XA txn
+        //    opener); SAVEPOINT / ROLLBACK TO SAVEPOINT are body
+        //    statements mysqld logs mid-transaction even under
+        //    binlog_format=ROW — scope and body unchanged.
+        //  - `COMMIT` / `ROLLBACK` / `XA END` TERMINATE: COMMIT/
+        //    ROLLBACK are the no-XID closers (non-transactional-engine
+        //    txns commit via QUERY(COMMIT); a bare ROLLBACK ends a txn
+        //    with non-transactional side effects) and close body AND
+        //    scope; XA END closes the body only (XA PREPARE, a later
+        //    standalone statement, ends the scope).
+        //  - any other statement WHILE A BODY IS OPEN is a
+        //    statement-logged DML inside a live transaction
+        //    (binlog_format=MIXED — the optimizer chose statement
+        //    logging for that one statement): the transaction's GTID
+        //    still governs the row events that follow, so the scope
+        //    stays open. mysqld only statement-logs INSIDE a live body;
+        //    DDL implicitly commits first and never appears in-body.
+        //  - any other statement OUTSIDE a body (DDL, XA PREPARE/
+        //    COMMIT/ROLLBACK) both runs in and CLOSES the current GTID
+        //    scope — these scopes have no XID, so without this a
+        //    GTID→QUERY(ALTER …) pair would leave its gno live and
+        //    stamp rows of a later transaction whose identity event we
+        //    failed to recognize.
+        val stmt = queryStatement(ev.payload)
+        if (stmt == "BEGIN" || stmt.startsWith("XA START")) {
+          txnBodyOpen = true
+        } else if (stmt.startsWith("SAVEPOINT ") ||
+            stmt.startsWith("ROLLBACK TO ")) {
+          // body statement: scope and body unchanged
+        } else if (stmt == "COMMIT" || stmt == "ROLLBACK") {
           txnIdentityValid = false
           anonymousTxn = false
+          txnBodyOpen = false
+          currentRowsQuery = null
+        } else if (stmt.startsWith("XA END")) {
+          txnBodyOpen = false
+        } else if (txnBodyOpen) {
+          // MIXED-format statement-logged DML inside the body: keep the
+          // scope; clear the ROWS_QUERY text (it described the PREVIOUS
+          // statement — it must not stamp rows logged after this one)
+          currentRowsQuery = null
+        } else {
+          txnIdentityValid = false
+          anonymousTxn = false
+          txnBodyOpen = false
           currentRowsQuery = null
         }
         Nil
@@ -805,20 +850,20 @@ object MysqlBinlog {
       * prefix check requires the TO). A malformed body counts as
       * scope-closing: the conservative direction (identity closes,
       * later rows fail loud) — never the stale-stamp one. */
-    private def queryKeepsScope(payload: Array[Byte]): Boolean = {
-      if (payload.length < 13) return false
+    /** Uppercased statement text of a QUERY event ("" on a malformed
+      * payload — the caller's else-branch then closes the scope, the
+      * conservative read for bytes we can't parse). */
+    private def queryStatement(payload: Array[Byte]): String = {
+      if (payload.length < 13) return ""
       val c = new Cur(payload)
       c.skip(8) // thread id, exec time
       val schemaLen = c.u8()
       c.skip(2) // error code
       val statusVarsLen = c.u16()
       val stmtStart = 13 + statusVarsLen + schemaLen + 1
-      if (stmtStart > payload.length) return false
-      val stmt = new String(payload, stmtStart, payload.length - stmtStart,
+      if (stmtStart > payload.length) return ""
+      new String(payload, stmtStart, payload.length - stmtStart,
         java.nio.charset.StandardCharsets.US_ASCII).toUpperCase
-      stmt == "BEGIN" || stmt.startsWith("SAVEPOINT ") ||
-        stmt.startsWith("ROLLBACK TO ") ||
-        stmt.startsWith("XA START") || stmt.startsWith("XA END")
     }
 
 

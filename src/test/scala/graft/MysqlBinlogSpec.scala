@@ -281,6 +281,49 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
   }
 
+  test("MIXED format: statement-logged DML inside a BEGIN body keeps identity; QUERY(COMMIT) closes") {
+    // binlog_format=MIXED: the optimizer statement-logs ONE statement of
+    // a transaction (e.g. an UPDATE with a non-deterministic-safe plan)
+    // while the rest row-logs. That QUERY event arrives INSIDE the
+    // BEGIN-opened body, before the target table's row events — it must
+    // not close the identity scope (round-10 behavior rejected such
+    // valid logs as 'unrecognized identity event or spliced').
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.query(1000L, "db", "UPDATE other SET v = v + 1 WHERE k = 3")
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, "a")))
+    w.xid(1000L, 1L)
+    // non-transactional engine: the txn terminates with QUERY(COMMIT),
+    // not an XID — the terminator must close body AND scope, so rows
+    // after it (no new GTID) fail loud instead of inheriting gno 2
+    w.gtid(1001L, 2L, Sid)
+    w.query(1001L, "db", "BEGIN")
+    w.tableMap(1001L, 9L, "db", "t", schema)
+    w.writeRows(1001L, 9L, schema, Seq(Array[Any](2L, "b")))
+    w.query(1001L, "db", "COMMIT")
+    w.close()
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.map(_.gtid).toSeq == Seq(1L, 2L),
+      "in-body statement-logged DML must not clear identity; COMMIT closes")
+    // ...and a DML-looking statement OUTSIDE any body still closes the
+    // scope (standalone statement-logged txn under MIXED has its own
+    // GTID; a row event after it without a fresh opener is spliced)
+    val w2 = new MysqlBinlog.Writer(s"$dir/mysql-bin.000002", checksum = true)
+    w2.gtid(2000L, 5L, Sid)
+    w2.query(2000L, "db", "UPDATE other SET v = 1")
+    w2.tableMap(2000L, 9L, "db", "t", schema)
+    w2.writeRows(2000L, 9L, schema, Seq(Array[Any](9L, "z")))
+    w2.close()
+    val e2 = intercept[Exception] { decodeAll(s"$dir/mysql-bin.000002", "db", "t") }
+    assert(e2.getMessage.contains("no live transaction identity"), e2.getMessage)
+  }
+
   test("ROWS_QUERY: per-statement stamping, replacement in a txn, cleared at XID") {
     // binlog_rows_query_log_events=ON writes one ROWS_QUERY per
     // row-logged statement, before its TABLE_MAPs. The decoder stamps
