@@ -64,6 +64,7 @@ object CdcFixture {
   private val cacheMyRi = mutable.Map.empty[String, String]
   private val cacheMyDl = mutable.Map.empty[String, String]
   private val cacheMyQ = mutable.Map.empty[String, String]
+  private val cacheMyTg = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -307,6 +308,67 @@ object CdcFixture {
 
   val DdlScopeTable = "dorders"
   val DdlScopeTableId = 29L
+
+  /** A log from a MySQL 8.3+/8.4 server with GTID TAGS in use: insert
+    * transactions rotate through three identity streams — untagged,
+    * `:etl`, `:repair` — each with its OWN gno counter (gno uniqueness
+    * is per (uuid, tag)); the update phase runs entirely under the
+    * `repair` tag, the "maintenance traffic tagged out-of-band" pattern
+    * tags exist for. cdc43 reads the storyline: every row's
+    * __source_id must carry `uuid:tag` (bare uuid for untagged) and
+    * per-stream gnos must not collide across streams. */
+  def ensureMysqlTagged(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyTg, "graft-cdcmytg", sfDir)(
+      generateTagged(spark, sfDir, _))
+
+  val TaggedTable = "gorders"
+  val TaggedTableId = 33L
+
+  private def generateTagged(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderkey % 1000 AS BIGINT) AS val")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      def txn(b: Long, tag: Option[String], gno: Long, tsG: Long)(
+          body: Long => Unit): Unit = {
+        val ts = BaseMs + tsG * 1000L
+        tag match {
+          case None => w.gtid(ts, gno, SourceId)
+          case Some(t) => w.gtidTagged(ts, gno, SourceId, t)
+        }
+        w.query(ts, Db, "BEGIN")
+        w.tableMap(ts, TaggedTableId, Db, TaggedTable, schema)
+        body(ts)
+        w.xid(ts, gno)
+      }
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        val tag = (i % 3) match {
+          case 0 => None
+          case 1 => Some("etl")
+          case _ => Some("repair")
+        }
+        txn(i.toLong, tag, i / 3 + 1L, i.toLong)(ts =>
+          w.writeRows(ts, TaggedTableId, schema, batch.toSeq))
+      }
+      val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 100000L + b
+        txn(b.toLong, Some("repair"), g, g)(ts =>
+          w.updateRows(ts, TaggedTableId, schema, batch.toSeq.map { r =>
+            val after = r.clone()
+            after(1) = r(1).asInstanceOf[Long] + 1000L
+            (r, after)
+          }))
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
 
   private def generateDdlScope(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {

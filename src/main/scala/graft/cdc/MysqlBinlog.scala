@@ -80,6 +80,7 @@ object MysqlBinlog {
     val PartialUpdateRows = 39: Byte
     val PreviousGtids = 35: Byte
     val TransactionPayload = 40: Byte
+    val GtidTagged = 42: Byte // MySQL 8.3+ GTID_TAGGED_LOG_EVENT
   }
 
   /** TLV field types of TRANSACTION_PAYLOAD (MySQL 8.0.20+
@@ -665,8 +666,9 @@ object MysqlBinlog {
     // GTID→QUERY(ALTER …) with no XID; non-transactional-engine txns
     // close with QUERY(COMMIT)). Target-table rows with no
     // live identity fail loud — otherwise an identity event of an
-    // unrecognized type (e.g. MySQL 8.3+ tagged GTID, type 42, which the
-    // default arm skips as control) would leave the PREVIOUS
+    // unrecognized FUTURE type (which the default arm skips as
+    // control; tagged GTIDs, type 42, decode since round 11 — the
+    // guard now covers types newer still) would leave the PREVIOUS
     // transaction's gno in place and stamp the following rows with a
     // stale __gtid: the same corruption class the anonymous-GTID check
     // closes for gtid_mode=OFF, here closed for future/unknown wire
@@ -707,6 +709,23 @@ object MysqlBinlog {
         txnBodyOpen = false
         currentRowsQuery = null
         Nil // trailing logical-timestamp fields (5.7+): ignored
+      case EventType.GtidTagged =>
+        // MySQL 8.3+ tagged GTID (`UUID:tag:gno`, 8.4 LTS default-
+        // capable): the (uuid, tag) PAIR is the source-stream identity
+        // — gno uniqueness is per tag — so the tag rides __source_id
+        // as `uuid:tag`, exactly the multi-source identity shape cdc19
+        // already serves. Untagged events (type 33) are byte-identical
+        // to before; an empty tag (not a thing mysqld writes, but
+        // representable) reads as the plain uuid.
+        val (uuid, tag, gno) = parseTaggedGtid(ev.payload, ev.pos)
+        currentGtid = gno
+        currentSourceId = UTF8String.fromString(
+          if (tag.isEmpty) uuid else s"$uuid:$tag")
+        anonymousTxn = false
+        txnIdentityValid = true
+        txnBodyOpen = false
+        currentRowsQuery = null
+        Nil
       case EventType.AnonymousGtid =>
         anonymousTxn = true
         txnBodyOpen = false
@@ -905,8 +924,8 @@ object MysqlBinlog {
           if (!txnIdentityValid) throw new IOException(
             s"rows event for $targetDb.$targetTable at log offset ${ev.pos} " +
               "with no live transaction identity: no recognized GTID event " +
-              "opened this transaction (an unrecognized identity event type — " +
-              "e.g. MySQL 8.3+ tagged GTID, type 42 — or a log spliced " +
+              "opened this transaction (an identity event of an unrecognized " +
+              "future type, or a log spliced " +
               "mid-transaction); decoding would stamp these rows with a " +
               "stale __gtid, corrupting latest-image ordering")
           c.u16() // flags
@@ -1314,11 +1333,131 @@ object MysqlBinlog {
   def parsePreviousGtids(payload: Array[Byte]): Map[String, Seq[(Long, Long)]] = {
     val c = new Cur(payload)
     val nSids = c.i64()
-    (0L until nSids).map { _ =>
+    // Plausibility guard: a server with tagged GTIDs (8.3+) writes its
+    // PREVIOUS_GTIDS with the EXTENDED tagged-set encoding, which this
+    // untagged-layout parser would misread into garbage interval counts
+    // — and garbage BOUNDS would silently mis-prune files. Each sid
+    // needs >= 16+8 bytes, so an implausible count means "not the
+    // untagged layout": throw, and readPreviousGtids maps it to None
+    // (file unprunable — conservative, never wrong).
+    require(nSids >= 0 && nSids <= c.remaining / 24,
+      s"implausible PREVIOUS_GTIDS sid count $nSids for ${c.remaining} " +
+        "payload bytes — tagged-set (MySQL 8.3+) or corrupt encoding")
+    val out = (0L until nSids).map { _ =>
       val sid = formatUuid(c.bytes(16))
       val nIv = c.i64()
+      require(nIv >= 0 && nIv <= c.remaining / 16,
+        s"implausible PREVIOUS_GTIDS interval count $nIv")
       sid -> (0L until nIv).map(_ => (c.i64(), c.i64())).toSeq
     }.toMap
+    // untagged payloads are exactly consumed; trailing bytes mean an
+    // encoding this parser doesn't understand — refuse to prune on it
+    require(c.remaining == 0,
+      s"${c.remaining} undecoded PREVIOUS_GTIDS bytes — extended encoding")
+    out
+  }
+
+  // ------------------------------------------- tagged GTIDs (MySQL 8.3+)
+
+  /** Prefix-varint of the `mysql::serialization` binary archive
+    * (WL#15304, mysql-server `libs/mysql/serialization`): the count of
+    * consecutive set low bits in the FIRST byte, up to the first clear
+    * bit, is the number of ADDITIONAL bytes; the remaining bits of the
+    * little-endian byte group, shifted right past the marker, are the
+    * value. 9-byte form: first byte 0xFF, then 8 raw LE value bytes. */
+  private def readSvar(c: Cur): Long = {
+    require(c.remaining >= 1, "truncated varint")
+    val first = c.u8()
+    var n = 0
+    while (n < 8 && ((first >> n) & 1) == 1) n += 1
+    require(c.remaining >= n, s"truncated varint ($n extra bytes)")
+    if (n == 8) {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (c.u8().toLong << (8 * i)); i += 1 }
+      v
+    } else {
+      var word = first.toLong
+      var i = 0
+      while (i < n) { word |= (c.u8().toLong << (8 * (i + 1))); i += 1 }
+      word >>> (n + 1)
+    }
+  }
+
+  /** Array-level svar codec, for spec round-trips and external golden
+    * authoring checks. Decode returns (value, bytes consumed). */
+  private[graft] def svarEncode(v: Long): Array[Byte] = {
+    val b = new ByteBuf
+    writeSvar(b, v)
+    java.util.Arrays.copyOf(b.arr, b.size)
+  }
+  private[graft] def svarDecode(a: Array[Byte]): (Long, Int) = {
+    val c = new Cur(a)
+    val v = readSvar(c)
+    (v, c.p)
+  }
+
+  private def writeSvar(b: ByteBuf, v: Long): Unit = {
+    var n = 0
+    while (n < 8 && java.lang.Long.compareUnsigned(v,
+        1L << (7 * (n + 1))) >= 0) n += 1
+    if (n == 8) {
+      b.u8(0xff)
+      b.i64(v)
+    } else {
+      val word = (v << (n + 1)) | ((1L << n) - 1)
+      var i = 0
+      while (i <= n) { b.u8(((word >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+  }
+
+  /** GTID_TAGGED_LOG_EVENT (type 42, MySQL 8.3+/8.4 LTS) body: the
+    * `mysql::serialization` field stream of `Gtid_event` — field_id
+    * varint then payload, in the source's field order (mysql-server
+    * `libs/mysql/binlog/event/control_events.h`; the reference's GTID
+    * capture at binlog_table_reader.cc:410-416 predates tags entirely,
+    * so this surface is ours):
+    *
+    *   0 uuid (16 raw bytes)       5 immediate_commit_timestamp
+    *   1 tag (varint len + ascii)  6 original_commit_timestamp
+    *   2 gno (varint)              7 transaction_length
+    *   3 last_committed            8 immediate_server_version
+    *   4 sequence_number           9 original_server_version
+    *   10 commit_group_ticket (optional)
+    *
+    * Only (uuid, tag, gno) feed the envelope; the numeric trailers are
+    * read-and-ignored. An UNKNOWN field id fails loud: its payload
+    * kind is undecidable, and guessing would desynchronize the stream
+    * right before the transaction's row events — the exact silent-
+    * corruption class the identity scope exists to prevent.
+    * Returns (formatted uuid, tag, gno). */
+  private[graft] def parseTaggedGtid(payload: Array[Byte], pos: Long): (String, String, Long) = {
+    val c = new Cur(payload)
+    var uuid: String = null
+    var tag: String = ""
+    var gno = -1L
+    var gnoSeen = false
+    while (c.remaining > 0) {
+      val id = readSvar(c)
+      id match {
+        case 0 => uuid = formatUuid(c.bytes(16))
+        case 1 =>
+          val len = readSvar(c).toInt
+          require(len >= 0 && len <= c.remaining, s"bad tag length $len")
+          tag = new String(c.bytes(len), StandardCharsets.US_ASCII)
+        case 2 => gno = readSvar(c); gnoSeen = true
+        case n if n >= 3 && n <= 10 => readSvar(c)
+        case n => throw new IOException(
+          s"tagged GTID event at log offset $pos carries unknown field " +
+            s"id $n: a newer server serialization than this decoder " +
+            "understands — refusing to guess the field layout of a " +
+            "transaction-identity event")
+      }
+    }
+    if (uuid == null || !gnoSeen) throw new IOException(
+      s"tagged GTID event at log offset $pos is missing its " +
+        s"${if (uuid == null) "uuid" else "gno"} field")
+    (uuid, tag, gno)
   }
 
   /** First PREVIOUS_GTIDS event of a file (scans at most the leading
@@ -1730,6 +1869,31 @@ object MysqlBinlog {
         // 5.7+ logical clock trailer (readers ignore it; we write it for
         // layout fidelity): lt_type, last_committed, sequence_number
         b.u8(2); b.i64(gno - 1); b.i64(gno)
+      }
+      if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
+    }
+
+    /** MySQL 8.3+ tagged GTID (GTID_TAGGED_LOG_EVENT, type 42): the
+      * `mysql::serialization` field stream of [[parseTaggedGtid]]'s
+      * scaladoc — field_id varint + payload per field, prefix-varint
+      * integers. Tag grammar enforced as mysqld does ([a-z_][a-z0-9_]*,
+      * max 32 chars, case-folded to lower). */
+    def gtidTagged(tsMs: Long, gno: Long, sourceId: String, tag: String): Unit = {
+      val t = tag.toLowerCase
+      require(t.matches("[a-z_][a-z0-9_]{0,31}"), s"bad GTID tag '$tag'")
+      flushTxn()
+      writeEvent(EventType.GtidTagged, tsMs) { b =>
+        writeSvar(b, 0L); b.raw(uuidBytes(sourceId))
+        val tb = t.getBytes(StandardCharsets.US_ASCII)
+        writeSvar(b, 1L); writeSvar(b, tb.length.toLong); b.raw(tb)
+        writeSvar(b, 2L); writeSvar(b, gno)
+        writeSvar(b, 3L); writeSvar(b, math.max(0L, gno - 1)) // last_committed
+        writeSvar(b, 4L); writeSvar(b, gno) // sequence_number
+        writeSvar(b, 5L); writeSvar(b, tsMs * 1000L) // immediate_commit_ts
+        writeSvar(b, 6L); writeSvar(b, tsMs * 1000L) // original_commit_ts
+        writeSvar(b, 7L); writeSvar(b, 0L) // transaction_length (unused)
+        writeSvar(b, 8L); writeSvar(b, 80400L) // immediate_server_version
+        writeSvar(b, 9L); writeSvar(b, 80400L) // original_server_version
       }
       if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
     }

@@ -598,6 +598,55 @@ object CdcExt {
           col(CdcSchema.GtidCol))
     },
 
+    // MySQL 8.3+ tagged GTIDs (GTID_TAGGED_LOG_EVENT, type 42): insert
+    // txns rotate untagged / :etl / :repair identity streams — each
+    // with its OWN gno counter — and the update phase runs entirely
+    // under :repair (maintenance traffic tagged out-of-band, the
+    // pattern tags exist for). The oracle recomputes every row's
+    // `uuid:tag` __source_id and per-stream gno: a tag dropped, a
+    // stale identity stamped, or streams' gnos collapsed into one
+    // counter all hash-mismatch.
+    QDef("cdc43_mysql_tagged_gtid",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |ins AS (
+         |  SELECT o_orderkey, val, CAST(idx // 100 AS BIGINT) AS b FROM ord
+         |),
+         |up AS (
+         |  SELECT o_orderkey, val,
+         |    CAST(100000 + (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 100 AS BIGINT) AS g
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, val, 1 AS __op, b // 3 + 1 AS g, b AS tsg,
+         |    CASE CAST(b % 3 AS INTEGER)
+         |      WHEN 0 THEN '${CdcFixture.SourceId}'
+         |      WHEN 1 THEN '${CdcFixture.SourceId}:etl'
+         |      ELSE '${CdcFixture.SourceId}:repair' END AS src
+         |  FROM ins
+         |  UNION ALL SELECT o_orderkey, val, 2, g, g,
+         |    '${CdcFixture.SourceId}:repair' FROM up
+         |  UNION ALL SELECT o_orderkey, val + 1000, 3, g, g,
+         |    '${CdcFixture.SourceId}:repair' FROM up
+         |)
+         |SELECT o_orderkey, val, __op, CAST(g AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(tsg) AS __tm,
+         |  src AS __source_id
+         |FROM ev""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlTagged(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.TaggedTable)
+        .option("binlogFormat", "mysql")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol),
+          col(CdcSchema.SourceIdCol))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -19,9 +19,10 @@ import graft.cdc.CdcSchema
   *     exactly as far as the projection reaches; selecting a column the
   *     image omits fails loud (absent ≠ NULL — silently surfacing NULL
   *     would corrupt latest-image compaction).
-  *   - Transaction identity: XID closes the identity scope; rows under
-  *     an UNRECOGNIZED identity event (MySQL 8.3+ tagged GTID, type 42)
-  *     fail loud instead of stamping the previous transaction's __gtid.
+  *   - Transaction identity: XID closes the identity scope. Tagged
+  *     GTIDs (MySQL 8.3+, type 42) DECODE — rows carry `uuid:tag` as
+  *     __source_id (round 11; previously fail-loud) — while a type-42
+  *     event with an unknown serialization field id still fails loud.
   *   - v1 rows events (pre-5.6 layout, types 23-25) for the target
   *     table fail loud instead of silently decoding zero rows.
   *   - Control events a real log interleaves (QUERY/BEGIN, ROWS_QUERY,
@@ -90,11 +91,13 @@ class GoldenPolicySpec extends SparkTestBase {
       (1L, CdcSchema.Op.UpdateAfter, 2L)))
   }
 
-  /** Txn 1 (gtid 1): full INSERT; XID. Then an identity event of
-    * UNRECOGNIZED type 42 (the MySQL 8.3+ tagged-GTID slot) opens txn
-    * 2, whose rows follow. Decoding those rows with gtid 1 still in
-    * scope would be stale-stamp corruption — XID must have closed the
-    * scope and the rows must fail loud. */
+  /** Txn 1 (gtid 1, untagged): full INSERT; XID. Txn 2 opens with a
+    * GTID_TAGGED_LOG_EVENT (type 42, MySQL 8.3+): `mysql::serialization`
+    * field stream — field_id prefix-varints, uuid(16) / tag("sometag")
+    * / gno(2) plus the numeric trailers — followed by its TABLE_MAP and
+    * INSERT. Round 11 flipped this fixture from fail-loud to DECODE:
+    * the tagged rows must carry `uuid:tag` as __source_id and gno 2,
+    * and the untagged txn must stay byte-identical. */
   private val TaggedGtidHex =
     """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
       |0000000000000000000000000000000000000000000000000000000000000000000000000064
@@ -105,18 +108,49 @@ class GoldenPolicySpec extends SparkTestBase {
       |02140002010100040502696401769cc2379264f153651e01000000380000002e010000000005
       |0000000000010002000203000100000000000000026162020200000000000000db735b9c64f1
       |536510010000001f0000004d010000000065000000000000004c3952aa64f153652a01000000
-      |39000000860100000000003e11fa4771ca11e19e33c80aa942956208736f6d65746167000200
-      |000000000000cfa01f0e64f15365130100000037000000bd0100000000050000000000010002
-      |67640001740002080f021400020101000405026964017605e8165364f153651e010000003800
-      |0000f50100000000050000000000010002000203000100000000000000026162020200000000
-      |0000001455b3ed""".stripMargin
+      |53000000a00100000000003e11fa4771ca11e19e33c80aa9429562020e736f6d657461670404
+      |060208040a7f0021141e240a060c7f0021141e240a060e001083d0091283d009adfcbdbb64f1
+      |5365130100000037000000d7010000000005000000000001000267640001740002080f021400
+      |0201010004050269640176fac85b2f64f153651e01000000380000000f020000000005000000
+      |0000010002000203000100000000000000026162020200000000000000392657f8""".stripMargin
 
-  test("unrecognized identity event (tagged GTID, type 42): following rows fail loud") {
+  test("tagged GTID (type 42) decodes: rows carry uuid:tag identity") {
     val dir = materialize(TaggedGtidHex)
+    val rows = read(dir)
+      .select("id", CdcSchema.GtidCol, CdcSchema.SourceIdCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(t => (t._2, t._1))
+    val uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    assert(rows == Seq(
+      (1L, 1L, uuid), (2L, 1L, uuid),
+      (1L, 2L, s"$uuid:sometag"), (2L, 2L, s"$uuid:sometag")))
+  }
+
+  /** Same chain, but the type-42 event carries an UNKNOWN field id (11)
+    * after gno: its payload kind is undecidable, so guessing would
+    * desynchronize the stream right before the row events — must fail
+    * loud, never decode-and-hope. */
+  private val TaggedGtidUnknownFieldHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f15365130100000037000000f6000000000005000000000001000267640001740002080f
+      |02140002010100040502696401769cc2379264f153651e01000000380000002e010000000005
+      |0000000000010002000203000100000000000000026162020200000000000000db735b9c64f1
+      |536510010000001f0000004d010000000065000000000000004c3952aa64f153652a01000000
+      |55000000a20100000000003e11fa4771ca11e19e33c80aa9429562020e736f6d657461670404
+      |060208040a7f0021141e240a060c7f0021141e240a060e001083d0091283d00916c63dd24618
+      |64f15365130100000037000000d9010000000005000000000001000267640001740002080f02
+      |14000201010004050269640176a232ea0364f153651e01000000380000001102000000000500
+      |0000000001000200020300010000000000000002616202020000000000000013e17dae""".stripMargin
+
+  test("tagged GTID with an unknown serialization field id fails loud") {
+    val dir = materialize(TaggedGtidUnknownFieldHex)
     val ex = intercept[Exception] { read(dir).collect() }
     val all = messages(ex).mkString(" | ")
-    assert(all.contains("no live transaction identity") &&
-      all.contains("type 42"), all)
+    assert(all.contains("unknown field") && all.contains("11"), all)
   }
 
   /** GTID 1, TABLE_MAP, then a WRITE_ROWS_V1 (type 23, pre-5.6 layout:
@@ -190,9 +224,10 @@ class GoldenPolicySpec extends SparkTestBase {
 
   /** A GTID scope can end WITHOUT an XID: DDL is GTID→QUERY(ALTER …).
     * Here gtid 1's DDL is followed by an UNRECOGNIZED identity event
-    * (tagged GTID, type 42) and then target rows — without the
-    * QUERY-closes-scope rule those rows would stamp the DDL's stale
-    * gno 1; they must fail loud instead. */
+    * (type 45 — an unknown FUTURE type in the identity-family slot
+    * range, skipped as control; type 42 itself decodes since round 11)
+    * and then target rows — without the QUERY-closes-scope rule those
+    * rows would stamp the DDL's stale gno 1; they must fail loud. */
   private val DdlThenUnknownIdentityHex =
     """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
       |0000000000000000000000000000000000000000000000000000000000000000000000000064
@@ -200,9 +235,9 @@ class GoldenPolicySpec extends SparkTestBase {
       |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
       |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
       |2664f1536502010000004500000004010000000007000000000000000200000000676400414c
-      |544552205441424c4520742041444420434f4c554d4e207720494e54a1a9ab1164f153652a01
+      |544552205441424c4520742041444420434f4c554d4e207720494e54a1a9ab1164f153652d01
       |000000390000003d0100000000003e11fa4771ca11e19e33c80aa942956208736f6d65746167
-      |0002000000000000000f95745264f15365130100000037000000740100000000050000000000
+      |000200000000000000f4541e4864f15365130100000037000000740100000000050000000000
       |01000267640001740002080f0214000201010004050269640176a9a0677f64f153651e010000
       |0038000000ac0100000000050000000000010002000203000100000000000000026162020200
       |000000000000781a8d47""".stripMargin

@@ -324,6 +324,65 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no live transaction identity"), e2.getMessage)
   }
 
+  test("mysql::serialization prefix-varint: round trip + reference encodings") {
+    import MysqlBinlog.{svarEncode, svarDecode}
+    // reference bytes: marker = N trailing ones before the first zero
+    // bit = N additional bytes; value in the remaining LE bits
+    assert(svarEncode(0L).toSeq == Seq(0x00.toByte))
+    assert(svarEncode(1L).toSeq == Seq(0x02.toByte))
+    assert(svarEncode(127L).toSeq == Seq(0xfe.toByte))
+    assert(svarEncode(128L).toSeq == Seq(0x01.toByte, 0x02.toByte))
+    assert(svarEncode(-1L).length == 9, "unsigned max = 0xFF + 8 raw bytes")
+    val edges = Seq(0L, 1L, 127L, 128L, 16383L, 16384L,
+      (1L << 21) - 1, 1L << 21, (1L << 49) - 1, (1L << 56) - 1, 1L << 56,
+      Long.MaxValue, -1L, Long.MinValue)
+    edges.foreach { v =>
+      val enc = svarEncode(v)
+      val (dec, used) = svarDecode(enc)
+      assert(dec == v && used == enc.length, s"round trip of $v: got $dec over $used/${enc.length}B")
+    }
+  }
+
+  test("tagged GTID (type 42): txns decode with uuid:tag identity, interleaved with untagged") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    // untagged txn
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, "a")))
+    w.xid(1000L, 1L)
+    // tagged txn: separate gno space per (uuid, tag)
+    w.gtidTagged(1001L, 1L, Sid, "analytics")
+    w.query(1001L, "db", "BEGIN")
+    w.tableMap(1001L, 9L, "db", "t", schema)
+    w.writeRows(1001L, 9L, schema, Seq(Array[Any](2L, "b")))
+    w.xid(1001L, 2L)
+    // a second tag shares the uuid but is its own identity stream
+    w.gtidTagged(1002L, 1L, Sid, "Repair_2024")
+    w.query(1002L, "db", "BEGIN")
+    w.tableMap(1002L, 9L, "db", "t", schema)
+    w.writeRows(1002L, 9L, schema, Seq(Array[Any](3L, "c")))
+    w.xid(1002L, 3L)
+    // untagged again: identity reverts to the bare uuid
+    w.gtid(1003L, 2L, Sid)
+    w.query(1003L, "db", "BEGIN")
+    w.tableMap(1003L, 9L, "db", "t", schema)
+    w.writeRows(1003L, 9L, schema, Seq(Array[Any](4L, "d")))
+    w.xid(1003L, 4L)
+    w.close()
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.map(r => (r.gtid, r.sourceId.toString)).toSeq == Seq(
+      (1L, Sid),
+      (1L, s"$Sid:analytics"),
+      (1L, s"$Sid:repair_2024"), // tag case-folds to lower, as mysqld does
+      (2L, Sid)),
+      "tagged identity must ride __source_id as uuid:tag; gnos are per-tag")
+  }
+
   test("ROWS_QUERY: per-statement stamping, replacement in a txn, cleared at XID") {
     // binlog_rows_query_log_events=ON writes one ROWS_QUERY per
     // row-logged statement, before its TABLE_MAPs. The decoder stamps
