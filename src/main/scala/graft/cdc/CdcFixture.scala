@@ -65,6 +65,7 @@ object CdcFixture {
   private val cacheMyDl = mutable.Map.empty[String, String]
   private val cacheMyQ = mutable.Map.empty[String, String]
   private val cacheMyTg = mutable.Map.empty[String, String]
+  private val cacheMyPj = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -323,6 +324,73 @@ object CdcFixture {
 
   val TaggedTable = "gorders"
   val TaggedTableId = 33L
+
+  /** A log written with `binlog_row_value_options=PARTIAL_JSON`: the
+    * insert phase carries full JSON documents; the update phase ships
+    * PARTIAL_UPDATE_ROWS (type 39) events whose after images encode the
+    * JSON column as a Json_diff_vector — REPLACE of a scalar and a
+    * nested member, INSERT of a new member, REMOVE of a member, and
+    * array-element REPLACE/INSERT — applied by the reader against the
+    * before image. cdc44 reads the storyline and extracts fields from
+    * both images; the oracle recomputes each extracted value from
+    * orders, so a mis-applied (or silently skipped) diff
+    * hash-mismatches. */
+  def ensureMysqlPartialJson(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyPj, "graft-cdcmypj", sfDir)(
+      generatePartialJson(spark, sfDir, _))
+
+  val PartialJsonTable = "pjorders"
+  val PartialJsonTableId = 35L
+
+  private def generatePartialJson(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = true),
+      StructField("jdoc", StringType, nullable = true)))
+    val src = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    def doc(k: Long, st: String, pri: String): String =
+      s"""{"k":$k,"st":"$st","cnt":${k % 500},"meta":{"pri":"$pri","d":${
+        if (k % 2 == 0) "0.5" else "1.5"}},"tags":[${k % 3},${k % 7}]}"""
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true,
+      jsonCols = Set("jdoc"))
+    try {
+      def txn(g: Long)(body: Long => Unit): Unit = {
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.query(ts, Db, "BEGIN")
+        w.tableMap(ts, PartialJsonTableId, Db, PartialJsonTable, schema)
+        body(ts)
+        w.xid(ts, g)
+      }
+      src.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        txn(i.toLong)(ts => w.writeRows(ts, PartialJsonTableId, schema,
+          batch.toSeq.map { case (k, st, pri) =>
+            Array[Any](k, doc(k, st, pri))
+          }))
+      }
+      val upd = src.filter(_._1 % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        txn(100000L + b)(ts =>
+          w.updateRowsPartialJson(ts, PartialJsonTableId, schema,
+            batch.toSeq.map { case (k, st, pri) =>
+              (Array[Any](k, doc(k, st, pri)),
+                Array[Any](k, null), // jdoc rides the diff vector
+                Map("jdoc" -> Seq(
+                  (0, "$.cnt", Some((k % 500 + 1000).toString)),
+                  (0, "$.meta.pri", Some("\"urgent\"")),
+                  (2, "$.st", None),
+                  (1, "$.flag", Some("true")),
+                  (0, "$.tags[1]", Some("9")),
+                  (1, "$.tags[2]", Some("\"z\"")))))
+            }))
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
 
   private def generateTagged(spark: SparkSession, sfDir: String,
       outDir: String): Unit = {

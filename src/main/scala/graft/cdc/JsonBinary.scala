@@ -390,4 +390,177 @@ object JsonBinary {
     buf += v.toByte
     buf.toArray
   }
+
+  // ------------------------------------ PARTIAL_JSON diffs (WL#2955/#4143)
+
+  /** `binlog_row_value_options=PARTIAL_JSON` update payloads: instead of
+    * the full after-image document, a JSON column carries a
+    * `Json_diff_vector` — the public layout replicas apply
+    * (mysql-server sql/json_diff.cc): a sequence of diffs, each
+    *
+    *   operation  u8        0 = REPLACE, 1 = INSERT, 2 = REMOVE
+    *   path_len   lenenc    MySQL net_field_length packed int
+    *   path       bytes     JSON path text, e.g. `$.a.b[3]` — diff
+    *                        paths are always specific legs (member name
+    *                        or array index), never wildcards
+    *   value_len  lenenc    REPLACE/INSERT only
+    *   value      bytes     a complete binary JSON doc (type + payload)
+    *
+    * Diff application follows mysqld's semantics: REPLACE requires the
+    * path to exist; INSERT requires an object member NOT to exist, and
+    * inserts/appends at an array index ≤ size; REMOVE requires
+    * existence. A diff that cannot apply fails loud — on a replica
+    * that's an apply error, and a CDC reader silently skipping one
+    * would serve a wrong after-image. The result is re-canonicalized
+    * through encode→decode so the text is byte-identical to what a
+    * full-value decode of mysqld's resulting document would produce
+    * (MySQL's stored key order: length, then bytes). */
+  def applyDiffs(beforeText: String, diffBytes: Array[Byte]): String = {
+    val root0 = mapper.readTree(beforeText)
+    var root: JsonNode = root0
+    var p = 0
+    while (p < diffBytes.length) {
+      val op = diffBytes(p) & 0xff
+      p += 1
+      require(op >= 0 && op <= 2, s"json diff: unknown operation $op")
+      val (pathLen, p1) = netFieldLength(diffBytes, p)
+      checkBounds(diffBytes, p1, pathLen.toInt)
+      val path = new String(diffBytes, p1, pathLen.toInt, StandardCharsets.UTF_8)
+      p = p1 + pathLen.toInt
+      val value: JsonNode =
+        if (op == 2) null
+        else {
+          val (valLen, p2) = netFieldLength(diffBytes, p)
+          checkBounds(diffBytes, p2, valLen.toInt)
+          val doc = java.util.Arrays.copyOfRange(diffBytes, p2, p2 + valLen.toInt)
+          p = p2 + valLen.toInt
+          mapper.readTree(decode(doc))
+        }
+      root = applyOne(root, op, parsePath(path), path, value)
+    }
+    decode(encode(mapper.writeValueAsString(root)))
+  }
+
+  /** Encode a diff vector (fixture writer / mysqld stand-in): ops are
+    * (operation, path, json text value — None for REMOVE). */
+  def encodeDiffs(diffs: Seq[(Int, String, Option[String])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    diffs.foreach { case (op, path, value) =>
+      require(op >= 0 && op <= 2, s"json diff op $op")
+      require((op == 2) == value.isEmpty,
+        "REPLACE/INSERT need a value; REMOVE must not carry one")
+      out.write(op)
+      val pb = path.getBytes(StandardCharsets.UTF_8)
+      out.write(netFieldBytes(pb.length.toLong)); out.write(pb)
+      value.foreach { v =>
+        val doc = encode(v)
+        out.write(netFieldBytes(doc.length.toLong)); out.write(doc)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** One parsed path leg: Left(member name) or Right(array index). */
+  private def parsePath(path: String): Seq[Either[String, Int]] = {
+    require(path.nonEmpty && path(0) == '$', s"json diff path must start with $$: '$path'")
+    val legs = Seq.newBuilder[Either[String, Int]]
+    var i = 1
+    while (i < path.length) {
+      path(i) match {
+        case '.' =>
+          i += 1
+          if (i < path.length && path(i) == '"') {
+            // quoted member ("a b", "x\"y") — MySQL quotes non-identifiers
+            val sb = new java.lang.StringBuilder
+            i += 1
+            var closed = false
+            while (i < path.length && !closed) {
+              path(i) match {
+                case '\\' if i + 1 < path.length => sb.append(path(i + 1)); i += 2
+                case '"' => closed = true; i += 1
+                case ch => sb.append(ch); i += 1
+              }
+            }
+            require(closed, s"unterminated quoted member in path '$path'")
+            legs += Left(sb.toString)
+          } else {
+            val start = i
+            while (i < path.length && path(i) != '.' && path(i) != '[') i += 1
+            require(i > start, s"empty member name in path '$path'")
+            legs += Left(path.substring(start, i))
+          }
+        case '[' =>
+          val close = path.indexOf(']', i)
+          require(close > i + 1, s"bad array leg in path '$path'")
+          val idx = path.substring(i + 1, close).trim
+          require(idx.forall(_.isDigit), s"non-numeric array index in diff path '$path'")
+          legs += Right(idx.toInt)
+          i = close + 1
+        case ch => throw new IllegalArgumentException(
+          s"unexpected '$ch' in json diff path '$path'")
+      }
+    }
+    legs.result()
+  }
+
+  /** Apply one diff; returns the (possibly replaced) root. */
+  private def applyOne(root: JsonNode, op: Int,
+      legs: Seq[Either[String, Int]], path: String,
+      value: JsonNode): JsonNode = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    def fail(why: String): Nothing = throw new IOException(
+      s"json diff cannot apply: $why (op=${Seq("REPLACE","INSERT","REMOVE")(op)}, path=$path)")
+    if (legs.isEmpty) {
+      // root path `$`: only REPLACE is meaningful (mysqld sends a full
+      // value for root replacement, but the layout can express it)
+      if (op != 0) fail("INSERT/REMOVE at the root")
+      return value
+    }
+    // walk to the parent of the last leg — every intermediate leg must
+    // exist (diffs never auto-create)
+    var node: JsonNode = root
+    legs.dropRight(1).foreach {
+      case Left(m) =>
+        if (node == null || !node.isObject || !node.has(m)) fail(s"missing member '$m'")
+        node = node.get(m)
+      case Right(k) =>
+        if (node == null || !node.isArray || k >= node.size) fail(s"missing index $k")
+        node = node.get(k)
+    }
+    (legs.last, node) match {
+      case (Left(m), o: ObjectNode) => op match {
+        case 0 => if (!o.has(m)) fail(s"REPLACE of absent member '$m'") else o.set(m, value)
+        case 1 => if (o.has(m)) fail(s"INSERT over existing member '$m'") else o.set(m, value)
+        case 2 => if (!o.has(m)) fail(s"REMOVE of absent member '$m'") else o.remove(m)
+      }
+      case (Right(k), a: ArrayNode) => op match {
+        case 0 => if (k >= a.size) fail(s"REPLACE past array end ($k >= ${a.size})") else a.set(k, value)
+        case 1 => if (k > a.size) fail(s"INSERT past array end ($k > ${a.size})") else a.insert(k, value)
+        case 2 => if (k >= a.size) fail(s"REMOVE past array end ($k >= ${a.size})") else a.remove(k)
+      }
+      case (Left(m), _) => fail(s"parent of '$m' is not an object")
+      case (Right(k), _) => fail(s"parent of [$k] is not an array")
+    }
+    root
+  }
+
+  /** MySQL net_field_length packed integer: (value, next position). */
+  private def netFieldLength(a: Array[Byte], p: Int): (Long, Int) = {
+    checkBounds(a, p, 1)
+    val b0 = a(p) & 0xff
+    if (b0 < 0xfb) (b0.toLong, p + 1)
+    else if (b0 == 0xfc) { checkBounds(a, p + 1, 2); (u16(a, p + 1).toLong, p + 3) }
+    else if (b0 == 0xfd) {
+      checkBounds(a, p + 1, 3)
+      (((a(p + 1) & 0xff) | ((a(p + 2) & 0xff) << 8) | ((a(p + 3) & 0xff) << 16)).toLong, p + 4)
+    } else if (b0 == 0xfe) { checkBounds(a, p + 1, 8); (i64(a, p + 1), p + 9) }
+    else throw new IOException(s"json diff: bad packed-length lead byte 0x${b0.toHexString}")
+  }
+
+  private def netFieldBytes(v: Long): Array[Byte] = {
+    if (v < 0xfb) Array(v.toByte)
+    else if (v <= 0xffff) Array(0xfc.toByte) ++ le(v, 2)
+    else if (v <= 0xffffff) Array(0xfd.toByte) ++ le(v, 3)
+    else Array(0xfe.toByte) ++ le(v, 8)
+  }
 }

@@ -830,19 +830,13 @@ object MysqlBinlog {
           case _ => Nil
         }
       case EventType.PartialUpdateRows =>
-        // binlog_row_value_options=PARTIAL_JSON encodes updates as JSON
-        // diffs — silently returning Nil would DROP the target table's
-        // updates (data loss). Other tables' events stay ignorable.
-        val tableId = new Cur(ev.payload).u48()
-        tableMaps.get(tableId) match {
-          case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
-            throw new IOException(
-              s"partial-JSON update event for $targetDb.$targetTable at log " +
-                s"offset ${ev.pos}: binlog_row_value_options=PARTIAL_JSON is " +
-                "not supported — write the log with the default (full) row " +
-                "value options")
-          case _ => Nil
-        }
+        // binlog_row_value_options=PARTIAL_JSON: the after-image may
+        // carry JSON columns as diff vectors instead of full values;
+        // each diff applies against the BEFORE image's document
+        // (readImage partialJson path). Decodes to the same
+        // before/after pair surface as a v2 UPDATE.
+        rowsEvent(ev, CdcSchema.Op.UpdateBefore, images = 2,
+          partialJson = true)
       case EventType.WriteRowsV2 =>
         rowsEvent(ev, CdcSchema.Op.Insert, images = 1)
       case EventType.DeleteRowsV2 =>
@@ -911,7 +905,7 @@ object MysqlBinlog {
       }
 
     private def rowsEvent(ev: CdcCodec.RawEvent, op: Int,
-        images: Int): Seq[CdcCodec.CdcRow] = {
+        images: Int, partialJson: Boolean = false): Seq[CdcCodec.CdcRow] = {
       val c = new Cur(ev.payload)
       val tableId = c.u48()
       tableMaps.get(tableId) match {
@@ -952,7 +946,10 @@ object MysqlBinlog {
             lastP = c.p
             if (images == 2) {
               val before = readImage(c, tm, present1, ev.pos)
-              val after = readImage(c, tm, present2, ev.pos)
+              val after =
+                if (partialJson) readImage(c, tm, present2, ev.pos,
+                  partialBase = before)
+                else readImage(c, tm, present2, ev.pos)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateBefore, currentGtid,
                 tmMicros, currentSourceId, before, currentRowsQuery)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateAfter, currentGtid,
@@ -983,7 +980,8 @@ object MysqlBinlog {
       * silently corrupt latest-image compaction, the same corruption
       * class PARTIAL_JSON and anonymous-GTID fail loud on. */
     private def readImage(c: Cur, tm: MysqlTableMap,
-        present: Array[Byte], pos: Long): Array[Any] = {
+        present: Array[Byte], pos: Long,
+        partialBase: Array[Any] = null): Array[Any] = {
       val n = tm.colTypes.length
       var presentCount = 0
       var i = 0
@@ -991,9 +989,37 @@ object MysqlBinlog {
         if ((present(i / 8) & (1 << (i % 8))) != 0) presentCount += 1
         i += 1
       }
+      // PARTIAL_UPDATE_ROWS after-image only (partialBase != null):
+      // value_options (packed int) precedes the null bitmap; when its
+      // PARTIAL_JSON bit is set, a partial_bits bitmap follows — one
+      // bit per JSON column INCLUDED in this image, marking whether
+      // that column's bytes are a diff vector (1) or a full value (0).
+      // Unknown option bits fail loud: each one changes the layout of
+      // everything after it.
+      var partialBits: Array[Byte] = null
+      if (partialBase != null) {
+        val valueOptions = c.lenenc()
+        if ((valueOptions & ~1L) != 0L)
+          throw new IOException(
+            s"partial-update after-image at log offset $pos carries " +
+              s"unknown value_options bits 0x${valueOptions.toHexString}: " +
+              "a newer binlog_row_value_options layout than this decoder " +
+              "understands")
+        if ((valueOptions & 1L) != 0L) {
+          var nJson = 0
+          i = 0
+          while (i < n) {
+            if ((present(i / 8) & (1 << (i % 8))) != 0 &&
+                tm.colTypes(i) == ColType.Json) nJson += 1
+            i += 1
+          }
+          partialBits = c.bytes((nJson + 7) / 8)
+        }
+      }
       val nulls = c.bytes((presentCount + 7) / 8)
       val vals = new Array[Any](n)
       var j = 0 // ordinal among present columns
+      var jj = 0 // ordinal among present JSON columns (partial_bits index)
       i = 0
       while (i < n) {
         if ((present(i / 8) & (1 << (i % 8))) == 0) {
@@ -1009,8 +1035,37 @@ object MysqlBinlog {
           }
         } else {
           val isNull = (nulls(j / 8) & (1 << (j % 8))) != 0
+          val isJson = tm.colTypes(i) == ColType.Json
+          val isPartial = isJson && partialBits != null &&
+            (partialBits(jj / 8) & (1 << (jj % 8))) != 0
           if (!isNull) {
-            if (needed(i))
+            if (isPartial) {
+              // diff vector in the JSON column's length-prefixed slot,
+              // applied against the BEFORE image's document
+              val diffLen = (tm.colMeta(i) match {
+                case 1 => c.u8().toLong
+                case 2 => c.u16().toLong
+                case 3 => c.u24().toLong
+                case 4 => c.u32()
+                case m => throw new IOException(s"bad JSON length-byte count $m")
+              }).toInt
+              val diffBytes = c.bytes(diffLen)
+              if (needed(i)) {
+                val base = partialBase(i)
+                if (base == null) {
+                  val colName = tm.names.map(_(i)).getOrElse(s"column #$i")
+                  throw new IOException(
+                    s"partial-JSON diff for ${tm.db}.${tm.table} column " +
+                      s"$colName at log offset $pos has no before-image " +
+                      "document to apply against (NULL or absent base — " +
+                      "binlog_row_image=MINIMAL with PARTIAL_JSON): the " +
+                      "after value cannot be reconstructed from the log " +
+                      "alone; write the log with binlog_row_image=FULL")
+                }
+                vals(i) = UTF8String.fromString(
+                  JsonBinary.applyDiffs(base.toString, diffBytes))
+              }
+            } else if (needed(i))
               vals(i) = tm.colTypes(i) match {
                 case ColType.Enum => readEnum(c, tm, i)
                 case ColType.SetT => readSet(c, tm, i)
@@ -1019,6 +1074,7 @@ object MysqlBinlog {
             else skipValue(c, tm.colTypes(i), tm.colMeta(i))
           }
           j += 1
+          if (isJson) jj += 1
         }
         i += 1
       }
@@ -1992,6 +2048,64 @@ object MysqlBinlog {
         }
       }
 
+    /** `binlog_row_value_options=PARTIAL_JSON` UPDATE
+      * (PARTIAL_UPDATE_ROWS_EVENT, type 39): full-image pairs, except
+      * that JSON columns named in `diffs` ship a Json_diff_vector in
+      * the after image instead of the full document (value_options=1 +
+      * partial_bits ahead of the null bitmap — the layout
+      * [[readImage]]'s partialJson path decodes). Diffs are
+      * (op, path, json-text value): 0 REPLACE / 1 INSERT / 2 REMOVE
+      * (value None). The after array's value for a diffed column is
+      * IGNORED on the wire — the diff is the change. */
+    def updateRowsPartialJson(tsMs: Long, tableId: Long, schema: StructType,
+        pairs: Seq[(Array[Any], Array[Any],
+          Map[String, Seq[(Int, String, Option[String])]])]): Unit =
+      writeRowLevelEvent(EventType.PartialUpdateRows, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0)
+        b.u16(2)
+        val n = schema.length
+        b.lenenc(n.toLong)
+        val allPresent = Array.fill[Byte]((n + 7) / 8)(0xff.toByte)
+        b.raw(allPresent); b.raw(allPresent)
+        val jsonIdx = schema.fields.zipWithIndex
+          .filter(f => jsonCols(f._1.name)).map(_._2)
+        pairs.foreach { case (before, after, diffs) =>
+          diffs.keys.foreach(k => require(jsonCols(k),
+            s"updateRowsPartialJson: '$k' is not a jsonCols column"))
+          writeImage(b, schema, before, _ => true)
+          // after image: value_options, partial_bits, then null bitmap +
+          // values with diffed JSON columns carrying the diff vector
+          b.lenenc(1L) // value_options: PARTIAL_JSON
+          val bits = new Array[Byte]((jsonIdx.length + 7) / 8)
+          jsonIdx.zipWithIndex.foreach { case (ci, bi) =>
+            if (diffs.contains(schema(ci).name))
+              bits(bi / 8) = (bits(bi / 8) | (1 << (bi % 8))).toByte
+          }
+          b.raw(bits)
+          val nulls = new Array[Byte]((n + 7) / 8)
+          var i = 0
+          while (i < n) {
+            if (after(i) == null && !diffs.contains(schema(i).name))
+              nulls(i / 8) = (nulls(i / 8) | (1 << (i % 8))).toByte
+            i += 1
+          }
+          b.raw(nulls)
+          i = 0
+          while (i < n) {
+            diffs.get(schema(i).name) match {
+              case Some(ds) =>
+                val bytes = JsonBinary.encodeDiffs(ds)
+                b.u32(bytes.length.toLong) // JSON meta = 4 length bytes
+                b.raw(bytes)
+              case None =>
+                if (after(i) != null) writeValue(b, schema(i), after(i))
+            }
+            i += 1
+          }
+        }
+      }
+
     /** MINIMAL-image DELETE: images carry the PK (column 0) only. */
     def deleteRowsMinimal(tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit =
@@ -2391,6 +2505,10 @@ object MysqlBinlogAdapter extends BinlogFormatAdapter {
     tpe == MysqlBinlog.EventType.WriteRowsV2 ||
       tpe == MysqlBinlog.EventType.UpdateRowsV2 ||
       tpe == MysqlBinlog.EventType.DeleteRowsV2 ||
+      // PARTIAL_JSON updates are row events too — classifying type 39
+      // as control would silently DISCARD its decoded pairs (the
+      // partition reader only queues rows from isRowEvent types)
+      tpe == MysqlBinlog.EventType.PartialUpdateRows ||
       // a compressed transaction carries row events (the partition
       // reader must treat its decode output as rows, and byte-range
       // slicing must not split it — one payload = one atomic txn)

@@ -647,6 +647,56 @@ object CdcExt {
           col(CdcSchema.SourceIdCol))
     },
 
+    // binlog_row_value_options=PARTIAL_JSON: the update phase's after
+    // images carry Json_diff_vectors (REPLACE/INSERT/REMOVE over
+    // members and array elements) that the decoder applies against the
+    // before image. Both images' fields extract through Spark's
+    // get_json_object; the oracle recomputes every extracted value —
+    // including an untouched member proving base preservation and the
+    // REMOVEd member reading NULL — from orders directly.
+    QDef("cdc44_mysql_partial_json",
+      s"""WITH up AS (
+         |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+         |  FROM orders WHERE o_orderkey % 3 = 0
+         |)
+         |SELECT o_orderkey, 2 AS __op,
+         |  CAST(100000 + uidx // 100 AS BIGINT) AS __gtid,
+         |  CAST(o_orderkey % 500 AS BIGINT) AS cnt,
+         |  o_orderpriority AS pri,
+         |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0.5 ELSE 1.5 END AS DOUBLE) AS d,
+         |  o_orderstatus AS st,
+         |  CAST(NULL AS VARCHAR) AS flag,
+         |  CAST(o_orderkey % 7 AS BIGINT) AS t1,
+         |  CAST(NULL AS VARCHAR) AS t2
+         |FROM up
+         |UNION ALL
+         |SELECT o_orderkey, 3,
+         |  CAST(100000 + uidx // 100 AS BIGINT),
+         |  CAST(o_orderkey % 500 + 1000 AS BIGINT),
+         |  'urgent',
+         |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0.5 ELSE 1.5 END AS DOUBLE),
+         |  CAST(NULL AS VARCHAR), 'true', CAST(9 AS BIGINT), 'z'
+         |FROM up""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlPartialJson(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.PartialJsonTable)
+        .option("binlogFormat", "mysql")
+        .load()
+        .filter(col(CdcSchema.OpCol).isin(
+          CdcSchema.Op.UpdateBefore, CdcSchema.Op.UpdateAfter))
+        .select(col("o_orderkey"), col(CdcSchema.OpCol), col(CdcSchema.GtidCol),
+          get_json_object(col("jdoc"), "$.cnt").cast("bigint").as("cnt"),
+          get_json_object(col("jdoc"), "$.meta.pri").as("pri"),
+          get_json_object(col("jdoc"), "$.meta.d").cast("double").as("d"),
+          get_json_object(col("jdoc"), "$.st").as("st"),
+          get_json_object(col("jdoc"), "$.flag").as("flag"),
+          get_json_object(col("jdoc"), "$.tags[1]").cast("bigint").as("t1"),
+          get_json_object(col("jdoc"), "$.tags[2]").as("t2"))
+    },
+
     // cdc03 through the MySQL decoder: latest-image compaction
     QDef("cdc22_mysql_latest_image",
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -146,6 +146,45 @@ class GoldenPolicySpec extends SparkTestBase {
       |14000201010004050269640176a232ea0364f153651e01000000380000001102000000000500
       |0000000001000200020300010000000000000002616202020000000000000013e17dae""".stripMargin
 
+  /** Table gd.t = [id BIGINT, v JSON]. Txn 1: full INSERT of
+    * {"a":1,"arr":[10,20]}. Txn 2: PARTIAL_UPDATE_ROWS (type 39,
+    * binlog_row_value_options=PARTIAL_JSON) — after image carries
+    * value_options=1, partial_bits=1 and a Json_diff_vector
+    * (REPLACE $.a→7, INSERT $.b→"new", REMOVE $.arr[0]) instead of the
+    * full document. Layout authored from json_binary.h + json_diff.cc
+    * independently of the repo's Writer. */
+  private val PartialJsonHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f15365130100000036000000f500000000000500000000000100026764000174000208f5
+      |01040201010004050269640176856e7f9264f153651e01000000510000004601000000000500
+      |0000000000000200020300010000000000000021000000000200200012000100130003000501
+      |000216006161727202000a00050a00051400dd73935464f1536510010000001f000000650100
+      |0000006500000000000000a25f6f5464f15365210100000041000000a60100000000003e11fa
+      |4771ca11e19e33c80aa942956202000000000000000201000000000000000200000000000000
+      |1baf573c64f15365130100000036000000dc0100000000050000000000010002676400017400
+      |0208f5010402010100040502696401760bb9219f64f1536527010000007f0000005b02000000
+      |0005000000000000000200020303000100000000000000210000000002002000120001001300
+      |03000501000216006161727202000a00050a0005140001010001000000000000001e00000000
+      |03242e61030507000103242e62050c036e65770208242e6172725b305d10b6187764f1536510
+      |010000001f0000007a0200000000660000000000000015bc0c57""".stripMargin
+
+  test("PARTIAL_JSON golden: authored type-39 diff vector applies against the before image") {
+    val dir = materialize(PartialJsonHex)
+    val rows = read(dir)
+      .select("id", "v", CdcSchema.OpCol, CdcSchema.GtidCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._4, t._3))
+    assert(rows == Seq(
+      (1L, """{"a":1,"arr":[10,20]}""", CdcSchema.Op.Insert, 1L),
+      (1L, """{"a":1,"arr":[10,20]}""", CdcSchema.Op.UpdateBefore, 2L),
+      (1L, """{"a":7,"b":"new","arr":[20]}""", CdcSchema.Op.UpdateAfter, 2L)),
+      rows.mkString("; "))
+  }
+
   test("tagged GTID with an unknown serialization field id fails loud") {
     val dir = materialize(TaggedGtidUnknownFieldHex)
     val ex = intercept[Exception] { read(dir).collect() }

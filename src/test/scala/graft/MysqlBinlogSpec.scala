@@ -324,6 +324,74 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no live transaction identity"), e2.getMessage)
   }
 
+  test("PARTIAL_JSON: diff vectors in the after image apply against the before document") {
+    import graft.cdc.JsonBinary
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("doc", StringType), StructField("note", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true,
+      jsonCols = Set("doc"))
+    val before = """{"a":1,"b":{"x":"old","keep":true},"arr":[10,20,30]}"""
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, before, "n1")))
+    w.xid(1000L, 1L)
+    w.gtid(1001L, 2L, Sid)
+    w.query(1001L, "db", "BEGIN")
+    w.tableMap(1001L, 9L, "db", "t", schema)
+    w.updateRowsPartialJson(1001L, 9L, schema, Seq((
+      Array[Any](1L, before, "n1"),
+      Array[Any](1L, null /* ignored: diffed */, "n2"),
+      Map("doc" -> Seq(
+        (0, "$.b.x", Some("\"new\"")),   // REPLACE nested member
+        (1, "$.flag", Some("true")),     // INSERT object member
+        (2, "$.a", None),                // REMOVE member
+        (0, "$.arr[1]", Some("99")),     // REPLACE array element
+        (1, "$.arr[3]", Some("40")),     // INSERT = append at size
+        (2, "$.arr[0]", None))))))       // REMOVE array element
+    w.xid(1001L, 2L)
+    w.close()
+    val rows = decodeAll(path, "db", "t")
+    assert(rows.length == 3)
+    val after = rows.last
+    assert(after.op == CdcSchema.Op.UpdateAfter && after.gtid == 2L)
+    val expected = JsonBinary.decode(JsonBinary.encode(
+      """{"b":{"x":"new","keep":true},"arr":[99,30,40],"flag":true}"""))
+    assert(after.values(1).toString == expected, after.values(1))
+    assert(after.values(2).toString == "n2", "non-JSON columns update normally")
+    // the before row of the pair is untouched by the diffs
+    assert(rows(1).values(1).toString ==
+      JsonBinary.decode(JsonBinary.encode(before)))
+  }
+
+  test("PARTIAL_JSON: inapplicable diff fails loud; pruned reads never apply diffs") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("doc", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true,
+      jsonCols = Set("doc"))
+    val before = """{"a":1}"""
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, before)))
+    w.updateRowsPartialJson(1000L, 9L, schema, Seq((
+      Array[Any](1L, before), Array[Any](1L, null),
+      Map("doc" -> Seq((0, "$.missing", Some("1")))))))  // REPLACE absent
+    w.xid(1000L, 1L)
+    w.close()
+    val e = intercept[Exception] { decodeAll(path, "db", "t") }
+    assert(e.getMessage.contains("json diff cannot apply") &&
+      e.getMessage.contains("missing"), e.getMessage)
+    // a projection that never touches the JSON column skips the diff
+    // bytes without applying them — the inapplicable diff is invisible
+    val pruned = decodeAll(path, "db", "t", needed = i => i == 0)
+    assert(pruned.map(_.values(0)).toSeq == Seq(1L, 1L, 1L))
+  }
+
   test("mysql::serialization prefix-varint: round trip + reference encodings") {
     import MysqlBinlog.{svarEncode, svarDecode}
     // reference bytes: marker = N trailing ones before the first zero
@@ -1272,12 +1340,16 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(rows.map(r => (r.values(0), r.gtid)) == Seq((7L, 5L)))
   }
 
-  test("PARTIAL_UPDATE_ROWS: fails loud for the target table, ignorable otherwise") {
-    // binlog_row_value_options=PARTIAL_JSON — silently dropping the
-    // target's updates would be data loss
+  test("PARTIAL_UPDATE_ROWS: other tables ignorable; unknown value_options fails loud") {
+    // binlog_row_value_options=PARTIAL_JSON decodes since round 11 —
+    // these pin the boundaries: non-target events stay ignorable, and
+    // an after-image with value_options bits this decoder doesn't know
+    // fails loud (each bit changes the layout of everything after it)
     val dec = MysqlBinlogAdapter.decoder("d", "t", _ => true, None)
     def ev(tpe: Byte, hexBody: String) =
       CdcCodec.RawEvent(tpe, 1000L, hex(hexBody), 99L, 100L)
+    dec.decode(ev(MysqlBinlog.EventType.Gtid,
+      "01 11111111222233334444555555555555 0500000000000000"))
     dec.decode(ev(MysqlBinlog.EventType.TableMap,
       "150000000000 0100 016400 017400 01 08 00 00"))
     dec.decode(ev(MysqlBinlog.EventType.TableMap,
@@ -1287,11 +1359,15 @@ class MysqlBinlogSpec extends SparkTestBase {
       "160000000000 0000")).isEmpty)
     assert(dec.decode(ev(MysqlBinlog.EventType.PartialUpdateRows,
       "990000000000 0000")).isEmpty)
+    // target table, well-formed before image, then value_options=0x02
+    // (an option bit this decoder does not understand)
     val ex = intercept[java.io.IOException] {
       dec.decode(ev(MysqlBinlog.EventType.PartialUpdateRows,
-        "150000000000 0000"))
+        "150000000000 0000 0200 01 01 01" +
+          "00 0100000000000000" + // before: nulls, id=1
+          "02"))                  // after: unknown value_options bit
     }
-    assert(ex.getMessage.contains("PARTIAL_JSON"), ex.getMessage)
+    assert(ex.getMessage.contains("value_options"), ex.getMessage)
   }
 
   test("golden bytes: zero-datetime and zero-in-date values surface as SQL null") {
