@@ -25,18 +25,25 @@ PREV="${1:-}"
 OUT="${2:-/tmp/bench_gate_new.json}"
 
 if [ -z "$PREV" ]; then
-  # highest-N archive NOT produced at the current git HEAD — once the
-  # driver archives this round's artifact, a re-run (including the
-  # SPARK_GRAFT_BENCH_ONLY flagged-mover re-check) must still compare
-  # against the PREVIOUS round, not self-compare vacuously
+  # Pick the newest usable baseline, PREFERRING the gate's own archives
+  # (BENCH_r{N}_gate.json — written by this script, always parseable)
+  # over driver archives (BENCH_r{N}.json — may be tail-truncated with
+  # parsed=null). Round-10 post-mortem: the driver's r9 archive was
+  # truncated, the picker fell back TWO rounds to r8, and the ambient
+  # median correction absorbed two rounds of real speedups into 9
+  # phantom "regressions" at a clean HEAD — a gate that cries wolf
+  # out-of-the-box gets ignored. Same-N gate beats driver; archives at
+  # the current HEAD are skipped (self-compare would pass vacuously).
   PREV=$(python3 - <<'PY'
 import json, re, subprocess, glob
 head = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                       text=True).stdout.strip()
-cands = [f for f in glob.glob("BENCH_r*.json")
-         if re.fullmatch(r"BENCH_r\d+\.json", f)]  # filter BEFORE the int key
-for f in sorted(cands, key=lambda p: int(re.search(r"\d+", p).group()),
-                reverse=True):
+cands = []
+for f in glob.glob("BENCH_r*.json"):
+    m = re.fullmatch(r"BENCH_r(\d+)(_gate)?\.json", f)
+    if m:
+        cands.append((int(m.group(1)), 1 if m.group(2) else 0, f))
+for _, _, f in sorted(cands, reverse=True):
     try:
         d = json.load(open(f))
         if "parsed" in d:
@@ -89,6 +96,23 @@ sbt -batch "runMain graft.tools.BenchDelta $PREV $OUT" 2>/dev/null \
   | grep -vE '^(\[success\]|loading |set current project|running \(|welcome to sbt|Using Spark|Total time)'
 rc=${PIPESTATUS[0]}
 set -e
+# Persist this run as the round's canonical gate baseline (full-surface
+# runs only — SPARK_GRAFT_BENCH_ONLY subsets would poison the common
+# set): BENCH_r{N}_gate.json with N = current round (highest driver
+# CORRECTNESS round + 1). Written on pass AND fail — the next round
+# compares against this HEAD's actual numbers either way; commit it.
+if [ -z "${SPARK_GRAFT_BENCH_ONLY:-}" ]; then
+  python3 - "$OUT" <<'PY'
+import glob, json, re, shutil, sys
+rounds = [int(re.search(r"\d+", f).group())
+          for f in glob.glob("CORRECTNESS_r*.json")
+          if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)]
+n = (max(rounds) + 1) if rounds else 1
+dst = f"BENCH_r{n:02d}_gate.json"
+shutil.copyfile(sys.argv[1], dst)
+print(f"bench_gate: baseline archived -> {dst} (commit it)", file=sys.stderr)
+PY
+fi
 if [ "$rc" -ne 0 ]; then
   echo "bench_gate: FAIL (beyond-noise plan regression vs $PREV; rc=$rc)" >&2
   exit "$rc"
