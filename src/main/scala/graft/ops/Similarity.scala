@@ -399,6 +399,73 @@ object Similarity {
     graft.TmpDirs.deleteRecursively(old)
   }
 
+  /** Per-cell occupancy of a prebuilt IVF index — the drift monitor
+    * [[appendToIvfIndex]] calls for: append assigns against FROZEN
+    * build-time centroids, so a shifting input distribution piles new
+    * vectors into few cells and probe cost degrades toward a scan of
+    * those cells. One row per centroid cell (empty cells INCLUDED —
+    * they are the other face of drift), with live/tombstoned splits so
+    * the pending-compaction mass is visible too.
+    *
+    * 100 TB posture: `n_total` needs only the partition column, so the
+    * scan reads parquet footers, not vector data; the tombstone split
+    * joins on the id column with the tombstone list broadcast (small by
+    * the [[deleteFromIvfIndex]] contract); the final join is against
+    * the kClusters-row centroid table. No vector bytes are read. */
+  def ivfCellStats(spark: SparkSession, path: String,
+      id: String = "vec_id"): DataFrame = {
+    val cells = spark.read.parquet(s"$path/centroids").select(col("cell"))
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val totals = corpus.groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
+    val tombDir = new java.io.File(s"$path/tombstones")
+    import spark.implicits._
+    val dead =
+      if (tombDir.exists())
+        corpus.join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
+            Seq(id), "left_semi")
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_tomb"))
+      else Seq.empty[(Int, Long)].toDF("cell", "n_tomb")
+    cells.join(totals, Seq("cell"), "left")
+      .join(dead, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_tomb"), lit(0L)).as("n_tombstoned"),
+        (coalesce(col("n_total"), lit(0L)) -
+          coalesce(col("n_tomb"), lit(0L))).as("n_live"))
+  }
+
+  /** Rebuild advisory over [[ivfCellStats]]: one row summarizing how
+    * unbalanced the index has become, with `advise_rebuild` set when
+    * the fullest cell holds more than `maxOverMedian`× the median
+    * cell's LIVE vectors (the cost model is direct: a probe that lands
+    * in the fullest cell scans max/median times the vectors a balanced
+    * probe would) or when the tombstone mass passes
+    * `maxTombstoneFrac` (compact instead of rebuild). Empty cells are
+    * reported but do not trip the advisory on their own — a fresh
+    * sparse index legitimately has them; the median already reflects
+    * mass concentration. The aggregate input is kClusters rows, so the
+    * single-row reduction is trivially cheap at any corpus size. */
+  def ivfDriftReport(spark: SparkSession, path: String,
+      maxOverMedian: Double = 4.0, maxTombstoneFrac: Double = 0.2,
+      id: String = "vec_id"): DataFrame =
+    ivfCellStats(spark, path, id).agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("n_live") === 0, 1L).otherwise(0L)).as("n_empty_cells"),
+        sum(col("n_live")).as("total_live"),
+        sum(col("n_tombstoned")).as("total_tombstoned"),
+        max(col("n_live")).as("max_cell"),
+        expr("percentile(n_live, 0.5)").as("median_cell"))
+      .select(col("n_cells"), col("n_empty_cells"), col("total_live"),
+        col("total_tombstoned"), col("max_cell"), col("median_cell"),
+        (col("max_cell") / greatest(col("median_cell"), lit(1.0)))
+          .as("skew_ratio"),
+        (col("total_tombstoned") >
+          col("total_live").cast("double") * maxTombstoneFrac)
+          .as("advise_compact"),
+        (col("max_cell") >
+          greatest(col("median_cell"), lit(1.0)) * maxOverMedian)
+          .as("advise_rebuild"))
+
   /** IVF top-k over a PREBUILT index (see buildIvfIndex) — no training,
     * no full-corpus assignment pass. The probed cells are collected from
     * the query side (small — it is broadcast anyway) and applied as a

@@ -130,6 +130,33 @@ object Llm {
     idx
   }
 
+  /** The llm71 index: DELIBERATELY drifted — built (train + assign) on
+    * the `vec_id % 10 != 9` 90%, then the held-out 10% appended with
+    * every embedding REPLACED by a constant all-ones vector, the
+    * post-build distribution shift [[Similarity.appendToIvfIndex]]
+    * warns about: assignment against the frozen centroids piles the
+    * whole batch into one cell. The drift MONITOR (ivfDriftReport) is
+    * the subject under test here, not search quality. Same marker
+    * discipline as _APPENDED. */
+  private[queries] def ensureIvfDriftIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ivfdrf-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$idx/_DRIFTED")
+      if (!marker.exists()) {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 9), idx,
+          kClusters = 16)
+        Similarity.appendToIvfIndex(s, idx,
+          emb.filter(col("vec_id") % 10 === 9)
+            .withColumn("embedding", array_repeat(lit(1.0f), 64)))
+        marker.createNewFile()
+      }
+    }
+    idx
+  }
+
   private[queries] def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -632,6 +659,33 @@ object Llm {
       val queries = live.filter(col("vec_id") % 50 === 0)
       annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
         live, k = 10, minMatches = 3)
+    },
+
+    // the drift monitor that completes the append lifecycle: the
+    // deliberately drifted index (every appended vector collapses into
+    // one frozen cell — ensureIvfDriftIndex) must be OBSERVABLE. The
+    // report's rebuild advisory fires, the fullest cell holds at least
+    // the whole appended batch, and the live/tombstone totals reconcile
+    // with the source table (the numerics DuckDB recomputes
+    // independently; cell identities are k-means-derived and stay
+    // Spark-side, like every IVF oracle here).
+    QDef("llm71_ivf_drift_report",
+      """SELECT CAST(16 AS BIGINT) AS n_cells,
+        |  count(*) AS total_live,
+        |  CAST(0 AS BIGINT) AS total_tombstoned,
+        |  true AS max_covers_appended,
+        |  true AS advise_rebuild,
+        |  false AS advise_compact
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = ensureIvfDriftIndex(s, dir)
+      val appended = emb.filter(col("vec_id") % 10 === 9)
+        .agg(count(lit(1)).as("n_appended"))
+      Similarity.ivfDriftReport(s, idx, maxOverMedian = 2.0)
+        .crossJoin(appended)
+        .select(col("n_cells"), col("total_live"), col("total_tombstoned"),
+          (col("max_cell") >= col("n_appended")).as("max_covers_appended"),
+          col("advise_rebuild"), col("advise_compact"))
     },
 
     // PQ-compressed ANN with ADC scoring: the corpus searched holds only

@@ -62,6 +62,8 @@ object PlanLint {
         ("prefix-filter candidates broadcast (pigeonhole-pruned, ≪ n²)", 1),
       ("llm26_tfidf_topterms", bnlj) ->
         ("1-row corpus-size scalar cross join", 1),
+      ("llm71_ivf_drift_report", bnlj) ->
+        ("1-row drift report × 1-row appended-count scalar cross join", 1),
       ("cdc19_multi_source_identity", bnlj) ->
         ("per-source watermark frame (≤ #sources rows) broadcast", 1),
       ("q09_cross_join", bnlj) ->

@@ -731,6 +731,49 @@ class LlmOpsSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
+  test("IVF drift monitor: cell stats reconcile; drifted append trips the advisory") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 10 =!= 9), idx, kClusters = 16)
+    // pre-drift: one row per centroid cell (EMPTY cells included), the
+    // live counts reconcile with the stored corpus, nothing tombstoned,
+    // and a freshly built index does not cry wolf
+    val s0 = Similarity.ivfCellStats(spark, idx).collect()
+    assert(s0.length == 16, s"expected one row per cell, got ${s0.length}")
+    assert(s0.map(_.getAs[Long]("n_live")).sum ==
+      emb.filter($"vec_id" % 10 =!= 9).count())
+    assert(s0.forall(_.getAs[Long]("n_tombstoned") == 0L))
+    val r0 = Similarity.ivfDriftReport(spark, idx).collect().head
+    assert(!r0.getAs[Boolean]("advise_rebuild"),
+      s"fresh index advised away (organic skew ${r0.getAs[Double]("skew_ratio")})")
+    assert(!r0.getAs[Boolean]("advise_compact"))
+    // drift: the held-out 10% appended collapsed onto one direction —
+    // every appended vector lands in ONE frozen cell
+    Similarity.appendToIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 10 === 9)
+        .withColumn("embedding", array_repeat(lit(1.0f), 64)))
+    val s1 = Similarity.ivfCellStats(spark, idx).collect()
+    assert(s1.map(_.getAs[Long]("n_live")).sum == emb.count())
+    val r1 = Similarity.ivfDriftReport(spark, idx, maxOverMedian = 2.0)
+      .collect().head
+    assert(r1.getAs[Long]("max_cell") >= emb.filter($"vec_id" % 10 === 9).count(),
+      "the fullest cell must hold at least the whole collapsed batch")
+    assert(r1.getAs[Boolean]("advise_rebuild"),
+      s"drifted skew ${r1.getAs[Double]("skew_ratio")} under threshold")
+    assert(!r1.getAs[Boolean]("advise_compact"))
+    // tombstone a third of the corpus: the compact advisory fires and
+    // the live/dead split reconciles exactly
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 3 === 0).select($"vec_id"))
+    val r2 = Similarity.ivfDriftReport(spark, idx).collect().head
+    assert(r2.getAs[Long]("total_tombstoned") ==
+      emb.filter($"vec_id" % 3 === 0).count())
+    assert(r2.getAs[Long]("total_live") + r2.getAs[Long]("total_tombstoned") ==
+      emb.count())
+    assert(r2.getAs[Boolean]("advise_compact"))
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
