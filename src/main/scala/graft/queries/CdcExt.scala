@@ -598,6 +598,34 @@ object CdcExt {
           col(CdcSchema.GtidCol))
     },
 
+    // startingTimestamp: the __tm twin of cdc42 — "consume changes
+    // stamped at or after T" (INCLUSIVE epoch micros, Kafka's
+    // startingTimestamp convention). Same base-pushed-filter machinery,
+    // so sidecar __tm bounds prune prefix files for batch scans and the
+    // fresh stream's initial offset alike (stream-level prefix skip
+    // spec'd in CdcSourceSpec; this oracle pins inclusive-bound row
+    // semantics). The bound lands mid-insert-phase exactly ON insert
+    // batch gno 100 (batch gnos are DENSE at every SF, so the boundary
+    // event always exists): a fencepost error (exclusive >) drops that
+    // whole 10-row insert batch and hash-mismatches.
+    QDef("cdc45_starting_timestamp",
+      s"""${Cdc.eventsCte}
+         |SELECT o_orderkey, o_totalprice, __op, __gtid, __tm
+         |FROM cdc_tm
+         |WHERE __tm >= TIMESTAMP '2024-01-01 00:00:00' + to_seconds(100)"""
+        .stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      val tMicros = (CdcFixture.BaseMs / 1000 + 100L) * 1000000L
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .option("startingTimestamp", tMicros.toString)
+        .load()
+        .select(col("o_orderkey"), col("o_totalprice"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol))
+    },
+
     // MySQL 8.3+ tagged GTIDs (GTID_TAGGED_LOG_EVENT, type 42): insert
     // txns rotate untagged / :etl / :repair identity streams — each
     // with its OWN gno counter — and the update phase runs entirely

@@ -138,13 +138,19 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
     //    G" (exclusive), the Kafka startingOffsets analogue; a fresh
     //    stream starts at the first possibly-relevant file instead of
     //    replaying the log
+    //  - startingTimestamp: the __tm twin — "consume changes stamped AT
+    //    or after T" (INCLUSIVE epoch micros, matching asofTm's unit and
+    //    Kafka's startingTimestamp convention of the first record with
+    //    timestamp >= T); same sidecar prefix skip via the __tm bounds
     val bounds: Array[Filter] = Array(
       Option(options.get("asofGtid")).map(v =>
         LessThanOrEqual(CdcSchema.GtidCol, v.toLong): Filter),
       Option(options.get("asofTm")).map(v =>
         LessThanOrEqual(CdcSchema.TmCol, v.toLong): Filter),
       Option(options.get("startingGtid")).map(v =>
-        GreaterThan(CdcSchema.GtidCol, v.toLong): Filter)).flatten
+        GreaterThan(CdcSchema.GtidCol, v.toLong): Filter),
+      Option(options.get("startingTimestamp")).map(v =>
+        GreaterThanOrEqual(CdcSchema.TmCol, v.toLong): Filter)).flatten
     new CdcScanBuilder(idx, db, tbl, tableSchema, maxBytes, drift, format, bounds)
   }
 }

@@ -570,6 +570,49 @@ class CdcSourceSpec extends SparkTestBase {
       s"expected exactly the gtid > 1 events, got $got")
   }
 
+  test("startingTimestamp: inclusive __tm bound, fresh stream skips the prefix") {
+    import graft.sources.{CdcOffset, CdcScan}
+    val index = writeLog() // b.0: tm 1000ms; b.1: tms 2000/3000/4000ms
+    val full = StructType(schema.fields ++ CdcSchema.envelope)
+    def streamFor(opts: Map[String, String]) = {
+      import scala.jdk.CollectionConverters._
+      val props = (Map("indexFile" -> index, "database" -> "db",
+        "table" -> "t") ++ opts).asJava
+      new graft.sources.CdcTable(full, new java.util.HashMap(props))
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of()))
+        .build().asInstanceOf[CdcScan]
+        .toMicroBatchStream("unused")
+    }
+    // bound exactly at b.1's first event (2000ms, in micros): b.0
+    // (maxTs 1000ms) is provably irrelevant — skipped, never opened
+    val skipped = streamFor(Map("startingTimestamp" -> "2000000"))
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(skipped.fileIdx == 1, s"expected to start at b.1, got $skipped")
+    // bound past the whole log: start at the frontier
+    val tail = streamFor(Map("startingTimestamp" -> "99000000"))
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(tail.fileIdx == 1 && tail.pos > CdcCodec.HeaderLen.toLong)
+    // end-to-end, bound ON an event time: INCLUSIVE semantics keep the
+    // tm == 2000ms insert batch (an exclusive > would drop ids 3,4)
+    val ckpt = Files.createTempDirectory("st-ckpt").toString
+    val outDir = Files.createTempDirectory("st-out").toString
+    val q = spark.readStream.format("binlogcdc")
+      .option("indexFile", index).option("database", "db").option("table", "t")
+      .option("startingTimestamp", "2000000")
+      .load()
+      .select("id", CdcSchema.GtidCol)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((2L, 3L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 2L)),
+      s"expected exactly the __tm >= 2000ms events, got $got")
+  }
+
   test("reserved envelope name in the source schema fails loud, not hijacked") {
     // projection maps columns by NAME — a source column called __op or
     // __query would silently read envelope state instead of its own
