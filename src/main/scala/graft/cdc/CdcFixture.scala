@@ -66,6 +66,7 @@ object CdcFixture {
   private val cacheMyQ = mutable.Map.empty[String, String]
   private val cacheMyTg = mutable.Map.empty[String, String]
   private val cacheMyPj = mutable.Map.empty[String, String]
+  private val cacheMyNb = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -576,6 +577,84 @@ object CdcFixture {
         val ts = BaseMs + g * 1000L
         w.gtid(ts, g, SourceId)
         w.deleteRowsMinimal(ts, MinImageTableId, schema, batch.toSeq)
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
+
+  /** A `binlog_row_image=NOBLOB` log: full-image INSERTs (a new row's
+    * blob always "changed"), UPDATEs whose images carry every NON-blob
+    * column — payload appears only in after images of the statement
+    * that changed it — and DELETEs whose before images carry the
+    * non-blob columns. The differentiator vs MINIMAL (cdc37): `val` is
+    * readable across the WHOLE storyline including before images;
+    * only `payload` projections fail loud on thinned events. */
+  def ensureMysqlNoblobImage(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyNb, "graft-cdcmynb", sfDir)(
+      generateNoblobImage(spark, sfDir, _))
+
+  val NoblobTable = "borders"
+  val NoblobTableId = 37L
+
+  private def generateNoblobImage(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey",
+        "CAST(o_orderkey % 1000 AS BIGINT) AS val",
+        "CAST(concat('p', CAST(o_orderkey % 89 AS STRING)) AS BINARY) AS payload")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      w.tableMap(BaseMs, NoblobTableId, Db, NoblobTable, schema)
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        val ts = BaseMs + i * 1000L
+        w.gtid(ts, i.toLong, SourceId)
+        w.writeRows(ts, NoblobTableId, schema, batch.toSeq)
+      }
+      // phase 1: non-blob UPDATE — payload untouched, so NOBLOB thins
+      // it from BOTH images (shared after bitmap sees it unchanged)
+      val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 100000L + b
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.updateRowsNoblob(ts, NoblobTableId, schema, batch.toSeq.map { r =>
+          val after = r.clone()
+          after(1) = r(1).asInstanceOf[Long] + 1000L
+          (r, after)
+        })
+      }
+      // phase 2: blob UPDATE — the changed payload appears in the after
+      // image (and ONLY there); `val` reflects phase 1's state
+      val bup = rows.filter(_(0).asInstanceOf[Long] % 5 == 0)
+      bup.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 150000L + b
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.updateRowsNoblob(ts, NoblobTableId, schema, batch.toSeq.map { r =>
+          val k = r(0).asInstanceOf[Long]
+          val cur = r.clone()
+          if (k % 3 == 0) cur(1) = r(1).asInstanceOf[Long] + 1000L
+          val after = cur.clone()
+          after(2) = s"q${k % 89}".getBytes("UTF-8")
+          (cur, after)
+        })
+      }
+      val del = rows.filter(_(0).asInstanceOf[Long] % 7 == 0)
+      del.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 200000L + b
+        val ts = BaseMs + g * 1000L
+        w.gtid(ts, g, SourceId)
+        w.deleteRowsNoblob(ts, NoblobTableId, schema, batch.toSeq.map { r =>
+          val k = r(0).asInstanceOf[Long]
+          val cur = r.clone()
+          if (k % 3 == 0) cur(1) = r(1).asInstanceOf[Long] + 1000L
+          cur
+        })
       }
     } finally w.close()
     Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")

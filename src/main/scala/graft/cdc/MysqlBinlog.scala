@@ -2119,6 +2119,56 @@ object MysqlBinlog {
         rows.foreach(img => writeImage(b, schema, img, i => i == 0))
       }
 
+    /** `binlog_row_image=NOBLOB` rows events: images carry EVERY column
+      * except blob/text ones (BinaryType here — the writer's Blob wire
+      * type), which appear only in an after image and only when the
+      * statement changed them. Bitmaps are shared per statement like
+      * mysqld's m_cols/m_cols_ai; insert images stay full (a new row's
+      * blob always "changed"). The public contract this mirrors: "logs
+      * all columns, except for BLOB and TEXT columns that are not
+      * required to identify rows, or that have not changed"
+      * (binlog_row_image system-variable docs). */
+    def updateRowsNoblob(tsMs: Long, tableId: Long, schema: StructType,
+        pairs: Seq[(Array[Any], Array[Any])]): Unit =
+      writeRowLevelEvent(EventType.UpdateRowsV2, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0)
+        b.u16(2)
+        val n = schema.length
+        b.lenenc(n.toLong)
+        val blob = schema.fields.map(_.dataType == BinaryType)
+        val afterHas = (0 until n).map(i => !blob(i) ||
+          pairs.exists(p => valueChanged(p._1(i), p._2(i))))
+        b.raw(exactBitmap(n, i => !blob(i)))
+        b.raw(exactBitmap(n, afterHas))
+        pairs.foreach { case (before, after) =>
+          writeImage(b, schema, before, i => !blob(i))
+          writeImage(b, schema, after, afterHas)
+        }
+      }
+
+    /** NOBLOB DELETE: the before image carries every non-blob column. */
+    def deleteRowsNoblob(tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      writeRowLevelEvent(EventType.DeleteRowsV2, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0)
+        b.u16(2)
+        val n = schema.length
+        b.lenenc(n.toLong)
+        val blob = schema.fields.map(_.dataType == BinaryType)
+        b.raw(exactBitmap(n, i => !blob(i)))
+        rows.foreach(img => writeImage(b, schema, img, i => !blob(i)))
+      }
+
+    /** Value-equality "changed" test for the shared after bitmap —
+      * Array[Byte] compares by CONTENT (reference != would mark every
+      * cloned blob changed and silently un-thin the image). */
+    private def valueChanged(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Array[Byte], y: Array[Byte]) => !java.util.Arrays.equals(x, y)
+      case _ => a != b
+    }
+
     private def exactBitmap(n: Int, present: Int => Boolean): Array[Byte] = {
       val a = new Array[Byte]((n + 7) / 8)
       var i = 0

@@ -626,6 +626,59 @@ object CdcExt {
           col(CdcSchema.GtidCol), col(CdcSchema.TmCol))
     },
 
+    // binlog_row_image=NOBLOB, the second partial-image mode: images
+    // carry every NON-blob column (vs MINIMAL's PK-only), so the `val`
+    // storyline is readable across before images, updates, and deletes
+    // — exactly what this oracle hash-checks, including phase-2 blob
+    // updates whose before/after `val` reflects phase 1's +1000 on
+    // %3==0 rows. A decoder that thinned like MINIMAL (PK only) or
+    // un-thinned the blob would fail loud / hash-mismatch. The payload
+    // column is never selected: projection-exact decode skips the blob
+    // bytes entirely (GoldenPolicySpec pins the fail-loud direction).
+    QDef("cdc46_mysql_noblob_row_image",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val0,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |up AS (
+         |  SELECT o_orderkey, val0,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |bup AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN val0 + 1000 ELSE val0 END AS cur,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS vidx
+         |  FROM ord WHERE o_orderkey % 5 = 0
+         |),
+         |del AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN val0 + 1000 ELSE val0 END AS cur,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS didx
+         |  FROM ord WHERE o_orderkey % 7 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, val0 AS val, 1 AS __op, CAST(idx // 100 AS BIGINT) AS g FROM ord
+         |  UNION ALL SELECT o_orderkey, val0, 2, CAST(100000 + uidx // 100 AS BIGINT) FROM up
+         |  UNION ALL SELECT o_orderkey, val0 + 1000, 3, CAST(100000 + uidx // 100 AS BIGINT) FROM up
+         |  UNION ALL SELECT o_orderkey, cur, 2, CAST(150000 + vidx // 100 AS BIGINT) FROM bup
+         |  UNION ALL SELECT o_orderkey, cur, 3, CAST(150000 + vidx // 100 AS BIGINT) FROM bup
+         |  UNION ALL SELECT o_orderkey, cur, 0, CAST(200000 + didx // 100 AS BIGINT) FROM del
+         |)
+         |SELECT o_orderkey, val, __op, g AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(g) AS __tm
+         |FROM ev""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlNoblobImage(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.NoblobTable)
+        .option("binlogFormat", "mysql")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol))
+    },
+
     // MySQL 8.3+ tagged GTIDs (GTID_TAGGED_LOG_EVENT, type 42): insert
     // txns rotate untagged / :etl / :repair identity streams — each
     // with its OWN gno counter — and the update phase runs entirely

@@ -91,6 +91,64 @@ class GoldenPolicySpec extends SparkTestBase {
       (1L, CdcSchema.Op.UpdateAfter, 2L)))
   }
 
+  /** `binlog_row_image=NOBLOB`, table gd.t = [id BIGINT, v VARCHAR(20),
+    * b BLOB]. Txn 1 (gtid 1): full INSERT (1,"ab",XY) — a new row's
+    * blob always "changed". Txn 2 (gtid 2): UPDATE v only — blob
+    * UNCHANGED, so BOTH images carry (id,v) (columns-present 0x03):
+    * (1,"ab") → (1,"cd"). Txn 3 (gtid 3): UPDATE the blob — before 0x03,
+    * after 0x07 with b="ZW". Txn 4 (gtid 4): DELETE, before image 0x03.
+    * The NOBLOB differentiator vs MINIMAL: non-blob columns stay
+    * readable across every image, including befores and deletes. */
+  private val NoblobImageHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f1536513010000003b000000fa000000000000050000000001000267640001740003080f
+      |fc0314000206010100040702696401760162f0b85f1f64f153651e01000000330000002d0100
+      |00000000050000000001000200030700010000000000000002616202005859b3627c2864f153
+      |6510010000001f0000004c010000000065000000000000003ad85d3764f15365210100000041
+      |0000008d0100000000003e11fa4771ca11e19e33c80aa9429562020000000000000002010000
+      |000000000002000000000000005a78829764f1536513010000003b000000c801000000000005
+      |0000000001000267640001740003080ffc03140002060101000407026964017601627e9c105b
+      |64f153651f010000003c00000004020000000000050000000001000200030303000100000000
+      |0000000261620001000000000000000263643d80a1d364f1536510010000001f000000230200
+      |0000006600000000000000c88851de64f15365210100000041000000640200000000003e11fa
+      |4771ca11e19e33c80aa942956203000000000000000202000000000000000300000000000000
+      |b54ad00964f1536513010000003b0000009f0200000000000500000000010002676400017400
+      |03080ffc03140002060101000407026964017601620275f83664f153651f0100000040000000
+      |df02000000000005000000000100020003030700010000000000000002636400010000000000
+      |000002636402005a5721a0f3a164f1536510010000001f000000fe0200000000670000000000
+      |000072dc790164f153652101000000410000003f0300000000003e11fa4771ca11e19e33c80a
+      |a9429562040000000000000002030000000000000004000000000000003eb2067b64f1536513
+      |010000003b0000007a030000000000050000000001000267640001740003080ffc0314000206
+      |0101000407026964017601622244a56564f1536520010000002f000000a90300000000000500
+      |000000010002000303000100000000000000026364a9a0513164f1536510010000001f000000
+      |c8030000000068000000000000005918db56""".stripMargin
+
+  test("NOBLOB row image: non-blob columns decode across every image") {
+    val dir = materialize(NoblobImageHex)
+    val rows = read(dir)
+      .select("id", "v", CdcSchema.OpCol, CdcSchema.GtidCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._4, t._3))
+    assert(rows == Seq(
+      (1L, "ab", CdcSchema.Op.Insert, 1L),
+      (1L, "ab", CdcSchema.Op.UpdateBefore, 2L),
+      (1L, "cd", CdcSchema.Op.UpdateAfter, 2L),
+      (1L, "cd", CdcSchema.Op.UpdateBefore, 3L),
+      (1L, "cd", CdcSchema.Op.UpdateAfter, 3L),
+      (1L, "cd", CdcSchema.Op.Delete, 4L)), rows.mkString("; "))
+  }
+
+  test("NOBLOB row image: selecting the thinned blob column fails loud") {
+    val dir = materialize(NoblobImageHex)
+    val ex = intercept[Exception] { read(dir).select("id", "b").collect() }
+    val all = messages(ex).mkString(" | ")
+    assert(all.contains("binlog_row_image") && all.contains(" b "), all)
+  }
+
   /** Txn 1 (gtid 1, untagged): full INSERT; XID. Txn 2 opens with a
     * GTID_TAGGED_LOG_EVENT (type 42, MySQL 8.3+): `mysql::serialization`
     * field stream — field_id prefix-varints, uuid(16) / tag("sometag")
