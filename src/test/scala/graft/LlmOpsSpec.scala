@@ -215,6 +215,23 @@ class LlmOpsSpec extends SparkTestBase {
       "stream-served knn must equal the batch index lookup row-for-row")
   }
 
+  test("ivf top-k: cell-pruned recall clears 0.6 vs brute force") {
+    // the plain-IVF regression bound (lsh/pq/ivfpq have theirs below/
+    // above); round-tracked at sf0.1 by tools/AnnRecallProbe — see
+    // DESIGN.md §"ANN recall tracking"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("pq top-k: compressed-domain recall clears 0.5, deterministic, corpus stays encoded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
