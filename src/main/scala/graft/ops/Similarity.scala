@@ -437,14 +437,18 @@ object Similarity {
   /** Rebuild advisory over [[ivfCellStats]]: one row summarizing how
     * unbalanced the index has become, with `advise_rebuild` set when
     * the fullest cell holds more than `maxOverMedian`× the median
-    * cell's LIVE vectors (the cost model is direct: a probe that lands
-    * in the fullest cell scans max/median times the vectors a balanced
-    * probe would) or when the tombstone mass passes
-    * `maxTombstoneFrac` (compact instead of rebuild). Empty cells are
-    * reported but do not trip the advisory on their own — a fresh
-    * sparse index legitimately has them; the median already reflects
-    * mass concentration. The aggregate input is kClusters rows, so the
-    * single-row reduction is trivially cheap at any corpus size. */
+    * NON-EMPTY cell's live vectors (the cost model is direct: a probe
+    * that lands in the fullest cell scans max/median times the vectors
+    * a balanced probe would), or `advise_compact` when tombstones pass
+    * `maxTombstoneFrac` of the TOTAL stored mass (live+tombstoned —
+    * the bytes a probe actually reads past; compact instead of
+    * rebuild). Empty cells are reported but never trip the rebuild
+    * advisory on their own — a fresh sparse index legitimately has
+    * them, which is exactly why the median is taken over occupied
+    * cells only (a median over all cells collapses to 0 once half are
+    * empty, turning the ratio threshold into an absolute vector
+    * count). The aggregate input is kClusters rows, so the single-row
+    * reduction is trivially cheap at any corpus size. */
   def ivfDriftReport(spark: SparkSession, path: String,
       maxOverMedian: Double = 4.0, maxTombstoneFrac: Double = 0.2,
       id: String = "vec_id"): DataFrame =
@@ -454,13 +458,16 @@ object Similarity {
         sum(col("n_live")).as("total_live"),
         sum(col("n_tombstoned")).as("total_tombstoned"),
         max(col("n_live")).as("max_cell"),
-        expr("percentile(n_live, 0.5)").as("median_cell"))
+        expr("percentile(CASE WHEN n_live > 0 THEN n_live END, 0.5)")
+          .as("median_cell"))
       .select(col("n_cells"), col("n_empty_cells"), col("total_live"),
-        col("total_tombstoned"), col("max_cell"), col("median_cell"),
+        col("total_tombstoned"), col("max_cell"),
+        coalesce(col("median_cell"), lit(0.0)).as("median_cell"),
         (col("max_cell") / greatest(col("median_cell"), lit(1.0)))
           .as("skew_ratio"),
         (col("total_tombstoned") >
-          col("total_live").cast("double") * maxTombstoneFrac)
+          (col("total_live") + col("total_tombstoned")).cast("double") *
+            maxTombstoneFrac)
           .as("advise_compact"),
         (col("max_cell") >
           greatest(col("median_cell"), lit(1.0)) * maxOverMedian)

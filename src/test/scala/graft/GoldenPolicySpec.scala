@@ -149,6 +149,44 @@ class GoldenPolicySpec extends SparkTestBase {
     assert(all.contains("binlog_row_image") && all.contains(" b "), all)
   }
 
+  /** PK-less identity under NOBLOB: the blob IS "required to identify
+    * rows", so the update's before image carries it (0x07) and the
+    * after image carries it because it changed (0x07) — the positive
+    * blob-decode path from authored bytes. (A thinned image's blob is
+    * structurally unprojectable — selecting it fails loud above — so
+    * this full-identity shape is where authored blob bytes are
+    * readable.) Txn 1: full INSERT (1,"ab",XY). Txn 2: UPDATE
+    * (1,"ab",XY) → (1,"ab",ZW). */
+  private val NoblobFullIdentityHex =
+    """fe62696e64f153650f010000007a0000007e00000000000400382e302e333600000000000000
+      |0000000000000000000000000000000000000000000000000000000000000000000000000064
+      |f1536513000d0008001200040404041200005400041a08000000080808020000000a0a0a2a2a
+      |0012340000000001369a4a9364f15365210100000041000000bf0000000000003e11fa4771ca
+      |11e19e33c80aa94295620100000000000000020000000000000000010000000000000060c997
+      |2664f1536513010000003b000000fa000000000000050000000001000267640001740003080f
+      |fc0314000206010100040702696401760162f0b85f1f64f153651e01000000330000002d0100
+      |00000000050000000001000200030700010000000000000002616202005859b3627c2864f153
+      |6510010000001f0000004c010000000065000000000000003ad85d3764f15365210100000041
+      |0000008d0100000000003e11fa4771ca11e19e33c80aa9429562020000000000000002010000
+      |000000000002000000000000005a78829764f1536513010000003b000000c801000000000005
+      |0000000001000267640001740003080ffc03140002060101000407026964017601627e9c105b
+      |64f153651f01000000440000000c020000000000050000000001000200030707000100000000
+      |0000000261620200585900010000000000000002616202005a570a5a807664f1536510010000
+      |001f0000002b02000000006600000000000000fe9608ed""".stripMargin
+
+  test("NOBLOB full-identity update: blob bytes decode from authored images") {
+    val dir = materialize(NoblobFullIdentityHex)
+    val rows = read(dir)
+      .select("id", "b", CdcSchema.OpCol, CdcSchema.GtidCol)
+      .collect().map(r => (r.getLong(0),
+        new String(r.getAs[Array[Byte]](1), "UTF-8"), r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._4, t._3))
+    assert(rows == Seq(
+      (1L, "XY", CdcSchema.Op.Insert, 1L),
+      (1L, "XY", CdcSchema.Op.UpdateBefore, 2L),
+      (1L, "ZW", CdcSchema.Op.UpdateAfter, 2L)), rows.mkString("; "))
+  }
+
   /** Txn 1 (gtid 1, untagged): full INSERT; XID. Txn 2 opens with a
     * GTID_TAGGED_LOG_EVENT (type 42, MySQL 8.3+): `mysql::serialization`
     * field stream — field_id prefix-varints, uuid(16) / tag("sometag")

@@ -789,6 +789,21 @@ class LlmOpsSpec extends SparkTestBase {
       emb.count())
     assert(r2.getAs[Boolean]("advise_compact"))
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+    // sparse index: 30 identical vectors collapse into ONE of 16 cells
+    // (15 empty). Empty cells must NOT trip the rebuild advisory — the
+    // median is over occupied cells (here = max, skew 1.0); a median
+    // over all cells would be 0 and turn the ratio into an absolute
+    // count (30 > 4), crying rebuild on a perfectly healthy layout
+    val sparse = java.nio.file.Files.createTempDirectory("ivf-sparse").toString
+    Similarity.buildIvfIndex(
+      emb.limit(30).withColumn("embedding", array_repeat(lit(1.0f), 64)),
+      sparse, kClusters = 16)
+    val rs = Similarity.ivfDriftReport(spark, sparse).collect().head
+    assert(rs.getAs[Long]("n_empty_cells") == 15L)
+    assert(rs.getAs[Double]("skew_ratio") == 1.0,
+      s"one occupied cell must read as balanced, got ${rs}")
+    assert(!rs.getAs[Boolean]("advise_rebuild"))
+    graft.TmpDirs.deleteRecursively(new java.io.File(sparse))
   }
 
   test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
