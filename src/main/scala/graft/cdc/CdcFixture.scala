@@ -67,6 +67,7 @@ object CdcFixture {
   private val cacheMyTg = mutable.Map.empty[String, String]
   private val cacheMyPj = mutable.Map.empty[String, String]
   private val cacheMyNb = mutable.Map.empty[String, String]
+  private val cacheMyDr = mutable.Map.empty[String, String]
 
   /** Shared idempotent-generation shape: `<tmpdir>/<prefix>-<sfDir
     * hash>` with a `_SUCCESS` marker guarding regeneration; returns the
@@ -655,6 +656,53 @@ object CdcFixture {
           if (k % 3 == 0) cur(1) = r(1).asInstanceOf[Long] + 1000L
           cur
         })
+      }
+    } finally w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
+
+  /** A MySQL binlog with an ALTER TABLE mid-file: epoch 1 declares
+    * (k, keep, v DOUBLE); epoch 2 — new table id, like mysqld assigns
+    * after DDL — REORDERS to (extra, k, keep, price), renaming `v` to
+    * `price` and adding `extra` at the FRONT (so the epoch remap is a
+    * genuine permutation, not just a suffix pad). FULL row metadata
+    * carries the names the remap matches by. Same key/value derivation
+    * as the gcdc drifted log (cdc20), so cdc47's oracle is the same
+    * reconstruction against the reordered newest schema. */
+  def ensureMysqlDrifted(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMyDr, "graft-cdcmydr", sfDir)(
+      generateMysqlDrifted(spark, sfDir, _))
+
+  val MysqlEvolvingTable = "vorders"
+  val MysqlEvolvingTableId1 = 39L
+  val MysqlEvolvingTableId2 = 40L
+
+  private def generateMysqlDrifted(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val keyPrice = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val s1 = StructType(Seq(StructField("k", LongType),
+      StructField("keep", StringType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("extra", LongType),
+      StructField("k", LongType), StructField("keep", StringType),
+      StructField("price", DoubleType)))
+    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    try {
+      w.tableMap(BaseMs, MysqlEvolvingTableId1, Db, MysqlEvolvingTable, s1)
+      keyPrice.filter(_._1 % 50 == 0).zipWithIndex.foreach { case ((k, p), i) =>
+        val ts = BaseMs + i * 1000L
+        w.gtid(ts, i.toLong, SourceId)
+        w.writeRows(ts, MysqlEvolvingTableId1, s1, Seq(Array[Any](k, s"k$k", p)))
+      }
+      // the ALTER boundary: mysqld re-emits TABLE_MAP with a fresh id
+      w.tableMap(BaseMs, MysqlEvolvingTableId2, Db, MysqlEvolvingTable, s2)
+      keyPrice.filter(_._1 % 50 == 25).zipWithIndex.foreach { case ((k, p), i) =>
+        val gno = 100000L + i
+        val ts = BaseMs + gno * 1000L
+        w.gtid(ts, gno, SourceId)
+        w.writeRows(ts, MysqlEvolvingTableId2, s2,
+          Seq(Array[Any](k * 3, k, s"k$k", p * 2)))
       }
     } finally w.close()
     Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")

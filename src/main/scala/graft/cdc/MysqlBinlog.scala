@@ -641,14 +641,27 @@ object MysqlBinlog {
     * Schema matching: by (name, type) when the TABLE_MAP carries FULL
     * metadata names (exact match, or the additive strict-prefix rule of
     * the GCDC decoder), positionally by type when it doesn't. Any other
-    * disagreement fails loud — `schemaDrift=epochs` is a GCDC-format
-    * feature (the drift-epoch remap needs names, which MINIMAL-metadata
-    * MySQL logs don't ship). */
+    * disagreement fails loud by default; with `driftEpochs` AND FULL
+    * metadata names the decoder instead installs a per-table-id epoch
+    * remap (same policy as the GCDC decoder: declared-order values land
+    * at their same-named expected positions, a dropped/re-typed column
+    * reads null for that epoch's rows, epoch-only columns byte-skip) so
+    * one query spans an `ALTER TABLE` boundary. MINIMAL-metadata logs
+    * cannot drift-remap — no names on the wire — and keep failing loud
+    * even under `driftEpochs`. */
   final class RowDecoder(targetDb: String, targetTable: String,
       needed: Int => Boolean = _ => true,
-      expectedSchema: Option[StructType] = None) extends CdcRowDecoder {
+      expectedSchema: Option[StructType] = None,
+      driftEpochs: Boolean = false) extends CdcRowDecoder {
 
     private val tableMaps = scala.collection.mutable.Map.empty[Long, MysqlTableMap]
+    /** Active epoch plan per table id (absent = identity/additive).
+      * remap(i) = declared index feeding expected column i, or -1;
+      * declaredNeeded marks declared columns actually consumed. */
+    private final class EpochPlan(val remap: Array[Int],
+      val declaredNeeded: Array[Boolean])
+    private val epochs = scala.collection.mutable.Map.empty[Long, EpochPlan]
+    private val expectedWidth: Int = expectedSchema.map(_.length).getOrElse(-1)
     private var currentGtid = 0L
     private var currentSourceId: UTF8String =
       UTF8String.fromString(CdcSchema.AnonymousSourceId)
@@ -896,12 +909,33 @@ object MysqlBinlog {
               expT.take(got.length) == got &&
               exp.fields.drop(got.length).forall(_.nullable))
         }
-        if (!ok)
+        if (ok) epochs.remove(tm.tableId)
+        else if (driftEpochs && tm.names.isDefined) {
+          // epoch remap by (name, type), GCDC-identical policy
+          val ns = tm.names.get
+          val tys = tm.sparkTypes
+          val remap = exp.fields.map(ef =>
+            ns.indices.indexWhere(j =>
+              ns(j) == ef.name && tys(j) == ef.dataType))
+          val dn = new Array[Boolean](ns.length)
+          remap.zipWithIndex.foreach { case (j, i) =>
+            if (j >= 0 && needed(i)) dn(j) = true
+          }
+          epochs(tm.tableId) = new EpochPlan(remap, dn)
+        } else if (driftEpochs)
+          throw new IllegalStateException(
+            s"schema drift for $targetDb.$targetTable at log offset $pos " +
+              "with schemaDrift=epochs, but the TABLE_MAP carries no column " +
+              "names (producer logged binlog_row_metadata=MINIMAL): the " +
+              "epoch remap matches columns by name — re-log with " +
+              "binlog_row_metadata=FULL, or restart the query on the new schema")
+        else
           throw new IllegalStateException(
             s"schema drift for $targetDb.$targetTable at log offset $pos: " +
               s"TABLE_MAP declares ${tm.sparkSchema(i => s"_c$i").simpleString}, " +
               s"query expects ${exp.simpleString}; restart the query to pick " +
-              "up the new schema (schemaDrift=epochs requires the gcdc format)")
+              "up the new schema (or read with option schemaDrift=epochs — " +
+              "needs FULL row metadata names)")
       }
 
     private def rowsEvent(ev: CdcCodec.RawEvent, op: Int,
@@ -932,6 +966,7 @@ object MysqlBinlog {
           val present1 = c.bytes((width + 7) / 8)
           val present2 = if (images == 2) c.bytes((width + 7) / 8) else present1
           val tmMicros = DateTimeUtils.millisToMicros(ev.tsMs)
+          val plan = epochs.getOrElse(tableId, null)
           val out = Seq.newBuilder[CdcCodec.CdcRow]
           // MySQL rows events carry no row count: parse images to the end.
           // PROGRESS GUARD: a corrupted all-zero columns-present bitmap
@@ -945,18 +980,22 @@ object MysqlBinlog {
                   "(corrupt columns-present bitmap?)")
             lastP = c.p
             if (images == 2) {
-              val before = readImage(c, tm, present1, ev.pos)
+              // images decode in DECLARED order (the wire layout; also
+              // what a PARTIAL_JSON diff's base document is indexed by)
+              // and are shaped to the expected schema only at emission
+              val before = readImage(c, tm, present1, ev.pos, plan = plan)
               val after =
                 if (partialJson) readImage(c, tm, present2, ev.pos,
-                  partialBase = before)
-                else readImage(c, tm, present2, ev.pos)
+                  partialBase = before, plan = plan)
+                else readImage(c, tm, present2, ev.pos, plan = plan)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateBefore, currentGtid,
-                tmMicros, currentSourceId, before, currentRowsQuery)
+                tmMicros, currentSourceId, shape(before, plan), currentRowsQuery)
               out += CdcCodec.CdcRow(CdcSchema.Op.UpdateAfter, currentGtid,
-                tmMicros, currentSourceId, after, currentRowsQuery)
+                tmMicros, currentSourceId, shape(after, plan), currentRowsQuery)
             } else {
               out += CdcCodec.CdcRow(op, currentGtid, tmMicros, currentSourceId,
-                readImage(c, tm, present1, ev.pos), currentRowsQuery)
+                shape(readImage(c, tm, present1, ev.pos, plan = plan), plan),
+                currentRowsQuery)
             }
           }
           out.result()
@@ -979,9 +1018,35 @@ object MysqlBinlog {
       * as SQL NULL would be indistinguishable from a true NULL and
       * silently corrupt latest-image compaction, the same corruption
       * class PARTIAL_JSON and anonymous-GTID fail loud on. */
+    /** Declared-order image → the expected schema's layout: epoch remap
+      * (same-named values land at their expected positions, unmapped
+      * expected columns null), or additive trailing-null padding when a
+      * pre-ALTER TABLE_MAP is narrower than the query schema (without
+      * this, projecting an added column on old-epoch rows indexes past
+      * the declared-width array). Identity when neither applies. */
+    private def shape(vals: Array[Any], plan: EpochPlan): Array[Any] =
+      if (plan != null) {
+        val out = new Array[Any](expectedWidth)
+        var i = 0
+        while (i < expectedWidth) {
+          val j = plan.remap(i)
+          if (j >= 0) out(i) = vals(j)
+          i += 1
+        }
+        out
+      } else if (expectedWidth > vals.length) {
+        val out = new Array[Any](expectedWidth)
+        System.arraycopy(vals, 0, out, 0, vals.length)
+        out
+      } else vals
+
     private def readImage(c: Cur, tm: MysqlTableMap,
         present: Array[Byte], pos: Long,
-        partialBase: Array[Any] = null): Array[Any] = {
+        partialBase: Array[Any] = null, plan: EpochPlan = null): Array[Any] = {
+      // under an active epoch plan the wire (and this decode loop) is in
+      // DECLARED column order, so the consume/skip mask is the plan's
+      // declared-needed projection of the query's expected-order mask
+      val need: Int => Boolean = if (plan == null) needed else plan.declaredNeeded
       val n = tm.colTypes.length
       var presentCount = 0
       var i = 0
@@ -1023,7 +1088,7 @@ object MysqlBinlog {
       i = 0
       while (i < n) {
         if ((present(i / 8) & (1 << (i % 8))) == 0) {
-          if (needed(i)) {
+          if (need(i)) {
             val colName = tm.names.map(_(i)).getOrElse(s"column #$i")
             throw new IOException(
               s"partial row image for ${tm.db}.${tm.table} at log offset " +
@@ -1050,7 +1115,7 @@ object MysqlBinlog {
                 case m => throw new IOException(s"bad JSON length-byte count $m")
               }).toInt
               val diffBytes = c.bytes(diffLen)
-              if (needed(i)) {
+              if (need(i)) {
                 val base = partialBase(i)
                 if (base == null) {
                   val colName = tm.names.map(_(i)).getOrElse(s"column #$i")
@@ -1065,7 +1130,7 @@ object MysqlBinlog {
                 vals(i) = UTF8String.fromString(
                   JsonBinary.applyDiffs(base.toString, diffBytes))
               }
-            } else if (needed(i))
+            } else if (need(i))
               vals(i) = tm.colTypes(i) match {
                 case ColType.Enum => readEnum(c, tm, i)
                 case ColType.SetT => readSet(c, tm, i)
@@ -2546,10 +2611,8 @@ object MysqlBinlogAdapter extends BinlogFormatAdapter {
   override def decoder(targetDb: String, targetTable: String,
       needed: Int => Boolean, expectedSchema: Option[StructType],
       driftEpochs: Boolean): CdcRowDecoder = {
-    require(!driftEpochs,
-      "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
-        "remap matches columns by name; MySQL MINIMAL row metadata has none)")
-    new MysqlBinlog.RowDecoder(targetDb, targetTable, needed, expectedSchema)
+    new MysqlBinlog.RowDecoder(targetDb, targetTable, needed, expectedSchema,
+      driftEpochs)
   }
   override def isRowEvent(tpe: Byte): Boolean =
     tpe == MysqlBinlog.EventType.WriteRowsV2 ||

@@ -679,6 +679,44 @@ object CdcExt {
           col(CdcSchema.GtidCol), col(CdcSchema.TmCol))
     },
 
+    // schema-drift epochs on the REAL MySQL wire format (round 11 —
+    // previously a gcdc-only feature): the log ALTERs vorders mid-file,
+    // and epoch 2 is a genuine PERMUTATION of epoch 1 (extra added at
+    // the front, v renamed to price), so the name-matched remap moves
+    // every surviving column to a different index. FULL row metadata
+    // carries the names; epoch-1 rows surface (null, k, keep, null)
+    // against the newest schema. A positional (non-remapped) decode
+    // would read k's bytes into extra and hash-mismatch instantly.
+    QDef("cdc47_mysql_drift_epochs",
+      """WITH e1 AS (
+        |  SELECT o_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |e2 AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
+        |  FROM orders WHERE o_orderkey % 50 = 25)
+        |SELECT CAST(NULL AS BIGINT) AS extra, o_orderkey AS k,
+        |  'k' || CAST(o_orderkey AS VARCHAR) AS keep,
+        |  CAST(NULL AS DOUBLE) AS price,
+        |  CAST(1 AS INTEGER) AS __op, CAST(idx AS BIGINT) AS __gtid
+        |FROM e1
+        |UNION ALL
+        |SELECT o_orderkey * 3, o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR),
+        |  o_totalprice * 2, CAST(1 AS INTEGER), CAST(100000 + idx AS BIGINT)
+        |FROM e2""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlDrifted(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.MysqlEvolvingTable)
+        .option("binlogFormat", "mysql")
+        .option("schemaDrift", "epochs")
+        .load()
+        .select(col("extra"), col("k"), col("keep"), col("price"),
+          col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
+    },
+
     // MySQL 8.3+ tagged GTIDs (GTID_TAGGED_LOG_EVENT, type 42): insert
     // txns rotate untagged / :etl / :repair identity streams — each
     // with its OWN gno counter — and the update phase runs entirely

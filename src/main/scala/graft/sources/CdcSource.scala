@@ -126,9 +126,10 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
     val format = CdcTableProvider.formatName(options)
     CdcTableProvider.rowsQuery(options) // fail loud: rowsQuery needs mysql
     CdcSchema.sourceWidth(tableSchema) // fail at planning, not in executors
-    require(!(drift && format != "gcdc"),
-      "binlogcdc: schemaDrift=epochs requires binlogFormat=gcdc (the epoch " +
-        "remap matches columns by name; MySQL MINIMAL row metadata has none)")
+    // schemaDrift=epochs works on both formats: gcdc TABLE_MAPs always
+    // carry names; MySQL needs binlog_row_metadata=FULL — a
+    // MINIMAL-metadata log fails loud AT the drift point (the decoder
+    // has no names to remap by), not here at planning
     // Position bounds as base pushed filters, so row filtering,
     // sidecar/PREVIOUS_GTIDS file pruning, honest pushdown declines
     // (aggregates/offset), AND the stream's initial-offset prefix skip

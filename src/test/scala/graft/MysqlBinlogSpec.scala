@@ -947,15 +947,85 @@ class MysqlBinlogSpec extends SparkTestBase {
       "byte-budgeted micro-batches must reassemble the exact batch result")
   }
 
-  test("schemaDrift=epochs is rejected for the mysql format (fail loud)") {
-    val (_, mIdx) = writeBoth()
+  test("schemaDrift=epochs on mysql: name-matched remap spans a permuting ALTER") {
+    // epoch 1 (id, v); epoch 2 REORDERS and extends: (v, id, x) — new
+    // table id like mysqld assigns after DDL. Reading with epochs
+    // against the newest schema, epoch-1 rows must land values by NAME
+    // (a positional decode would read id's bytes into v)
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("v", DoubleType),
+      StructField("id", LongType), StructField("x", IntegerType)))
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t", s1)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, s1, Seq(Array[Any](7L, 1.5)))
+    w.tableMap(1000L, 2L, "db", "t", s2)
+    w.gtid(1000L, 2L, Sid)
+    w.writeRows(1000L, 2L, s2, Seq(Array[Any](2.5, 8L, 42)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val rows = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").option("schemaDrift", "epochs")
+      .load()
+      .select("v", "id", "x", "__gtid")
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(_._4)
+    assert(rows == Seq((1.5, 7L, null, 1L), (2.5, 8L, 42, 2L)), rows.toString)
+  }
+
+  test("schemaDrift=epochs on a MINIMAL-metadata mysql log fails loud at the drift") {
+    // no names on the wire — the remap has nothing to match by; the
+    // failure must say so (not silently decode positionally)
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val s1 = StructType(Seq(StructField("id", LongType)))
+    val s2 = StructType(Seq(StructField("x", IntegerType), StructField("id", LongType)))
+    val w = new MysqlBinlog.Writer(path, fullMetadata = false)
+    w.tableMap(0L, 1L, "db", "t", s1)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, s1, Seq(Array[Any](1L)))
+    w.close()
     val ex = intercept[Exception] {
-      spark.read.format("binlogcdc")
-        .option("indexFile", mIdx).option("database", "db").option("table", "t")
-        .option("binlogFormat", "mysql").option("schemaDrift", "epochs")
-        .load().collect()
+      val dec = MysqlBinlogAdapter.decoder("db", "t", _ => true,
+        Some(s2), driftEpochs = true)
+      val r = MysqlBinlogAdapter.open(path)
+      try while (r.hasNext) dec.decode(r.next()) finally r.close()
     }
-    assert(ex.getMessage.contains("binlogFormat=gcdc"))
+    assert(ex.getMessage.contains("binlog_row_metadata=MINIMAL"), ex.getMessage)
+  }
+
+  test("additive mysql evolution: ADD COLUMN pads old-epoch rows with null") {
+    // pre-ALTER rows are NARROWER than the query schema; projecting the
+    // added column must read null, not index past the declared width
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val s1 = StructType(Seq(StructField("id", LongType)))
+    val s2 = StructType(Seq(StructField("id", LongType),
+      StructField("x", IntegerType)))
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t", s1)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, s1, Seq(Array[Any](1L)))
+    w.tableMap(1000L, 2L, "db", "t", s2)
+    w.gtid(1000L, 2L, Sid)
+    w.writeRows(1000L, 2L, s2, Seq(Array[Any](2L, 42)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val rows = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql")
+      .load()
+      .select("id", "x", "__gtid")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1), r.getLong(2)))
+      .toSeq.sortBy(_._3)
+    assert(rows == Seq((1L, null, 1L), (2L, 42, 2L)), rows.toString)
   }
 
   test("schema drift in a mysql log fails loud with position context") {
