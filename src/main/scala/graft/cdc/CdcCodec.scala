@@ -52,6 +52,55 @@ object CdcCodec {
   final case class CdcRow(op: Int, gtid: Long, tmMicros: Long,
       sourceId: UTF8String, values: Array[Any], query: UTF8String = null)
 
+  /** Epoch-drift decode plan, ONE policy shared by the GCDC and MySQL
+    * decoders (they promise identical schemaDrift=epochs semantics —
+    * sharing the construction keeps that true by construction):
+    * `remap(i)` = declared index feeding expected column i (-1 = this
+    * epoch doesn't carry it → null), `declaredNeeded` marks declared
+    * columns the query actually consumes (everything else byte-skips). */
+  private[cdc] final class EpochPlan(val remap: Array[Int],
+    val declaredNeeded: Array[Boolean])
+
+  /** Match by (name, type): nullability and metadata don't affect the
+    * byte layout, a re-typed same-named column must NOT silently decode
+    * as the old type. `declaredNames`/`declaredTypes` are parallel and
+    * equal-length (callers validate their wire metadata first). */
+  private[cdc] def buildEpochPlan(expected: StructType,
+      declaredNames: IndexedSeq[String], declaredTypes: IndexedSeq[DataType],
+      needed: Int => Boolean): EpochPlan = {
+    val remap = expected.fields.map(ef =>
+      declaredNames.indices.indexWhere(j =>
+        declaredNames(j) == ef.name && declaredTypes(j) == ef.dataType))
+    val dn = new Array[Boolean](declaredNames.length)
+    remap.zipWithIndex.foreach { case (j, i) =>
+      if (j >= 0 && needed(i)) dn(j) = true
+    }
+    new EpochPlan(remap, dn)
+  }
+
+  /** Declared-order image → the expected schema's layout: epoch remap
+    * (same-named values land at their expected positions, unmapped
+    * expected columns null), or additive trailing-null padding when a
+    * pre-ALTER TABLE_MAP is narrower than the query schema (without
+    * this, projecting an added column on old-epoch rows would index
+    * past the declared-width array). Identity when neither applies. */
+  private[cdc] def shapeToExpected(vals: Array[Any], plan: EpochPlan,
+      expectedWidth: Int): Array[Any] =
+    if (plan != null) {
+      val out = new Array[Any](expectedWidth)
+      var i = 0
+      while (i < expectedWidth) {
+        val j = plan.remap(i)
+        if (j >= 0) out(i) = vals(j)
+        i += 1
+      }
+      out
+    } else if (expectedWidth > vals.length) {
+      val out = new Array[Any](expectedWidth)
+      System.arraycopy(vals, 0, out, 0, vals.length)
+      out
+    } else vals
+
   // ---------------------------------------------------------------- writer
 
   /** Fixture/test encoder (the reference never writes — mysqld does; our
@@ -443,11 +492,9 @@ object CdcCodec {
       expectedSchema: Option[StructType] = None,
       driftEpochs: Boolean = false) extends CdcRowDecoder {
     private val tableMaps = scala.collection.mutable.Map.empty[Long, TableMap]
-    /** Active epoch plan per table id (null entry = identity/additive).
-      * remap(i) = declared index feeding expected source column i, or -1;
-      * declaredNeeded marks declared columns actually consumed. */
-    private final class EpochPlan(val remap: Array[Int],
-      val declaredNeeded: Array[Boolean])
+    // active epoch plan per table id (absent = identity/additive) —
+    // construction and shaping shared with the MySQL decoder
+    // ([[buildEpochPlan]]/[[shapeToExpected]]), one drift policy
     private val epochs = scala.collection.mutable.Map.empty[Long, EpochPlan]
     // per-table-id pre-resolved value type codes: the per-CELL work in
     // readRow becomes an Int tableswitch instead of a DataType pattern
@@ -498,17 +545,11 @@ object CdcCodec {
                 expP.take(got.length) == got &&
                 exp.fields.drop(got.length).forall(_.nullable)
               if (got == expP || additive) epochs.remove(tableId)
-              else if (driftEpochs) {
-                val remap = exp.fields.map { ef =>
-                  schema.fields.indexWhere(df =>
-                    df.name == ef.name && df.dataType == ef.dataType)
-                }
-                val dn = new Array[Boolean](schema.length)
-                remap.zipWithIndex.foreach { case (j, i) =>
-                  if (j >= 0 && needed(i)) dn(j) = true
-                }
-                epochs(tableId) = new EpochPlan(remap, dn)
-              } else
+              else if (driftEpochs)
+                epochs(tableId) = buildEpochPlan(exp,
+                  schema.fields.map(_.name), schema.fields.map(_.dataType),
+                  needed)
+              else
                 throw new IllegalStateException(
                   s"schema drift for $db.$table at log offset ${ev.pos}: " +
                     s"stream declares ${schema.simpleString}, query expects ${exp.simpleString}; " +
@@ -638,28 +679,9 @@ object CdcCodec {
     private val expectedWidth: Int = expectedSchema.map(_.length).getOrElse(-1)
 
     private def envelope(vals: Array[Any], op: Int, tmMicros: Long,
-        plan: EpochPlan): CdcRow = {
-      val shaped =
-        if (plan != null) {
-          // epoch remap: declared-order values land at their same-named
-          // expected positions; unmapped expected columns stay null
-          val out = new Array[Any](expectedWidth)
-          var i = 0
-          while (i < expectedWidth) {
-            val j = plan.remap(i)
-            if (j >= 0) out(i) = vals(j)
-            i += 1
-          }
-          out
-        } else if (expectedWidth > vals.length) {
-          // additive evolution: rows from pre-ALTER files are narrower
-          // than the query schema — pad the added trailing columns null
-          val out = new Array[Any](expectedWidth)
-          System.arraycopy(vals, 0, out, 0, vals.length)
-          out
-        } else vals
-      CdcRow(op, currentGtid, tmMicros, currentSourceId, shaped)
-    }
+        plan: EpochPlan): CdcRow =
+      CdcRow(op, currentGtid, tmMicros, currentSourceId,
+        shapeToExpected(vals, plan, expectedWidth))
 
   }
 

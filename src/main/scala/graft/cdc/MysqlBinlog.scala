@@ -655,12 +655,11 @@ object MysqlBinlog {
       driftEpochs: Boolean = false) extends CdcRowDecoder {
 
     private val tableMaps = scala.collection.mutable.Map.empty[Long, MysqlTableMap]
-    /** Active epoch plan per table id (absent = identity/additive).
-      * remap(i) = declared index feeding expected column i, or -1;
-      * declaredNeeded marks declared columns actually consumed. */
-    private final class EpochPlan(val remap: Array[Int],
-      val declaredNeeded: Array[Boolean])
-    private val epochs = scala.collection.mutable.Map.empty[Long, EpochPlan]
+    // active epoch plan per table id (absent = identity/additive) —
+    // construction and shaping shared with the GCDC decoder
+    // (CdcCodec.buildEpochPlan/shapeToExpected), one drift policy
+    private val epochs =
+      scala.collection.mutable.Map.empty[Long, CdcCodec.EpochPlan]
     private val expectedWidth: Int = expectedSchema.map(_.length).getOrElse(-1)
     private var currentGtid = 0L
     private var currentSourceId: UTF8String =
@@ -911,17 +910,19 @@ object MysqlBinlog {
         }
         if (ok) epochs.remove(tm.tableId)
         else if (driftEpochs && tm.names.isDefined) {
-          // epoch remap by (name, type), GCDC-identical policy
+          // a truncated COLUMN_NAME TLV (names ≠ columns) would size the
+          // plan's declared mask short and crash the per-row loop with a
+          // bare index error — malformed metadata fails loud HERE, with
+          // position context, like every other malformed-input path
           val ns = tm.names.get
-          val tys = tm.sparkTypes
-          val remap = exp.fields.map(ef =>
-            ns.indices.indexWhere(j =>
-              ns(j) == ef.name && tys(j) == ef.dataType))
-          val dn = new Array[Boolean](ns.length)
-          remap.zipWithIndex.foreach { case (j, i) =>
-            if (j >= 0 && needed(i)) dn(j) = true
-          }
-          epochs(tm.tableId) = new EpochPlan(remap, dn)
+          if (ns.length != tm.colTypes.length)
+            throw new IOException(
+              s"TABLE_MAP for ${tm.db}.${tm.table} at log offset $pos " +
+                s"declares ${tm.colTypes.length} columns but its " +
+                s"COLUMN_NAME metadata names ${ns.length} — truncated " +
+                "optional metadata; cannot build the epoch remap")
+          epochs(tm.tableId) =
+            CdcCodec.buildEpochPlan(exp, ns, tm.sparkTypes.toIndexedSeq, needed)
         } else if (driftEpochs)
           throw new IllegalStateException(
             s"schema drift for $targetDb.$targetTable at log offset $pos " +
@@ -1003,6 +1004,9 @@ object MysqlBinlog {
       }
     }
 
+    private def shape(vals: Array[Any], plan: CdcCodec.EpochPlan): Array[Any] =
+      CdcCodec.shapeToExpected(vals, plan, expectedWidth)
+
     /** One row image: null bitmap over PRESENT columns (bit j = j-th
       * present column, LSB-first), then values for present non-null
       * columns in column order.
@@ -1018,35 +1022,17 @@ object MysqlBinlog {
       * as SQL NULL would be indistinguishable from a true NULL and
       * silently corrupt latest-image compaction, the same corruption
       * class PARTIAL_JSON and anonymous-GTID fail loud on. */
-    /** Declared-order image → the expected schema's layout: epoch remap
-      * (same-named values land at their expected positions, unmapped
-      * expected columns null), or additive trailing-null padding when a
-      * pre-ALTER TABLE_MAP is narrower than the query schema (without
-      * this, projecting an added column on old-epoch rows indexes past
-      * the declared-width array). Identity when neither applies. */
-    private def shape(vals: Array[Any], plan: EpochPlan): Array[Any] =
-      if (plan != null) {
-        val out = new Array[Any](expectedWidth)
-        var i = 0
-        while (i < expectedWidth) {
-          val j = plan.remap(i)
-          if (j >= 0) out(i) = vals(j)
-          i += 1
-        }
-        out
-      } else if (expectedWidth > vals.length) {
-        val out = new Array[Any](expectedWidth)
-        System.arraycopy(vals, 0, out, 0, vals.length)
-        out
-      } else vals
-
     private def readImage(c: Cur, tm: MysqlTableMap,
         present: Array[Byte], pos: Long,
-        partialBase: Array[Any] = null, plan: EpochPlan = null): Array[Any] = {
+        partialBase: Array[Any] = null,
+        plan: CdcCodec.EpochPlan = null): Array[Any] = {
       // under an active epoch plan the wire (and this decode loop) is in
       // DECLARED column order, so the consume/skip mask is the plan's
-      // declared-needed projection of the query's expected-order mask
-      val need: Int => Boolean = if (plan == null) needed else plan.declaredNeeded
+      // declared-needed projection of the query's expected-order mask.
+      // A local def, not a Function1 of the array: the per-column check
+      // runs in the decode hot path and must not box or allocate.
+      def need(i: Int): Boolean =
+        if (plan == null) needed(i) else plan.declaredNeeded(i)
       val n = tm.colTypes.length
       var presentCount = 0
       var i = 0
