@@ -978,6 +978,46 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(rows == Seq((1.5, 7L, null, 1L), (2.5, 8L, 42, 2L)), rows.toString)
   }
 
+  test("schemaDrift=epochs on mysql: streaming reads span the ALTER too") {
+    // same permuting-ALTER log as the batch test, consumed as a stream:
+    // the micro-batch reader factory threads driftEpochs through the
+    // same decoder, so the streamed rows must equal the batch read
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("v", DoubleType),
+      StructField("id", LongType), StructField("x", IntegerType)))
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t", s1)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, s1, Seq(Array[Any](7L, 1.5)))
+    w.tableMap(1000L, 2L, "db", "t", s2)
+    w.gtid(1000L, 2L, Sid)
+    w.writeRows(1000L, 2L, s2, Seq(Array[Any](2.5, 8L, 42)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val stream = spark.readStream.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").option("schemaDrift", "epochs")
+      .load()
+    val q = stream.writeStream.format("memory").queryName("mydrift_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mydrift_stream")
+      .select("v", "id", "x", "__gtid").orderBy("__gtid")
+      .collect().toSeq
+    val batch = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mysql").option("schemaDrift", "epochs")
+      .load()
+      .select("v", "id", "x", "__gtid").orderBy("__gtid")
+      .collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed $streamed != batch $batch")
+  }
+
   test("schemaDrift=epochs on a MINIMAL-metadata mysql log fails loud at the drift") {
     // no names on the wire — the remap has nothing to match by; the
     // failure must say so (not silently decode positionally)
