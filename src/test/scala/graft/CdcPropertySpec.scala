@@ -308,6 +308,81 @@ class CdcPropertySpec extends AnyFunSuite {
     })
   }
 
+  /** The drift-epoch policy is promised IDENTICAL across formats (one
+    * shared buildEpochPlan/shapeToExpected) — this pins it end to end:
+    * the same random ALTER case written as a GCDC log and as a REAL
+    * MySQL binlog (FULL metadata) must decode to the same (op, gtid,
+    * values) sequence under driftEpochs. Catches any divergence in the
+    * two checkSchema matchers, not just the shared helpers. */
+  test("property: drift epochs decode identically on the gcdc and mysql formats") {
+    import graft.cdc.{MysqlBinlog, MysqlBinlogAdapter}
+    val names = Vector("a", "b", "c", "d", "e")
+    val genEpochSchema: Gen[StructType] = for {
+      subset <- Gen.someOf(names).suchThat(_.nonEmpty)
+      keys <- Gen.listOfN(subset.size, Gen.chooseNum(0, 1000000))
+      types <- Gen.listOfN(subset.size, Gen.oneOf(LongType: DataType, StringType: DataType))
+    } yield {
+      val picked = subset.toList.zip(keys).sortBy(_._2).map(_._1)
+      StructType(picked.zip(types).map { case (n, t) => StructField(n, t) })
+    }
+    def genRow(s: StructType): Gen[Array[Any]] =
+      Gen.sequence[List[Any], Any](s.fields.toList.map {
+        case StructField(_, LongType, _, _) =>
+          Gen.chooseNum(-1000L, 1000L).map(x => x: Any)
+        case _ =>
+          Gen.alphaStr.map(x => UTF8String.fromString(x.take(8)): Any)
+      }).map(_.toArray)
+    val genCase = for {
+      s1 <- genEpochSchema
+      s2 <- genEpochSchema
+      rows1 <- Gen.nonEmptyListOf(genRow(s1))
+      rows2 <- Gen.nonEmptyListOf(genRow(s2))
+    } yield (s1, s2, rows1, rows2)
+
+    check(Prop.forAll(genCase) { case (s1, s2, rows1, rows2) =>
+      val dir = Files.createTempDirectory("cdc-xfmt-prop").toString
+      val gf = s"$dir/g.0"
+      val gw = new CdcCodec.LogWriter(gf)
+      gw.tableMap(0L, 1L, "db", "t", s1)
+      rows1.zipWithIndex.foreach { case (row, i) =>
+        gw.gtid(i.toLong, i.toLong); gw.writeRows(i.toLong, 1L, s1, Seq(row))
+      }
+      gw.tableMap(0L, 1L, "db", "t", s2)
+      rows2.zipWithIndex.foreach { case (row, i) =>
+        val g = 1000L + i
+        gw.gtid(g, g); gw.writeRows(g, 1L, s2, Seq(row))
+      }
+      gw.close()
+      val mf = s"$dir/m.000001"
+      val sid = "11111111-2222-3333-4444-555555555555"
+      val mw = new MysqlBinlog.Writer(mf)
+      mw.tableMap(0L, 1L, "db", "t", s1)
+      rows1.zipWithIndex.foreach { case (row, i) =>
+        mw.gtid(i.toLong, i.toLong, sid); mw.writeRows(i.toLong, 1L, s1, Seq(row))
+      }
+      mw.tableMap(1L, 2L, "db", "t", s2) // fresh table id, like mysqld post-DDL
+      rows2.zipWithIndex.foreach { case (row, i) =>
+        val g = 1000L + i
+        mw.gtid(g, g, sid); mw.writeRows(g, 2L, s2, Seq(row))
+      }
+      mw.close()
+
+      val gr = new CdcCodec.EventReader(gf)
+      val gdec = new CdcCodec.RowDecoder("db", "t",
+        expectedSchema = Some(s2), driftEpochs = true)
+      val gotG = try gr.flatMap(gdec.decode).toList finally gr.close()
+      val mr = MysqlBinlogAdapter.open(mf)
+      val mdec = MysqlBinlogAdapter.decoder("db", "t", _ => true,
+        Some(s2), driftEpochs = true)
+      val gotM = try mr.flatMap(mdec.decode).toList finally mr.close()
+
+      gotG.length == gotM.length && gotG.zip(gotM).forall { case (g, m) =>
+        g.op == m.op && g.gtid == m.gtid &&
+          s2.indices.forall(i => sameVal(g.values(i), m.values(i)))
+      }
+    })
+  }
+
   test("property: MINIMAL row images decode exactly up to the projection, fail beyond it") {
     import graft.cdc.MysqlBinlog
     // MySQL wire types only (no BooleanType on the wire)
