@@ -208,6 +208,32 @@ class CdcCatalogSpec extends SparkTestBase {
     assert(rows == Seq((9L, "INSERT INTO t VALUES (9, 9.0)")))
   }
 
+  test("catalog option schemaDrift=epochs: SQL reads span an ALTER boundary") {
+    // a mysql log whose table drifts mid-file (permuting ALTER, fresh
+    // table id) — the catalog infers the NEWEST schema and the option
+    // flows into the load, so plain SQL reads both epochs (old rows
+    // remap by name, v-less epoch reads null)
+    val dir = Files.createTempDirectory("cdc-catalog-drift").toString
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("v", DoubleType),
+      StructField("id", LongType), StructField("x", IntegerType)))
+    val w = new MysqlBinlog.Writer(s"$dir/mysql-bin.000001", checksum = true)
+    w.tableMap(0L, 1L, "db", "t", s1)
+    w.gtid(0L, 1L, Sid)
+    w.writeRows(0L, 1L, s1, Seq(Array[Any](7L, 1.5)))
+    w.tableMap(1000L, 2L, "db", "t", s2)
+    w.gtid(1000L, 2L, Sid)
+    w.writeRows(1000L, 2L, s2, Seq(Array[Any](2.5, 8L, 42)))
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "mysql-bin.000001\n")
+    val cat = register(s"$dir/binlog.index",
+      "binlogFormat" -> "mysql", "schemaDrift" -> "epochs")
+    val rows = spark.sql(s"SELECT v, id, x, __gtid FROM $cat.db.t ORDER BY __gtid")
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1.5, 7L, null, 1L), (2.5, 8L, 42, 2L)), rows.toString)
+  }
+
   test("mysql-format catalog: zstd-compressed logs list payload-inner TABLE_MAPs") {
     val dir = Files.createTempDirectory("cdc-catalog-my").toString
     def story(path: String, compress: Boolean): Unit = {
