@@ -517,6 +517,30 @@ object ScaleSmoke {
       println(f"SCALE mysqlDecodePkOnly: ${total / secs2 / 1e6}%.2f Mrows/s " +
         f"(vs full ${total / secs / 1e6}%.2f — pruned-decode speedup " +
         f"${secs / secs2}%.2fx)")
+
+      // the SAME log decoded under an ACTIVE epoch plan: the expected
+      // schema is a permutation of the declared one plus an added
+      // column, so every TABLE_MAP installs a remap and every image is
+      // shaped at emission — quantifies what schemaDrift=epochs costs
+      // on the hot decode loop (the steady state of a consumer reading
+      // history across an old ALTER at 100 TB)
+      val drifted = StructType(Seq(StructField("s", StringType),
+        StructField("id", LongType), StructField("v", DoubleType),
+        StructField("x", IntegerType)))
+      val df3 = spark.read.format("binlogcdc")
+        .schema(graft.cdc.CdcSchema.withEnvelope(drifted))
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "big")
+        .option("binlogFormat", "mysql")
+        .option("schemaDrift", "epochs").load()
+      val t3 = System.nanoTime()
+      val row3 = df3.agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      val secs3 = (System.nanoTime() - t3) / 1e9
+      assert(row3.getLong(1) == total && row3.getLong(0) == total * (total - 1) / 2,
+        "epoch-remapped ids must survive the permutation exactly")
+      println(f"SCALE mysqlDecodeEpochs: ${total / secs3 / 1e6}%.2f Mrows/s " +
+        f"(vs plain full ${total / secs / 1e6}%.2f — drift-plan overhead " +
+        f"${secs3 / secs}%.2fx)")
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
