@@ -60,7 +60,13 @@ object Bench {
     // path), the shuffle-free Gopher rule gate, and the data-card
     // aggregation (exact percentiles over the mixture grid)
     "cdc37_mysql_minimal_row_image", "llm62_gopher_rules",
-    "llm63_corpus_datacard")
+    "llm63_corpus_datacard",
+    // round-11 additions, same rule: PARTIAL_JSON diff application (a
+    // distinct decode+JsonBinary path), the NOBLOB row-image storyline,
+    // the mysql drift-epoch remap (shaped emission), and the IVF
+    // drift report (footer-only index scan + single-row reduction)
+    "cdc44_mysql_partial_json", "cdc46_mysql_noblob_row_image",
+    "cdc47_mysql_drift_epochs", "llm71_ivf_drift_report")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
