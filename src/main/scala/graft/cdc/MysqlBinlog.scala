@@ -329,6 +329,17 @@ object MysqlBinlog {
     private val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
     locally {
       val m = in.readNBytes(MagicLen)
+      // encrypted binlogs (binlog_encryption=ON, MySQL 8.0.14+) carry
+      // their own magic 0xFD62696E ('.bin') ahead of an encryption
+      // header — everything after it is ciphertext only the server's
+      // keyring can open, so name the cause instead of "bad magic"
+      if (m.length == MagicLen && m(0) == 0xfd.toByte &&
+          m(1) == 'b'.toByte && m(2) == 'i'.toByte && m(3) == 'n'.toByte)
+        throw new IllegalArgumentException(
+          s"$path: ENCRYPTED MySQL binlog (binlog_encryption=ON — magic " +
+            "0xFD62696E): the event stream is ciphertext under the server's " +
+            "keyring; decrypt on the producer side or disable " +
+            "binlog_encryption for logs this reader consumes")
       require(m.length == MagicLen && java.util.Arrays.equals(m, Magic),
         s"$path: not a MySQL binlog (bad magic)")
     }

@@ -49,6 +49,25 @@ class MysqlBinlogSpec extends SparkTestBase {
     } finally r.close()
   }
 
+  test("encrypted binlog (magic 0xFD62696E) fails loud naming binlog_encryption") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    Files.write(Paths.get(path), Array[Byte](0xfd.toByte, 'b', 'i', 'n') ++
+      new Array[Byte](64)) // encryption header bytes: opaque ciphertext
+    val ex = intercept[IllegalArgumentException] {
+      val r = MysqlBinlogAdapter.open(path)
+      try { while (r.hasNext) r.next() } finally r.close()
+    }
+    assert(ex.getMessage.contains("binlog_encryption"), ex.getMessage)
+    // a genuinely foreign file still reads as plain bad magic
+    val other = s"$dir/not-a-binlog"
+    Files.write(Paths.get(other), "PAR1garbage".getBytes)
+    val ex2 = intercept[IllegalArgumentException] {
+      MysqlBinlogAdapter.open(other)
+    }
+    assert(ex2.getMessage.contains("bad magic"), ex2.getMessage)
+  }
+
   test("v4 round trip: all column types, multi-row events, update pairs, nulls") {
     val dir = tmpDir()
     val path = s"$dir/mysql-bin.000001"
