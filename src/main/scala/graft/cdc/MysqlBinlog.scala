@@ -384,6 +384,19 @@ object MysqlBinlog {
         val c = new Cur(body)
         val binlogVersion = c.u16()
         require(binlogVersion == 4, s"$path: binlog version $binlogVersion (need v4)")
+        // server_version: 50 bytes, NUL-padded ASCII. A MariaDB log
+        // parses this far fine but carries a DIFFERENT identity layer
+        // (GTID_LIST/MARIADB_GTID, types 160+), so its rows would later
+        // fail as "no live transaction identity" — name the real cause
+        // here instead
+        val ver = new String(body, 2, 50,
+          java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+        if (ver.toLowerCase.contains("mariadb"))
+          throw new IOException(
+            s"$path: MariaDB binlog (server version '$ver'): MariaDB " +
+              "replaces the MySQL GTID events with its own " +
+              "GTID_LIST/MARIADB_GTID layer, which this MySQL-wire reader " +
+              "does not decode — use a MySQL producer for this table")
         c.skip(50) // server_version
         c.u32() // create_timestamp
         val commonHeaderLen = c.u8()

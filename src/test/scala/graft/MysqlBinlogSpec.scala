@@ -68,6 +68,27 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("bad magic"), ex2.getMessage)
   }
 
+  test("MariaDB binlog fails loud naming the GTID-layer difference") {
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t",
+      StructType(Seq(StructField("id", LongType))))
+    w.close()
+    // patch the FDE's 50-byte server_version field (magic 4 + header 19
+    // + binlog_version 2 = offset 25) to a MariaDB version string
+    val bytes = Files.readAllBytes(Paths.get(path))
+    java.util.Arrays.fill(bytes, 25, 75, 0.toByte)
+    val ver = "10.11.2-MariaDB-log".getBytes("US-ASCII")
+    System.arraycopy(ver, 0, bytes, 25, ver.length)
+    Files.write(Paths.get(path), bytes)
+    val ex = intercept[Exception] {
+      val r = MysqlBinlogAdapter.open(path)
+      try { while (r.hasNext) r.next() } finally r.close()
+    }
+    assert(ex.getMessage.contains("MariaDB"), ex.getMessage)
+  }
+
   test("v4 round trip: all column types, multi-row events, update pairs, nulls") {
     val dir = tmpDir()
     val path = s"$dir/mysql-bin.000001"
