@@ -49,6 +49,14 @@ object MysqlBinlog {
 
   val Magic: Array[Byte] = Array(0xfe.toByte, 'b'.toByte, 'i'.toByte, 'n'.toByte)
   val MagicLen = 4
+
+  /** A producer-state diagnosis (encrypted log, MariaDB log): the file
+    * is WHOLLY unreadable for a named reason — distinct from a torn
+    * tail, which [[lastCompleteOffset]] legitimately degrades on. The
+    * streaming frontier poll must rethrow these, not swallow them into
+    * a silent zero-event frontier. */
+  final class UnreadableLogException(msg: String)
+    extends java.io.IOException(msg)
   val HeaderLen = 19
 
   object EventType {
@@ -327,7 +335,7 @@ object MysqlBinlog {
     * stripped, so downstream decoders never see checksum bytes. */
   final class EventReader(path: String) extends RawEventSource {
     private val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
-    locally {
+    try {
       val m = in.readNBytes(MagicLen)
       // encrypted binlogs (binlog_encryption=ON, MySQL 8.0.14+) carry
       // their own magic 0xFD62696E ('.bin') ahead of an encryption
@@ -335,13 +343,17 @@ object MysqlBinlog {
       // keyring can open, so name the cause instead of "bad magic"
       if (m.length == MagicLen && m(0) == 0xfd.toByte &&
           m(1) == 'b'.toByte && m(2) == 'i'.toByte && m(3) == 'n'.toByte)
-        throw new IllegalArgumentException(
+        throw new UnreadableLogException(
           s"$path: ENCRYPTED MySQL binlog (binlog_encryption=ON — magic " +
             "0xFD62696E): the event stream is ciphertext under the server's " +
             "keyring; decrypt on the producer side or disable " +
             "binlog_encryption for logs this reader consumes")
       require(m.length == MagicLen && java.util.Arrays.equals(m, Magic),
         s"$path: not a MySQL binlog (bad magic)")
+    } catch {
+      // constructor throws escape before any caller can close() —
+      // release the stream or every failed open leaks a descriptor
+      case e: Throwable => in.close(); throw e
     }
     private var pos: Long = MagicLen.toLong
     private var checksummed = false // set by the FORMAT_DESCRIPTION event
@@ -392,7 +404,7 @@ object MysqlBinlog {
         val ver = new String(body, 2, 50,
           java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
         if (ver.toLowerCase.contains("mariadb"))
-          throw new IOException(
+          throw new UnreadableLogException(
             s"$path: MariaDB binlog (server version '$ver'): MariaDB " +
               "replaces the MySQL GTID events with its own " +
               "GTID_LIST/MARIADB_GTID layer, which this MySQL-wire reader " +
@@ -445,6 +457,10 @@ object MysqlBinlog {
       while (r.hasNext) end = r.next().endPos
       end
     } catch {
+      // a torn/incomplete tail degrades to the last whole event — but a
+      // named whole-file diagnosis must surface, or the stream would
+      // plan zero partitions forever instead of failing loud
+      case e: UnreadableLogException => throw e
       case _: Exception => MagicLen.toLong
     } finally r.close()
   }
@@ -609,7 +625,19 @@ object MysqlBinlog {
         val end = c.p + len
         val buf = Array.newBuilder[String]
         while (c.p < end) buf += c.str(c.lenenc().toInt)
-        names = Some(buf.result())
+        val ns = buf.result()
+        // names and columns are parallel everywhere downstream (the
+        // name-matched schema check, the epoch remap, inference's
+        // sparkSchema) — a truncated TLV would silently zip-truncate
+        // the (name, type) match and misclassify real drift as
+        // additive, or index out of bounds; malformed metadata fails
+        // loud at the parse, once, with the table named
+        if (ns.length != n)
+          throw new IOException(
+            s"TABLE_MAP for $db.$table declares $n columns but its " +
+              s"COLUMN_NAME metadata names ${ns.length} — truncated " +
+              "optional metadata")
+        names = Some(ns)
       } else if (t == MetaSignedness) {
         // one bit per NUMERIC column (column order, MSB first within
         // each byte); bit set = UNSIGNED
@@ -933,21 +961,12 @@ object MysqlBinlog {
               exp.fields.drop(got.length).forall(_.nullable))
         }
         if (ok) epochs.remove(tm.tableId)
-        else if (driftEpochs && tm.names.isDefined) {
-          // a truncated COLUMN_NAME TLV (names ≠ columns) would size the
-          // plan's declared mask short and crash the per-row loop with a
-          // bare index error — malformed metadata fails loud HERE, with
-          // position context, like every other malformed-input path
-          val ns = tm.names.get
-          if (ns.length != tm.colTypes.length)
-            throw new IOException(
-              s"TABLE_MAP for ${tm.db}.${tm.table} at log offset $pos " +
-                s"declares ${tm.colTypes.length} columns but its " +
-                s"COLUMN_NAME metadata names ${ns.length} — truncated " +
-                "optional metadata; cannot build the epoch remap")
-          epochs(tm.tableId) =
-            CdcCodec.buildEpochPlan(exp, ns, tm.sparkTypes.toIndexedSeq, needed)
-        } else if (driftEpochs)
+        else if (driftEpochs && tm.names.isDefined)
+          // names.length == colTypes.length by parseTableMap's TLV
+          // validation, so the plan's declared mask is correctly sized
+          epochs(tm.tableId) = CdcCodec.buildEpochPlan(exp,
+            tm.names.get, tm.sparkTypes.toIndexedSeq, needed)
+        else if (driftEpochs)
           throw new IllegalStateException(
             s"schema drift for $targetDb.$targetTable at log offset $pos " +
               "with schemaDrift=epochs, but the TABLE_MAP carries no column " +

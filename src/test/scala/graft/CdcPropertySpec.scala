@@ -376,10 +376,12 @@ class CdcPropertySpec extends AnyFunSuite {
         Some(s2), driftEpochs = true)
       val gotM = try mr.flatMap(mdec.decode).toList finally mr.close()
 
-      gotG.length == gotM.length && gotG.zip(gotM).forall { case (g, m) =>
+      val same = gotG.length == gotM.length && gotG.zip(gotM).forall { case (g, m) =>
         g.op == m.op && g.gtid == m.gtid &&
           s2.indices.forall(i => sameVal(g.values(i), m.values(i)))
       }
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+      same
     })
   }
 

@@ -54,7 +54,7 @@ class MysqlBinlogSpec extends SparkTestBase {
     val path = s"$dir/mysql-bin.000001"
     Files.write(Paths.get(path), Array[Byte](0xfd.toByte, 'b', 'i', 'n') ++
       new Array[Byte](64)) // encryption header bytes: opaque ciphertext
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[MysqlBinlog.UnreadableLogException] {
       val r = MysqlBinlogAdapter.open(path)
       try { while (r.hasNext) r.next() } finally r.close()
     }
@@ -87,6 +87,58 @@ class MysqlBinlogSpec extends SparkTestBase {
       try { while (r.hasNext) r.next() } finally r.close()
     }
     assert(ex.getMessage.contains("MariaDB"), ex.getMessage)
+  }
+
+  test("MariaDB/encrypted diagnoses surface through the streaming frontier poll") {
+    // lastCompleteOffset degrades a TORN TAIL to the last whole event —
+    // but a whole-file diagnosis must rethrow, or the stream would plan
+    // zero partitions forever instead of failing loud
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path)
+    w.tableMap(0L, 1L, "db", "t",
+      StructType(Seq(StructField("id", LongType))))
+    w.close()
+    val bytes = Files.readAllBytes(Paths.get(path))
+    java.util.Arrays.fill(bytes, 25, 75, 0.toByte)
+    val ver = "10.11.2-MariaDB-log".getBytes("US-ASCII")
+    System.arraycopy(ver, 0, bytes, 25, ver.length)
+    Files.write(Paths.get(path), bytes)
+    val ex = intercept[Exception] { MysqlBinlog.lastCompleteOffset(path) }
+    assert(ex.getMessage.contains("MariaDB"), ex.getMessage)
+    // ...while a torn tail still degrades gracefully (truncate the last
+    // event of a healthy log mid-body)
+    val path2 = s"$dir/mysql-bin.000002"
+    val w2 = new MysqlBinlog.Writer(path2)
+    w2.tableMap(0L, 1L, "db", "t",
+      StructType(Seq(StructField("id", LongType))))
+    w2.close()
+    val whole = Files.readAllBytes(Paths.get(path2))
+    Files.write(Paths.get(path2), whole.dropRight(5))
+    assert(MysqlBinlog.lastCompleteOffset(path2) > 4L)
+  }
+
+  test("truncated COLUMN_NAME metadata fails loud at TABLE_MAP parse") {
+    // 2 columns declared, 1 name in the TLV: downstream the parallel
+    // (name, type) zip would silently truncate and misclassify real
+    // drift as additive — the parse itself must reject it
+    val b = new java.io.ByteArrayOutputStream()
+    def u8(v: Int) = b.write(v & 0xff)
+    def raw(a: Array[Byte]) = b.write(a)
+    raw(Array[Byte](1, 0, 0, 0, 0, 0)) // table id
+    u8(1); u8(0)                       // flags
+    u8(2); raw("db".getBytes); u8(0)   // db
+    u8(1); raw("t".getBytes); u8(0)    // table
+    u8(2)                              // 2 columns
+    u8(8); u8(8)                       // LONGLONG, LONGLONG
+    u8(0)                              // metadata block: empty
+    u8(0)                              // null bitmap
+    u8(4); u8(3); u8(2); raw("id".getBytes) // COLUMN_NAME: only "id"
+    val ex = intercept[Exception] {
+      MysqlBinlog.parseTableMap(b.toByteArray)
+    }
+    assert(ex.getMessage.contains("COLUMN_NAME") &&
+      ex.getMessage.contains("truncated"), ex.getMessage)
   }
 
   test("v4 round trip: all column types, multi-row events, update pairs, nulls") {
