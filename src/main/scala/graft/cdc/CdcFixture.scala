@@ -668,9 +668,15 @@ object CdcFixture {
     * genuine permutation, not just a suffix pad). FULL row metadata
     * carries the names the remap matches by. Same key/value derivation
     * as the gcdc drifted log (cdc20), so cdc47's oracle is the same
-    * reconstruction against the reordered newest schema. */
+    * reconstruction against the reordered newest schema. Epoch 2 also
+    * UPDATES a subset of epoch-1 keys (%100==0) in the NEW layout —
+    * before images carry the server-preserved renamed value
+    * (extra=NULL, price=old v), after images set extra=k*7,
+    * price=p*5 — so cdc48's latest-image compaction crosses the ALTER:
+    * updated keys materialize the post-ALTER state, untouched epoch-1
+    * keys the remapped nulls. */
   def ensureMysqlDrifted(spark: SparkSession, sfDir: String): String =
-    ensureLog(cacheMyDr, "graft-cdcmydr", sfDir)(
+    ensureLog(cacheMyDr, "graft-cdcmydr2", sfDir)(
       generateMysqlDrifted(spark, sfDir, _))
 
   val MysqlEvolvingTable = "vorders"
@@ -703,6 +709,16 @@ object CdcFixture {
         w.gtid(ts, gno, SourceId)
         w.writeRows(ts, MysqlEvolvingTableId2, s2,
           Seq(Array[Any](k * 3, k, s"k$k", p * 2)))
+      }
+      // post-ALTER updates of epoch-1 keys, in the NEW layout: the
+      // server's before image preserves the renamed column's value
+      // (price = old v) and reads NULL for the added column
+      keyPrice.filter(_._1 % 100 == 0).zipWithIndex.foreach { case ((k, p), i) =>
+        val gno = 200000L + i
+        val ts = BaseMs + gno * 1000L
+        w.gtid(ts, gno, SourceId)
+        w.updateRows(ts, MysqlEvolvingTableId2, s2, Seq(
+          (Array[Any](null, k, s"k$k", p), Array[Any](k * 7, k, s"k$k", p * 5))))
       }
     } finally w.close()
     Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")

@@ -695,7 +695,11 @@ object CdcExt {
         |e2 AS (
         |  SELECT o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx
-        |  FROM orders WHERE o_orderkey % 50 = 25)
+        |  FROM orders WHERE o_orderkey % 50 = 25),
+        |up AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+        |  FROM orders WHERE o_orderkey % 100 = 0)
         |SELECT CAST(NULL AS BIGINT) AS extra, o_orderkey AS k,
         |  'k' || CAST(o_orderkey AS VARCHAR) AS keep,
         |  CAST(NULL AS DOUBLE) AS price,
@@ -704,7 +708,15 @@ object CdcExt {
         |UNION ALL
         |SELECT o_orderkey * 3, o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR),
         |  o_totalprice * 2, CAST(1 AS INTEGER), CAST(100000 + idx AS BIGINT)
-        |FROM e2""".stripMargin) { (s, dir) =>
+        |FROM e2
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR),
+        |  o_totalprice, CAST(2 AS INTEGER), CAST(200000 + uidx AS BIGINT)
+        |FROM up
+        |UNION ALL
+        |SELECT o_orderkey * 7, o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR),
+        |  o_totalprice * 5, CAST(3 AS INTEGER), CAST(200000 + uidx AS BIGINT)
+        |FROM up""".stripMargin) { (s, dir) =>
       val index = CdcFixture.ensureMysqlDrifted(s, dir)
       s.read.format("binlogcdc")
         .option("indexFile", index)
@@ -715,6 +727,35 @@ object CdcExt {
         .load()
         .select(col("extra"), col("k"), col("keep"), col("price"),
           col(CdcSchema.OpCol), col(CdcSchema.GtidCol))
+    },
+
+    // latest-image compaction ACROSS the ALTER boundary — the
+    // production materialization over a drifted log: updated epoch-1
+    // keys surface the post-ALTER after image (extra=k*7, price=p*5),
+    // untouched epoch-1 keys the epoch-remapped nulls, epoch-2 inserts
+    // their full values. One max_by aggregation over the epoch-shaped
+    // stream; the remap and the compaction compose with no special
+    // casing.
+    QDef("cdc48_mysql_drift_latest_image",
+      """WITH ord AS (SELECT o_orderkey, o_totalprice FROM orders)
+        |SELECT CASE WHEN o_orderkey % 100 = 0 THEN o_orderkey * 7 END AS extra,
+        |  o_orderkey AS k, 'k' || CAST(o_orderkey AS VARCHAR) AS keep,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 5 END AS price
+        |FROM ord WHERE o_orderkey % 50 = 0
+        |UNION ALL
+        |SELECT o_orderkey * 3, o_orderkey, 'k' || CAST(o_orderkey AS VARCHAR),
+        |  o_totalprice * 2
+        |FROM ord WHERE o_orderkey % 50 = 25""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlDrifted(s, dir)
+      val cdc = s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.MysqlEvolvingTable)
+        .option("binlogFormat", "mysql")
+        .option("schemaDrift", "epochs")
+        .load()
+      Cdc.latestImage(cdc, Seq("k"))
+        .select(col("extra"), col("k"), col("keep"), col("price"))
     },
 
     // MySQL 8.3+ tagged GTIDs (GTID_TAGGED_LOG_EVENT, type 42): insert
