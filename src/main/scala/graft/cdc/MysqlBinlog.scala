@@ -849,6 +849,17 @@ object MysqlBinlog {
           currentRowsQuery = null
         } else if (stmt.startsWith("XA END")) {
           txnBodyOpen = false
+        } else if (stmt.isEmpty) {
+          // malformed/unparseable QUERY payload: we cannot tell whether
+          // this was a closer (COMMIT/ROLLBACK) or an in-body statement.
+          // Close the scope — the conservative direction (a stale gtid
+          // must never stamp a later transaction's rows); a genuinely
+          // in-body statement-logged DML after this just loses its
+          // __gtid, it is never mis-attributed.
+          txnIdentityValid = false
+          anonymousTxn = false
+          txnBodyOpen = false
+          currentRowsQuery = null
         } else if (txnBodyOpen) {
           // MIXED-format statement-logged DML inside the body: keep the
           // scope; clear the ROWS_QUERY text (it described the PREVIOUS

@@ -52,30 +52,77 @@ private[graft] object OpUtils {
 
   /** Estimated scan width: for each leaf `HadoopFsRelation`, replay
     * Spark's split-size formula (`FilePartition.maxSplitBytes`) over
-    * the file index's total bytes — openCostInBytes per file, capped
+    * the file index's listed bytes — openCostInBytes per file, capped
     * at maxPartitionBytes, floored at bytes-per-core — and sum the
-    * resulting split counts. Listing comes from the already-cached
-    * `FileIndex`; nothing is planned or executed. None when any leaf
-    * is not a file relation (local/in-memory/v2 inputs — out of the
-    * helper's contract, caller's frame passes through). */
-  private def fileScanWidth(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    * resulting split counts. Partition-pruning-aware: the optimized
+    * plan has filters pushed adjacent to the relations, so conjuncts
+    * sitting in the Filter/Project chain directly above a relation
+    * that reference ONLY its partition columns are handed to the
+    * (already-cached) FileIndex's pruned listing — a scan of one
+    * partition out of a thousand is estimated at that one partition's
+    * width, not the table's, and still gets the repartition floor.
+    * Listing comes from the cached `FileIndex` either way; nothing is
+    * planned or executed. None when any leaf is not a file relation
+    * (local/in-memory/v2 inputs — out of the helper's contract,
+    * caller's frame passes through). */
+  private[graft] def fileScanWidth(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val maxSplitDefault = conf.filesMaxPartitionBytes
     val cores = math.max(1, spark.sparkContext.defaultParallelism)
-    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
-    val widths = leaves.map {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        val nFiles = fs.location.inputFiles.length.toLong
-        val totalBytes = fs.location.sizeInBytes + nFiles * openCost
-        val bytesPerCore = totalBytes / cores
-        val maxSplit = math.min(maxSplitDefault, math.max(openCost, bytesPerCore))
-        Some(if (maxSplit <= 0) nFiles
-             else (totalBytes + maxSplit - 1) / maxSplit)
-      case _ => None
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
     }
+
+    /** (fileCount, dataBytes) of the relation's listing, pruned by the
+      * partition-column conjuncts when there are any. listFiles binds
+      * attributes to partition columns by exact name, so only
+      * exact-name-matching deterministic conjuncts qualify; any
+      * listing failure falls back to the unpruned totals (the
+      * pre-pruning estimate — never worse than before). */
+    def listedSize(fs: HadoopFsRelation, filters: Seq[Expression]): (Long, Long) = {
+      val partCols = fs.partitionSchema.fieldNames.toSet
+      val partFilters = filters.filter(f =>
+        f.deterministic && f.references.nonEmpty &&
+          f.references.forall(a => partCols.contains(a.name)))
+      if (partFilters.isEmpty)
+        (fs.location.inputFiles.length.toLong, fs.location.sizeInBytes)
+      else
+        try {
+          val files = fs.location.listFiles(partFilters, Nil).flatMap(_.files)
+          (files.length.toLong, files.map(_.getLen).sum)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (fs.location.inputFiles.length.toLong, fs.location.sizeInBytes)
+        }
+    }
+
+    def width(fs: HadoopFsRelation, filters: Seq[Expression]): Long = {
+      val (nFiles, dataBytes) = listedSize(fs, filters)
+      val totalBytes = dataBytes + nFiles * openCost
+      val bytesPerCore = totalBytes / cores
+      val maxSplit = math.min(maxSplitDefault, math.max(openCost, bytesPerCore))
+      if (maxSplit <= 0) nFiles
+      else (totalBytes + maxSplit - 1) / maxSplit
+    }
+
+    def walk(plan: LogicalPlan, filters: Seq[Expression]): Seq[Option[Long]] =
+      plan match {
+        case Filter(cond, child) => walk(child, filters ++ conjuncts(cond))
+        case Project(_, child)   => walk(child, filters)
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          Seq(Some(width(fs, filters)))
+        case _: LeafNode => Seq(None)
+        case other       => other.children.flatMap(walk(_, Nil))
+      }
+
+    val widths = walk(df.queryExecution.optimizedPlan, Nil)
     if (widths.nonEmpty && widths.forall(_.isDefined)) Some(widths.flatten.sum)
     else None
   }

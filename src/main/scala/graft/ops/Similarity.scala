@@ -447,10 +447,17 @@ object Similarity {
     * them, which is exactly why the median is taken over occupied
     * cells only (a median over all cells collapses to 0 once half are
     * empty, turning the ratio threshold into an absolute vector
-    * count). The aggregate input is kClusters rows, so the single-row
-    * reduction is trivially cheap at any corpus size. */
+    * count). At tiny/sparse scale the occupied median itself can sit
+    * at ~1 vector, where `greatest(median, 1)` degrades the ratio to
+    * an absolute max-cell count — so the rebuild advisory additionally
+    * requires `max_cell >= minRebuildCell` live vectors: below that a
+    * probe scans at most a few dozen vectors regardless of layout, and
+    * "rebuild" would cost more than it could ever save. The aggregate
+    * input is kClusters rows, so the single-row reduction is trivially
+    * cheap at any corpus size. */
   def ivfDriftReport(spark: SparkSession, path: String,
       maxOverMedian: Double = 4.0, maxTombstoneFrac: Double = 0.2,
+      minRebuildCell: Long = 32L,
       id: String = "vec_id"): DataFrame =
     ivfCellStats(spark, path, id).agg(
         count(lit(1)).as("n_cells"),
@@ -470,7 +477,8 @@ object Similarity {
             maxTombstoneFrac)
           .as("advise_compact"),
         (col("max_cell") >
-          greatest(col("median_cell"), lit(1.0)) * maxOverMedian)
+          greatest(col("median_cell"), lit(1.0)) * maxOverMedian &&
+          col("max_cell") >= minRebuildCell)
           .as("advise_rebuild"))
 
   /** IVF top-k over a PREBUILT index (see buildIvfIndex) — no training,

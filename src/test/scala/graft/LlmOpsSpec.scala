@@ -778,6 +778,13 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r1.getAs[Boolean]("advise_rebuild"),
       s"drifted skew ${r1.getAs[Double]("skew_ratio")} under threshold")
     assert(!r1.getAs[Boolean]("advise_compact"))
+    // absolute floor: the same skewed layout with the floor raised past
+    // the fullest cell must NOT advise rebuild — at tiny scale the
+    // occupied median sits near 1 and the ratio degrades to an absolute
+    // count, so the advisory is gated on a minimum cell mass too
+    assert(!Similarity.ivfDriftReport(spark, idx, maxOverMedian = 2.0,
+        minRebuildCell = 100000L).collect().head.getAs[Boolean]("advise_rebuild"),
+      "sub-floor max_cell must not advise rebuild regardless of skew ratio")
     // tombstone a third of the corpus: the compact advisory fires and
     // the live/dead split reconciles exactly
     Similarity.deleteFromIvfIndex(spark, idx,

@@ -416,6 +416,28 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no live transaction identity"), e2.getMessage)
   }
 
+  test("malformed QUERY payload inside a body closes the scope (conservative direction)") {
+    // a QUERY event whose statement text is empty/unparseable could be a
+    // corrupted COMMIT as easily as a corrupted in-body DML — keeping
+    // the scope open risks stamping a LATER transaction's rows with the
+    // stale gno (the exact corruption class the scope machinery
+    // prevents). The conservative read: scope closes, later rows fail
+    // loud instead of mis-attributing.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "BEGIN")
+    w.query(1000L, "db", "") // unparseable statement mid-body
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, "a")))
+    w.close()
+    val e = intercept[Exception] { decodeAll(path, "db", "t") }
+    assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
+  }
+
   test("PARTIAL_JSON: diff vectors in the after image apply against the before document") {
     import graft.cdc.JsonBinary
     val schema = StructType(Seq(StructField("id", LongType),

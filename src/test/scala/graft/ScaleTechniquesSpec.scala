@@ -299,4 +299,28 @@ class ScaleTechniquesSpec extends SparkTestBase {
       v match { case Some(x) => c.set(k, x); case None => c.unset(k) }
     }
   }
+
+  test("fileScanWidth sees partition pruning: a one-partition scan is estimated narrow") {
+    // the parallelism floor keys off this estimate — a heavily pruned
+    // scan that actually plans one small file must not be estimated at
+    // the unpruned table's width (it would skip the repartition floor
+    // exactly where the floor matters most)
+    import spark.implicits._
+    val dir =
+      java.nio.file.Files.createTempDirectory("scan-width").toString + "/t"
+    (0 until 8).flatMap(p => (0 until 500).map(i => (p, i, "x" * 200)))
+      .toDF("p", "id", "payload")
+      .repartition(8, $"p")
+      .write.partitionBy("p").parquet(dir)
+    val full = spark.read.parquet(dir)
+    val w0 = graft.ops.OpUtils.fileScanWidth(full)
+    val w1 = graft.ops.OpUtils.fileScanWidth(full.filter($"p" === 3))
+    assert(w0.isDefined && w1.isDefined, s"file relations must estimate: $w0 $w1")
+    assert(w1.get < w0.get,
+      s"pruned scan must be estimated narrower: pruned=${w1.get} full=${w0.get}")
+    // a non-partition-column filter cannot prune — falls back to the
+    // full listing, same estimate as the unfiltered scan
+    assert(graft.ops.OpUtils.fileScanWidth(full.filter($"id" === 3)) == w0)
+    graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+  }
 }
