@@ -319,9 +319,14 @@ object CdcFixture {
     * `repair` tag, the "maintenance traffic tagged out-of-band" pattern
     * tags exist for. cdc43 reads the storyline: every row's
     * __source_id must carry `uuid:tag` (bare uuid for untagged) and
-    * per-stream gnos must not collide across streams. */
+    * per-stream gnos must not collide across streams. The log ROTATES
+    * (after insert batch 30 where the SF has one, and before the update
+    * phase), each file opening with the tagged-format PREVIOUS_GTIDS
+    * an 8.3+ server writes — cdc49 reads the same storyline with
+    * `startingGtid`, proving prefix files prune off the tagged
+    * metadata. */
   def ensureMysqlTagged(spark: SparkSession, sfDir: String): String =
-    ensureLog(cacheMyTg, "graft-cdcmytg", sfDir)(
+    ensureLog(cacheMyTg, "graft-cdcmytg2", sfDir)(
       generateTagged(spark, sfDir, _))
 
   val TaggedTable = "gorders"
@@ -403,41 +408,63 @@ object CdcFixture {
       .map(r => schema.fields.indices.map(i =>
         if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
       .sortBy(_(0).asInstanceOf[Long])
-    val w = new MysqlBinlog.Writer(s"$outDir/binlog.000000", checksum = true)
+    // per-stream executed gnos so each rotated file can open with the
+    // tagged-format PREVIOUS_GTIDS an 8.3+ server writes (gno
+    // uniqueness — and therefore the executed set — is per (uuid, tag))
+    val executed = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+    val files = mutable.ArrayBuffer.empty[String]
+    var w: MysqlBinlog.Writer = null
+    def rotate(): Unit = {
+      if (w != null) w.close()
+      val name = f"binlog.${files.length}%06d"
+      w = new MysqlBinlog.Writer(s"$outDir/$name", checksum = true)
+      w.previousGtidsTagged(
+        executed.map { case (k, gs) => k -> toIntervals(gs.toSeq) }.toMap)
+      files += name
+    }
     try {
-      def txn(b: Long, tag: Option[String], gno: Long, tsG: Long)(
+      rotate()
+      def txn(tag: Option[String], gno: Long, tsG: Long)(
           body: Long => Unit): Unit = {
         val ts = BaseMs + tsG * 1000L
         tag match {
           case None => w.gtid(ts, gno, SourceId)
           case Some(t) => w.gtidTagged(ts, gno, SourceId, t)
         }
+        executed.getOrElseUpdate(tag.fold(SourceId)(t => s"$SourceId:$t"),
+          mutable.ArrayBuffer.empty[Long]) += gno
         w.query(ts, Db, "BEGIN")
         w.tableMap(ts, TaggedTableId, Db, TaggedTable, schema)
         body(ts)
         w.xid(ts, gno)
       }
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        // rotation point mid-insert: batches 0-29 carry stream gnos
+        // 1-10, so file 0's tagged bounds top out at 10 at EVERY SF —
+        // cdc49's startingGtid=10 prunes it whole
+        if (i == 30) rotate()
         val tag = (i % 3) match {
           case 0 => None
           case 1 => Some("etl")
           case _ => Some("repair")
         }
-        txn(i.toLong, tag, i / 3 + 1L, i.toLong)(ts =>
+        txn(tag, i / 3 + 1L, i.toLong)(ts =>
           w.writeRows(ts, TaggedTableId, schema, batch.toSeq))
       }
+      rotate() // update phase in its own file
       val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
       upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
         val g = 100000L + b
-        txn(b.toLong, Some("repair"), g, g)(ts =>
+        txn(Some("repair"), g, g)(ts =>
           w.updateRows(ts, TaggedTableId, schema, batch.toSeq.map { r =>
             val after = r.clone()
             after(1) = r(1).asInstanceOf[Long] + 1000L
             (r, after)
           }))
       }
-    } finally w.close()
-    Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+    } finally if (w != null) w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"),
+      files.mkString("", "\n", "\n"))
   }
 
   private def generateDdlScope(spark: SparkSession, sfDir: String,

@@ -1487,34 +1487,61 @@ object MysqlBinlog {
   // ------------------------------------------------------ PREVIOUS_GTIDS
 
   /** Parse a PREVIOUS_GTIDS payload: the gtid set executed before this
-    * file. Layout (public protocol): n_sids u64le, then per sid:
-    * sid(16) + n_intervals u64le + per interval (start u64le inclusive,
-    * end u64le EXCLUSIVE). Returns sid-uuid → sorted disjoint
-    * [start, end) intervals. */
+    * file (`Gtid_set::encode`, public wire layout). Classic layout:
+    * n_sids u64le, then per sid: sid(16) + n_intervals u64le + per
+    * interval (start u64le inclusive, end u64le EXCLUSIVE).
+    *
+    * MySQL 8.3+ with GTID TAGS in use (WL#15588) writes the TAGGED
+    * format instead: the MOST SIGNIFICANT byte of the n_sids field
+    * carries the set format (0 = classic, 1 = tagged — pre-8.3 servers
+    * never near 2^56 sids, so the byte reads 0 on every classic log),
+    * and each entry is a TSID — sid(16) + tag(u8 length + ascii chars,
+    * length 0 for the uuid's untagged stream) — followed by the same
+    * interval block. The same uuid legitimately appears once per
+    * distinct tag, each with its OWN gno interval set.
+    *
+    * Returns stream identity → sorted disjoint [start, end) intervals,
+    * where the identity is the `uuid` / `uuid:tag` string the row
+    * decoder stamps into `__source_id` (so bounds subtraction in
+    * [[fileGtidBounds]] is per-stream, matching gno uniqueness). An
+    * unknown format byte throws — readPreviousGtids maps it to None
+    * (file unprunable — conservative, never wrong). */
   def parsePreviousGtids(payload: Array[Byte]): Map[String, Seq[(Long, Long)]] = {
     val c = new Cur(payload)
-    val nSids = c.i64()
-    // Plausibility guard: a server with tagged GTIDs (8.3+) writes its
-    // PREVIOUS_GTIDS with the EXTENDED tagged-set encoding, which this
-    // untagged-layout parser would misread into garbage interval counts
-    // — and garbage BOUNDS would silently mis-prune files. Each sid
-    // needs >= 16+8 bytes, so an implausible count means "not the
-    // untagged layout": throw, and readPreviousGtids maps it to None
-    // (file unprunable — conservative, never wrong).
-    require(nSids >= 0 && nSids <= c.remaining / 24,
+    val nSidsRaw = c.i64()
+    val format = ((nSidsRaw >>> 56) & 0xff).toInt
+    val nSids = nSidsRaw & 0x00ffffffffffffffL
+    require(format == 0 || format == 1,
+      s"unknown PREVIOUS_GTIDS set format $format — a newer encoding " +
+        "than this parser understands; refusing to derive prune bounds")
+    // Plausibility guards: garbage counts would misread into garbage
+    // interval BOUNDS, and garbage bounds silently mis-prune files.
+    // Each classic entry needs >= 16+8 bytes, each tagged entry >=
+    // 16+1+8; an implausible count means corruption: throw, and
+    // readPreviousGtids maps it to None.
+    val minEntry = if (format == 1) 25 else 24
+    require(nSids >= 0 && nSids <= c.remaining / minEntry,
       s"implausible PREVIOUS_GTIDS sid count $nSids for ${c.remaining} " +
-        "payload bytes — tagged-set (MySQL 8.3+) or corrupt encoding")
+        "payload bytes — corrupt encoding")
     val out = (0L until nSids).map { _ =>
       val sid = formatUuid(c.bytes(16))
+      val key =
+        if (format == 1) {
+          val tagLen = c.u8()
+          require(tagLen <= 32 && tagLen <= c.remaining,
+            s"implausible PREVIOUS_GTIDS tag length $tagLen")
+          if (tagLen == 0) sid
+          else sid + ":" + new String(c.bytes(tagLen), StandardCharsets.US_ASCII)
+        } else sid
       val nIv = c.i64()
       require(nIv >= 0 && nIv <= c.remaining / 16,
         s"implausible PREVIOUS_GTIDS interval count $nIv")
-      sid -> (0L until nIv).map(_ => (c.i64(), c.i64())).toSeq
+      key -> (0L until nIv).map(_ => (c.i64(), c.i64())).toSeq
     }.toMap
-    // untagged payloads are exactly consumed; trailing bytes mean an
+    // well-formed payloads are exactly consumed; trailing bytes mean an
     // encoding this parser doesn't understand — refuse to prune on it
     require(c.remaining == 0,
-      s"${c.remaining} undecoded PREVIOUS_GTIDS bytes — extended encoding")
+      s"${c.remaining} undecoded PREVIOUS_GTIDS bytes — unknown encoding")
     out
   }
 
@@ -2016,6 +2043,31 @@ object MysqlBinlog {
           b.i64(ivs.length.toLong)
           ivs.foreach { case (s, e) =>
             require(s < e, s"previousGtids: bad interval [$s, $e)")
+            b.i64(s); b.i64(e)
+          }
+        }
+      }
+
+    /** PREVIOUS_GTIDS in the 8.3+ TAGGED set format (what a server with
+      * any tagged gtids executed writes for EVERY sid — see
+      * [[parsePreviousGtids]]): format byte 1 in the n_sids MSB, each
+      * entry a TSID (uuid + length-prefixed tag). Keys are the
+      * `uuid` / `uuid:tag` stream identities [[gtidTagged]] stamps. */
+    def previousGtidsTagged(executed: Map[String, Seq[(Long, Long)]]): Unit =
+      writeEvent(EventType.PreviousGtids, 0L) { b =>
+        b.i64(executed.size.toLong | (1L << 56))
+        executed.toSeq.sortBy(_._1).foreach { case (key, ivs) =>
+          val (sid, tag) = key.indexOf(':') match {
+            case -1 => (key, "")
+            case i  => (key.substring(0, i), key.substring(i + 1))
+          }
+          require(tag.length <= 32, s"previousGtidsTagged: bad tag '$tag'")
+          b.raw(uuidBytes(sid))
+          b.u8(tag.length)
+          b.raw(tag.getBytes(StandardCharsets.US_ASCII))
+          b.i64(ivs.length.toLong)
+          ivs.foreach { case (s, e) =>
+            require(s < e, s"previousGtidsTagged: bad interval [$s, $e)")
             b.i64(s); b.i64(e)
           }
         }

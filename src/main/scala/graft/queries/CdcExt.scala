@@ -807,6 +807,56 @@ object CdcExt {
           col(CdcSchema.SourceIdCol))
     },
 
+    // cdc43's log with startingGtid: the tagged fixture ROTATES (file 0
+    // tops out at stream gno 10 at every SF), and each file opens with
+    // the 8.3+ TAGGED-format PREVIOUS_GTIDS — so "resume after
+    // transaction 10" both prunes file 0 whole off the tagged metadata
+    // (partition counts pinned in MysqlBinlogSpec) and filters rows by
+    // gno across all three identity streams. A reader that can't parse
+    // the tagged set degrades to full-log decode (round-11 behavior);
+    // one that misparses it mis-prunes and hash-mismatches here.
+    QDef("cdc49_mysql_tagged_starting_gtid",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |ins AS (
+         |  SELECT o_orderkey, val, CAST(idx // 100 AS BIGINT) AS b FROM ord
+         |),
+         |up AS (
+         |  SELECT o_orderkey, val,
+         |    CAST(100000 + (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) // 100 AS BIGINT) AS g
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, val, 1 AS __op, b // 3 + 1 AS g, b AS tsg,
+         |    CASE CAST(b % 3 AS INTEGER)
+         |      WHEN 0 THEN '${CdcFixture.SourceId}'
+         |      WHEN 1 THEN '${CdcFixture.SourceId}:etl'
+         |      ELSE '${CdcFixture.SourceId}:repair' END AS src
+         |  FROM ins
+         |  UNION ALL SELECT o_orderkey, val, 2, g, g,
+         |    '${CdcFixture.SourceId}:repair' FROM up
+         |  UNION ALL SELECT o_orderkey, val + 1000, 3, g, g,
+         |    '${CdcFixture.SourceId}:repair' FROM up
+         |)
+         |SELECT o_orderkey, val, __op, CAST(g AS BIGINT) AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(tsg) AS __tm,
+         |  src AS __source_id
+         |FROM ev WHERE g > 10""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMysqlTagged(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.TaggedTable)
+        .option("binlogFormat", "mysql")
+        .option("startingGtid", "10")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol),
+          col(CdcSchema.SourceIdCol))
+    },
+
     // binlog_row_value_options=PARTIAL_JSON: the update phase's after
     // images carry Json_diff_vectors (REPLACE/INSERT/REMOVE over
     // members and array elements) that the decoder applies against the

@@ -1768,6 +1768,123 @@ class MysqlBinlogSpec extends SparkTestBase {
       s"PREVIOUS_GTIDS must skip the stream's prefix, got $off")
   }
 
+  test("PREVIOUS_GTIDS tagged set: doc-derived golden bytes parse; writer emits them") {
+    // Tagged Gtid_set encoding (MySQL 8.3+, WL#15588): the n_sids
+    // field's MOST SIGNIFICANT byte is the set format (1 = tagged);
+    // each entry is uuid(16) + tag(u8 len + ascii) + n_intervals u64le
+    // + [start, end) u64le pairs. Bytes below are hand-derived from
+    // that layout, NOT from this repo's writer — pinning the wire
+    // format two ways so writer/parser co-drift cannot pass silently.
+    val uuid = "aaaaaaaa-0000-0000-0000-000000000001"
+    val uuidHex = "aa aa aa aa 00 00 00 00 00 00 00 00 00 00 00 01"
+    val golden = (
+      "02 00 00 00 00 00 00 01 " +          // n_sids=2, format byte 1
+      s"$uuidHex 00 " +                     // entry 1: untagged stream
+      "01 00 00 00 00 00 00 00 " +          //   1 interval
+      "01 00 00 00 00 00 00 00 " +          //   start 1 (inclusive)
+      "04 00 00 00 00 00 00 00 " +          //   end 4 (exclusive)
+      s"$uuidHex 03 65 74 6c " +            // entry 2: tag 'etl'
+      "01 00 00 00 00 00 00 00 " +
+      "01 00 00 00 00 00 00 00 " +
+      "03 00 00 00 00 00 00 00"
+    ).split(" ").map(Integer.parseInt(_, 16).toByte)
+    val expected = Map(
+      uuid -> Seq((1L, 4L)),
+      s"$uuid:etl" -> Seq((1L, 3L)))
+    assert(MysqlBinlog.parsePreviousGtids(golden) == expected)
+    // the writer must produce exactly the golden payload
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    w.previousGtidsTagged(expected)
+    w.close()
+    val r = new MysqlBinlog.EventReader(path)
+    try {
+      var payload: Array[Byte] = null
+      while (r.hasNext && payload == null) {
+        val ev = r.next()
+        if (ev.tpe == MysqlBinlog.EventType.PreviousGtids) payload = ev.payload
+      }
+      assert(payload != null, "writer must emit a PREVIOUS_GTIDS event")
+      assert(payload.toSeq == golden.toSeq,
+        s"writer bytes diverge from the documented layout:\n got ${
+          payload.map(b => f"$b%02x").mkString(" ")}")
+    } finally r.close()
+    // an unknown format byte must refuse (None via readPreviousGtids,
+    // never garbage bounds)
+    val bad = golden.clone(); bad(7) = 2
+    val e = intercept[IllegalArgumentException] {
+      MysqlBinlog.parsePreviousGtids(bad)
+    }
+    assert(e.getMessage.contains("unknown PREVIOUS_GTIDS set format"), e.getMessage)
+  }
+
+  test("PREVIOUS_GTIDS tagged set: file pruning works on 8.3+ logs") {
+    // the tagged twin of the classic pruning test: per-(uuid, tag) gno
+    // streams RESTART at 1, so bounds must come from per-stream set
+    // subtraction — a uuid-keyed union would compute garbage ranges
+    val dir = tmpDir()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // three files; in each, 5 untagged txns and 5 'etl'-tagged txns
+    // share the same gno values (per-stream uniqueness)
+    (0 until 3).foreach { fi =>
+      val w = new MysqlBinlog.Writer(s"$dir/mysql-bin.00000$fi", checksum = true)
+      if (fi > 0) {
+        val hi = fi * 5L + 1L
+        w.previousGtidsTagged(Map(
+          Sid -> Seq((1L, hi)), s"$Sid:etl" -> Seq((1L, hi))))
+      } else w.previousGtidsTagged(Map.empty)
+      w.tableMap(0L, 1L, "db", "t", schema)
+      (1L to 5L).foreach { k =>
+        val gno = fi * 5L + k
+        w.gtid(gno * 1000L, gno, Sid)
+        w.writeRows(gno * 1000L, 1L, schema, Seq(Array[Any](gno)))
+        w.gtidTagged(gno * 1000L, gno, Sid, "etl")
+        w.writeRows(gno * 1000L, 1L, schema, Seq(Array[Any](100L + gno)))
+      }
+      w.close()
+    }
+    Files.writeString(Paths.get(dir, "binlog.index"),
+      (0 until 3).map(fi => s"mysql-bin.00000$fi").mkString("", "\n", "\n"))
+    val index = s"$dir/binlog.index"
+
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.size
+        }.getOrElse(-1)
+
+    val full = readFmt(index, "mysql")
+    assert(partsOf(full) == 3)
+    // __gtid <= 3: only file 0 can match (+ the unprunable tail)
+    val low = full.filter(col("__gtid") <= 3L)
+    assert(partsOf(low) == 2,
+      "tagged PREVIOUS_GTIDS must prune file 1; file 2 is the unprunable tail")
+    assert(low.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 101L, 102L, 103L), "pruning must not change results")
+    // __gtid > 12: files 0 and 1 prune
+    val high = full.filter(col("__gtid") > 12L)
+    assert(partsOf(high) == 1)
+    assert(high.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(13L, 14L, 15L, 113L, 114L, 115L))
+    // streaming twin: startingGtid=5 proves file 0 at-or-below via the
+    // tagged metadata — a fresh stream starts at file 1
+    import graft.sources.{CdcOffset, CdcScan, CdcTable}
+    val props = new java.util.HashMap[String, String]()
+    props.put("indexFile", index); props.put("database", "db")
+    props.put("table", "t"); props.put("binlogFormat", "mysql")
+    props.put("startingGtid", "5")
+    val off = new CdcTable(graft.cdc.CdcSchema.withEnvelope(schema), props)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .build().asInstanceOf[CdcScan]
+      .toMicroBatchStream("unused")
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(off.fileIdx == 1,
+      s"tagged PREVIOUS_GTIDS must skip the stream's prefix, got $off")
+  }
+
   test("fuzz: single-bit corruption always terminates cleanly (decode or fail loud)") {
     // with checksums OFF, a flipped bit can mis-frame values (that is
     // exactly the failure CRC32 exists to catch — see the CRC test);
