@@ -188,8 +188,30 @@ object Similarity {
   /** Driver Lloyd iterations over a bounded sample. */
   private def lloyd(sample: Array[Array[Float]], kClusters: Int,
       iters: Int, dim: Int): Array[Array[Double]] = {
-    // deterministic init: k smallest by hash = head of the sorted sample
-    var centroids = sample.take(kClusters).map(_.map(_.toDouble))
+    // deterministic init: the first k DISTINCT vectors of the
+    // hash-sorted sample. Plain take(k) breaks down on duplicate-heavy
+    // data — identical vectors share a hash and sort ADJACENT, so a
+    // duplicated point can seed several identical centroids, which
+    // Lloyd can never separate (ties go to the lowest index; the
+    // clones stay empty and keep their init forever) — collapsing
+    // effective k exactly when a rebuild ingests a drift-collapsed
+    // batch. Distinct-scan is free on all-distinct data (first k).
+    var centroids = {
+      val init = new scala.collection.mutable.ArrayBuffer[Array[Float]](kClusters)
+      var i = 0
+      while (i < sample.length && init.length < kClusters) {
+        val v = sample(i)
+        if (!init.exists(java.util.Arrays.equals(_, v))) init += v
+        i += 1
+      }
+      // fewer distinct points than clusters: pad with repeats (the
+      // surplus cells stay empty — harmless, matches prior behavior)
+      var j = 0
+      while (init.length < kClusters && sample.nonEmpty) {
+        init += sample(j % sample.length); j += 1
+      }
+      init.toArray.map(_.map(_.toDouble))
+    }
     // actual width from the data — the dim parameter is only a hint and
     // must not bound the accumulators (128-dim vectors with dim=64
     // would overflow a dim-sized sum array)
@@ -248,6 +270,25 @@ object Similarity {
     }
   }
 
+  /** Unit-normalized centroid rows — spherical assignment. IVF cell
+    * assignment and probing run on argmax DOT similarity, but the
+    * index SERVES cosine: with raw k-means means as centroids,
+    * argmax-dot is biased toward high-norm centroids (a centroid of
+    * near-identical vectors keeps norm ~1 while the mean of a spread
+    * cluster is much shorter), so one heavy direction swallows mass
+    * that directionally belongs elsewhere — exactly what a rebuild
+    * after a collapsed-batch append exposed. Normalizing makes
+    * argmax-dot == argmax-cosine, consistent with the unit-norm
+    * training geometry and the cosine serving metric (the spherical
+    * k-means convention cosine ANN indexes use). Applied where
+    * centroids are CREATED (train/build/rebuild), so persisted indexes
+    * carry unit centroids and every reader is consistent for free. */
+  private def unitCentroids(cs: Array[Array[Double]]): Array[Array[Double]] =
+    cs.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c
+    }
+
   /** argmax over centroid dot-similarities — deterministic ties by cell
     * index. `NearestCells(..., 1)` with the centroid matrix as a plan
     * reference object: the earlier struct-array/array_min form embedded
@@ -265,7 +306,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kClusters: Int = 16, nProbe: Int = 4,
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): DataFrame = {
-    val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
+    val centroids =
+      unitCentroids(kmeansCentroids(corpus, embCol, kClusters, dim = dim))
     val cb = corpus.withColumn("cell", cellOf(centroids)(col(embCol)))
     ivfScore(cb, ivfProbes(queries, centroids, nProbe, embCol, id), k, embCol, id)
   }
@@ -307,7 +349,8 @@ object Similarity {
       embCol: String = "embedding", id: String = "vec_id", dim: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = kmeansCentroids(corpus, embCol, kClusters, dim = dim)
+    val centroids =
+      unitCentroids(kmeansCentroids(corpus, embCol, kClusters, dim = dim))
     centroids.zipWithIndex.toIndexedSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
@@ -397,6 +440,93 @@ object Similarity {
     java.nio.file.Files.move(tmp.toPath, corpus.toPath)
     graft.TmpDirs.deleteRecursively(tombDir) // last: crash above never resurrects
     graft.TmpDirs.deleteRecursively(old)
+  }
+
+  /** REBUILD a drifted IVF index in place: re-train the coarse
+    * quantizer from the LIVE corpus (current vectors minus tombstones)
+    * and re-assign every vector — the operation [[ivfDriftReport]]'s
+    * `advise_rebuild` calls for, completing the lifecycle
+    * build → append → delete → compact → rebuild. Append assigns
+    * against FROZEN build-time centroids, so a shifted input
+    * distribution piles batches into few cells; rebuild restores the
+    * balanced Voronoi partition (and, since the rewrite drops
+    * tombstoned rows anyway, doubles as a compaction). kClusters and
+    * dim are carried over from the existing index.
+    *
+    * Crash-safe with the same rename discipline as
+    * [[compactIvfIndex]], extended to the centroid/corpus PAIR — the
+    * two must swap together or reads would score new cell assignments
+    * against old centroids (silently wrong probes). Both `.rebuilding`
+    * dirs are fully written first; then centroids and corpus are
+    * renamed away before either replacement lands, so every crash
+    * window leaves a MISSING directory (reads fail loud, `.old` kept
+    * for manual restore) rather than a mismatched pair; tombstones are
+    * dropped LAST (the rebuilt corpus already excludes them — an
+    * interrupt never resurrects a deleted row, the anti-join is
+    * idempotent).
+    *
+    * 100 TB posture: same cost shape as [[buildIvfIndex]] — a bounded
+    * driver-side training sample plus one distributed assignment
+    * rewrite (shuffle-free except partitionBy's file split); the
+    * operational contract is that rebuilds are RARE, gated by the
+    * drift report, not per-batch. */
+  def rebuildIvfIndex(spark: SparkSession, path: String,
+      embCol: String = "embedding", id: String = "vec_id"): Unit = {
+    import spark.implicits._
+    val oldCentroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).select(col("centroid"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val kClusters = oldCentroids.length
+    val dim = oldCentroids.head.length
+    val tombDir = new java.io.File(s"$path/tombstones")
+    val stored = spark.read.parquet(s"$path/corpus").drop("cell")
+    val live =
+      if (tombDir.exists())
+        stored.join(
+          broadcast(spark.read.parquet(tombDir.toString).distinct()),
+          Seq(id), "left_anti")
+      else stored
+    // an all-rows-tombstoned rebuild has nothing to train on — refuse
+    // BEFORE touching anything, keep the servable tombstoned state
+    // (limit-1 probe; rebuilds are rare admin ops)
+    if (live.isEmpty) throw new IllegalStateException(
+      s"rebuildIvfIndex($path): the live corpus is empty — the rebuilt " +
+        "index would be unreadable; delete the index directory instead")
+    val centroids = unitCentroids(kmeansCentroids(live, embCol, kClusters, dim = dim))
+    val tmpCentroids = new java.io.File(s"$path/centroids.rebuilding")
+    val tmpCorpus = new java.io.File(s"$path/corpus.rebuilding")
+    centroids.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(tmpCentroids.toString)
+    live.withColumn("cell", cellOf(centroids)(col(embCol)))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpCorpus.toString)
+    // an all-rows-tombstoned rebuild writes a part-file-less corpus that
+    // every later read rejects — refuse, keep the servable state
+    val walk = java.nio.file.Files.walk(tmpCorpus.toPath)
+    val anyPart =
+      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    if (!anyPart) {
+      graft.TmpDirs.deleteRecursively(tmpCorpus)
+      graft.TmpDirs.deleteRecursively(tmpCentroids)
+      throw new IllegalStateException(
+        s"rebuildIvfIndex($path): the live corpus is empty — the rebuilt " +
+          "index would be unreadable; delete the index directory instead")
+    }
+    val centroidsDir = new java.io.File(s"$path/centroids")
+    val corpusDir = new java.io.File(s"$path/corpus")
+    val oldC = new java.io.File(s"$path/centroids.old")
+    val oldK = new java.io.File(s"$path/corpus.old")
+    if (oldC.exists()) graft.TmpDirs.deleteRecursively(oldC)
+    if (oldK.exists()) graft.TmpDirs.deleteRecursively(oldK)
+    java.nio.file.Files.move(centroidsDir.toPath, oldC.toPath)
+    java.nio.file.Files.move(corpusDir.toPath, oldK.toPath)
+    java.nio.file.Files.move(tmpCentroids.toPath, centroidsDir.toPath)
+    java.nio.file.Files.move(tmpCorpus.toPath, corpusDir.toPath)
+    if (tombDir.exists()) graft.TmpDirs.deleteRecursively(tombDir)
+    graft.TmpDirs.deleteRecursively(oldC)
+    graft.TmpDirs.deleteRecursively(oldK)
   }
 
   /** Per-cell occupancy of a prebuilt IVF index — the drift monitor
@@ -581,7 +711,7 @@ object Similarity {
     // ONE sample pass feeds both trainings (coarse centroids + all m
     // subspace codebooks) — not one distributed sweep each
     val sample = trainSample(corpus, embCol, seed = 42L, maxTrain = 100000)
-    val centroids = lloyd(sample, kClusters, iters = 3, dim)
+    val centroids = unitCentroids(lloyd(sample, kClusters, iters = 3, dim))
     val books = booksFromSample(sample, m, ksub, dim, iters = 3)
     val encoded = pqEncode(corpus, books, dim / m, embCol, id)
       .withColumn("cell", cellOf(centroids)(col(embCol)))

@@ -157,6 +157,35 @@ object Llm {
     idx
   }
 
+  /** The llm72 index: llm71's deliberate drift (held-out 10% appended
+    * as all-ones against frozen centroids) PLUS a tombstoned slice,
+    * then [[Similarity.rebuildIvfIndex]] — the op the drift advisory
+    * calls for. After rebuild the all-ones mass gets its own centroid
+    * (balanced for the actual distribution), tombstoned rows are gone
+    * from the corpus, and the tombstone list is dropped. Same marker
+    * discipline as _DRIFTED. */
+  private[queries] def ensureIvfRebuiltIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ivfrb-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$idx/_REBUILT")
+      if (!marker.exists()) {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 9), idx,
+          kClusters = 16)
+        Similarity.appendToIvfIndex(s, idx,
+          emb.filter(col("vec_id") % 10 === 9)
+            .withColumn("embedding", array_repeat(lit(1.0f), 64)))
+        Similarity.deleteFromIvfIndex(s, idx,
+          emb.filter(col("vec_id") % 11 === 5).select(col("vec_id")))
+        Similarity.rebuildIvfIndex(s, idx)
+        marker.createNewFile()
+      }
+    }
+    idx
+  }
+
   private[queries] def annGate(ann: DataFrame, emb: DataFrame, k: Int,
       minMatches: Int): DataFrame = {
     val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -685,6 +714,26 @@ object Llm {
         .crossJoin(appended)
         .select(col("n_cells"), col("total_live"), col("total_tombstoned"),
           (col("max_cell") >= col("n_appended")).as("max_covers_appended"),
+          col("advise_rebuild"), col("advise_compact"))
+    },
+
+    // the rebuild that ANSWERS the drift advisory: llm71's drifted
+    // layout plus a tombstoned slice, re-trained and re-assigned from
+    // the live corpus (Similarity.rebuildIvfIndex). The advisory flips
+    // false (the all-ones mass now has its own centroid — balanced for
+    // the actual distribution), the live total reconciles with the
+    // source minus the deleted slice, and nothing is tombstoned (the
+    // rebuild materialized the deletes and dropped the list).
+    QDef("llm72_ivf_rebuild",
+      """SELECT CAST(16 AS BIGINT) AS n_cells,
+        |  count(*) AS total_live,
+        |  CAST(0 AS BIGINT) AS total_tombstoned,
+        |  false AS advise_rebuild,
+        |  false AS advise_compact
+        |FROM embeddings WHERE NOT (vec_id % 11 = 5)""".stripMargin) { (s, dir) =>
+      val idx = ensureIvfRebuiltIndex(s, dir)
+      Similarity.ivfDriftReport(s, idx)
+        .select(col("n_cells"), col("total_live"), col("total_tombstoned"),
           col("advise_rebuild"), col("advise_compact"))
     },
 

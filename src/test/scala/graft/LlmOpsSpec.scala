@@ -813,6 +813,52 @@ class LlmOpsSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(sparse))
   }
 
+  test("IVF rebuild: drift advisory flips false, tombstones materialize, list drops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    // the llm71 drift recipe + a tombstoned slice
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 10 =!= 9), idx, kClusters = 16)
+    Similarity.appendToIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 10 === 9)
+        .withColumn("embedding", array_repeat(lit(1.0f), 64)))
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 11 === 5).select($"vec_id"))
+    assert(Similarity.ivfDriftReport(spark, idx, maxOverMedian = 2.0)
+      .collect().head.getAs[Boolean]("advise_rebuild"), "fixture must drift")
+    Similarity.rebuildIvfIndex(spark, idx)
+    val r = Similarity.ivfDriftReport(spark, idx).collect().head
+    assert(!r.getAs[Boolean]("advise_rebuild"),
+      s"rebuilt index still advises rebuild (skew ${r.getAs[Double]("skew_ratio")})")
+    assert(!r.getAs[Boolean]("advise_compact"))
+    assert(r.getAs[Long]("total_tombstoned") == 0L)
+    assert(r.getAs[Long]("total_live") ==
+      emb.filter($"vec_id" % 11 =!= 5).count(),
+      "rebuild must materialize the tombstoned deletes")
+    assert(!new java.io.File(s"$idx/tombstones").exists(),
+      "rebuild must drop the tombstone list")
+    assert(!new java.io.File(s"$idx/corpus.old").exists() &&
+      !new java.io.File(s"$idx/centroids.old").exists(), "swap leftovers remain")
+    // the rebuilt index serves: deleted ids never surface, k fills
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val ann = Similarity.ivfTopKFromIndex(spark, idx, queries, k = 5, nProbe = 6)
+    assert(ann.count() > 0)
+    assert(ann.filter($"neighbor_id" % 11 === 5).count() == 0,
+      "deleted vectors surfaced after rebuild")
+    // all-live-tombstoned rebuild refuses instead of bricking the index
+    val dead = java.nio.file.Files.createTempDirectory("ivf-rebuild-dead").toString
+    Similarity.buildIvfIndex(emb.limit(20), dead, kClusters = 4)
+    Similarity.deleteFromIvfIndex(spark, dead, emb.limit(20).select($"vec_id"))
+    val ex = intercept[IllegalStateException] {
+      Similarity.rebuildIvfIndex(spark, dead)
+    }
+    assert(ex.getMessage.contains("live corpus is empty"), ex.getMessage)
+    assert(new java.io.File(s"$dead/corpus").exists() &&
+      new java.io.File(s"$dead/tombstones").exists(),
+      "refusal must keep the servable tombstoned state")
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+    graft.TmpDirs.deleteRecursively(new java.io.File(dead))
+  }
+
   test("filtered top-k: every neighbor satisfies the predicate; never post-filtered") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
