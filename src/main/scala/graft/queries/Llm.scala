@@ -737,16 +737,19 @@ object Llm {
           col("advise_rebuild"), col("advise_compact"))
     },
 
-    // PQ-compressed ANN with ADC scoring: the corpus searched holds only
-    // m=8 codes + a norm per vector (recall vs brute force pinned in
-    // LlmOpsSpec)
+    // PQ-compressed ANN with ADC scoring + exact rerank: the scored
+    // corpus holds only m=16 codes + a norm per vector; the top
+    // k*rerank ADC candidates re-score exactly (bounded, broadcast) —
+    // recall ≥0.9 at every SF at these shipped knobs (floors pinned in
+    // LlmOpsSpec, tracked per round in DESIGN's recall table)
     QDef("llm41_knn_pq", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      // minMatches=1 (observed per-query min 2 across SFs — compressed-
-      // domain shortlists are noisier than IVF's float-domain cells)
-      annGate(Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16),
-        emb, k = 10, minMatches = 1)
+      // minMatches=5 (observed per-query min 8 across SFs at the
+      // reranked knobs — the exact re-score of the top k*rerank ADC
+      // candidates recovers most of the compressed-domain loss)
+      annGate(Similarity.pqTopK(emb, queries, k = 10, m = 16, ksub = 16,
+        rerank = 16), emb, k = 10, minMatches = 5)
     },
 
     // IVF-PQ: coarse cells prune candidates AND candidates score in the
@@ -756,7 +759,8 @@ object Llm {
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
       annGate(Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16,
-        nProbe = 6, m = 8, ksub = 16), emb, k = 10, minMatches = 1)
+        nProbe = 10, m = 16, ksub = 64, rerank = 16), emb, k = 10,
+        minMatches = 4)
     },
 
     // int8 quantization (Similarity.quantizeInt8): absmax scale + floor

@@ -39,9 +39,10 @@ object AnnRecallProbe {
       "lshmulti" -> Similarity.lshTopKMulti(emb, queries, k = k,
         nTables = 8, planesPerTable = 4),
       "ivf" -> Similarity.ivfTopK(emb, queries, k = k, kClusters = 16, nProbe = 6),
-      "pq" -> Similarity.pqTopK(emb, queries, k = k, m = 8, ksub = 16),
+      "pq" -> Similarity.pqTopK(emb, queries, k = k, m = 16, ksub = 16,
+        rerank = 16),
       "ivfpq" -> Similarity.ivfPqTopK(emb, queries, k = k, kClusters = 16,
-        nProbe = 6, m = 8, ksub = 16))
+        nProbe = 10, m = 16, ksub = 64, rerank = 16))
     variants.foreach { case (name, ann) =>
       // left join FROM the checked queries: a query with zero ANN
       // matches must report 0, not vanish from the min (an inner join

@@ -275,6 +275,31 @@ class LlmOpsSpec extends SparkTestBase {
       s"IVF-PQ recall $recall cannot exceed plain PQ's $pqRecall (same codebooks, fewer candidates)")
   }
 
+  test("shipped-knob rerank: pq and ivf-pq recall clears 0.8") {
+    // llm41/llm42 ship m=16 codebooks with an exact rerank of the top
+    // k*16 ADC candidates — the knobs the round-tracked recall table
+    // records (1.000/1.000 at sf0.001, 0.913/0.825 at sf0.1 when
+    // pinned); this floor regression-bounds the SHIPPED quality, the
+    // coarser-knob tests above pin the un-reranked baselines
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 16, ksub = 16,
+        rerank = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rPq = (brute intersect pq).size.toDouble / brute.size
+    assert(rPq >= 0.8, s"shipped PQ recall $rPq below 0.8")
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16,
+        nProbe = 10, m = 16, ksub = 64, rerank = 16)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvfpq = (brute intersect ivfpq).size.toDouble / brute.size
+    assert(rIvfpq >= 0.8, s"shipped IVF-PQ recall $rIvfpq below 0.8")
+  }
+
   test("multi-table LSH recall beats single-table and clears 0.5") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
