@@ -219,6 +219,25 @@ object Bench {
     * otherwise compare against itself and report a meaningless ~1.0
     * cross-round ratio. Archives that pre-date the `"head"` field are
     * never skipped. */
+  /** Baseline-candidate order — the same picker semantics as
+    * `scripts/bench_gate.sh`: newest round first, and at the same
+    * round the gate's own archive (`_gate`, written by the gate
+    * script, always parseable) preferred over the driver's (may be
+    * tail-truncated with parsed=null). Unparseable and same-HEAD
+    * candidates are skipped downstream, so a committed artifact
+    * annotates itself against the adjacent round's baseline instead of
+    * falling back several rounds when the driver archive is broken
+    * (the round-10 crying-wolf post-mortem). Pinned in
+    * BenchPolicySpec. */
+  private[graft] def prevCandidateOrder(names: Seq[String]): Seq[String] = {
+    val re = "^BENCH_r(\\d+)(_gate)?\\.json$".r
+    names.flatMap {
+      case n @ re(round, gate) =>
+        Some(((round.toInt, if (gate != null) 1 else 0), n))
+      case _ => None
+    }.sortBy { case ((r, g), _) => (-r, -g) }.map(_._2)
+  }
+
   private def prevArchive(): Option[(String, Map[String, Double])] = {
     def parse(file: java.io.File): Option[(String, Map[String, Double], String)] =
       try {
@@ -239,12 +258,10 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_)) match {
       case Some(f) => parse(f).map { case (n, q, _) => (n, q) }
       case None =>
-        val re = "^BENCH_r(\\d+)\\.json$".r
-        val candidates = Option(new java.io.File(".").listFiles())
-          .getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case re(n) => Some((n.toInt, f)); case _ => None
-          }).sortBy(-_._1).iterator.flatMap { case (_, f) => parse(f) }
+        val files = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty).map(f => f.getName -> f).toMap
+        val candidates = prevCandidateOrder(files.keys.toSeq)
+          .iterator.flatMap(n => parse(files(n)))
         candidates.collectFirst {
           case (name, qs, head) if head.isEmpty || gitHead.isEmpty || head != gitHead =>
             (name, qs)

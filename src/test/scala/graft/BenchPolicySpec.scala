@@ -23,6 +23,22 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.splitCount(100 * MiB, 8) == 8)
   }
 
+  test("prev-archive picker: newest round first, gate beats driver at the same round") {
+    // the bench_gate.sh order, mirrored: an embedded prev annotation
+    // must come from the ADJACENT round's baseline (gate preferred —
+    // always parseable) rather than falling back rounds when a driver
+    // archive is tail-truncated (the round-10 crying-wolf post-mortem)
+    val names = Seq("BENCH_r08.json", "BENCH_r11_gate.json", "BENCH_r11.json",
+      "BENCH_r09.json", "BENCH_r10_gate.json", "BENCH_r11_full.json",
+      "CORRECTNESS_r11.json", "notes.txt")
+    assert(Bench.prevCandidateOrder(names) == Seq(
+      "BENCH_r11_gate.json", "BENCH_r11.json", "BENCH_r10_gate.json",
+      "BENCH_r09.json", "BENCH_r08.json"),
+      "picker order drifted")
+    // _full and unrelated files never enter the candidate list
+    assert(!Bench.prevCandidateOrder(names).contains("BENCH_r11_full.json"))
+  }
+
   test("plan-lint SinglePartition detector: fires on global-window, passes partials-merge") {
     import graft.tools.PlanLint.singlePartitionOffenses
     // global window: the whole input funnels through one task — offender
