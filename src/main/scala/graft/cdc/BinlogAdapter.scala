@@ -93,8 +93,9 @@ object BinlogFormats {
   def forName(name: String): BinlogFormatAdapter = name match {
     case "gcdc" => GcdcAdapter
     case "mysql" => MysqlBinlogAdapter
+    case "mariadb" => MariaDbAdapter
     case other => throw new IllegalArgumentException(
-      s"binlogcdc: unknown binlogFormat '$other' (supported: gcdc, mysql)")
+      s"binlogcdc: unknown binlogFormat '$other' (supported: gcdc, mysql, mariadb)")
   }
 }
 

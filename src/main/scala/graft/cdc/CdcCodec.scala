@@ -349,7 +349,13 @@ object CdcCodec {
 
   /** Raw event view: header fields + payload bytes. `pos` is the byte
     * offset of the event header — the streaming offset unit (§2.C). */
-  final case class RawEvent(tpe: Byte, tsMs: Long, payload: Array[Byte], pos: Long, endPos: Long)
+  /** One raw log event. `serverId` is the v4 header's originating
+    * server id — 0 where the format has none (GCDC) or the reader
+    * predates it; only the MariaDB decoder consumes it (the
+    * domain-SERVER-seq gtid triple names its writer in the header,
+    * unlike MySQL's in-payload uuid). */
+  final case class RawEvent(tpe: Byte, tsMs: Long, payload: Array[Byte],
+      pos: Long, endPos: Long, serverId: Long = 0L)
 
   /** Sequential raw-event reader over one log file (the GCDC
     * [[RawEventSource]] — see BinlogAdapter.scala for the seam a real

@@ -66,6 +66,7 @@ object CdcFixture {
   private val cacheMyQ = mutable.Map.empty[String, String]
   private val cacheMyTg = mutable.Map.empty[String, String]
   private val cacheMyPj = mutable.Map.empty[String, String]
+  private val cacheMaria = mutable.Map.empty[String, String]
   private val cacheMyNb = mutable.Map.empty[String, String]
   private val cacheMyDr = mutable.Map.empty[String, String]
 
@@ -397,6 +398,99 @@ object CdcFixture {
       }
     } finally w.close()
     Files.writeString(Paths.get(outDir, "binlog.index"), "binlog.000000\n")
+  }
+
+  /** A MariaDB 10.x binlog: the fork's identity layer end-to-end —
+    * GTID events (type 162) carry domain-server-seq triples and OPEN
+    * the transaction (no BEGIN QUERY), inserts rotate between two
+    * multi-master servers (101/102) in domain 0, standalone DDL gtids
+    * run in their own domain 1, updates and deletes follow under one
+    * server each, and rows ship in the V1 event layout. The log
+    * rotates across three files, each opening with the GTID_LIST
+    * state. cdc50 reads the storyline: __source_id must carry
+    * `domain-server`, __gtid the per-domain seq, and no DDL seq may
+    * ever stamp a row. */
+  def ensureMaria(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMaria, "graft-cdcmaria", sfDir)(
+      generateMaria(spark, sfDir, _))
+
+  val MariaTable = "morders"
+  val MariaTableId = 37L
+
+  private def generateMaria(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "CAST(o_orderkey % 1000 AS BIGINT) AS val")
+    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    val rows: Array[Array[Any]] = df.collect()
+      .map(r => schema.fields.indices.map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toArray[Any])
+      .sortBy(_(0).asInstanceOf[Long])
+    // GTID_LIST state: last seq per (domain, server), as mariadbd keeps
+    val state = mutable.LinkedHashMap.empty[(Long, Long), Long]
+    val files = mutable.ArrayBuffer.empty[String]
+    var w: MysqlBinlog.Writer = null
+    def rotate(): Unit = {
+      if (w != null) w.close()
+      val name = f"binlog.${files.length}%06d"
+      w = new MysqlBinlog.Writer(s"$outDir/$name", checksum = true,
+        maria = true)
+      w.gtidList(state.toSeq.map { case ((d, s), q) => (d, s, q) })
+      files += name
+    }
+    try {
+      rotate()
+      def txn(domain: Long, server: Long, seq: Long, tsG: Long)(
+          body: Long => Unit): Unit = {
+        val ts = BaseMs + tsG * 1000L
+        w.currentServerId = server
+        w.gtidMaria(ts, seq, domain) // non-standalone: opens the body
+        w.tableMap(ts, MariaTableId, Db, MariaTable, schema)
+        body(ts)
+        w.xid(ts, seq)
+        state((domain, server)) = math.max(state.getOrElse((domain, server), 0L), seq)
+      }
+      def ddl(seq: Long): Unit = {
+        val ts = BaseMs + (50000L + seq) * 1000L
+        w.currentServerId = 101L
+        w.gtidMaria(ts, seq, domain = 1L, standalone = true)
+        w.query(ts, Db, s"ALTER TABLE $MariaTable COMMENT 'epoch $seq'")
+        state((1L, 101L)) = math.max(state.getOrElse((1L, 101L), 0L), seq)
+      }
+      rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
+        // rotation point mid-insert: batches 0-29 carry domain-0 seqs
+        // 1-30 at every SF, so file 0's GTID_LIST bounds are stable
+        if (i == 30) rotate()
+        txn(domain = 0L, server = if (i % 2 == 0) 101L else 102L,
+          seq = i + 1L, tsG = i.toLong)(ts =>
+          w.writeRows(ts, MariaTableId, schema, batch.toSeq))
+        if (i % 20 == 19) ddl(i / 20 + 1L) // standalone DDL, own domain
+      }
+      rotate() // update + delete phases in their own file
+      val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
+      upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
+        val g = 100000L + b
+        txn(domain = 0L, server = 102L, seq = g, tsG = g)(ts =>
+          w.updateRows(ts, MariaTableId, schema, batch.toSeq.map { r =>
+            val after = r.clone()
+            after(1) = r(1).asInstanceOf[Long] + 1000L
+            (r, after)
+          }))
+      }
+      val del = rows.filter(_(0).asInstanceOf[Long] % 7 == 0)
+      del.grouped(100).zipWithIndex.foreach { case (batch, d) =>
+        val g = 200000L + d
+        txn(domain = 0L, server = 101L, seq = g, tsG = g)(ts =>
+          w.deleteRows(ts, MariaTableId, schema, batch.toSeq.map { r =>
+            val img = r.clone()
+            val k = r(0).asInstanceOf[Long]
+            if (k % 3 == 0) img(1) = r(1).asInstanceOf[Long] + 1000L
+            img
+          }))
+      }
+    } finally if (w != null) w.close()
+    Files.writeString(Paths.get(outDir, "binlog.index"),
+      files.mkString("", "\n", "\n"))
   }
 
   private def generateTagged(spark: SparkSession, sfDir: String,

@@ -89,6 +89,17 @@ object MysqlBinlog {
     val PreviousGtids = 35: Byte
     val TransactionPayload = 40: Byte
     val GtidTagged = 42: Byte // MySQL 8.3+ GTID_TAGGED_LOG_EVENT
+    // MariaDB-only event types (0xa0+). MariaDB shares the v4 header
+    // framing, TABLE_MAP layout, and per-type value decode with MySQL
+    // 5.5/5.6 but replaces the GTID layer: gtids are domain-server-seq
+    // triples, GTID_EVENT doubles as the transaction opener (no BEGIN
+    // QUERY event), GTID_LIST is the PREVIOUS_GTIDS analogue, and rows
+    // events stay the V1 layout (no extra-data field).
+    val MariaAnnotateRows = 0xa0.toByte     // 160: statement text
+    val MariaBinlogCheckpoint = 0xa1.toByte // 161: ignorable bookkeeping
+    val MariaGtid = 0xa2.toByte             // 162: seq_no u64, domain u32, flags2 u8
+    val MariaGtidList = 0xa3.toByte         // 163: binlog state at file start
+    val MariaStartEncryption = 0xa4.toByte  // 164: ciphertext follows
   }
 
   /** TLV field types of TRANSACTION_PAYLOAD (MySQL 8.0.20+
@@ -333,7 +344,8 @@ object MysqlBinlog {
     * FORMAT_DESCRIPTION event declares CRC32 checksums, every
     * subsequent event's CRC is VERIFIED (fail loud on corruption) and
     * stripped, so downstream decoders never see checksum bytes. */
-  final class EventReader(path: String) extends RawEventSource {
+  final class EventReader(path: String, maria: Boolean = false)
+      extends RawEventSource {
     private val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
     try {
       val m = in.readNBytes(MagicLen)
@@ -377,7 +389,7 @@ object MysqlBinlog {
             "FORMAT_DESCRIPTION — misaligned or corrupt binlog")
         sawFde = true
       }
-      h.u32() // server_id
+      val serverId = h.u32()
       val eventSize = h.u32()
       h.u32() // log_pos (end position; derivable, not trusted)
       h.u16() // flags
@@ -396,19 +408,26 @@ object MysqlBinlog {
         val c = new Cur(body)
         val binlogVersion = c.u16()
         require(binlogVersion == 4, s"$path: binlog version $binlogVersion (need v4)")
-        // server_version: 50 bytes, NUL-padded ASCII. A MariaDB log
-        // parses this far fine but carries a DIFFERENT identity layer
-        // (GTID_LIST/MARIADB_GTID, types 160+), so its rows would later
-        // fail as "no live transaction identity" — name the real cause
-        // here instead
+        // server_version: 50 bytes, NUL-padded ASCII — the FLAVOR
+        // check. MariaDB shares the v4 framing but replaces the GTID
+        // layer (GTID_LIST/MARIADB_GTID, types 160+) and keeps V1 rows
+        // events, so reading one flavor with the other's decoder would
+        // fail later as "no live transaction identity" — name the real
+        // cause (and the option that fixes it) here at the FDE instead
         val ver = new String(body, 2, 50,
           java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
-        if (ver.toLowerCase.contains("mariadb"))
+        val verIsMaria = ver.toLowerCase.contains("mariadb")
+        if (verIsMaria && !maria)
           throw new UnreadableLogException(
             s"$path: MariaDB binlog (server version '$ver'): MariaDB " +
               "replaces the MySQL GTID events with its own " +
-              "GTID_LIST/MARIADB_GTID layer, which this MySQL-wire reader " +
-              "does not decode — use a MySQL producer for this table")
+              "GTID_LIST/MARIADB_GTID layer — read it with " +
+              "binlogFormat=mariadb")
+        if (!verIsMaria && maria)
+          throw new UnreadableLogException(
+            s"$path: MySQL binlog (server version '$ver') opened with " +
+              "binlogFormat=mariadb: the MySQL GTID layer (types 33-42) " +
+              "is not the MariaDB one — read it with binlogFormat=mysql")
         c.skip(50) // server_version
         c.u32() // create_timestamp
         val commonHeaderLen = c.u8()
@@ -421,7 +440,17 @@ object MysqlBinlog {
       } else if (checksummed) {
         payload = verifyAndStrip(header, body, start)
       }
-      nextEvent = CdcCodec.RawEvent(tpe, tsSec * 1000L, payload, start, pos)
+      // MariaDB encrypted binlog (encrypt_binlog=ON): START_ENCRYPTION
+      // right after the FDE, everything later is ciphertext under the
+      // server's key file — the MySQL twin of the 0xFD magic check
+      if (tpe == EventType.MariaStartEncryption)
+        throw new UnreadableLogException(
+          s"$path: ENCRYPTED MariaDB binlog (encrypt_binlog=ON — " +
+            "START_ENCRYPTION event): the event stream is ciphertext " +
+            "under the server's encryption key; decrypt on the producer " +
+            "side or disable encrypt_binlog for logs this reader consumes")
+      nextEvent = CdcCodec.RawEvent(tpe, tsSec * 1000L, payload, start, pos,
+        serverId)
     }
 
     private def verifyAndStrip(header: Array[Byte], body: Array[Byte],
@@ -448,10 +477,10 @@ object MysqlBinlog {
   /** Offset of the last COMPLETE event (same torn-tail contract as
     * [[CdcCodec.lastCompleteOffset]]): streaming offsets must never
     * point past it. */
-  def lastCompleteOffset(path: String): Long = {
+  def lastCompleteOffset(path: String, maria: Boolean = false): Long = {
     val f = new java.io.File(path)
     if (!f.exists() || f.length() < MagicLen) return MagicLen.toLong
-    val r = new EventReader(path)
+    val r = new EventReader(path, maria)
     try {
       var end = MagicLen.toLong
       while (r.hasNext) end = r.next().endPos
@@ -526,7 +555,7 @@ object MysqlBinlog {
       if (tpe == EventType.TransactionPayload)
         throw new IOException(s"transaction payload at ${ev.pos}: nested payload")
       events += CdcCodec.RawEvent(tpe, tsSec * 1000L,
-        ic.bytes((size - HeaderLen).toInt), ev.pos, ev.endPos)
+        ic.bytes((size - HeaderLen).toInt), ev.pos, ev.endPos, ev.serverId)
     }
     events.result()
   }
@@ -704,7 +733,8 @@ object MysqlBinlog {
   final class RowDecoder(targetDb: String, targetTable: String,
       needed: Int => Boolean = _ => true,
       expectedSchema: Option[StructType] = None,
-      driftEpochs: Boolean = false) extends CdcRowDecoder {
+      driftEpochs: Boolean = false,
+      maria: Boolean = false) extends CdcRowDecoder {
 
     private val tableMaps = scala.collection.mutable.Map.empty[Long, MysqlTableMap]
     // active epoch plan per table id (absent = identity/additive) —
@@ -794,6 +824,39 @@ object MysqlBinlog {
         anonymousTxn = true
         txnBodyOpen = false
         currentRowsQuery = null
+        Nil
+      case EventType.MariaGtid if maria =>
+        // MariaDB GTID (type 162): the identity triple is
+        // domain-server-seq — seq_no u64, domain_id u32, flags2 u8
+        // (+ u64 commit_id when FL_GROUP_COMMIT_ID). The writing
+        // server's id rides the event HEADER, so __source_id is
+        // `domain-server` and __gtid the per-domain seq_no. Unlike
+        // MySQL, a non-standalone GTID event IS the transaction opener
+        // (MariaDB writes no BEGIN QUERY event) — the body opens here;
+        // FL_STANDALONE (DDL and other auto-committed statements) opens
+        // a body-less scope the statement itself closes, exactly the
+        // MySQL GTID→QUERY(DDL) shape.
+        val c = new Cur(ev.payload)
+        val seq = c.i64()
+        val domain = c.u32()
+        val flags2 = if (c.remaining > 0) c.u8() else 0
+        currentGtid = seq
+        currentSourceId = UTF8String.fromString(s"$domain-${ev.serverId}")
+        anonymousTxn = false
+        txnIdentityValid = true
+        txnBodyOpen = (flags2 & 1) == 0 // FL_STANDALONE = 1
+        currentRowsQuery = null
+        Nil
+      case EventType.MariaGtidList | EventType.MariaBinlogCheckpoint
+          if maria =>
+        Nil // file-start state / flush bookkeeping: planner-level only
+      case EventType.MariaAnnotateRows if maria =>
+        // the statement text (binlog_annotate_row_events=ON), written
+        // before the statement's TABLE_MAPs — MariaDB's ROWS_QUERY,
+        // body = the query to end-of-body (no leading length byte)
+        currentRowsQuery =
+          if (ev.payload.isEmpty) null
+          else UTF8String.fromBytes(ev.payload, 0, ev.payload.length)
         Nil
       case EventType.Xid =>
         // transaction commit: the identity set by this txn's GTID event
@@ -888,6 +951,15 @@ object MysqlBinlog {
             s"at log offset ${ev.pos}: the producer recorded that events may " +
             "have been lost — the log cannot serve a consistent change " +
             "stream past this point; re-snapshot the table")
+      case EventType.WriteRowsV1 if maria =>
+        // MariaDB logs rows events in the V1 layout (no extra-data
+        // field) on every version — same images, null bitmaps, and
+        // per-type value decode as V2 past the post-header
+        rowsEvent(ev, CdcSchema.Op.Insert, images = 1, v1 = true)
+      case EventType.DeleteRowsV1 if maria =>
+        rowsEvent(ev, CdcSchema.Op.Delete, images = 1, v1 = true)
+      case EventType.UpdateRowsV1 if maria =>
+        rowsEvent(ev, CdcSchema.Op.UpdateBefore, images = 2, v1 = true)
       case EventType.WriteRowsV1 | EventType.UpdateRowsV1 |
           EventType.DeleteRowsV1 =>
         // pre-5.6 rows-event layout (no extra-data field): not decoded.
@@ -994,7 +1066,8 @@ object MysqlBinlog {
       }
 
     private def rowsEvent(ev: CdcCodec.RawEvent, op: Int,
-        images: Int, partialJson: Boolean = false): Seq[CdcCodec.CdcRow] = {
+        images: Int, partialJson: Boolean = false,
+        v1: Boolean = false): Seq[CdcCodec.CdcRow] = {
       val c = new Cur(ev.payload)
       val tableId = c.u48()
       tableMaps.get(tableId) match {
@@ -1012,8 +1085,10 @@ object MysqlBinlog {
               "mid-transaction); decoding would stamp these rows with a " +
               "stale __gtid, corrupting latest-image ordering")
           c.u16() // flags
-          val extraLen = c.u16() // v2 extra-data length, includes these 2 bytes
-          c.skip(math.max(0, extraLen - 2))
+          if (!v1) {
+            val extraLen = c.u16() // v2 extra-data length, includes these 2 bytes
+            c.skip(math.max(0, extraLen - 2))
+          }
           val width = c.lenenc().toInt
           require(width == tm.colTypes.length,
             s"rows event width $width != TABLE_MAP width ${tm.colTypes.length} " +
@@ -1677,10 +1752,71 @@ object MysqlBinlog {
     * EMPTY committed no transactions: bounds (0, -1) — an empty range
     * that any gtid predicate prunes (a filterless scan still reads the
     * file, which is correct: it may hold non-transactional events). */
-  def fileGtidBounds(files: Seq[String]): Seq[Option[(Long, Long)]] = {
-    if (files.isEmpty) return Nil
-    val sets = files.map(readPreviousGtids)
-    files.indices.map { i =>
+  def fileGtidBounds(files: Seq[String]): Seq[Option[(Long, Long)]] =
+    boundsFromStateSets(files.map(readPreviousGtids))
+
+  /** MariaDB GTID_LIST payload — the PREVIOUS_GTIDS analogue mysqld's
+    * fork writes at every binlog's start (public layout: u32 whose low
+    * 28 bits count entries, high 4 bits are flags; then per entry
+    * domain_id u32 + server_id u32 + seq_no u64). The list is the
+    * binlog STATE: the last seq_no per (domain, server). seq_no is one
+    * monotone counter PER DOMAIN (servers share it), so the executed
+    * set reduces to domain → [1, max_seq+1) — the same interval
+    * vocabulary [[fileGtidBounds]] subtracts. Plausibility-guarded
+    * like parsePreviousGtids: garbage counts must throw (→ unprunable),
+    * never produce garbage bounds. */
+  def parseGtidList(payload: Array[Byte]): Map[String, Seq[(Long, Long)]] = {
+    val c = new Cur(payload)
+    val countFlags = c.u32()
+    val count = (countFlags & 0x0fffffffL).toInt
+    require(count >= 0 && count <= c.remaining / 16,
+      s"implausible GTID_LIST entry count $count for ${c.remaining} " +
+        "payload bytes — corrupt encoding")
+    val maxByDomain = scala.collection.mutable.Map.empty[Long, Long]
+    var i = 0
+    while (i < count) {
+      val domain = c.u32()
+      c.u32() // server_id: per-domain counters are what bounds need
+      val seq = c.i64()
+      maxByDomain(domain) = math.max(maxByDomain.getOrElse(domain, 0L), seq)
+      i += 1
+    }
+    require(c.remaining == 0,
+      s"${c.remaining} undecoded GTID_LIST bytes — unknown encoding")
+    maxByDomain.map { case (d, mx) =>
+      d.toString -> (if (mx > 0) Seq((1L, mx + 1)) else Nil)
+    }.toMap
+  }
+
+  /** First GTID_LIST event of a MariaDB file (same leading-control-event
+    * scan as [[readPreviousGtids]]). */
+  def readMariaGtidState(path: String): Option[Map[String, Seq[(Long, Long)]]] = {
+    val r = new EventReader(path, maria = true)
+    try {
+      var scanned = 0
+      while (r.hasNext && scanned < 8) {
+        val ev = r.next()
+        if (ev.tpe == EventType.MariaGtidList)
+          return Some(parseGtidList(ev.payload))
+        scanned += 1
+      }
+      None
+    } catch {
+      case scala.util.control.NonFatal(_) => None // unreadable: unprunable
+    } finally r.close()
+  }
+
+  /** MariaDB per-file gtid bounds: consecutive files' GTID_LIST states
+    * subtract exactly like PREVIOUS_GTIDS sets — file i's seq_no range
+    * is S(i+1) \ S(i) per domain. */
+  def mariaFileGtidBounds(files: Seq[String]): Seq[Option[(Long, Long)]] =
+    boundsFromStateSets(files.map(readMariaGtidState))
+
+  private def boundsFromStateSets(
+      sets: Seq[Option[Map[String, Seq[(Long, Long)]]]]): Seq[Option[(Long, Long)]] = {
+    val files = sets.indices
+    if (sets.isEmpty) return Nil
+    files.map { i =>
       if (i + 1 >= files.length) None
       else (sets(i), sets(i + 1)) match {
         case (Some(cur), Some(next)) =>
@@ -1731,9 +1867,10 @@ object MysqlBinlog {
     * names) — a MINIMAL-metadata log has types but no names, so schema
     * inference fails loud and the caller must supply an explicit schema
     * (the DSv2 provider supports external metadata). */
-  def inferSourceSchema(indexFile: String, db: String, table: String): Option[StructType] = {
+  def inferSourceSchema(indexFile: String, db: String, table: String,
+      maria: Boolean = false): Option[StructType] = {
     CdcCodec.readIndex(indexFile).reverseIterator.flatMap { f =>
-      val r = new EventReader(f)
+      val r = new EventReader(f, maria)
       try {
         var res: Option[MysqlTableMap] = None
         def consider(ev: CdcCodec.RawEvent): Unit =
@@ -1765,10 +1902,10 @@ object MysqlBinlog {
     * mid-rotation zero-byte tail is skipped by length, never opened).
     * mysqld re-emits TABLE_MAP per transaction, so one file names the
     * active tables; bounded I/O at any log size. */
-  def listTables(indexFile: String): Seq[(String, String)] =
+  def listTables(indexFile: String, maria: Boolean = false): Seq[(String, String)] =
     CdcCodec.readIndex(indexFile).reverseIterator
       .filter(f => new java.io.File(f).length > MagicLen).map { f =>
-      val r = new EventReader(f)
+      val r = new EventReader(f, maria)
       try {
         val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]
         def consider(ev: CdcCodec.RawEvent): Unit =
@@ -1820,7 +1957,8 @@ object MysqlBinlog {
       legacyTimeCols: Set[String] = Set.empty,
       legacyDatetimeCols: Set[String] = Set.empty,
       legacyTimestampCols: Set[String] = Set.empty,
-      dtFsp: Map[String, Int] = Map.empty) extends FixtureSink {
+      dtFsp: Map[String, Int] = Map.empty,
+      maria: Boolean = false) extends FixtureSink {
     timeFsp.foreach { case (n, fsp) =>
       require(fsp >= 0 && fsp <= 6, s"$n: TIME2 fsp $fsp outside 0..6") }
     // dtFsp: declared fsp for DATETIME2/TIMESTAMP2 columns (default 6)
@@ -1834,6 +1972,10 @@ object MysqlBinlog {
       require(ls.nonEmpty && ls.length <= 64, s"$n: SET allows at most 64 members") }
     private val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
     out.write(Magic)
+    // the v4 header's originating server id — settable mid-log so a
+    // MariaDB fixture can interleave multi-master writers (the
+    // domain-SERVER-seq identity triple names the writer in the header)
+    var currentServerId: Long = serverId
     private var pos: Long = MagicLen.toLong
     // compressTxns: between two GTIDs, row-level events buffer here and
     // flush as ONE zstd TRANSACTION_PAYLOAD event (binlog_transaction_
@@ -1854,7 +1996,7 @@ object MysqlBinlog {
         val h = innerBuf
         h.u32(tsMs / 1000)
         h.u8(tpe & 0xff)
-        h.u32(serverId)
+        h.u32(currentServerId)
         h.u32(eventSize.toLong)
         h.u32(0L) // log_pos: 0 for payload-inner events
         h.u16(0) // flags
@@ -1892,7 +2034,7 @@ object MysqlBinlog {
       val h = new ByteBuf
       h.u32(tsMs / 1000)
       h.u8(tpe & 0xff)
-      h.u32(serverId)
+      h.u32(currentServerId)
       h.u32(eventSize.toLong)
       h.u32(pos + eventSize) // log_pos = end of this event (<4 GiB files)
       h.u16(0) // flags
@@ -1910,7 +2052,8 @@ object MysqlBinlog {
 
     private def formatDescription(): Unit = writeEvent(EventType.FormatDescription, 0L) { b =>
       b.u16(4) // binlog_version
-      val ver = "8.0.36-graft".getBytes(StandardCharsets.US_ASCII)
+      val ver = (if (maria) "10.11.6-MariaDB-graft-log" else "8.0.36-graft")
+        .getBytes(StandardCharsets.US_ASCII)
       b.raw(java.util.Arrays.copyOf(ver, 50)) // NUL-padded server_version
       b.u32(0) // create_timestamp
       b.u8(HeaderLen)
@@ -2111,6 +2254,46 @@ object MysqlBinlog {
       if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
     }
 
+    /** MariaDB GTID (type 162): seq_no u64 + domain_id u32 + flags2 u8.
+      * A non-standalone event IS the transaction opener (MariaDB writes
+      * no BEGIN QUERY); FL_STANDALONE (1) marks auto-committed
+      * statements (DDL). The writing server id rides the common header
+      * — set [[currentServerId]] before calling for multi-master
+      * storylines. FL_TRANSACTIONAL-style extra flag bits are omitted:
+      * readers dispatch on FL_STANDALONE only. */
+    def gtidMaria(tsMs: Long, seq: Long, domain: Long,
+        standalone: Boolean = false): Unit = {
+      flushTxn()
+      writeEvent(EventType.MariaGtid, tsMs) { b =>
+        b.i64(seq)
+        b.u32(domain)
+        b.u8(if (standalone) 1 else 0)
+      }
+      if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
+    }
+
+    /** MariaDB GTID_LIST (type 163): the binlog state at file start —
+      * u32 count (low 28 bits; high 4 flag bits zero), then per entry
+      * domain u32 + server u32 + seq u64 (the last seq written by that
+      * server in that domain). The PREVIOUS_GTIDS analogue file pruning
+      * subtracts. Call before any table/row events. */
+    def gtidList(state: Seq[(Long, Long, Long)]): Unit =
+      writeEvent(EventType.MariaGtidList, 0L) { b =>
+        require(state.length <= 0x0fffffff, "gtidList: too many entries")
+        b.u32(state.length.toLong)
+        state.foreach { case (domain, server, seq) =>
+          b.u32(domain); b.u32(server); b.i64(seq)
+        }
+      }
+
+    /** MariaDB ANNOTATE_ROWS (type 160, binlog_annotate_row_events=ON):
+      * the statement text ahead of its TABLE_MAPs — the ROWS_QUERY
+      * analogue; body is the bare SQL text. */
+    def annotateRows(tsMs: Long, sql: String): Unit =
+      writeRowLevelEvent(EventType.MariaAnnotateRows, tsMs) { b =>
+        b.raw(sql.getBytes(StandardCharsets.UTF_8))
+      }
+
     /** QUERY event (statement text): mysqld writes `BEGIN` to open a
       * row-format transaction body, DDL statements in their own GTID
       * scope (no XID), and `COMMIT` for non-transactional engines.
@@ -2149,23 +2332,26 @@ object MysqlBinlog {
 
     def writeRows(tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit =
-      rowsEvent(EventType.WriteRowsV2, tsMs, tableId, schema, rows.map(Seq(_)))
+      rowsEvent(if (maria) EventType.WriteRowsV1 else EventType.WriteRowsV2,
+        tsMs, tableId, schema, rows.map(Seq(_)))
 
     def deleteRows(tsMs: Long, tableId: Long, schema: StructType,
         rows: Seq[Array[Any]]): Unit =
-      rowsEvent(EventType.DeleteRowsV2, tsMs, tableId, schema, rows.map(Seq(_)))
+      rowsEvent(if (maria) EventType.DeleteRowsV1 else EventType.DeleteRowsV2,
+        tsMs, tableId, schema, rows.map(Seq(_)))
 
     def updateRows(tsMs: Long, tableId: Long, schema: StructType,
         pairs: Seq[(Array[Any], Array[Any])]): Unit =
-      rowsEvent(EventType.UpdateRowsV2, tsMs, tableId, schema,
-        pairs.map(p => Seq(p._1, p._2)))
+      rowsEvent(if (maria) EventType.UpdateRowsV1 else EventType.UpdateRowsV2,
+        tsMs, tableId, schema, pairs.map(p => Seq(p._1, p._2)))
 
     private def rowsEvent(tpe: Byte, tsMs: Long, tableId: Long,
         schema: StructType, rowImages: Seq[Seq[Array[Any]]]): Unit =
       writeRowLevelEvent(tpe, tsMs) { b =>
         b.u48(tableId)
         b.u16(0) // flags
-        b.u16(2) // v2 extra-data length (2 = none beyond the field itself)
+        // MariaDB keeps the V1 layout: no extra-data field at all
+        if (!maria) b.u16(2) // v2 extra-data length (2 = the field itself)
         val n = schema.length
         b.lenenc(n.toLong)
         val allPresent = Array.fill[Byte]((n + 7) / 8) {
@@ -2174,7 +2360,8 @@ object MysqlBinlog {
         // trailing bits beyond n must be zero-tolerant for readers; keep
         // them set like mysqld does (readers index only bits < n)
         b.raw(allPresent)
-        if (tpe == EventType.UpdateRowsV2) b.raw(allPresent)
+        if (tpe == EventType.UpdateRowsV2 || tpe == EventType.UpdateRowsV1)
+          b.raw(allPresent)
         rowImages.foreach(_.foreach(img =>
           writeImage(b, schema, img, _ => true)))
       }
@@ -2731,6 +2918,46 @@ object MysqlBinlogAdapter extends BinlogFormatAdapter {
     * row counts exist, so aggregate/OFFSET pushdown stays declined. */
   override def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]] =
     MysqlBinlog.fileGtidBounds(files).map(_.map { case (lo, hi) =>
+      CdcCodec.FileMeta(lo, hi, CdcCodec.TsUnknownLoMs, CdcCodec.TsUnknownHiMs)
+    })
+}
+
+/** MariaDB behind the same adapter seam. The fork shares the v4 event
+  * framing, TABLE_MAP layout, and per-type value decode with MySQL —
+  * the same [[MysqlBinlog]] machinery runs under `maria = true` — but
+  * replaces the identity layer: GTID_EVENT (type 162) carries the
+  * domain-server-seq triple AND doubles as the transaction opener,
+  * GTID_LIST (type 163) is the file-start state PREVIOUS_GTIDS
+  * analogue (pruning bounds subtract per DOMAIN), rows events stay the
+  * V1 layout, and ANNOTATE_ROWS replaces ROWS_QUERY. MySQL-only event
+  * types (33-42) never appear; a MySQL log opened under this adapter
+  * fails loud at the FDE version string, and vice versa. */
+object MariaDbAdapter extends BinlogFormatAdapter {
+  override def headerLen: Long = MysqlBinlog.MagicLen.toLong
+  override def readIndex(indexFile: String): Seq[String] =
+    CdcCodec.readIndex(indexFile)
+  override def open(path: String): RawEventSource =
+    new MysqlBinlog.EventReader(path, maria = true)
+  override def decoder(targetDb: String, targetTable: String,
+      needed: Int => Boolean, expectedSchema: Option[StructType],
+      driftEpochs: Boolean): CdcRowDecoder =
+    new MysqlBinlog.RowDecoder(targetDb, targetTable, needed, expectedSchema,
+      driftEpochs, maria = true)
+  override def isRowEvent(tpe: Byte): Boolean =
+    tpe == MysqlBinlog.EventType.WriteRowsV1 ||
+      tpe == MysqlBinlog.EventType.UpdateRowsV1 ||
+      tpe == MysqlBinlog.EventType.DeleteRowsV1
+  override def lastCompleteOffset(path: String): Long =
+    MysqlBinlog.lastCompleteOffset(path, maria = true)
+  override def inferSourceSchema(indexFile: String, db: String,
+      table: String): Option[StructType] =
+    MysqlBinlog.inferSourceSchema(indexFile, db, table, maria = true)
+  override def listTables(indexFile: String): Seq[(String, String)] =
+    MysqlBinlog.listTables(indexFile, maria = true)
+  /** Gtid bounds from consecutive GTID_LIST states — the fork's own
+    * file-start metadata; event-time bounds unknown, like MySQL. */
+  override def filesMeta(files: Seq[String]): Seq[Option[CdcCodec.FileMeta]] =
+    MysqlBinlog.mariaFileGtidBounds(files).map(_.map { case (lo, hi) =>
       CdcCodec.FileMeta(lo, hi, CdcCodec.TsUnknownLoMs, CdcCodec.TsUnknownHiMs)
     })
 }

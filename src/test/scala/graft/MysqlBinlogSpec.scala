@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.cdc.{CdcCodec, CdcSchema, MysqlBinlog, MysqlBinlogAdapter}
+import graft.cdc.{CdcCodec, CdcSchema, MariaDbAdapter, MysqlBinlog, MysqlBinlogAdapter}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,6 +87,20 @@ class MysqlBinlogSpec extends SparkTestBase {
       try { while (r.hasNext) r.next() } finally r.close()
     }
     assert(ex.getMessage.contains("MariaDB"), ex.getMessage)
+    assert(ex.getMessage.contains("binlogFormat=mariadb"),
+      s"the refusal must name the option that fixes it: ${ex.getMessage}")
+    // ...and the mirror: a MariaDB adapter refuses a MySQL-flavor log,
+    // naming binlogFormat=mysql (flavor mismatch never mis-decodes)
+    val path2 = s"$dir/mysql-bin.000002"
+    val w2 = new MysqlBinlog.Writer(path2)
+    w2.tableMap(0L, 1L, "db", "t",
+      StructType(Seq(StructField("id", LongType))))
+    w2.close()
+    val ex2 = intercept[Exception] {
+      val r = MariaDbAdapter.open(path2)
+      try { while (r.hasNext) r.next() } finally r.close()
+    }
+    assert(ex2.getMessage.contains("binlogFormat=mysql"), ex2.getMessage)
   }
 
   test("MariaDB/encrypted diagnoses surface through the streaming frontier poll") {
@@ -1883,6 +1897,120 @@ class MysqlBinlogSpec extends SparkTestBase {
       .initialOffset().asInstanceOf[CdcOffset]
     assert(off.fileIdx == 1,
       s"tagged PREVIOUS_GTIDS must skip the stream's prefix, got $off")
+  }
+
+  test("MariaDB: GTID_LIST golden bytes; decoder identity triple; standalone DDL scope") {
+    // GTID_LIST layout, hand-derived from the public format (u32 count
+    // low-28-bits, then domain u32 + server u32 + seq u64 per entry) —
+    // NOT from this repo's writer, pinning against co-drift
+    val golden = (
+      "02 00 00 00 " +                         // 2 entries, flags 0
+      "00 00 00 00 65 00 00 00 0a 00 00 00 00 00 00 00 " + // d0 s101 seq10
+      "01 00 00 00 66 00 00 00 03 00 00 00 00 00 00 00"    // d1 s102 seq3
+    ).split(" ").map(Integer.parseInt(_, 16).toByte)
+    assert(MysqlBinlog.parseGtidList(golden) ==
+      Map("0" -> Seq((1L, 11L)), "1" -> Seq((1L, 4L))))
+    // decoder: the (domain, header-server, seq) triple stamps rows; a
+    // standalone (DDL) gtid opens a body-less scope its statement
+    // closes — rows after it with no fresh gtid fail loud
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dir = tmpDir()
+    val path = s"$dir/maria-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true, maria = true)
+    w.gtidList(Nil)
+    w.currentServerId = 101L
+    w.gtidMaria(1000L, 1L, domain = 0L)
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L)))
+    w.xid(1000L, 1L)
+    w.currentServerId = 102L
+    w.gtidMaria(2000L, 2L, domain = 5L)
+    w.tableMap(2000L, 9L, "db", "t", schema)
+    w.updateRows(2000L, 9L, schema, Seq((Array[Any](1L), Array[Any](2L))))
+    w.xid(2000L, 2L)
+    w.close()
+    val r = MariaDbAdapter.open(path)
+    val dec = MariaDbAdapter.decoder("db", "t")
+    val rows = try r.flatMap(dec.decode).toList finally r.close()
+    assert(rows.map(x => (x.gtid, x.sourceId.toString, x.op)) == List(
+      (1L, "0-101", CdcSchema.Op.Insert),
+      (2L, "5-102", CdcSchema.Op.UpdateBefore),
+      (2L, "5-102", CdcSchema.Op.UpdateAfter)))
+    // standalone DDL: scope closes with the statement — a spliced rows
+    // event after it must not inherit the DDL's seq
+    val path2 = s"$dir/maria-bin.000002"
+    val w2 = new MysqlBinlog.Writer(path2, checksum = true, maria = true)
+    w2.gtidList(Nil)
+    w2.gtidMaria(3000L, 7L, domain = 1L, standalone = true)
+    w2.query(3000L, "db", "ALTER TABLE t COMMENT 'x'")
+    w2.tableMap(3000L, 9L, "db", "t", schema)
+    w2.writeRows(3000L, 9L, schema, Seq(Array[Any](9L)))
+    w2.close()
+    val r2 = MariaDbAdapter.open(path2)
+    val dec2 = MariaDbAdapter.decoder("db", "t")
+    val e = intercept[Exception] {
+      try r2.flatMap(dec2.decode).toList finally r2.close()
+    }
+    assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
+  }
+
+  test("MariaDB: GTID_LIST file pruning and startingGtid prefix skip") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    // three files: domain-0 seqs 1-10, 11-20, 21-30 split across two
+    // servers; each file opens with the GTID_LIST state before it
+    (0 until 3).foreach { fi =>
+      val w = new MysqlBinlog.Writer(s"$dir/maria-bin.00000$fi",
+        checksum = true, maria = true)
+      if (fi > 0) w.gtidList(Seq(
+        (0L, 101L, fi * 10L - 1L), (0L, 102L, fi * 10L)))
+      else w.gtidList(Nil)
+      w.tableMap(0L, 1L, "db", "t", schema)
+      (1L to 10L).foreach { k =>
+        val seq = fi * 10L + k
+        w.currentServerId = if (k % 2 == 1) 101L else 102L
+        w.gtidMaria(seq * 1000L, seq, domain = 0L)
+        w.writeRows(seq * 1000L, 1L, schema, Seq(Array[Any](seq)))
+        w.xid(seq * 1000L, seq)
+      }
+      w.close()
+    }
+    Files.writeString(Paths.get(dir, "binlog.index"),
+      (0 until 3).map(fi => s"maria-bin.00000$fi").mkString("", "\n", "\n"))
+    val index = s"$dir/binlog.index"
+
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.size
+        }.getOrElse(-1)
+
+    val full = readFmt(index, "mariadb")
+    assert(partsOf(full) == 3)
+    val low = full.filter(col("__gtid") <= 5L)
+    assert(partsOf(low) == 2,
+      "GTID_LIST must prune file 1; file 2 is the unprunable tail")
+    assert(low.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 5L), "pruning must not change results")
+    val high = full.filter(col("__gtid") > 25L)
+    assert(partsOf(high) == 1)
+    assert(high.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (26L to 30L))
+    // streaming twin: startingGtid=10 lands the initial offset on file 1
+    import graft.sources.{CdcOffset, CdcScan, CdcTable}
+    val props = new java.util.HashMap[String, String]()
+    props.put("indexFile", index); props.put("database", "db")
+    props.put("table", "t"); props.put("binlogFormat", "mariadb")
+    props.put("startingGtid", "10")
+    val off = new CdcTable(graft.cdc.CdcSchema.withEnvelope(schema), props)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .build().asInstanceOf[CdcScan]
+      .toMicroBatchStream("unused")
+      .initialOffset().asInstanceOf[CdcOffset]
+    assert(off.fileIdx == 1,
+      s"GTID_LIST must skip the stream's prefix, got $off")
   }
 
   test("fuzz: single-bit corruption always terminates cleanly (decode or fail loud)") {
