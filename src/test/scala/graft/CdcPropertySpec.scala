@@ -458,4 +458,138 @@ class CdcPropertySpec extends AnyFunSuite {
       keyOk && narrowFails && absentFails
     })
   }
+
+  test("property: JSON-diff application equals the independently-applied full after-image") {
+    // WL#2955 semantics have sharp edges (array INSERT at size = append,
+    // nested REMOVE of an object's last member, REPLACE at root `$`) —
+    // cdc44 pins one storyline; this round-trips RANDOM applicable diff
+    // sequences: the reader's applyDiffs over the encoded vector must
+    // equal the after-image computed INDEPENDENTLY with plain Jackson
+    // tree edits, both canonicalized through the full binary-JSON
+    // writer path (encode → decode), exactly what a full-value decode
+    // of mysqld's resulting document would produce.
+    import graft.cdc.JsonBinary
+    import com.fasterxml.jackson.databind.JsonNode
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+    val names = Vector("a", "bb", "c1", "kx", "a b", "q\"z")
+    def pathText(legs: Seq[Either[String, Int]]): String =
+      "$" + legs.map {
+        case Left(m) if m.matches("[A-Za-z_][A-Za-z0-9_]*") => s".$m"
+        case Left(m) => "." + "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case Right(k) => s"[$k]"
+      }.mkString
+
+    def genScalar: Gen[JsonNode] = Gen.oneOf(
+      Gen.chooseNum(-1000000, 1000000).map(i => mapper.readTree(i.toString)),
+      Gen.asciiPrintableStr.map(s => mapper.valueToTree[JsonNode](s.take(12))),
+      Gen.oneOf("true", "false", "null").map(mapper.readTree))
+    def genDoc(depth: Int): Gen[JsonNode] =
+      if (depth <= 0) genScalar
+      else Gen.frequency(
+        3 -> genScalar,
+        2 -> Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.listOfN(n, genDoc(depth - 1)).map { xs =>
+            val a = mapper.createArrayNode(); xs.foreach(a.add); a: JsonNode
+          }),
+        2 -> Gen.chooseNum(0, 3).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(Gen.oneOf(names), genDoc(depth - 1))).map { kvs =>
+            val o = mapper.createObjectNode()
+            kvs.foreach { case (k, v) => o.set[JsonNode](k, v) }
+            o: JsonNode
+          }))
+
+    // all (legs, node) pairs of the current document, root included
+    def walk(node: JsonNode,
+        legs: Vector[Either[String, Int]]): Vector[(Vector[Either[String, Int]], JsonNode)] = {
+      val here = Vector((legs, node))
+      node match {
+        case o: ObjectNode =>
+          here ++ o.properties().toArray(Array.empty[java.util.Map.Entry[String, JsonNode]])
+            .toVector.flatMap(e => walk(e.getValue, legs :+ Left(e.getKey)))
+        case a: ArrayNode =>
+          here ++ (0 until a.size).flatMap(i => walk(a.get(i), legs :+ Right(i)))
+        case _ => here
+      }
+    }
+
+    // one applicable diff against the CURRENT document, applied to the
+    // reference tree with plain Jackson ops (the independent applier)
+    def genStep(root: JsonNode): Gen[Option[((Int, String, Option[String]), JsonNode)]] = {
+      val sites = walk(root, Vector.empty)
+      val objects = sites.collect { case (l, o: ObjectNode) => (l, o) }
+      val arrays = sites.collect { case (l, a: ArrayNode) => (l, a) }
+      val nonRoot = sites.filter(_._1.nonEmpty)
+      val choices = Seq.newBuilder[Gen[((Int, String, Option[String]), JsonNode)]]
+      // REPLACE an existing path (root included: full-document REPLACE)
+      choices += Gen.zip(Gen.oneOf(sites), genDoc(1)).map { case ((l, _), v) =>
+        if (l.isEmpty) ((0, "$", Some(mapper.writeValueAsString(v))), v)
+        else {
+          l.last match {
+            case Left(m) => parentOf(root, l).asInstanceOf[ObjectNode].set[JsonNode](m, v)
+            case Right(k) => parentOf(root, l).asInstanceOf[ArrayNode].set(k, v)
+          }
+          ((0, pathText(l), Some(mapper.writeValueAsString(v))), root)
+        }
+      }
+      if (objects.nonEmpty) choices += Gen.zip(Gen.oneOf(objects), Gen.oneOf(names), genDoc(1))
+        .map { case ((l, o), m, v) =>
+          if (o.has(m)) { // fall back to replace of that member
+            o.set[JsonNode](m, v)
+            ((0, pathText(l :+ Left(m)), Some(mapper.writeValueAsString(v))), root)
+          } else {
+            o.set[JsonNode](m, v)
+            ((1, pathText(l :+ Left(m)), Some(mapper.writeValueAsString(v))), root)
+          }
+        }
+      if (arrays.nonEmpty) choices += Gen.zip(Gen.oneOf(arrays), genDoc(1))
+        .flatMap { case ((l, a), v) => Gen.chooseNum(0, a.size).map { k =>
+          a.insert(k, v) // k == size: the append edge
+          ((1, pathText(l :+ Right(k)), Some(mapper.writeValueAsString(v))), root)
+        } }
+      if (nonRoot.nonEmpty) choices += Gen.oneOf(nonRoot).map { case (l, _) =>
+        l.last match {
+          case Left(m) => parentOf(root, l).asInstanceOf[ObjectNode].remove(m)
+          case Right(k) => parentOf(root, l).asInstanceOf[ArrayNode].remove(k)
+        }
+        ((2, pathText(l), None), root)
+      }
+      Gen.oneOf(choices.result()).flatMap(g => g.map(Some(_)))
+    }
+    def parentOf(root: JsonNode, legs: Vector[Either[String, Int]]): JsonNode =
+      legs.dropRight(1).foldLeft(root) {
+        case (n, Left(m)) => n.get(m)
+        case (n, Right(k)) => n.get(k)
+      }
+
+    def canon(node: JsonNode): String =
+      JsonBinary.decode(JsonBinary.encode(mapper.writeValueAsString(node)))
+
+    val genCase: Gen[(String, Seq[(Int, String, Option[String])], String)] = for {
+      base0 <- genDoc(3)
+      nSteps <- Gen.chooseNum(1, 6)
+      // applying mutates the reference tree step by step; paths in each
+      // diff refer to the document state at that point, like mysqld's
+      // in-order vector
+      result <- (1 to nSteps).foldLeft(
+        Gen.const((mapper.writeValueAsString(base0),
+          Vector.empty[(Int, String, Option[String])],
+          base0))) { (acc, _) =>
+        acc.flatMap { case (baseText, diffs, cur) =>
+          genStep(cur).map {
+            case Some((d, next)) => (baseText, diffs :+ d, next)
+            case None => (baseText, diffs, cur)
+          }
+        }
+      }
+    } yield (result._1, result._2, canon(result._3))
+
+    check(Prop.forAll(genCase) { case (baseText, diffs, expected) =>
+      // the before image a reader holds is itself a full-value decode —
+      // canonicalize the base the same way before applying
+      JsonBinary.applyDiffs(canon(mapper.readTree(baseText)),
+        JsonBinary.encodeDiffs(diffs)) == expected
+    })
+  }
 }
