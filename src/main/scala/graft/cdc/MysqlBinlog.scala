@@ -1723,23 +1723,34 @@ object MysqlBinlog {
     (uuid, tag, gno)
   }
 
-  /** First PREVIOUS_GTIDS event of a file (scans at most the leading
-    * control events; row events never precede it in a real binlog). */
-  def readPreviousGtids(path: String): Option[Map[String, Seq[(Long, Long)]]] = {
-    val r = new EventReader(path)
+  /** First event of type `tpe` among a file's leading control events
+    * (row events never precede the file-start state events in a real
+    * binlog), parsed by `parse`. ANY failure — including the reader
+    * CONSTRUCTOR on a torn-magic / zero-byte mid-rotation tail — maps
+    * to None: these scans feed PRUNING metadata, where unreadable must
+    * mean unprunable, never a planning-time crash. */
+  private def scanLeadingEvent(path: String, maria: Boolean, tpe: Byte)(
+      parse: Array[Byte] => Map[String, Seq[(Long, Long)]])
+      : Option[Map[String, Seq[(Long, Long)]]] = {
+    var r: EventReader = null
     try {
+      r = new EventReader(path, maria)
       var scanned = 0
       while (r.hasNext && scanned < 8) { // FDE + a few control events
         val ev = r.next()
-        if (ev.tpe == EventType.PreviousGtids)
-          return Some(parsePreviousGtids(ev.payload))
+        if (ev.tpe == tpe) return Some(parse(ev.payload))
         scanned += 1
       }
       None
     } catch {
       case scala.util.control.NonFatal(_) => None // unreadable: unprunable
-    } finally r.close()
+    } finally if (r != null) r.close()
   }
+
+  /** First PREVIOUS_GTIDS event of a file. */
+  def readPreviousGtids(path: String): Option[Map[String, Seq[(Long, Long)]]] =
+    scanLeadingEvent(path, maria = false, EventType.PreviousGtids)(
+      parsePreviousGtids)
 
   /** Per-file gtid bounds from consecutive files' PREVIOUS_GTIDS sets:
     * file i's transactions are exactly S(i+1) \ S(i), so its gno range
@@ -1788,23 +1799,9 @@ object MysqlBinlog {
     }.toMap
   }
 
-  /** First GTID_LIST event of a MariaDB file (same leading-control-event
-    * scan as [[readPreviousGtids]]). */
-  def readMariaGtidState(path: String): Option[Map[String, Seq[(Long, Long)]]] = {
-    val r = new EventReader(path, maria = true)
-    try {
-      var scanned = 0
-      while (r.hasNext && scanned < 8) {
-        val ev = r.next()
-        if (ev.tpe == EventType.MariaGtidList)
-          return Some(parseGtidList(ev.payload))
-        scanned += 1
-      }
-      None
-    } catch {
-      case scala.util.control.NonFatal(_) => None // unreadable: unprunable
-    } finally r.close()
-  }
+  /** First GTID_LIST event of a MariaDB file. */
+  def readMariaGtidState(path: String): Option[Map[String, Seq[(Long, Long)]]] =
+    scanLeadingEvent(path, maria = true, EventType.MariaGtidList)(parseGtidList)
 
   /** MariaDB per-file gtid bounds: consecutive files' GTID_LIST states
     * subtract exactly like PREVIOUS_GTIDS sets — file i's seq_no range

@@ -81,16 +81,19 @@ private[graft] object OpUtils {
     }
 
     /** (fileCount, dataBytes) of the relation's listing, pruned by the
-      * partition-column conjuncts when there are any. listFiles binds
-      * attributes to partition columns by exact name, so only
-      * exact-name-matching deterministic conjuncts qualify; any
-      * listing failure falls back to the unpruned totals (the
+      * partition-column conjuncts when there are any. Conjuncts qualify
+      * by exprId against the RELATION's own partition-column output
+      * attributes — a name-only match would let a Project alias
+      * shadowing a partition column's name smuggle a data-column
+      * predicate into listFiles (which binds by name) and mis-estimate.
+      * Any listing failure falls back to the unpruned totals (the
       * pre-pruning estimate — never worse than before). */
-    def listedSize(fs: HadoopFsRelation, filters: Seq[Expression]): (Long, Long) = {
-      val partCols = fs.partitionSchema.fieldNames.toSet
+    def listedSize(fs: HadoopFsRelation,
+        partAttrIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+        filters: Seq[Expression]): (Long, Long) = {
       val partFilters = filters.filter(f =>
         f.deterministic && f.references.nonEmpty &&
-          f.references.forall(a => partCols.contains(a.name)))
+          f.references.forall(a => partAttrIds.contains(a.exprId)))
       if (partFilters.isEmpty)
         (fs.location.inputFiles.length.toLong, fs.location.sizeInBytes)
       else
@@ -103,8 +106,10 @@ private[graft] object OpUtils {
         }
     }
 
-    def width(fs: HadoopFsRelation, filters: Seq[Expression]): Long = {
-      val (nFiles, dataBytes) = listedSize(fs, filters)
+    def width(fs: HadoopFsRelation,
+        partAttrIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+        filters: Seq[Expression]): Long = {
+      val (nFiles, dataBytes) = listedSize(fs, partAttrIds, filters)
       val totalBytes = dataBytes + nFiles * openCost
       val bytesPerCore = totalBytes / cores
       val maxSplit = math.min(maxSplitDefault, math.max(openCost, bytesPerCore))
@@ -116,8 +121,11 @@ private[graft] object OpUtils {
       plan match {
         case Filter(cond, child) => walk(child, filters ++ conjuncts(cond))
         case Project(_, child)   => walk(child, filters)
-        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-          Seq(Some(width(fs, filters)))
+        case rel @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          val partNames = fs.partitionSchema.fieldNames.toSet
+          val partAttrIds = rel.output
+            .filter(a => partNames.contains(a.name)).map(_.exprId).toSet
+          Seq(Some(width(fs, partAttrIds, filters)))
         case _: LeafNode => Seq(None)
         case other       => other.children.flatMap(walk(_, Nil))
       }

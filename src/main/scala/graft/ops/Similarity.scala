@@ -499,21 +499,11 @@ object Similarity {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .repartition(1).write.mode("overwrite").parquet(tmpCentroids.toString)
+    // the live.isEmpty refusal above guarantees this write emits part
+    // files (unlike compactIvfIndex, which has no pre-check and keeps
+    // its post-write emptiness walk)
     live.withColumn("cell", cellOf(centroids)(col(embCol)))
       .write.mode("overwrite").partitionBy("cell").parquet(tmpCorpus.toString)
-    // an all-rows-tombstoned rebuild writes a part-file-less corpus that
-    // every later read rejects — refuse, keep the servable state
-    val walk = java.nio.file.Files.walk(tmpCorpus.toPath)
-    val anyPart =
-      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally walk.close()
-    if (!anyPart) {
-      graft.TmpDirs.deleteRecursively(tmpCorpus)
-      graft.TmpDirs.deleteRecursively(tmpCentroids)
-      throw new IllegalStateException(
-        s"rebuildIvfIndex($path): the live corpus is empty — the rebuilt " +
-          "index would be unreadable; delete the index directory instead")
-    }
     val centroidsDir = new java.io.File(s"$path/centroids")
     val corpusDir = new java.io.File(s"$path/corpus")
     val oldC = new java.io.File(s"$path/centroids.old")

@@ -82,14 +82,16 @@ object CdcTableProvider {
   }
 
   /** `rowsQuery=true` appends the nullable `__query` envelope column
-    * (ROWS_QUERY statement text). MySQL-format only: the GCDC wire has
-    * no statement-text event, so an all-null column there would read as
+    * (statement text: MySQL's ROWS_QUERY event, MariaDB's
+    * ANNOTATE_ROWS). Wire-format-gated: the GCDC format has no
+    * statement-text event, so an all-null column there would read as
     * "the producer logged none" — indistinguishable from lying. */
   def rowsQuery(options: CaseInsensitiveStringMap): Boolean = {
     val on = options.getBoolean("rowsQuery", false)
-    require(!on || formatName(options) == "mysql",
-      "binlogcdc: rowsQuery=true requires binlogFormat=mysql " +
-        "(ROWS_QUERY_LOG_EVENT is a MySQL wire event)")
+    val f = formatName(options)
+    require(!on || f == "mysql" || f == "mariadb",
+      "binlogcdc: rowsQuery=true requires binlogFormat=mysql or mariadb " +
+        "(ROWS_QUERY / ANNOTATE_ROWS are their wire events)")
     on
   }
 }
@@ -124,7 +126,7 @@ class CdcTable(tableSchema: StructType, properties: util.Map[String, String])
         s"binlogcdc: schemaDrift must be 'fail' or 'epochs', got '$other'")
     }
     val format = CdcTableProvider.formatName(options)
-    CdcTableProvider.rowsQuery(options) // fail loud: rowsQuery needs mysql
+    CdcTableProvider.rowsQuery(options) // fail loud: needs a statement-text wire
     CdcSchema.sourceWidth(tableSchema) // fail at planning, not in executors
     // schemaDrift=epochs works on both formats: gcdc TABLE_MAPs always
     // carry names; MySQL needs binlog_row_metadata=FULL — a

@@ -1954,6 +1954,34 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
   }
 
+  test("MariaDB: rowsQuery=true surfaces ANNOTATE_ROWS statement text") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dir = tmpDir()
+    val w = new MysqlBinlog.Writer(s"$dir/maria-bin.000001", checksum = true,
+      maria = true)
+    w.gtidList(Nil)
+    w.gtidMaria(1000L, 1L, domain = 0L)
+    w.annotateRows(1000L, "INSERT INTO t VALUES (1)")
+    w.tableMap(1000L, 7L, "db", "t", schema)
+    w.writeRows(1000L, 7L, schema, Seq(Array[Any](1L)))
+    w.xid(1000L, 1L)
+    w.gtidMaria(2000L, 2L, domain = 0L) // flag-off txn: __query null
+    w.tableMap(2000L, 7L, "db", "t", schema)
+    w.writeRows(2000L, 7L, schema, Seq(Array[Any](2L)))
+    w.xid(2000L, 2L)
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "maria-bin.000001\n")
+    val df = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mariadb").option("rowsQuery", "true")
+      .load()
+    val got = df.select("id", CdcSchema.QueryCol).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "INSERT INTO t VALUES (1)"), (2L, null)))
+  }
+
   test("MariaDB: GTID_LIST file pruning and startingGtid prefix skip") {
     val dir = tmpDir()
     val schema = StructType(Seq(StructField("id", LongType)))
