@@ -88,6 +88,10 @@ object MysqlBinlog {
     val PartialUpdateRows = 39: Byte
     val PreviousGtids = 35: Byte
     val TransactionPayload = 40: Byte
+    // XA_PREPARE_LOG_EVENT: mysqld logs XA PREPARE / one-phase XA
+    // COMMIT as this BINARY event (not a QUERY statement) — it ends
+    // the XA transaction's GTID scope exactly like the statement form.
+    val XaPrepare = 38: Byte
     val GtidTagged = 42: Byte // MySQL 8.3+ GTID_TAGGED_LOG_EVENT
     // MariaDB-only event types (0xa0+). MariaDB shares the v4 header
     // framing, TABLE_MAP layout, and per-type value decode with MySQL
@@ -858,10 +862,12 @@ object MysqlBinlog {
           if (ev.payload.isEmpty) null
           else UTF8String.fromBytes(ev.payload, 0, ev.payload.length)
         Nil
-      case EventType.Xid =>
-        // transaction commit: the identity set by this txn's GTID event
-        // must not leak onto rows of a later transaction whose identity
-        // event we failed to recognize
+      case EventType.Xid | EventType.XaPrepare =>
+        // transaction commit (XID) or the binary XA_PREPARE event
+        // (mysqld logs XA PREPARE / one-phase XA COMMIT as type 38,
+        // not a QUERY statement): either way the identity set by this
+        // txn's GTID event must not leak onto rows of a later
+        // transaction whose identity event we failed to recognize
         txnIdentityValid = false
         anonymousTxn = false
         txnBodyOpen = false
@@ -2250,6 +2256,20 @@ object MysqlBinlog {
       }
       if (compressTxns) { innerBuf = new ByteBuf; innerTs = tsMs }
     }
+
+    /** XA_PREPARE_LOG_EVENT (type 38): one_phase u8, then the xid —
+      * formatID u32, gtrid_length u32, bqual_length u32, gtrid+bqual
+      * bytes. mysqld ends a prepared XA transaction's binlog scope
+      * with this binary event (XA END stays a QUERY statement). */
+    def xaPrepare(tsMs: Long, gtrid: String, onePhase: Boolean = false): Unit =
+      writeEvent(EventType.XaPrepare, tsMs) { b =>
+        val g = gtrid.getBytes(StandardCharsets.UTF_8)
+        b.u8(if (onePhase) 1 else 0)
+        b.u32(1L) // formatID
+        b.u32(g.length.toLong)
+        b.u32(0L) // bqual_length
+        b.raw(g)
+      }
 
     /** MariaDB GTID (type 162): seq_no u64 + domain_id u32 + flags2 u8.
       * A non-standalone event IS the transaction opener (MariaDB writes

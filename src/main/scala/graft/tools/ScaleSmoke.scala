@@ -544,6 +544,59 @@ object ScaleSmoke {
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
+    // the MariaDB flavor over the same storyline (V1 rows events, GTID
+    // type 162 opening the txn, CRC32 verified): the guard that the
+    // fork's decode path keeps pace with the MySQL one — the layouts
+    // differ only by the 2-byte extra-data field and the identity
+    // events, so throughput should be within noise of mysqlDecode
+    timed(s"mariaDecodeScan($nCdc)") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("maria-scale").toString
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", DoubleType), StructField("s", StringType)))
+      val nFiles = 8
+      val perFile = nCdc / nFiles
+      val gen = timed(s"mariaLogGen($nCdc)") {
+        var id = 0L
+        (0 until nFiles).foreach { fi =>
+          val w = new graft.cdc.MysqlBinlog.Writer(f"$dir/maria-bin.$fi%06d",
+            checksum = true, maria = true)
+          try {
+            w.gtidList(Nil)
+            w.tableMap(0L, 1L, "db", "big", schema)
+            var written = 0L
+            val batch = new Array[Array[Any]](100)
+            while (written < perFile) {
+              val n = math.min(100L, perFile - written).toInt
+              var j = 0
+              while (j < n) {
+                batch(j) = Array[Any](id, id * 0.5, s"r$id"); id += 1; j += 1
+              }
+              w.gtidMaria(id, id / 100, domain = 0L)
+              w.writeRows(id, 1L, schema, batch.take(n).toSeq)
+              written += n
+            }
+          } finally w.close()
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "binlog.index"),
+          (0 until nFiles).map(fi => f"maria-bin.$fi%06d").mkString("", "\n", "\n"))
+        (0 until nFiles).map(fi =>
+          new java.io.File(f"$dir/maria-bin.$fi%06d").length()).sum
+      }
+      val df = spark.read.format("binlogcdc")
+        .option("indexFile", s"$dir/binlog.index")
+        .option("database", "db").option("table", "big")
+        .option("binlogFormat", "mariadb").load()
+      val t0 = System.nanoTime()
+      val row = df.agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val total = nFiles * perFile
+      assert(row.getLong(1) == total, s"decoded ${row.getLong(1)} of $total rows")
+      assert(row.getLong(0) == total * (total - 1) / 2, "decoded ids must sum exactly")
+      println(f"SCALE mariaDecode: ${total / secs / 1e6}%.2f Mrows/s, ${gen / secs / 1e6}%.0f MB/s over $nFiles files (CRC32 verified)")
+      graft.TmpDirs.deleteRecursively(new java.io.File(dir))
+    }
+
     // the same mysql-format measurement with binlog_transaction_
     // compression=ON: every 100-row txn decodes out of one zstd
     // TRANSACTION_PAYLOAD event. Reports the on-disk compression ratio

@@ -430,6 +430,42 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(e2.getMessage.contains("no live transaction identity"), e2.getMessage)
   }
 
+  test("binary XA_PREPARE (type 38) closes the identity scope like the statement form") {
+    // mysqld logs XA PREPARE / one-phase XA COMMIT as the BINARY
+    // XA_PREPARE_LOG_EVENT, not a QUERY — treating it as unknown
+    // control would leave the prepared txn's gno live, the stale-stamp
+    // class the scope machinery exists to prevent
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    val path = s"$dir/mysql-bin.000001"
+    val w = new MysqlBinlog.Writer(path, checksum = true)
+    w.gtid(1000L, 1L, Sid)
+    w.query(1000L, "db", "XA START X'ab',X'',1")
+    w.tableMap(1000L, 9L, "db", "t", schema)
+    w.writeRows(1000L, 9L, schema, Seq(Array[Any](1L, "a")))
+    w.query(1000L, "db", "XA END X'ab',X'',1")
+    w.xaPrepare(1000L, "ab")
+    w.gtid(2000L, 2L, Sid)
+    w.query(2000L, "db", "BEGIN")
+    w.tableMap(2000L, 9L, "db", "t", schema)
+    w.writeRows(2000L, 9L, schema, Seq(Array[Any](2L, "b")))
+    w.xid(2000L, 2L)
+    w.close()
+    assert(decodeAll(path, "db", "t").map(_.gtid).toSeq == Seq(1L, 2L))
+    // rows spliced after the binary prepare with no fresh gtid fail loud
+    val w2 = new MysqlBinlog.Writer(s"$dir/mysql-bin.000002", checksum = true)
+    w2.gtid(1000L, 5L, Sid)
+    w2.query(1000L, "db", "XA START X'cd',X'',1")
+    w2.tableMap(1000L, 9L, "db", "t", schema)
+    w2.query(1000L, "db", "XA END X'cd',X'',1")
+    w2.xaPrepare(1000L, "cd")
+    w2.writeRows(1000L, 9L, schema, Seq(Array[Any](9L, "z")))
+    w2.close()
+    val e = intercept[Exception] { decodeAll(s"$dir/mysql-bin.000002", "db", "t") }
+    assert(e.getMessage.contains("no live transaction identity"), e.getMessage)
+  }
+
   test("malformed QUERY payload inside a body closes the scope (conservative direction)") {
     // a QUERY event whose statement text is empty/unparseable could be a
     // corrupted COMMIT as easily as a corrupted in-body DML — keeping
