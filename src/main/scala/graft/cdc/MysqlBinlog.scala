@@ -104,6 +104,14 @@ object MysqlBinlog {
     val MariaGtid = 0xa2.toByte             // 162: seq_no u64, domain u32, flags2 u8
     val MariaGtidList = 0xa3.toByte         // 163: binlog state at file start
     val MariaStartEncryption = 0xa4.toByte  // 164: ciphertext follows
+    // log_bin_compress=ON (MariaDB 10.2+): per-event zlib compression.
+    // The post-header (table id) stays uncompressed, so target-ness is
+    // decidable; the body layout is NOT decoded here — fail loud for
+    // the target table, skip others (same policy as pre-5.6 v1 rows
+    // events on the MySQL side).
+    val MariaWriteRowsCompressed = 0xa6.toByte  // 166
+    val MariaUpdateRowsCompressed = 0xa7.toByte // 167
+    val MariaDeleteRowsCompressed = 0xa8.toByte // 168
   }
 
   /** TLV field types of TRANSACTION_PAYLOAD (MySQL 8.0.20+
@@ -854,6 +862,24 @@ object MysqlBinlog {
       case EventType.MariaGtidList | EventType.MariaBinlogCheckpoint
           if maria =>
         Nil // file-start state / flush bookkeeping: planner-level only
+      case EventType.MariaWriteRowsCompressed |
+          EventType.MariaUpdateRowsCompressed |
+          EventType.MariaDeleteRowsCompressed if maria =>
+        // log_bin_compress=ON: per-event zlib bodies this reader does
+        // not decode. Returning Nil for the target table would silently
+        // DROP its changes; the post-header's table id stays
+        // uncompressed, so target-ness is decidable without the body.
+        val tableId = new Cur(ev.payload).u48()
+        tableMaps.get(tableId) match {
+          case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
+            throw new IOException(
+              s"compressed rows event (type ${ev.tpe & 0xff}, " +
+                s"log_bin_compress=ON) for $targetDb.$targetTable at log " +
+                s"offset ${ev.pos}: per-event compression is not decoded — " +
+                "disable log_bin_compress on the producer for logs this " +
+                "reader consumes")
+          case _ => Nil
+        }
       case EventType.MariaAnnotateRows if maria =>
         // the statement text (binlog_annotate_row_events=ON), written
         // before the statement's TABLE_MAPs — MariaDB's ROWS_QUERY,

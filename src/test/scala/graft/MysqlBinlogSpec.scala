@@ -2018,6 +2018,41 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(got == Seq((1L, "INSERT INTO t VALUES (1)"), (2L, null)))
   }
 
+  test("MariaDB: compressed rows events fail loud for the target table, skip others") {
+    // log_bin_compress=ON bodies are not decoded; the uncompressed
+    // post-header table id decides target-ness (silent Nil would DROP
+    // the target's changes — same policy as pre-5.6 v1 rows on MySQL)
+    import graft.cdc.CdcCodec.RawEvent
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dec = MariaDbAdapter.decoder("db", "t")
+    def tableMapPayload(tableId: Long, db: String, table: String): Array[Byte] = {
+      // build via the writer, read the payload back
+      val dir = tmpDir()
+      val w = new MysqlBinlog.Writer(s"$dir/m.000001", maria = true)
+      w.tableMap(0L, tableId, db, table, schema)
+      w.close()
+      val r = new MysqlBinlog.EventReader(s"$dir/m.000001", maria = true)
+      try r.find(_.tpe == MysqlBinlog.EventType.TableMap).get.payload
+      finally r.close()
+    }
+    def tidBytes(tid: Long): Array[Byte] =
+      (0 until 6).map(i => ((tid >> (8 * i)) & 0xff).toByte).toArray ++
+        Array[Byte](0, 0) // flags
+    dec.decode(RawEvent(MysqlBinlog.EventType.TableMap, 0L,
+      tableMapPayload(9L, "db", "t"), 0L, 1L))
+    dec.decode(RawEvent(MysqlBinlog.EventType.TableMap, 0L,
+      tableMapPayload(8L, "db", "other"), 1L, 2L))
+    // other table: skipped clean
+    assert(dec.decode(RawEvent(MysqlBinlog.EventType.MariaWriteRowsCompressed,
+      0L, tidBytes(8L), 2L, 3L)).isEmpty)
+    // target table: fail loud naming log_bin_compress
+    val e = intercept[Exception] {
+      dec.decode(RawEvent(MysqlBinlog.EventType.MariaWriteRowsCompressed,
+        0L, tidBytes(9L), 3L, 4L))
+    }
+    assert(e.getMessage.contains("log_bin_compress"), e.getMessage)
+  }
+
   test("MariaDB: GTID_LIST file pruning and startingGtid prefix skip") {
     val dir = tmpDir()
     val schema = StructType(Seq(StructField("id", LongType)))
