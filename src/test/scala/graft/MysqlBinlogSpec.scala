@@ -1142,6 +1142,39 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(rows == Seq((1.5, 7L, null, 1L), (2.5, 8L, 42, 2L)), rows.toString)
   }
 
+  test("schemaDrift=epochs on mariadb: the shared epoch machinery spans the fork") {
+    // the epoch plan is name-matched off TABLE_MAP metadata, which the
+    // fork logs identically — one drift policy across all formats by
+    // construction, spot-checked here through the mariadb adapter
+    val dir = tmpDir()
+    val path = s"$dir/maria-bin.000001"
+    val s1 = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val s2 = StructType(Seq(StructField("v", DoubleType),
+      StructField("id", LongType), StructField("x", IntegerType)))
+    val w = new MysqlBinlog.Writer(path, maria = true)
+    w.gtidList(Nil)
+    w.gtidMaria(0L, 1L, domain = 0L)
+    w.tableMap(0L, 1L, "db", "t", s1)
+    w.writeRows(0L, 1L, s1, Seq(Array[Any](7L, 1.5)))
+    w.xid(0L, 1L)
+    w.gtidMaria(1000L, 2L, domain = 0L)
+    w.tableMap(1000L, 2L, "db", "t", s2)
+    w.writeRows(1000L, 2L, s2, Seq(Array[Any](2.5, 8L, 42)))
+    w.xid(1000L, 2L)
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "maria-bin.000001\n")
+    val rows = spark.read.format("binlogcdc")
+      .option("indexFile", s"$dir/binlog.index")
+      .option("database", "db").option("table", "t")
+      .option("binlogFormat", "mariadb").option("schemaDrift", "epochs")
+      .load()
+      .select("v", "id", "x", "__gtid")
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getInt(2), r.getLong(3)))
+      .toSeq.sortBy(_._4)
+    assert(rows == Seq((1.5, 7L, null, 1L), (2.5, 8L, 42, 2L)), rows.toString)
+  }
+
   test("schemaDrift=epochs on mysql: streaming reads span the ALTER too") {
     // same permuting-ALTER log as the batch test, consumed as a stream:
     // the micro-batch reader factory threads driftEpochs through the
