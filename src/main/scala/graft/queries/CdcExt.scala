@@ -915,6 +915,62 @@ object CdcExt {
           col(CdcSchema.SourceIdCol))
     },
 
+    // cdc50's log with startingGtid: "resume after domain-0 seq 30" —
+    // the maria fixture rotates after insert batch 30 (file 0 tops out
+    // at domain-0 seq 30 / domain-1 seq 2 at every SF), so the
+    // GTID_LIST metadata prunes file 0 whole (partition counts pinned
+    // in MysqlBinlogSpec) while rows filter by seq across domains. The
+    // fork twin of cdc49: a reader that misparsed GTID_LIST would
+    // mis-prune and hash-mismatch here.
+    QDef("cdc51_mariadb_starting_gtid",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val0,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |up AS (
+         |  SELECT o_orderkey, val0,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |del AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN val0 + 1000 ELSE val0 END AS cur,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS didx
+         |  FROM ord WHERE o_orderkey % 7 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, val0 AS val, 1 AS __op,
+         |    CAST(idx // 100 + 1 AS BIGINT) AS g, idx // 100 AS tsg,
+         |    CASE WHEN CAST(idx // 100 AS INTEGER) % 2 = 0
+         |      THEN '0-101' ELSE '0-102' END AS src
+         |  FROM ord
+         |  UNION ALL SELECT o_orderkey, val0, 2,
+         |    CAST(100000 + uidx // 100 AS BIGINT), 100000 + uidx // 100,
+         |    '0-102' FROM up
+         |  UNION ALL SELECT o_orderkey, val0 + 1000, 3,
+         |    CAST(100000 + uidx // 100 AS BIGINT), 100000 + uidx // 100,
+         |    '0-102' FROM up
+         |  UNION ALL SELECT o_orderkey, cur, 0,
+         |    CAST(200000 + didx // 100 AS BIGINT), 200000 + didx // 100,
+         |    '0-101' FROM del
+         |)
+         |SELECT o_orderkey, val, __op, g AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(tsg) AS __tm,
+         |  src AS __source_id
+         |FROM ev WHERE g > 30""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMaria(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.MariaTable)
+        .option("binlogFormat", "mariadb")
+        .option("startingGtid", "30")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol),
+          col(CdcSchema.SourceIdCol))
+    },
+
     // binlog_row_value_options=PARTIAL_JSON: the update phase's after
     // images carry Json_diff_vectors (REPLACE/INSERT/REMOVE over
     // members and array elements) that the decoder applies against the
