@@ -257,6 +257,57 @@ class CdcSourceSpec extends SparkTestBase {
     q2.stop()
   }
 
+  test("streaming: mariadb logs pick up rotation and restart from checkpoint") {
+    // the fork twin of the incremental-pickup test: V1 rows events,
+    // GTID type 162 opening each txn, GTID_LIST at file start — the
+    // same format-agnostic offset machinery must track growth and
+    // resume without duplicates
+    import graft.cdc.MysqlBinlog
+    val dir = Files.createTempDirectory("maria-stream-spec").toString
+    def r(id: Long, v: Double): Array[Any] = Array[Any](id, v)
+    def newFile(name: String, lastSeq: Long, seq: Long, rows: Seq[Array[Any]]): Unit = {
+      val w = new MysqlBinlog.Writer(s"$dir/$name", checksum = true, maria = true)
+      w.gtidList(if (lastSeq > 0) Seq((0L, 101L, lastSeq)) else Nil)
+      w.gtidMaria(seq * 1000L, seq, domain = 0L)
+      w.tableMap(seq * 1000L, 1L, "db", "t", schema)
+      w.writeRows(seq * 1000L, 1L, schema, rows)
+      w.xid(seq * 1000L, seq)
+      w.close()
+    }
+    newFile("m.000000", 0L, 1L, Seq(r(1, 1.0), r(2, 2.0)))
+    Files.writeString(Paths.get(dir, "binlog.index"), "m.000000\n")
+    val index = s"$dir/binlog.index"
+    val ckpt = Files.createTempDirectory("maria-ckpt").toString
+    val outDir = Files.createTempDirectory("maria-out").toString
+    def startQuery() =
+      spark.readStream.format("binlogcdc")
+        .option("indexFile", index).option("database", "db").option("table", "t")
+        .option("binlogFormat", "mariadb")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    eventually(assert(spark.read.parquet(outDir).count() == 2))
+    newFile("m.000001", 1L, 2L, Seq(r(3, 3.0)))
+    Files.writeString(Paths.get(dir, "binlog.index"), "m.000000\nm.000001\n")
+    q1.processAllAvailable()
+    eventually(assert(spark.read.parquet(outDir).count() == 3))
+    q1.stop()
+    newFile("m.000002", 2L, 3L, Seq(r(4, 4.0)))
+    Files.writeString(Paths.get(dir, "binlog.index"),
+      "m.000000\nm.000001\nm.000002\n")
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    eventually {
+      val ids = spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L), s"expected exactly 1..4 once each, got $ids")
+    }
+    q2.stop()
+  }
+
   test("update pair is never split across micro-batch partitions") {
     // one file whose only row event is an update: any batch containing it
     // must contain both images
