@@ -105,6 +105,7 @@ object MysqlBinlog {
     val MariaGtidList = 0xa3.toByte         // 163: binlog state at file start
     val MariaStartEncryption = 0xa4.toByte  // 164: ciphertext follows
     // log_bin_compress=ON (MariaDB 10.2+): per-event zlib compression.
+    val MariaQueryCompressed = 0xa5.toByte      // 165: compressed QUERY
     // The post-header (table id) stays uncompressed, so target-ness is
     // decidable; the body layout is NOT decoded here — fail loud for
     // the target table, skip others (same policy as pre-5.6 v1 rows
@@ -862,6 +863,18 @@ object MysqlBinlog {
       case EventType.MariaGtidList | EventType.MariaBinlogCheckpoint
           if maria =>
         Nil // file-start state / flush bookkeeping: planner-level only
+      case EventType.MariaQueryCompressed if maria =>
+        // a zlib-compressed QUERY statement (log_bin_compress=ON) we
+        // cannot read: it could be a COMMIT as easily as an in-body
+        // DML — close the scope, the same conservative direction as a
+        // malformed QUERY payload (a stale seq must never stamp a
+        // later transaction's rows; mysqld's own event order means a
+        // legit next transaction re-opens with its GTID)
+        txnIdentityValid = false
+        anonymousTxn = false
+        txnBodyOpen = false
+        currentRowsQuery = null
+        Nil
       case EventType.MariaWriteRowsCompressed |
           EventType.MariaUpdateRowsCompressed |
           EventType.MariaDeleteRowsCompressed if maria =>

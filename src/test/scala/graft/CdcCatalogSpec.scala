@@ -208,6 +208,29 @@ class CdcCatalogSpec extends SparkTestBase {
     assert(rows == Seq((9L, "INSERT INTO t VALUES (9, 9.0)")))
   }
 
+  test("catalog binlogFormat=mariadb: zero-config SQL over a fork log") {
+    // listTables / schema inference / load all ride the adapter seam,
+    // so a MariaDB log is a plain SQL table too — identity triple in
+    // __source_id included
+    val dir = Files.createTempDirectory("cdc-catalog-maria").toString
+    val w = new MysqlBinlog.Writer(s"$dir/maria-bin.000001", checksum = true,
+      maria = true)
+    w.gtidList(Nil)
+    w.currentServerId = 7L
+    w.gtidMaria(1000L, 1L, domain = 3L)
+    w.tableMap(1000L, 1L, "db", "t", tSchema)
+    w.writeRows(1000L, 1L, tSchema, Seq(Array[Any](9L, 9.0)))
+    w.xid(1000L, 1L)
+    w.close()
+    Files.writeString(Paths.get(dir, "binlog.index"), "maria-bin.000001\n")
+    val cat = register(s"$dir/binlog.index", "binlogFormat" -> "mariadb")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).contains("t"))
+    val rows = spark.sql(s"SELECT id, __gtid, __source_id FROM $cat.db.t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((9L, 1L, "3-7")), rows.toString)
+  }
+
   test("catalog option schemaDrift=epochs: SQL reads span an ALTER boundary") {
     // a mysql log whose table drifts mid-file (permuting ALTER, fresh
     // table id) — the catalog infers the NEWEST schema and the option
