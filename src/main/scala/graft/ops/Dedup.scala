@@ -522,6 +522,28 @@ object Dedup {
       .select(col(id), col("canon_id"), col("score"), col("keep"))
   }
 
+  /** Persist a near-dup CLUSTER INDEX: one row per document with its
+    * cluster label, cluster size, quality score, and the survivor
+    * decision — `(id, canon_id, cluster_size, score, keep)` parquet at
+    * `path`. The build-once/serve-many form of the CC family: the
+    * transitive closure (the expensive part — candidate join + fixed
+    * point) runs ONCE at build time, and every curation query after it
+    * (keep-filter, cluster stats, audit joins) is a plain parquet scan
+    * — exactly how a production lake consumes dedup at 100 TB, where
+    * re-deriving clusters per downstream query is off the table. The
+    * closure and scoring are [[bestOfCluster]]'s (one CC pass); the
+    * size column rides a window over the same labeled frame. */
+  def buildClusterIndex(df: DataFrame, path: String, textCol: String = "text",
+      id: String = "doc_id", threshold: Double = 0.8,
+      shingleN: Int = 3): Unit = {
+    val wc = Window.partitionBy(col("canon_id"))
+    bestOfCluster(df, textCol, id, threshold, shingleN)
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
+        col("keep"))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** MinHash CALIBRATION audit — the tuning report an LSH dedup rollout
     * is parameterized from: over exactly-verified candidate pairs
     * (prefix filter, j >= threshold), compare the k-slot portable

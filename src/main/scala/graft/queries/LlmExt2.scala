@@ -21,6 +21,24 @@ object LlmExt2 {
   private val ndBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The llm73 cluster index: Dedup.buildClusterIndex over the full
+    * documents table at the llm66/llm68 threshold, built once per JVM
+    * (same marker discipline as the IVF fixtures — _CLUSTERED last). */
+  private[queries] def ensureClusterIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-clidx-" + graft.TmpDirs.pathKey(dir))
+    val lock = ndBuildLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$root/_CLUSTERED")
+      if (!marker.exists()) {
+        Dedup.buildClusterIndex(Tables.load(s, dir, "documents"),
+          s"$root/index", threshold = 0.8)
+        marker.createNewFile()
+      }
+    }
+    s"$root/index"
+  }
+
   /** The pid-scoped persisted near-dup band index of `dir`'s corpus
     * half, built ONCE per JVM (the build-once lifecycle the operator
     * exists to demonstrate — rebuilding per query would re-sign the
@@ -721,6 +739,45 @@ object LlmExt2 {
         |FROM lab l JOIN sc s USING (doc_id)""".stripMargin) { (s, dir) =>
       Dedup.bestOfCluster(Tables.load(s, dir, "documents"), "text", "doc_id",
         threshold = 0.8)
+    },
+
+    // the persisted CLUSTER INDEX: the CC family's build-once/serve-many
+    // form (Dedup.buildClusterIndex) — the transitive closure runs once
+    // at build time and this query SERVES the per-doc verdict
+    // (cluster label, size, score, survivor decision) from the parquet
+    // index; the oracle re-derives all four from scratch, so a stale or
+    // mis-built index hash-mismatches. The production shape at 100 TB:
+    // downstream curation never re-pays the closure.
+    QDef("llm73_cluster_index_serve",
+      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
+        |edges0 AS (SELECT x, y FROM cand
+        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
+        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT x AS src, y AS dst FROM edges0
+        |  UNION SELECT y, x FROM edges0),
+        |reach AS (SELECT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
+        |  FROM documents d LEFT JOIN
+        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
+        |    USING (doc_id)),
+        |cl AS (SELECT canon_id, COUNT(*) AS csize FROM lab GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' '))  AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT l.doc_id, l.canon_id, CAST(cl.csize AS BIGINT) AS cluster_size,
+        |  s.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY l.canon_id
+        |     ORDER BY s.score DESC, l.doc_id) = 1) AS keep
+        |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      val idx = ensureClusterIndex(s, dir)
+      s.read.parquet(idx)
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          col("score"), col("keep"))
     },
 
     // minhash calibration audit: portable k=8 slot estimate vs exact
