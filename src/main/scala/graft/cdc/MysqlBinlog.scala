@@ -2300,7 +2300,11 @@ object MysqlBinlog {
       * formatID u32, gtrid_length u32, bqual_length u32, gtrid+bqual
       * bytes. mysqld ends a prepared XA transaction's binlog scope
       * with this binary event (XA END stays a QUERY statement). */
-    def xaPrepare(tsMs: Long, gtrid: String, onePhase: Boolean = false): Unit =
+    def xaPrepare(tsMs: Long, gtrid: String, onePhase: Boolean = false): Unit = {
+      // under compressTxns the row-level events are sitting in the open
+      // transaction buffer — flush them first or the prepare would land
+      // BEFORE its own transaction's payload and close the scope early
+      flushTxn()
       writeEvent(EventType.XaPrepare, tsMs) { b =>
         val g = gtrid.getBytes(StandardCharsets.UTF_8)
         b.u8(if (onePhase) 1 else 0)
@@ -2309,6 +2313,7 @@ object MysqlBinlog {
         b.u32(0L) // bqual_length
         b.raw(g)
       }
+    }
 
     /** MariaDB GTID (type 162): seq_no u64 + domain_id u32 + flags2 u8.
       * A non-standalone event IS the transaction opener (MariaDB writes

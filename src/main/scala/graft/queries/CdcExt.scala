@@ -917,7 +917,8 @@ object CdcExt {
 
     // cdc50's log with startingGtid: "resume after domain-0 seq 30" —
     // the maria fixture rotates after insert batch 30 (file 0 tops out
-    // at domain-0 seq 30 / domain-1 seq 2 at every SF), so the
+    // at domain-0 seq 30 / domain-1 seq 1 at every SF — only the i=19
+    // DDL precedes the rotation), so the
     // GTID_LIST metadata prunes file 0 whole (partition counts pinned
     // in MysqlBinlogSpec) while rows filter by seq across domains. The
     // fork twin of cdc49: a reader that misparsed GTID_LIST would

@@ -21,20 +21,26 @@ object LlmExt2 {
   private val ndBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Build-once discipline shared by the persisted-index fixtures: one
+    * lock per scoped root; `isBuilt` decides trust (callers pick a
+    * marker the builder writes LAST so a half-built index is never
+    * trusted), `build` runs under the lock when not built. */
+  private def buildOnce(root: String)(isBuilt: => Boolean)(build: => Unit): Unit = {
+    val lock = ndBuildLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized { if (!isBuilt) build }
+  }
+
   /** The llm73 cluster index: Dedup.buildClusterIndex over the full
     * documents table at the llm66/llm68 threshold, built once per JVM
     * (same marker discipline as the IVF fixtures — _CLUSTERED last). */
   private[queries] def ensureClusterIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val root = graft.TmpDirs.scoped("graft-clidx-" + graft.TmpDirs.pathKey(dir))
-    val lock = ndBuildLocks.computeIfAbsent(root, _ => new Object)
-    lock.synchronized {
-      val marker = new java.io.File(s"$root/_CLUSTERED")
-      if (!marker.exists()) {
-        Dedup.buildClusterIndex(Tables.load(s, dir, "documents"),
-          s"$root/index", threshold = 0.8)
-        marker.createNewFile()
-      }
+    val marker = new java.io.File(s"$root/_CLUSTERED")
+    buildOnce(root)(marker.exists()) {
+      Dedup.buildClusterIndex(Tables.load(s, dir, "documents"),
+        s"$root/index", threshold = 0.8)
+      marker.createNewFile()
     }
     s"$root/index"
   }
@@ -49,11 +55,9 @@ object LlmExt2 {
   private def ensureNearDupIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val idx = graft.TmpDirs.scoped("graft-ndidx-" + graft.TmpDirs.pathKey(dir))
-    val lock = ndBuildLocks.computeIfAbsent(idx, _ => new Object)
-    lock.synchronized {
-      if (!new java.io.File(s"$idx/shingles/_SUCCESS").exists())
-        Dedup.buildNearDupIndex(
-          Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), idx)
+    buildOnce(idx)(new java.io.File(s"$idx/shingles/_SUCCESS").exists()) {
+      Dedup.buildNearDupIndex(
+        Tables.load(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), idx)
     }
     idx
   }
@@ -652,20 +656,7 @@ object LlmExt2 {
     // labels; the oracle replays the same transitive closure and
     // aggregates it identically.
     QDef("llm66_dup_cluster_stats",
-      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
-        |edges0 AS (SELECT x, y FROM cand
-        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
-        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
-        |edges AS (SELECT x AS src, y AS dst FROM edges0
-        |  UNION SELECT y, x FROM edges0),
-        |reach AS (SELECT src AS a, src AS b FROM edges
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
-        |  FROM documents d LEFT JOIN
-        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
-        |    USING (doc_id)),
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8)},
         |cl AS (SELECT canon_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
         |  COUNT(*) AS n_clusters,
@@ -715,20 +706,7 @@ object LlmExt2 {
     // arbitrary one — the decision production dedup actually ships.
     // Oracle replays llm66's transitive closure + the same score/window.
     QDef("llm68_best_of_cluster",
-      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
-        |edges0 AS (SELECT x, y FROM cand
-        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
-        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
-        |edges AS (SELECT x AS src, y AS dst FROM edges0
-        |  UNION SELECT y, x FROM edges0),
-        |reach AS (SELECT src AS a, src AS b FROM edges
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
-        |  FROM documents d LEFT JOIN
-        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
-        |    USING (doc_id)),
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8)},
         |sc AS (SELECT doc_id,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
@@ -749,20 +727,7 @@ object LlmExt2 {
     // mis-built index hash-mismatches. The production shape at 100 TB:
     // downstream curation never re-pays the closure.
     QDef("llm73_cluster_index_serve",
-      s"""WITH RECURSIVE ${OracleSql.prefixFilterCtes(0.8)},
-        |edges0 AS (SELECT x, y FROM cand
-        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
-        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= 0.8),
-        |edges AS (SELECT x AS src, y AS dst FROM edges0
-        |  UNION SELECT y, x FROM edges0),
-        |reach AS (SELECT src AS a, src AS b FROM edges
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
-        |  FROM documents d LEFT JOIN
-        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
-        |    USING (doc_id)),
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8)},
         |cl AS (SELECT canon_id, COUNT(*) AS csize FROM lab GROUP BY 1),
         |sc AS (SELECT doc_id,
         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)

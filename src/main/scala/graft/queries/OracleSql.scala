@@ -9,6 +9,29 @@ package graft.queries
   */
 private[queries] object OracleSql {
 
+  /** WITH-clause CTEs `edges0 .. lab` ON TOP of [[prefixFilterCtes]]:
+    * exact-Jaccard edges at `threshold`, their symmetric closure, the
+    * RECURSIVE reachability fixpoint, and the per-doc `canon_id` label
+    * (min reachable id, self for singletons) — the transitive-closure
+    * block llm66/llm68/llm73 all replay. One copy: an edge-predicate
+    * or canon-rule change must not hand-sync across oracles. The
+    * enclosing WITH must be declared RECURSIVE. */
+  def closureCtes(threshold: Double): String =
+    s"""${prefixFilterCtes(threshold)},
+       |edges0 AS (SELECT x, y FROM cand
+       |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.s || sb.s)) AS DOUBLE) >= $threshold),
+       |edges AS (SELECT x AS src, y AS dst FROM edges0
+       |  UNION SELECT y, x FROM edges0),
+       |reach AS (SELECT src AS a, src AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
+       |  FROM documents d LEFT JOIN
+       |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
+       |    USING (doc_id))""".stripMargin
+
   /** WITH-clause CTEs `sh0 .. cand`: per-doc 3-token-shingle sets and
     * the zero-false-negative prefix-filter candidate pairs at
     * `threshold` (PPJoin canonical order: df asc, shingle asc). */
