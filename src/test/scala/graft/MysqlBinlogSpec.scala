@@ -132,6 +132,57 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(MysqlBinlog.lastCompleteOffset(path2) > 4L)
   }
 
+  test("every byte-truncation of a log decodes a clean row prefix or throws — both flavors") {
+    // the producer can die mid-write at ANY byte: for every truncation
+    // length the reader must either end cleanly on the torn tail
+    // (yielding a PREFIX of the full row sequence — never rows the full
+    // decode doesn't contain, never reordered) or fail loud. No
+    // truncation may hang or mis-decode; CRC32 guards mid-event cuts.
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val dir = tmpDir()
+    def author(path: String, maria: Boolean): Unit = {
+      val w = new MysqlBinlog.Writer(path, checksum = true, maria = maria)
+      if (maria) w.gtidList(Nil)
+      (1L to 3L).foreach { g =>
+        if (maria) w.gtidMaria(g * 1000L, g, domain = 0L)
+        else { w.gtid(g * 1000L, g, Sid); w.query(g * 1000L, "db", "BEGIN") }
+        w.tableMap(g * 1000L, 9L, "db", "t", schema)
+        w.writeRows(g * 1000L, 9L, schema,
+          Seq(Array[Any](g * 10L, s"r$g"), Array[Any](g * 10L + 1L, s"s$g")))
+        w.xid(g * 1000L, g)
+      }
+      w.close()
+    }
+    def decodeIds(path: String, maria: Boolean): Seq[Long] = {
+      val adapter = if (maria) graft.cdc.MariaDbAdapter
+        else graft.cdc.MysqlBinlogAdapter
+      val r = adapter.open(path)
+      val dec = adapter.decoder("db", "t")
+      try r.flatMap(dec.decode).map(_.values(0).asInstanceOf[Long]).toList
+      finally r.close()
+    }
+    Seq(false, true).foreach { maria =>
+      val path = s"$dir/trunc-${if (maria) "m" else "y"}.000001"
+      author(path, maria)
+      val full = Files.readAllBytes(Paths.get(path))
+      val fullIds = decodeIds(path, maria)
+      assert(fullIds.size == 6, s"fixture decodes $fullIds")
+      var prefixes = 0
+      (4 until full.length).foreach { cut =>
+        val p = Paths.get(s"$dir/cut-${if (maria) "m" else "y"}")
+        Files.write(p, java.util.Arrays.copyOf(full, cut))
+        try {
+          val got = decodeIds(p.toString, maria)
+          assert(got == fullIds.take(got.size),
+            s"cut=$cut yielded non-prefix $got (maria=$maria)")
+          prefixes += 1
+        } catch { case _: Exception => () } // fail-loud is always sound
+      }
+      assert(prefixes > 0, "at least the event-boundary cuts must decode")
+    }
+  }
+
   test("truncated COLUMN_NAME metadata fails loud at TABLE_MAP parse") {
     // 2 columns declared, 1 name in the TLV: downstream the parallel
     // (name, type) zip would silently truncate and misclassify real
