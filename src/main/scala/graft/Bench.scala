@@ -66,7 +66,13 @@ object Bench {
     // the mysql drift-epoch remap (shaped emission), and the IVF
     // drift report (footer-only index scan + single-row reduction)
     "cdc44_mysql_partial_json", "cdc46_mysql_noblob_row_image",
-    "cdc47_mysql_drift_epochs", "llm71_ivf_drift_report")
+    "cdc47_mysql_drift_epochs", "llm71_ivf_drift_report",
+    // round-12 additions, same rule: the MariaDB decode path (V1 rows +
+    // fork identity layer), tagged-PREVIOUS_GTIDS pruned scan, and the
+    // cluster-index SERVE path (the build is a cached fixture; the scan
+    // is what production pays per query)
+    "cdc50_mariadb", "cdc49_mysql_tagged_starting_gtid",
+    "llm73_cluster_index_serve")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
