@@ -582,21 +582,22 @@ object Llm {
     // explode+join+dropDuplicates ≡ the OR-of-8 here), exact cosine
     // re-rank over the deduped pair set
     QDef("llm18_knn_lsh_multitable", {
-      val planeLits = Similarity.planes(32, 64)
+      val planeLits = Similarity.planes(64, 64)
         .map(_.map(java.lang.Double.toString).mkString("[", ",", "]"))
       def planeDot(emb: String, p: Int) =
         s"CASE WHEN len($emb) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($emb), 64) + 1), i -> CAST($emb[i] AS DOUBLE) * ((${planeLits(p)})[i])), (a, b) -> a + b) END"
       def tableBucket(emb: String, t: Int) = (0 until 4).map(j =>
         s"(CASE WHEN ${planeDot(emb, t * 4 + j)} >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
-      val sigCols = (0 until 8).map(t => s"${tableBucket("embedding", t)} AS b$t").mkString(",\n    ")
-      val anyShared = (0 until 8).map(t => s"c.b$t = q.b$t").mkString(" OR ")
+      val sigCols = (0 until 16).map(t => s"${tableBucket("embedding", t)} AS b$t").mkString(",\n    ")
+      val anyShared = (0 until 16).map(t => s"c.b$t = q.b$t").mkString(" OR ")
       def fold(u: String, v: String, a: String, b: String) =
         s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($u[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y) END"
       s"""WITH sig AS (SELECT vec_id, embedding,
          |    $sigCols
          |  FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
-         |    b0, b1, b2, b3, b4, b5, b6, b7
+         |    b0, b1, b2, b3, b4, b5, b6, b7,
+         |    b8, b9, b10, b11, b12, b13, b14, b15
          |  FROM sig WHERE vec_id % 50 = 0),
          |d AS (SELECT q.query_id, c.vec_id AS neighbor_id,
          |    ${fold("c.embedding", "q.q_emb", "c.embedding", "q.q_emb")} AS dot,
@@ -614,7 +615,11 @@ object Llm {
     }) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 8, planesPerTable = 4)
+      // 16 tables x 4 planes (recall 0.93/0.90 at sf0.1/0.001 vs 0.71
+      // at 8 tables): table count is the LINEAR recall knob — candidate
+      // cost is L*n/2^r per query — while the per-table plane count r
+      // stays the bucket-granularity scale knob (sized up with corpus)
+      Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 16, planesPerTable = 4)
     },
 
     // IVF's candidate cells come from k-means (not SQL-expressible), so

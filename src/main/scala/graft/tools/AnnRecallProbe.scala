@@ -37,7 +37,7 @@ object AnnRecallProbe {
     val variants: Seq[(String, DataFrame)] = Seq(
       "lsh" -> Similarity.lshTopK(emb, queries, k = k, nPlanes = 4),
       "lshmulti" -> Similarity.lshTopKMulti(emb, queries, k = k,
-        nTables = 8, planesPerTable = 4),
+        nTables = 16, planesPerTable = 4),
       "ivf" -> Similarity.ivfTopK(emb, queries, k = k, kClusters = 16, nProbe = 6),
       "pq" -> Similarity.pqTopK(emb, queries, k = k, m = 16, ksub = 16,
         rerank = 16),

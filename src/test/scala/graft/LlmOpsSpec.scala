@@ -309,13 +309,13 @@ class LlmOpsSpec extends SparkTestBase {
     val single = Similarity.lshTopK(emb, queries, k = 10, nPlanes = 4)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val multi = Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 8, planesPerTable = 4)
+    val multi = Similarity.lshTopKMulti(emb, queries, k = 10, nTables = 16, planesPerTable = 4)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rSingle = (brute intersect single).size.toDouble / brute.size
     val rMulti = (brute intersect multi).size.toDouble / brute.size
     assert(rMulti >= rSingle, s"multi-table recall $rMulti < single $rSingle")
-    assert(rMulti >= 0.5, s"multi-table recall $rMulti too low")
+    assert(rMulti >= 0.8, s"multi-table recall $rMulti below the shipped floor")
   }
 
   test("brute-force top-k is exact: matches a collected reference computation") {
