@@ -630,8 +630,11 @@ object Llm {
     QDef("llm16_knn_ivf", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      annGate(Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 6),
-        emb, k = 10, minMatches = 3)
+      // nProbe=10 since r12 (recall 0.66 -> 0.83 at sf0.1; observed
+      // per-query min 7 across SFs) — the probe depth a <=0.8-recall
+      // family member warranted; cells still prune 6/16 of the corpus
+      annGate(Similarity.ivfTopK(emb, queries, k = 10, kClusters = 16, nProbe = 10),
+        emb, k = 10, minMatches = 5)
     },
 
     // the same IVF search over a PREBUILT persisted index (train/assign
@@ -643,8 +646,8 @@ object Llm {
       val emb = Tables.load(s, dir, "embeddings")
       val idx = ensureIvfIndex(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
-        emb, k = 10, minMatches = 3)
+      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 10),
+        emb, k = 10, minMatches = 5)
     },
 
     // incremental index maintenance: the index is TRAINED AND BUILT on
@@ -659,8 +662,8 @@ object Llm {
       val emb = Tables.load(s, dir, "embeddings")
       val idx = ensureIvfAppendIndex(s, dir)
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 6),
-        emb, k = 10, minMatches = 3)
+      annGate(Similarity.ivfTopKFromIndex(s, idx, queries, k = 10, nProbe = 10),
+        emb, k = 10, minMatches = 5)
     },
 
     // index deletions: the %7==3 population tombstoned out of the full

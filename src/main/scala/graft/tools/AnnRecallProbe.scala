@@ -38,7 +38,7 @@ object AnnRecallProbe {
       "lsh" -> Similarity.lshTopK(emb, queries, k = k, nPlanes = 4),
       "lshmulti" -> Similarity.lshTopKMulti(emb, queries, k = k,
         nTables = 16, planesPerTable = 4),
-      "ivf" -> Similarity.ivfTopK(emb, queries, k = k, kClusters = 16, nProbe = 6),
+      "ivf" -> Similarity.ivfTopK(emb, queries, k = k, kClusters = 16, nProbe = 10),
       "pq" -> Similarity.pqTopK(emb, queries, k = k, m = 16, ksub = 16,
         rerank = 16),
       "ivfpq" -> Similarity.ivfPqTopK(emb, queries, k = k, kClusters = 16,
