@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -522,26 +522,215 @@ object Dedup {
       .select(col(id), col("canon_id"), col("score"), col("keep"))
   }
 
-  /** Persist a near-dup CLUSTER INDEX: one row per document with its
-    * cluster label, cluster size, quality score, and the survivor
-    * decision — `(id, canon_id, cluster_size, score, keep)` parquet at
-    * `path`. The build-once/serve-many form of the CC family: the
-    * transitive closure (the expensive part — candidate join + fixed
-    * point) runs ONCE at build time, and every curation query after it
-    * (keep-filter, cluster stats, audit joins) is a plain parquet scan
-    * — exactly how a production lake consumes dedup at 100 TB, where
-    * re-deriving clusters per downstream query is off the table. The
-    * closure and scoring are [[bestOfCluster]]'s (one CC pass); the
-    * size column rides a window over the same labeled frame. */
+  /** Persist a near-dup CLUSTER INDEX at `path`: `verdicts/` holds one
+    * row per document — cluster label, cluster size, quality score,
+    * survivor decision (`id, canon_id, cluster_size, score, keep`) —
+    * plus the candidate-generation artifacts [[appendToClusterIndex]]
+    * maintains incrementally: `params/` (threshold, shingleN),
+    * `dfreq/` (the shingle document-frequency map, FROZEN at build
+    * time — every member array before and after any append is ordered
+    * by this one map, which is all the prefix-filter guarantee needs;
+    * order quality drifts as the corpus grows, which is an efficiency
+    * concern, never a correctness one, and the rebuild trigger),
+    * `shingles/` (per-member canonical + lexicographic shingle
+    * arrays), and `prefix/` (the prefix-filter inverted index).
+    *
+    * The build-once/serve-many form of the CC family: the transitive
+    * closure (the expensive part — candidate join + fixed point) runs
+    * ONCE at build time, every curation query after it is a plain
+    * parquet scan of `verdicts/`, and a new crawl batch folds in via
+    * [[appendToClusterIndex]] without re-pairing the corpus — exactly
+    * how a production lake consumes dedup at 100 TB. The closure and
+    * scoring are [[bestOfCluster]]'s (one CC pass). */
   def buildClusterIndex(df: DataFrame, path: String, textCol: String = "text",
       id: String = "doc_id", threshold: Double = 0.8,
       shingleN: Int = 3): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val wc = Window.partitionBy(col("canon_id"))
     bestOfCluster(df, textCol, id, threshold, shingleN)
       .withColumn("cluster_size", count(lit(1)).over(wc))
       .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
         col("keep"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/verdicts")
+    Seq((threshold, shingleN)).toDF("threshold", "shingleN")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    val distinctSh = memberShingles(df, textCol, id, shingleN)
+    distinctSh.select(col("__mid"), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    writeMemberArtifacts(spark, path, distinctSh, threshold,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** (__mid, sh): per-doc distinct shingle sets. */
+  private def memberShingles(df: DataFrame, textCol: String, id: String,
+      shingleN: Int): DataFrame =
+    df.select(col(id).as("__mid"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col("__mid"), array_distinct(
+        TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
+
+  /** Write (or append) a member batch's `shingles/` + `prefix/`
+    * artifacts, arrays ordered by the index's FROZEN df map (shingles
+    * the map has never seen order first at df 0 — consistency, not the
+    * particular order, is what prefix-filter completeness needs). */
+  private def writeMemberArtifacts(spark: SparkSession, path: String,
+      distinctSh: DataFrame, threshold: Double,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val canon = canonicalMemberArrays(spark, path, distinctSh)
+      .localCheckpoint(true) // two writers below
+    canon.select(col("__mid"), col("s"), col("ss"))
+      .write.mode(mode).parquet(s"$path/shingles")
+    canon.select(col("__mid"), explode(expr(
+      s"slice(s, 1, cast(cast(size(s) as bigint) - cast(ceil(cast($threshold as double) * cast(size(s) as double)) as bigint) + 1 as int))"))
+      .as("shingle"))
+      .write.mode(mode).parquet(s"$path/prefix")
+  }
+
+  /** (__mid, s = df-canonical array, ss = lexicographic array). */
+  private def canonicalMemberArrays(spark: SparkSession, path: String,
+      distinctSh: DataFrame): DataFrame = {
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+    distinctSh.select(col("__mid"), explode(col("sh")).as("shingle"))
+      .join(dfreq, Seq("shingle"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy(col("__mid"))
+      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), p -> p.shingle)").as("s"),
+        expr("array_sort(collect_list(shingle))").as("ss"))
+  }
+
+  /** Fold a NEW document batch into a persisted cluster index — the
+    * incremental maintenance op next to build, with FULL-REBUILD
+    * EQUIVALENCE: the resulting `verdicts/` is row-identical to
+    * [[buildClusterIndex]] over corpus ∪ batch (llm74 pins it against
+    * DuckDB's from-scratch closure; the spec pins it against a Spark
+    * full rebuild). Equivalence holds because candidates are EXACT
+    * (the same zero-false-negative prefix filter as the build, batch
+    * prefixes joined against the persisted `prefix/` inverted index
+    * plus a batch-internal exact self-join), labels are min-reachable
+    * ids under both procedures (a batch doc BRIDGING two existing
+    * clusters merges them — old rows relabel), and size/score/keep
+    * recompute over exactly the affected clusters.
+    *
+    * 100 TB posture: per-append work is O(batch + candidates + touched
+    * clusters) — the corpus is never re-paired and never re-read
+    * beyond the verdict rows of candidate-hit clusters; the merge
+    * union-find runs driver-side over the batch-bounded edge set (the
+    * llm44 incremental contract). The verdict rewrite is O(index
+    * bytes) — tiny rows — with the crash-safe rename swap; member
+    * artifacts append BEFORE the swap, so a crash leaves the OLD
+    * verdicts servable and at worst orphan artifacts a retried append
+    * re-pairs harmlessly (orphans have no verdict row, so they never
+    * surface; duplicates dedup in the candidate distinct). */
+  def appendToClusterIndex(spark: SparkSession, path: String,
+      batch: DataFrame, textCol: String = "text",
+      id: String = "doc_id"): Unit = {
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val p = spark.read.parquet(s"$path/params").head()
+    val (threshold, shingleN) = (p.getAs[Double]("threshold"), p.getAs[Int]("shingleN"))
+    val verdicts = spark.read.parquet(s"$path/verdicts").localCheckpoint(true)
+    // an id is the document's identity: appending one that is already
+    // indexed would split its verdict across two rows — fail loud
+    val dup = batch.select(col(id))
+      .join(verdicts.select(col(id)), Seq(id), "left_semi").limit(1).collect()
+    require(dup.isEmpty,
+      s"appendToClusterIndex($path): batch contains already-indexed $id ${dup.headOption.map(_.get(0))}")
+
+    val batchSh = memberShingles(batch, textCol, id, shingleN)
+      .localCheckpoint(true) // consumed by artifacts write + verify joins
+    // artifacts FIRST (see crash-safety note above)
+    writeMemberArtifacts(spark, path, batchSh, threshold,
+      org.apache.spark.sql.SaveMode.Append)
+
+    // exact candidates: batch prefixes vs the persisted inverted index
+    // (cross) and vs themselves (batch-internal)
+    val batchPrefix = spark.read.parquet(s"$path/prefix")
+      .join(batchSh.select(col("__mid")), Seq("__mid"), "left_semi")
+      .localCheckpoint(true)
+    val indexPrefix = spark.read.parquet(s"$path/prefix")
+      .join(verdicts.select(col(id).as("__mid")), Seq("__mid"), "left_semi")
+    val candsCross = batchPrefix.select(col("__mid").as("bid"), col("shingle"))
+      .join(indexPrefix.select(col("__mid").as("oid"), col("shingle")), "shingle")
+      .select(col("bid"), col("oid")).distinct()
+    val candsSelf = batchPrefix.select(col("__mid").as("bid"), col("shingle"))
+      .join(batchPrefix.select(col("__mid").as("oid"), col("shingle")), "shingle")
+      .filter(col("bid") < col("oid"))
+      .select(col("bid"), col("oid")).distinct()
+    // exact verify over lexicographic arrays (sorted-merge count)
+    val ssAll = spark.read.parquet(s"$path/shingles")
+      .select(col("__mid"), col("ss"))
+    def verified(cands: DataFrame): DataFrame = cands
+      .join(ssAll.select(col("__mid").as("bid"), col("ss").as("sh_a")), "bid")
+      .join(ssAll.select(col("__mid").as("oid"), col("ss").as("sh_b")), "oid")
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")
+        >= threshold)
+      .select(col("bid"), col("oid"))
+    // edges to EXISTING members map to their cluster labels
+    val crossEdges = verified(candsCross)
+      .join(verdicts.select(col(id).as("oid"), col("canon_id")), "oid")
+      .select(col("bid"), col("canon_id").as("other")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val selfEdges = verified(candsSelf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // driver union-find over batch ids + touched labels (batch-bounded
+    // by the incremental contract)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val px = parent.getOrElse(x, x)
+      if (px == x) x else { val r = find(px); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+    }
+    (crossEdges ++ selfEdges).foreach { case (a, b) => union(a, b) }
+    // old label -> merged label (only where changed); batch id -> label
+    val touchedLabels = crossEdges.map(_._2).distinct
+    val labelRemap = touchedLabels.map(l => l -> find(l)).filter(p => p._1 != p._2)
+    val batchIds = batch.select(col(id)).collect().map(_.getLong(0))
+    val batchLabel = batchIds.map(b => b -> find(b)).toMap
+    val affected: Set[Long] =
+      (labelRemap.map(_._2) ++ touchedLabels.map(find) ++ batchLabel.values).toSet
+
+    // new verdict rows: relabeled old rows + scored batch rows;
+    // size/keep recompute over exactly the affected clusters
+    val remapDf = labelRemap.toSeq.toDF("canon_id", "__newLabel")
+    val oldRows = verdicts.join(broadcast(remapDf), Seq("canon_id"), "left")
+      .select(col(id), coalesce(col("__newLabel"), col("canon_id")).as("canon_id"),
+        col("cluster_size"), col("score"), col("keep"))
+    val tk = TextAnalysis.tokens(col(textCol))
+    val labelDf = batchLabel.toSeq.toDF(id, "canon_id")
+    val batchRows = batch.select(col(id),
+        (size(array_distinct(tk)).cast("double") / size(tk).cast("double"))
+          .as("score"))
+      .join(broadcast(labelDf), Seq(id))
+      .select(col(id), col("canon_id"), lit(0L).as("cluster_size"),
+        col("score"), lit(false).as("keep"))
+    val all = oldRows.unionByName(batchRows)
+    val aff = all.filter(col("canon_id").isInCollection(affected))
+    val wc = Window.partitionBy(col("canon_id"))
+    val wk = Window.partitionBy(col("canon_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    val affFixed = aff
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .withColumn("keep", row_number().over(wk) === 1)
+    val newVerdicts =
+      all.filter(!col("canon_id").isInCollection(affected)).unionByName(affFixed)
+        .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
+          col("keep"))
+    val tmp = new java.io.File(s"$path/verdicts.appending")
+    newVerdicts.write.mode("overwrite").parquet(tmp.toString)
+    val live = new java.io.File(s"$path/verdicts")
+    val old = new java.io.File(s"$path/verdicts.old")
+    if (old.exists()) graft.TmpDirs.deleteRecursively(old)
+    java.nio.file.Files.move(live.toPath, old.toPath)
+    java.nio.file.Files.move(tmp.toPath, live.toPath)
+    graft.TmpDirs.deleteRecursively(old)
   }
 
   /** MinHash CALIBRATION audit — the tuning report an LSH dedup rollout

@@ -45,6 +45,25 @@ object LlmExt2 {
     s"$root/index"
   }
 
+  /** The llm74 cluster index: built over the doc_id %% 10 != 0 corpus
+    * NINETY percent, then the held-out 10%% APPENDED
+    * (Dedup.appendToClusterIndex) — the daily-crawl-batch lifecycle.
+    * Full-rebuild equivalence makes the from-scratch oracle valid. */
+  private[queries] def ensureAppendedClusterIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-clapp-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_APPENDED")
+    buildOnce(root)(marker.exists()) {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.buildClusterIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        s"$root/index", threshold = 0.8)
+      Dedup.appendToClusterIndex(s, s"$root/index",
+        docs.filter(col("doc_id") % 10 === 0))
+      marker.createNewFile()
+    }
+    s"$root/index"
+  }
+
   /** The pid-scoped persisted near-dup band index of `dir`'s corpus
     * half, built ONCE per JVM (the build-once lifecycle the operator
     * exists to demonstrate — rebuilding per query would re-sign the
@@ -740,7 +759,35 @@ object LlmExt2 {
         |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
         .stripMargin) { (s, dir) =>
       val idx = ensureClusterIndex(s, dir)
-      s.read.parquet(idx)
+      s.read.parquet(s"$idx/verdicts")
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          col("score"), col("keep"))
+    },
+
+    // INCREMENTAL cluster-index maintenance: llm73's index built over
+    // 90% of the corpus, the held-out 10% folded in with
+    // appendToClusterIndex (exact prefix-filter candidates against the
+    // persisted inverted index, driver union-find over the
+    // batch-bounded edges, affected clusters relabeled/recounted, the
+    // corpus never re-paired). FULL-REBUILD EQUIVALENCE is the
+    // operator's contract — so the oracle recomputes the whole closure
+    // from scratch over ALL documents, and any divergence (a missed
+    // cross edge, a stale size, an unmerged bridge) hash-mismatches.
+    QDef("llm74_cluster_index_append",
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8)},
+        |cl AS (SELECT canon_id, COUNT(*) AS csize FROM lab GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' '))  AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT l.doc_id, l.canon_id, CAST(cl.csize AS BIGINT) AS cluster_size,
+        |  s.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY l.canon_id
+        |     ORDER BY s.score DESC, l.doc_id) = 1) AS keep
+        |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      val idx = ensureAppendedClusterIndex(s, dir)
+      s.read.parquet(s"$idx/verdicts")
         .select(col("doc_id"), col("canon_id"), col("cluster_size"),
           col("score"), col("keep"))
     },

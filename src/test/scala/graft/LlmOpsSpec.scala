@@ -109,6 +109,72 @@ class LlmOpsSpec extends SparkTestBase {
     assert(again == 0L)
   }
 
+  test("cluster-index append: row-identical to a full rebuild, bridging merges included") {
+    // corpus A, B sit in separate clusters (J(A,B) < threshold); batch
+    // doc C is near-dup of BOTH — appending C must MERGE the two
+    // existing clusters (relabeling B's old rows), plus the planted
+    // llm-fixture batch exercises joins into existing clusters. The
+    // invariant: verdicts after append == verdicts of a from-scratch
+    // build over corpus ∪ batch, row for row.
+    val aTok = (0 until 40).map(j => s"t$j")
+    // B: 4 spread changes -> J(A,B) ~ 0.58 (< 0.7); C carries two of
+    // B's changes -> J(C,A) ~ 0.81 and J(C,B) ~ 0.73 (both >= 0.7)
+    val bTok = aTok.updated(0, "zz0").updated(6, "zz6")
+      .updated(12, "zz12").updated(18, "zz18")
+    val cTok = aTok.updated(0, "zz0").updated(6, "zz6")
+    val extra = Seq(
+      (9000L, aTok.mkString(" ")),
+      (9001L, bTok.mkString(" ")))
+    val corpus = docs.filter($"doc_id" < 1000)
+      .select($"doc_id", $"text")
+      .union(extra.toDF("doc_id", "text"))
+    val batch = docs.filter($"doc_id" >= 1000).select($"doc_id", $"text")
+      .union(Seq((9100L, cTok.mkString(" "))).toDF("doc_id", "text"))
+    val thr = 0.7
+    val idx = java.nio.file.Files.createTempDirectory("clidx-app").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    val before = spark.read.parquet(s"$idx/verdicts")
+      .select("doc_id", "canon_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before(9000L) != before(9001L),
+      "fixture defect: A and B must start in separate clusters")
+    Dedup.appendToClusterIndex(spark, idx, batch)
+    val got = spark.read.parquet(s"$idx/verdicts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-full").toString
+    Dedup.buildClusterIndex(corpus.union(batch), rebuilt, threshold = thr)
+    val want = spark.read.parquet(s"$rebuilt/verdicts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == want,
+      s"append diverged from full rebuild:\n extra=${got.diff(want)}\n missing=${want.diff(got)}")
+    val after = got.map(t => t._1 -> t._2).toMap
+    assert(after(9000L) == after(9001L) && after(9100L) == after(9000L),
+      "the bridging batch doc must merge A's and B's clusters")
+    // appending an already-indexed id fails loud (identity violation)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendToClusterIndex(spark, idx,
+        Seq((9000L, "anything at all")).toDF("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("already-indexed"), ex.getMessage)
+    // a second append over a fresh batch still equals the 3-way rebuild
+    val batch2 = Seq((9200L, aTok.updated(3, "q3").mkString(" "))).toDF("doc_id", "text")
+    Dedup.appendToClusterIndex(spark, idx, batch2)
+    val rebuilt2 = java.nio.file.Files.createTempDirectory("clidx-full2").toString
+    Dedup.buildClusterIndex(corpus.union(batch).union(batch2), rebuilt2,
+      threshold = thr)
+    val got2 = spark.read.parquet(s"$idx/verdicts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val want2 = spark.read.parquet(s"$rebuilt2/verdicts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got2 == want2, "second append diverged from the 3-way rebuild")
+    Seq(idx, rebuilt, rebuilt2).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
   test("prebuilt near-dup index: identical results to the in-memory incremental path") {
     val batch = docs.filter($"doc_id" >= 1000)
     val corpus = docs.filter($"doc_id" < 1000)
