@@ -325,10 +325,9 @@ object Dedup {
     // canonical (df asc, shingle asc) order via sort_array over structs
     val canon = inv.join(dfreq, "shingle")
       .groupBy(col(id))
-      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), p -> p.shingle)").as("s"))
-    val prefix = canon.select(col(id), explode(expr(
-      s"slice(s, 1, cast(cast(size(s) as bigint) - cast(ceil(cast($threshold as double) * cast(size(s) as double)) as bigint) + 1 as int))"))
-      .as("shingle"))
+      .agg(expr(CanonicalSortExpr).as("s"))
+    val prefix = canon.select(col(id),
+      explode(expr(prefixSliceExpr(threshold))).as("shingle"))
     val cands = prefix.select(col(id).as("id_a"), col("shingle"))
       .join(prefix.select(col(id).as("id_b"), col("shingle")), "shingle")
       .filter(col("id_a") < col("id_b"))
@@ -555,7 +554,11 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/verdicts")
     Seq((threshold, shingleN)).toDF("threshold", "shingleN")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    // two consumers below (dfreq + member artifacts) — checkpoint or
+    // each re-runs the corpus tokenize+shingle scan (the
+    // jaccardSelfJoinExact discipline)
     val distinctSh = memberShingles(df, textCol, id, shingleN)
+      .localCheckpoint(true)
     distinctSh.select(col("__mid"), explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
@@ -582,9 +585,8 @@ object Dedup {
       .localCheckpoint(true) // two writers below
     canon.select(col("__mid"), col("s"), col("ss"))
       .write.mode(mode).parquet(s"$path/shingles")
-    canon.select(col("__mid"), explode(expr(
-      s"slice(s, 1, cast(cast(size(s) as bigint) - cast(ceil(cast($threshold as double) * cast(size(s) as double)) as bigint) + 1 as int))"))
-      .as("shingle"))
+    canon.select(col("__mid"),
+        explode(expr(prefixSliceExpr(threshold))).as("shingle"))
       .write.mode(mode).parquet(s"$path/prefix")
   }
 
@@ -596,9 +598,19 @@ object Dedup {
       .join(dfreq, Seq("shingle"), "left")
       .na.fill(0L, Seq("df"))
       .groupBy(col("__mid"))
-      .agg(expr("transform(sort_array(collect_list(struct(df, shingle))), p -> p.shingle)").as("s"),
+      .agg(expr(CanonicalSortExpr).as("s"),
         expr("array_sort(collect_list(shingle))").as("ss"))
   }
+
+  /** The (df asc, shingle asc) canonical ordering and the
+    * prefix-filter slice — ONE definition each: the index's candidate
+    * generation and the build's verdict generation must use byte-
+    * identical formulas or full-rebuild equivalence silently breaks
+    * (the bandHashArray lesson, applied to the exact path). */
+  private val CanonicalSortExpr =
+    "transform(sort_array(collect_list(struct(df, shingle))), p -> p.shingle)"
+  private def prefixSliceExpr(threshold: Double): String =
+    s"slice(s, 1, cast(cast(size(s) as bigint) - cast(ceil(cast($threshold as double) * cast(size(s) as double)) as bigint) + 1 as int))"
 
   /** Fold a NEW document batch into a persisted cluster index — the
     * incremental maintenance op next to build, with FULL-REBUILD
@@ -628,15 +640,32 @@ object Dedup {
       id: String = "doc_id"): Unit = {
     import spark.implicits._
     if (batch.isEmpty) return
+    require(batch.schema(id).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"appendToClusterIndex: $id must be LongType (the driver-side " +
+        s"merge union-find is long-keyed), got ${batch.schema(id).dataType}")
+    // crash recovery: a death between the two verdict renames leaves
+    // verdicts/ missing with verdicts.old intact — restore it so the
+    // retry (and every serve read) converges instead of failing on a
+    // missing path
+    val liveDir = new java.io.File(s"$path/verdicts")
+    val oldDir = new java.io.File(s"$path/verdicts.old")
+    if (!liveDir.exists() && oldDir.exists())
+      java.nio.file.Files.move(oldDir.toPath, liveDir.toPath)
     val p = spark.read.parquet(s"$path/params").head()
     val (threshold, shingleN) = (p.getAs[Double]("threshold"), p.getAs[Int]("shingleN"))
     val verdicts = spark.read.parquet(s"$path/verdicts").localCheckpoint(true)
     // an id is the document's identity: appending one that is already
-    // indexed would split its verdict across two rows — fail loud
+    // indexed — or twice within one batch — would split its verdict
+    // across rows — fail loud on both
     val dup = batch.select(col(id))
       .join(verdicts.select(col(id)), Seq(id), "left_semi").limit(1).collect()
     require(dup.isEmpty,
       s"appendToClusterIndex($path): batch contains already-indexed $id ${dup.headOption.map(_.get(0))}")
+    val batchDup = batch.groupBy(col(id)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(batchDup.isEmpty,
+      s"appendToClusterIndex($path): batch contains duplicate $id ${batchDup.headOption.map(_.get(0))}")
 
     val batchSh = memberShingles(batch, textCol, id, shingleN)
       .localCheckpoint(true) // consumed by artifacts write + verify joins
@@ -692,7 +721,7 @@ object Dedup {
     // old label -> merged label (only where changed); batch id -> label
     val touchedLabels = crossEdges.map(_._2).distinct
     val labelRemap = touchedLabels.map(l => l -> find(l)).filter(p => p._1 != p._2)
-    val batchIds = batch.select(col(id)).collect().map(_.getLong(0))
+    val batchIds = batchSh.select(col("__mid")).collect().map(_.getLong(0))
     val batchLabel = batchIds.map(b => b -> find(b)).toMap
     val affected: Set[Long] =
       (labelRemap.map(_._2) ++ touchedLabels.map(find) ++ batchLabel.values).toSet
@@ -725,12 +754,10 @@ object Dedup {
           col("keep"))
     val tmp = new java.io.File(s"$path/verdicts.appending")
     newVerdicts.write.mode("overwrite").parquet(tmp.toString)
-    val live = new java.io.File(s"$path/verdicts")
-    val old = new java.io.File(s"$path/verdicts.old")
-    if (old.exists()) graft.TmpDirs.deleteRecursively(old)
-    java.nio.file.Files.move(live.toPath, old.toPath)
-    java.nio.file.Files.move(tmp.toPath, live.toPath)
-    graft.TmpDirs.deleteRecursively(old)
+    if (oldDir.exists()) graft.TmpDirs.deleteRecursively(oldDir)
+    java.nio.file.Files.move(liveDir.toPath, oldDir.toPath)
+    java.nio.file.Files.move(tmp.toPath, liveDir.toPath)
+    graft.TmpDirs.deleteRecursively(oldDir)
   }
 
   /** MinHash CALIBRATION audit — the tuning report an LSH dedup rollout

@@ -172,12 +172,16 @@ class MysqlBinlogSpec extends SparkTestBase {
       (4 until full.length).foreach { cut =>
         val p = Paths.get(s"$dir/cut-${if (maria) "m" else "y"}")
         Files.write(p, java.util.Arrays.copyOf(full, cut))
-        try {
-          val got = decodeIds(p.toString, maria)
-          assert(got == fullIds.take(got.size),
-            s"cut=$cut yielded non-prefix $got (maria=$maria)")
+        // fail-loud decode is always sound — but the prefix assertion
+        // must run OUTSIDE the tolerance catch, or a mis-decode
+        // (non-prefix rows) would be swallowed as if it were fail-loud
+        val got = try Some(decodeIds(p.toString, maria))
+          catch { case _: Exception => None }
+        got.foreach { ids =>
+          assert(ids == fullIds.take(ids.size),
+            s"cut=$cut yielded non-prefix $ids (maria=$maria)")
           prefixes += 1
-        } catch { case _: Exception => () } // fail-loud is always sound
+        }
       }
       assert(prefixes > 0, "at least the event-boundary cuts must decode")
     }
