@@ -458,8 +458,12 @@ object CdcFixture {
         state((1L, 101L)) = math.max(state.getOrElse((1L, 101L), 0L), seq)
       }
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
-        // rotation point mid-insert: batches 0-29 carry domain-0 seqs
-        // 1-30 at every SF, so file 0's GTID_LIST bounds are stable
+        // rotation point mid-insert at min(30, nBatches): with >= 31
+        // insert batches (sf0.01+) file 0 carries domain-0 seqs 1-30;
+        // smaller SFs never reach i==30, so the log has 2 files and
+        // file 0 tops out at nBatches. What holds at EVERY SF is
+        // pruning correctness (the g>N predicate still excludes every
+        // file-0 row), not the specific bound or the 3-file shape
         if (i == 30) rotate()
         txn(domain = 0L, server = if (i % 2 == 0) 101L else 102L,
           seq = i + 1L, tsG = i.toLong)(ts =>
@@ -533,9 +537,12 @@ object CdcFixture {
         w.xid(ts, gno)
       }
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
-        // rotation point mid-insert: batches 0-29 carry stream gnos
-        // 1-10, so file 0's tagged bounds top out at 10 at EVERY SF —
-        // cdc49's startingGtid=10 prunes it whole
+        // rotation point mid-insert at min(30, nBatches): with >= 31
+        // insert batches (sf0.01+) file 0 carries stream gnos 1-10 and
+        // cdc49's startingGtid=10 prunes it whole; smaller SFs never
+        // reach i==30 (2-file log, lower file-0 bounds). Pruning
+        // CORRECTNESS (the g>N predicate excludes every file-0 row)
+        // is what holds at every SF, not the specific bound
         if (i == 30) rotate()
         val tag = (i % 3) match {
           case 0 => None

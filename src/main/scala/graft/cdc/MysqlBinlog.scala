@@ -852,7 +852,14 @@ object MysqlBinlog {
         val c = new Cur(ev.payload)
         val seq = c.i64()
         val domain = c.u32()
-        val flags2 = if (c.remaining > 0) c.u8() else 0
+        // flags2 is mandatory (13-byte minimum body): defaulting a
+        // truncated identity event to "non-standalone" would silently
+        // open a body scope — fail loud like the other malformed
+        // identity branches (CRC verification makes this remote)
+        require(c.remaining >= 1,
+          s"MariaDB GTID event truncated: missing flags2 byte " +
+            s"(seq $seq, domain $domain)")
+        val flags2 = c.u8()
         currentGtid = seq
         currentSourceId = UTF8String.fromString(s"$domain-${ev.serverId}")
         anonymousTxn = false

@@ -543,16 +543,36 @@ object Dedup {
     * scoring are [[bestOfCluster]]'s (one CC pass). */
   def buildClusterIndex(df: DataFrame, path: String, textCol: String = "text",
       id: String = "doc_id", threshold: Double = 0.8,
-      shingleN: Int = 3): Unit = {
+      shingleN: Int = 3, nBuckets: Int = 16): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(nBuckets > 0,
+      s"buildClusterIndex: nBuckets must be positive, got $nBuckets")
+    // a rebuild clears every append-era artifact FIRST: stale per-append
+    // shingle/prefix partitions, the append journal, and crashed-swap
+    // leftovers from a previous index at this path would otherwise
+    // poison the fresh one. This is also the documented compaction
+    // point for artifact orphans left by abandoned (never-retried)
+    // appends — rebuild reclaims them wholesale.
+    val fs = IndexFs.fs(spark, path)
+    Seq("shingles", "prefix", "appends", "verdicts.old", "verdicts.appending")
+      .foreach(d => IndexFs.delete(fs, s"$path/$d"))
     val wc = Window.partitionBy(col("canon_id"))
+    // verdicts are PARTITIONED by vb = pmod(canon_id, nBuckets) so that
+    // appendToClusterIndex can rewrite only the buckets whose clusters
+    // an append touches (O(affected) per append, not O(corpus) — the
+    // 100 TB maintenance posture; at lake scale pass nBuckets in the
+    // thousands). repartition(vb) keeps file count at one per bucket
+    // per shuffle partition instead of buckets x partitions.
     bestOfCluster(df, textCol, id, threshold, shingleN)
       .withColumn("cluster_size", count(lit(1)).over(wc))
       .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
         col("keep"))
-      .write.mode("overwrite").parquet(s"$path/verdicts")
-    Seq((threshold, shingleN)).toDF("threshold", "shingleN")
+      .withColumn("vb", verdictBucket(col("canon_id"), nBuckets))
+      .repartition(col("vb"))
+      .write.mode("overwrite").partitionBy("vb").parquet(s"$path/verdicts")
+    Seq((threshold, shingleN, nBuckets))
+      .toDF("threshold", "shingleN", "nBuckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/params")
     // two consumers below (dfreq + member artifacts) — checkpoint or
     // each re-runs the corpus tokenize+shingle scan (the
@@ -562,9 +582,22 @@ object Dedup {
     distinctSh.select(col("__mid"), explode(col("sh")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/dfreq")
-    writeMemberArtifacts(spark, path, distinctSh, threshold,
-      org.apache.spark.sql.SaveMode.Overwrite)
+    writeMemberArtifacts(spark, path, BuildAppId, distinctSh, threshold)
   }
+
+  /** The build's artifact-partition id (see [[writeMemberArtifacts]]). */
+  private val BuildAppId = "build"
+
+  /** verdicts/ partition of a cluster label — ONE formula with
+    * [[bucketOf]] (Spark side / driver side): the affected-bucket set
+    * and the written partition column must agree or the per-bucket swap
+    * replaces the wrong directories. */
+  private def verdictBucket(label: Column, nBuckets: Int): Column =
+    pmod(label, lit(nBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[verdictBucket]] (pmod == floorMod). */
+  private def bucketOf(label: Long, nBuckets: Int): Int =
+    java.lang.Math.floorMod(label, nBuckets.toLong).toInt
 
   /** (__mid, sh): per-doc distinct shingle sets. */
   private def memberShingles(df: DataFrame, textCol: String, id: String,
@@ -574,20 +607,28 @@ object Dedup {
       .select(col("__mid"), array_distinct(
         TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
 
-  /** Write (or append) a member batch's `shingles/` + `prefix/`
-    * artifacts, arrays ordered by the index's FROZEN df map (shingles
-    * the map has never seen order first at df 0 — consistency, not the
-    * particular order, is what prefix-filter completeness needs). */
+  /** Write a member batch's `shingles/` + `prefix/` artifacts, arrays
+    * ordered by the index's FROZEN df map (shingles the map has never
+    * seen order first at df 0 — consistency, not the particular order,
+    * is what prefix-filter completeness needs).
+    *
+    * Each batch lands in its own `__app=<appendId>` PARTITION directory
+    * (the build under [[BuildAppId]]), written with overwrite: a
+    * RETRIED append replaces its own partition instead of appending
+    * duplicate rows forever, so crash-retry leaves the artifact dirs
+    * clean. An abandoned never-retried append leaves one orphan
+    * partition — harmless to correctness (orphans have no verdict row,
+    * and both candidate sides semi-join against live ids) and reclaimed
+    * wholesale by the next [[buildClusterIndex]] rebuild. */
   private def writeMemberArtifacts(spark: SparkSession, path: String,
-      distinctSh: DataFrame, threshold: Double,
-      mode: org.apache.spark.sql.SaveMode): Unit = {
+      appId: String, distinctSh: DataFrame, threshold: Double): Unit = {
     val canon = canonicalMemberArrays(spark, path, distinctSh)
       .localCheckpoint(true) // two writers below
     canon.select(col("__mid"), col("s"), col("ss"))
-      .write.mode(mode).parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$path/shingles/__app=$appId")
     canon.select(col("__mid"),
         explode(expr(prefixSliceExpr(threshold))).as("shingle"))
-      .write.mode(mode).parquet(s"$path/prefix")
+      .write.mode("overwrite").parquet(s"$path/prefix/__app=$appId")
   }
 
   /** (__mid, s = df-canonical array, ss = lexicographic array). */
@@ -626,15 +667,30 @@ object Dedup {
     * recompute over exactly the affected clusters.
     *
     * 100 TB posture: per-append work is O(batch + candidates + touched
-    * clusters) — the corpus is never re-paired and never re-read
-    * beyond the verdict rows of candidate-hit clusters; the merge
-    * union-find runs driver-side over the batch-bounded edge set (the
-    * llm44 incremental contract). The verdict rewrite is O(index
-    * bytes) — tiny rows — with the crash-safe rename swap; member
-    * artifacts append BEFORE the swap, so a crash leaves the OLD
-    * verdicts servable and at worst orphan artifacts a retried append
-    * re-pairs harmlessly (orphans have no verdict row, so they never
-    * surface; duplicates dedup in the candidate distinct). */
+    * clusters) — the corpus is never re-paired; corpus-wide reads are
+    * confined to COLUMN-PRUNED id/label scans (the identity audit and
+    * the candidate semi-joins), and the verdict REWRITE touches only
+    * the `vb` bucket partitions whose clusters the append affects
+    * (relabel sources, merge targets, batch labels), swapped in with a
+    * journaled per-bucket old/live rename through the Hadoop FS API
+    * (hdfs:// roots work; see [[IndexFs]] for the S3 rename caveat).
+    * The merge union-find runs driver-side over the batch-bounded edge
+    * set (the llm44 incremental contract), bounded loud by
+    * `spark.graft.dedup.appendEdgeCap`.
+    *
+    * Crash safety, single-writer by contract: member artifacts land
+    * FIRST in an idempotent per-append partition ([[writeMemberArtifacts]]);
+    * the staged buckets are journaled (`appends/<id>.intent`) before
+    * any rename, and a commit marker (`appends/<id>.committed`) after
+    * all of them. A retried append (same batch => same deterministic
+    * append id) ROLLS a crashed swap FORWARD from the journal, rolls an
+    * unjournaled staging write back, and short-circuits on the commit
+    * marker — so any crash-retry interleaving converges on exactly-once
+    * semantics (spec-pinned at every failpoint). During the swap window
+    * itself a concurrent reader can observe a bucket mid-rename; serve
+    * reads are snapshot-consistent outside that window, same contract
+    * as the previous whole-table swap but narrowed to the affected
+    * buckets. */
   def appendToClusterIndex(spark: SparkSession, path: String,
       batch: DataFrame, textCol: String = "text",
       id: String = "doc_id"): Unit = {
@@ -644,20 +700,27 @@ object Dedup {
         org.apache.spark.sql.types.LongType,
       s"appendToClusterIndex: $id must be LongType (the driver-side " +
         s"merge union-find is long-keyed), got ${batch.schema(id).dataType}")
-    // crash recovery: a death between the two verdict renames leaves
-    // verdicts/ missing with verdicts.old intact — restore it so the
-    // retry (and every serve read) converges instead of failing on a
-    // missing path
-    val liveDir = new java.io.File(s"$path/verdicts")
-    val oldDir = new java.io.File(s"$path/verdicts.old")
-    if (!liveDir.exists() && oldDir.exists())
-      java.nio.file.Files.move(oldDir.toPath, liveDir.toPath)
+    val fs = IndexFs.fs(spark, path)
+    // crash recovery FIRST: finish (or discard) whatever a previous
+    // append attempt left behind, so this attempt starts from a
+    // consistent live index
+    recoverClusterIndexAppend(fs, path)
     val p = spark.read.parquet(s"$path/params").head()
-    val (threshold, shingleN) = (p.getAs[Double]("threshold"), p.getAs[Int]("shingleN"))
-    val verdicts = spark.read.parquet(s"$path/verdicts").localCheckpoint(true)
+    val (threshold, shingleN, nBuckets) = (p.getAs[Double]("threshold"),
+      p.getAs[Int]("shingleN"), p.getAs[Int]("nBuckets"))
+    val batchSh = memberShingles(batch, textCol, id, shingleN)
+      .localCheckpoint(true) // consumed by id collect + artifacts + joins
+    val batchIds = batchSh.select(col("__mid")).collect().map(_.getLong(0))
+    // the append id is DETERMINISTIC in the batch's id set, so a retry
+    // of the same batch addresses the same journal entry and the same
+    // artifact partition
+    val appId = appendIdOf(batchIds)
+    if (IndexFs.exists(fs, s"$path/appends/$appId.committed"))
+      return // this exact batch already committed — idempotent retry
+    val verdicts = spark.read.parquet(s"$path/verdicts")
     // an id is the document's identity: appending one that is already
     // indexed — or twice within one batch — would split its verdict
-    // across rows — fail loud on both
+    // across rows — fail loud on both (a column-pruned id-only scan)
     val dup = batch.select(col(id))
       .join(verdicts.select(col(id)), Seq(id), "left_semi").limit(1).collect()
     require(dup.isEmpty,
@@ -667,11 +730,9 @@ object Dedup {
     require(batchDup.isEmpty,
       s"appendToClusterIndex($path): batch contains duplicate $id ${batchDup.headOption.map(_.get(0))}")
 
-    val batchSh = memberShingles(batch, textCol, id, shingleN)
-      .localCheckpoint(true) // consumed by artifacts write + verify joins
     // artifacts FIRST (see crash-safety note above)
-    writeMemberArtifacts(spark, path, batchSh, threshold,
-      org.apache.spark.sql.SaveMode.Append)
+    writeMemberArtifacts(spark, path, appId, batchSh, threshold)
+    maybeCrash("after-artifacts")
 
     // exact candidates: batch prefixes vs the persisted inverted index
     // (cross) and vs themselves (batch-internal)
@@ -698,13 +759,28 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")
         >= threshold)
       .select(col("bid"), col("oid"))
-    // edges to EXISTING members map to their cluster labels
+    // edges to EXISTING members map to their cluster labels. The edge
+    // set is batch-bounded by the incremental contract, but a
+    // pathological batch (every doc near-dup of many distinct clusters)
+    // could still balloon the driver collect — bound it LOUD: limit to
+    // cap+1 rows (driver memory stays bounded even when over) and fail
+    // naming the knob
+    val edgeCap = spark.conf
+      .get("spark.graft.dedup.appendEdgeCap", "4000000").toInt
     val crossEdges = verified(candsCross)
       .join(verdicts.select(col(id).as("oid"), col("canon_id")), "oid")
       .select(col("bid"), col("canon_id").as("other")).distinct()
+      .limit(edgeCap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val selfEdges = verified(candsSelf)
+      .limit(edgeCap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(crossEdges.length + selfEdges.length <= edgeCap,
+      s"appendToClusterIndex($path): verified candidate edges exceed " +
+        s"spark.graft.dedup.appendEdgeCap=$edgeCap (cross=${crossEdges.length} " +
+        s"self=${selfEdges.length}, counts capped at edgeCap+1) — the " +
+        "driver union-find is batch-bounded by contract; raise the knob " +
+        "or split the batch")
 
     // driver union-find over batch ids + touched labels (batch-bounded
     // by the incremental contract)
@@ -721,15 +797,27 @@ object Dedup {
     // old label -> merged label (only where changed); batch id -> label
     val touchedLabels = crossEdges.map(_._2).distinct
     val labelRemap = touchedLabels.map(l => l -> find(l)).filter(p => p._1 != p._2)
-    val batchIds = batchSh.select(col("__mid")).collect().map(_.getLong(0))
     val batchLabel = batchIds.map(b => b -> find(b)).toMap
     val affected: Set[Long] =
       (labelRemap.map(_._2) ++ touchedLabels.map(find) ++ batchLabel.values).toSet
 
-    // new verdict rows: relabeled old rows + scored batch rows;
-    // size/keep recompute over exactly the affected clusters
+    // the buckets this append touches: relabel SOURCES (old labels that
+    // remap away — their rows leave the bucket), plus every label in
+    // `affected` (merge targets and batch labels — their buckets gain
+    // rows or recompute size/keep). Rows in any other bucket are never
+    // read and never rewritten — the O(affected) claim, spec-pinned by
+    // byte-identity of untouched bucket files.
+    val affectedBuckets: Seq[Int] =
+      (labelRemap.map(_._1) ++ affected.toSeq)
+        .map(bucketOf(_, nBuckets)).distinct.sorted
+    // new verdict rows for the affected buckets only: relabeled old
+    // rows + scored batch rows; size/keep recompute over exactly the
+    // affected clusters (co-resident unaffected clusters pass through
+    // unchanged into the rewritten bucket)
     val remapDf = labelRemap.toSeq.toDF("canon_id", "__newLabel")
-    val oldRows = verdicts.join(broadcast(remapDf), Seq("canon_id"), "left")
+    val liveAff = verdicts
+      .filter(col("vb").isInCollection(affectedBuckets)).drop("vb")
+    val oldRows = liveAff.join(broadcast(remapDf), Seq("canon_id"), "left")
       .select(col(id), coalesce(col("__newLabel"), col("canon_id")).as("canon_id"),
         col("cluster_size"), col("score"), col("keep"))
     val tk = TextAnalysis.tokens(col(textCol))
@@ -752,12 +840,99 @@ object Dedup {
       all.filter(!col("canon_id").isInCollection(affected)).unionByName(affFixed)
         .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
           col("keep"))
-    val tmp = new java.io.File(s"$path/verdicts.appending")
-    newVerdicts.write.mode("overwrite").parquet(tmp.toString)
-    if (oldDir.exists()) graft.TmpDirs.deleteRecursively(oldDir)
-    java.nio.file.Files.move(liveDir.toPath, oldDir.toPath)
-    java.nio.file.Files.move(tmp.toPath, liveDir.toPath)
-    graft.TmpDirs.deleteRecursively(oldDir)
+        .withColumn("vb", verdictBucket(col("canon_id"), nBuckets))
+    // stage -> journal intent -> per-bucket swap -> commit marker ->
+    // cleanup; every step is re-runnable by recoverClusterIndexAppend
+    val stagingApp = s"$path/verdicts.appending/$appId"
+    newVerdicts.repartition(col("vb"))
+      .write.mode("overwrite").partitionBy("vb").parquet(stagingApp)
+    maybeCrash("after-staging")
+    // a relabel can EMPTY a bucket (all its rows moved to the merge
+    // target's bucket): staged=0 in the journal means the bucket's new
+    // state is "absent", and the swap retires the live dir without a
+    // replacement
+    val bucketFlags = affectedBuckets.map(k =>
+      (k, IndexFs.exists(fs, s"$stagingApp/vb=$k")))
+    IndexFs.writeUtf8(fs, s"$path/appends/$appId.intent",
+      bucketFlags.map { case (k, s) => s"$k ${if (s) 1 else 0}" }
+        .mkString("\n"))
+    maybeCrash("after-intent")
+    swapVerdictBuckets(fs, path, appId, bucketFlags)
+    IndexFs.writeUtf8(fs, s"$path/appends/$appId.committed", "")
+    IndexFs.delete(fs, s"$path/verdicts.old/$appId")
+    IndexFs.delete(fs, stagingApp)
+    IndexFs.delete(fs, s"$path/appends/$appId.intent")
+  }
+
+  /** Deterministic append id of a batch: a 128-bit digest of the sorted
+    * id set, so a RETRY of the same batch addresses the same journal
+    * entry, artifact partition, and staging dir. */
+  private def appendIdOf(batchIds: Array[Long]): String =
+    graft.TmpDirs.pathKey(batchIds.sorted.mkString(","))
+
+  /** Test-only failpoint: when set, [[appendToClusterIndex]] throws at
+    * the named point to simulate a crash (the recovery specs drive
+    * every window). Production code never sets it. */
+  private[graft] var appendCrashPoint: Option[String] = None
+  private def maybeCrash(point: String): Unit =
+    if (appendCrashPoint.contains(point))
+      throw new IllegalStateException(s"test crash at $point")
+
+  /** Idempotent per-bucket old/live/staged swap — re-runnable from any
+    * crash window: each bucket independently reaches (old = previous
+    * live content, live = staged content, or absent when the bucket
+    * emptied). Buckets whose staged dir is already gone were swapped by
+    * a previous attempt and are left alone. */
+  private def swapVerdictBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, appId: String, buckets: Seq[(Int, Boolean)]): Unit = {
+    IndexFs.mkdirs(fs, s"$path/verdicts.old/$appId")
+    buckets.zipWithIndex.foreach { case ((k, staged), i) =>
+      val liveP = s"$path/verdicts/vb=$k"
+      val stagedP = s"$path/verdicts.appending/$appId/vb=$k"
+      val oldP = s"$path/verdicts.old/$appId/vb=$k"
+      val stagedNow = staged && IndexFs.exists(fs, stagedP)
+      // retire the live dir iff this bucket's swap has not run yet
+      // (for a staged bucket, a missing staged dir means "already
+      // swapped in"; for an emptied bucket the retire IS the swap)
+      if (IndexFs.exists(fs, liveP) && (!staged || stagedNow)) {
+        if (IndexFs.exists(fs, oldP)) IndexFs.delete(fs, oldP)
+        IndexFs.rename(fs, liveP, oldP)
+      }
+      if (stagedNow) IndexFs.rename(fs, stagedP, liveP)
+      maybeCrash(s"after-bucket-swap-$i")
+    }
+  }
+
+  /** Crash recovery for [[appendToClusterIndex]], run at the top of
+    * every append (single-writer by contract): a journaled intent
+    * without a commit marker means the staged data was complete — ROLL
+    * FORWARD (finish the bucket swaps, write the marker); staging
+    * without an intent means the staging write died — roll back (delete
+    * it; the retry rewrites it). Leftover old/staging/intent files of
+    * committed appends are swept. */
+  private def recoverClusterIndexAppend(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val appendsDir = s"$path/appends"
+    IndexFs.listNames(fs, appendsDir).filter(_.endsWith(".intent"))
+      .foreach { f =>
+        val appId = f.stripSuffix(".intent")
+        if (!IndexFs.exists(fs, s"$appendsDir/$appId.committed")) {
+          val buckets = IndexFs.readUtf8(fs, s"$appendsDir/$f").linesIterator
+            .filter(_.nonEmpty).map { l =>
+              val parts = l.split(' ')
+              (parts(0).toInt, parts(1) == "1")
+            }.toSeq
+          swapVerdictBuckets(fs, path, appId, buckets)
+          IndexFs.writeUtf8(fs, s"$appendsDir/$appId.committed", "")
+        }
+        IndexFs.delete(fs, s"$path/verdicts.old/$appId")
+        IndexFs.delete(fs, s"$path/verdicts.appending/$appId")
+        IndexFs.delete(fs, s"$appendsDir/$f")
+      }
+    // staging dirs with no intent: the staging write crashed before the
+    // journal — discard (a retried append rewrites them from scratch)
+    IndexFs.listNames(fs, s"$path/verdicts.appending")
+      .foreach(d => IndexFs.delete(fs, s"$path/verdicts.appending/$d"))
   }
 
   /** MinHash CALIBRATION audit — the tuning report an LSH dedup rollout

@@ -411,35 +411,35 @@ object Similarity {
     * not a re-index. */
   def compactIvfIndex(spark: SparkSession, path: String,
       id: String = "vec_id"): Unit = {
-    val tombDir = new java.io.File(s"$path/tombstones")
-    if (!tombDir.exists()) return
-    val tmp = new java.io.File(s"$path/corpus.compacting") // crash leftovers overwritten
+    // all filesystem steps route through the Hadoop FS API so an
+    // hdfs:// (or file://) index root works — see IndexFs for the S3
+    // rename caveat
+    val fs = IndexFs.fs(spark, path)
+    val tombDir = s"$path/tombstones"
+    if (!IndexFs.exists(fs, tombDir)) return
+    val tmp = s"$path/corpus.compacting" // crash leftovers overwritten
     spark.read.parquet(s"$path/corpus")
-      .join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
+      .join(broadcast(spark.read.parquet(tombDir).distinct()),
         Seq(id), "left_anti")
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     // an all-rows-tombstoned compaction writes a part-file-less dir that
     // every later read would REJECT (no footers to infer a schema from)
     // — refuse and keep the servable tombstoned state instead of
     // swapping in a bricked corpus
-    val walk = java.nio.file.Files.walk(tmp.toPath)
-    val anyPart =
-      try walk.anyMatch(p => p.getFileName.toString.endsWith(".parquet"))
-      finally walk.close()
-    if (!anyPart) {
-      graft.TmpDirs.deleteRecursively(tmp)
+    if (!IndexFs.anyFile(fs, tmp)(_.endsWith(".parquet"))) {
+      IndexFs.delete(fs, tmp)
       throw new IllegalStateException(
         s"compactIvfIndex($path): every corpus row is tombstoned — the " +
           "compacted corpus would be empty and unreadable; delete the " +
           "index directory instead of compacting it away")
     }
-    val corpus = new java.io.File(s"$path/corpus")
-    val old = new java.io.File(s"$path/corpus.old")
-    if (old.exists()) graft.TmpDirs.deleteRecursively(old)
-    java.nio.file.Files.move(corpus.toPath, old.toPath)
-    java.nio.file.Files.move(tmp.toPath, corpus.toPath)
-    graft.TmpDirs.deleteRecursively(tombDir) // last: crash above never resurrects
-    graft.TmpDirs.deleteRecursively(old)
+    val corpus = s"$path/corpus"
+    val old = s"$path/corpus.old"
+    if (IndexFs.exists(fs, old)) IndexFs.delete(fs, old)
+    IndexFs.rename(fs, corpus, old)
+    IndexFs.rename(fs, tmp, corpus)
+    IndexFs.delete(fs, tombDir) // last: crash above never resurrects
+    IndexFs.delete(fs, old)
   }
 
   /** REBUILD a drifted IVF index in place: re-train the coarse
@@ -478,12 +478,13 @@ object Similarity {
       .collect().map(_.getSeq[Double](0).toArray)
     val kClusters = oldCentroids.length
     val dim = oldCentroids.head.length
-    val tombDir = new java.io.File(s"$path/tombstones")
+    val fs = IndexFs.fs(spark, path)
+    val tombDir = s"$path/tombstones"
     val stored = spark.read.parquet(s"$path/corpus").drop("cell")
     val live =
-      if (tombDir.exists())
+      if (IndexFs.exists(fs, tombDir))
         stored.join(
-          broadcast(spark.read.parquet(tombDir.toString).distinct()),
+          broadcast(spark.read.parquet(tombDir).distinct()),
           Seq(id), "left_anti")
       else stored
     // an all-rows-tombstoned rebuild has nothing to train on — refuse
@@ -493,30 +494,30 @@ object Similarity {
       s"rebuildIvfIndex($path): the live corpus is empty — the rebuilt " +
         "index would be unreadable; delete the index directory instead")
     val centroids = unitCentroids(kmeansCentroids(live, embCol, kClusters, dim = dim))
-    val tmpCentroids = new java.io.File(s"$path/centroids.rebuilding")
-    val tmpCorpus = new java.io.File(s"$path/corpus.rebuilding")
+    val tmpCentroids = s"$path/centroids.rebuilding"
+    val tmpCorpus = s"$path/corpus.rebuilding"
     centroids.zipWithIndex.toIndexedSeq
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
-      .repartition(1).write.mode("overwrite").parquet(tmpCentroids.toString)
+      .repartition(1).write.mode("overwrite").parquet(tmpCentroids)
     // the live.isEmpty refusal above guarantees this write emits part
     // files (unlike compactIvfIndex, which has no pre-check and keeps
     // its post-write emptiness walk)
     live.withColumn("cell", cellOf(centroids)(col(embCol)))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmpCorpus.toString)
-    val centroidsDir = new java.io.File(s"$path/centroids")
-    val corpusDir = new java.io.File(s"$path/corpus")
-    val oldC = new java.io.File(s"$path/centroids.old")
-    val oldK = new java.io.File(s"$path/corpus.old")
-    if (oldC.exists()) graft.TmpDirs.deleteRecursively(oldC)
-    if (oldK.exists()) graft.TmpDirs.deleteRecursively(oldK)
-    java.nio.file.Files.move(centroidsDir.toPath, oldC.toPath)
-    java.nio.file.Files.move(corpusDir.toPath, oldK.toPath)
-    java.nio.file.Files.move(tmpCentroids.toPath, centroidsDir.toPath)
-    java.nio.file.Files.move(tmpCorpus.toPath, corpusDir.toPath)
-    if (tombDir.exists()) graft.TmpDirs.deleteRecursively(tombDir)
-    graft.TmpDirs.deleteRecursively(oldC)
-    graft.TmpDirs.deleteRecursively(oldK)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpCorpus)
+    val centroidsDir = s"$path/centroids"
+    val corpusDir = s"$path/corpus"
+    val oldC = s"$path/centroids.old"
+    val oldK = s"$path/corpus.old"
+    if (IndexFs.exists(fs, oldC)) IndexFs.delete(fs, oldC)
+    if (IndexFs.exists(fs, oldK)) IndexFs.delete(fs, oldK)
+    IndexFs.rename(fs, centroidsDir, oldC)
+    IndexFs.rename(fs, corpusDir, oldK)
+    IndexFs.rename(fs, tmpCentroids, centroidsDir)
+    IndexFs.rename(fs, tmpCorpus, corpusDir)
+    if (IndexFs.exists(fs, tombDir)) IndexFs.delete(fs, tombDir)
+    IndexFs.delete(fs, oldC)
+    IndexFs.delete(fs, oldK)
   }
 
   /** Per-cell occupancy of a prebuilt IVF index — the drift monitor
@@ -537,11 +538,12 @@ object Similarity {
     val cells = spark.read.parquet(s"$path/centroids").select(col("cell"))
     val corpus = spark.read.parquet(s"$path/corpus")
     val totals = corpus.groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
-    val tombDir = new java.io.File(s"$path/tombstones")
+    val fs = IndexFs.fs(spark, path)
+    val tombDir = s"$path/tombstones"
     import spark.implicits._
     val dead =
-      if (tombDir.exists())
-        corpus.join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
+      if (IndexFs.exists(fs, tombDir))
+        corpus.join(broadcast(spark.read.parquet(tombDir).distinct()),
             Seq(id), "left_semi")
           .groupBy(col("cell")).agg(count(lit(1)).as("n_tomb"))
       else Seq.empty[(Int, Long)].toDF("cell", "n_tomb")
@@ -626,10 +628,10 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val cb0 = spark.read.parquet(s"$path/corpus")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
-    val tombDir = new java.io.File(s"$path/tombstones")
+    val tombDir = s"$path/tombstones"
     val cb =
-      if (tombDir.exists())
-        cb0.join(broadcast(spark.read.parquet(tombDir.toString).distinct()),
+      if (IndexFs.exists(IndexFs.fs(spark, path), tombDir))
+        cb0.join(broadcast(spark.read.parquet(tombDir).distinct()),
           Seq(id), "left_anti")
       else cb0
     ivfScore(cb, probes, k, embCol, id)

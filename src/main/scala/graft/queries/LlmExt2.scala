@@ -35,7 +35,7 @@ object LlmExt2 {
     * (same marker discipline as the IVF fixtures — _CLUSTERED last). */
   private[queries] def ensureClusterIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val root = graft.TmpDirs.scoped("graft-clidx-" + graft.TmpDirs.pathKey(dir))
+    val root = graft.TmpDirs.scoped("graft-clidx2-" + graft.TmpDirs.pathKey(dir))
     val marker = new java.io.File(s"$root/_CLUSTERED")
     buildOnce(root)(marker.exists()) {
       Dedup.buildClusterIndex(Tables.load(s, dir, "documents"),
@@ -51,7 +51,7 @@ object LlmExt2 {
     * Full-rebuild equivalence makes the from-scratch oracle valid. */
   private[queries] def ensureAppendedClusterIndex(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val root = graft.TmpDirs.scoped("graft-clapp-" + graft.TmpDirs.pathKey(dir))
+    val root = graft.TmpDirs.scoped("graft-clapp2-" + graft.TmpDirs.pathKey(dir))
     val marker = new java.io.File(s"$root/_APPENDED")
     buildOnce(root)(marker.exists()) {
       val docs = Tables.load(s, dir, "documents")

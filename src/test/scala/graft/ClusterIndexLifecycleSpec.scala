@@ -1,0 +1,228 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle specs for the persisted cluster index's O(affected) append
+  * and the Hadoop-FS-routed index swaps:
+  *
+  *   - an append must leave every UNTOUCHED verdict bucket's files
+  *     byte-identical (name/length/mtime) — the proof that per-append
+  *     cost is O(affected buckets), not O(corpus);
+  *   - a crash at ANY failpoint (after artifacts, after staging, after
+  *     the journal intent, mid-swap) followed by a retry of the same
+  *     batch converges to exactly the full-rebuild verdicts, with NO
+  *     duplicate artifact rows (the idempotent per-append partitions);
+  *   - a retry of an already-committed append is a silent no-op;
+  *   - the driver union-find edge collect fails loud past
+  *     spark.graft.dedup.appendEdgeCap;
+  *   - the whole lifecycle (cluster index and IVF index) works with the
+  *     index root addressed through the Hadoop FileSystem API as a
+  *     file:// URI — the local-FS stand-in for an hdfs:// root.
+  */
+class ClusterIndexLifecycleSpec extends SparkTestBase {
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  /** ~10-token docs built so that sharing the first 9 tokens puts
+    * 3-shingle Jaccard at 7/9 ≈ 0.78 (>= the 0.7 threshold) while
+    * distinct prefixes share nothing. */
+  private def doc(prefix: String, last: String): String =
+    ((0 until 9).map(i => s"$prefix$i") :+ last).mkString(" ")
+
+  private val thr = 0.7
+
+  private def readVerdicts(path: String): Set[(Long, Long, Long, Double, Boolean)] =
+    spark.read.parquet(s"$path/verdicts")
+      .select("doc_id", "canon_id", "cluster_size", "score", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+
+  /** (relative path -> (length, mtime)) for every file under dir. */
+  private def fileStamps(dir: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Map.empty
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+    finally walk.close()
+  }
+
+  test("append rewrites ONLY affected buckets: untouched bucket files byte-identical") {
+    // ten singleton clusters, labels 0..9 -> buckets 0..9 of 16; the
+    // batch doc near-dups doc 4 only, so bucket 4 is the single
+    // affected bucket and every other bucket's files must not move
+    val corpus = (0 until 10).map(i => (i.toLong, doc(s"c${i}x", s"t$i")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-bytes").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    val before = fileStamps(s"$idx/verdicts")
+    assert((0 until 10).forall(k =>
+      before.keys.exists(_.startsWith(s"vb=$k/"))), s"fixture: ${before.keys}")
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((20L, doc("c4x", "zz"))).toDF("doc_id", "text"))
+    val after = fileStamps(s"$idx/verdicts")
+    val beforeUntouched = before.filterNot(_._1.startsWith("vb=4/"))
+    val afterUntouched = after.filterNot(_._1.startsWith("vb=4/"))
+    assert(afterUntouched == beforeUntouched,
+      s"untouched buckets moved:\n before=$beforeUntouched\n after=$afterUntouched")
+    assert(after.keys.exists(_.startsWith("vb=4/")) &&
+      after.filter(_._1.startsWith("vb=4/")) != before.filter(_._1.startsWith("vb=4/")),
+      "the affected bucket must actually have been rewritten")
+    // and the verdicts equal a full rebuild
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-bytes-rb").toString
+    Dedup.buildClusterIndex(
+      corpus.union(Seq((20L, doc("c4x", "zz"))).toDF("doc_id", "text")),
+      rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    // swap bookkeeping cleaned up; the committed marker is the durable
+    // record of the appended batch
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$idx/appends")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+      .filterNot(_.startsWith(".")) // Hadoop local-FS .crc sidecars
+      .forall(_.endsWith(".committed")))
+    assert(!new java.io.File(s"$idx/verdicts.old").exists() ||
+      new java.io.File(s"$idx/verdicts.old").list().isEmpty)
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("a merge that EMPTIES a bucket retires its live dir (staged=0 path)") {
+    // cluster {100, 101} (label 100 -> bucket 4 of 16 after append is
+    // MERGED under batch id 3 -> bucket 3); fillers keep other buckets
+    // occupied. Bucket 4 must end absent, bucket 3 holds the merged
+    // cluster, and the result equals a full rebuild.
+    val corpus = Seq(
+      (100L, doc("ax", "t0")), (101L, doc("ax", "t1")),
+      (16L, doc("f0x", "u0")), (17L, doc("f1x", "u1")), (18L, doc("f2x", "u2")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-empty").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    assert(new java.io.File(s"$idx/verdicts/vb=4").exists())
+    val batch = Seq((3L, doc("ax", "t2"))).toDF("doc_id", "text")
+    Dedup.appendToClusterIndex(spark, idx, batch)
+    assert(!new java.io.File(s"$idx/verdicts/vb=4").exists(),
+      "emptied bucket dir must be retired")
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-empty-rb").toString
+    Dedup.buildClusterIndex(corpus.union(batch), rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    val labels = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(labels(100L) == 3L && labels(101L) == 3L && labels(3L) == 3L)
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("crash at every failpoint, then retry: converges to the rebuild, no duplicate artifacts") {
+    val corpus = Seq(
+      (100L, doc("ax", "t0")), (101L, doc("ax", "t1")),
+      (7L, doc("bx", "u0")), (8L, doc("cx", "v0")))
+      .toDF("doc_id", "text")
+    // the batch bridges nothing but joins cluster {100,101} AND brings
+    // a batch-internal pair — exercises cross and self edges
+    val batch = Seq(
+      (200L, doc("ax", "t2")),
+      (201L, doc("dx", "w0")), (202L, doc("dx", "w1")))
+      .toDF("doc_id", "text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-crash-rb").toString
+    Dedup.buildClusterIndex(corpus.union(batch), rebuilt, threshold = thr)
+    val want = readVerdicts(rebuilt)
+    Seq("after-artifacts", "after-staging", "after-intent",
+      "after-bucket-swap-0").foreach { point =>
+      val idx = java.nio.file.Files.createTempDirectory(s"clidx-crash").toString
+      Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+      Dedup.appendCrashPoint = Some(point)
+      try {
+        val ex = intercept[IllegalStateException] {
+          Dedup.appendToClusterIndex(spark, idx, batch)
+        }
+        assert(ex.getMessage.contains(point), ex.getMessage)
+      } finally Dedup.appendCrashPoint = None
+      // retry of the SAME batch converges
+      Dedup.appendToClusterIndex(spark, idx, batch)
+      assert(readVerdicts(idx) == want, s"failpoint $point diverged")
+      // idempotent artifacts: exactly one shingle row per doc id
+      val shCounts = spark.read.parquet(s"$idx/shingles")
+        .groupBy($"__mid").count().filter($"count" > 1).collect()
+      assert(shCounts.isEmpty,
+        s"failpoint $point left duplicate artifact rows: ${shCounts.toSeq}")
+      // a FURTHER retry of the committed batch is a silent no-op
+      Dedup.appendToClusterIndex(spark, idx, batch)
+      assert(readVerdicts(idx) == want)
+      graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+    }
+    graft.TmpDirs.deleteRecursively(new java.io.File(rebuilt))
+  }
+
+  test("driver union-find edge collect fails loud past spark.graft.dedup.appendEdgeCap") {
+    val corpus = Seq((1L, doc("ax", "t0")), (2L, doc("bx", "u0")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-cap").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    // two cross edges (one per corpus cluster) against a cap of 1
+    val batch = Seq((11L, doc("ax", "t0")), (12L, doc("bx", "u0")))
+      .toDF("doc_id", "text")
+    withSQLConf("spark.graft.dedup.appendEdgeCap" -> "1") {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.appendToClusterIndex(spark, idx, batch)
+      }
+      assert(ex.getMessage.contains("spark.graft.dedup.appendEdgeCap"),
+        ex.getMessage)
+    }
+    // with the default cap the same batch lands fine (the failed
+    // attempt's artifacts were idempotently overwritten on retry)
+    Dedup.appendToClusterIndex(spark, idx, batch)
+    val labels = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(labels(11L) == 1L && labels(12L) == 2L)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
+  test("cluster-index lifecycle through a file:// URI root (Hadoop FS path)") {
+    val local = java.nio.file.Files.createTempDirectory("clidx-uri").toString
+    val idx = s"file://$local"
+    val corpus = Seq(
+      (100L, doc("ax", "t0")), (101L, doc("ax", "t1")), (7L, doc("bx", "u0")))
+      .toDF("doc_id", "text")
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((200L, doc("ax", "t2"))).toDF("doc_id", "text"))
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-uri-rb").toString
+    Dedup.buildClusterIndex(
+      corpus.union(Seq((200L, doc("ax", "t2"))).toDF("doc_id", "text")),
+      rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    Seq(local, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("IVF delete/compact/rebuild through a file:// URI root (Hadoop FS path)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = java.nio.file.Files.createTempDirectory("ivf-uri").toString
+    val idx = s"file://$local"
+    Similarity.buildIvfIndex(emb, idx, kClusters = 8)
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 11 === 5).select($"vec_id"))
+    Similarity.compactIvfIndex(spark, idx)
+    val afterCompact = spark.read.parquet(s"$idx/corpus").count()
+    val expected = emb.filter(!($"vec_id" % 11 === 5)).count()
+    assert(afterCompact == expected)
+    assert(!new java.io.File(s"$local/tombstones").exists())
+    Similarity.deleteFromIvfIndex(spark, idx,
+      emb.filter($"vec_id" % 13 === 2).select($"vec_id"))
+    Similarity.rebuildIvfIndex(spark, idx)
+    val afterRebuild = spark.read.parquet(s"$idx/corpus").count()
+    assert(afterRebuild ==
+      emb.filter(!($"vec_id" % 11 === 5) && !($"vec_id" % 13 === 2)).count())
+    assert(!new java.io.File(s"$local/tombstones").exists())
+    // serve still answers through the URI root
+    val res = Similarity.ivfTopKFromIndex(spark, idx,
+      emb.filter($"vec_id" % 100 === 0), k = 3, nProbe = 2)
+    assert(res.count() > 0)
+    graft.TmpDirs.deleteRecursively(new java.io.File(local))
+  }
+}
