@@ -198,6 +198,81 @@ object ExprHelpers {
     new GenericArrayData(out)
   }
 
+  /** RESIDUAL PQ codes — the eval kernel of `PqCodesResidual`: encode
+    * (x − centroid(cell)) against residual-trained codebooks, the
+    * standard FAISS IVFPQ form. Residuals to the assigned coarse
+    * centroid carry far less variance than raw vectors, so the same
+    * m/ksub bit budget quantizes finer; same (norm² − 2·dot, code)
+    * argmin and tie order as [[pqEncodeCodes]]. */
+  def pqEncodeCodesResidual(q: ArrayData, cell: Int,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      norms: Array[Array[Double]], dsub: Int): ArrayData = {
+    val cent = centroids(cell)
+    val m = books.length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      val avail =
+        math.max(0, math.min(q.numElements(), cent.length) - base)
+      var bestC = 0
+      var bestD = 0.0
+      var c = 0
+      while (c < books(j).length) {
+        val cw = books(j)(c)
+        val n = math.min(math.min(dsub, avail), cw.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += (q.getFloat(base + i).toDouble - cent(base + i)) * cw(i)
+          i += 1
+        }
+        val d = norms(j)(c) - 2.0 * dot
+        if (c == 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; bestC = c // ties keep the earlier (smaller) code
+        }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** dot(vector, centroids[cell]) — the eval kernel of `CentroidDot`
+    * (the residual-IVFPQ ADC bias term). */
+  def centroidDot(q: ArrayData, cell: Int,
+      centroids: Array[Array[Double]]): Double = {
+    val cent = centroids(cell)
+    val n = math.min(q.numElements(), cent.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += q.getFloat(i).toDouble * cent(i); i += 1 }
+    dot
+  }
+
+  /** Driver-side nearest-cell argmax over a plain float vector — the
+    * training-time twin of [[nearestCells]] (same −2·dot ordering and
+    * smaller-cell tie-break), used to form residual training samples;
+    * the two MUST agree or codebooks train on residuals to a different
+    * cell than the one encoding assigns. */
+  def nearestCellIdx(v: Array[Float], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(v.length, cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v(i).toDouble * cent(i); i += 1 }
+      val d = -2.0 * dot
+      if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Per-query ADC lookup table lut[j][c] = dot(query subvector j,
     * codeword c) — the eval kernel of `PqLut`; dot semantics identical
     * to the sliced DotProduct form it replaced. */

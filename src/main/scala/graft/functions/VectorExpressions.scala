@@ -257,6 +257,64 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** RESIDUAL PQ codes of a float vector against PLAN-TIME codebooks and
+  * coarse centroids (see ExprHelpers.pqEncodeCodesResidual): encodes
+  * (x − centroid(cell)), the standard FAISS IVFPQ form — residuals to
+  * the assigned cell carry far less variance than raw vectors, so the
+  * same code budget quantizes finer and the composed index reaches the
+  * same recall at lower nProbe/rerank. Matrices ride along as codegen
+  * reference objects (the NearestCells plan-cost discipline). */
+case class PqCodesResidual(emb: Expression, cell: Expression,
+    centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+    dsub: Int) extends BinaryExpression {
+  override def left: Expression = emb
+  override def right: Expression = cell
+  // ||c||² per residual codeword, precomputed once (same left-fold sum
+  // as PqCodes)
+  private lazy val norms: Array[Array[Double]] =
+    books.map(_.map(_.map(x => x * x).sum))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    ExprHelpers.pqEncodeCodesResidual(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int], centroids, books, norms, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val b = ctx.addReferenceObj("books", books, "double[][][]")
+    val n = ctx.addReferenceObj("norms", norms, "double[][]")
+    defineCodeGen(ctx, ev, (a, c) =>
+      s"graft.functions.ExprHelpers.pqEncodeCodesResidual($a, $c, $cents, $b, $n, $dsub)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(emb = l, cell = r)
+}
+
+/** dot(vector, centroids[cell]) against a PLAN-TIME centroid matrix —
+  * the residual-IVFPQ per-(query, cell) ADC bias term as ONE narrow
+  * expression instead of a join against a centroid table (with tiny
+  * probe frames the extra join stage costs more than the arithmetic). */
+case class CentroidDot(emb: Expression, cell: Expression,
+    centroids: Array[Array[Double]]) extends BinaryExpression {
+  override def left: Expression = emb
+  override def right: Expression = cell
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    ExprHelpers.centroidDot(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[Int], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, (a, c) =>
+      s"graft.functions.ExprHelpers.centroidDot($a, $c, $cents)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(emb = l, cell = r)
+}
+
 /** Per-query ADC lookup table against PLAN-TIME codebooks (see
   * ExprHelpers.pqQueryLut) — replaces m×ksub sliced-dot literal
   * expressions with one compiled loop; values unchanged. */
@@ -320,6 +378,13 @@ object VectorFunctions {
     column(ArgmaxCosineSeed(expr(q), seedIds, seedEmbs))
   def pq_codes(q: Column, books: Array[Array[Array[Double]]], dsub: Int): Column =
     column(PqCodes(expr(q), books, dsub))
+  def pq_codes_residual(q: Column, cell: Column,
+      centroids: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      dsub: Int): Column =
+    column(PqCodesResidual(expr(q), expr(cell), centroids, books, dsub))
+  def centroid_dot(q: Column, cell: Column,
+      centroids: Array[Array[Double]]): Column =
+    column(CentroidDot(expr(q), expr(cell), centroids))
   def pq_lut(q: Column, books: Array[Array[Array[Double]]], dsub: Int): Column =
     column(PqLut(expr(q), books, dsub))
 

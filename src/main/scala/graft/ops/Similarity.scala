@@ -695,7 +695,17 @@ object Similarity {
     * per-query cost is (corpus/kClusters)·nProbe ADC lookups instead of
     * a full-corpus float scan; exact re-rank touches only the final
     * shortlist. The index a 100 TB vector lake actually ships: cells
-    * partition the corpus, codes make each cell cache-resident. */
+    * partition the corpus, codes make each cell cache-resident.
+    *
+    * RESIDUAL encoding (the standard FAISS IVFPQ form): codes quantize
+    * (x − centroid(cell)), not x — residuals to the assigned coarse
+    * centroid carry far less variance than raw vectors, so the same
+    * m/ksub bit budget reconstructs finer and the composed index hits
+    * the same recall at lower nProbe/rerank than raw-vector PQ. ADC
+    * then scores dot(q, x) ≈ dot(q, centroid(cell)) + Σ_j lut[j][code_j]
+    * — the per-(query, cell) BIAS term rides the probe rows (nProbe of
+    * them per query, computed once against the kClusters-row centroid
+    * table), and the lut is raw-query dots against residual codewords. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       kClusters: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
       rerank: Int = 4,
@@ -704,16 +714,28 @@ object Similarity {
     // subspace codebooks) — not one distributed sweep each
     val sample = trainSample(corpus, embCol, seed = 42L, maxTrain = 100000)
     val centroids = unitCentroids(lloyd(sample, kClusters, iters = 3, dim))
-    val books = booksFromSample(sample, m, ksub, dim, iters = 3)
-    val encoded = pqEncode(corpus, books, dim / m, embCol, id)
+    // codebooks train on residuals to the SAME assignment the encoder
+    // uses (nearestCellIdx is the driver twin of NearestCells)
+    val residuals = sample.map { v =>
+      val cent = centroids(
+        graft.functions.ExprHelpers.nearestCellIdx(v, centroids))
+      Array.tabulate(v.length)(i => (v(i) - cent(i)).toFloat)
+    }
+    val books = booksFromSample(residuals, m, ksub, dim, iters = 3)
+    val encoded = corpus.select(col(id), col(embCol))
       .withColumn("cell", cellOf(centroids)(col(embCol)))
+      .withColumn("codes",
+        pq_codes_residual(col(embCol), col("cell"), centroids, books, dim / m))
+      .withColumn("norm",
+        sqrt(dot_product(col(embCol), col(embCol).cast("array<double>"))))
       .drop(embCol)
     val probes = pqQueryLut(queries, books, dim / m, embCol, id, keepEmb = true)
       .withColumn("cell", explode(nearest_cells(col("q_emb"), centroids, nProbe)))
+      .withColumn("bias", centroid_dot(col("q_emb"), col("cell"), centroids))
       .drop("q_emb")
     val scored = encoded.join(broadcast(probes), "cell")
       .filter(col(id) =!= col("query_id"))
-      .withColumn("adc_sim", adcSim(m))
+      .withColumn("adc_sim", adcSim(m, bias = Some(col("bias"))))
     pqRerank(scored, corpus, queries, k, rerank, embCol, id)
   }
 
@@ -741,12 +763,16 @@ object Similarity {
     if (keepEmb) withLut else withLut.drop("q_emb")
   }
 
-  /** ADC score ≈ cosine: Σ_j lut[j][code_j] / ||candidate|| (query norm
-    * is per-query constant, so dropping it leaves rankings intact). */
-  private def adcSim(m: Int): org.apache.spark.sql.Column = {
-    val adc = (0 until m).map(j =>
+  /** ADC score ≈ cosine: (bias + Σ_j lut[j][code_j]) / ||candidate||
+    * (query norm is per-query constant, so dropping it leaves rankings
+    * intact). `bias` carries the residual form's per-(query, cell)
+    * dot(q, centroid) term; None for raw-vector PQ. */
+  private def adcSim(m: Int,
+      bias: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.Column = {
+    val lutSum = (0 until m).map(j =>
       element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
+    val adc = bias.fold(lutSum)(_ + lutSum)
     when(col("norm") === 0.0, lit(0.0)).otherwise(adc / col("norm"))
   }
 

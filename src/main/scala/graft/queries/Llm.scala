@@ -762,12 +762,16 @@ object Llm {
 
     // IVF-PQ: coarse cells prune candidates AND candidates score in the
     // compressed domain — the composed index a production vector lake
-    // ships (recall pinned in LlmOpsSpec)
+    // ships (recall pinned in LlmOpsSpec). RESIDUAL encoding + a finer
+    // coarse quantizer (32 cells, 20 probed — the same 0.625 scanned
+    // fraction as the previous 10-of-16) lift sf0.1 recall 0.825 → 0.913
+    // at equal cost; the IvfPqSweep grid shows every cheaper config
+    // (fewer probes / smaller ksub / smaller rerank) missing the 0.8 bar
     QDef("llm42_knn_ivfpq", annGateOracle(10)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 50 === 0)
-      annGate(Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16,
-        nProbe = 10, m = 16, ksub = 64, rerank = 16), emb, k = 10,
+      annGate(Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 32,
+        nProbe = 20, m = 16, ksub = 64, rerank = 16), emb, k = 10,
         minMatches = 4)
     },
 

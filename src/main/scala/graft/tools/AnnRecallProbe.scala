@@ -41,8 +41,8 @@ object AnnRecallProbe {
       "ivf" -> Similarity.ivfTopK(emb, queries, k = k, kClusters = 16, nProbe = 10),
       "pq" -> Similarity.pqTopK(emb, queries, k = k, m = 16, ksub = 16,
         rerank = 16),
-      "ivfpq" -> Similarity.ivfPqTopK(emb, queries, k = k, kClusters = 16,
-        nProbe = 10, m = 16, ksub = 64, rerank = 16))
+      "ivfpq" -> Similarity.ivfPqTopK(emb, queries, k = k, kClusters = 32,
+        nProbe = 20, m = 16, ksub = 64, rerank = 16))
     variants.foreach { case (name, ann) =>
       // left join FROM the checked queries: a query with zero ANN
       // matches must report 0, not vanish from the min (an inner join

