@@ -148,7 +148,10 @@ object Cdc {
         .load()
       val q = stream.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        graft.tools.StreamPlanAudit.record("cdc08", q)
+      } finally q.stop()
       s.table(name)
     }
   )

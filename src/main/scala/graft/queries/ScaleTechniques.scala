@@ -190,7 +190,10 @@ object ScaleTechniques {
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        graft.tools.StreamPlanAudit.record("str04", q)
+      } finally q.stop()
       s.table(name)
     }
   )

@@ -31,7 +31,12 @@ object Streaming {
         math.min(prev.toInt, statePartitions).toString)
       df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      // executed-plan capture for PlanLint's streaming audit (keyed by
+      // the strNN/cdcNN prefix; must happen before stop)
+      graft.tools.StreamPlanAudit.record(name.split("_").head, q)
+    } finally q.stop()
     spark.table(name)
   }
 
@@ -100,7 +105,10 @@ object Streaming {
           batch.write.mode(if (batchId == 0) "overwrite" else "append").parquet(out)
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        graft.tools.StreamPlanAudit.record("str07", q)
+      } finally q.stop()
       s.read.parquet(out).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     },
 

@@ -7,10 +7,15 @@ import org.apache.spark.sql.SparkSession
   *
   * `runMain graft.tools.PlanLint [sfDir] [nameFilter]`
   *
-  * For every SparkEntry query (batch only — streaming frames cannot be
-  * planned without a sink), builds the DataFrame against `sfDir`
+  * For every SparkEntry query, builds the DataFrame against `sfDir`
   * (default sf0.001) and greps the PHYSICAL plan for the anti-patterns
-  * that do not survive scale:
+  * that do not survive scale. The STREAMING surface is audited too:
+  * building a streaming QDef drains its query into a memory sink, which
+  * records the last micro-batch's EXECUTED plan in [[StreamPlanAudit]]
+  * — that plan (state stores, stream-stream joins, their exchanges) is
+  * linted under the `<name>@stream` allowlist key next to the batch
+  * plan (which for those queries is just the memory-sink scan).
+  * Anti-patterns:
   *
   *   - CartesianProduct        — unbounded pair blowup
   *   - BroadcastNestedLoopJoin — O(n*m) compare without an equi-key
@@ -143,6 +148,51 @@ object PlanLint {
     graft.GraftExtensions.register(spark)
     var bad = 0
     var checked = 0
+    var streamChecked = 0
+
+    /** Lint one rendered physical plan under the allowlist key
+      * `auditName` (batch queries by name; streaming micro-batch plans
+      * as `<name>@stream` so batch and stream audits never mask each
+      * other). Returns the offender count. */
+    def lintPlan(auditName: String, plan: String): Int = {
+      var b = 0
+      Patterns.foreach { p =>
+        val n = countOccurrences(plan, p)
+        if (n > 0) {
+          Allow.get((auditName, p)) match {
+            case Some((why, allowed)) if n <= allowed =>
+              println(s"ALLOW $auditName: $p x$n ($why)")
+            case Some((why, allowed)) =>
+              b += 1
+              println(s"FAIL  $auditName: $p x$n exceeds audited " +
+                s"x$allowed (allowlisted for: $why); occurrences: " +
+                matchLines(plan, p).mkString(" | "))
+            case None =>
+              b += 1
+              println(s"FAIL  $auditName: $p x$n; occurrences: " +
+                matchLines(plan, p).mkString(" | "))
+          }
+        }
+      }
+      val spOff = singlePartitionOffenses(plan)
+      if (spOff.nonEmpty) {
+        Allow.get((auditName, "SinglePartition")) match {
+          case Some((why, allowed)) if spOff.length <= allowed =>
+            println(s"ALLOW $auditName: SinglePartition x${spOff.length} ($why)")
+          case Some((why, allowed)) =>
+            b += 1
+            println(s"FAIL  $auditName: SinglePartition x${spOff.length} " +
+              s"exceeds audited x$allowed (allowlisted for: " +
+              s"$why); over ${spOff.mkString("; ")}")
+          case None =>
+            b += 1
+            spOff.foreach(frag => println(
+              s"FAIL  $auditName: Exchange SinglePartition over $frag"))
+        }
+      }
+      b
+    }
+
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(n.contains))
     names.foreach { name =>
@@ -150,40 +200,15 @@ object PlanLint {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         if (!df.isStreaming) {
           checked += 1
-          val plan = df.queryExecution.executedPlan.toString
-          Patterns.foreach { p =>
-            val n = countOccurrences(plan, p)
-            if (n > 0) {
-              Allow.get((name, p)) match {
-                case Some((why, allowed)) if n <= allowed =>
-                  println(s"ALLOW $name: $p x$n ($why)")
-                case Some((why, allowed)) =>
-                  bad += 1
-                  println(s"FAIL  $name: $p x$n exceeds audited " +
-                    s"x$allowed (allowlisted for: $why); occurrences: " +
-                    matchLines(plan, p).mkString(" | "))
-                case None =>
-                  bad += 1
-                  println(s"FAIL  $name: $p x$n; occurrences: " +
-                    matchLines(plan, p).mkString(" | "))
-              }
-            }
-          }
-          val spOff = singlePartitionOffenses(plan)
-          if (spOff.nonEmpty) {
-            Allow.get((name, "SinglePartition")) match {
-              case Some((why, allowed)) if spOff.length <= allowed =>
-                println(s"ALLOW $name: SinglePartition x${spOff.length} ($why)")
-              case Some((why, allowed)) =>
-                bad += 1
-                println(s"FAIL  $name: SinglePartition x${spOff.length} " +
-                  s"exceeds audited x$allowed (allowlisted for: " +
-                  s"$why); over ${spOff.mkString("; ")}")
-              case None =>
-                bad += 1
-                spOff.foreach(frag => println(
-                  s"FAIL  $name: Exchange SinglePartition over $frag"))
-            }
+          bad += lintPlan(name, df.queryExecution.executedPlan.toString)
+          // the streaming QDefs drain their query into a memory sink
+          // while BUILDING the df above, recording the last micro-batch's
+          // EXECUTED plan (state stores, stream joins, exchanges) under
+          // the query-name prefix — the plan the batch-side audit can't
+          // see (it gets the memory scan). Lint it as its own surface.
+          StreamPlanAudit.get(name.split("_").head).foreach { sp =>
+            streamChecked += 1
+            bad += lintPlan(s"$name@stream", sp)
           }
         } else println(s"SKIP  $name: streaming")
       } catch {
@@ -194,7 +219,8 @@ object PlanLint {
             s"${Option(e.getMessage).getOrElse("").take(120)}")
       }
     }
-    println(s"plan-lint: $checked batch plans checked, $bad offenders")
+    println(s"plan-lint: $checked batch plans + $streamChecked streaming " +
+      s"micro-batch plans checked, $bad offenders")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

@@ -401,6 +401,62 @@ object ScaleSmoke {
           f"iteration counts above carry the claim")
     }
 
+    // The llm24/llm66/llm68 PIPELINE (exact-jaccard prefix-filter
+    // candidates -> star-contraction CC with per-round checkpoints) at
+    // 1x and 10x the sf0.1 documents corpus (5k docs): pins the ROUND
+    // COUNT so a diameter blowup or a broken convergence test surfaces
+    // as a number instead of a timeout, and records wall per scale.
+    // Corpus mirrors a crawl's near-dup shape: triples (each member
+    // differs in the final token — exact shingle-jaccard 21/23 >= 0.8)
+    // plus 100 32-doc sliding-window chains (consecutive docs share 23
+    // of 24 tokens; j~j+1 and j~j+2 edges, diameter ~16 — the
+    // adversarial tail star contraction exists for).
+    timed("ccPipeline(1x vs 10x sf0.1 documents)") {
+      val nChainDocs = 3200L // 100 chains x 32
+      def ccCorpus(nDocs: Long): (org.apache.spark.sql.DataFrame, Long) = {
+        val nTriple = (nDocs - nChainDocs) / 3 * 3
+        val triples = spark.range(nTriple).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 23).map(j => concat(lit("w"),
+              ((col("id") - col("id") % 3) * 31L + j) * 2654435761L % 1048573L))
+            :+ when(col("id") % 3 === 0, lit("base"))
+                .otherwise(concat(lit("m"), col("id") % 3)): _*).as("text"))
+        val chains = spark.range(nChainDocs)
+          .select((col("id") + nTriple).as("doc_id"),
+            concat_ws(" ", (0 until 24).map(j =>
+              concat(lit("c"), col("id") / 32L, lit("_"),
+                col("id") % 32L + j)): _*).as("text"))
+        (triples.union(chains), nTriple)
+      }
+      def run(nDocs: Long): (Int, Double) = {
+        val (docs, nTriple) = ccCorpus(nDocs)
+        val t0 = System.nanoTime()
+        val edges = graft.ops.Dedup.jaccardSelfJoinExact(
+          docs, "text", "doc_id", 0.8, 3)
+        val (labels, iters) = graft.ops.Dedup.connectedComponentsStars(
+          edges, "id_a", "id_b", maxIters = 60)
+        val bad = labels.filter(
+          when(col("id") < nTriple, col("label") =!= col("id") - col("id") % 3)
+            .otherwise(col("label") =!=
+              (col("id") - (col("id") - nTriple) % 32L))).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        assert(bad == 0L, s"ccPipeline($nDocs): $bad mislabeled docs")
+        (iters, dt)
+      }
+      val (itersBase, wallBase) = run(5000L)
+      val (iters10x, wall10x) = run(50000L)
+      println(f"SCALE ccPipeline: 1x (5k docs) $itersBase rounds " +
+        f"$wallBase%.1f s; 10x (50k docs) $iters10x rounds $wall10x%.1f s")
+      // the regression pin: 10x must not add more than one contraction
+      // round over 1x (same cluster shape, same diameter — rounds are a
+      // property of structure, not size; a blowup means a convergence
+      // or checkpoint regression)
+      assert(iters10x <= itersBase + 1,
+        s"ccPipeline rounds grew past 1x+1 at 10x: $itersBase -> $iters10x")
+      assert(iters10x <= 15,
+        s"star contraction must stay O(log d): $iters10x rounds")
+    }
+
     // CDC decode throughput: a synthetic 8-file log scanned end-to-end
     // through the DSv2 source with full row decode (sum(id) defeats the
     // sidecar aggregate pushdown on purpose — this measures the decoder,

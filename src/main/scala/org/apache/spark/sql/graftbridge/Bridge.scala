@@ -27,6 +27,19 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 
+  /** The LAST micro-batch's executed physical plan of a streaming
+    * query, rendered — the streaming face of `df.queryExecution
+    * .executedPlan` (PlanLint audits it for scale anti-patterns; the
+    * public API exposes `explain()` only as a side-effecting print).
+    * None before the first batch or for non-classic query handles. */
+  def lastStreamingPlan(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.lastExecution).map(_.executedPlan.toString)
+      case _ => None
+    }
+
   /** Idempotently register an extra planner strategy on a live session
     * (the public `experimental` hook; `SparkSessionExtensions` covers the
     * build-time path — see graft.GraftExtensions). */
