@@ -67,6 +67,7 @@ object CdcFixture {
   private val cacheMyTg = mutable.Map.empty[String, String]
   private val cacheMyPj = mutable.Map.empty[String, String]
   private val cacheMaria = mutable.Map.empty[String, String]
+  private val cacheMariaZ = mutable.Map.empty[String, String]
   private val cacheMyNb = mutable.Map.empty[String, String]
   private val cacheMyDr = mutable.Map.empty[String, String]
 
@@ -414,11 +415,20 @@ object CdcFixture {
     ensureLog(cacheMaria, "graft-cdcmaria", sfDir)(
       generateMaria(spark, sfDir, _))
 
+  /** The SAME MariaDB storyline with `log_bin_compress=ON` bodies:
+    * every rows event ships as its compressed variant (166-168, V1
+    * post-header plain + one zlib record) and the DDL statements as
+    * compressed QUERY (165) — so cdc52 shares cdc50's oracle verbatim
+    * and any divergence is the compression layer's fault alone. */
+  def ensureMariaCompressed(spark: SparkSession, sfDir: String): String =
+    ensureLog(cacheMariaZ, "graft-cdcmariaz", sfDir)(
+      generateMaria(spark, sfDir, _, compress = true))
+
   val MariaTable = "morders"
   val MariaTableId = 37L
 
   private def generateMaria(spark: SparkSession, sfDir: String,
-      outDir: String): Unit = {
+      outDir: String, compress: Boolean = false): Unit = {
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
       .selectExpr("o_orderkey", "CAST(o_orderkey % 1000 AS BIGINT) AS val")
     val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
@@ -454,7 +464,8 @@ object CdcFixture {
         val ts = BaseMs + (50000L + seq) * 1000L
         w.currentServerId = 101L
         w.gtidMaria(ts, seq, domain = 1L, standalone = true)
-        w.query(ts, Db, s"ALTER TABLE $MariaTable COMMENT 'epoch $seq'")
+        val sql = s"ALTER TABLE $MariaTable COMMENT 'epoch $seq'"
+        if (compress) w.queryCompressed(ts, Db, sql) else w.query(ts, Db, sql)
         state((1L, 101L)) = math.max(state.getOrElse((1L, 101L), 0L), seq)
       }
       rows.grouped(100).zipWithIndex.foreach { case (batch, i) =>
@@ -467,30 +478,37 @@ object CdcFixture {
         if (i == 30) rotate()
         txn(domain = 0L, server = if (i % 2 == 0) 101L else 102L,
           seq = i + 1L, tsG = i.toLong)(ts =>
-          w.writeRows(ts, MariaTableId, schema, batch.toSeq))
+          if (compress) w.writeRowsCompressed(ts, MariaTableId, schema, batch.toSeq)
+          else w.writeRows(ts, MariaTableId, schema, batch.toSeq))
         if (i % 20 == 19) ddl(i / 20 + 1L) // standalone DDL, own domain
       }
       rotate() // update + delete phases in their own file
       val upd = rows.filter(_(0).asInstanceOf[Long] % 3 == 0)
       upd.grouped(100).zipWithIndex.foreach { case (batch, b) =>
         val g = 100000L + b
-        txn(domain = 0L, server = 102L, seq = g, tsG = g)(ts =>
-          w.updateRows(ts, MariaTableId, schema, batch.toSeq.map { r =>
+        txn(domain = 0L, server = 102L, seq = g, tsG = g) { ts =>
+          val pairs = batch.toSeq.map { r =>
             val after = r.clone()
             after(1) = r(1).asInstanceOf[Long] + 1000L
             (r, after)
-          }))
+          }
+          if (compress) w.updateRowsCompressed(ts, MariaTableId, schema, pairs)
+          else w.updateRows(ts, MariaTableId, schema, pairs)
+        }
       }
       val del = rows.filter(_(0).asInstanceOf[Long] % 7 == 0)
       del.grouped(100).zipWithIndex.foreach { case (batch, d) =>
         val g = 200000L + d
-        txn(domain = 0L, server = 101L, seq = g, tsG = g)(ts =>
-          w.deleteRows(ts, MariaTableId, schema, batch.toSeq.map { r =>
+        txn(domain = 0L, server = 101L, seq = g, tsG = g) { ts =>
+          val imgs = batch.toSeq.map { r =>
             val img = r.clone()
             val k = r(0).asInstanceOf[Long]
             if (k % 3 == 0) img(1) = r(1).asInstanceOf[Long] + 1000L
             img
-          }))
+          }
+          if (compress) w.deleteRowsCompressed(ts, MariaTableId, schema, imgs)
+          else w.deleteRows(ts, MariaTableId, schema, imgs)
+        }
       }
     } finally if (w != null) w.close()
     Files.writeString(Paths.get(outDir, "binlog.index"),

@@ -104,12 +104,11 @@ object MysqlBinlog {
     val MariaGtid = 0xa2.toByte             // 162: seq_no u64, domain u32, flags2 u8
     val MariaGtidList = 0xa3.toByte         // 163: binlog state at file start
     val MariaStartEncryption = 0xa4.toByte  // 164: ciphertext follows
-    // log_bin_compress=ON (MariaDB 10.2+): per-event zlib compression.
+    // log_bin_compress=ON (MariaDB 10.2+): per-event zlib compression,
+    // DECODED since round 13 ([[inflateMariaRecord]] — golden bytes in
+    // MariaCompressedSpec, oracle cdc52). The V1 post-header (table id)
+    // stays uncompressed, so non-target tables never pay inflation.
     val MariaQueryCompressed = 0xa5.toByte      // 165: compressed QUERY
-    // The post-header (table id) stays uncompressed, so target-ness is
-    // decidable; the body layout is NOT decoded here — fail loud for
-    // the target table, skip others (same policy as pre-5.6 v1 rows
-    // events on the MySQL side).
     val MariaWriteRowsCompressed = 0xa6.toByte  // 166
     val MariaUpdateRowsCompressed = 0xa7.toByte // 167
     val MariaDeleteRowsCompressed = 0xa8.toByte // 168
@@ -507,6 +506,70 @@ object MysqlBinlog {
     } finally r.close()
   }
 
+  /** MariaDB `log_bin_compress=ON` compressed record at `payload(off)`
+    * (sql/log_event.cc "Compressed Record" layout, shared by the
+    * compressed QUERY and compressed rows events): one header byte —
+    * bit 7 always set, bits 4-6 the algorithm (only 0 = zlib exists),
+    * low bits the byte count of the original length — then the original
+    * length BIG-endian in that many bytes, then the zlib stream. Every
+    * malformation fails loud: wrong header shape, oversize/undersize
+    * inflate, or a corrupt stream (zlib's own checksum) — a misaligned
+    * boundary can never decode silently. */
+  private[cdc] def inflateMariaRecord(payload: Array[Byte], off: Int,
+      pos: Long): Array[Byte] = {
+    if (payload.length - off < 2) throw new IOException(
+      s"compressed record truncated at log offset $pos")
+    val b0 = payload(off) & 0xff
+    if ((b0 & 0xf0) != 0x80) throw new IOException(
+      f"compressed record at log offset $pos: header byte 0x$b0%02x — " +
+        "bit 7 must be set and algorithm bits 4-6 zero (zlib is the only " +
+        "algorithm MariaDB defines)")
+    val lenlen = b0 & 0x0f
+    if (lenlen < 1 || lenlen > 4) throw new IOException(
+      s"compressed record at log offset $pos: original-length width $lenlen " +
+        "outside 1..4")
+    if (payload.length - off < 1 + lenlen) throw new IOException(
+      s"compressed record truncated at log offset $pos")
+    var orig = 0L
+    var i = 0
+    while (i < lenlen) {
+      orig = (orig << 8) | (payload(off + 1 + i) & 0xff); i += 1
+    }
+    if (orig > Int.MaxValue) throw new IOException(
+      s"compressed record at log offset $pos: declared size $orig too large")
+    val inf = new java.util.zip.Inflater()
+    val out = new Array[Byte](orig.toInt)
+    try {
+      inf.setInput(payload, off + 1 + lenlen, payload.length - off - 1 - lenlen)
+      var total = 0
+      while (total < out.length && !inf.finished()) {
+        val n = inf.inflate(out, total, out.length - total)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          throw new IOException(
+            s"compressed record at log offset $pos: truncated zlib stream " +
+              s"($total of $orig bytes)")
+        total += n
+      }
+      // the declared bytes are all out; one probe inflate consumes the
+      // zlib trailer (checksum) — extra output = the stream is LARGER
+      // than declared, an unfinished stream = truncated/corrupt
+      if (total == out.length && !inf.finished()) {
+        val probe = new Array[Byte](1)
+        if (inf.inflate(probe) > 0) throw new IOException(
+          s"compressed record at log offset $pos: zlib stream larger than " +
+            s"the declared $orig-byte original")
+      }
+      if (total < out.length || !inf.finished()) throw new IOException(
+        s"compressed record at log offset $pos: zlib stream does not match " +
+          s"the declared $orig-byte original")
+      out
+    } catch {
+      case e: java.util.zip.DataFormatException => throw new IOException(
+        s"compressed record at log offset $pos: zlib inflate failed: " +
+          s"${e.getMessage}")
+    } finally inf.end()
+  }
+
   /** TRANSACTION_PAYLOAD → inner raw events. TLV header first (see
     * the field constants above), then the inner v4 event stream —
     * plain 19-byte headers, NO per-event CRC (the outer event's
@@ -871,34 +934,65 @@ object MysqlBinlog {
           if maria =>
         Nil // file-start state / flush bookkeeping: planner-level only
       case EventType.MariaQueryCompressed if maria =>
-        // a zlib-compressed QUERY statement (log_bin_compress=ON) we
-        // cannot read: it could be a COMMIT as easily as an in-body
-        // DML — close the scope, the same conservative direction as a
-        // malformed QUERY payload (a stale seq must never stamp a
-        // later transaction's rows; mysqld's own event order means a
-        // legit next transaction re-opens with its GTID)
-        txnIdentityValid = false
-        anonymousTxn = false
-        txnBodyOpen = false
-        currentRowsQuery = null
-        Nil
+        // log_bin_compress=ON QUERY (type 165): the event is a plain
+        // QUERY event whose STATEMENT tail is a compressed record
+        // (sql/log_event.cc query_event_uncompress — the fixed part,
+        // status vars, and db stay uncompressed). Inflate the statement
+        // and re-dispatch as a normal QUERY so scope classification
+        // (BEGIN/COMMIT/DDL/in-body DML) stays one code path. Only
+        // statements past log_bin_compress_min_len are compressed by
+        // the server, so short closers (COMMIT) arrive plain anyway.
+        val stmtStart = {
+          if (ev.payload.length < 13) throw new IOException(
+            s"compressed QUERY event truncated at log offset ${ev.pos}")
+          val c = new Cur(ev.payload)
+          c.skip(8)
+          val schemaLen = c.u8()
+          c.skip(2)
+          val statusVarsLen = c.u16()
+          13 + statusVarsLen + schemaLen + 1
+        }
+        if (stmtStart > ev.payload.length) throw new IOException(
+          s"compressed QUERY event truncated at log offset ${ev.pos}")
+        val stmt = inflateMariaRecord(ev.payload, stmtStart, ev.pos)
+        val rebuilt = new Array[Byte](stmtStart + stmt.length)
+        System.arraycopy(ev.payload, 0, rebuilt, 0, stmtStart)
+        System.arraycopy(stmt, 0, rebuilt, stmtStart, stmt.length)
+        decode(ev.copy(tpe = EventType.Query, payload = rebuilt))
       case EventType.MariaWriteRowsCompressed |
           EventType.MariaUpdateRowsCompressed |
           EventType.MariaDeleteRowsCompressed if maria =>
-        // log_bin_compress=ON: per-event zlib bodies this reader does
-        // not decode. Returning Nil for the target table would silently
-        // DROP its changes; the post-header's table id stays
-        // uncompressed, so target-ness is decidable without the body.
+        // log_bin_compress=ON rows events (types 166-168): the V1
+        // post-header (table id u48 + flags u16 — no extra-data field)
+        // stays uncompressed; everything after it (width lenenc,
+        // columns bitmap(s), row images) is ONE compressed record
+        // (sql/log_event.cc row_log_event_uncompress; same boundary in
+        // the go-mysql replication client). Inflate and decode through
+        // the normal V1 rows path. A wrong boundary can only fail loud:
+        // the record header check and the zlib checksum reject
+        // misaligned bytes. Inflation cost is skipped entirely for
+        // non-target tables (the table id is readable uncompressed).
         val tableId = new Cur(ev.payload).u48()
-        tableMaps.get(tableId) match {
-          case Some(tm) if tm.db == targetDb && tm.table == targetTable =>
-            throw new IOException(
-              s"compressed rows event (type ${ev.tpe & 0xff}, " +
-                s"log_bin_compress=ON) for $targetDb.$targetTable at log " +
-                s"offset ${ev.pos}: per-event compression is not decoded — " +
-                "disable log_bin_compress on the producer for logs this " +
-                "reader consumes")
-          case _ => Nil
+        val isTarget = tableMaps.get(tableId)
+          .exists(tm => tm.db == targetDb && tm.table == targetTable)
+        if (!isTarget) Nil
+        else {
+          if (ev.payload.length < 8) throw new IOException(
+            s"compressed rows event truncated at log offset ${ev.pos}")
+          val body = inflateMariaRecord(ev.payload, 8, ev.pos)
+          val rebuilt = new Array[Byte](8 + body.length)
+          System.arraycopy(ev.payload, 0, rebuilt, 0, 8)
+          System.arraycopy(body, 0, rebuilt, 8, body.length)
+          val inflated = ev.copy(payload = rebuilt)
+          ev.tpe match {
+            case EventType.MariaWriteRowsCompressed =>
+              rowsEvent(inflated, CdcSchema.Op.Insert, images = 1, v1 = true)
+            case EventType.MariaDeleteRowsCompressed =>
+              rowsEvent(inflated, CdcSchema.Op.Delete, images = 1, v1 = true)
+            case _ =>
+              rowsEvent(inflated, CdcSchema.Op.UpdateBefore, images = 2,
+                v1 = true)
+          }
         }
       case EventType.MariaAnnotateRows if maria =>
         // the statement text (binlog_annotate_row_events=ON), written
@@ -2434,6 +2528,85 @@ object MysqlBinlog {
           writeImage(b, schema, img, _ => true)))
       }
 
+    /** MariaDB `log_bin_compress=ON` compressed record (the
+      * sql/log_event.cc layout [[inflateMariaRecord]] reads): header
+      * byte 0x80 | lenlen (algorithm bits 4-6 zero = zlib), original
+      * length big-endian in lenlen bytes, zlib stream. */
+    private def compressedRecord(b: ByteBuf, raw: Array[Byte]): Unit = {
+      val d = new java.util.zip.Deflater()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      try {
+        d.setInput(raw); d.finish()
+        val chunk = new Array[Byte](4096)
+        while (!d.finished()) {
+          val n = d.deflate(chunk); out.write(chunk, 0, n)
+        }
+      } finally d.end()
+      val lenlen =
+        if (raw.length <= 0xff) 1
+        else if (raw.length <= 0xffff) 2
+        else if (raw.length <= 0xffffff) 3
+        else 4
+      b.u8(0x80 | lenlen)
+      var i = lenlen - 1
+      while (i >= 0) { b.u8((raw.length >>> (8 * i)) & 0xff); i -= 1 }
+      b.raw(out.toByteArray)
+    }
+
+    /** `log_bin_compress=ON` rows events (MariaDB types 166-168): the
+      * V1 post-header stays plain; width + bitmap(s) + row images
+      * compress as one record. */
+    def writeRowsCompressed(tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      rowsEventCompressed(EventType.MariaWriteRowsCompressed, tsMs, tableId,
+        schema, rows.map(Seq(_)))
+
+    def deleteRowsCompressed(tsMs: Long, tableId: Long, schema: StructType,
+        rows: Seq[Array[Any]]): Unit =
+      rowsEventCompressed(EventType.MariaDeleteRowsCompressed, tsMs, tableId,
+        schema, rows.map(Seq(_)))
+
+    def updateRowsCompressed(tsMs: Long, tableId: Long, schema: StructType,
+        pairs: Seq[(Array[Any], Array[Any])]): Unit =
+      rowsEventCompressed(EventType.MariaUpdateRowsCompressed, tsMs, tableId,
+        schema, pairs.map(p => Seq(p._1, p._2)))
+
+    private def rowsEventCompressed(tpe: Byte, tsMs: Long, tableId: Long,
+        schema: StructType, rowImages: Seq[Seq[Array[Any]]]): Unit = {
+      require(maria, "compressed rows events are MariaDB-only " +
+        "(log_bin_compress has no MySQL counterpart)")
+      writeRowLevelEvent(tpe, tsMs) { b =>
+        b.u48(tableId)
+        b.u16(0) // flags
+        val body = new ByteBuf
+        val n = schema.length
+        body.lenenc(n.toLong)
+        val allPresent = Array.fill[Byte]((n + 7) / 8)(0xff.toByte)
+        body.raw(allPresent)
+        if (tpe == EventType.MariaUpdateRowsCompressed) body.raw(allPresent)
+        rowImages.foreach(_.foreach(img =>
+          writeImage(body, schema, img, _ => true)))
+        compressedRecord(b, java.util.Arrays.copyOf(body.arr, body.size))
+      }
+    }
+
+    /** `log_bin_compress=ON` QUERY (MariaDB type 165): the fixed part,
+      * status vars, and db stay plain; the statement compresses. */
+    def queryCompressed(tsMs: Long, db: String, sql: String): Unit = {
+      require(maria, "compressed QUERY events are MariaDB-only")
+      writeRowLevelEvent(EventType.MariaQueryCompressed, tsMs) { b =>
+        val dbB = db.getBytes(StandardCharsets.UTF_8)
+        require(dbB.length < 256, "db name too long")
+        b.u32(7L) // thread id (fixture constant)
+        b.u32(0L) // exec time
+        b.u8(dbB.length)
+        b.u16(0) // error code
+        b.u16(0) // status vars length
+        b.raw(dbB); b.u8(0)
+        compressedRecord(b, sql.getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
     /** `binlog_row_image=MINIMAL` rows events: the before image carries
       * only the PK (column 0 by fixture convention), the after image
       * the PK plus the statement's changed columns (one shared bitmap
@@ -3014,7 +3187,13 @@ object MariaDbAdapter extends BinlogFormatAdapter {
   override def isRowEvent(tpe: Byte): Boolean =
     tpe == MysqlBinlog.EventType.WriteRowsV1 ||
       tpe == MysqlBinlog.EventType.UpdateRowsV1 ||
-      tpe == MysqlBinlog.EventType.DeleteRowsV1
+      tpe == MysqlBinlog.EventType.DeleteRowsV1 ||
+      // log_bin_compress=ON variants carry row images too — leaving
+      // them "control" would decode (and EMIT) out-of-range rows that
+      // a range-pruned scan must skip
+      tpe == MysqlBinlog.EventType.MariaWriteRowsCompressed ||
+      tpe == MysqlBinlog.EventType.MariaUpdateRowsCompressed ||
+      tpe == MysqlBinlog.EventType.MariaDeleteRowsCompressed
   override def lastCompleteOffset(path: String): Long =
     MysqlBinlog.lastCompleteOffset(path, maria = true)
   override def inferSourceSchema(indexFile: String, db: String,

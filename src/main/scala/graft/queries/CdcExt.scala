@@ -972,6 +972,64 @@ object CdcExt {
           col(CdcSchema.SourceIdCol))
     },
 
+    // log_bin_compress=ON: cdc50's exact storyline with every rows
+    // event shipped as its MariaDB compressed variant (types 166-168 —
+    // V1 post-header plain, width+bitmaps+images as one zlib record)
+    // and the DDL statements as compressed QUERY (165). The oracle is
+    // cdc50's verbatim, so any divergence — a wrong compressed-record
+    // boundary, a mis-inflated body, a DDL seq leaking onto rows — is
+    // the compression layer's fault alone and hash-mismatches. The
+    // byte layout itself is additionally pinned against hand-authored
+    // golden vectors in MariaCompressedSpec (python-zlib streams, not
+    // this repo's writer).
+    QDef("cdc52_mariadb_compressed",
+      s"""WITH ord AS (
+         |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS val0,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+         |),
+         |up AS (
+         |  SELECT o_orderkey, val0,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS uidx
+         |  FROM ord WHERE o_orderkey % 3 = 0
+         |),
+         |del AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN val0 + 1000 ELSE val0 END AS cur,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS didx
+         |  FROM ord WHERE o_orderkey % 7 = 0
+         |),
+         |ev AS (
+         |  SELECT o_orderkey, val0 AS val, 1 AS __op,
+         |    CAST(idx // 100 + 1 AS BIGINT) AS g, idx // 100 AS tsg,
+         |    CASE WHEN CAST(idx // 100 AS INTEGER) % 2 = 0
+         |      THEN '0-101' ELSE '0-102' END AS src
+         |  FROM ord
+         |  UNION ALL SELECT o_orderkey, val0, 2,
+         |    CAST(100000 + uidx // 100 AS BIGINT), 100000 + uidx // 100,
+         |    '0-102' FROM up
+         |  UNION ALL SELECT o_orderkey, val0 + 1000, 3,
+         |    CAST(100000 + uidx // 100 AS BIGINT), 100000 + uidx // 100,
+         |    '0-102' FROM up
+         |  UNION ALL SELECT o_orderkey, cur, 0,
+         |    CAST(200000 + didx // 100 AS BIGINT), 200000 + didx // 100,
+         |    '0-101' FROM del
+         |)
+         |SELECT o_orderkey, val, __op, g AS __gtid,
+         |  TIMESTAMP '2024-01-01 00:00:00' + to_seconds(tsg) AS __tm,
+         |  src AS __source_id
+         |FROM ev""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensureMariaCompressed(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.MariaTable)
+        .option("binlogFormat", "mariadb")
+        .load()
+        .select(col("o_orderkey"), col("val"), col(CdcSchema.OpCol),
+          col(CdcSchema.GtidCol), col(CdcSchema.TmCol),
+          col(CdcSchema.SourceIdCol))
+    },
+
     // binlog_row_value_options=PARTIAL_JSON: the update phase's after
     // images carry Json_diff_vectors (REPLACE/INSERT/REMOVE over
     // members and array elements) that the decoder applies against the

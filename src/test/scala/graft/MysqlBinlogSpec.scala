@@ -2106,10 +2106,12 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(got == Seq((1L, "INSERT INTO t VALUES (1)"), (2L, null)))
   }
 
-  test("MariaDB: compressed rows events fail loud for the target table, skip others") {
-    // log_bin_compress=ON bodies are not decoded; the uncompressed
-    // post-header table id decides target-ness (silent Nil would DROP
-    // the target's changes — same policy as pre-5.6 v1 rows on MySQL)
+  test("MariaDB: truncated compressed rows events fail loud for the target table, skip others") {
+    // log_bin_compress=ON bodies DECODE since round 13
+    // (MariaCompressedSpec pins the layout); this test keeps the
+    // SKIP/FAIL-LOUD boundary: the uncompressed post-header table id
+    // decides target-ness, a malformed record for the target fails
+    // loud, and non-target tables never pay inflation or throw
     import graft.cdc.CdcCodec.RawEvent
     val schema = StructType(Seq(StructField("id", LongType)))
     val dec = MariaDbAdapter.decoder("db", "t")
@@ -2130,15 +2132,15 @@ class MysqlBinlogSpec extends SparkTestBase {
       tableMapPayload(9L, "db", "t"), 0L, 1L))
     dec.decode(RawEvent(MysqlBinlog.EventType.TableMap, 0L,
       tableMapPayload(8L, "db", "other"), 1L, 2L))
-    // other table: skipped clean
+    // other table (even with a garbage record): skipped clean
     assert(dec.decode(RawEvent(MysqlBinlog.EventType.MariaWriteRowsCompressed,
-      0L, tidBytes(8L), 2L, 3L)).isEmpty)
-    // target table: fail loud naming log_bin_compress
+      0L, tidBytes(8L) ++ Array[Byte](0x11, 0x22), 2L, 3L)).isEmpty)
+    // target table with NO compressed record bytes: fail loud
     val e = intercept[Exception] {
       dec.decode(RawEvent(MysqlBinlog.EventType.MariaWriteRowsCompressed,
         0L, tidBytes(9L), 3L, 4L))
     }
-    assert(e.getMessage.contains("log_bin_compress"), e.getMessage)
+    assert(e.getMessage.contains("truncated"), e.getMessage)
   }
 
   test("MariaDB: GTID_LIST file pruning and startingGtid prefix skip") {
