@@ -749,16 +749,8 @@ object Dedup {
       .filter(col("bid") < col("oid"))
       .select(col("bid"), col("oid")).distinct()
     // exact verify over lexicographic arrays (sorted-merge count)
-    val ssAll = spark.read.parquet(s"$path/shingles")
-      .select(col("__mid"), col("ss"))
-    def verified(cands: DataFrame): DataFrame = cands
-      .join(ssAll.select(col("__mid").as("bid"), col("ss").as("sh_a")), "bid")
-      .join(ssAll.select(col("__mid").as("oid"), col("ss").as("sh_b")), "oid")
-      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .filter(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")
-        >= threshold)
-      .select(col("bid"), col("oid"))
+    def verified(cands: DataFrame): DataFrame =
+      verifyAgainstShingles(spark, path, cands, threshold)
     // edges to EXISTING members map to their cluster labels. The edge
     // set is batch-bounded by the incremental contract, but a
     // pathological batch (every doc near-dup of many distinct clusters)
@@ -841,27 +833,230 @@ object Dedup {
         .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
           col("keep"))
         .withColumn("vb", verdictBucket(col("canon_id"), nBuckets))
-    // stage -> journal intent -> per-bucket swap -> commit marker ->
-    // cleanup; every step is re-runnable by recoverClusterIndexAppend
-    val stagingApp = s"$path/verdicts.appending/$appId"
+    stageSwapCommit(fs, path, appId, newVerdicts, affectedBuckets)
+  }
+
+  /** Exact-Jaccard verification of candidate `(bid, oid)` pairs against
+    * the persisted lexicographic shingle arrays (`shingles/`) — ONE
+    * formula shared by [[appendToClusterIndex]] and
+    * [[deleteFromClusterIndex]] (a sorted-merge intersection count; a
+    * drifted copy would silently break full-rebuild equivalence on one
+    * of the two maintenance paths). */
+  private def verifyAgainstShingles(spark: SparkSession, path: String,
+      cands: DataFrame, threshold: Double): DataFrame = {
+    val ssAll = spark.read.parquet(s"$path/shingles")
+      .select(col("__mid"), col("ss"))
+    cands
+      .join(ssAll.select(col("__mid").as("bid"), col("ss").as("sh_a")), "bid")
+      .join(ssAll.select(col("__mid").as("oid"), col("ss").as("sh_b")), "oid")
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")
+        >= threshold)
+      .select(col("bid"), col("oid"))
+  }
+
+  /** The crash-safe verdict-rewrite tail shared by
+    * [[appendToClusterIndex]] and [[deleteFromClusterIndex]]: stage the
+    * new affected-bucket rows, journal the intent, swap per bucket,
+    * write the commit marker, clean up — every step re-runnable by
+    * [[recoverClusterIndexAppend]]. */
+  private def stageSwapCommit(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, opId: String, newVerdicts: DataFrame,
+      affectedBuckets: Seq[Int]): Unit = {
+    val stagingApp = s"$path/verdicts.appending/$opId"
     newVerdicts.repartition(col("vb"))
       .write.mode("overwrite").partitionBy("vb").parquet(stagingApp)
     maybeCrash("after-staging")
     // a relabel can EMPTY a bucket (all its rows moved to the merge
-    // target's bucket): staged=0 in the journal means the bucket's new
-    // state is "absent", and the swap retires the live dir without a
-    // replacement
+    // target's bucket, or deleted outright): staged=0 in the journal
+    // means the bucket's new state is "absent", and the swap retires
+    // the live dir without a replacement
     val bucketFlags = affectedBuckets.map(k =>
       (k, IndexFs.exists(fs, s"$stagingApp/vb=$k")))
-    IndexFs.writeUtf8(fs, s"$path/appends/$appId.intent",
+    IndexFs.writeUtf8(fs, s"$path/appends/$opId.intent",
       bucketFlags.map { case (k, s) => s"$k ${if (s) 1 else 0}" }
         .mkString("\n"))
     maybeCrash("after-intent")
-    swapVerdictBuckets(fs, path, appId, bucketFlags)
-    IndexFs.writeUtf8(fs, s"$path/appends/$appId.committed", "")
-    IndexFs.delete(fs, s"$path/verdicts.old/$appId")
+    swapVerdictBuckets(fs, path, opId, bucketFlags)
+    IndexFs.writeUtf8(fs, s"$path/appends/$opId.committed", "")
+    IndexFs.delete(fs, s"$path/verdicts.old/$opId")
     IndexFs.delete(fs, stagingApp)
-    IndexFs.delete(fs, s"$path/appends/$appId.intent")
+    IndexFs.delete(fs, s"$path/appends/$opId.intent")
+  }
+
+  /** Remove a document batch from a persisted cluster index — the
+    * retirement half of the incremental lifecycle (build / append /
+    * serve / DELETE), with the same FULL-REBUILD EQUIVALENCE contract
+    * as [[appendToClusterIndex]]: the resulting `verdicts/` is
+    * row-identical to [[buildClusterIndex]] over corpus ∖ batch (llm75
+    * pins it against DuckDB's from-scratch closure; the spec pins it
+    * against a Spark full rebuild). The hard semantic is the SPLIT:
+    * deleting a BRIDGE document must break its cluster into the
+    * components that stay connected without it. Connectivity is
+    * therefore recomputed — but ONLY among the affected clusters'
+    * remaining members, which is exact because deleting a document
+    * removes edges and never adds any, and no ≥-threshold edge can
+    * cross two distinct clusters (they would have been one cluster).
+    * Candidates come from the persisted prefix-filter inverted index
+    * (frozen-df order; completeness needs consistency, not the
+    * particular order), verify exactly against the persisted
+    * lexicographic shingle arrays, and feed the same driver union-find
+    * as append; new labels are min member ids (the build's labeling).
+    * Per-doc scores ride the persisted verdict rows, so delete never
+    * reads document text.
+    *
+    * 100 TB posture: per-delete work is O(batch + affected clusters) —
+    * the corpus is never re-paired, corpus-wide reads are confined to
+    * column-pruned id/label scans, and the verdict rewrite touches
+    * only the buckets holding the affected clusters' old labels and
+    * new (post-split) labels. The remaining-member and verified-edge
+    * driver pulls are bounded LOUD (`spark.graft.dedup.deleteMemberCap`,
+    * `spark.graft.dedup.appendEdgeCap`). Deleted documents' artifact
+    * rows (`shingles/`, `prefix/`) stay behind as orphans — every
+    * candidate path semi-joins against live ids so they never
+    * resurface — and the next [[buildClusterIndex]] rebuild reclaims
+    * them ([[gcClusterIndex]] reclaims whole abandoned-append
+    * partitions without a rebuild).
+    *
+    * Crash safety: the same journaled per-bucket swap as append, with
+    * a deterministic op id namespaced under `del:` so a delete can
+    * never short-circuit on a committed APPEND of the same id set; a
+    * retry of a committed delete is a silent no-op, and an id deleted
+    * here may be re-appended later (the append-side "already indexed"
+    * check consults live verdicts only). */
+  def deleteFromClusterIndex(spark: SparkSession, path: String,
+      delIds: DataFrame, id: String = "doc_id"): Unit = {
+    import spark.implicits._
+    if (delIds.isEmpty) return
+    require(delIds.schema(id).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"deleteFromClusterIndex: $id must be LongType (the driver-side " +
+        s"union-find is long-keyed), got ${delIds.schema(id).dataType}")
+    val fs = IndexFs.fs(spark, path)
+    recoverClusterIndexAppend(fs, path)
+    val p = spark.read.parquet(s"$path/params").head()
+    val (threshold, nBuckets) =
+      (p.getAs[Double]("threshold"), p.getAs[Int]("nBuckets"))
+    val ids = delIds.select(col(id)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val opId = graft.TmpDirs.pathKey("del:" + ids.mkString(","))
+    if (IndexFs.exists(fs, s"$path/appends/$opId.committed"))
+      return // this exact delete already committed — idempotent retry
+    val verdicts = spark.read.parquet(s"$path/verdicts")
+    val idsDf = ids.toSeq.toDF(id)
+    // deleting an id that is not indexed would silently diverge from
+    // the rebuild contract (the caller thinks it removed something) —
+    // fail loud (column-pruned id-only scan)
+    val missing = idsDf.join(verdicts.select(col(id)), Seq(id), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"deleteFromClusterIndex($path): $id ${missing.headOption.map(_.get(0))} is not indexed")
+    // affected clusters = the labels the deleted docs belong to
+    val affectedOld = verdicts.join(broadcast(idsDf), Seq(id), "left_semi")
+      .select(col("canon_id")).distinct().collect().map(_.getLong(0))
+    val memberCap = spark.conf
+      .get("spark.graft.dedup.deleteMemberCap", "4000000").toInt
+    val remaining = verdicts
+      .filter(col("canon_id").isInCollection(affectedOld))
+      .join(broadcast(idsDf), Seq(id), "left_anti")
+      .select(col(id)).limit(memberCap + 1).collect().map(_.getLong(0))
+    require(remaining.length <= memberCap,
+      s"deleteFromClusterIndex($path): affected clusters hold more than " +
+        s"spark.graft.dedup.deleteMemberCap=$memberCap remaining members " +
+        "(count capped at cap+1) — the driver relabel is affected-bounded " +
+        "by contract; raise the knob or rebuild")
+    // candidate pairs among the remaining members, from the persisted
+    // prefix inverted index (zero false negatives under the frozen
+    // consistent order)
+    val remDf = remaining.toSeq.toDF("__mid")
+    val remPrefix = spark.read.parquet(s"$path/prefix")
+      .join(broadcast(remDf), Seq("__mid"), "left_semi")
+      .localCheckpoint(true) // self-joined below
+    val cands = remPrefix.select(col("__mid").as("bid"), col("shingle"))
+      .join(remPrefix.select(col("__mid").as("oid"), col("shingle")), "shingle")
+      .filter(col("bid") < col("oid"))
+      .select(col("bid"), col("oid")).distinct()
+    val edgeCap = spark.conf
+      .get("spark.graft.dedup.appendEdgeCap", "4000000").toInt
+    val edges = verifyAgainstShingles(spark, path, cands, threshold)
+      .limit(edgeCap + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(edges.length <= edgeCap,
+      s"deleteFromClusterIndex($path): verified candidate edges exceed " +
+        s"spark.graft.dedup.appendEdgeCap=$edgeCap (count capped at " +
+        "edgeCap+1) — raise the knob or rebuild")
+    // union-find over the remaining members; new label = min reachable
+    // id, self for singletons (the build's labeling)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val px = parent.getOrElse(x, x)
+      if (px == x) x else { val r = find(px); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val newLabelOf = remaining.map(m => m -> find(m))
+    val newLabels: Set[Long] = newLabelOf.map(_._2).toSet
+    // buckets to rewrite: where the affected clusters' rows LIVE (old
+    // labels — deleted rows drop, remaining rows relabel away) plus
+    // where the post-split components LAND (new labels). All other
+    // buckets are never read and never rewritten.
+    val affectedBuckets: Seq[Int] =
+      (affectedOld.toSeq ++ newLabels.toSeq)
+        .map(bucketOf(_, nBuckets)).distinct.sorted
+    val remap = newLabelOf.toSeq.toDF(id, "__newLabel")
+    val all = verdicts
+      .filter(col("vb").isInCollection(affectedBuckets)).drop("vb")
+      .join(broadcast(idsDf), Seq(id), "left_anti") // deleted rows drop
+      .join(broadcast(remap), Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__newLabel"), col("canon_id")).as("canon_id"),
+        col("cluster_size"), col("score"), col("keep"))
+    // size/keep recompute over exactly the post-split components;
+    // co-resident unaffected clusters pass through unchanged (a new
+    // label can never collide with a pass-through label — labels are
+    // member doc ids and every doc belongs to exactly one cluster)
+    val aff = all.filter(col("canon_id").isInCollection(newLabels.toSeq))
+    val wc = Window.partitionBy(col("canon_id"))
+    val wk = Window.partitionBy(col("canon_id"))
+      .orderBy(col("score").desc, col(id).asc)
+    val affFixed = aff
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .withColumn("keep", row_number().over(wk) === 1)
+    val newVerdicts =
+      all.filter(!col("canon_id").isInCollection(newLabels.toSeq))
+        .unionByName(affFixed)
+        .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
+          col("keep"))
+        .withColumn("vb", verdictBucket(col("canon_id"), nBuckets))
+    stageSwapCommit(fs, path, opId, newVerdicts, affectedBuckets)
+  }
+
+  /** Reclaim ORPHAN artifact partitions: `shingles/__app=X` and
+    * `prefix/__app=X` directories whose append id X never committed —
+    * the leftovers of crashed appends that were never retried. Crash
+    * recovery runs FIRST, so a journaled-but-uncommitted append rolls
+    * FORWARD (its artifacts become committed) rather than being reaped.
+    * The build partition and every committed op's partition are never
+    * touched. Correctness never depended on this sweep (orphans have no
+    * verdict rows and every candidate path semi-joins against live
+    * ids) — gc bounds the artifact-join cost growth from crashed
+    * appends without paying a full rebuild. */
+  def gcClusterIndex(spark: SparkSession, path: String): Unit = {
+    val fs = IndexFs.fs(spark, path)
+    recoverClusterIndexAppend(fs, path)
+    val committed = IndexFs.listNames(fs, s"$path/appends")
+      .filter(_.endsWith(".committed"))
+      .map(_.stripSuffix(".committed")).toSet + BuildAppId
+    Seq("shingles", "prefix").foreach { d =>
+      IndexFs.listNames(fs, s"$path/$d")
+        .filter(_.startsWith("__app="))
+        .map(_.stripPrefix("__app="))
+        .filterNot(committed)
+        .foreach(x => IndexFs.delete(fs, s"$path/$d/__app=$x"))
+    }
   }
 
   /** Deterministic append id of a batch: a 128-bit digest of the sorted

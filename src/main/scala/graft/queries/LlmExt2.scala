@@ -64,6 +64,63 @@ object LlmExt2 {
     s"$root/index"
   }
 
+  /** The llm75 cluster index: built over the FULL corpus, then every
+    * doc_id %% 10 == 7 doc DELETED (Dedup.deleteFromClusterIndex) — the
+    * takedown/retention lifecycle (opt-outs, license revocations, PII
+    * purges). Full-rebuild equivalence makes the from-scratch oracle
+    * over the remaining corpus valid — bridge-doc SPLITS included. */
+  private[queries] def ensureDeletedClusterIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-cldel2-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_DELETED")
+    buildOnce(root)(marker.exists()) {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.buildClusterIndex(docs, s"$root/index", threshold = 0.8)
+      Dedup.deleteFromClusterIndex(s, s"$root/index",
+        docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+      marker.createNewFile()
+    }
+    s"$root/index"
+  }
+
+  /** The str18 cluster index: built over the doc_id %% 10 != 0 corpus,
+    * then the held-out 10%% STREAMED in and folded per micro-batch by a
+    * foreachBatch appendToClusterIndex — the online form of llm74's
+    * daily-batch lifecycle (a crawl stream maintaining the dedup index
+    * as it lands). Appends COMPOSE under full-rebuild equivalence, so
+    * any micro-batch slicing converges to the same verdicts and llm74's
+    * from-scratch oracle stays valid. The whole build+drain runs under
+    * the build-once lock (single-writer by the append contract); a
+    * re-run of an already-committed micro-batch is a silent no-op (the
+    * deterministic append id), so replays converge too. */
+  private[queries] def ensureStreamedClusterIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-clstr2-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_STREAMED")
+    buildOnce(root)(marker.exists()) {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.buildClusterIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        s"$root/index", threshold = 0.8)
+      val arriving = graft.streaming.StreamOps.documentsStream(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      val q = arriving.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            Dedup.appendToClusterIndex(s, s"$root/index", batch.toDF())
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.tools.StreamPlanAudit.record("str18", q)
+      } finally q.stop()
+      marker.createNewFile()
+    }
+    s"$root/index"
+  }
+
   /** The pid-scoped persisted near-dup band index of `dir`'s corpus
     * half, built ONCE per JVM (the build-once lifecycle the operator
     * exists to demonstrate — rebuilding per query would re-sign the
@@ -787,6 +844,35 @@ object LlmExt2 {
         |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
         .stripMargin) { (s, dir) =>
       val idx = ensureAppendedClusterIndex(s, dir)
+      s.read.parquet(s"$idx/verdicts")
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          col("score"), col("keep"))
+    },
+
+    // cluster-index DELETION: llm73's index built over the full corpus,
+    // then every doc_id % 10 == 7 doc removed with
+    // deleteFromClusterIndex — the takedown/retention half of the
+    // incremental lifecycle (opt-outs, license revocations, PII
+    // purges). Removing a doc can SPLIT its cluster (a deleted bridge),
+    // so connectivity recomputes over the affected clusters' remaining
+    // members — and full-rebuild equivalence is the contract, so the
+    // oracle recomputes the whole closure from scratch over the
+    // REMAINING corpus: a phantom edge through a deleted doc, a stale
+    // size, or an unsplit bridge hash-mismatches.
+    QDef("llm75_cluster_index_delete",
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8, "doc_id % 10 <> 7")},
+        |cl AS (SELECT canon_id, COUNT(*) AS csize FROM lab GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' '))  AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT l.doc_id, l.canon_id, CAST(cl.csize AS BIGINT) AS cluster_size,
+        |  s.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY l.canon_id
+        |     ORDER BY s.score DESC, l.doc_id) = 1) AS keep
+        |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      val idx = ensureDeletedClusterIndex(s, dir)
       s.read.parquet(s"$idx/verdicts")
         .select(col("doc_id"), col("canon_id"), col("cluster_size"),
           col("score"), col("keep"))

@@ -15,9 +15,10 @@ private[queries] object OracleSql {
     * (min reachable id, self for singletons) — the transitive-closure
     * block llm66/llm68/llm73 all replay. One copy: an edge-predicate
     * or canon-rule change must not hand-sync across oracles. The
-    * enclosing WITH must be declared RECURSIVE. */
-  def closureCtes(threshold: Double): String =
-    s"""${prefixFilterCtes(threshold)},
+    * enclosing WITH must be declared RECURSIVE. `docWhere` restricts
+    * the doc set (llm75 replays the post-delete corpus); empty = all. */
+  def closureCtes(threshold: Double, docWhere: String = ""): String =
+    s"""${prefixFilterCtes(threshold, docWhere)},
        |edges0 AS (SELECT x, y FROM cand
        |  JOIN sh0 sa ON cand.x = sa.doc_id JOIN sh0 sb ON cand.y = sb.doc_id
        |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
@@ -30,19 +31,23 @@ private[queries] object OracleSql {
        |lab AS (SELECT d.doc_id, COALESCE(c.canon, d.doc_id) AS canon_id
        |  FROM documents d LEFT JOIN
        |    (SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a) c
-       |    USING (doc_id))""".stripMargin
+       |    USING (doc_id)${whereClause(docWhere, "d")})""".stripMargin
+
+  private def whereClause(docWhere: String, alias: String): String =
+    if (docWhere.isEmpty) ""
+    else " WHERE " + docWhere.replace("doc_id", s"$alias.doc_id")
 
   /** WITH-clause CTEs `sh0 .. cand`: per-doc 3-token-shingle sets and
     * the zero-false-negative prefix-filter candidate pairs at
     * `threshold` (PPJoin canonical order: df asc, shingle asc). */
-  def prefixFilterCtes(threshold: Double): String =
+  def prefixFilterCtes(threshold: Double, docWhere: String = ""): String =
     s"""sh0 AS (SELECT doc_id,
        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 3
        |      THEN [array_to_string(string_split(text, ' '), ' ')]
        |      ELSE list_transform(range(0, len(string_split(text, ' ')) - 2),
        |             i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))
        |      END) AS s
-       |  FROM documents),
+       |  FROM documents${whereClause(docWhere, "documents")}),
        |inv AS (SELECT doc_id, unnest(s) AS shingle FROM sh0),
        |dft AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
        |canon AS (SELECT i.doc_id, list(i.shingle ORDER BY d.df, i.shingle) AS s

@@ -403,6 +403,33 @@ object Streaming {
       val media = graft.ops.Multimodal.corruptedImageTable(arriving, corruptEvery = 37L)
       drain(graft.ops.Multimodal.imageAdmissionGate(media),
         "str15_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+    },
+
+    // streaming cluster-index maintenance: llm74's lifecycle ONLINE — a
+    // foreachBatch sink folds each arriving micro-batch into the
+    // persisted near-dup cluster index with appendToClusterIndex (exact
+    // candidates vs the persisted inverted index, crash-safe per-bucket
+    // swap). Appends compose under full-rebuild equivalence, so the
+    // served verdicts match the from-scratch closure over the FULL
+    // corpus regardless of how the stream sliced the batches — llm74's
+    // oracle verbatim.
+    QDef("str18_cluster_index_stream",
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8)},
+        |cl AS (SELECT canon_id, COUNT(*) AS csize FROM lab GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' '))  AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT l.doc_id, l.canon_id, CAST(cl.csize AS BIGINT) AS cluster_size,
+        |  s.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY l.canon_id
+        |     ORDER BY s.score DESC, l.doc_id) = 1) AS keep
+        |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      val idx = LlmExt2.ensureStreamedClusterIndex(s, dir)
+      s.read.parquet(s"$idx/verdicts")
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          col("score"), col("keep"))
     }
   )
 }

@@ -200,6 +200,160 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
       graft.TmpDirs.deleteRecursively(new java.io.File(d)))
   }
 
+  /** Overlapping token windows over one shared sequence: A=t0..t9,
+    * M=t2..t11, B=t4..t13. At 3-shingles, J(A,M)=J(M,B)=6/10=0.6 and
+    * J(A,B)=4/12=1/3 — so at threshold 0.5, M BRIDGES A and B. */
+  private def chainDoc(lo: Int, hi: Int): String =
+    (lo to hi).map(i => s"t$i").mkString(" ")
+
+  test("delete of a bridge doc SPLITS the cluster and equals the full rebuild") {
+    val corpus = Seq(
+      (1L, chainDoc(0, 9)), (2L, chainDoc(2, 11)), (3L, chainDoc(4, 13)),
+      (7L, doc("fx", "u0")), (8L, doc("gx", "v0")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-del-split").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = 0.5)
+    // fixture sanity: {1,2,3} is ONE cluster through the bridge
+    val before = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(before(1L) == 1L && before(2L) == 1L && before(3L) == 1L, before)
+    val stampsBefore = fileStamps(s"$idx/verdicts")
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(2L).toDF("doc_id"))
+    // the cluster split: A and B are singletons again
+    val after = readVerdicts(idx)
+    val labels = after.map(t => t._1 -> t._2).toMap
+    assert(!labels.contains(2L), "deleted doc still has a verdict row")
+    assert(labels(1L) == 1L && labels(3L) == 3L, labels)
+    assert(after.filter(t => Set(1L, 3L)(t._1))
+      .forall(t => t._3 == 1L && t._5), after)
+    // row-identity with the full rebuild over corpus minus the bridge
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-del-rb").toString
+    Dedup.buildClusterIndex(corpus.filter($"doc_id" =!= 2L), rebuilt,
+      threshold = 0.5)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    // O(affected buckets): only buckets 1 (labels 1 and old cluster) and
+    // 3 (the split-off label) may move; 7 and 8's buckets byte-identical
+    val touched = Set("vb=1/", "vb=3/")
+    val stampsAfter = fileStamps(s"$idx/verdicts")
+    assert(stampsAfter.filterNot(s => touched.exists(s._1.startsWith)) ==
+      stampsBefore.filterNot(s => touched.exists(s._1.startsWith)),
+      "untouched buckets moved")
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("delete crash at every failpoint, then retry: converges; committed retry no-op; re-append works") {
+    val corpus = Seq(
+      (1L, chainDoc(0, 9)), (2L, chainDoc(2, 11)), (3L, chainDoc(4, 13)),
+      (7L, doc("fx", "u0")))
+      .toDF("doc_id", "text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-delc-rb").toString
+    Dedup.buildClusterIndex(corpus.filter($"doc_id" =!= 2L), rebuilt,
+      threshold = 0.5)
+    val want = readVerdicts(rebuilt)
+    Seq("after-staging", "after-intent", "after-bucket-swap-0").foreach { point =>
+      val idx = java.nio.file.Files.createTempDirectory("clidx-delc").toString
+      Dedup.buildClusterIndex(corpus, idx, threshold = 0.5)
+      Dedup.appendCrashPoint = Some(point)
+      try {
+        val ex = intercept[IllegalStateException] {
+          Dedup.deleteFromClusterIndex(spark, idx, Seq(2L).toDF("doc_id"))
+        }
+        assert(ex.getMessage.contains(point), ex.getMessage)
+      } finally Dedup.appendCrashPoint = None
+      Dedup.deleteFromClusterIndex(spark, idx, Seq(2L).toDF("doc_id"))
+      assert(readVerdicts(idx) == want, s"failpoint $point diverged")
+      // a FURTHER retry of the committed delete is a silent no-op
+      Dedup.deleteFromClusterIndex(spark, idx, Seq(2L).toDF("doc_id"))
+      assert(readVerdicts(idx) == want)
+      // a deleted id may be RE-APPENDED (live-verdict check only), and
+      // the lifecycle converges back to the full-corpus rebuild
+      Dedup.appendToClusterIndex(spark, idx,
+        Seq((2L, chainDoc(2, 11))).toDF("doc_id", "text"))
+      val full = java.nio.file.Files.createTempDirectory("clidx-delc-f").toString
+      Dedup.buildClusterIndex(corpus, full, threshold = 0.5)
+      assert(readVerdicts(idx) == readVerdicts(full), s"re-append after $point")
+      Seq(idx, full).foreach(d =>
+        graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+    }
+    graft.TmpDirs.deleteRecursively(new java.io.File(rebuilt))
+  }
+
+  test("delete fails loud on a non-indexed id; member cap fails loud") {
+    val corpus = Seq((1L, doc("ax", "t0")), (2L, doc("ax", "t1")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-del-req").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.deleteFromClusterIndex(spark, idx, Seq(99L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("not indexed"), ex.getMessage)
+    withSQLConf("spark.graft.dedup.deleteMemberCap" -> "0") {
+      val ex2 = intercept[IllegalArgumentException] {
+        Dedup.deleteFromClusterIndex(spark, idx, Seq(1L).toDF("doc_id"))
+      }
+      assert(ex2.getMessage.contains("spark.graft.dedup.deleteMemberCap"),
+        ex2.getMessage)
+    }
+    // with defaults the same delete lands
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(readVerdicts(idx).map(_._1) == Set(2L))
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
+  test("gcClusterIndex reclaims orphan artifact partitions, never committed ones") {
+    val corpus = Seq((1L, doc("ax", "t0")), (2L, doc("bx", "u0")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-gc").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    // one COMMITTED append, then one append CRASHED right after its
+    // artifacts landed and never retried — the orphan gc exists for
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((10L, doc("ax", "t1"))).toDF("doc_id", "text"))
+    Dedup.appendCrashPoint = Some("after-artifacts")
+    try intercept[IllegalStateException] {
+      Dedup.appendToClusterIndex(spark, idx,
+        Seq((11L, doc("bx", "u1"))).toDF("doc_id", "text"))
+    } finally Dedup.appendCrashPoint = None
+    def appParts(d: String): Set[String] =
+      Option(new java.io.File(s"$idx/$d").list()).map(_.toSet)
+        .getOrElse(Set.empty).filter(_.startsWith("__app="))
+    assert(appParts("shingles").size == 3 && appParts("prefix").size == 3,
+      s"fixture: ${appParts("shingles")}") // build + committed + orphan
+    val verdictsBefore = readVerdicts(idx)
+    Dedup.gcClusterIndex(spark, idx)
+    // the orphan partition is gone; build + committed remain; verdicts
+    // untouched; and the index still appends fine afterwards
+    assert(appParts("shingles").size == 2 && appParts("prefix").size == 2,
+      s"after gc: ${appParts("shingles")}")
+    assert(readVerdicts(idx) == verdictsBefore)
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((11L, doc("bx", "u1"))).toDF("doc_id", "text"))
+    val labels = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(labels(10L) == 1L && labels(11L) == 2L, labels)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
+  test("gcClusterIndex rolls a journaled append FORWARD before sweeping") {
+    val corpus = Seq((1L, doc("ax", "t0"))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-gc-fwd").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    // crash AFTER the intent journal: the staged data is complete, so
+    // gc's recovery must finish the swap (artifacts become committed),
+    // not reap the partition
+    Dedup.appendCrashPoint = Some("after-intent")
+    try intercept[IllegalStateException] {
+      Dedup.appendToClusterIndex(spark, idx,
+        Seq((5L, doc("ax", "t1"))).toDF("doc_id", "text"))
+    } finally Dedup.appendCrashPoint = None
+    Dedup.gcClusterIndex(spark, idx)
+    val labels = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(labels(5L) == 1L, labels) // rolled forward
+    val parts = Option(new java.io.File(s"$idx/shingles").list())
+      .map(_.toSet).getOrElse(Set.empty).filter(_.startsWith("__app="))
+    assert(parts.size == 2, parts) // build + the rolled-forward append
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("IVF delete/compact/rebuild through a file:// URI root (Hadoop FS path)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val local = java.nio.file.Files.createTempDirectory("ivf-uri").toString
