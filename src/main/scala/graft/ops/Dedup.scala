@@ -308,24 +308,8 @@ object Dedup {
   def jaccardSelfJoinExact(df: DataFrame, textCol: String, id: String,
       threshold: Double, shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    // materialized once (eager localCheckpoint): three consumers below
-    // (dfreq, canon, sortedSh) would otherwise each re-run the full
-    // scan+tokenize+shingle lineage — three corpus passes at scale.
-    // Parallelism floor BEFORE tokenize+shingle: the narrow shingle
-    // stage (the CPU-dense part) otherwise runs only as wide as the
-    // input file count (round-10 adjudication: 2.0x on a 2-file layout)
-    val distinctSh = OpUtils.parallelismFloor(
-        df.select(col(id), col(textCol)))
-      .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
-      .select(col(id),
-        array_distinct(TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
-      .localCheckpoint(true)
-    val inv = distinctSh.select(col(id), explode(col("sh")).as("shingle"))
-    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // canonical (df asc, shingle asc) order via sort_array over structs
-    val canon = inv.join(dfreq, "shingle")
-      .groupBy(col(id))
-      .agg(expr(CanonicalSortExpr).as("s"))
+    val (distinctSh, inv, canon) =
+      canonicalShingleFrames(df, textCol, id, shingleN)
     val prefix = canon.select(col(id),
       explode(expr(prefixSliceExpr(threshold))).as("shingle"))
     val cands = prefix.select(col(id).as("id_a"), col("shingle"))
@@ -342,6 +326,77 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** (distinctSh, inv, canon): the per-doc distinct shingle sets, their
+    * inverted form, and the df-canonical ordered arrays — the shared
+    * front half of [[jaccardSelfJoinExact]] and
+    * [[containmentSelfJoinExact]]. distinctSh is materialized once
+    * (eager localCheckpoint): three consumers (dfreq, canon, the
+    * verify-side sorted arrays) would otherwise each re-run the full
+    * scan+tokenize+shingle lineage — three corpus passes at scale.
+    * Parallelism floor BEFORE tokenize+shingle: the narrow shingle
+    * stage (the CPU-dense part) otherwise runs only as wide as the
+    * input file count (round-10 adjudication: 2.0x on a 2-file
+    * layout). */
+  private def canonicalShingleFrames(df: DataFrame, textCol: String,
+      id: String, shingleN: Int): (DataFrame, DataFrame, DataFrame) = {
+    val distinctSh = OpUtils.parallelismFloor(
+        df.select(col(id), col(textCol)))
+      .select(col(id), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .select(col(id),
+        array_distinct(TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("sh"))
+      .localCheckpoint(true)
+    val inv = distinctSh.select(col(id), explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // canonical (df asc, shingle asc) order via sort_array over structs
+    val canon = inv.join(dfreq, "shingle")
+      .groupBy(col(id))
+      .agg(expr(CanonicalSortExpr).as("s"))
+    (distinctSh, inv, canon)
+  }
+
+  /** EXACT containment self-join — the asymmetric near-dup Jaccard
+    * structurally misses: a short doc A embedded in a longer doc B
+    * (page + boilerplate shell, quote + source article, chunk + full
+    * text) has jaccard ≈ |A|/|B| — far below any usable threshold even
+    * when every shingle of A appears in B — while containment
+    * |A∩B| / |A| reads ~1. Returns ordered pairs
+    * `(contained_id, container_id, containment ≥ t)`, both directions
+    * when both clear t (near-identical docs).
+    *
+    * Prefix-filter completeness transfers to the CONTAINED side only:
+    * |A∩B| ≥ ceil(t·|A|) forces at least one shared shingle among A's
+    * first |A| − ceil(t·|A|) + 1 canonical positions (pigeonhole — the
+    * SAME slice formula as the Jaccard join), with no such bound on B
+    * (B's overlap fraction can be arbitrarily small). So the contained
+    * side probes its PREFIX against the container side's FULL inverted
+    * index. Candidate cost stays sub-quadratic for the same reason the
+    * Jaccard join's does: the df-ascending canonical order puts RARE
+    * shingles in prefixes, so each probe bucket pairs df_prefix(g) ·
+    * df(g) rows with df_prefix(g) small by construction; the full-index
+    * side is the inv frame the df aggregation already materialized. */
+  def containmentSelfJoinExact(df: DataFrame, textCol: String, id: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val (distinctSh, inv, canon) =
+      canonicalShingleFrames(df, textCol, id, shingleN)
+    val prefix = canon.select(col(id),
+      explode(expr(prefixSliceExpr(threshold))).as("shingle"))
+    val cands = prefix.select(col(id).as("id_a"), col("shingle"))
+      .join(inv.select(col(id).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sortedSh = distinctSh.select(col(id), array_sort(col("sh")).as("ss"))
+    cands
+      .join(sortedSh.select(col(id).as("id_a"), col("ss").as("sh_a")), "id_a")
+      .join(sortedSh.select(col(id).as("id_b"), col("ss").as("sh_b")), "id_b")
+      .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("containment",
+        col("inter").cast("double") / size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+        col("containment"))
   }
 
   /** Connected components over an undirected edge list. Two algorithms

@@ -878,6 +878,29 @@ object LlmExt2 {
           col("score"), col("keep"))
     },
 
+    // EXACT containment self-join — the asymmetric near-dup Jaccard
+    // structurally misses: a short doc embedded in a longer one (page +
+    // boilerplate shell, quote + source article, chunk + full text) has
+    // jaccard ≈ |A|/|B| even when EVERY shingle of A appears in B,
+    // while containment |A∩B|/|A| reads ~1. Prefix filter on the
+    // contained side only (the pigeonhole bound transfers; no bound
+    // exists on the container side), probed against the full inverted
+    // index. The oracle replays the same candidate algebra over the
+    // shared CTEs; the zero-false-negative property is pinned against a
+    // brute all-pairs reference in DedupPropertySpec.
+    QDef("llm76_containment_dedup",
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)},
+         |cc AS (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+         |  FROM pre p JOIN inv i ON p.shingle = i.shingle AND p.doc_id <> i.doc_id)
+         |SELECT a AS contained_id, b AS container_id, c AS containment FROM (
+         |  SELECT a, b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / CAST(len(sa.s) AS DOUBLE) AS c
+         |  FROM cc JOIN sh0 sa ON cc.a = sa.doc_id JOIN sh0 sb ON cc.b = sb.doc_id)
+         |WHERE c >= 0.8""".stripMargin) { (s, dir) =>
+      Dedup.containmentSelfJoinExact(Tables.load(s, dir, "documents"),
+        "text", "doc_id", threshold = 0.8)
+    },
+
     // minhash calibration audit: portable k=8 slot estimate vs exact
     // Jaccard over verified candidate pairs, binned by floor(j*10) —
     // the report an LSH rollout tunes bands/k from. Integer-count

@@ -248,4 +248,50 @@ class DedupPropertySpec extends SparkTestBase {
       assert(got == ref, s"seed=$seed: got $got want $ref")
     }
   }
+
+  /** Brute-force containment reference: every ordered pair, exact
+    * shingle-set intersection over |contained|. */
+  private def refContainment(docs: Seq[(Long, String)], t: Double,
+      n: Int = 3): Set[(Long, Long, Double)] = {
+    def shingles(text: String): Set[String] = {
+      val tk = text.split(" ").toSeq
+      if (tk.length < n) Set(tk.mkString(" "))
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, text) => id -> shingles(text) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a != b
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= t
+    } yield (a, b, c)).toSet
+  }
+
+  test("containmentSelfJoinExact equals the brute all-pairs reference (zero false negatives)") {
+    for (seed <- Seq(3, 11, 42)) {
+      val docs = randomCorpus(60, seed)
+      val want = refContainment(docs, 0.7)
+      val got = graft.ops.Dedup.containmentSelfJoinExact(
+          docs.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"seed=$seed: got ${got.size} want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("containment finds the embedded-doc pairs Jaccard structurally misses") {
+    // B = 60 distinct tokens; A = B's middle 20 tokens. Every shingle of
+    // A appears in B (containment 1.0) while jaccard = 18/58 ≈ 0.31
+    val big = (0 until 60).map(i => s"w$i").mkString(" ")
+    val small = (20 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "x0 x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val cont = graft.ops.Dedup.containmentSelfJoinExact(
+        docs, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.toSeq)
+    // the same pair clears no usable Jaccard threshold
+    val jac = graft.ops.Dedup.jaccardSelfJoinExact(
+        docs, "text", "doc_id", threshold = 0.8).collect()
+    assert(jac.isEmpty, jac.toSeq)
+  }
 }
