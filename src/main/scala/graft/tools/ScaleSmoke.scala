@@ -457,6 +457,96 @@ object ScaleSmoke {
         s"star contraction must stay O(log d): $iters10x rounds")
     }
 
+    // Containment self-join at 200k docs: hash-derived token streams
+    // keep non-planted docs shingle-disjoint, so the candidate count
+    // tracks the PLANTED pair count (every 100th doc is a 10-token
+    // slice of its successor: containment 1.0, jaccard ~8/28 — the
+    // asymmetric dup Jaccard misses). Invariant: exactly the planted
+    // pairs, found in one prefix-probe pass.
+    timed("containmentSelfJoin(200k docs)") {
+      val nCont = 200000L
+      def tok(docCol: org.apache.spark.sql.Column, j: Int) =
+        concat(lit("w"), (docCol * 31L + j) * 2654435761L % 1073741789L)
+      val base = spark.range(nCont).filter(col("id") % 100 =!= 0)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 30).map(j => tok(col("id"), j)): _*).as("text"))
+      val planted = spark.range(nCont).filter(col("id") % 100 === 0)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (10 until 20).map(j => tok(col("id") + 1, j)): _*).as("text"))
+      val pairs = graft.ops.Dedup.containmentSelfJoinExact(
+        base.union(planted), "text", "doc_id", threshold = 0.8)
+      val n = pairs.filter(col("contained_id") % 100 === 0 &&
+        col("container_id") === col("contained_id") + 1 &&
+        col("containment") === 1.0).count()
+      val total = pairs.count()
+      assert(n == nCont / 100 && total == n,
+        s"expected exactly ${nCont / 100} planted containments, " +
+          s"got $n planted / $total total")
+    }
+
+    // Cluster-index DELETE at 1x vs 10x corpus: the O(affected) claim
+    // as a measured number — the same 55-doc delete (50 triple members
+    // + 5 chain BRIDGES, each bridge splitting its 32-doc chain) must
+    // not shuffle ~10x more bytes when the corpus grows 10x. Corpus-
+    // linear work in the delete is confined to column-pruned id/label
+    // scans (no shuffle), so shuffle bytes track affected clusters.
+    // Wall time prints as a diagnostic (single-sample wobble policy);
+    // the shuffle-byte ratio carries the assert, with 3x slack for
+    // partition-count constants.
+    timed("clusterIndexDelete(1x vs 10x)") {
+      val nChainDocs = 3200L
+      def ccCorpus(nDocs: Long): (org.apache.spark.sql.DataFrame, Long) = {
+        val nTriple = (nDocs - nChainDocs) / 3 * 3
+        val triples = spark.range(nTriple).select(col("id").as("doc_id"),
+          concat_ws(" ",
+            (0 until 23).map(j => concat(lit("w"),
+              ((col("id") - col("id") % 3) * 31L + j) * 2654435761L % 1048573L))
+            :+ when(col("id") % 3 === 0, lit("base"))
+                .otherwise(concat(lit("m"), col("id") % 3)): _*).as("text"))
+        val chains = spark.range(nChainDocs)
+          .select((col("id") + nTriple).as("doc_id"),
+            concat_ws(" ", (0 until 24).map(j =>
+              concat(lit("c"), col("id") / 32L, lit("_"),
+                col("id") % 32L + j)): _*).as("text"))
+        (triples.union(chains), nTriple)
+      }
+      def run(nDocs: Long): (Long, Double) = {
+        val (docs, nTriple) = ccCorpus(nDocs)
+        val idx = java.nio.file.Files.createTempDirectory(
+          s"clidx-scale-$nDocs").toString
+        graft.ops.Dedup.buildClusterIndex(docs, idx, threshold = 0.8,
+          nBuckets = 64)
+        // 50 triple members (m1 variants) + 5 chain mid-points (bridges:
+        // each split leaves positions 0..15 and 17..31 connected through
+        // their sliding windows minus the bridge)
+        val delIds = spark.range(50).select((col("id") * 3L + 1L).as("doc_id"))
+          .union(spark.range(5).select(
+            (col("id") * 32L + 16L + nTriple).as("doc_id")))
+        val t0 = System.nanoTime()
+        val (_, bytes) = measuredShuffle {
+          graft.ops.Dedup.deleteFromClusterIndex(spark, idx, delIds)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // split correctness at scale: chain 0 now has exactly two labels
+        val labels = spark.read.parquet(s"$idx/verdicts")
+          .filter(col("doc_id") >= nTriple && col("doc_id") < nTriple + 32L)
+          .select(col("canon_id")).distinct().count()
+        assert(labels == 2L, s"bridge delete must split chain 0 in two, " +
+          s"got $labels labels")
+        graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+        (bytes, dt)
+      }
+      val (bytes1x, wall1x) = run(5000L)
+      val (bytes10x, wall10x) = run(50000L)
+      println(f"SCALE clusterIndexDelete: 1x ${bytes1x / 1024}%d KiB " +
+        f"shuffled $wall1x%.1f s; 10x ${bytes10x / 1024}%d KiB $wall10x%.1f s " +
+        f"(bytes ratio ${bytes10x.toDouble / math.max(bytes1x, 1L)}%.2fx)")
+      assert(bytes10x <= 3L * math.max(bytes1x, 1L << 20),
+        s"delete shuffle bytes grew with the corpus: $bytes1x -> $bytes10x " +
+          "(O(affected) regression — corpus-linear work must stay in " +
+          "column-pruned scans)")
+    }
+
     // CDC decode throughput: a synthetic 8-file log scanned end-to-end
     // through the DSv2 source with full row decode (sum(id) defeats the
     // sidecar aggregate pushdown on purpose — this measures the decoder,
