@@ -775,9 +775,14 @@ object Dedup {
     val verdicts = spark.read.parquet(s"$path/verdicts")
     // an id is the document's identity: appending one that is already
     // indexed — or twice within one batch — would split its verdict
-    // across rows — fail loud on both (a column-pruned id-only scan)
-    val dup = batch.select(col(id))
-      .join(verdicts.select(col(id)), Seq(id), "left_semi").limit(1).collect()
+    // across rows — fail loud on both. Orientation matters for shuffle
+    // posture: the corpus-sized verdict id scan STREAMS against the
+    // broadcast batch ids (a batch⋉verdicts semi-join would sort-merge
+    // the corpus ids instead — only the right side of a semi-join can
+    // be the broadcast build side)
+    val batchIdsDf = batchIds.toSeq.toDF(id)
+    val dup = verdicts.select(col(id))
+      .join(broadcast(batchIdsDf), Seq(id), "left_semi").limit(1).collect()
     require(dup.isEmpty,
       s"appendToClusterIndex($path): batch contains already-indexed $id ${dup.headOption.map(_.get(0))}")
     val batchDup = batch.groupBy(col(id)).count()
@@ -790,13 +795,28 @@ object Dedup {
     maybeCrash("after-artifacts")
 
     // exact candidates: batch prefixes vs the persisted inverted index
-    // (cross) and vs themselves (batch-internal)
+    // (cross) and vs themselves (batch-internal). Shuffle posture: the
+    // batch prefix frame is batch-bounded — BROADCAST it so the
+    // corpus-sized inverted index STREAMS through the probe (un-hinted,
+    // this sort-merge-joined the whole prefix index per append); the
+    // live-ids semi-join rides the same streamed pass with the batch
+    // ids broadcast. One corpus-linear SCAN of prefix/ per append is
+    // intrinsic (the probe target); corpus-linear SHUFFLE is not.
     val batchPrefix = spark.read.parquet(s"$path/prefix")
-      .join(batchSh.select(col("__mid")), Seq("__mid"), "left_semi")
+      .join(broadcast(batchIdsDf.select(col(id).as("__mid"))),
+        Seq("__mid"), "left_semi")
       .localCheckpoint(true)
+    // the anti-batch filter keeps the batch's own just-landed artifacts
+    // out of the cross probe (batch-internal pairs are candsSelf's
+    // job). Dead oids — orphan-append artifacts and deleted docs — may
+    // still surface as candidates here: they verify wastefully but can
+    // never become edges, because the crossEdges join below is an
+    // INNER join against live verdicts (gc/rebuild bounds the waste).
     val indexPrefix = spark.read.parquet(s"$path/prefix")
-      .join(verdicts.select(col(id).as("__mid")), Seq("__mid"), "left_semi")
-    val candsCross = batchPrefix.select(col("__mid").as("bid"), col("shingle"))
+      .join(broadcast(batchIdsDf.select(col(id).as("__mid"))),
+        Seq("__mid"), "left_anti")
+    val candsCross = broadcast(
+        batchPrefix.select(col("__mid").as("bid"), col("shingle")))
       .join(indexPrefix.select(col("__mid").as("oid"), col("shingle")), "shingle")
       .select(col("bid"), col("oid")).distinct()
     val candsSelf = batchPrefix.select(col("__mid").as("bid"), col("shingle"))
@@ -814,8 +834,8 @@ object Dedup {
     // naming the knob
     val edgeCap = spark.conf
       .get("spark.graft.dedup.appendEdgeCap", "4000000").toInt
-    val crossEdges = verified(candsCross)
-      .join(verdicts.select(col(id).as("oid"), col("canon_id")), "oid")
+    val crossEdges = verdicts.select(col(id).as("oid"), col("canon_id"))
+      .join(broadcast(verified(candsCross)), "oid") // corpus side streams
       .select(col("bid"), col("canon_id").as("other")).distinct()
       .limit(edgeCap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -896,14 +916,28 @@ object Dedup {
     * formula shared by [[appendToClusterIndex]] and
     * [[deleteFromClusterIndex]] (a sorted-merge intersection count; a
     * drifted copy would silently break full-rebuild equivalence on one
-    * of the two maintenance paths). */
+    * of the two maintenance paths).
+    *
+    * Shuffle posture: `shingles/` is CORPUS-sized while the candidate
+    * set is batch/affected-bounded by contract, so the array frame is
+    * pruned FIRST with a broadcast semi-join against the candidate
+    * participant ids and the array joins carry broadcast hints — the
+    * un-hinted form sort-merge-joined the full corpus of shingle
+    * arrays per maintenance op (caught by the clusterIndexDelete
+    * ScaleSmoke's 1x-vs-10x shuffle-byte pin). */
   private def verifyAgainstShingles(spark: SparkSession, path: String,
       cands: DataFrame, threshold: Double): DataFrame = {
-    val ssAll = spark.read.parquet(s"$path/shingles")
+    val c = cands.localCheckpoint(true) // two id pulls + the verify join
+    val partIds = c.select(col("bid").as("__mid"))
+      .union(c.select(col("oid").as("__mid"))).distinct()
+    val ss = spark.read.parquet(s"$path/shingles")
+      .join(broadcast(partIds), Seq("__mid"), "left_semi")
       .select(col("__mid"), col("ss"))
-    cands
-      .join(ssAll.select(col("__mid").as("bid"), col("ss").as("sh_a")), "bid")
-      .join(ssAll.select(col("__mid").as("oid"), col("ss").as("sh_b")), "oid")
+    c
+      .join(broadcast(ss.select(col("__mid").as("bid"), col("ss").as("sh_a"))),
+        "bid")
+      .join(broadcast(ss.select(col("__mid").as("oid"), col("ss").as("sh_b"))),
+        "oid")
       .withColumn("inter", sorted_intersect_count(col("sh_a"), col("sh_b")))
       .filter(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double")
@@ -1002,17 +1036,25 @@ object Dedup {
     val idsDf = ids.toSeq.toDF(id)
     // deleting an id that is not indexed would silently diverge from
     // the rebuild contract (the caller thinks it removed something) —
-    // fail loud (column-pruned id-only scan)
-    val missing = idsDf.join(verdicts.select(col(id)), Seq(id), "left_anti")
-      .limit(1).collect()
-    require(missing.isEmpty,
-      s"deleteFromClusterIndex($path): $id ${missing.headOption.map(_.get(0))} is not indexed")
+    // fail loud. One column-pruned verdict id STREAM against the
+    // broadcast batch ids (an ids⋉verdicts anti-join would sort-merge
+    // the corpus ids); the missing set diffs on the driver,
+    // batch-bounded
+    val present = verdicts.select(col(id))
+      .join(broadcast(idsDf), Seq(id), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    require(present.size == ids.length,
+      s"deleteFromClusterIndex($path): $id ${ids.find(!present(_))} is not indexed")
     // affected clusters = the labels the deleted docs belong to
     val affectedOld = verdicts.join(broadcast(idsDf), Seq(id), "left_semi")
       .select(col("canon_id")).distinct().collect().map(_.getLong(0))
     val memberCap = spark.conf
       .get("spark.graft.dedup.deleteMemberCap", "4000000").toInt
+    // the affected clusters' rows all live in their labels' vb
+    // partitions — the filter prunes the read to O(affected buckets)
     val remaining = verdicts
+      .filter(col("vb").isInCollection(
+        affectedOld.map(bucketOf(_, nBuckets)).distinct.toSeq))
       .filter(col("canon_id").isInCollection(affectedOld))
       .join(broadcast(idsDf), Seq(id), "left_anti")
       .select(col(id)).limit(memberCap + 1).collect().map(_.getLong(0))

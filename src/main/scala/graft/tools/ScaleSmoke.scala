@@ -411,23 +411,33 @@ object ScaleSmoke {
     // plus 100 32-doc sliding-window chains (consecutive docs share 23
     // of 24 tokens; j~j+1 and j~j+2 edges, diameter ~16 — the
     // adversarial tail star contraction exists for).
+    val nChainDocs = 3200L // 100 chains x 32
+    // triples (each member differs in the final token — exact
+    // shingle-jaccard 21/23 >= 0.8) plus 32-doc sliding-window chains
+    // (consecutive docs share 23 of 24 tokens; j~j+1 AND j~j+2 edges,
+    // so splitting a chain takes TWO adjacent removals). NOTE the
+    // round-13 fix: Column `/` is DOUBLE division, so the original
+    // `col("id") / 32L` chain tag made every chain doc's tokens unique
+    // (c0.03125_*) — chains were shingle-disjoint, formed no edges,
+    // and the ccPipeline label assert was vacuous for them (labels
+    // only cover edge endpoints). `div` restores integer chain tags;
+    // the labels.count() assert below makes vacuity impossible now.
+    def ccCorpus(nDocs: Long): (org.apache.spark.sql.DataFrame, Long) = {
+      val nTriple = (nDocs - nChainDocs) / 3 * 3
+      val triples = spark.range(nTriple).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 23).map(j => concat(lit("w"),
+            ((col("id") - col("id") % 3) * 31L + j) * 2654435761L % 1048573L))
+          :+ when(col("id") % 3 === 0, lit("base"))
+              .otherwise(concat(lit("m"), col("id") % 3)): _*).as("text"))
+      val chains = spark.range(nChainDocs)
+        .select((col("id") + nTriple).as("doc_id"),
+          concat_ws(" ", (0 until 24).map(j =>
+            concat(lit("c"), expr("id div 32"), lit("_"),
+              col("id") % 32L + j)): _*).as("text"))
+      (triples.union(chains), nTriple)
+    }
     timed("ccPipeline(1x vs 10x sf0.1 documents)") {
-      val nChainDocs = 3200L // 100 chains x 32
-      def ccCorpus(nDocs: Long): (org.apache.spark.sql.DataFrame, Long) = {
-        val nTriple = (nDocs - nChainDocs) / 3 * 3
-        val triples = spark.range(nTriple).select(col("id").as("doc_id"),
-          concat_ws(" ",
-            (0 until 23).map(j => concat(lit("w"),
-              ((col("id") - col("id") % 3) * 31L + j) * 2654435761L % 1048573L))
-            :+ when(col("id") % 3 === 0, lit("base"))
-                .otherwise(concat(lit("m"), col("id") % 3)): _*).as("text"))
-        val chains = spark.range(nChainDocs)
-          .select((col("id") + nTriple).as("doc_id"),
-            concat_ws(" ", (0 until 24).map(j =>
-              concat(lit("c"), col("id") / 32L, lit("_"),
-                col("id") % 32L + j)): _*).as("text"))
-        (triples.union(chains), nTriple)
-      }
       def run(nDocs: Long): (Int, Double) = {
         val (docs, nTriple) = ccCorpus(nDocs)
         val t0 = System.nanoTime()
@@ -435,11 +445,17 @@ object ScaleSmoke {
           docs, "text", "doc_id", 0.8, 3)
         val (labels, iters) = graft.ops.Dedup.connectedComponentsStars(
           edges, "id_a", "id_b", maxIters = 60)
+        // every doc participates in an edge in this corpus, so every
+        // doc must carry a label row — a silent edge loss (the vacuity
+        // the round-13 fix closed) now fails here instead of passing
+        val nLabeled = labels.count()
         val bad = labels.filter(
           when(col("id") < nTriple, col("label") =!= col("id") - col("id") % 3)
             .otherwise(col("label") =!=
               (col("id") - (col("id") - nTriple) % 32L))).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        assert(nLabeled == nDocs,
+          s"ccPipeline($nDocs): only $nLabeled of $nDocs docs labeled — edges lost")
         assert(bad == 0L, s"ccPipeline($nDocs): $bad mislabeled docs")
         (iters, dt)
       }
@@ -485,8 +501,9 @@ object ScaleSmoke {
     }
 
     // Cluster-index DELETE at 1x vs 10x corpus: the O(affected) claim
-    // as a measured number — the same 55-doc delete (50 triple members
-    // + 5 chain BRIDGES, each bridge splitting its 32-doc chain) must
+    // as a measured number — the same 60-doc delete (50 triple members
+    // + the TWO adjacent mid-chain docs of 5 chains; chain edges span
+    // j~j+1 and j~j+2, so a split takes two adjacent removals) must
     // not shuffle ~10x more bytes when the corpus grows 10x. Corpus-
     // linear work in the delete is confined to column-pruned id/label
     // scans (no shuffle), so shuffle bytes track affected clusters.
@@ -494,34 +511,20 @@ object ScaleSmoke {
     // the shuffle-byte ratio carries the assert, with 3x slack for
     // partition-count constants.
     timed("clusterIndexDelete(1x vs 10x)") {
-      val nChainDocs = 3200L
-      def ccCorpus(nDocs: Long): (org.apache.spark.sql.DataFrame, Long) = {
-        val nTriple = (nDocs - nChainDocs) / 3 * 3
-        val triples = spark.range(nTriple).select(col("id").as("doc_id"),
-          concat_ws(" ",
-            (0 until 23).map(j => concat(lit("w"),
-              ((col("id") - col("id") % 3) * 31L + j) * 2654435761L % 1048573L))
-            :+ when(col("id") % 3 === 0, lit("base"))
-                .otherwise(concat(lit("m"), col("id") % 3)): _*).as("text"))
-        val chains = spark.range(nChainDocs)
-          .select((col("id") + nTriple).as("doc_id"),
-            concat_ws(" ", (0 until 24).map(j =>
-              concat(lit("c"), col("id") / 32L, lit("_"),
-                col("id") % 32L + j)): _*).as("text"))
-        (triples.union(chains), nTriple)
-      }
       def run(nDocs: Long): (Long, Double) = {
         val (docs, nTriple) = ccCorpus(nDocs)
         val idx = java.nio.file.Files.createTempDirectory(
           s"clidx-scale-$nDocs").toString
         graft.ops.Dedup.buildClusterIndex(docs, idx, threshold = 0.8,
           nBuckets = 64)
-        // 50 triple members (m1 variants) + 5 chain mid-points (bridges:
-        // each split leaves positions 0..15 and 17..31 connected through
-        // their sliding windows minus the bridge)
+        // 50 triple members (m1 variants) + positions 16 and 17 of 5
+        // chains (each pair split leaves [0..15] and [18..31] — 15 vs
+        // 18 share only 20 of 24 tokens, below the 0.8 bar)
         val delIds = spark.range(50).select((col("id") * 3L + 1L).as("doc_id"))
           .union(spark.range(5).select(
             (col("id") * 32L + 16L + nTriple).as("doc_id")))
+          .union(spark.range(5).select(
+            (col("id") * 32L + 17L + nTriple).as("doc_id")))
         val t0 = System.nanoTime()
         val (_, bytes) = measuredShuffle {
           graft.ops.Dedup.deleteFromClusterIndex(spark, idx, delIds)

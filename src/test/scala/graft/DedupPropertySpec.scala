@@ -278,6 +278,52 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  /** (doc_id, canon_id, cluster_size, score, keep) rows of an index. */
+  private def verdictRows(path: String): Set[(Long, Long, Long, Double, Boolean)] =
+    spark.read.parquet(s"$path/verdicts")
+      .select("doc_id", "canon_id", "cluster_size", "score", "keep")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSet
+
+  test("cluster-index lifecycle on random corpora: append then delete both equal the rebuild") {
+    // tiny vocabulary => dense, irregular cluster shapes (bridges,
+    // chains, tangles) — the structures the planted lifecycle specs
+    // can't enumerate. Drive build(subset) -> append(rest) -> delete
+    // (random ids) and pin ROW-IDENTITY with from-scratch rebuilds at
+    // both waypoints.
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = randomCorpus(50, seed)
+      val (batch, base) = docs.partition(_ => rnd.nextDouble() < 0.3)
+      val idx = java.nio.file.Files.createTempDirectory(s"clidx-prop-$seed").toString
+      graft.ops.Dedup.buildClusterIndex(base.toDF("doc_id", "text"), idx,
+        threshold = 0.5, nBuckets = 8)
+      if (batch.nonEmpty)
+        graft.ops.Dedup.appendToClusterIndex(spark, idx,
+          batch.toDF("doc_id", "text"))
+      val full = java.nio.file.Files.createTempDirectory(s"clidx-prop-f-$seed").toString
+      graft.ops.Dedup.buildClusterIndex(docs.toDF("doc_id", "text"), full,
+        threshold = 0.5, nBuckets = 8)
+      assert(verdictRows(idx) == verdictRows(full),
+        s"seed=$seed: append diverged from rebuild")
+      val delIds = docs.map(_._1).filter(_ => rnd.nextDouble() < 0.4)
+      if (delIds.nonEmpty) {
+        graft.ops.Dedup.deleteFromClusterIndex(spark, idx,
+          delIds.toDF("doc_id"))
+        val rem = java.nio.file.Files.createTempDirectory(s"clidx-prop-r-$seed").toString
+        graft.ops.Dedup.buildClusterIndex(
+          docs.filterNot(d => delIds.contains(d._1)).toDF("doc_id", "text"),
+          rem, threshold = 0.5, nBuckets = 8)
+        assert(verdictRows(idx) == verdictRows(rem),
+          s"seed=$seed: delete diverged from rebuild (delIds=$delIds)")
+        graft.TmpDirs.deleteRecursively(new java.io.File(rem))
+      }
+      Seq(idx, full).foreach(d =>
+        graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+    }
+  }
+
   test("containment finds the embedded-doc pairs Jaccard structurally misses") {
     // B = 60 distinct tokens; A = B's middle 20 tokens. Every shingle of
     // A appears in B (containment 1.0) while jaccard = 18/58 ≈ 0.31
