@@ -1227,6 +1227,60 @@ object Dedup {
       .foreach(d => IndexFs.delete(fs, s"$path/verdicts.appending/$d"))
   }
 
+  /** Transition report between two cluster-index states — the
+    * observability a MAINTAINED dedup index needs: after a crawl-batch
+    * append or a takedown delete, what actually happened to the
+    * clusters? Classifies every OLD cluster (removed / split / intact)
+    * and every NEW cluster (newborn / merged / enlarged / carried),
+    * plus doc-level added/removed/carried counts — the numbers an
+    * index operator alerts on (a takedown that SPLIT thousands of
+    * clusters, an append whose merge rate spiked).
+    *
+    * Inputs are two verdict frames (`id`, `canon_id`, …); only those
+    * two columns are read. Scale posture: one full-outer co-shuffle of
+    * (id, label) pairs — 16 bytes/doc — plus label-keyed aggregations;
+    * a report op run per maintenance window, not per query. Output is
+    * one row per kind (all ten kinds always present, zeros included)
+    * so the report schema is fixed. */
+  def clusterIndexTransitions(oldV: DataFrame, newV: DataFrame,
+      id: String = "doc_id"): DataFrame = {
+    val spark = oldV.sparkSession
+    import spark.implicits._
+    val o = oldV.select(col(id), col("canon_id").as("__lo"))
+    val n = newV.select(col(id), col("canon_id").as("__ln"))
+    val j = o.join(n, Seq(id), "full_outer")
+      .select(col(id), col("__lo"), col("__ln"))
+      .localCheckpoint(true) // three aggregation consumers below
+    val oldKinds = j.filter(col("__lo").isNotNull)
+      .groupBy(col("__lo"))
+      .agg(count(col("__ln")).as("s"),
+        countDistinct(col("__ln")).as("nl"))
+      .select(
+        when(col("s") === 0, lit("old_removed"))
+          .when(col("nl") >= 2, lit("old_split"))
+          .otherwise(lit("old_intact")).as("kind"))
+    val newKinds = j.filter(col("__ln").isNotNull)
+      .groupBy(col("__ln"))
+      .agg(countDistinct(col("__lo")).as("n_old"),
+        count(when(col("__lo").isNull, lit(1))).as("n_new"))
+      .select(
+        when(col("n_old") === 0, lit("new_newborn"))
+          .when(col("n_old") >= 2, lit("new_merged"))
+          .when(col("n_new") >= 1, lit("new_enlarged"))
+          .otherwise(lit("new_carried")).as("kind"))
+    val docKinds = j.select(
+      when(col("__ln").isNull, lit("docs_removed"))
+        .when(col("__lo").isNull, lit("docs_added"))
+        .otherwise(lit("docs_carried")).as("kind"))
+    val allKinds = Seq("old_removed", "old_split", "old_intact",
+      "new_newborn", "new_merged", "new_enlarged", "new_carried",
+      "docs_removed", "docs_added", "docs_carried").toDF("kind")
+    oldKinds.unionByName(newKinds).unionByName(docKinds)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      .join(allKinds, Seq("kind"), "right")
+      .select(col("kind"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** MinHash CALIBRATION audit — the tuning report an LSH dedup rollout
     * is parameterized from: over exactly-verified candidate pairs
     * (prefix filter, j >= threshold), compare the k-slot portable

@@ -901,6 +901,48 @@ object LlmExt2 {
         "text", "doc_id", threshold = 0.8)
     },
 
+    // cluster-index TRANSITIONS report — the observability a maintained
+    // index needs: after a maintenance op, what happened to the
+    // clusters? Diffs llm73's full index against llm75's post-delete
+    // index (both fixtures already built once per JVM — the report op
+    // itself reads only (doc_id, canon_id) from each). The oracle
+    // recomputes BOTH closures from scratch (the suffix-parameterized
+    // CTE chain) and replays the same classification, so a wrong split
+    // count or a phantom carried cluster hash-mismatches.
+    QDef("llm77_cluster_index_transitions",
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8)},
+         |${OracleSql.closureCtes(0.8, "doc_id % 10 <> 7", "_n")},
+         |o AS (SELECT doc_id, canon_id AS lo FROM lab),
+         |nn AS (SELECT doc_id, canon_id AS ln FROM lab_n),
+         |j AS (SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, o.lo, nn.ln
+         |  FROM o FULL JOIN nn ON o.doc_id = nn.doc_id),
+         |ok AS (SELECT CASE WHEN COUNT(ln) = 0 THEN 'old_removed'
+         |              WHEN COUNT(DISTINCT ln) >= 2 THEN 'old_split'
+         |              ELSE 'old_intact' END AS kind
+         |  FROM j WHERE lo IS NOT NULL GROUP BY lo),
+         |nk AS (SELECT CASE WHEN COUNT(lo) = 0 THEN 'new_newborn'
+         |              WHEN COUNT(DISTINCT lo) >= 2 THEN 'new_merged'
+         |              WHEN COUNT(*) FILTER (WHERE lo IS NULL) >= 1 THEN 'new_enlarged'
+         |              ELSE 'new_carried' END AS kind
+         |  FROM j WHERE ln IS NOT NULL GROUP BY ln),
+         |dk AS (SELECT CASE WHEN ln IS NULL THEN 'docs_removed'
+         |              WHEN lo IS NULL THEN 'docs_added'
+         |              ELSE 'docs_carried' END AS kind FROM j),
+         |agg AS (SELECT kind, COUNT(*) AS c FROM
+         |  (SELECT kind FROM ok UNION ALL SELECT kind FROM nk
+         |   UNION ALL SELECT kind FROM dk) GROUP BY kind),
+         |kinds(kind) AS (VALUES ('old_removed'),('old_split'),('old_intact'),
+         |  ('new_newborn'),('new_merged'),('new_enlarged'),('new_carried'),
+         |  ('docs_removed'),('docs_added'),('docs_carried'))
+         |SELECT k.kind, CAST(COALESCE(a.c, 0) AS BIGINT) AS n
+         |FROM kinds k LEFT JOIN agg a USING (kind)""".stripMargin) { (s, dir) =>
+      val oldIdx = ensureClusterIndex(s, dir)
+      val newIdx = ensureDeletedClusterIndex(s, dir)
+      Dedup.clusterIndexTransitions(
+        s.read.parquet(s"$oldIdx/verdicts"),
+        s.read.parquet(s"$newIdx/verdicts"))
+    },
+
     // minhash calibration audit: portable k=8 slot estimate vs exact
     // Jaccard over verified candidate pairs, binned by floor(j*10) —
     // the report an LSH rollout tunes bands/k from. Integer-count

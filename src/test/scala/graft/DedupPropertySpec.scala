@@ -324,6 +324,66 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("clusterIndexTransitions equals the driver-side reference over random lifecycles") {
+    for (seed <- Seq(9, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = randomCorpus(50, seed)
+      val (batch, base) = docs.partition(_ => rnd.nextDouble() < 0.3)
+      val dels = docs.map(_._1).filter(_ => rnd.nextDouble() < 0.3)
+      val oldIdx = java.nio.file.Files.createTempDirectory(s"tr-old-$seed").toString
+      val newIdx = java.nio.file.Files.createTempDirectory(s"tr-new-$seed").toString
+      graft.ops.Dedup.buildClusterIndex(base.toDF("doc_id", "text"), oldIdx,
+        threshold = 0.5, nBuckets = 8)
+      graft.ops.Dedup.buildClusterIndex(base.toDF("doc_id", "text"), newIdx,
+        threshold = 0.5, nBuckets = 8)
+      if (batch.nonEmpty)
+        graft.ops.Dedup.appendToClusterIndex(spark, newIdx,
+          batch.toDF("doc_id", "text"))
+      val delIndexed = dels.filter(i => base.exists(_._1 == i) ||
+        batch.exists(_._1 == i))
+      if (delIndexed.nonEmpty)
+        graft.ops.Dedup.deleteFromClusterIndex(spark, newIdx,
+          delIndexed.toDF("doc_id"))
+      def labelsOf(p: String): Map[Long, Long] =
+        spark.read.parquet(s"$p/verdicts").select("doc_id", "canon_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lo = labelsOf(oldIdx); val ln = labelsOf(newIdx)
+      // driver-side reference classification
+      val ref = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      lo.groupBy(_._2).foreach { case (_, m) =>
+        val surv = m.keys.filter(ln.contains).map(ln).toSet
+        val kind = if (surv.isEmpty) "old_removed"
+          else if (surv.size >= 2) "old_split" else "old_intact"
+        ref(kind) += 1
+      }
+      ln.groupBy(_._2).foreach { case (_, m) =>
+        val oldLabels = m.keys.filter(lo.contains).map(lo).toSet
+        val nNew = m.keys.count(!lo.contains(_))
+        val kind = if (oldLabels.isEmpty) "new_newborn"
+          else if (oldLabels.size >= 2) "new_merged"
+          else if (nNew >= 1) "new_enlarged" else "new_carried"
+        ref(kind) += 1
+      }
+      ref("docs_removed") += lo.keys.count(!ln.contains(_))
+      ref("docs_added") += ln.keys.count(!lo.contains(_))
+      ref("docs_carried") += lo.keys.count(ln.contains)
+      val got = graft.ops.Dedup.clusterIndexTransitions(
+          spark.read.parquet(s"$oldIdx/verdicts"),
+          spark.read.parquet(s"$newIdx/verdicts"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = Seq("old_removed", "old_split", "old_intact",
+        "new_newborn", "new_merged", "new_enlarged", "new_carried",
+        "docs_removed", "docs_added", "docs_carried")
+        .map(k => k -> ref(k)).toMap
+      assert(got == want, s"seed=$seed: got $got want $want")
+      // the append-side kinds must actually fire across the seeds for
+      // this property to mean anything on the llm77 (delete-only) oracle
+      Seq(oldIdx, newIdx).foreach(d =>
+        graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+    }
+  }
+
   test("containment finds the embedded-doc pairs Jaccard structurally misses") {
     // B = 60 distinct tokens; A = B's middle 20 tokens. Every shingle of
     // A appears in B (containment 1.0) while jaccard = 18/58 ≈ 0.31
