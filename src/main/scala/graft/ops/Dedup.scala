@@ -328,6 +328,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Containment-aware CURATION: drop every document that is contained
+    * (≥ `threshold` of its shingles) in a STRICTLY LONGER document —
+    * ties broken toward the smaller container id — and keep the rest.
+    * The orientation makes the rule one-pass and total: a
+    * mutual-containment pair (near-identical docs) keeps exactly one
+    * member, and a kept/pruned decision never depends on another doc's
+    * decision (prune if ANY qualifying container exists — the standard
+    * greedy; a container pruned by its own bigger container still
+    * prunes its containees, which is the conservative choice for
+    * training data). Length = the `sizeCol` column (chars), not the
+    * shingle count, so the decision is replayable from stored metadata.
+    *
+    * Scale posture: the pair frame is [[containmentSelfJoinExact]]'s
+    * (sub-quadratic); the size joins broadcast the pair side and the
+    * final anti-join broadcasts the pruned-id set — the corpus is
+    * never shuffled. */
+  def containmentPrune(df: DataFrame, textCol: String, id: String,
+      sizeCol: String, threshold: Double): DataFrame = {
+    val pairs = containmentSelfJoinExact(df, textCol, id, threshold)
+    val sizes = df.select(col(id), col(sizeCol))
+    val pruned = sizes
+      .select(col(id).as("contained_id"), col(sizeCol).as("__na"))
+      .join(broadcast(pairs), "contained_id")
+      .join(broadcast(sizes
+        .select(col(id).as("container_id"), col(sizeCol).as("__nb"))
+        .join(broadcast(pairs.select(col("container_id")).distinct()),
+          Seq("container_id"), "left_semi")), "container_id")
+      .filter(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") &&
+          col("container_id") < col("contained_id")))
+      .select(col("contained_id").as(id)).distinct()
+    df.join(broadcast(pruned), Seq(id), "left_anti")
+  }
+
   /** (distinctSh, inv, canon): the per-doc distinct shingle sets, their
     * inverted form, and the df-canonical ordered arrays — the shared
     * front half of [[jaccardSelfJoinExact]] and
@@ -1045,6 +1079,15 @@ object Dedup {
       .collect().map(_.getLong(0)).toSet
     require(present.size == ids.length,
       s"deleteFromClusterIndex($path): $id ${ids.find(!present(_))} is not indexed")
+    // deleting EVERY indexed doc would leave an empty verdicts/ dir —
+    // unreadable parquet (no files to infer a schema from), so every
+    // later serve/append would crash confusingly. Refuse loud; clearing
+    // an index is a rebuild-over-the-new-corpus (or rm) operation.
+    // parquet footer count — no data pages read
+    val total = verdicts.count()
+    require(total > ids.length,
+      s"deleteFromClusterIndex($path): deleting all $total indexed docs " +
+        "would empty the index — rebuild over the new corpus instead")
     // affected clusters = the labels the deleted docs belong to
     val affectedOld = verdicts.join(broadcast(idsDf), Seq(id), "left_semi")
       .select(col("canon_id")).distinct().collect().map(_.getLong(0))

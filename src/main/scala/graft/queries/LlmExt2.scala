@@ -901,6 +901,31 @@ object LlmExt2 {
         "text", "doc_id", threshold = 0.8)
     },
 
+    // containment-aware curation: drop every doc contained (>= 0.8 of
+    // its shingles) in a STRICTLY longer doc, ties to the smaller
+    // container id — one-pass greedy, so mutual-containment pairs keep
+    // exactly one member. The survivor set llm76's detection feeds.
+    QDef("llm78_containment_prune",
+      s"""WITH ${OracleSql.prefixFilterCtes(0.8)},
+         |cc AS (SELECT DISTINCT p.doc_id AS a, i.doc_id AS b
+         |  FROM pre p JOIN inv i ON p.shingle = i.shingle AND p.doc_id <> i.doc_id),
+         |pairs AS (SELECT a, b FROM (
+         |    SELECT a, b, CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |        / CAST(len(sa.s) AS DOUBLE) AS c
+         |    FROM cc JOIN sh0 sa ON cc.a = sa.doc_id JOIN sh0 sb ON cc.b = sb.doc_id)
+         |  WHERE c >= 0.8),
+         |pruned AS (SELECT DISTINCT p.a AS doc_id
+         |  FROM pairs p JOIN documents da ON p.a = da.doc_id
+         |  JOIN documents db ON p.b = db.doc_id
+         |  WHERE db.n_chars > da.n_chars
+         |     OR (db.n_chars = da.n_chars AND p.b < p.a))
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM pruned)""".stripMargin) { (s, dir) =>
+      Dedup.containmentPrune(Tables.load(s, dir, "documents"),
+        "text", "doc_id", "n_chars", threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
     // cluster-index TRANSITIONS report — the observability a maintained
     // index needs: after a maintenance op, what happened to the
     // clusters? Diffs llm73's full index against llm75's post-delete

@@ -278,6 +278,22 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(rebuilt))
   }
 
+  test("delete that would EMPTY the index fails loud (unreadable-dir guard)") {
+    val corpus = Seq((1L, doc("ax", "t0")), (2L, doc("bx", "u0")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-del-all").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.deleteFromClusterIndex(spark, idx, Seq(1L, 2L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("would empty the index"), ex.getMessage)
+    // the refusal left the index untouched and servable
+    assert(readVerdicts(idx).map(_._1) == Set(1L, 2L))
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    assert(readVerdicts(idx).map(_._1) == Set(2L))
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("delete fails loud on a non-indexed id; member cap fails loud") {
     val corpus = Seq((1L, doc("ax", "t0")), (2L, doc("ax", "t1")))
       .toDF("doc_id", "text")
