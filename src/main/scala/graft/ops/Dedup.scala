@@ -341,12 +341,31 @@ object Dedup {
     * shingle count, so the decision is replayable from stored metadata.
     *
     * Scale posture: the pair frame is [[containmentSelfJoinExact]]'s
-    * (sub-quadratic); the size joins broadcast the pair side and the
-    * final anti-join broadcasts the pruned-id set — the corpus is
-    * never shuffled. */
+    * (sub-quadratic in ordinary corpora); the size joins broadcast the
+    * pair side and the final anti-join broadcasts the pruned-id set —
+    * the corpus is never shuffled. Because a BOILERPLATE-HEAVY corpus
+    * (many docs sharing one template) can make the pair frame
+    * near-quadratic, the broadcasts are bounded LOUD by
+    * `spark.graft.dedup.containmentPairCap` (the pruned-id set is ≤ the
+    * pair count, so one cap bounds all three broadcasts) instead of
+    * OOMing the driver — the same fail-loud discipline as the
+    * append/delete edge caps. */
   def containmentPrune(df: DataFrame, textCol: String, id: String,
       sizeCol: String, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    val pairCap = spark.conf
+      .get("spark.graft.dedup.containmentPairCap", "4000000").toInt
+    // checkpoint: the cap probe + two broadcast consumers would each
+    // re-run the containment join's full lineage otherwise
     val pairs = containmentSelfJoinExact(df, textCol, id, threshold)
+      .localCheckpoint(true)
+    val nPairs = pairs.limit(pairCap + 1).count()
+    require(nPairs <= pairCap,
+      s"containmentPrune: containment pair frame exceeds " +
+        s"spark.graft.dedup.containmentPairCap=$pairCap (count capped at " +
+        "cap+1) — a boilerplate-heavy corpus makes the pair frame " +
+        "near-quadratic and these broadcasts driver-sized; raise the " +
+        "knob, strip the shared template first, or prune in batches")
     val sizes = df.select(col(id), col(sizeCol))
     val pruned = sizes
       .select(col(id).as("contained_id"), col(sizeCol).as("__na"))
@@ -707,8 +726,10 @@ object Dedup {
     * duplicate rows forever, so crash-retry leaves the artifact dirs
     * clean. An abandoned never-retried append leaves one orphan
     * partition — harmless to correctness (orphans have no verdict row,
-    * and both candidate sides semi-join against live ids) and reclaimed
-    * wholesale by the next [[buildClusterIndex]] rebuild. */
+    * no commit marker — [[verifyAgainstShingles]] excludes unmarked
+    * partitions — and a dead candidate can never become an edge through
+    * the inner join against live verdicts) and reclaimed wholesale by
+    * the next [[buildClusterIndex]] rebuild or [[gcClusterIndex]]. */
   private def writeMemberArtifacts(spark: SparkSession, path: String,
       appId: String, distinctSh: DataFrame, threshold: Double): Unit = {
     val canon = canonicalMemberArrays(spark, path, distinctSh)
@@ -770,11 +791,16 @@ object Dedup {
     * Crash safety, single-writer by contract: member artifacts land
     * FIRST in an idempotent per-append partition ([[writeMemberArtifacts]]);
     * the staged buckets are journaled (`appends/<id>.intent`) before
-    * any rename, and a commit marker (`appends/<id>.committed`) after
-    * all of them. A retried append (same batch => same deterministic
-    * append id) ROLLS a crashed swap FORWARD from the journal, rolls an
-    * unjournaled staging write back, and short-circuits on the commit
-    * marker — so any crash-retry interleaving converges on exactly-once
+    * any rename, and a commit marker (`appends/<id>.committed`,
+    * carrying the op's commit sequence) after all of them. A retried
+    * append (same batch => same deterministic append id) ROLLS a
+    * crashed swap FORWARD from the journal, rolls an unjournaled
+    * staging write back, and short-circuits when the commit marker
+    * exists AND every batch id is live — marker-plus-liveness, not the
+    * marker alone, because the marker is stale after a later delete of
+    * the same ids (the documented append -> delete -> re-append
+    * lifecycle re-executes; a retry of the committed append no-ops) —
+    * so any crash-retry interleaving converges on exactly-once
     * semantics (spec-pinned at every failpoint). During the swap window
     * itself a concurrent reader can observe a bucket mid-rename; serve
     * reads are snapshot-consistent outside that window, same contract
@@ -804,21 +830,33 @@ object Dedup {
     // of the same batch addresses the same journal entry and the same
     // artifact partition
     val appId = appendIdOf(batchIds)
-    if (IndexFs.exists(fs, s"$path/appends/$appId.committed"))
-      return // this exact batch already committed — idempotent retry
     val verdicts = spark.read.parquet(s"$path/verdicts")
+    // which batch ids are currently indexed? One column-pruned verdict
+    // id scan. Orientation matters for shuffle posture: the corpus-
+    // sized verdict id scan STREAMS against the broadcast batch ids (a
+    // batch⋉verdicts semi-join would sort-merge the corpus ids instead
+    // — only the right side of a semi-join can be the broadcast build
+    // side)
+    val batchIdsDf = batchIds.toSeq.toDF(id)
+    val live = verdicts.select(col(id))
+      .join(broadcast(batchIdsDf), Seq(id), "left_semi")
+      .collect().map(_.getLong(0))
+    // idempotent-retry no-op requires the marker AND liveness: the
+    // marker alone is STALE after a later delete of the same ids (the
+    // documented append -> delete -> re-append lifecycle would
+    // otherwise silently no-op on the first append's marker and leave
+    // the docs unindexed). Marker + all-live = a retry of the committed
+    // append; marker + none-live = a genuinely new re-append after a
+    // delete (proceed); marker + some-live = ambiguous partial state —
+    // fall through to the loud already-indexed check below.
+    if (IndexFs.exists(fs, s"$path/appends/$appId.committed") &&
+        live.length == batchIds.length)
+      return // this exact batch committed and is fully live — retry no-op
     // an id is the document's identity: appending one that is already
     // indexed — or twice within one batch — would split its verdict
-    // across rows — fail loud on both. Orientation matters for shuffle
-    // posture: the corpus-sized verdict id scan STREAMS against the
-    // broadcast batch ids (a batch⋉verdicts semi-join would sort-merge
-    // the corpus ids instead — only the right side of a semi-join can
-    // be the broadcast build side)
-    val batchIdsDf = batchIds.toSeq.toDF(id)
-    val dup = verdicts.select(col(id))
-      .join(broadcast(batchIdsDf), Seq(id), "left_semi").limit(1).collect()
-    require(dup.isEmpty,
-      s"appendToClusterIndex($path): batch contains already-indexed $id ${dup.headOption.map(_.get(0))}")
+    // across rows — fail loud on both
+    require(live.isEmpty,
+      s"appendToClusterIndex($path): batch contains already-indexed $id ${live.headOption}")
     val batchDup = batch.groupBy(col(id)).count()
       .filter(col("count") > 1).limit(1).collect()
     require(batchDup.isEmpty,
@@ -857,9 +895,13 @@ object Dedup {
       .join(batchPrefix.select(col("__mid").as("oid"), col("shingle")), "shingle")
       .filter(col("bid") < col("oid"))
       .select(col("bid"), col("oid")).distinct()
-    // exact verify over lexicographic arrays (sorted-merge count)
+    // exact verify over lexicographic arrays (sorted-merge count); the
+    // current append's just-landed artifact partition is pre-commit, so
+    // name it explicitly as the freshest source for this batch's ids
+    val markerSeqs = commitSeqs(fs, path)
     def verified(cands: DataFrame): DataFrame =
-      verifyAgainstShingles(spark, path, cands, threshold)
+      verifyAgainstShingles(spark, path, cands, threshold,
+        currentApp = Some(appId), seqs = Some(markerSeqs))
     // edges to EXISTING members map to their cluster labels. The edge
     // set is batch-bounded by the incremental contract, but a
     // pathological batch (every doc near-dup of many distinct clusters)
@@ -885,22 +927,14 @@ object Dedup {
 
     // driver union-find over batch ids + touched labels (batch-bounded
     // by the incremental contract)
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val px = parent.getOrElse(x, x)
-      if (px == x) x else { val r = find(px); parent(x) = r; r }
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
-    }
-    (crossEdges ++ selfEdges).foreach { case (a, b) => union(a, b) }
+    val uf = new MinLabelUnionFind
+    (crossEdges ++ selfEdges).foreach { case (a, b) => uf.union(a, b) }
     // old label -> merged label (only where changed); batch id -> label
     val touchedLabels = crossEdges.map(_._2).distinct
-    val labelRemap = touchedLabels.map(l => l -> find(l)).filter(p => p._1 != p._2)
-    val batchLabel = batchIds.map(b => b -> find(b)).toMap
+    val labelRemap = touchedLabels.map(l => l -> uf.find(l)).filter(p => p._1 != p._2)
+    val batchLabel = batchIds.map(b => b -> uf.find(b)).toMap
     val affected: Set[Long] =
-      (labelRemap.map(_._2) ++ touchedLabels.map(find) ++ batchLabel.values).toSet
+      (labelRemap.map(_._2) ++ touchedLabels.map(uf.find) ++ batchLabel.values).toSet
 
     // the buckets this append touches: relabel SOURCES (old labels that
     // remap away — their rows leave the bucket), plus every label in
@@ -958,14 +992,42 @@ object Dedup {
     * participant ids and the array joins carry broadcast hints — the
     * un-hinted form sort-merge-joined the full corpus of shingle
     * arrays per maintenance op (caught by the clusterIndexDelete
-    * ScaleSmoke's 1x-vs-10x shuffle-byte pin). */
+    * ScaleSmoke's 1x-vs-10x shuffle-byte pin).
+    *
+    * An id can hold MORE than one artifact row: a delete leaves the
+    * deleted id's rows behind in their committed `__app` partition, so
+    * a later re-append of that id (possibly with DIFFERENT text) adds a
+    * second set — verifying against the stale arrays would silently
+    * break full-rebuild equivalence. Each participant id therefore
+    * RESOLVES to its single freshest row: committed partitions rank by
+    * the marker's commit sequence ([[commitSeqs]]), `currentApp` (the
+    * in-flight op's own pre-commit partition) ranks above everything,
+    * and orphan partitions — crashed appends that never committed — are
+    * excluded outright (a LIVE id always has a committed row: its
+    * verdict came from a committed op, and that op wrote its
+    * artifacts first). The rank join is a broadcast of the tiny
+    * (appId, seq) map over the already-pruned candidate-participant
+    * frame — no posture change. */
   private def verifyAgainstShingles(spark: SparkSession, path: String,
-      cands: DataFrame, threshold: Double): DataFrame = {
+      cands: DataFrame, threshold: Double,
+      currentApp: Option[String] = None,
+      seqs: Option[Map[String, Long]] = None): DataFrame = {
+    import spark.implicits._
+    // callers that verify more than once pass the marker map in — each
+    // commitSeqs call reads every marker file, real metadata cost on an
+    // object store once the op count grows
+    val rank = seqs.getOrElse(commitSeqs(IndexFs.fs(spark, path), path)) ++
+      currentApp.map(_ -> Long.MaxValue)
+    val rankDf = rank.toSeq.toDF("__app", "__rank")
     val c = cands.localCheckpoint(true) // two id pulls + the verify join
     val partIds = c.select(col("bid").as("__mid"))
       .union(c.select(col("oid").as("__mid"))).distinct()
     val ss = spark.read.parquet(s"$path/shingles")
       .join(broadcast(partIds), Seq("__mid"), "left_semi")
+      .join(broadcast(rankDf), Seq("__app")) // inner: orphan apps drop
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__mid"))
+        .orderBy(col("__rank").desc, col("__app").asc)))
+      .filter(col("__rn") === 1)
       .select(col("__mid"), col("ss"))
     c
       .join(broadcast(ss.select(col("__mid").as("bid"), col("ss").as("sh_a"))),
@@ -1002,7 +1064,7 @@ object Dedup {
         .mkString("\n"))
     maybeCrash("after-intent")
     swapVerdictBuckets(fs, path, opId, bucketFlags)
-    IndexFs.writeUtf8(fs, s"$path/appends/$opId.committed", "")
+    writeCommitMarker(fs, path, opId)
     IndexFs.delete(fs, s"$path/verdicts.old/$opId")
     IndexFs.delete(fs, stagingApp)
     IndexFs.delete(fs, s"$path/appends/$opId.intent")
@@ -1036,18 +1098,26 @@ object Dedup {
     * new (post-split) labels. The remaining-member and verified-edge
     * driver pulls are bounded LOUD (`spark.graft.dedup.deleteMemberCap`,
     * `spark.graft.dedup.appendEdgeCap`). Deleted documents' artifact
-    * rows (`shingles/`, `prefix/`) stay behind as orphans — every
-    * candidate path semi-joins against live ids so they never
-    * resurface — and the next [[buildClusterIndex]] rebuild reclaims
-    * them ([[gcClusterIndex]] reclaims whole abandoned-append
-    * partitions without a rebuild).
+    * rows (`shingles/`, `prefix/`) stay behind in their committed
+    * `__app` partitions — stale prefix rows only ever ADD candidates
+    * (harmless: verification decides), and [[verifyAgainstShingles]]
+    * resolves every participant id to its freshest COMMITTED artifact
+    * row by marker commit sequence, so a later re-append of a deleted
+    * id (even with different text) verifies against the re-appended
+    * arrays, never the stale ones. The next [[buildClusterIndex]]
+    * rebuild reclaims stale rows wholesale ([[gcClusterIndex]] reclaims
+    * whole abandoned-append partitions without a rebuild).
     *
     * Crash safety: the same journaled per-bucket swap as append, with
     * a deterministic op id namespaced under `del:` so a delete can
-    * never short-circuit on a committed APPEND of the same id set; a
-    * retry of a committed delete is a silent no-op, and an id deleted
-    * here may be re-appended later (the append-side "already indexed"
-    * check consults live verdicts only). */
+    * never short-circuit on a committed APPEND of the same id set. A
+    * retry no-ops only when the commit marker exists AND none of the
+    * ids are live — marker-plus-deadness, not the marker alone, because
+    * the marker is stale after the same ids were re-appended (the
+    * documented delete -> re-append -> delete-again lifecycle — a
+    * repeated single-id takedown — re-executes). An id deleted here may
+    * be re-appended later (the append-side "already indexed" check
+    * consults live verdicts only). */
   def deleteFromClusterIndex(spark: SparkSession, path: String,
       delIds: DataFrame, id: String = "doc_id"): Unit = {
     import spark.implicits._
@@ -1064,19 +1134,30 @@ object Dedup {
     val ids = delIds.select(col(id)).distinct()
       .collect().map(_.getLong(0)).sorted
     val opId = graft.TmpDirs.pathKey("del:" + ids.mkString(","))
-    if (IndexFs.exists(fs, s"$path/appends/$opId.committed"))
-      return // this exact delete already committed — idempotent retry
     val verdicts = spark.read.parquet(s"$path/verdicts")
     val idsDf = ids.toSeq.toDF(id)
-    // deleting an id that is not indexed would silently diverge from
-    // the rebuild contract (the caller thinks it removed something) —
-    // fail loud. One column-pruned verdict id STREAM against the
-    // broadcast batch ids (an ids⋉verdicts anti-join would sort-merge
-    // the corpus ids); the missing set diffs on the driver,
-    // batch-bounded
+    // which of the ids are currently indexed? One column-pruned verdict
+    // id STREAM against the broadcast batch ids (an ids⋉verdicts
+    // anti-join would sort-merge the corpus ids); the missing set diffs
+    // on the driver, batch-bounded
     val present = verdicts.select(col(id))
       .join(broadcast(idsDf), Seq(id), "left_semi")
       .collect().map(_.getLong(0)).toSet
+    // idempotent-retry no-op requires the marker AND deadness: the
+    // marker alone is STALE after the same ids were re-appended (the
+    // documented delete -> re-append -> delete-again lifecycle — a
+    // repeated single-id takedown — would otherwise silently no-op on
+    // the first delete's marker and leave the doc indexed). Marker +
+    // none-live = a retry of the committed delete; marker + all-live =
+    // a genuinely new delete after a re-append (proceed); marker +
+    // some-live = ambiguous partial state — fall through to the loud
+    // not-indexed check below.
+    if (IndexFs.exists(fs, s"$path/appends/$opId.committed") &&
+        present.isEmpty)
+      return // this exact delete committed and the ids are dead — retry no-op
+    // deleting an id that is not indexed would silently diverge from
+    // the rebuild contract (the caller thinks it removed something) —
+    // fail loud
     require(present.size == ids.length,
       s"deleteFromClusterIndex($path): $id ${ids.find(!present(_))} is not indexed")
     // deleting EVERY indexed doc would leave an empty verdicts/ dir —
@@ -1128,16 +1209,9 @@ object Dedup {
         "edgeCap+1) — raise the knob or rebuild")
     // union-find over the remaining members; new label = min reachable
     // id, self for singletons (the build's labeling)
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      val px = parent.getOrElse(x, x)
-      if (px == x) x else { val r = find(px); parent(x) = r; r }
-    }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val newLabelOf = remaining.map(m => m -> find(m))
+    val uf = new MinLabelUnionFind
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val newLabelOf = remaining.map(m => m -> uf.find(m))
     val newLabels: Set[Long] = newLabelOf.map(_._2).toSet
     // buckets to rewrite: where the affected clusters' rows LIVE (old
     // labels — deleted rows drop, remaining rows relabel away) plus
@@ -1199,11 +1273,187 @@ object Dedup {
     }
   }
 
+  /** COMPACT the cluster index's artifact store: rewrite `shingles/`
+    * and `prefix/` keeping exactly ONE row set per LIVE doc — the row
+    * set [[verifyAgainstShingles]] would resolve to — and dropping
+    * everything else: dead rows (deleted docs), shadowed rows (an id's
+    * stale sets superseded by a re-append), and orphan partitions
+    * (crashed never-retried appends). The bounded-growth escape for
+    * takedown/reingest churn: [[gcClusterIndex]] only reclaims whole
+    * orphan partitions, and before this op the only way to reclaim
+    * stale rows inside COMMITTED partitions was a full
+    * [[buildClusterIndex]] rebuild — which re-pays the transitive
+    * closure. Compaction is one corpus-linear pass per artifact dir
+    * (a resolve-and-copy, no re-pairing, no closure), the exact
+    * analogue of [[Similarity.compactIvfIndex]].
+    *
+    * Layout after compaction: all surviving rows consolidate under the
+    * `__app=build` partition (commit rank 0). That is always correct:
+    * ties are impossible with one row per id, and any LATER re-append
+    * of a doc (necessarily after a delete) lands in a fresh partition
+    * whose commit sequence exceeds 0, so it shadows the consolidated
+    * row. Commit markers are KEPT — retry idempotence and the sequence
+    * counter continue across a compaction.
+    *
+    * Crash safety: per dir, the compacted copy is staged BESIDE the
+    * live one, verified non-empty, and swapped in with two renames
+    * (`<dir>` -> `<dir>.precompact` -> live), all through the Hadoop FS
+    * API. [[recoverClusterIndexAppend]] — which every maintenance op
+    * runs first — rolls a crash between the renames FORWARD (staged is
+    * complete by construction once the live dir was retired) and
+    * discards half-staged leftovers, so no manual restore is ever
+    * needed. The dirs swap independently: a crash between the shingles
+    * swap and the prefix swap is safe because stale PREFIX rows only
+    * ever add candidates (verification decides against resolved
+    * shingle arrays). */
+  def compactClusterIndexArtifacts(spark: SparkSession, path: String,
+      id: String = "doc_id"): Unit = {
+    import spark.implicits._
+    val fs = IndexFs.fs(spark, path)
+    recoverClusterIndexAppend(fs, path)
+    val rankDf = commitSeqs(fs, path).toSeq.toDF("__app", "__rank")
+    val live = spark.read.parquet(s"$path/verdicts")
+      .select(col(id).as("__mid"))
+    Seq("shingles", "prefix").foreach { d =>
+      val liveDir = s"$path/$d"
+      val staged = s"$path/$d.compacting"
+      val retired = s"$path/$d.precompact"
+      val w = Window.partitionBy(col("__mid"))
+      // committed rows of live ids, resolved to the freshest set per id
+      // (the same (rank, app) ordering verifyAgainstShingles uses); one
+      // corpus co-shuffle on __mid — the intrinsic compaction cost
+      spark.read.parquet(liveDir)
+        .join(broadcast(rankDf), Seq("__app")) // inner: orphans drop
+        .join(live, Seq("__mid"), "left_semi") // dead rows drop
+        .withColumn("__best", max(struct(col("__rank"), col("__app"))).over(w))
+        .filter(col("__rank") === col("__best.__rank") &&
+          col("__app") === col("__best.__app"))
+        .drop("__app", "__rank", "__best")
+        .write.mode("overwrite").parquet(s"$staged/__app=$BuildAppId")
+      maybeCrash(s"after-compact-staging-$d")
+      // an empty artifact dir would be unreadable parquet — and live
+      // docs always have committed artifacts, so emptiness here means
+      // the index is corrupt: refuse and keep the servable state
+      if (!IndexFs.anyFile(fs, staged)(_.endsWith(".parquet"))) {
+        IndexFs.delete(fs, staged)
+        throw new IllegalStateException(
+          s"compactClusterIndexArtifacts($path): compacted $d/ is empty " +
+            "— no live doc resolved to a committed artifact row; the " +
+            "index is inconsistent, rebuild it")
+      }
+      if (IndexFs.exists(fs, retired)) IndexFs.delete(fs, retired)
+      IndexFs.rename(fs, liveDir, retired)
+      maybeCrash(s"mid-compact-swap-$d")
+      IndexFs.rename(fs, staged, liveDir)
+      IndexFs.delete(fs, retired)
+    }
+  }
+
+  /** Artifact HYGIENE report for a persisted cluster index — the
+    * observability [[compactClusterIndexArtifacts]] is scheduled from:
+    * every `shingles/` and `prefix/` row classified as
+    *
+    *   - `live_current`: the row set verification resolves to (exactly
+    *     one per live doc per dir when the store is clean);
+    *   - `shadowed`: a committed row superseded by a fresher committed
+    *     set for the same id (delete -> re-append churn);
+    *   - `dead`: a committed row whose id has no live verdict (takedown
+    *     leftovers);
+    *   - `orphan`: rows in partitions without a commit marker (crashed
+    *     never-retried appends — [[gcClusterIndex]]'s target).
+    *
+    * Output is one row per (dir, kind), all eight always present (zeros
+    * included) so the report schema is fixed. Reads are column-pruned
+    * to (`__mid`, `__app`) — the shingle/prefix ARRAYS are never read —
+    * so the report costs two slim corpus scans plus a co-shuffle on
+    * id. */
+  def clusterIndexArtifactReport(spark: SparkSession, path: String,
+      id: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    val fs = IndexFs.fs(spark, path)
+    val rankDf = commitSeqs(fs, path).toSeq.toDF("__app", "__rank")
+    val live = spark.read.parquet(s"$path/verdicts")
+      .select(col(id).as("__mid"), lit(1).as("__live"))
+    val perDir = Seq("shingles", "prefix").map { d =>
+      val w = Window.partitionBy(col("__mid"))
+      spark.read.parquet(s"$path/$d").select(col("__mid"), col("__app"))
+        .join(broadcast(rankDf), Seq("__app"), "left") // null rank = orphan
+        .join(live, Seq("__mid"), "left")
+        .withColumn("__best",
+          max(when(col("__rank").isNotNull && col("__live").isNotNull,
+            struct(col("__rank"), col("__app")))).over(w))
+        .withColumn("kind",
+          when(col("__rank").isNull, "orphan")
+            .when(col("__live").isNull, "dead")
+            .when(col("__rank") === col("__best.__rank") &&
+              col("__app") === col("__best.__app"), "live_current")
+            .otherwise("shadowed"))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("dir", lit(d))
+    }.reduce(_ unionByName _)
+    val kinds = Seq("shingles", "prefix").flatMap(d =>
+      Seq("live_current", "shadowed", "dead", "orphan").map(k => (d, k)))
+      .toDF("dir", "kind")
+    kinds.join(perDir, Seq("dir", "kind"), "left")
+      .select(col("dir"), col("kind"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+  }
+
   /** Deterministic append id of a batch: a 128-bit digest of the sorted
     * id set, so a RETRY of the same batch addresses the same journal
     * entry, artifact partition, and staging dir. */
   private def appendIdOf(batchIds: Array[Long]): String =
     graft.TmpDirs.pathKey(batchIds.sorted.mkString(","))
+
+  /** Driver-side union-find with MIN-ID roots — link-by-min is the
+    * SEMANTICS here (cluster labels are minimum reachable doc ids), not
+    * a rank heuristic — and an ITERATIVE two-pass find: the recursive
+    * form built an O(n)-deep parent chain on descending-ordered chain
+    * edges and overflowed the JVM stack well below the 4M
+    * appendEdgeCap. One definition shared by the append and delete
+    * maintenance paths (the two copies had already drifted once). */
+  private[graft] final class MinLabelUnionFind {
+    private val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // second pass: full path compression, iteratively
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+  }
+
+  /** appId -> commit SEQUENCE for every committed op (marker content),
+    * the total order [[verifyAgainstShingles]] resolves duplicate
+    * artifact rows with. The build ranks 0; legacy empty markers (pre-
+    * sequence indexes) parse as 0 — ties there reproduce the old
+    * behavior, and every marker written since carries a strictly
+    * increasing sequence. */
+  private def commitSeqs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Map[String, Long] =
+    IndexFs.listNames(fs, s"$path/appends")
+      .filter(_.endsWith(".committed"))
+      .map { f =>
+        val s = IndexFs.readUtf8(fs, s"$path/appends/$f").trim
+        f.stripSuffix(".committed") -> (if (s.isEmpty) 0L else s.toLong)
+      }.toMap + (BuildAppId -> 0L)
+
+  /** Write (or on appId reuse, OVERWRITE) the op's commit marker with
+    * the next commit sequence — single-writer by contract, so the
+    * max+1 read-modify-write is safe. An appId is reused when the
+    * exact same id set is re-appended after a delete: the artifact
+    * partition was overwritten with the new batch's rows, and bumping
+    * the marker's sequence is what attributes the partition's content
+    * to NOW rather than to the original append. */
+  private def writeCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, opId: String): Unit = {
+    val seq = commitSeqs(fs, path).values.foldLeft(0L)(math.max) + 1L
+    IndexFs.writeUtf8(fs, s"$path/appends/$opId.committed", seq.toString)
+  }
 
   /** Test-only failpoint: when set, [[appendToClusterIndex]] throws at
     * the named point to simulate a crash (the recovery specs drive
@@ -1258,7 +1508,7 @@ object Dedup {
               (parts(0).toInt, parts(1) == "1")
             }.toSeq
           swapVerdictBuckets(fs, path, appId, buckets)
-          IndexFs.writeUtf8(fs, s"$appendsDir/$appId.committed", "")
+          writeCommitMarker(fs, path, appId)
         }
         IndexFs.delete(fs, s"$path/verdicts.old/$appId")
         IndexFs.delete(fs, s"$path/verdicts.appending/$appId")
@@ -1268,6 +1518,27 @@ object Dedup {
     // journal — discard (a retried append rewrites them from scratch)
     IndexFs.listNames(fs, s"$path/verdicts.appending")
       .foreach(d => IndexFs.delete(fs, s"$path/verdicts.appending/$d"))
+    // artifact-compaction swaps ([[compactClusterIndexArtifacts]]): the
+    // live dir is only ever retired AFTER the staged copy verified
+    // complete, so live-missing + staged-present rolls FORWARD;
+    // live-missing + staged-missing (a pre-verification crash never
+    // retires live, so this is unreachable short of manual damage)
+    // restores the retired copy; leftovers next to a live dir are
+    // discarded (half-staged writes, completed swaps)
+    Seq("shingles", "prefix").foreach { d =>
+      val liveDir = s"$path/$d"
+      val staged = s"$path/$d.compacting"
+      val retired = s"$path/$d.precompact"
+      if (!IndexFs.exists(fs, liveDir) && IndexFs.exists(fs, staged)) {
+        IndexFs.rename(fs, staged, liveDir)
+        IndexFs.delete(fs, retired)
+      } else if (!IndexFs.exists(fs, liveDir) && IndexFs.exists(fs, retired)) {
+        IndexFs.rename(fs, retired, liveDir)
+      } else {
+        IndexFs.delete(fs, staged)
+        IndexFs.delete(fs, retired)
+      }
+    }
   }
 
   /** Transition report between two cluster-index states — the

@@ -83,6 +83,42 @@ object LlmExt2 {
     s"$root/index"
   }
 
+  /** The llm79 artifact-hygiene fixture: the cluster index built over
+    * the FULL corpus, every doc_id %% 10 == 7 doc DELETED, then the
+    * same docs RE-APPENDED — the takedown/reingest churn that strands
+    * stale artifact rows (the deleted docs' build-era shingle/prefix
+    * sets stay behind, shadowed by the re-appended sets). The hygiene
+    * report is captured BEFORE and AFTER
+    * `Dedup.compactClusterIndexArtifacts` and PERSISTED at build time —
+    * the "before" state is unobservable once compaction ran, so the
+    * fixture snapshots both. */
+  private[queries] def ensureArtifactHygieneReport(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-clhyg2-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_COMPACTED")
+    buildOnce(root)(marker.exists()) {
+      val docs = Tables.load(s, dir, "documents")
+      val churn = docs.filter(col("doc_id") % 10 === 7)
+      Dedup.buildClusterIndex(docs, s"$root/index", threshold = 0.8)
+      Dedup.deleteFromClusterIndex(s, s"$root/index",
+        churn.select(col("doc_id")))
+      Dedup.appendToClusterIndex(s, s"$root/index",
+        churn.select(col("doc_id"), col("text")))
+      // materialize BEFORE compacting: the report is lazy, and the
+      // compaction swap replaces the very files its scan listed
+      val before = Dedup.clusterIndexArtifactReport(s, s"$root/index")
+        .withColumn("stage", lit("before"))
+        .localCheckpoint(true)
+      Dedup.compactClusterIndexArtifacts(s, s"$root/index")
+      val after = Dedup.clusterIndexArtifactReport(s, s"$root/index")
+        .withColumn("stage", lit("after"))
+      before.unionByName(after)
+        .repartition(1).write.mode("overwrite").parquet(s"$root/report")
+      marker.createNewFile()
+    }
+    s"$root/report"
+  }
+
   /** The str18 cluster index: built over the doc_id %% 10 != 0 corpus,
     * then the held-out 10%% STREAMED in and folded per micro-batch by a
     * foreachBatch appendToClusterIndex — the online form of llm74's
@@ -966,6 +1002,39 @@ object LlmExt2 {
       Dedup.clusterIndexTransitions(
         s.read.parquet(s"$oldIdx/verdicts"),
         s.read.parquet(s"$newIdx/verdicts"))
+    },
+
+    // artifact HYGIENE report + compaction: the maintained index's
+    // takedown -> reingest churn strands stale artifact rows (the
+    // deleted docs' build-era shingle sets, shadowed by the re-appended
+    // ones); the report classifies every artifact row (live_current /
+    // shadowed / dead / orphan) and compactClusterIndexArtifacts
+    // reclaims everything but the resolved live rows in one
+    // corpus-linear pass — no closure re-pay, the rebuild-free escape.
+    // The oracle derives both snapshots' doc counts from the churn
+    // recipe alone (before: every doc's build row is live except the
+    // churned docs', which are shadowed by their re-append partition;
+    // after: exactly one live row per doc) — so a mis-ranked
+    // resolution, an unreclaimed stale row, or an over-eager compaction
+    // hash-mismatches.
+    QDef("llm79_artifact_hygiene",
+      """WITH n AS (SELECT COUNT(*) AS total,
+        |    COUNT(*) FILTER (WHERE doc_id % 10 = 7) AS churned
+        |  FROM documents),
+        |ks(stage, kind) AS (VALUES
+        |  ('before', 'live_current'), ('before', 'shadowed'),
+        |  ('before', 'dead'), ('before', 'orphan'),
+        |  ('after', 'live_current'), ('after', 'shadowed'),
+        |  ('after', 'dead'), ('after', 'orphan'))
+        |SELECT ks.stage, ks.kind,
+        |  CAST(CASE WHEN ks.kind = 'live_current' THEN n.total
+        |            WHEN ks.stage = 'before' AND ks.kind = 'shadowed'
+        |              THEN n.churned
+        |            ELSE 0 END AS BIGINT) AS n_rows
+        |FROM ks CROSS JOIN n""".stripMargin) { (s, dir) =>
+      val report = ensureArtifactHygieneReport(s, dir)
+      s.read.parquet(report).filter(col("dir") === "shingles")
+        .select(col("stage"), col("kind"), col("n_rows"))
     },
 
     // minhash calibration audit: portable k=8 slot estimate vs exact

@@ -370,6 +370,201 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
+  test("commit markers are liveness-gated: delete -> re-append -> delete-again executes (and the mirror)") {
+    // the marker alone is STALE across the inverse op: the first
+    // delete's marker must not swallow the second delete after a
+    // re-append (a repeated single-id takedown), and the first append's
+    // marker must not swallow a re-append of the exact same batch after
+    // a delete. Both directions, pinned against rebuilds.
+    val corpus = Seq((1L, doc("ax", "t0")), (2L, doc("bx", "u0")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-liveness").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    val batch = Seq((5L, doc("ax", "t9"))).toDF("doc_id", "text")
+    Dedup.appendToClusterIndex(spark, idx, batch) // marker(append{5}) lands
+    assert(readVerdicts(idx).map(_._1) == Set(1L, 2L, 5L))
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(5L).toDF("doc_id")) // marker(del:5)
+    assert(readVerdicts(idx).map(_._1) == Set(1L, 2L))
+    // re-append the EXACT same batch: append marker exists but 5 is
+    // dead — must execute, not silently no-op
+    Dedup.appendToClusterIndex(spark, idx, batch)
+    val labels = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(labels.keySet == Set(1L, 2L, 5L) && labels(5L) == 1L,
+      s"re-append after delete silently no-opped: $labels")
+    // delete AGAIN: delete marker exists but 5 is live — must execute
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(5L).toDF("doc_id"))
+    assert(readVerdicts(idx).map(_._1) == Set(1L, 2L),
+      "second delete of a re-appended id silently no-opped")
+    // and the surviving index equals the rebuild over {1,2}
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-liveness-rb").toString
+    Dedup.buildClusterIndex(corpus, rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    // true committed-retry no-ops still hold at the final state
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(5L).toDF("doc_id"))
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("stale marker with PARTIALLY live ids fails loud, both ops") {
+    val corpus = Seq((1L, doc("ax", "t0"))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-mixed").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    val batch = Seq((10L, doc("bx", "u0")), (11L, doc("cx", "v0")))
+      .toDF("doc_id", "text")
+    Dedup.appendToClusterIndex(spark, idx, batch)
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(10L).toDF("doc_id"))
+    // append{10,11}'s marker exists; 11 live, 10 dead -> ambiguous
+    // partial state must fail loud on the live id, not no-op or re-add
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendToClusterIndex(spark, idx, batch)
+    }
+    assert(ex.getMessage.contains("already-indexed"), ex.getMessage)
+    // mirror: delete{10,11} when both live, re-append {10} only, then
+    // retry the delete -> 11 is dead -> loud not-indexed
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((10L, doc("bx", "u1"))).toDF("doc_id", "text"))
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(10L, 11L).toDF("doc_id"))
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((10L, doc("bx", "u2"))).toDF("doc_id", "text"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.deleteFromClusterIndex(spark, idx, Seq(10L, 11L).toDF("doc_id"))
+    }
+    assert(ex2.getMessage.contains("not indexed"), ex2.getMessage)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
+  test("re-append after delete with CHANGED text verifies against the new artifacts") {
+    // doc 3 is built as a near-dup of cluster A, deleted, then
+    // re-appended as a near-dup of cluster B. Its STALE shingle/prefix
+    // artifact rows (the build's) stay behind — verification must
+    // resolve to the re-appended arrays, or 3 would also re-cluster
+    // with A (stale pair verifying TRUE) and diverge from the rebuild.
+    val corpus = Seq(
+      (1L, doc("ax", "t0")), (2L, doc("bx", "u0")), (3L, doc("ax", "t9")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-retext").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    assert(readVerdicts(idx).map(t => t._1 -> t._2).toMap.apply(3L) == 1L)
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(3L).toDF("doc_id"))
+    val newText = doc("bx", "u9") // now a near-dup of B
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((3L, newText)).toDF("doc_id", "text"))
+    val labels = readVerdicts(idx).map(t => t._1 -> t._2).toMap
+    assert(labels(3L) == 2L && labels(1L) == 1L,
+      s"stale artifacts won the verification: $labels")
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-retext-rb").toString
+    Dedup.buildClusterIndex(
+      Seq((1L, doc("ax", "t0")), (2L, doc("bx", "u0")), (3L, newText))
+        .toDF("doc_id", "text"), rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("MinLabelUnionFind: iterative find survives a chain too deep for recursion") {
+    val uf = new Dedup.MinLabelUnionFind
+    val n = 300000
+    // descending edge order builds the deepest parent chain link-by-min
+    // can produce: every union links a fresh root under the next-lower
+    // id, and no intermediate find ever walks (hence compresses) the
+    // tail — the shape that overflowed the recursive find's stack
+    ((n - 2) to 0 by -1).foreach(k => uf.union(k.toLong, (k + 1).toLong))
+    assert(uf.find((n - 1).toLong) == 0L)
+    assert((0 until n by 997).forall(i => uf.find(i.toLong) == 0L))
+  }
+
+  test("artifact compaction: report classifies all four kinds; compaction keeps exactly the resolved live rows; maintenance continues") {
+    // dead: doc 4 deleted and never re-appended. shadowed: doc 3
+    // deleted then re-appended with DIFFERENT text (its build-era rows
+    // are superseded). orphan: an append crashed after its artifacts
+    // landed and was never retried. live_current: everything serving.
+    val corpus = Seq(
+      (1L, doc("ax", "t0")), (2L, doc("bx", "u0")),
+      (3L, doc("ax", "t9")), (4L, doc("dx", "v0")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-compact").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(3L, 4L).toDF("doc_id"))
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((3L, doc("bx", "u9"))).toDF("doc_id", "text"))
+    Dedup.appendCrashPoint = Some("after-artifacts")
+    try intercept[IllegalStateException] {
+      Dedup.appendToClusterIndex(spark, idx,
+        Seq((9L, doc("cx", "w0"))).toDF("doc_id", "text"))
+    } finally Dedup.appendCrashPoint = None
+    def shingleReport(): Map[String, Long] =
+      Dedup.clusterIndexArtifactReport(spark, idx)
+        .filter($"dir" === "shingles")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(shingleReport() == Map("live_current" -> 3L, "shadowed" -> 1L,
+      "dead" -> 1L, "orphan" -> 1L), shingleReport())
+    val verdictsBefore = readVerdicts(idx)
+    Dedup.compactClusterIndexArtifacts(spark, idx)
+    assert(shingleReport() == Map("live_current" -> 3L, "shadowed" -> 0L,
+      "dead" -> 0L, "orphan" -> 0L), shingleReport())
+    // physically: one consolidated row per live doc, all under build
+    val sh = spark.read.parquet(s"$idx/shingles")
+      .select($"__mid", $"__app").collect()
+    assert(sh.map(_.getLong(0)).toSet == Set(1L, 2L, 3L) &&
+      sh.map(_.getString(1)).toSet == Set("build"), sh.toSeq)
+    assert(readVerdicts(idx) == verdictsBefore, "compaction touched verdicts")
+    // maintenance after compaction: verification resolves against the
+    // consolidated arrays (3 re-clusters with 2 on a fresh probe), and
+    // both halves of the lifecycle stay rebuild-identical
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((5L, doc("bx", "u8"))).toDF("doc_id", "text"))
+    Dedup.deleteFromClusterIndex(spark, idx, Seq(1L).toDF("doc_id"))
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-compact-rb").toString
+    Dedup.buildClusterIndex(
+      Seq((2L, doc("bx", "u0")), (3L, doc("bx", "u9")), (5L, doc("bx", "u8")))
+        .toDF("doc_id", "text"), rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("artifact compaction crash at every failpoint: recovery heals, retry converges") {
+    val corpus = Seq(
+      (1L, doc("ax", "t0")), (2L, doc("bx", "u0")), (3L, doc("ax", "t9")))
+      .toDF("doc_id", "text")
+    Seq("after-compact-staging-shingles", "mid-compact-swap-shingles",
+      "after-compact-staging-prefix", "mid-compact-swap-prefix")
+      .foreach { point =>
+        val idx = java.nio.file.Files.createTempDirectory("clidx-cc").toString
+        Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+        Dedup.deleteFromClusterIndex(spark, idx, Seq(3L).toDF("doc_id"))
+        Dedup.appendToClusterIndex(spark, idx,
+          Seq((3L, doc("bx", "u9"))).toDF("doc_id", "text"))
+        Dedup.appendCrashPoint = Some(point)
+        try {
+          val ex = intercept[IllegalStateException] {
+            Dedup.compactClusterIndexArtifacts(spark, idx)
+          }
+          assert(ex.getMessage.contains(point), ex.getMessage)
+        } finally Dedup.appendCrashPoint = None
+        // a maintenance op right after the crash heals the store via
+        // recovery and lands correctly
+        Dedup.appendToClusterIndex(spark, idx,
+          Seq((5L, doc("ax", "t8"))).toDF("doc_id", "text"))
+        val rebuilt = java.nio.file.Files.createTempDirectory("clidx-cc-rb").toString
+        Dedup.buildClusterIndex(
+          Seq((1L, doc("ax", "t0")), (2L, doc("bx", "u0")),
+            (3L, doc("bx", "u9")), (5L, doc("ax", "t8")))
+            .toDF("doc_id", "text"), rebuilt, threshold = thr)
+        assert(readVerdicts(idx) == readVerdicts(rebuilt),
+          s"failpoint $point diverged")
+        // and a compaction RETRY converges to the clean store
+        Dedup.compactClusterIndexArtifacts(spark, idx)
+        val rep = Dedup.clusterIndexArtifactReport(spark, idx)
+          .filter($"kind" =!= "live_current")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        assert(rep.forall(_._3 == 0L), s"failpoint $point: $rep")
+        Seq(idx, rebuilt).foreach(d =>
+          graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+      }
+  }
+
   test("IVF delete/compact/rebuild through a file:// URI root (Hadoop FS path)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val local = java.nio.file.Files.createTempDirectory("ivf-uri").toString

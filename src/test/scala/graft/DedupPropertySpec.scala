@@ -318,10 +318,64 @@ class DedupPropertySpec extends SparkTestBase {
         assert(verdictRows(idx) == verdictRows(rem),
           s"seed=$seed: delete diverged from rebuild (delIds=$delIds)")
         graft.TmpDirs.deleteRecursively(new java.io.File(rem))
+        // RE-APPEND a random subset of the deleted ids with NEW text
+        // (their stale artifact rows are still on disk — verification
+        // must resolve to the fresh arrays), then DELETE a random
+        // subset of those again (the first delete's marker must not
+        // swallow the second) — the full takedown/reingest cycle,
+        // rebuild-pinned at both waypoints
+        val reIds = delIds.filter(_ => rnd.nextDouble() < 0.6)
+        if (reIds.nonEmpty) {
+          val reDocs = randomCorpus(50, seed * 31 + 7)
+            .filter(d => reIds.contains(d._1))
+          val liveDocs = docs.filterNot(d => delIds.contains(d._1)) ++ reDocs
+          graft.ops.Dedup.appendToClusterIndex(spark, idx,
+            reDocs.toDF("doc_id", "text"))
+          val reb = java.nio.file.Files.createTempDirectory(s"clidx-prop-re-$seed").toString
+          graft.ops.Dedup.buildClusterIndex(liveDocs.toDF("doc_id", "text"),
+            reb, threshold = 0.5, nBuckets = 8)
+          assert(verdictRows(idx) == verdictRows(reb),
+            s"seed=$seed: re-append of deleted ids with new text diverged " +
+              s"from rebuild (reIds=$reIds)")
+          graft.TmpDirs.deleteRecursively(new java.io.File(reb))
+          val del2 = reIds.filter(_ => rnd.nextDouble() < 0.5)
+          if (del2.nonEmpty && del2.size < liveDocs.size) {
+            graft.ops.Dedup.deleteFromClusterIndex(spark, idx,
+              del2.toDF("doc_id"))
+            val reb2 = java.nio.file.Files.createTempDirectory(s"clidx-prop-d2-$seed").toString
+            graft.ops.Dedup.buildClusterIndex(
+              liveDocs.filterNot(d => del2.contains(d._1)).toDF("doc_id", "text"),
+              reb2, threshold = 0.5, nBuckets = 8)
+            assert(verdictRows(idx) == verdictRows(reb2),
+              s"seed=$seed: second delete after re-append diverged " +
+                s"(del2=$del2)")
+            graft.TmpDirs.deleteRecursively(new java.io.File(reb2))
+          }
+        }
       }
       Seq(idx, full).foreach(d =>
         graft.TmpDirs.deleteRecursively(new java.io.File(d)))
     }
+  }
+
+  test("containmentPrune fails loud past spark.graft.dedup.containmentPairCap") {
+    val big = (0 until 60).map(i => s"w$i").mkString(" ")
+    val small = (20 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small, 20L), (2L, big, 60L), (3L, "x0 x1 x2 x3 x4", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    withSQLConf("spark.graft.dedup.containmentPairCap" -> "0") {
+      val ex = intercept[IllegalArgumentException] {
+        graft.ops.Dedup.containmentPrune(docs, "text", "doc_id", "n_chars", 0.8)
+          .collect()
+      }
+      assert(ex.getMessage.contains("spark.graft.dedup.containmentPairCap"),
+        ex.getMessage)
+    }
+    // with the default cap the contained doc is pruned as before
+    val kept = graft.ops.Dedup
+      .containmentPrune(docs, "text", "doc_id", "n_chars", 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), kept)
   }
 
   test("clusterIndexTransitions equals the driver-side reference over random lifecycles") {
