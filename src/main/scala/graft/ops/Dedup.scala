@@ -1739,19 +1739,39 @@ object Dedup {
   def spanDupCoverage(df: DataFrame, textCol: String, id: String,
       w: Int = 8, minDocs: Int = 2, hashSpans: Boolean = false): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
-    // deliberately NOT checkpointed despite two consumers (dup agg +
-    // hits join): the explode is cheap narrow codegen over compact doc
-    // rows, while materializing ~|tokens| span STRINGS per doc is ~20x
-    // the input bytes — measured at the 1M-doc smoke, re-running the
-    // projection beats storing it (37 s vs 46 s). The checkpoint
-    // discipline pays when the reused frame is small (semDedup's
-    // assignment) or expensive per row (shingle sets of candidates);
-    // here it is neither.
-    // hashSpans switches both the dup aggregation AND the semi-join to
-    // the 128-bit span hash (16 shuffled bytes per span vs ~w words —
-    // see spanOccurrencesHashed); the output schema is identical in
-    // both modes, so the string/hash equality is a full-frame compare
-    // in the spec.
+    // checkpoint/hash-key rationale lives on mergedDupIslands; the
+    // output schema is identical in both key modes, so the string/hash
+    // equality is a full-frame compare in the spec
+    val islands = mergedDupIslands(df, textCol, id, w, minDocs, hashSpans)
+      .groupBy(col("__id"))
+      .agg(sum(col("en") - col("st")).cast("bigint").as("dup_tokens"))
+    df.select(col(id),
+        size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .join(islands.withColumnRenamed("__id", id), Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_ratio"))
+  }
+
+  /** MERGED per-doc intervals of cross-document duplicated w-spans —
+    * the shared front half of [[spanDupCoverage]] (sums interval
+    * lengths) and [[cutDuplicatedSpans]] (removes the covered tokens).
+    * Returns `(__id, st, en)`, one row per maximal island of
+    * overlapping/adjacent duplicated-span occurrences (gaps-and-islands
+    * over start positions; the window partitions BY DOCUMENT — no
+    * global window anywhere).
+    *
+    * Deliberately NOT checkpointed despite the span frame's two
+    * consumers (dup agg + hits join): the explode is cheap narrow
+    * codegen over compact doc rows, while materializing ~|tokens| span
+    * STRINGS per doc is ~20x the input bytes — measured at the 1M-doc
+    * smoke, re-running the projection beats storing it (37 s vs 46 s).
+    * `hashSpans` switches both the dup aggregation AND the semi-join to
+    * the 128-bit span hash (16 shuffled bytes per span vs ~w words —
+    * the 100 TB form; see [[spanOccurrencesHashed]]). */
+  private def mergedDupIslands(df: DataFrame, textCol: String, id: String,
+      w: Int, minDocs: Int, hashSpans: Boolean): DataFrame = {
     val occ = if (hashSpans) spanOccurrencesHashed(df, textCol, id, w)
       else spanOccurrences(df, textCol, id, w)
     val key = if (hashSpans) Seq("__h1", "__h2") else Seq("span")
@@ -1763,23 +1783,59 @@ object Dedup {
     val hits = occ.join(dup, key, "left_semi")
       .select(col("__id"), col("st"), (col("st") + w).as("en"))
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("st"), col("en"))
-    val islands = hits
+    hits
       .withColumn("__prev_max", max(col("en")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__island", sum(
         when(col("__prev_max").isNull || col("st") > col("__prev_max"), 1)
           .otherwise(0)).over(byDoc))
       .groupBy(col("__id"), col("__island"))
-      .agg((max(col("en")) - min(col("st"))).as("__c"))
+      .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      .select(col("__id"), col("st"), col("en"))
+  }
+
+  /** Exact-substring CUT — the act-on-it half of span-level dedup
+    * ([[duplicatedSpans]] detects, [[spanDupCoverage]] scores, this
+    * REMOVES): every token position covered by a cross-document
+    * duplicated w-token span is cut from the document, and the kept
+    * tokens are re-joined with single spaces (the operator is defined
+    * over the token stream — original inter-token whitespace is not
+    * preserved). This is the span-level alternative to dropping whole
+    * documents: boilerplate, license blocks, and templated passages
+    * recur verbatim across otherwise-distinct documents, and cutting
+    * just the recycled spans keeps the unique remainder in the corpus.
+    * ALL occurrences of a duplicated span are cut (deterministic and
+    * order-free — no occurrence is privileged), the conservative
+    * variant for training data.
+    *
+    * Returns `(id, clean_text, n_tokens, dup_tokens)`;
+    * `n_tokens - dup_tokens` = the kept-token count, and `dup_tokens`
+    * matches [[spanDupCoverage]]'s count exactly (same islands).
+    *
+    * Plan shape: the islands frame aggregates to one
+    * interval-list + cut-count row per affected doc (intervals are
+    * MERGED, so the list is small — bounded by tokens/w per doc), one
+    * co-shuffle joins it to the corpus, and the cut itself is a narrow
+    * per-row lambda (each token probes the doc's own merged, disjoint
+    * interval list). `hashSpans = true` is the 100 TB form (16
+    * shuffled bytes per span). */
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, id: String,
+      w: Int = 8, minDocs: Int = 2, hashSpans: Boolean = false): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    val ivs = mergedDupIslands(df, textCol, id, w, minDocs, hashSpans)
       .groupBy(col("__id"))
-      .agg(sum(col("__c")).cast("bigint").as("dup_tokens"))
-    df.select(col(id),
-        size(TextAnalysis.tokens(col(textCol))).cast("bigint").as("n_tokens"))
-      .join(islands.withColumnRenamed("__id", id), Seq(id), "left")
-      .select(col(id), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-          col("n_tokens").cast("double")).as("dup_ratio"))
+      .agg(collect_list(struct(col("st"), col("en"))).as("__cut"),
+        sum(col("en") - col("st")).cast("bigint").as("__ncut"))
+      .withColumnRenamed("__id", id)
+    df.join(ivs, Seq(id), "left")
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .select(col(id),
+        expr("concat_ws(' ', transform(filter(" +
+          "transform(__tk, (t, i) -> struct(t AS t, i AS i)), " +
+          "p -> __cut IS NULL OR NOT exists(__cut, " +
+          "v -> p.i >= v.st AND p.i < v.en)), p -> p.t))").as("clean_text"),
+        size(col("__tk")).cast("bigint").as("n_tokens"),
+        coalesce(col("__ncut"), lit(0L)).as("dup_tokens"))
   }
 
   /** Semantic dedup (the SemDeDup recipe): quantize the corpus into

@@ -1004,6 +1004,46 @@ object LlmExt2 {
         s.read.parquet(s"$newIdx/verdicts"))
     },
 
+    // exact-substring CUT — the act-on-it half of span-level dedup
+    // (llm48 detects, llm49 scores, this REMOVES): every token inside a
+    // cross-doc duplicated 8-token span is cut and the kept tokens
+    // re-joined — the Lee-et-al-style alternative to dropping whole
+    // docs when only the boilerplate recycles. All occurrences cut
+    // (order-free, deterministic). Runs the 100 TB hash-keyed shuffle
+    // form; the oracle replays the span-STRING semantics and rebuilds
+    // clean_text from the kept positions, so a mis-merged island or an
+    // off-by-one interval produces a different string and
+    // hash-mismatches.
+    QDef("llm80_span_cut",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sp AS (SELECT doc_id, unnest(range(0, len(tk) - 7)) AS s, tk
+        |  FROM tk WHERE len(tk) >= 8),
+        |sp2 AS (SELECT doc_id, s, array_to_string(tk[s + 1 : s + 8], ' ') AS span FROM sp),
+        |dup AS (SELECT span FROM sp2 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+        |occ AS (SELECT doc_id, s AS st, s + 8 AS en FROM sp2
+        |  WHERE span IN (SELECT span FROM dup)),
+        |m AS (SELECT doc_id, st, en,
+        |    MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM occ),
+        |isl AS (SELECT doc_id, st, en,
+        |    SUM(CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM m),
+        |iv AS (SELECT doc_id, island, MIN(st) AS st, MAX(en) AS en FROM isl GROUP BY 1, 2),
+        |cutl AS (SELECT doc_id, flatten(list(range(st, en))) AS cut,
+        |    CAST(SUM(en - st) AS BIGINT) AS ncut FROM iv GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(array_to_string(list_transform(list_filter(range(0, len(t.tk)),
+        |    p -> NOT list_contains(COALESCE(c.cut, CAST([] AS BIGINT[])), p)),
+        |    p -> t.tk[p + 1]), ' '), '') AS clean_text,
+        |  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.ncut, 0) AS dup_tokens
+        |FROM tk t LEFT JOIN cutl c USING (doc_id)""".stripMargin) { (s, dir) =>
+      Dedup.cutDuplicatedSpans(Tables.load(s, dir, "documents"), "text",
+        "doc_id", w = 8, hashSpans = true)
+    },
+
     // artifact HYGIENE report + compaction: the maintained index's
     // takedown -> reingest churn strands stale artifact rows (the
     // deleted docs' build-era shingle sets, shadowed by the re-appended

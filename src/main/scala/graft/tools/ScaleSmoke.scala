@@ -550,6 +550,53 @@ object ScaleSmoke {
           "column-pruned scans)")
     }
 
+    // Artifact COMPACTION at 1x vs 10x corpus: compaction is corpus-
+    // LINEAR by design (one resolve-and-copy per artifact dir), so its
+    // shuffle bytes must grow ~10x with a 10x corpus — and definitively
+    // not ~100x (a quadratic pairing path sneaking in) nor stay flat
+    // (silently compacting nothing). The hygiene-report counts pin
+    // exactness at both scales: 50 churned docs (delete -> re-append)
+    // leave exactly 50 shadowed build rows, and compaction leaves
+    // exactly one live row per doc.
+    timed("clusterIndexCompact(1x vs 10x)") {
+      def run(nDocs: Long): (Long, Double) = {
+        val (docs, _) = ccCorpus(nDocs)
+        val idx = java.nio.file.Files.createTempDirectory(
+          s"clidx-compact-$nDocs").toString
+        graft.ops.Dedup.buildClusterIndex(docs, idx, threshold = 0.8,
+          nBuckets = 64)
+        val churn = spark.range(50).select((col("id") * 3L + 1L).as("doc_id"))
+        graft.ops.Dedup.deleteFromClusterIndex(spark, idx, churn)
+        graft.ops.Dedup.appendToClusterIndex(spark, idx,
+          docs.join(churn, Seq("doc_id"), "left_semi"))
+        def shingleKinds(): Map[String, Long] =
+          graft.ops.Dedup.clusterIndexArtifactReport(spark, idx)
+            .filter(col("dir") === "shingles")
+            .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+        assert(shingleKinds() == Map("live_current" -> nDocs,
+          "shadowed" -> 50L, "dead" -> 0L, "orphan" -> 0L),
+          s"pre-compaction hygiene at $nDocs docs: ${shingleKinds()}")
+        val t0 = System.nanoTime()
+        val (_, bytes) = measuredShuffle {
+          graft.ops.Dedup.compactClusterIndexArtifacts(spark, idx)
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        assert(shingleKinds() == Map("live_current" -> nDocs,
+          "shadowed" -> 0L, "dead" -> 0L, "orphan" -> 0L),
+          s"post-compaction hygiene at $nDocs docs: ${shingleKinds()}")
+        graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+        (bytes, dt)
+      }
+      val (bytes1x, wall1x) = run(5000L)
+      val (bytes10x, wall10x) = run(50000L)
+      println(f"SCALE clusterIndexCompact: 1x ${bytes1x / 1024}%d KiB " +
+        f"shuffled $wall1x%.1f s; 10x ${bytes10x / 1024}%d KiB $wall10x%.1f s " +
+        f"(bytes ratio ${bytes10x.toDouble / math.max(bytes1x, 1L)}%.2fx)")
+      assert(bytes10x <= 20L * math.max(bytes1x, 1L << 20),
+        s"compaction shuffle bytes grew superlinearly: $bytes1x -> $bytes10x " +
+          "(a pairing/quadratic path entered the resolve-and-copy)")
+    }
+
     // CDC decode throughput: a synthetic 8-file log scanned end-to-end
     // through the DSv2 source with full row decode (sum(id) defeats the
     // sidecar aggregate pushdown on purpose — this measures the decoder,

@@ -358,6 +358,49 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("cutDuplicatedSpans equals the exact position-set reference; string == hash form; counts match coverage") {
+    Seq(3L, 17L).foreach { seed =>
+      val docs = randomCorpus(120, seed)
+      val w = 4
+      val spans = docs.flatMap { case (id, text) =>
+        val t = text.split(" ")
+        (0 to t.length - w).map(i => (id, i, t.slice(i, i + w).mkString(" ")))
+      }
+      val dup = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val want = docs.map { case (id, text) =>
+        val t = text.split(" ")
+        val covered = spans
+          .filter(s => s._1 == id && dup.contains(s._3))
+          .flatMap(s => s._2 until s._2 + w).toSet
+        val clean = t.indices.filterNot(covered).map(t).mkString(" ")
+        id -> (clean, t.length.toLong, covered.size.toLong)
+      }.toMap
+      val df = docs.toDF("doc_id", "text").localCheckpoint(true)
+      val got = graft.ops.Dedup.cutDuplicatedSpans(df, "text", "doc_id", w = w)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("dup_tokens"))).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, v) =>
+        assert(v == want(id), s"seed $seed doc $id: got $v want ${want(id)}")
+      }
+      // the 100 TB hash-keyed form produces the identical frame
+      val hsh = graft.ops.Dedup.cutDuplicatedSpans(df, "text", "doc_id",
+          w = w, hashSpans = true)
+        .orderBy("doc_id").collect().toSeq
+      val str = graft.ops.Dedup.cutDuplicatedSpans(df, "text", "doc_id", w = w)
+        .orderBy("doc_id").collect().toSeq
+      assert(str == hsh, s"seed $seed: hash-keyed cut diverged from string form")
+      // dup_tokens agrees with spanDupCoverage (same merged islands)
+      val cov = graft.ops.Dedup.spanDupCoverage(df, "text", "doc_id", w = w)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("dup_tokens")).toMap
+      got.foreach { case (id, v) =>
+        assert(v._3 == cov(id), s"seed $seed doc $id: cut=${v._3} cov=${cov(id)}")
+      }
+    }
+  }
+
   test("containmentPrune fails loud past spark.graft.dedup.containmentPairCap") {
     val big = (0 until 60).map(i => s"w$i").mkString(" ")
     val small = (20 until 40).map(i => s"w$i").mkString(" ")
