@@ -368,9 +368,46 @@ object Similarity {
     * re-clustering the lake per batch is off the table; rebuild when
     * drift makes appended cells grossly unbalanced (a production
     * wrapper monitors per-cell counts). Serving via ivfTopKFromIndex
-    * sees old + new vectors transparently. */
+    * sees old + new vectors transparently.
+    *
+    * Two id states refuse LOUD instead of corrupting the index
+    * silently (the cluster-index lifecycle lesson, applied here):
+    *
+    *   - a TOMBSTONED batch id: the old row is still physically in its
+    *     cell, so appending a new row under the same id either stays
+    *     invisible (serving anti-joins the tombstone list) or — worse —
+    *     is permanently LOST when a later [[compactIvfIndex]]
+    *     materializes the anti-join and clears the list. Re-append
+    *     after delete requires physical removal first: compact (or
+    *     rebuild), then append.
+    *   - an ALREADY-LIVE batch id: the append-mode write would serve
+    *     duplicate rows for one identity (top-k pollution). This also
+    *     catches the retry of a crashed append that landed part of its
+    *     batch — recover by tombstoning the batch ids, compacting, and
+    *     re-appending, or rebuild.
+    *
+    * Both checks are column-pruned id scans streaming against the
+    * broadcast batch ids — no vector bytes are read. */
   def appendToIvfIndex(spark: SparkSession, path: String, batch: DataFrame,
       embCol: String = "embedding", id: String = "vec_id"): Unit = {
+    val fs = IndexFs.fs(spark, path)
+    val batchIds = broadcast(batch.select(col(id)).distinct())
+    if (IndexFs.exists(fs, s"$path/tombstones")) {
+      val t = spark.read.parquet(s"$path/tombstones")
+        .join(batchIds, Seq(id), "left_semi").limit(1).collect()
+      require(t.isEmpty,
+        s"appendToIvfIndex($path): $id ${t.headOption.map(_.get(0))} is " +
+          "tombstoned — its old row is still in the corpus, so a re-append " +
+          "would be invisible now and dropped for good at the next " +
+          "compaction; run compactIvfIndex (or rebuildIvfIndex) first")
+    }
+    val dup = spark.read.parquet(s"$path/corpus").select(col(id))
+      .join(batchIds, Seq(id), "left_semi").limit(1).collect()
+    require(dup.isEmpty,
+      s"appendToIvfIndex($path): $id ${dup.headOption.map(_.get(0))} is " +
+        "already indexed — appending would serve duplicate rows for one " +
+        "identity; if this is the retry of a crashed append, tombstone the " +
+        "batch ids and compact (or rebuild), then append again")
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)

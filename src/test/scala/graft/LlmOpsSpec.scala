@@ -746,6 +746,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("IVF append refuses tombstoned and already-live ids loud; compact-then-re-append works") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-guard").toString
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 10 =!= 9), idx, kClusters = 8)
+    // already-live: re-appending a built slice would serve duplicates
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, idx, emb.filter($"vec_id" % 10 === 1))
+    }
+    assert(ex1.getMessage.contains("already indexed"), ex1.getMessage)
+    // tombstoned: the old row is still physically present — a re-append
+    // would be invisible now and permanently dropped at compaction
+    val dels = emb.filter($"vec_id" % 20 === 1).select($"vec_id")
+    Similarity.deleteFromIvfIndex(spark, idx, dels)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, idx, emb.filter($"vec_id" % 20 === 1))
+    }
+    assert(ex2.getMessage.contains("tombstoned"), ex2.getMessage)
+    // the documented recovery: compact (physical removal), then the
+    // re-append lands and SERVES
+    Similarity.compactIvfIndex(spark, idx)
+    Similarity.appendToIvfIndex(spark, idx, emb.filter($"vec_id" % 20 === 1))
+    val ids = spark.read.parquet(s"$idx/corpus").select($"vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "duplicate ids after re-append")
+    assert(ids.toSet == emb.filter($"vec_id" % 10 =!= 9)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet)
+    val served = Similarity.ivfTopKFromIndex(spark, idx,
+      emb.filter($"vec_id" % 20 === 1).limit(3), k = 5, nProbe = 8)
+    assert(served.count() > 0)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("IVF append: appended vectors are first-class index citizens") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("ivf-append").toString
