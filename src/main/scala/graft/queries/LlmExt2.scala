@@ -157,6 +157,45 @@ object LlmExt2 {
     s"$root/index"
   }
 
+  /** The str19 cluster index: built over the FULL corpus, then the
+    * doc_id %% 10 == 7 population STREAMED as takedown requests and
+    * removed per micro-batch by a foreachBatch deleteFromClusterIndex —
+    * the online form of llm75's takedown lifecycle (opt-out/PII-purge
+    * requests arriving as a stream, the index maintained as they land).
+    * Deletes compose under full-rebuild equivalence (each removes its
+    * batch's docs and re-splits exactly the affected clusters), so any
+    * micro-batch slicing converges to the from-scratch closure over the
+    * remaining corpus — llm75's oracle verbatim. A replay of a
+    * committed delete batch is a no-op through the liveness-gated
+    * marker (ids already dead), so at-least-once delivery converges
+    * too. */
+  private[queries] def ensureStreamedTakedownIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-cltds2-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_TAKEN_DOWN")
+    buildOnce(root)(marker.exists()) {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.buildClusterIndex(docs, s"$root/index", threshold = 0.8)
+      val requests = graft.streaming.StreamOps.documentsStream(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"))
+      val q = requests.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            Dedup.deleteFromClusterIndex(s, s"$root/index", batch.toDF())
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        graft.tools.StreamPlanAudit.record("str19", q)
+      } finally q.stop()
+      marker.createNewFile()
+    }
+    s"$root/index"
+  }
+
   /** The pid-scoped persisted near-dup band index of `dir`'s corpus
     * half, built ONCE per JVM (the build-once lifecycle the operator
     * exists to demonstrate — rebuilding per query would re-sign the

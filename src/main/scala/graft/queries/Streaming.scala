@@ -430,6 +430,34 @@ object Streaming {
       s.read.parquet(s"$idx/verdicts")
         .select(col("doc_id"), col("canon_id"), col("cluster_size"),
           col("score"), col("keep"))
+    },
+
+    // streaming cluster-index TAKEDOWN: llm75's delete lifecycle
+    // ONLINE — opt-out/PII-purge requests arrive as a stream and a
+    // foreachBatch sink removes each micro-batch with
+    // deleteFromClusterIndex (bridge-splitting connectivity recompute
+    // over the affected clusters, crash-safe per-bucket swap, replays
+    // no-op through the liveness-gated marker). Deletes compose under
+    // full-rebuild equivalence, so the served verdicts match the
+    // from-scratch closure over the REMAINING corpus regardless of how
+    // the stream sliced the requests — llm75's oracle verbatim.
+    QDef("str19_cluster_index_takedown",
+      s"""WITH RECURSIVE ${OracleSql.closureCtes(0.8, "doc_id % 10 <> 7")},
+        |cl AS (SELECT canon_id, COUNT(*) AS csize FROM lab GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' '))  AS DOUBLE) AS score
+        |  FROM documents)
+        |SELECT l.doc_id, l.canon_id, CAST(cl.csize AS BIGINT) AS cluster_size,
+        |  s.score,
+        |  (ROW_NUMBER() OVER (PARTITION BY l.canon_id
+        |     ORDER BY s.score DESC, l.doc_id) = 1) AS keep
+        |FROM lab l JOIN cl USING (canon_id) JOIN sc s USING (doc_id)"""
+        .stripMargin) { (s, dir) =>
+      val idx = LlmExt2.ensureStreamedTakedownIndex(s, dir)
+      s.read.parquet(s"$idx/verdicts")
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          col("score"), col("keep"))
     }
   )
 }
