@@ -72,7 +72,12 @@ object Bench {
     // cluster-index SERVE path (the build is a cached fixture; the scan
     // is what production pays per query)
     "cdc50_mariadb", "cdc49_mysql_tagged_starting_gtid",
-    "llm73_cluster_index_serve")
+    "llm73_cluster_index_serve",
+    // round-14 addition, same rule: the exact-substring cut (hash-keyed
+    // span shuffle + per-doc interval cut — the heaviest new per-query
+    // path this round; llm79's report reads a build-once fixture and
+    // str19 is streaming, so neither belongs here)
+    "llm80_span_cut")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
