@@ -199,6 +199,38 @@ object ScaleSmoke {
         s"hash-keyed shuffle must undercut the string form: $hashBytes vs $strBytes")
     }
 
+    // exact-substring CUT at 1M docs, same planted corpus: a planted
+    // doc must lose EXACTLY its 12-token boilerplate prefix (clean =
+    // its 12 unique u-tokens, in order), and every other doc must come
+    // back byte-identical to its token re-join — algebraic invariants,
+    // full-corpus checked, on the 100 TB hash-keyed form
+    timed(s"cutDuplicatedSpans($nText, hashSpans)") {
+      val bp = (0 until 12).map(i => s"bp$i").mkString(" ")
+      val docs = spark.range(nText).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 100 === 0, lit(bp))
+            .otherwise(concat_ws(" ", (0 until 12).map(j =>
+              concat(lit(s"p${j}_"), col("id"))): _*)),
+          concat_ws(" ", (12 until 24).map(j =>
+            concat(lit(s"u${j}_"), col("id"))): _*)).as("text"))
+      val planted = (nText + 99) / 100
+      val expectedSuffix = concat_ws(" ", (12 until 24).map(j =>
+        concat(lit(s"u${j}_"), col("doc_id"))): _*)
+      val row = graft.ops.Dedup.cutDuplicatedSpans(docs, "text", "doc_id",
+          w = 8, hashSpans = true)
+        .join(docs, "doc_id")
+        .agg(
+          count(when(col("dup_tokens") === 12L &&
+            col("clean_text") === expectedSuffix, 1)).as("planted_ok"),
+          count(when(col("dup_tokens") === 0L &&
+            col("clean_text") === col("text"), 1)).as("untouched_ok"),
+          count(lit(1)).as("n")).head()
+      assert(row.getLong(0) == planted && row.getLong(1) == nText - planted
+          && row.getLong(2) == nText,
+        s"cut invariants broke: expected $planted cut-to-suffix + " +
+          s"${nText - planted} untouched of $nText, got $row")
+    }
+
     // bigram LM scoring at 1M docs: every doc = shared head token "h"
     // then 12 per-doc-unique tokens, so every doc's score is EXACTLY
     // (1/n + 11)/12 — the head bigram has P = 1/n (c1(h) = n), every
