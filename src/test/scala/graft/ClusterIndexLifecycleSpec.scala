@@ -565,6 +565,86 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
       }
   }
 
+  test("randomized crash-interleaved lifecycle: any op sequence with injected crashes converges to the rebuild") {
+    // the per-op failpoint specs cover each crash window in isolation;
+    // this property covers their INTERLEAVINGS: a random sequence of
+    // append / delete / compact / gc, each with a coin-flip crash at a
+    // random failpoint followed by a retry, must keep the index
+    // row-identical to a from-scratch rebuild over the driver-side
+    // mirror of the live corpus. Re-appends of deleted ids carry NEW
+    // text, so artifact resolution is exercised under churn too.
+    val vocab = Seq("a", "b", "c", "d")
+    def randText(rnd: scala.util.Random): String =
+      Seq.fill(rnd.nextInt(16) + 4)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    val appendPoints = Seq("after-artifacts", "after-staging",
+      "after-intent", "after-bucket-swap-0")
+    val deletePoints = Seq("after-staging", "after-intent",
+      "after-bucket-swap-0")
+    val compactPoints = Seq("after-compact-staging-shingles",
+      "mid-compact-swap-shingles", "after-compact-staging-prefix",
+      "mid-compact-swap-prefix")
+    for (seed <- Seq(11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      def freshIds(n: Int): Seq[Long] = {
+        val ids = (nextId until nextId + n); nextId += n; ids
+      }
+      val mirror = scala.collection.mutable.Map.empty[Long, String]
+      val retired = scala.collection.mutable.Set.empty[Long]
+      val idx = java.nio.file.Files.createTempDirectory(s"clidx-chaos-$seed").toString
+      freshIds(20).foreach(i => mirror(i) = randText(rnd))
+      Dedup.buildClusterIndex(mirror.toSeq.toDF("doc_id", "text"), idx,
+        threshold = 0.5, nBuckets = 8)
+      def crashed(points: Seq[String])(op: => Unit): Unit = {
+        if (rnd.nextBoolean()) {
+          Dedup.appendCrashPoint = Some(points(rnd.nextInt(points.length)))
+          try intercept[IllegalStateException](op)
+          finally Dedup.appendCrashPoint = None
+        }
+        op // the retry (or the only attempt) must land
+      }
+      (0 until 6).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // append: mix of fresh ids and deleted ids, new text
+            val back = retired.toSeq.sorted.filter(_ => rnd.nextBoolean())
+            val batch = (freshIds(rnd.nextInt(4) + 1) ++ back)
+              .map(i => (i, randText(rnd)))
+            retired --= back
+            batch.foreach { case (i, t) => mirror(i) = t }
+            crashed(appendPoints) {
+              Dedup.appendToClusterIndex(spark, idx,
+                batch.toDF("doc_id", "text"))
+            }
+          case 1 => // delete a random proper subset of the live docs
+            val dels = mirror.keys.toSeq.sorted.filter(_ => rnd.nextInt(3) == 0)
+            if (dels.nonEmpty && dels.size < mirror.size) {
+              dels.foreach { i => mirror -= i; retired += i }
+              crashed(deletePoints) {
+                Dedup.deleteFromClusterIndex(spark, idx, dels.toDF("doc_id"))
+              }
+            }
+          case 2 =>
+            crashed(compactPoints) {
+              Dedup.compactClusterIndexArtifacts(spark, idx)
+            }
+          case 3 =>
+            Dedup.gcClusterIndex(spark, idx)
+        }
+        if (step % 2 == 1 || step == 5) {
+          val rb = java.nio.file.Files.createTempDirectory(s"clidx-chaos-rb").toString
+          Dedup.buildClusterIndex(mirror.toSeq.toDF("doc_id", "text"), rb,
+            threshold = 0.5, nBuckets = 8)
+          assert(readVerdicts(idx) == readVerdicts(rb),
+            s"seed=$seed step=$step diverged from rebuild " +
+              s"(live=${mirror.keys.toSeq.sorted})")
+          graft.TmpDirs.deleteRecursively(new java.io.File(rb))
+        }
+      }
+      graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+    }
+  }
+
   test("IVF delete/compact/rebuild through a file:// URI root (Hadoop FS path)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val local = java.nio.file.Files.createTempDirectory("ivf-uri").toString
