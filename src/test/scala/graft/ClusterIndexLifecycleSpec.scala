@@ -568,19 +568,24 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
   test("randomized crash-interleaved lifecycle: any op sequence with injected crashes converges to the rebuild") {
     // the per-op failpoint specs cover each crash window in isolation;
     // this property covers their INTERLEAVINGS: a random sequence of
-    // append / delete / compact / gc, each with a coin-flip crash at a
-    // random failpoint followed by a retry, must keep the index
-    // row-identical to a from-scratch rebuild over the driver-side
-    // mirror of the live corpus. Re-appends of deleted ids carry NEW
-    // text, so artifact resolution is exercised under churn too.
+    // append / delete / compact / gc where each op may crash at a
+    // random failpoint and then be RETRIED — or ABANDONED entirely.
+    // An abandoned crash in a pre-journal window (rollback points) must
+    // leave the op unapplied; one in a post-journal window (forward
+    // points) must be completed by the NEXT op's recovery. The index
+    // must stay row-identical to a from-scratch rebuild over the
+    // driver-side mirror of the live corpus (gc runs before each
+    // compare to flush pending roll-forwards — itself a legit
+    // lifecycle op). Re-appends of deleted ids carry NEW text, so
+    // artifact resolution is exercised under churn too.
     val vocab = Seq("a", "b", "c", "d")
     def randText(rnd: scala.util.Random): String =
       Seq.fill(rnd.nextInt(16) + 4)(vocab(rnd.nextInt(vocab.length)))
         .mkString(" ")
-    val appendPoints = Seq("after-artifacts", "after-staging",
-      "after-intent", "after-bucket-swap-0")
-    val deletePoints = Seq("after-staging", "after-intent",
-      "after-bucket-swap-0")
+    val appendRollback = Seq("after-artifacts", "after-staging")
+    val appendForward = Seq("after-intent", "after-bucket-swap-0")
+    val deleteRollback = Seq("after-staging")
+    val deleteForward = Seq("after-intent", "after-bucket-swap-0")
     val compactPoints = Seq("after-compact-staging-shingles",
       "mid-compact-swap-shingles", "after-compact-staging-prefix",
       "mid-compact-swap-prefix")
@@ -596,13 +601,27 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
       freshIds(20).foreach(i => mirror(i) = randText(rnd))
       Dedup.buildClusterIndex(mirror.toSeq.toDF("doc_id", "text"), idx,
         threshold = 0.5, nBuckets = 8)
-      def crashed(points: Seq[String])(op: => Unit): Unit = {
-        if (rnd.nextBoolean()) {
-          Dedup.appendCrashPoint = Some(points(rnd.nextInt(points.length)))
-          try intercept[IllegalStateException](op)
-          finally Dedup.appendCrashPoint = None
-        }
-        op // the retry (or the only attempt) must land
+      def crashAt(p: String)(op: => Unit): Unit = {
+        Dedup.appendCrashPoint = Some(p)
+        try { val e = intercept[IllegalStateException](op)
+          assert(e.getMessage.contains(p), e.getMessage) }
+        finally Dedup.appendCrashPoint = None
+      }
+      /** Runs op under one of: clean; crash+retry; crash+abandon.
+        * Returns true iff the op is (eventually) APPLIED. */
+      def runOp(rollback: Seq[String], forward: Seq[String])
+          (op: => Unit): Boolean = rnd.nextInt(5) match {
+        case 0 | 1 => op; true
+        case 2 => // crash anywhere, then retry converges
+          val all = rollback ++ forward
+          crashAt(all(rnd.nextInt(all.length)))(op)
+          op; true
+        case 3 => // abandon in a pre-journal window: never applied
+          crashAt(rollback(rnd.nextInt(rollback.length)))(op)
+          false
+        case 4 => // abandon post-journal: next recovery rolls it forward
+          if (forward.isEmpty) { op; true }
+          else { crashAt(forward(rnd.nextInt(forward.length)))(op); true }
       }
       (0 until 6).foreach { step =>
         rnd.nextInt(4) match {
@@ -610,28 +629,31 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
             val back = retired.toSeq.sorted.filter(_ => rnd.nextBoolean())
             val batch = (freshIds(rnd.nextInt(4) + 1) ++ back)
               .map(i => (i, randText(rnd)))
-            retired --= back
-            batch.foreach { case (i, t) => mirror(i) = t }
-            crashed(appendPoints) {
+            val applied = runOp(appendRollback, appendForward) {
               Dedup.appendToClusterIndex(spark, idx,
                 batch.toDF("doc_id", "text"))
+            }
+            if (applied) {
+              retired --= back
+              batch.foreach { case (i, t) => mirror(i) = t }
             }
           case 1 => // delete a random proper subset of the live docs
             val dels = mirror.keys.toSeq.sorted.filter(_ => rnd.nextInt(3) == 0)
             if (dels.nonEmpty && dels.size < mirror.size) {
-              dels.foreach { i => mirror -= i; retired += i }
-              crashed(deletePoints) {
+              val applied = runOp(deleteRollback, deleteForward) {
                 Dedup.deleteFromClusterIndex(spark, idx, dels.toDF("doc_id"))
               }
+              if (applied) dels.foreach { i => mirror -= i; retired += i }
             }
-          case 2 =>
-            crashed(compactPoints) {
+          case 2 => // compact is state-neutral: applied-or-not is moot
+            runOp(compactPoints, Nil) {
               Dedup.compactClusterIndexArtifacts(spark, idx)
             }
           case 3 =>
             Dedup.gcClusterIndex(spark, idx)
         }
         if (step % 2 == 1 || step == 5) {
+          Dedup.gcClusterIndex(spark, idx) // flush pending roll-forwards
           val rb = java.nio.file.Files.createTempDirectory(s"clidx-chaos-rb").toString
           Dedup.buildClusterIndex(mirror.toSeq.toDF("doc_id", "text"), rb,
             threshold = 0.5, nBuckets = 8)
