@@ -1868,14 +1868,15 @@ object Dedup {
     * the cost at large k. The default stays on the join form because it
     * is the ANSI-SQL-replayable plan the llm50 oracle replays;
     * [[semDedupTrained]] — the production configuration — probes. */
-  def semDedup(df: DataFrame, embCol: String, id: String,
+  /** (id, cluster_id, __emb): the corpus × quantizer argmax-cosine
+    * assignment shared by [[semDedup]], [[semDedupIncremental]] and the
+    * persisted-index pair — ONE definition, because the equivalence
+    * contracts between those ops hold only if every caller assigns
+    * cells with byte-identical cosines and tie-breaks. */
+  private def assignCells(df: DataFrame, embCol: String, id: String,
       seeds: DataFrame, seedId: String, seedEmb: String,
-      threshold: Double, maxCluster: Int = 100000,
-      probeAssign: Boolean = false): DataFrame = {
-    // materialized once (eager checkpoint): four consumers below (the
-    // size guard, both pair-join sides, the final output) would each
-    // re-run the full corpus x seeds assignment pass otherwise
-    val asg = (if (probeAssign) {
+      probeAssign: Boolean): DataFrame = {
+    if (probeAssign) {
       // large-k assignment (the FAISS shape the SemDeDup paper's k ~ √n
       // needs): the quantizer — broadcast-small by contract — collects
       // to the driver and rides into ONE narrow per-row argmax
@@ -1923,7 +1924,18 @@ object Dedup {
         .agg(max_by(col("__seed_id"),
             struct(col("__c"), (-col("__seed_id")).as("__neg"))).as("cluster_id"),
           first(col("__e")).as("__emb"))
-    }).localCheckpoint(true)
+    }
+  }
+
+  def semDedup(df: DataFrame, embCol: String, id: String,
+      seeds: DataFrame, seedId: String, seedEmb: String,
+      threshold: Double, maxCluster: Int = 100000,
+      probeAssign: Boolean = false): DataFrame = {
+    // materialized once (eager checkpoint): four consumers below (the
+    // size guard, both pair-join sides, the final output) would each
+    // re-run the full corpus x seeds assignment pass otherwise
+    val asg = assignCells(df, embCol, id, seeds, seedId, seedEmb, probeAssign)
+      .localCheckpoint(true)
     // the size guard runs eagerly, driver-side, over the checkpointed
     // assignment (one small count-by-cluster job; at most one id pulled
     // back): a cluster past maxCluster fails loud HERE instead of
@@ -1942,6 +1954,120 @@ object Dedup {
       .filter(cosine_sim(col("__ea"), col("__eb")) >= threshold)
       .select(col("id_b").as(id)).distinct()
     asg.select(col(id), col("cluster_id"))
+      .join(dupIds.withColumn("__d", lit(true)), Seq(id), "left")
+      .select(col(id), col("cluster_id"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
+  /** INCREMENTAL semantic dedup — the semantic family's analogue of
+    * [[incrementalNearDup]]: flag each BATCH doc that is a cosine
+    * near-duplicate (>= `threshold`) of a LOWER-ID doc in its quantizer
+    * cell, where the comparison pool is the existing corpus plus the
+    * batch itself, WITHOUT re-pairing the corpus. The contract is
+    * restriction equivalence with the batch form:
+    * `semDedup(corpus ∪ batch)` restricted to batch rows — which holds
+    * exactly because a doc's flag depends only on lower-id same-cell
+    * docs, and both ops assign cells through the shared
+    * [[assignCells]] (byte-identical cosines and tie-breaks).
+    *
+    * Returns `(id, cluster_id, is_dup)` for the BATCH rows only.
+    *
+    * Scale posture: the corpus is assigned once per call (one narrow
+    * pass — use [[buildSemDedupIndex]]/[[semDedupFromIndex]] to pay it
+    * once and prune probes to touched cells); pair work is
+    * batch-bounded per cell (batch rows × same-cell members), and cells
+    * past `maxCluster` members fail loud before any pair task
+    * explodes, as in [[semDedup]]. */
+  def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
+      embCol: String, id: String, seeds: DataFrame, seedId: String,
+      seedEmb: String, threshold: Double, maxCluster: Int = 100000,
+      probeAssign: Boolean = false): DataFrame = {
+    val basg = assignCells(batch, embCol, id, seeds, seedId, seedEmb,
+      probeAssign).localCheckpoint(true) // guard + pair side + output
+    // also checkpointed: two consumers in the probe (overlap check +
+    // cell-pruned pool) would each re-run the corpus × seeds
+    // assignment pass — the semDedup discipline
+    val casg = assignCells(corpus, embCol, id, seeds, seedId, seedEmb,
+      probeAssign).localCheckpoint(true)
+    semDedupProbe(basg, casg, id, threshold, maxCluster)
+  }
+
+  /** Persist the semantic-dedup serving index: the quantizer under
+    * `$path/seeds` and the corpus assignment `(id, cell, emb)` under
+    * `$path/members`, PARTITIONED BY cell — so a later
+    * [[semDedupFromIndex]] probe reads only the cell directories its
+    * batch touches (file-level partition pruning, the IVF-corpus
+    * layout applied to dedup). `members/` is written LAST, so its
+    * `_SUCCESS` is the built-ness marker fixtures key on. */
+  def buildSemDedupIndex(corpus: DataFrame, path: String, embCol: String,
+      id: String, seeds: DataFrame, seedId: String, seedEmb: String,
+      probeAssign: Boolean = false): Unit = {
+    seeds.select(col(seedId).as("seed_id"), col(seedEmb).as("s_emb"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/seeds")
+    assignCells(corpus, embCol, id, seeds, seedId, seedEmb, probeAssign)
+      .select(col(id), col("cluster_id").as("cell"), col("__emb"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/members")
+  }
+
+  /** [[semDedupIncremental]] served from a [[buildSemDedupIndex]]
+    * index: the corpus assignment is read back instead of recomputed,
+    * and the members scan is PRUNED to the batch's touched cells (the
+    * cell set is batch-bounded and collected driver-side, like the IVF
+    * probe's). Identical results to the two-frame form — and therefore
+    * to `semDedup(corpus ∪ batch)` restricted to the batch. */
+  def semDedupFromIndex(spark: SparkSession, path: String,
+      batch: DataFrame, embCol: String, id: String,
+      threshold: Double, maxCluster: Int = 100000,
+      probeAssign: Boolean = false): DataFrame = {
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val basg = assignCells(batch, embCol, id, seeds, "seed_id", "s_emb",
+      probeAssign).localCheckpoint(true) // cells pull + pair side + output
+    val cells = basg.select(col("cluster_id")).distinct()
+      .collect().map(_.get(0))
+    val casg = spark.read.parquet(s"$path/members")
+      .filter(col("cell").isInCollection(cells.toSeq))
+      .select(col(id), col("cell").as("cluster_id"), col("__emb"))
+    semDedupProbe(basg, casg, id, threshold, maxCluster)
+  }
+
+  /** The shared probe tail of [[semDedupIncremental]] and
+    * [[semDedupFromIndex]]: flag each batch row with a lower-id
+    * same-cell neighbor at cosine >= threshold among corpus members ∪
+    * batch, guarding probed-cell sizes loud. */
+  private def semDedupProbe(basg: DataFrame, casg: DataFrame, id: String,
+      threshold: Double, maxCluster: Int): DataFrame = {
+    // an id on both sides would make the restriction contract
+    // ill-defined (semDedup over corpus ∪ batch assumes one row per
+    // id) — fail loud, as the cluster-index maintenance ops do
+    val overlap = casg.select(col(id))
+      .join(broadcast(basg.select(col(id))), Seq(id), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"semDedup probe: batch contains already-indexed $id " +
+        s"${overlap.headOption.map(_.get(0))}")
+    // pool = corpus members of the probed cells + the batch itself;
+    // only the probed cells matter for the guard (and for membership)
+    val pool = casg.join(
+        broadcast(basg.select(col("cluster_id")).distinct()),
+        Seq("cluster_id"), "left_semi")
+      .unionByName(basg)
+    val oversized = pool.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCluster)
+      .select(col("cluster_id")).limit(1).collect()
+    if (oversized.nonEmpty)
+      throw new IllegalStateException(
+        s"semDedup probe: cell exceeds maxCluster=$maxCluster: " +
+          s"${oversized.head.get(0)}")
+    val b = basg.select(col(id).as("id_b"), col("cluster_id").as("__cb"),
+      col("__emb").as("__eb"))
+    val a = pool.select(col(id).as("id_a"), col("cluster_id"),
+      col("__emb").as("__ea"))
+    val dupIds = a.join(b, col("cluster_id") === col("__cb") &&
+        col("id_a") < col("id_b"))
+      .filter(cosine_sim(col("__ea"), col("__eb")) >= threshold)
+      .select(col("id_b").as(id)).distinct()
+    basg.select(col(id), col("cluster_id"))
       .join(dupIds.withColumn("__d", lit(true)), Seq(id), "left")
       .select(col(id), col("cluster_id"),
         coalesce(col("__d"), lit(false)).as("is_dup"))

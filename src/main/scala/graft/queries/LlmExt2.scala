@@ -157,6 +157,26 @@ object LlmExt2 {
     s"$root/index"
   }
 
+  /** The llm82 semantic-dedup index: the vec_id %% 10 != 0 corpus
+    * assigned once into its Voronoi cells and persisted cell-
+    * partitioned (Dedup.buildSemDedupIndex) — later batches probe only
+    * the cell directories they touch. `members/_SUCCESS` is the
+    * built-ness marker because members/ is the LAST artifact the
+    * builder writes. */
+  private[queries] def ensureSemDedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-semidx2-" + graft.TmpDirs.pathKey(dir))
+    val idx = s"$root/index"
+    buildOnce(root)(new java.io.File(s"$idx/members/_SUCCESS").exists()) {
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.buildSemDedupIndex(emb.filter(col("vec_id") % 10 =!= 0), idx,
+        "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding")
+    }
+    idx
+  }
+
   /** The str19 cluster index: built over the FULL corpus, then the
     * doc_id %% 10 == 7 population STREAMED as takedown requests and
     * removed per micro-batch by a foreachBatch deleteFromClusterIndex —
@@ -1041,6 +1061,82 @@ object LlmExt2 {
       Dedup.clusterIndexTransitions(
         s.read.parquet(s"$oldIdx/verdicts"),
         s.read.parquet(s"$newIdx/verdicts"))
+    },
+
+    // INCREMENTAL semantic dedup — the semantic family's llm44: a new
+    // batch (vec_id % 10 == 0) probed against the existing corpus +
+    // itself, flagged where a lower-id same-cell doc sits at cosine >=
+    // 0.40, WITHOUT re-pairing the corpus. Restriction equivalence with
+    // llm50's batch form is the contract, so the oracle is llm50's
+    // from-scratch SQL with the pair and output sets restricted to the
+    // batch — a missed cross-pool pair or a drifted assignment
+    // hash-mismatches.
+    QDef("llm81_semdedup_incremental", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id % 10 = 0),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id % 10 = 0""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.semDedupIncremental(
+        corpus = emb.filter(col("vec_id") % 10 =!= 0),
+        batch = emb.filter(col("vec_id") % 10 === 0),
+        "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding", threshold = 0.40)
+    },
+
+    // the same incremental semantic dedup served from the PERSISTED
+    // index (Dedup.buildSemDedupIndex once — cell-partitioned corpus
+    // assignment — then every batch probes only its touched cell
+    // directories; the semantic family's llm46): identical results to
+    // llm81, so the same restricted oracle holds.
+    QDef("llm82_semdedup_from_index", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id % 10 = 0),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id % 10 = 0""".stripMargin
+    }) { (s, dir) =>
+      val idx = ensureSemDedupIndex(s, dir)
+      Dedup.semDedupFromIndex(s, idx,
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "embedding", "vec_id", threshold = 0.40)
     },
 
     // exact-substring CUT — the act-on-it half of span-level dedup

@@ -401,6 +401,51 @@ class DedupPropertySpec extends SparkTestBase {
     }
   }
 
+  test("semDedupIncremental and semDedupFromIndex equal the batch form restricted to the batch") {
+    val rnd = new scala.util.Random(13)
+    val dim = 6
+    val vecs = (0 until 160).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble().toFloat * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint(true)
+    val seeds = df.filter(col("vec_id") % 20 === 0)
+    val corpus = df.filter(col("vec_id") % 3 =!= 0)
+    val batch = df.filter(col("vec_id") % 3 === 0)
+    val tau = 0.5
+    // the contract: semDedup over EVERYTHING, restricted to the batch
+    val want = graft.ops.Dedup.semDedup(df, "embedding", "vec_id",
+        seeds = seeds, seedId = "vec_id", seedEmb = "embedding",
+        threshold = tau)
+      .filter(col("vec_id") % 3 === 0)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(want.values.exists(_._2) && want.values.exists(!_._2),
+      s"vacuous fixture: $want") // both outcomes must actually occur
+    val inc = graft.ops.Dedup.semDedupIncremental(corpus, batch,
+        "embedding", "vec_id", seeds = seeds, seedId = "vec_id",
+        seedEmb = "embedding", threshold = tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(inc == want, "incremental diverged from the restricted batch form")
+    val idx = java.nio.file.Files.createTempDirectory("semidx-prop").toString
+    graft.ops.Dedup.buildSemDedupIndex(corpus, idx, "embedding", "vec_id",
+      seeds = seeds, seedId = "vec_id", seedEmb = "embedding")
+    val fromIdx = graft.ops.Dedup.semDedupFromIndex(spark, idx, batch,
+        "embedding", "vec_id", threshold = tau)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(fromIdx == want, "from-index diverged from the restricted batch form")
+    // overlapping ids refuse loud (the restriction contract is
+    // ill-defined with a doc on both sides)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.semDedupIncremental(corpus,
+        df.filter(col("vec_id") % 3 =!= 0).limit(1), "embedding", "vec_id",
+        seeds = seeds, seedId = "vec_id", seedEmb = "embedding",
+        threshold = tau).collect()
+    }
+    assert(ex.getMessage.contains("already-indexed"), ex.getMessage)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("containmentPrune fails loud past spark.graft.dedup.containmentPairCap") {
     val big = (0 until 60).map(i => s"w$i").mkString(" ")
     val small = (20 until 40).map(i => s"w$i").mkString(" ")
