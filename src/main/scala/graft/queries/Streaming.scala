@@ -458,6 +458,47 @@ object Streaming {
       s.read.parquet(s"$idx/verdicts")
         .select(col("doc_id"), col("canon_id"), col("cluster_size"),
           col("score"), col("keep"))
+    },
+
+    // streaming SEMANTIC-DEDUP admission gate over llm82's persisted
+    // index: each arriving vector is cell-assigned with one narrow
+    // argmax (seed literals — no shuffle on the stream) and flagged
+    // iff the INDEX holds a same-cell member at cosine >= 0.40. The
+    // index is the authority — arriving-batch internal pairs are
+    // deliberately the batch ops' job (they depend on micro-batch
+    // slicing; the gate's verdicts are slicing-invariant), so the
+    // oracle is the from-scratch assignment with corpus-side witnesses
+    // only.
+    QDef("str20_semdedup_gate", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT m.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg m JOIN asg b ON m.cluster_id = b.cluster_id
+         |  WHERE m.vec_id % 10 <> 0 AND b.vec_id % 10 = 0),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id % 10 = 0""".stripMargin
+    }) { (s, dir) =>
+      val idx = LlmExt2.ensureSemDedupIndex(s, dir)
+      val arriving = StreamOps.embeddingsStream(s, dir)
+        .filter(col("vec_id") % 10 === 0)
+      drain(StreamOps.semDedupGateStream(s, idx, arriving,
+          "embedding", "vec_id", threshold = 0.40),
+        "str20_" + java.lang.Integer.toHexString(dir.hashCode), "append")
     }
   )
 }

@@ -458,6 +458,46 @@ object StreamOps {
     * map-side pass + one per-doc count; a doc's grams all arrive in its
     * own batch, so update mode emits each contaminated doc exactly
     * once. */
+  /** Streaming SEMANTIC-DEDUP admission gate over a persisted
+    * `Dedup.buildSemDedupIndex` index — the ingest-time form of
+    * semantic dedup: each ARRIVING vector is assigned to its quantizer
+    * cell with one narrow argmax expression (the collected seeds ride
+    * the plan as literals — no shuffle lands on the stream side) and
+    * flagged `is_dup` iff the INDEX holds a same-cell member at cosine
+    * >= `threshold`. The index is the authority here — arriving-batch
+    * INTERNAL pairs are deliberately out of scope (they depend on
+    * micro-batch slicing; the batch ops `semDedupIncremental` /
+    * `semDedupFromIndex` own that half with their id-ordered contract),
+    * so the gate's verdicts are slicing-invariant and replayable.
+    *
+    * Plan shape: two stream-static joins against the cell-partitioned
+    * members (semi for dups, anti for keepers, unioned with the flag)
+    * — append mode, no state store, the static side checkpointed once
+    * instead of re-read per micro-batch. */
+  def semDedupGateStream(spark: SparkSession, path: String,
+      arriving: DataFrame, embCol: String, id: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val seedRows = spark.read.parquet(s"$path/seeds")
+      .select(col("seed_id").cast("long"), col("s_emb")).collect()
+    require(seedRows.nonEmpty,
+      s"semDedupGateStream($path): empty quantizer — the gate would admit " +
+        "everything silently; build the index first")
+    val members = spark.read.parquet(s"$path/members")
+      .select(col("cell").as("__mcell"), col("__emb").as("__memb"))
+      .localCheckpoint(true) // static side: one read, not one per batch
+    val assigned = arriving.withColumn("cluster_id",
+      argmax_cosine_seed(col(embCol), seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Float](1).toArray)))
+    val cond = col("cluster_id") === col("__mcell") &&
+      cosine_sim(col(embCol), col("__memb")) >= threshold
+    val dup = assigned.join(members, cond, "left_semi")
+      .withColumn("is_dup", lit(true))
+    val kept = assigned.join(members, cond, "left_anti")
+      .withColumn("is_dup", lit(false))
+    dup.unionByName(kept).select(col(id), col("cluster_id"), col("is_dup"))
+  }
+
   def decontaminateStream(evalDocs: DataFrame, arriving: DataFrame,
       n: Int = 8): DataFrame = {
     import graft.ops.TextAnalysis.{tokens, shinglesFromTokens}
