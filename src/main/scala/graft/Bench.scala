@@ -73,11 +73,14 @@ object Bench {
     // is what production pays per query)
     "cdc50_mariadb", "cdc49_mysql_tagged_starting_gtid",
     "llm73_cluster_index_serve",
-    // round-14 addition, same rule: the exact-substring cut (hash-keyed
+    // round-14 additions, same rule: the exact-substring cut (hash-keyed
     // span shuffle + per-doc interval cut — the heaviest new per-query
     // path this round; llm79's report reads a build-once fixture and
-    // str19 is streaming, so neither belongs here)
-    "llm80_span_cut")
+    // str19/str20 are streaming, so none of those belong here) and the
+    // persisted-index semantic-dedup probe (the serving path: batch
+    // assignment + cell-pruned member scan; the index is a build-once
+    // fixture like llm45/llm73)
+    "llm80_span_cut", "llm82_semdedup_from_index")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
