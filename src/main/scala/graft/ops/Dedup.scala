@@ -976,7 +976,8 @@ object Dedup {
         .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
           col("keep"))
         .withColumn("vb", verdictBucket(col("canon_id"), nBuckets))
-    stageSwapCommit(fs, path, appId, newVerdicts, affectedBuckets)
+    stageSwapCommit(fs, path, appId, newVerdicts, affectedBuckets,
+      seqs = Some(markerSeqs))
   }
 
   /** Exact-Jaccard verification of candidate `(bid, oid)` pairs against
@@ -1008,6 +1009,19 @@ object Dedup {
     * artifacts first). The rank join is a broadcast of the tiny
     * (appId, seq) map over the already-pruned candidate-participant
     * frame — no posture change. */
+  /** The ONE freshness key for duplicate artifact rows of an id:
+    * commit rank DESC, then `__app` ASC on rank ties (ties arise only
+    * on legacy pre-sequence indexes, where empty markers and the build
+    * all parse to rank 0). Expressed as a MIN-key struct so windowed
+    * `min(...)` aggregation ([[compactClusterIndexArtifacts]],
+    * [[clusterIndexArtifactReport]]) and the row-filter form
+    * ([[verifyAgainstShingles]]) resolve the SAME row — the three
+    * sites had drifted to (rank desc, app asc) vs max(rank, app) =
+    * app DESC, so compaction could keep a different row than
+    * verification resolves to on a legacy index. */
+  private def freshnessKey: Column =
+    struct((-col("__rank")).as("nr"), col("__app").as("ap"))
+
   private def verifyAgainstShingles(spark: SparkSession, path: String,
       cands: DataFrame, threshold: Double,
       currentApp: Option[String] = None,
@@ -1025,9 +1039,9 @@ object Dedup {
     val ss = spark.read.parquet(s"$path/shingles")
       .join(broadcast(partIds), Seq("__mid"), "left_semi")
       .join(broadcast(rankDf), Seq("__app")) // inner: orphan apps drop
-      .withColumn("__rn", row_number().over(Window.partitionBy(col("__mid"))
-        .orderBy(col("__rank").desc, col("__app").asc)))
-      .filter(col("__rn") === 1)
+      .withColumn("__best",
+        min(freshnessKey).over(Window.partitionBy(col("__mid"))))
+      .filter(freshnessKey === col("__best"))
       .select(col("__mid"), col("ss"))
     c
       .join(broadcast(ss.select(col("__mid").as("bid"), col("ss").as("sh_a"))),
@@ -1048,7 +1062,8 @@ object Dedup {
     * [[recoverClusterIndexAppend]]. */
   private def stageSwapCommit(fs: org.apache.hadoop.fs.FileSystem,
       path: String, opId: String, newVerdicts: DataFrame,
-      affectedBuckets: Seq[Int]): Unit = {
+      affectedBuckets: Seq[Int],
+      seqs: Option[Map[String, Long]] = None): Unit = {
     val stagingApp = s"$path/verdicts.appending/$opId"
     newVerdicts.repartition(col("vb"))
       .write.mode("overwrite").partitionBy("vb").parquet(stagingApp)
@@ -1064,7 +1079,7 @@ object Dedup {
         .mkString("\n"))
     maybeCrash("after-intent")
     swapVerdictBuckets(fs, path, opId, bucketFlags)
-    writeCommitMarker(fs, path, opId)
+    writeCommitMarker(fs, path, opId, seqs)
     IndexFs.delete(fs, s"$path/verdicts.old/$opId")
     IndexFs.delete(fs, stagingApp)
     IndexFs.delete(fs, s"$path/appends/$opId.intent")
@@ -1200,7 +1215,9 @@ object Dedup {
       .select(col("bid"), col("oid")).distinct()
     val edgeCap = spark.conf
       .get("spark.graft.dedup.appendEdgeCap", "4000000").toInt
-    val edges = verifyAgainstShingles(spark, path, cands, threshold)
+    val markerSeqs = commitSeqs(fs, path)
+    val edges = verifyAgainstShingles(spark, path, cands, threshold,
+        seqs = Some(markerSeqs))
       .limit(edgeCap + 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     require(edges.length <= edgeCap,
@@ -1245,7 +1262,8 @@ object Dedup {
         .select(col(id), col("canon_id"), col("cluster_size"), col("score"),
           col("keep"))
         .withColumn("vb", verdictBucket(col("canon_id"), nBuckets))
-    stageSwapCommit(fs, path, opId, newVerdicts, affectedBuckets)
+    stageSwapCommit(fs, path, opId, newVerdicts, affectedBuckets,
+      seqs = Some(markerSeqs))
   }
 
   /** Reclaim ORPHAN artifact partitions: `shingles/__app=X` and
@@ -1325,9 +1343,10 @@ object Dedup {
       spark.read.parquet(liveDir)
         .join(broadcast(rankDf), Seq("__app")) // inner: orphans drop
         .join(live, Seq("__mid"), "left_semi") // dead rows drop
-        .withColumn("__best", max(struct(col("__rank"), col("__app"))).over(w))
-        .filter(col("__rank") === col("__best.__rank") &&
-          col("__app") === col("__best.__app"))
+        // resolve to the SAME row verification resolves to
+        // ([[freshnessKey]] — rank desc, app asc on legacy ties)
+        .withColumn("__best", min(freshnessKey).over(w))
+        .filter(freshnessKey === col("__best"))
         .drop("__app", "__rank", "__best")
         .write.mode("overwrite").parquet(s"$staged/__app=$BuildAppId")
       maybeCrash(s"after-compact-staging-$d")
@@ -1379,14 +1398,15 @@ object Dedup {
       spark.read.parquet(s"$path/$d").select(col("__mid"), col("__app"))
         .join(broadcast(rankDf), Seq("__app"), "left") // null rank = orphan
         .join(live, Seq("__mid"), "left")
+        // best among QUALIFYING (committed + live) rows only, under the
+        // shared [[freshnessKey]] order verification resolves with
         .withColumn("__best",
-          max(when(col("__rank").isNotNull && col("__live").isNotNull,
-            struct(col("__rank"), col("__app")))).over(w))
+          min(when(col("__rank").isNotNull && col("__live").isNotNull,
+            freshnessKey)).over(w))
         .withColumn("kind",
           when(col("__rank").isNull, "orphan")
             .when(col("__live").isNull, "dead")
-            .when(col("__rank") === col("__best.__rank") &&
-              col("__app") === col("__best.__app"), "live_current")
+            .when(freshnessKey === col("__best"), "live_current")
             .otherwise("shadowed"))
         .groupBy(col("kind")).agg(count(lit(1)).as("n_rows"))
         .withColumn("dir", lit(d))
@@ -1432,15 +1452,55 @@ object Dedup {
     * artifact rows with. The build ranks 0; legacy empty markers (pre-
     * sequence indexes) parse as 0 — ties there reproduce the old
     * behavior, and every marker written since carries a strictly
-    * increasing sequence. */
+    * increasing sequence.
+    *
+    * Metadata cost: the per-op `.committed` files stay the COMMIT
+    * POINT (one atomic create each), but their contents are cached in
+    * ONE manifest file (`appends/_manifest`, rewritten per commit), so
+    * a lifetime of N ops costs one manifest read + one dir listing per
+    * call — not N marker reads (real latency on an object store as the
+    * op count grows). Marker EXISTENCE stays authoritative for
+    * membership (a manifest entry whose marker is gone is dropped;
+    * markers missing from the manifest — a crash between marker and
+    * manifest write, or a legacy pre-manifest index — are read
+    * individually and healed into the manifest at the next commit). */
   private def commitSeqs(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Map[String, Long] =
-    IndexFs.listNames(fs, s"$path/appends")
-      .filter(_.endsWith(".committed"))
-      .map { f =>
-        val s = IndexFs.readUtf8(fs, s"$path/appends/$f").trim
-        f.stripSuffix(".committed") -> (if (s.isEmpty) 0L else s.toLong)
-      }.toMap + (BuildAppId -> 0L)
+      path: String): Map[String, Long] = {
+    val cached = readManifest(fs, path)
+    val names = IndexFs.listNames(fs, s"$path/appends")
+      .filter(_.endsWith(".committed")).map(_.stripSuffix(".committed"))
+    val stragglers = names.filterNot(cached.contains).map { a =>
+      val s = IndexFs.readUtf8(fs, s"$path/appends/$a.committed").trim
+      a -> (if (s.isEmpty) 0L else s.toLong)
+    }
+    val nameSet = names.toSet
+    cached.filter(kv => nameSet(kv._1)) ++ stragglers + (BuildAppId -> 0L)
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Map[String, Long] = {
+    val p = s"$path/appends/_manifest"
+    if (!IndexFs.exists(fs, p)) Map.empty
+    else IndexFs.readUtf8(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      l.substring(0, i) -> l.substring(i + 1).toLong
+    }.toMap
+  }
+
+  /** Rewrite the manifest cache (stage-then-swap: a crash at any point
+    * leaves either the old manifest, none, or the new one — commitSeqs
+    * self-heals all three from the marker files). The build's implicit
+    * rank-0 entry is never materialized (it has no marker file, and
+    * membership reconciliation would drop it). */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, seqs: Map[String, Long]): Unit = {
+    val live = s"$path/appends/_manifest"
+    val tmp = s"$live.tmp"
+    IndexFs.writeUtf8(fs, tmp, (seqs - BuildAppId).toSeq.sortBy(_._1)
+      .map { case (a, s) => s"$a $s" }.mkString("\n"))
+    IndexFs.delete(fs, live)
+    IndexFs.rename(fs, tmp, live)
+  }
 
   /** Write (or on appId reuse, OVERWRITE) the op's commit marker with
     * the next commit sequence — single-writer by contract, so the
@@ -1448,11 +1508,24 @@ object Dedup {
     * exact same id set is re-appended after a delete: the artifact
     * partition was overwritten with the new batch's rows, and bumping
     * the marker's sequence is what attributes the partition's content
-    * to NOW rather than to the original append. */
+    * to NOW rather than to the original append. Callers that already
+    * hold the marker map pass it in (`seqs`) — the manifest makes a
+    * fresh read cheap, but re-deriving from the in-hand map is free.
+    *
+    * The marker lands FIRST (today's commit point, unchanged), then
+    * the manifest cache is rewritten to include it. A crash between
+    * the two leaves a straggler marker that commitSeqs reads directly;
+    * the one window where a REUSED appId's manifest entry goes stale
+    * (marker bumped, manifest not) is benign for freshness resolution:
+    * reuse means the same artifact partition was overwritten, so the
+    * id has a single artifact row and no tie to resolve. */
   private def writeCommitMarker(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, opId: String): Unit = {
-    val seq = commitSeqs(fs, path).values.foldLeft(0L)(math.max) + 1L
+      path: String, opId: String,
+      seqs: Option[Map[String, Long]] = None): Unit = {
+    val known = seqs.getOrElse(commitSeqs(fs, path))
+    val seq = known.values.foldLeft(0L)(math.max) + 1L
     IndexFs.writeUtf8(fs, s"$path/appends/$opId.committed", seq.toString)
+    writeManifest(fs, path, known + (opId -> seq))
   }
 
   /** Test-only failpoint: when set, [[appendToClusterIndex]] throws at
@@ -1899,8 +1972,19 @@ object Dedup {
         },
         s"semDedup(probeAssign=true): seed embedding column '$seedEmb' must be " +
           s"array<float>, got ${seeds.schema(seedEmb).dataType}")
+      // the quantizer collect is CAPPED loud (k ~ √n is small by
+      // contract, but an uncapped collect of a mis-sized seed frame
+      // would OOM the driver silently — the named-knob discipline)
+      val maxSeeds = df.sparkSession.conf
+        .get("spark.graft.semdedup.maxSeeds", "1000000").toInt
       val rows = seeds
-        .select(col(seedId).cast("long"), col(seedEmb)).collect()
+        .select(col(seedId).cast("long"), col(seedEmb))
+        .limit(maxSeeds + 1).collect()
+      require(rows.length <= maxSeeds,
+        s"semDedup(probeAssign=true): quantizer exceeds " +
+          s"spark.graft.semdedup.maxSeeds=$maxSeeds seeds (collected to " +
+          "the driver and inlined as plan literals) — raise the knob or " +
+          "use fewer cells (k ~ sqrt(n))")
       require(!rows.exists(r => r.isNullAt(0) || r.isNullAt(1)),
         s"semDedup(probeAssign=true): null seed id or embedding in the quantizer")
       if (rows.isEmpty) // an empty quantizer assigns nothing (join parity)
@@ -2002,13 +2086,39 @@ object Dedup {
   def buildSemDedupIndex(corpus: DataFrame, path: String, embCol: String,
       id: String, seeds: DataFrame, seedId: String, seedEmb: String,
       probeAssign: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    val fs = IndexFs.fs(spark, path)
+    // REBUILD crash safety: members/ must go away BEFORE the new seeds
+    // land — a crash after overwriting seeds/ but before members/ would
+    // otherwise leave the PREVIOUS corpus assignment paired with the
+    // NEW quantizer, and probes would serve silently wrong verdicts
+    // (cells assigned by new seeds against members partitioned by old
+    // cells). With the delete first, every crash window leaves a
+    // visibly un-built index (probes fail loud on the missing
+    // members/_SUCCESS) and a retry converges.
+    IndexFs.delete(fs, s"$path/members")
+    maybeCrash("semdedup-after-members-delete")
     seeds.select(col(seedId).as("seed_id"), col(seedEmb).as("s_emb"))
       .repartition(1).write.mode("overwrite").parquet(s"$path/seeds")
+    maybeCrash("semdedup-after-seeds")
     assignCells(corpus, embCol, id, seeds, seedId, seedEmb, probeAssign)
       .select(col(id), col("cluster_id").as("cell"), col("__emb"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/members")
   }
+
+  /** Built-ness gate shared by every consumer of a persisted
+    * semantic-dedup index ([[semDedupFromIndex]], the streaming gate):
+    * `members/_SUCCESS` is written LAST by [[buildSemDedupIndex]], so
+    * its absence means a crashed or in-flight build — reading the
+    * partial (or stale) members/ would serve silently wrong verdicts;
+    * refuse loud and name the recovery (re-run the build). */
+  private[graft] def requireSemDedupIndexBuilt(spark: SparkSession,
+      path: String): Unit =
+    require(IndexFs.exists(IndexFs.fs(spark, path), s"$path/members/_SUCCESS"),
+      s"semDedup index at $path is not fully built (members/_SUCCESS " +
+        "missing — a crashed or in-flight buildSemDedupIndex); re-run the " +
+        "build before probing")
 
   /** [[semDedupIncremental]] served from a [[buildSemDedupIndex]]
     * index: the corpus assignment is read back instead of recomputed,
@@ -2020,6 +2130,7 @@ object Dedup {
       batch: DataFrame, embCol: String, id: String,
       threshold: Double, maxCluster: Int = 100000,
       probeAssign: Boolean = false): DataFrame = {
+    requireSemDedupIndexBuilt(spark, path)
     val seeds = spark.read.parquet(s"$path/seeds")
     val basg = assignCells(batch, embCol, id, seeds, "seed_id", "s_emb",
       probeAssign).localCheckpoint(true) // cells pull + pair side + output

@@ -408,6 +408,15 @@ object Similarity {
         "already indexed — appending would serve duplicate rows for one " +
         "identity; if this is the retry of a crashed append, tombstone the " +
         "batch ids and compact (or rebuild), then append again")
+    // a duplicate id WITHIN the batch slips past both guards above
+    // (batchIds is distinct-ed) and writes two corpus rows for one
+    // identity — the exact failure the already-indexed check refuses
+    val batchDup = batch.groupBy(col(id)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(batchDup.isEmpty,
+      s"appendToIvfIndex($path): batch contains duplicate $id " +
+        s"${batchDup.headOption.map(_.get(0))} — one identity would serve " +
+        "two corpus rows; dedup the batch before appending")
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)

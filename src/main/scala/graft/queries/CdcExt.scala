@@ -25,6 +25,34 @@ object CdcExt {
       .load()
   }
 
+  // per-root build locks for the fan-out fixture (LlmExt2's buildOnce
+  // discipline: marker written LAST, one lock per scoped root)
+  private val fanoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** One-pass multi-table materialization of the fixture log
+    * ([[graft.sources.CdcFanout]]): orders + audit from ONE decode,
+    * built once per JVM per sfDir. Returns the per-table frame paths. */
+  private[queries] def ensureFanout(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[(String, String), String] = {
+    val root = graft.TmpDirs.scoped("graft-cdcfan-" + graft.TmpDirs.pathKey(dir))
+    val lock = fanoutLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(s"$root/_FANOUT").exists()) {
+        val index = CdcFixture.ensure(s, dir)
+        graft.sources.CdcFanout.materializeTables(s, index,
+          Seq((CdcFixture.Db, CdcFixture.Table), (CdcFixture.Db, "audit")),
+          root)
+        new java.io.File(s"$root/_FANOUT").createNewFile()
+        ()
+      }
+    }
+    Map(
+      (CdcFixture.Db, CdcFixture.Table) ->
+        s"$root/${CdcFixture.Db}__${CdcFixture.Table}",
+      (CdcFixture.Db, "audit") -> s"$root/${CdcFixture.Db}__audit")
+  }
+
   /** Register (idempotently) a CdcTableCatalog over `index` and return
     * its name. One catalog per distinct log: Spark caches catalog
     * INSTANCES by name and a later conf.set never re-initializes one,
@@ -1370,6 +1398,33 @@ object CdcExt {
         .option("table", "notes")
         .load()
         .select(col("note_id"), col("note"), col(CdcSchema.GtidCol))
+    },
+
+    // multi-table shared-scan materialization: orders + audit land from
+    // ONE decode pass over the log (CdcFanout — N tables, one log
+    // read), then the query joins ACROSS the two materialized frames:
+    // each audit row's batch id against that batch's insert rows. The
+    // from-scratch per-table oracle is valid because the fan-out frames
+    // are spec-pinned row-identical to the per-table scans.
+    QDef("cdc53_fanout_multi_table",
+      """WITH ord AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+        |), a AS (
+        |  SELECT DISTINCT CAST(idx // 10 AS BIGINT) AS audit_id FROM ord
+        |  WHERE (idx // 10) % 40 = 0
+        |), ins AS (SELECT CAST(idx // 10 AS BIGINT) AS g FROM ord)
+        |SELECT a.audit_id, 'audit-' || CAST(a.audit_id AS VARCHAR) AS note,
+        |  COUNT(*) AS n_batch
+        |FROM a JOIN ins ON ins.g = a.audit_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val paths = ensureFanout(s, dir)
+      val orders = s.read.parquet(paths((CdcFixture.Db, CdcFixture.Table)))
+      val audit = s.read.parquet(paths((CdcFixture.Db, "audit")))
+      audit.select(col("audit_id"), col("note"))
+        .join(orders.filter(col(CdcSchema.OpCol) === CdcSchema.Op.Insert)
+          .select(col(CdcSchema.GtidCol).as("audit_id")), Seq("audit_id"))
+        .groupBy(col("audit_id"), col("note"))
+        .agg(count(lit(1)).as("n_batch"))
     }
   )
 }

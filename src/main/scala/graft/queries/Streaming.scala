@@ -496,9 +496,26 @@ object Streaming {
       val idx = LlmExt2.ensureSemDedupIndex(s, dir)
       val arriving = StreamOps.embeddingsStream(s, dir)
         .filter(col("vec_id") % 10 === 0)
-      drain(StreamOps.semDedupGateStream(s, idx, arriving,
-          "embedding", "vec_id", threshold = 0.40),
-        "str20_" + java.lang.Integer.toHexString(dir.hashCode), "append")
+      // foreachBatch gate: verdicts accumulate driver-side (the memory
+      // sink's own semantics), the inner batch plan — the one with the
+      // cell-pruned members scan — is recorded for PlanLint's streaming
+      // audit (the outer StreamExecution plan is a trivial projection)
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      @volatile var innerPlan: String = null
+      @volatile var outSchema: org.apache.spark.sql.types.StructType = null
+      val q = StreamOps.semDedupGateStream(s, idx, arriving,
+        "embedding", "vec_id", threshold = 0.40,
+        sink = (out, _) => {
+          out.collect().foreach(buf.add)
+          outSchema = out.schema
+          innerPlan = out.queryExecution.executedPlan.toString
+        })
+      try q.processAllAvailable() finally q.stop()
+      Option(innerPlan)
+        .foreach(graft.tools.StreamPlanAudit.recordPlan("str20", _))
+      require(outSchema != null,
+        "str20: the gate stream produced no micro-batch")
+      s.createDataFrame(new java.util.ArrayList(buf), outSchema)
     }
   )
 }

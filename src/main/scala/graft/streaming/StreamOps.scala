@@ -458,37 +458,78 @@ object StreamOps {
     * map-side pass + one per-doc count; a doc's grams all arrive in its
     * own batch, so update mode emits each contaminated doc exactly
     * once. */
-  /** Streaming SEMANTIC-DEDUP admission gate over a persisted
-    * `Dedup.buildSemDedupIndex` index — the ingest-time form of
-    * semantic dedup: each ARRIVING vector is assigned to its quantizer
-    * cell with one narrow argmax expression (the collected seeds ride
-    * the plan as literals — no shuffle lands on the stream side) and
-    * flagged `is_dup` iff the INDEX holds a same-cell member at cosine
-    * >= `threshold`. The index is the authority here — arriving-batch
-    * INTERNAL pairs are deliberately out of scope (they depend on
-    * micro-batch slicing; the batch ops `semDedupIncremental` /
-    * `semDedupFromIndex` own that half with their id-ordered contract),
-    * so the gate's verdicts are slicing-invariant and replayable.
-    *
-    * Plan shape: two stream-static joins against the cell-partitioned
-    * members (semi for dups, anti for keepers, unioned with the flag)
-    * — append mode, no state store, the static side checkpointed once
-    * instead of re-read per micro-batch. */
-  def semDedupGateStream(spark: SparkSession, path: String,
-      arriving: DataFrame, embCol: String, id: String,
-      threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val seedRows = spark.read.parquet(s"$path/seeds")
-      .select(col("seed_id").cast("long"), col("s_emb")).collect()
-    require(seedRows.nonEmpty,
+  /** The gate's quantizer, read + validated ONCE at stream start:
+    * schema guards mirror `Dedup.assignCells`' probe path (an index
+    * whose seeds were persisted as `array<double>` — legal for the
+    * join-form batch ops — must refuse LOUD here, not surface as an
+    * opaque ClassCastException inside `getSeq[Float]`), and the driver
+    * collect is CAPPED by `spark.graft.semdedup.maxSeeds` (k ~ √n is
+    * small by contract, but an uncapped collect of a mis-built index
+    * would OOM the driver silently). */
+  private def readGateSeeds(spark: SparkSession,
+      path: String): Array[(Long, Array[Float])] = {
+    import org.apache.spark.sql.types._
+    // built-ness first: a crashed/in-flight build must refuse loud, not
+    // gate against partial (or stale-quantizer) members
+    graft.ops.Dedup.requireSemDedupIndexBuilt(spark, path)
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val idType = seeds.schema("seed_id").dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType),
+      s"semDedupGateStream($path): seeds/ column 'seed_id' must be an " +
+        s"integral type, got $idType")
+    require(seeds.schema("s_emb").dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      },
+      s"semDedupGateStream($path): seeds/ column 's_emb' must be " +
+        s"array<float>, got ${seeds.schema("s_emb").dataType} — rebuild " +
+        "the index with float32 seed embeddings (the gate's argmax " +
+        "carries them as float literals)")
+    val maxSeeds = spark.conf
+      .get("spark.graft.semdedup.maxSeeds", "1000000").toInt
+    val rows = seeds.select(col("seed_id").cast("long"), col("s_emb"))
+      .limit(maxSeeds + 1).collect()
+    require(rows.nonEmpty,
       s"semDedupGateStream($path): empty quantizer — the gate would admit " +
         "everything silently; build the index first")
+    require(rows.length <= maxSeeds,
+      s"semDedupGateStream($path): quantizer exceeds " +
+        s"spark.graft.semdedup.maxSeeds=$maxSeeds seeds (collected to the " +
+        "driver and inlined as plan literals) — raise the knob or rebuild " +
+        "with fewer cells (k ~ sqrt(n))")
+    rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  }
+
+  /** ONE batch of semantic-dedup gate verdicts against a persisted
+    * `Dedup.buildSemDedupIndex` index: assign each vector to its
+    * quantizer cell with one narrow argmax (seed literals — no
+    * shuffle lands on the input side), then flag `is_dup` iff the
+    * index holds a same-cell member at cosine >= `threshold`. The
+    * members scan is PRUNED to the batch's touched cells — a batch
+    * touching c cells reads c cell directories of the partitioned
+    * index, never the corpus (`semDedupFromIndex`'s pruning, shared
+    * with the streaming gate's micro-batches). */
+  def semDedupGateBatch(spark: SparkSession, path: String,
+      batch: DataFrame, embCol: String, id: String,
+      threshold: Double): DataFrame =
+    gateVerdicts(spark, path, batch, embCol, id, threshold,
+      readGateSeeds(spark, path))
+
+  private def gateVerdicts(spark: SparkSession, path: String,
+      batch: DataFrame, embCol: String, id: String, threshold: Double,
+      seeds: Array[(Long, Array[Float])]): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // three consumers (touched-cell pull, join probe, output) — assign
+    // once; the cell collect is batch-bounded by construction
+    val assigned = batch.withColumn("cluster_id",
+        argmax_cosine_seed(col(embCol), seeds.map(_._1), seeds.map(_._2)))
+      .localCheckpoint(true)
+    val cells = assigned.select(col("cluster_id")).distinct()
+      .collect().map(_.get(0))
     val members = spark.read.parquet(s"$path/members")
+      .filter(col("cell").isInCollection(cells.toSeq))
       .select(col("cell").as("__mcell"), col("__emb").as("__memb"))
-      .localCheckpoint(true) // static side: one read, not one per batch
-    val assigned = arriving.withColumn("cluster_id",
-      argmax_cosine_seed(col(embCol), seedRows.map(_.getLong(0)),
-        seedRows.map(_.getSeq[Float](1).toArray)))
     val cond = col("cluster_id") === col("__mcell") &&
       cosine_sim(col(embCol), col("__memb")) >= threshold
     val dup = assigned.join(members, cond, "left_semi")
@@ -496,6 +537,42 @@ object StreamOps {
     val kept = assigned.join(members, cond, "left_anti")
       .withColumn("is_dup", lit(false))
     dup.unionByName(kept).select(col(id), col("cluster_id"), col("is_dup"))
+  }
+
+  /** Streaming SEMANTIC-DEDUP admission gate over a persisted
+    * `Dedup.buildSemDedupIndex` index — the ingest-time form of
+    * semantic dedup: each ARRIVING vector is assigned to its quantizer
+    * cell with one narrow argmax expression (the collected seeds ride
+    * the plan as literals) and flagged `is_dup` iff the INDEX holds a
+    * same-cell member at cosine >= `threshold`. The index is the
+    * authority here — arriving-batch INTERNAL pairs are deliberately
+    * out of scope (they depend on micro-batch slicing; the batch ops
+    * `semDedupIncremental` / `semDedupFromIndex` own that half with
+    * their id-ordered contract), so the gate's verdicts are
+    * slicing-invariant and replayable.
+    *
+    * Plan shape: foreachBatch — each micro-batch runs
+    * [[semDedupGateBatch]]'s verdict plan with the members scan
+    * PRUNED to the micro-batch's touched cells (partition filter on
+    * `cell`), so per-trigger cost is O(batch + touched cells), not
+    * O(corpus). The earlier stream-static-join form cached the WHOLE
+    * members side (corpus-scale memory pinned for the stream's
+    * lifetime) — invisible at test scale, the exact posture that
+    * breaks on a 100 TB index. The quantizer is read and validated
+    * once at stream start; `sink` receives each micro-batch's verdict
+    * frame `(id, cluster_id, is_dup)` with its batchId (idempotent
+    * sinks key on it). */
+  def semDedupGateStream(spark: SparkSession, path: String,
+      arriving: DataFrame, embCol: String, id: String,
+      threshold: Double,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val seeds = readGateSeeds(spark, path)
+    arriving.writeStream
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        sink(gateVerdicts(spark, path, b.toDF(), embCol, id, threshold,
+          seeds), batchId)
+      }
+      .start()
   }
 
   def decontaminateStream(evalDocs: DataFrame, arriving: DataFrame,

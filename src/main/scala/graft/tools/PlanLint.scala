@@ -136,6 +136,52 @@ object PlanLint {
     }.toSeq
   }
 
+  /** Lint one rendered physical plan under the allowlist key
+    * `auditName` (batch queries by name; streaming micro-batch plans
+    * as `<name>@stream`; maintenance ops as `<op>#<n>` — distinct keys
+    * so audits never mask each other). Returns the offender count.
+    * Shared by the query-surface main here and by
+    * [[MaintPlanLint]] (the maintenance-op audit). */
+  private[tools] def lintPlan(auditName: String, plan: String,
+      allow: Map[(String, String), (String, Int)]): Int = {
+    var b = 0
+    Patterns.foreach { p =>
+      val n = countOccurrences(plan, p)
+      if (n > 0) {
+        allow.get((auditName, p)) match {
+          case Some((why, allowed)) if n <= allowed =>
+            println(s"ALLOW $auditName: $p x$n ($why)")
+          case Some((why, allowed)) =>
+            b += 1
+            println(s"FAIL  $auditName: $p x$n exceeds audited " +
+              s"x$allowed (allowlisted for: $why); occurrences: " +
+              matchLines(plan, p).mkString(" | "))
+          case None =>
+            b += 1
+            println(s"FAIL  $auditName: $p x$n; occurrences: " +
+              matchLines(plan, p).mkString(" | "))
+        }
+      }
+    }
+    val spOff = singlePartitionOffenses(plan)
+    if (spOff.nonEmpty) {
+      allow.get((auditName, "SinglePartition")) match {
+        case Some((why, allowed)) if spOff.length <= allowed =>
+          println(s"ALLOW $auditName: SinglePartition x${spOff.length} ($why)")
+        case Some((why, allowed)) =>
+          b += 1
+          println(s"FAIL  $auditName: SinglePartition x${spOff.length} " +
+            s"exceeds audited x$allowed (allowlisted for: " +
+            s"$why); over ${spOff.mkString("; ")}")
+        case None =>
+          b += 1
+          spOff.foreach(frag => println(
+            s"FAIL  $auditName: Exchange SinglePartition over $frag"))
+      }
+    }
+    b
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val only = args.drop(1).headOption
@@ -149,49 +195,8 @@ object PlanLint {
     var bad = 0
     var checked = 0
     var streamChecked = 0
-
-    /** Lint one rendered physical plan under the allowlist key
-      * `auditName` (batch queries by name; streaming micro-batch plans
-      * as `<name>@stream` so batch and stream audits never mask each
-      * other). Returns the offender count. */
-    def lintPlan(auditName: String, plan: String): Int = {
-      var b = 0
-      Patterns.foreach { p =>
-        val n = countOccurrences(plan, p)
-        if (n > 0) {
-          Allow.get((auditName, p)) match {
-            case Some((why, allowed)) if n <= allowed =>
-              println(s"ALLOW $auditName: $p x$n ($why)")
-            case Some((why, allowed)) =>
-              b += 1
-              println(s"FAIL  $auditName: $p x$n exceeds audited " +
-                s"x$allowed (allowlisted for: $why); occurrences: " +
-                matchLines(plan, p).mkString(" | "))
-            case None =>
-              b += 1
-              println(s"FAIL  $auditName: $p x$n; occurrences: " +
-                matchLines(plan, p).mkString(" | "))
-          }
-        }
-      }
-      val spOff = singlePartitionOffenses(plan)
-      if (spOff.nonEmpty) {
-        Allow.get((auditName, "SinglePartition")) match {
-          case Some((why, allowed)) if spOff.length <= allowed =>
-            println(s"ALLOW $auditName: SinglePartition x${spOff.length} ($why)")
-          case Some((why, allowed)) =>
-            b += 1
-            println(s"FAIL  $auditName: SinglePartition x${spOff.length} " +
-              s"exceeds audited x$allowed (allowlisted for: " +
-              s"$why); over ${spOff.mkString("; ")}")
-          case None =>
-            b += 1
-            spOff.foreach(frag => println(
-              s"FAIL  $auditName: Exchange SinglePartition over $frag"))
-        }
-      }
-      b
-    }
+    def lintOne(auditName: String, plan: String): Int =
+      lintPlan(auditName, plan, Allow)
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(n.contains))
@@ -200,7 +205,7 @@ object PlanLint {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         if (!df.isStreaming) {
           checked += 1
-          bad += lintPlan(name, df.queryExecution.executedPlan.toString)
+          bad += lintOne(name, df.queryExecution.executedPlan.toString)
           // the streaming QDefs drain their query into a memory sink
           // while BUILDING the df above, recording the last micro-batch's
           // EXECUTED plan (state stores, stream joins, exchanges) under
@@ -208,7 +213,7 @@ object PlanLint {
           // see (it gets the memory scan). Lint it as its own surface.
           StreamPlanAudit.get(name.split("_").head).foreach { sp =>
             streamChecked += 1
-            bad += lintPlan(s"$name@stream", sp)
+            bad += lintOne(s"$name@stream", sp)
           }
         } else println(s"SKIP  $name: streaming")
       } catch {

@@ -300,6 +300,56 @@ object ScaleSmoke {
       println(f"SCALE semDedup: ${row.getLong(1)} flagged of $nSem (planted $plantedSem)")
     }
 
+    // the PERSISTED semantic-dedup index probe (buildSemDedupIndex →
+    // semDedupFromIndex) at 1M vectors / k=1000: the serving claim is
+    // that a probe touches ONLY its batch's cells — pinned two ways:
+    //   - file count: the planned members scan must select exactly the
+    //     batch's c cell partitions (and c files: the build lays one
+    //     file per cell), never the corpus's 1000;
+    //   - wall-time: 10× corpus growth must not cost 10× probe time —
+    //     probe cost tracks touched-cell bytes (c/k of the corpus),
+    //     plus constant batch assignment, so the ratio stays far under
+    //     the corpus ratio.
+    timed(s"semDedupFromIndex probe scaling") {
+      val nProbe = if (args.length > 2) args(2).toLong else 1000000L
+      def embExpr = "transform(sequence(0, 15), j -> CAST(" +
+        "pmod(xxhash64(id, j), 1000003) / 1000003.0 - 0.5 AS FLOAT))"
+      def probeAt(n: Long): Double = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"smoke-semidx-$n").toString
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          expr(embExpr).as("embedding"))
+        graft.ops.Dedup.buildSemDedupIndex(corpus, root, "embedding",
+          "vec_id", seeds = corpus.filter(col("vec_id") % (n / 1000) === 0),
+          seedId = "vec_id", seedEmb = "embedding", probeAssign = true)
+        val batch = spark.range(n, n + 50).select(col("id").as("vec_id"),
+          expr(embExpr).as("embedding"))
+        val t0 = System.nanoTime()
+        val out = graft.ops.Dedup.semDedupFromIndex(spark, root, batch,
+          "embedding", "vec_id", threshold = 0.999, probeAssign = true)
+        val cells = out.select(col("cluster_id")).distinct().count()
+        require(out.count() == 50, "probe must emit every batch row")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val memberScans = org.apache.spark.sql.graftbridge.Bridge
+          .fileScanSelections(out).filter(_._1.contains("members"))
+        assert(memberScans.nonEmpty, "no members scan in the probe plan")
+        memberScans.foreach { case (p, parts, files) =>
+          assert(parts == cells && files == cells,
+            s"probe scan $p selected $parts partitions / $files files " +
+              s"for $cells touched cells (of 1000) — pruning broken")
+        }
+        println(f"SCALE semDedupFromIndex($n): probe $dt%.1f s, " +
+          s"$cells cells touched, files == cells")
+        graft.TmpDirs.deleteRecursively(new java.io.File(root))
+        dt
+      }
+      val tSmall = probeAt(nProbe / 10)
+      val tBig = probeAt(nProbe)
+      assert(tBig < 6.0 * math.max(tSmall, 1.0),
+        f"probe time grew ${tBig / tSmall}%.1fx on a 10x corpus — " +
+          "cell pruning is not holding")
+    }
+
     // the composed ANN index at 1M vectors: IVF cells prune + PQ codes
     // score compressed + exact re-rank — recall vs brute-force ground
     // truth must clear the spec bound at this scale, not just at the

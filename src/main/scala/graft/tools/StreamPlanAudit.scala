@@ -20,5 +20,14 @@ object StreamPlanAudit {
     org.apache.spark.sql.graftbridge.Bridge.lastStreamingPlan(q)
       .foreach(p => plans.put(key, p))
 
+  /** Record an explicitly rendered plan: foreachBatch-shaped queries
+    * (the semantic-dedup gate) run their real work as inner BATCH
+    * queries — the StreamExecution's own plan is a trivial source
+    * projection, so those drain sites hand the inner verdict plan here
+    * instead. */
+  def recordPlan(key: String, plan: String): Unit = {
+    plans.put(key, plan); ()
+  }
+
   def get(key: String): Option[String] = Option(plans.get(key))
 }

@@ -40,6 +40,38 @@ object Bridge {
       case _ => None
     }
 
+  /** DataFrame over an RDD of Catalyst-INTERNAL rows (UTF8String /
+    * micros-long / Decimal values) — the constructor a custom decoder
+    * needs: CDC row decode already produces internal representations
+    * (the DSv2 scan consumes them as InternalRow), so the multi-table
+    * fan-out reuses them without a per-value external conversion.
+    * `private[sql]` in Spark, hence bridged. */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[CSparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Every file-source scan in `df`'s PLANNED physical tree as
+    * (root paths, selected partition count, selected file count) — the
+    * partition-pruning assertion hook: a cell-pruned index probe must
+    * select only its touched cell directories, and `selectedPartitions`
+    * is resolved at planning time, so the probe needs no execution.
+    * Descends through AQE wrappers (current plan) and reused subtrees. */
+  def fileScanSelections(df: DataFrame): Seq[(String, Int, Long)] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    flatten(df.asInstanceOf[CDataset[Row]].queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec =>
+        (f.relation.location.rootPaths.mkString(","),
+          f.selectedPartitions.partitionCount,
+          f.selectedPartitions.totalNumberOfFiles)
+      }
+  }
+
   /** Idempotently register an extra planner strategy on a live session
     * (the public `experimental` hook; `SparkSessionExtensions` covers the
     * build-time path — see graft.GraftExtensions). */

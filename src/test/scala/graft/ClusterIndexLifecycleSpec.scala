@@ -86,7 +86,7 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$idx/appends")).iterator().asScala
       .map(_.getFileName.toString).toSeq
       .filterNot(_.startsWith(".")) // Hadoop local-FS .crc sidecars
-      .forall(_.endsWith(".committed")))
+      .forall(n => n.endsWith(".committed") || n == "_manifest"))
     assert(!new java.io.File(s"$idx/verdicts.old").exists() ||
       new java.io.File(s"$idx/verdicts.old").list().isEmpty)
     Seq(idx, rebuilt).foreach(d =>
@@ -665,6 +665,88 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
       }
       graft.TmpDirs.deleteRecursively(new java.io.File(idx))
     }
+  }
+
+  test("commit-marker manifest caches sequences; missing/stale manifest and tmp leftovers self-heal") {
+    val corpus = (0 until 8).map(i => (i.toLong, doc(s"m${i}x", s"t$i")))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("clidx-manifest").toString
+    Dedup.buildClusterIndex(corpus, idx, threshold = thr)
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((20L, doc("m1x", "aa"))).toDF("doc_id", "text"))
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((21L, doc("m2x", "bb"))).toDF("doc_id", "text"))
+    def markerSeqs(): Map[String, Long] = {
+      val dir = new java.io.File(s"$idx/appends")
+      dir.listFiles().filter(_.getName.endsWith(".committed")).map { f =>
+        val s = java.nio.file.Files.readString(f.toPath).trim
+        f.getName.stripSuffix(".committed") -> (if (s.isEmpty) 0L else s.toLong)
+      }.toMap
+    }
+    def manifestSeqs(): Map[String, Long] =
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$idx/appends/_manifest"))
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val i = l.lastIndexOf(' ')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toMap
+    // the manifest mirrors the marker files exactly (2 appends)
+    assert(markerSeqs().size == 2)
+    assert(manifestSeqs() == markerSeqs())
+    // LEGACY path: a pre-manifest index (manifest deleted) still reads
+    // its sequences from the markers, and the next commit re-heals the
+    // manifest with every committed op
+    assert(new java.io.File(s"$idx/appends/_manifest").delete())
+    new java.io.File(s"$idx/appends/._manifest.crc").delete() // hadoop local-FS sidecar
+    // a stale tmp leftover (crash between stage and swap) is harmless
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/appends/_manifest.tmp"), "junk junk")
+    Dedup.appendToClusterIndex(spark, idx,
+      Seq((22L, doc("m3x", "cc"))).toDF("doc_id", "text"))
+    assert(markerSeqs().size == 3)
+    assert(manifestSeqs() == markerSeqs(),
+      "manifest must re-heal to the full marker set after deletion")
+    // a STRAGGLER marker (committed op whose manifest write crashed —
+    // simulated by evicting its entry) is read directly and re-healed
+    val full = manifestSeqs()
+    val evicted = full - full.keys.head
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/appends/_manifest"),
+      evicted.map { case (a, s) => s"$a $s" }.mkString("\n"))
+    new java.io.File(s"$idx/appends/._manifest.crc").delete() // stale sidecar
+    // maintenance still resolves every artifact correctly: compaction
+    // + report see all three appends' sequences (straggler included)
+    Dedup.compactClusterIndexArtifacts(spark, idx)
+    val rep = Dedup.clusterIndexArtifactReport(spark, idx)
+      .filter(col("kind") =!= "live_current")
+      .agg(sum(col("n_rows"))).collect()(0).getLong(0)
+    assert(rep == 0L, s"non-current artifact rows after compaction: $rep")
+    // and the verdicts still equal a full rebuild
+    val rebuilt = java.nio.file.Files.createTempDirectory("clidx-manifest-rb").toString
+    Dedup.buildClusterIndex(
+      corpus.union(Seq((20L, doc("m1x", "aa")), (21L, doc("m2x", "bb")),
+        (22L, doc("m3x", "cc"))).toDF("doc_id", "text")),
+      rebuilt, threshold = thr)
+    assert(readVerdicts(idx) == readVerdicts(rebuilt))
+    Seq(idx, rebuilt).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
+  test("IVF append refuses an intra-batch duplicate id loud") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-batchdup").toString
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 7 =!= 0), idx, kClusters = 8)
+    val fresh = emb.filter($"vec_id" % 7 === 0).limit(4)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, idx, fresh.union(fresh.limit(1)))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // the refusal left the corpus unchanged: the clean batch still appends
+    val before = spark.read.parquet(s"$idx/corpus").count()
+    Similarity.appendToIvfIndex(spark, idx, fresh)
+    assert(spark.read.parquet(s"$idx/corpus").count() ==
+      before + fresh.count())
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
   test("IVF delete/compact/rebuild through a file:// URI root (Hadoop FS path)") {
