@@ -80,7 +80,12 @@ object Bench {
     // persisted-index semantic-dedup probe (the serving path: batch
     // assignment + cell-pruned member scan; the index is a build-once
     // fixture like llm45/llm73)
-    "llm80_span_cut", "llm82_semdedup_from_index")
+    "llm80_span_cut", "llm82_semdedup_from_index",
+    // round-15 addition, same rule: the multi-table fan-out query reads
+    // two frames MATERIALIZED from one log decode (the materialization
+    // is a build-once fixture like llm45/llm73/llm82; the benched path
+    // is the cross-frame join a catalog consumer pays per query)
+    "cdc53_fanout_multi_table")
 
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the

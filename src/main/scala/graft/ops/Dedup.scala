@@ -1027,9 +1027,9 @@ object Dedup {
       currentApp: Option[String] = None,
       seqs: Option[Map[String, Long]] = None): DataFrame = {
     import spark.implicits._
-    // callers that verify more than once pass the marker map in — each
-    // commitSeqs call reads every marker file, real metadata cost on an
-    // object store once the op count grows
+    // callers that verify more than once pass the marker map in —
+    // commitSeqs is manifest-cached (one read + one listing) but
+    // re-deriving from an in-hand map is free
     val rank = seqs.getOrElse(commitSeqs(IndexFs.fs(spark, path), path)) ++
       currentApp.map(_ -> Long.MaxValue)
     val rankDf = rank.toSeq.toDF("__app", "__rank")

@@ -22,18 +22,33 @@ import org.apache.spark.sql.functions._
 object MaintPlanLint {
 
   /** Justified (op, pattern) allowances, counted like PlanLint.Allow.
-    * The two SinglePartition hits are the `repartition(1)` writes of
-    * by-contract-TINY driver-side frames (an IVF centroid table and a
-    * semantic-dedup quantizer: k ~ √n rows) — one file on purpose, so
-    * serving reads one footer instead of #partitions. */
+    * Counts are RENDERED occurrences: AQE's executedPlan.toString
+    * prints the initial AND final trees, so one physical stage matches
+    * twice (the query-surface pins count the same way). The
+    * SinglePartition hits are `repartition(1)` writes of by-contract-
+    * TINY driver-side frames (1-row index meta, kClusters centroids,
+    * k ~ √n quantizer seeds) — one file on purpose, so serving reads
+    * one footer instead of #partitions. The BNLJ hits are the
+    * JOIN-FORM cell assignment (corpus/batch × BROADCAST quantizer —
+    * k rows by contract; kept for ANSI-SQL oracle replayability, the
+    * production path is the probe-assign argmax which plans none). */
   private val Allow: Map[(String, String), (String, Int)] = Map(
+    ("clusterBuild", "SinglePartition") ->
+      ("meta/: the 1-row (threshold, shingleN, nBuckets) config frame, " +
+        "one file by design", 2),
     ("ivfBuild", "SinglePartition") ->
       ("centroids/: kClusters rows by contract, written as ONE file " +
-        "for the single-footer serving read", 1),
+        "for the single-footer serving read", 2),
     ("ivfRebuild", "SinglePartition") ->
-      ("same centroids/ single-file write as ivfBuild", 1),
+      ("same centroids/ single-file write as ivfBuild", 2),
     ("semBuild", "SinglePartition") ->
-      ("seeds/: k ~ sqrt(n) quantizer rows by contract, one file", 1))
+      ("seeds/: k ~ sqrt(n) quantizer rows by contract, one file", 2),
+    ("semBuild", "BroadcastNestedLoopJoin") ->
+      ("join-form cell assignment: corpus crossJoin BROADCAST quantizer " +
+        "(k rows by contract); probe-assign is the large-k path", 2),
+    ("semProbe", "BroadcastNestedLoopJoin") ->
+      ("join-form batch assignment: batch crossJoin broadcast " +
+        "quantizer, batch-bounded", 2))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -134,6 +149,15 @@ object MaintPlanLint {
         threshold = 0.4).collect(); ()
     }
 
+    // ---- the multi-table fan-out (one log decode -> N frames): the
+    // staged write and both pruned extractions are all executed plans
+    val froot = java.nio.file.Files.createTempDirectory("maint-fanout").toString
+    in("fanout") {
+      graft.sources.CdcFanout.materializeTables(spark,
+        graft.cdc.CdcFixture.ensure(spark, sfDir),
+        Seq(("graft", "orders"), ("graft", "audit")), froot); ()
+    }
+
     // ---- lint: all captured plans of an op joined under one key, so
     // per-op occurrence counts are stable across job-count changes
     drain()
@@ -148,7 +172,7 @@ object MaintPlanLint {
     println(s"maint-plan-lint: ${byOp.size} ops, " +
       s"${byOp.values.map(_.split("\n===\n").length).sum} executed plans, " +
       s"$bad offenders")
-    Seq(cidx, iidx, sidx).foreach(d =>
+    Seq(cidx, iidx, sidx, froot).foreach(d =>
       graft.TmpDirs.deleteRecursively(new java.io.File(d)))
     spark.stop()
     if (bad > 0) sys.exit(1)
