@@ -53,6 +53,36 @@ object CdcExt {
       (CdcFixture.Db, "audit") -> s"$root/${CdcFixture.Db}__audit")
   }
 
+  /** The INCREMENTAL fan-out fixture: the same orders+audit frames, but
+    * materialized in TWO [[graft.sources.CdcFanout.appendTables]]
+    * increments (first half of the log's files via a subset index, then
+    * the full index — only the new files are walked the second time).
+    * Equality with the one-shot frames is the operator's contract. */
+  private[queries] def ensureIncrFanout(s: org.apache.spark.sql.SparkSession,
+      dir: String): Map[(String, String), String] = {
+    val root = graft.TmpDirs.scoped("graft-cdcfani-" + graft.TmpDirs.pathKey(dir))
+    val lock = fanoutLocks.computeIfAbsent(root, _ => new Object)
+    val tables = Seq((CdcFixture.Db, CdcFixture.Table), (CdcFixture.Db, "audit"))
+    lock.synchronized {
+      if (!new java.io.File(s"$root/_FANOUT").exists()) {
+        val index = CdcFixture.ensure(s, dir)
+        val files = graft.cdc.CdcCodec.readIndex(index)
+        val idx1 = s"$root/binlog1.index"
+        new java.io.File(root).mkdirs()
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(idx1),
+          files.take(math.max(files.length / 2, 1)).mkString("", "\n", "\n"))
+        graft.sources.CdcFanout.appendTables(s, idx1, tables, s"$root/out")
+        graft.sources.CdcFanout.appendTables(s, index, tables, s"$root/out")
+        new java.io.File(s"$root/_FANOUT").createNewFile()
+        ()
+      }
+    }
+    Map(
+      (CdcFixture.Db, CdcFixture.Table) ->
+        s"$root/out/${CdcFixture.Db}__${CdcFixture.Table}",
+      (CdcFixture.Db, "audit") -> s"$root/out/${CdcFixture.Db}__audit")
+  }
+
   /** Register (idempotently) a CdcTableCatalog over `index` and return
     * its name. One catalog per distinct log: Spark caches catalog
     * INSTANCES by name and a later conf.set never re-initializes one,
@@ -1418,6 +1448,33 @@ object CdcExt {
         |FROM a JOIN ins ON ins.g = a.audit_id
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val paths = ensureFanout(s, dir)
+      val orders = s.read.parquet(paths((CdcFixture.Db, CdcFixture.Table)))
+      val audit = s.read.parquet(paths((CdcFixture.Db, "audit")))
+      audit.select(col("audit_id"), col("note"))
+        .join(orders.filter(col(CdcSchema.OpCol) === CdcSchema.Op.Insert)
+          .select(col(CdcSchema.GtidCol).as("audit_id")), Seq("audit_id"))
+        .groupBy(col("audit_id"), col("note"))
+        .agg(count(lit(1)).as("n_batch"))
+    },
+
+    // the INCREMENTAL fan-out (appendTables): the replication loop's
+    // per-run shape — decode only the log bytes past the committed
+    // offsets, append per-table, commit offsets last. The fixture
+    // materializes in TWO increments (half the files, then the rest);
+    // the same oracle as cdc53 holds because increments compose to the
+    // one-shot materialization (spec-pinned, incl. mid-file resume).
+    QDef("cdc54_fanout_incremental",
+      """WITH ord AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS idx FROM orders
+        |), a AS (
+        |  SELECT DISTINCT CAST(idx // 10 AS BIGINT) AS audit_id FROM ord
+        |  WHERE (idx // 10) % 40 = 0
+        |), ins AS (SELECT CAST(idx // 10 AS BIGINT) AS g FROM ord)
+        |SELECT a.audit_id, 'audit-' || CAST(a.audit_id AS VARCHAR) AS note,
+        |  COUNT(*) AS n_batch
+        |FROM a JOIN ins ON ins.g = a.audit_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val paths = ensureIncrFanout(s, dir)
       val orders = s.read.parquet(paths((CdcFixture.Db, CdcFixture.Table)))
       val audit = s.read.parquet(paths((CdcFixture.Db, "audit")))
       audit.select(col("audit_id"), col("note"))

@@ -47,6 +47,13 @@ object CdcFanout {
     * spec reads it directly. */
   private[graft] val filesDecoded = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test-only failpoint for [[appendTables]]' crash windows (the
+    * cluster-index appendCrashPoint idiom). Production never sets it. */
+  private[graft] var fanoutCrashPoint: Option[String] = None
+  private def maybeCrash(point: String): Unit =
+    if (fanoutCrashPoint.contains(point))
+      throw new IllegalStateException(s"test crash at $point")
+
   private def sanitize(s: String): String =
     s.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
 
@@ -73,6 +80,46 @@ object CdcFanout {
     val files = adapter.readIndex(indexFile)
     require(files.nonEmpty, s"cdcFanout: empty CDC log index $indexFile")
 
+    decodeToStaging(spark, format, targets,
+      files.map(f => (f, adapter.headerLen, Long.MaxValue)),
+      s"$outRoot/shared.decoded")
+
+    // per-table extraction: partition-pruned (its own __tbl directory)
+    // + column-pruned (its own struct column) — no second log decode
+    targets.zipWithIndex.map { case ((db, tbl, sch), i) =>
+      val dest = s"$outRoot/${sanitize(db)}__${sanitize(tbl)}"
+      extractTable(spark, s"$outRoot/shared.decoded", db, tbl, sch, i)
+        .write.mode("overwrite").parquet(dest)
+      (db, tbl) -> dest
+    }.toMap
+  }
+
+  private def resolveTargets(adapter: graft.cdc.BinlogFormatAdapter,
+      indexFile: String,
+      tables: Seq[(String, String)]): Seq[(String, String, StructType)] = {
+    require(tables.nonEmpty, "cdcFanout: no tables requested")
+    require(tables.distinct.length == tables.length,
+      s"cdcFanout: duplicate table in $tables")
+    tables.map { case (db, tbl) =>
+      val src = adapter.inferSourceSchema(indexFile, db, tbl).getOrElse {
+        throw new IllegalArgumentException(
+          s"cdcFanout: no TABLE_MAP for $db.$tbl found in CDC log $indexFile")
+      }
+      (db, tbl, src)
+    }
+  }
+
+  /** The ONE decode pass: walk each `(path, startPos, endPos)` range
+    * once, feeding every event to all N per-table decoders, and land
+    * the union-schema staging frame at `dest`. Row events below
+    * `startPos` are byte-skipped WITHOUT decode (already-consumed
+    * prefix — the incremental path), control events always replay
+    * (TABLE_MAP/GTID state, exactly the batch scan's range semantics),
+    * and iteration stops at `endPos` (the torn-tail admission
+    * boundary). */
+  private def decodeToStaging(spark: SparkSession, format: String,
+      targets: Seq[(String, String, StructType)],
+      ranges: Seq[(String, Long, Long)], dest: String): Unit = {
     val staged = StructType(
       CdcSchema.envelope ++
         Seq(StructField("__tbl", StringType, nullable = false)) ++
@@ -83,9 +130,9 @@ object CdcFanout {
     val serTargets = targets.toArray // (db, table, schema): all serializable
     val nSlots = serTargets.length
     val rdd = spark.sparkContext
-      .parallelize(files, files.length)
-      .mapPartitions { fileIt =>
-        fileIt.flatMap { path =>
+      .parallelize(ranges, ranges.length)
+      .mapPartitions { rangeIt =>
+        rangeIt.flatMap { case (path, startPos, endPos) =>
           filesDecoded.incrementAndGet()
           val ad = BinlogFormats.forName(fmt)
           val decs = serTargets.map { case (db, tbl, sch) =>
@@ -97,43 +144,141 @@ object CdcFanout {
           val events = ad.open(path)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => events.close()))
-          events.flatMap { ev =>
-            var out = List.empty[InternalRow]
-            var i = nSlots - 1
-            while (i >= 0) {
-              // ONE walk: control events update every decoder's state;
-              // a row event decodes once (owner) and byte-skips elsewhere
-              decs(i).decode(ev).foreach { r =>
-                val vals = new Array[Any](5 + nSlots)
-                vals(0) = r.op
-                vals(1) = r.gtid
-                vals(2) = r.tmMicros
-                vals(3) = r.sourceId
-                vals(4) = tblKeys(i)
-                vals(5 + i) = new GenericInternalRow(r.values)
-                out ::= new GenericInternalRow(vals)
+          events.takeWhile(_.pos < endPos).flatMap { ev =>
+            if (ad.isRowEvent(ev.tpe) && ev.pos < startPos) Nil
+            else {
+              var out = List.empty[InternalRow]
+              var i = nSlots - 1
+              while (i >= 0) {
+                // ONE walk: control events update every decoder's state;
+                // a row event decodes once (owner), byte-skips elsewhere
+                decs(i).decode(ev).foreach { r =>
+                  val vals = new Array[Any](5 + nSlots)
+                  vals(0) = r.op
+                  vals(1) = r.gtid
+                  vals(2) = r.tmMicros
+                  vals(3) = r.sourceId
+                  vals(4) = tblKeys(i)
+                  vals(5 + i) = new GenericInternalRow(r.values)
+                  out ::= new GenericInternalRow(vals)
+                }
+                i -= 1
               }
-              i -= 1
+              out
             }
-            out
           }
         }
       }
     Bridge.internalCreateDataFrame(spark, rdd, staged)
-      .write.mode("overwrite").partitionBy("__tbl")
-      .parquet(s"$outRoot/shared.decoded")
+      .write.mode("overwrite").partitionBy("__tbl").parquet(dest)
+  }
 
-    // per-table extraction: partition-pruned (its own __tbl directory)
-    // + column-pruned (its own struct column) — no second log decode
-    targets.zipWithIndex.map { case ((db, tbl, sch), i) =>
-      val dest = s"$outRoot/${sanitize(db)}__${sanitize(tbl)}"
-      spark.read.parquet(s"$outRoot/shared.decoded")
-        .filter(col("__tbl") === s"$db.$tbl")
-        .select(sch.fieldNames.toSeq.map(n =>
-          col(s"__t$i").getField(n).as(n)) ++
-          CdcSchema.envelope.map(f => col(f.name)): _*)
-        .write.mode("overwrite").parquet(dest)
-      (db, tbl) -> dest
+  /** One table's typed frame out of a staging dataset: partition-pruned
+    * to its `__tbl` directory, column-pruned to its own struct,
+    * exactly the `binlogcdc` scan's column order. */
+  private def extractTable(spark: SparkSession, stagingPath: String,
+      db: String, tbl: String, sch: StructType, slot: Int) =
+    spark.read.parquet(stagingPath)
+      .filter(col("__tbl") === s"$db.$tbl")
+      .select(sch.fieldNames.toSeq.map(n =>
+        col(s"__t$slot").getField(n).as(n)) ++
+        CdcSchema.envelope.map(f => col(f.name)): _*)
+
+  /** INCREMENTAL fan-out — the replication loop's per-run shape: decode
+    * only the log bytes PAST the committed high-water offsets (one walk
+    * feeding all N tables, exactly [[materializeTables]]' contract) and
+    * APPEND the new rows to the per-table frames. Offsets commit LAST
+    * (staged `_offsets` + rename), so every crash window replays
+    * idempotently: a retry deletes the uncommitted increment's staging
+    * and its `seq<n>-` files from the live dirs, then redoes the whole
+    * increment from the committed offsets. Growing tail files resume
+    * from their consumed prefix (control events replay for TABLE_MAP
+    * state, row events below the high-water byte-skip — the batch
+    * scan's range semantics); `lastCompleteOffset` bounds the walk so a
+    * producer's in-flight append is never torn. Readers during the op
+    * may observe a partial suffix of the in-flight increment (the
+    * mode("append") semantics every append-shaped index op here has);
+    * committed state is always a prefix-consistent replica.
+    *
+    * The table SET is pinned in the offsets manifest: an increment with
+    * a different set refuses loud (a late-added table would silently
+    * miss its history — rebuild with [[materializeTables]] instead). */
+  def appendTables(spark: SparkSession, indexFile: String,
+      tables: Seq[(String, String)], outRoot: String,
+      format: String = "gcdc"): Map[(String, String), String] = {
+    import graft.ops.IndexFs
+    val adapter = BinlogFormats.forName(format)
+    val targets = resolveTargets(adapter, indexFile, tables)
+    val fs = IndexFs.fs(spark, outRoot)
+    val offPath = s"$outRoot/_offsets"
+    val tableKey = tables.map { case (d, t) => s"$d.$t" }.mkString(",")
+    val (seq, committed) =
+      if (!IndexFs.exists(fs, offPath)) (0L, Map.empty[String, Long])
+      else {
+        val lines = IndexFs.readUtf8(fs, offPath).linesIterator
+          .filter(_.nonEmpty).toSeq
+        require(lines.head.startsWith("seq "), s"corrupt $offPath")
+        require(lines(1) == s"tables $tableKey",
+          s"cdcFanout.appendTables($outRoot): table set changed " +
+            s"(committed '${lines(1).stripPrefix("tables ")}', requested " +
+            s"'$tableKey') — a late-added table would miss its history; " +
+            "rebuild with materializeTables")
+        (lines.head.stripPrefix("seq ").trim.toLong,
+          lines.drop(2).map { l =>
+            val i = l.lastIndexOf(' ')
+            l.substring(0, i) -> l.substring(i + 1).toLong
+          }.toMap)
+      }
+    val n = seq + 1
+    val dests = targets.map { case (db, tbl, _) =>
+      (db, tbl) -> s"$outRoot/${sanitize(db)}__${sanitize(tbl)}"
     }.toMap
+    // sweep a crashed attempt of THIS increment: its staging and any
+    // seq<n>- files that already moved into the live dirs
+    val stagingRoot = s"$outRoot/incr.staging"
+    IndexFs.delete(fs, stagingRoot)
+    dests.values.foreach { d =>
+      IndexFs.listNames(fs, d).filter(_.startsWith(s"seq$n-"))
+        .foreach(f => IndexFs.delete(fs, s"$d/$f"))
+    }
+    val ranges = adapter.readIndex(indexFile).flatMap { f =>
+      val start = committed.getOrElse(f, adapter.headerLen)
+      // length fast-path: a consumed file that has not GROWN is skipped
+      // without the O(file) lastCompleteOffset event walk — otherwise
+      // every increment would re-walk the whole log's history for
+      // boundary metadata, the exact growth this op exists to avoid
+      // (a complete file's last-complete offset IS its length)
+      if (committed.contains(f) && new java.io.File(f).length() == start) None
+      else {
+        val end = adapter.lastCompleteOffset(f)
+        if (end > start) Some((f, start, end)) else None
+      }
+    }
+    if (ranges.isEmpty) return dests // nothing new; offsets unchanged
+    val stagingData = s"$stagingRoot/seq=$n"
+    decodeToStaging(spark, format, targets, ranges, stagingData)
+    maybeCrash("fanout-after-staging")
+    targets.zipWithIndex.foreach { case ((db, tbl, sch), i) =>
+      val live = dests((db, tbl))
+      val xstg = s"$stagingRoot/extract-$i"
+      extractTable(spark, stagingData, db, tbl, sch, i)
+        .write.mode("overwrite").parquet(xstg)
+      IndexFs.mkdirs(fs, live)
+      // atomic per-file renames: a reader never sees a torn part file
+      IndexFs.listNames(fs, xstg).filter(_.endsWith(".parquet"))
+        .foreach(f => IndexFs.rename(fs, s"$xstg/$f", s"$live/seq$n-$f"))
+      maybeCrash(s"fanout-mid-moves-$i")
+    }
+    maybeCrash("fanout-after-moves")
+    // commit: merged high-water offsets, staged then swapped in
+    val newOff = committed ++ ranges.map { case (f, _, e) => f -> e }
+    val tmp = s"$offPath.tmp"
+    IndexFs.writeUtf8(fs, tmp,
+      (Seq(s"seq $n", s"tables $tableKey") ++
+        newOff.toSeq.sorted.map { case (f, p) => s"$f $p" }).mkString("\n"))
+    IndexFs.delete(fs, offPath)
+    IndexFs.rename(fs, tmp, offPath)
+    IndexFs.delete(fs, stagingRoot)
+    dests
   }
 }

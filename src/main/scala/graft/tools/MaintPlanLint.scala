@@ -158,6 +158,21 @@ object MaintPlanLint {
         Seq(("graft", "orders"), ("graft", "audit")), froot); ()
     }
 
+    // ---- the incremental fan-out: two increments (subset index, full
+    // index) so the resume path's plans are captured too
+    val firoot = java.nio.file.Files.createTempDirectory("maint-fanincr").toString
+    in("fanoutIncr") {
+      val index = graft.cdc.CdcFixture.ensure(spark, sfDir)
+      val files = graft.cdc.CdcCodec.readIndex(index)
+      val idx1 = s"$firoot/binlog1.index"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(idx1),
+        files.take(math.max(files.length / 2, 1)).mkString("", "\n", "\n"))
+      val tabs = Seq(("graft", "orders"), ("graft", "audit"))
+      graft.sources.CdcFanout.appendTables(spark, idx1, tabs, s"$firoot/out")
+      graft.sources.CdcFanout.appendTables(spark, index, tabs, s"$firoot/out")
+      ()
+    }
+
     // ---- lint: all captured plans of an op joined under one key, so
     // per-op occurrence counts are stable across job-count changes
     drain()
@@ -172,7 +187,7 @@ object MaintPlanLint {
     println(s"maint-plan-lint: ${byOp.size} ops, " +
       s"${byOp.values.map(_.split("\n===\n").length).sum} executed plans, " +
       s"$bad offenders")
-    Seq(cidx, iidx, sidx, froot).foreach(d =>
+    Seq(cidx, iidx, sidx, froot, firoot).foreach(d =>
       graft.TmpDirs.deleteRecursively(new java.io.File(d)))
     spark.stop()
     if (bad > 0) sys.exit(1)
