@@ -730,6 +730,80 @@ object ScaleSmoke {
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
+    // multi-table fan-out at scale: a 3-table interleaved log where the
+    // per-table path pays THREE full decode passes and the fan-out pays
+    // ONE (pinned on the walk counter — the wall comparison is printed;
+    // at 100 TB the 3x-vs-1x log I/O is the contract, the small-scale
+    // wall includes the fan-out's parquet writes)
+    timed(s"cdcFanout($nCdc)") {
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("cdcfan-scale").toString
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("v", DoubleType), StructField("s", StringType)))
+      val nFiles = 8
+      val nRows = nCdc / 2
+      val perFile = nRows / nFiles
+      val tables = Seq("t0", "t1", "t2")
+      var id = 0L
+      (0 until nFiles).foreach { fi =>
+        val w = new graft.cdc.CdcCodec.LogWriter(f"$dir/b.$fi%06d")
+        try {
+          tables.zipWithIndex.foreach { case (t, ti) =>
+            w.tableMap(0L, ti + 1L, "db", t, schema)
+          }
+          var written = 0L
+          while (written < perFile) {
+            val n = math.min(300L, perFile - written).toInt
+            w.gtid(id, id / 300)
+            // round-robin rows across the three tables, batched per table
+            (0 until 3).foreach { ti =>
+              val rows = (0 until n).filter(_ % 3 == ti)
+                .map(j => Array[Any](id + j, (id + j) * 0.5, s"r${id + j}"))
+              if (rows.nonEmpty) w.writeRows(id, ti + 1L, schema, rows)
+            }
+            id += n; written += n
+          }
+        } finally w.close()
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "binlog.index"),
+        (0 until nFiles).map(fi => f"b.$fi%06d").mkString("", "\n", "\n"))
+      def scanSum(t: String): (Long, Long) = {
+        val r = spark.read.format("binlogcdc")
+          .option("indexFile", s"$dir/binlog.index")
+          .option("database", "db").option("table", t).load()
+          .agg(sum(col("id")), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val tScans0 = System.nanoTime()
+      val scanSums = tables.map(scanSum)
+      val tScans = (System.nanoTime() - tScans0) / 1e9
+      val total = nFiles * perFile
+      assert(scanSums.map(_._2).sum == total &&
+        scanSums.map(_._1).sum == total * (total - 1) / 2,
+        s"per-table scans decoded ${scanSums.map(_._2).sum} of $total")
+      val before = graft.sources.CdcFanout.filesDecoded.get()
+      val out = java.nio.file.Files.createTempDirectory("cdcfan-out").toString
+      val tFan0 = System.nanoTime()
+      val dests = graft.sources.CdcFanout.materializeTables(spark,
+        s"$dir/binlog.index", tables.map(("db", _)), out)
+      val fanSums = tables.map { t =>
+        val r = spark.read.parquet(dests(("db", t)))
+          .agg(sum(col("id")), count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val tFan = (System.nanoTime() - tFan0) / 1e9
+      val walked = graft.sources.CdcFanout.filesDecoded.get() - before
+      assert(walked == nFiles,
+        s"fan-out walked $walked files for 3 tables — expected ONE pass ($nFiles)")
+      assert(fanSums == scanSums, s"fan-out sums diverge: $fanSums vs $scanSums")
+      println(f"SCALE cdcFanout: 3 per-table scans $tScans%.1f s " +
+        f"(3x$nFiles walks) vs one-pass fan-out $tFan%.1f s " +
+        f"($nFiles walks incl. frame writes) over $total rows")
+      Seq(dir, out).foreach(d =>
+        graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+    }
+
     // the same decode-throughput measurement over the REAL MySQL binlog
     // v4 format (CRC32-checksummed): the number comparable to the
     // reference's own binlog walk, and the round-over-round guard that

@@ -624,6 +624,14 @@ class ClusterIndexLifecycleSpec extends SparkTestBase {
           else { crashAt(forward(rnd.nextInt(forward.length)))(op); true }
       }
       (0 until 6).foreach { step =>
+        // manifest chaos: the sequence cache may vanish at any point
+        // (object-store eviction, manual cleanup) — ops must keep
+        // resolving from the marker files and re-heal it
+        if (rnd.nextInt(3) == 0) {
+          new java.io.File(s"$idx/appends/_manifest").delete()
+          new java.io.File(s"$idx/appends/._manifest.crc").delete()
+          ()
+        }
         rnd.nextInt(4) match {
           case 0 => // append: mix of fresh ids and deleted ids, new text
             val back = retired.toSeq.sorted.filter(_ => rnd.nextBoolean())

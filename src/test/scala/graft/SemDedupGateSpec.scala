@@ -97,6 +97,31 @@ class SemDedupGateSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
+  test("gate verdicts are micro-batch-slicing INVARIANT (4 one-file triggers == one batch)") {
+    val idx = java.nio.file.Files.createTempDirectory("semgate-slice").toString
+    buildIdx(idx)
+    val arrDir = java.nio.file.Files.createTempDirectory("semgate-arriving").toString
+    emb.filter($"vec_id" % 10 === 0).repartition(4)
+      .write.mode("overwrite").parquet(arrDir)
+    val arriving = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", "1").parquet(arrDir)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val q = StreamOps.semDedupGateStream(spark, idx, arriving,
+      "embedding", "vec_id", threshold = 0.40,
+      sink = (out, _) => { batches.incrementAndGet(); out.collect().foreach(buf.add) })
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.get() >= 4, s"expected >= 4 micro-batches, got ${batches.get()}")
+    val streamed = buf.asScala.map(_.toString).toSeq.sorted
+    val oneShot = StreamOps.semDedupGateBatch(spark, idx,
+      emb.filter($"vec_id" % 10 === 0), "embedding", "vec_id", 0.40)
+      .collect().map(_.toString).toSeq.sorted
+    assert(streamed == oneShot,
+      s"slicing changed verdicts (streamed=${streamed.length}, batch=${oneShot.length})")
+    Seq(idx, arrDir).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
   test("gate and probe-assign quantizer collects are capped by spark.graft.semdedup.maxSeeds") {
     val idx = java.nio.file.Files.createTempDirectory("semgate-cap").toString
     buildIdx(idx)
