@@ -2112,13 +2112,31 @@ object Dedup {
     * `members/_SUCCESS` is written LAST by [[buildSemDedupIndex]], so
     * its absence means a crashed or in-flight build — reading the
     * partial (or stale) members/ would serve silently wrong verdicts;
-    * refuse loud and name the recovery (re-run the build). */
+    * refuse loud and name the recovery (re-run the build). READERS
+    * additionally refuse while maintenance leftovers exist
+    * (`members.appending/` / `members.deleting/` / `members.old.del/`
+    * non-empty): a crashed [[appendToSemDedupIndex]] can leave part of
+    * an uncommitted batch in the live cells and a crashed delete can
+    * leave a retired cell missing — both read as silently wrong
+    * verdicts; the interrupted op's retry converges and cleans up.
+    * Maintenance ops themselves pass `maintenance = true` (they ARE
+    * the recovery). */
   private[graft] def requireSemDedupIndexBuilt(spark: SparkSession,
-      path: String): Unit =
-    require(IndexFs.exists(IndexFs.fs(spark, path), s"$path/members/_SUCCESS"),
+      path: String, maintenance: Boolean = false): Unit = {
+    val fs = IndexFs.fs(spark, path)
+    require(IndexFs.exists(fs, s"$path/members/_SUCCESS"),
       s"semDedup index at $path is not fully built (members/_SUCCESS " +
         "missing — a crashed or in-flight buildSemDedupIndex); re-run the " +
         "build before probing")
+    if (!maintenance)
+      Seq("members.appending", "members.deleting", "members.old.del")
+        .foreach { d =>
+          require(IndexFs.listNames(fs, s"$path/$d").isEmpty,
+            s"semDedup index at $path has in-flight or crashed " +
+              s"maintenance ($d/ non-empty) — re-run the interrupted op " +
+              "(retries converge and clean up) before probing")
+        }
+  }
 
   /** [[semDedupIncremental]] served from a [[buildSemDedupIndex]]
     * index: the corpus assignment is read back instead of recomputed,
@@ -2207,5 +2225,291 @@ object Dedup {
     // narrow probe assignment (the join form exists for the SQL oracle)
     semDedup(df, embCol, id, seeds, "seed_id", "seed_emb",
       threshold, maxCluster, probeAssign = true)
+  }
+
+  /** GROW a persisted semantic-dedup index ([[buildSemDedupIndex]])
+    * with a new batch — the ingestion loop's maintenance op, completing
+    * the semantic family's lifecycle the way [[appendToIvfIndex]] /
+    * [[appendToClusterIndex]] complete theirs. The batch is
+    * cell-assigned with one narrow pass against the persisted quantizer
+    * (cells stay the build-time Voronoi partition — re-clustering the
+    * lake per batch is off the table at 100 TB), its verdicts are
+    * computed by the SAME id-ordered probe [[semDedupFromIndex]] serves
+    * (lower-id same-cell neighbor at cosine >= threshold among touched
+    * corpus members ∪ batch), and then ALL batch rows — flagged and
+    * clean — join the members so the index after N appends is
+    * row-identical to a from-scratch [[buildSemDedupIndex]] over
+    * corpus ∪ batches under the same quantizer. Because the probe is
+    * id-ordered on BOTH sides, verdicts keep the restriction contract
+    * online: when arrivals are id-monotone across batches (the
+    * append-only ingestion shape), every batch's verdicts equal
+    * `semDedup(everything)` restricted to that batch, for ANY
+    * micro-batch slicing (spec-pinned).
+    *
+    * Crash safety, the [[appendTables]] discipline: the batch's cell
+    * files are fully staged under `members.appending/<opId>`, moved
+    * into the live cell directories with atomic per-file renames under
+    * deterministic `app-<opId>-` names, and the op's commit marker
+    * ([[writeCommitMarker]], shared manifest machinery) lands LAST — a
+    * retry of any crash window first sweeps this op's files from its
+    * (deterministically re-derived) cells and redoes the whole append,
+    * and a retry of a COMMITTED append no-ops with byte-identical
+    * verdicts (recomputed against members ∖ batch — exactly the
+    * pre-append touched-cell members). A reader between a crash and
+    * the retry is refused loud by [[requireSemDedupIndexBuilt]]'s
+    * in-flight-maintenance check rather than served a partial batch.
+    *
+    * 100 TB posture: one batch-sized assignment pass, one column-pruned
+    * global id scan (the identity guard), a touched-cells-only members
+    * read for the probe (partition filter), and a batch-sized
+    * partitioned write — never a corpus rewrite or shuffle. */
+  def appendToSemDedupIndex(spark: SparkSession, path: String,
+      batch: DataFrame, embCol: String, id: String, threshold: Double,
+      maxCluster: Int = 100000, probeAssign: Boolean = false): DataFrame = {
+    requireSemDedupIndexBuilt(spark, path, maintenance = true)
+    require(batch.schema(id).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"appendToSemDedupIndex: $id must be LongType (op ids and the " +
+        s"probe's id order are long-keyed), got ${batch.schema(id).dataType}")
+    val fs = IndexFs.fs(spark, path)
+    // the mirror of the delete's append-leftover refusal: a crashed
+    // delete can leave a retired live cell missing — this append's
+    // probe would silently miss that cell's members
+    Seq("members.deleting", "members.old.del").foreach { d =>
+      require(IndexFs.listNames(fs, s"$path/$d").isEmpty,
+        s"appendToSemDedupIndex($path): a crashed or in-flight delete " +
+          s"left $d/ non-empty — retry that delete (it converges and " +
+          "cleans up) before appending")
+    }
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val basg = assignCells(batch, embCol, id, seeds, "seed_id", "s_emb",
+      probeAssign).localCheckpoint(true) // ids + cells + probe + write
+    // batch ids collect is bounded LOUD (batches are micro-batch-sized
+    // by contract; the named-knob discipline for every driver collect)
+    val cap = spark.conf
+      .get("spark.graft.semdedup.appendBatchCap", "4000000").toInt
+    val idRows = basg.select(col(id)).limit(cap + 1).collect()
+    require(idRows.length <= cap,
+      s"appendToSemDedupIndex($path): batch exceeds " +
+        s"spark.graft.semdedup.appendBatchCap=$cap rows — split the batch " +
+        "or raise the knob")
+    val batchIds = idRows.map(_.getLong(0))
+    if (batchIds.isEmpty)
+      return basg.select(col(id), col("cluster_id"),
+        lit(false).as("is_dup"))
+    // the dup check must run on the RAW batch: the assignment's
+    // row_number silently collapses duplicate ids, so basg's id set is
+    // dup-free even when the batch is not
+    val batchDup = batch.groupBy(col(id)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(batchDup.isEmpty,
+      s"appendToSemDedupIndex($path): batch contains duplicate $id " +
+        s"${batchDup.headOption.map(_.get(0))} — one identity would serve " +
+        "two member rows; dedup the batch first")
+    val appId = appendIdOf(batchIds)
+    val cells = basg.select(col("cluster_id")).distinct()
+      .collect().map(_.get(0))
+    val seqs = commitSeqs(fs, path)
+    // sweep a crashed (UNCOMMITTED) attempt of THIS op before anything
+    // reads members: assignment is deterministic under the persisted
+    // quantizer, so a previous attempt's files can only live in this
+    // batch's cells, under this op's deterministic file prefix. A
+    // COMMITTED op's files are the live index — never swept.
+    if (!seqs.contains(appId)) cells.foreach { c =>
+      val dir = s"$path/members/cell=$c"
+      IndexFs.listNames(fs, dir).filter(_.startsWith(s"app-$appId-"))
+        .foreach(f => IndexFs.delete(fs, s"$dir/$f"))
+    }
+    val members = spark.read.parquet(s"$path/members")
+    // which batch ids are already members? One column-pruned corpus id
+    // scan streaming against the broadcast batch ids (identity is
+    // global — the same id could sit in a DIFFERENT cell if its
+    // embedding changed, so the guard cannot prune to touched cells)
+    val liveCnt = members.select(col(id))
+      .join(broadcast(basg.select(col(id))), Seq(id), "left_semi").count()
+    val casg = members.filter(col("cell").isInCollection(cells.toSeq))
+      .select(col(id), col("cell").as("cluster_id"), col("__emb"))
+    if (seqs.contains(appId) && liveCnt == batchIds.length) {
+      // committed replay: no-op the write, return byte-identical
+      // verdicts (members ∖ batch = exactly the pre-append touched-cell
+      // members), and finish the cleanup a post-marker crash skipped
+      IndexFs.delete(fs, s"$path/members.appending/$appId")
+      return semDedupProbe(basg,
+        casg.join(broadcast(basg.select(col(id))), Seq(id), "left_anti"),
+        id, threshold, maxCluster)
+    }
+    require(liveCnt == 0,
+      s"appendToSemDedupIndex($path): batch contains $liveCnt " +
+        s"already-indexed $id(s) — appending would serve two member rows " +
+        "for one identity; if this is the retry of a crashed append, the " +
+        "sweep above should have cleared it — otherwise delete the ids " +
+        "first (deleteFromSemDedupIndex), then append")
+    // verdicts BEFORE the batch lands, materialized so the probe's
+    // members scan cannot observe this append's own files
+    val verdicts = semDedupProbe(basg, casg, id, threshold, maxCluster)
+      .localCheckpoint(true)
+    val staging = s"$path/members.appending/$appId"
+    IndexFs.delete(fs, staging)
+    basg.select(col(id), col("cluster_id").as("cell"), col("__emb"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    maybeCrash("semapp-after-staging")
+    IndexFs.listNames(fs, staging).filter(_.startsWith("cell=")).foreach {
+      cd =>
+        val live = s"$path/members/$cd"
+        IndexFs.mkdirs(fs, live)
+        IndexFs.listNames(fs, s"$staging/$cd")
+          .filter(f => f.endsWith(".parquet") && !f.startsWith("."))
+          .foreach(f =>
+            IndexFs.rename(fs, s"$staging/$cd/$f", s"$live/app-$appId-$f"))
+        maybeCrash("semapp-mid-rename")
+    }
+    maybeCrash("semapp-after-renames")
+    writeCommitMarker(fs, path, appId, Some(seqs))
+    IndexFs.delete(fs, s"$path/members.appending/$appId")
+    verdicts
+  }
+
+  /** Roll a crashed [[deleteFromSemDedupIndex]] attempt to a consistent
+    * live members/ state. For each retired cell under
+    * `members.old.del/<op>`: a COMMITTED op's retired dirs are pure
+    * leftovers (the marker lands after every swap) — reclaim them; an
+    * UNCOMMITTED op rolls BACK fully — the retired dir holds the cell's
+    * exact pre-op content until the marker lands, so the swapped-in
+    * cleaned cell (when present) is dropped and the original restored.
+    * Rollback must be total, not per-cell best-effort: a half-applied
+    * delete would make the retry's not-indexed guard fire on the ids
+    * its own first attempt already removed. Staging is wiped wholesale:
+    * uncommitted attempts recompute it from the restored state.
+    * Single-writer by contract, like every other index maintenance op
+    * here. Idempotent under crashes DURING recovery (a re-run restores
+    * whatever cells still have retired dirs). */
+  private def recoverSemDedupDelete(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val oldRoot = s"$path/members.old.del"
+    IndexFs.listNames(fs, oldRoot).foreach { op =>
+      val committed = IndexFs.exists(fs, s"$path/appends/$op.committed")
+      IndexFs.listNames(fs, s"$oldRoot/$op").filter(_.startsWith("cell="))
+        .foreach { cd =>
+          val oldP = s"$oldRoot/$op/$cd"
+          val live = s"$path/members/$cd"
+          if (committed) IndexFs.delete(fs, oldP)
+          else {
+            if (IndexFs.exists(fs, live)) IndexFs.delete(fs, live)
+            IndexFs.rename(fs, oldP, live)
+          }
+        }
+      IndexFs.delete(fs, s"$oldRoot/$op")
+    }
+    IndexFs.delete(fs, oldRoot)
+    IndexFs.delete(fs, s"$path/members.deleting")
+  }
+
+  /** DELETE ids from a persisted semantic-dedup index — the
+    * takedown/retention half of the lifecycle (opt-outs, license
+    * revocations, PII purges), the semantic twin of
+    * [[deleteFromClusterIndex]]. Unlike the IVF index there is no
+    * tombstone list to consult on every probe: members/ is
+    * cell-partitioned and deletes are cell-local, so the ids' cells are
+    * REWRITTEN in place (anti-join, O(touched cells) — never a corpus
+    * rewrite) and later probes/gates serve the remaining corpus with
+    * zero read-path overhead. Verdict semantics after a delete are the
+    * from-scratch ones over the remaining members, exactly what a
+    * rebuild over corpus ∖ batch would serve (spec-pinned).
+    *
+    * Crash safety: crash recovery runs FIRST ([[recoverSemDedupDelete]]
+    * — also reclaiming a previous COMMITTED op's leftovers), the
+    * cleaned cells are fully staged under `members.deleting/<opId>`,
+    * each touched cell swaps via retire-then-replace renames (retired
+    * dirs tracked under `members.old.del/<opId>` so a mid-swap crash
+    * restores instead of losing the cell), and the commit marker lands
+    * LAST. Idempotence is liveness-gated like the cluster index:
+    * marker + none-live = committed retry (no-op); marker + all-live =
+    * a genuine re-delete after a re-append (proceed); partial liveness
+    * fails loud. Deleting every member refuses loud (an empty members/
+    * is unreadable — clearing an index means deleting its directory). */
+  def deleteFromSemDedupIndex(spark: SparkSession, path: String,
+      ids: DataFrame, id: String): Unit = {
+    requireSemDedupIndexBuilt(spark, path, maintenance = true)
+    require(ids.schema(id).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"deleteFromSemDedupIndex: $id must be LongType, got " +
+        s"${ids.schema(id).dataType}")
+    val fs = IndexFs.fs(spark, path)
+    // the two maintenance kinds recover only their OWN leftovers: a
+    // crashed append's live-cell files are addressed by the append's
+    // deterministic sweep — a delete rewriting those cells would fold
+    // the uncommitted rows into new files the sweep can no longer see
+    require(IndexFs.listNames(fs, s"$path/members.appending").isEmpty,
+      s"deleteFromSemDedupIndex($path): a crashed or in-flight append " +
+        "left members.appending/ non-empty — retry that append (it " +
+        "converges and cleans up) before deleting")
+    recoverSemDedupDelete(fs, path)
+    val cap = spark.conf
+      .get("spark.graft.semdedup.appendBatchCap", "4000000").toInt
+    val idRows = ids.select(col(id)).distinct().limit(cap + 1).collect()
+    require(idRows.length <= cap,
+      s"deleteFromSemDedupIndex($path): batch exceeds " +
+        s"spark.graft.semdedup.appendBatchCap=$cap ids")
+    val batchIds = idRows.map(_.getLong(0))
+    if (batchIds.isEmpty) return
+    // namespaced so a delete of the same id set addresses a DIFFERENT
+    // marker than its append (hashed AFTER prefixing — a raw ':' in the
+    // filename breaks Hadoop's checksum-file path arithmetic)
+    val opId = "del-" + appendIdOf(batchIds)
+    val seqs = commitSeqs(fs, path)
+    val members = spark.read.parquet(s"$path/members")
+    import spark.implicits._
+    val idsDf = broadcast(batchIds.toSeq.toDF(id))
+    // one column-pruned (id, cell) scan: liveness + touched cells
+    val matched = members.select(col(id), col("cell"))
+      .join(idsDf, Seq(id), "left_semi").collect()
+    val committed = seqs.contains(opId)
+    if (committed && matched.isEmpty) return // committed retry: no-op
+    if (committed)
+      require(matched.length == batchIds.length,
+        s"deleteFromSemDedupIndex($path): committed marker with PARTIAL " +
+          s"liveness (${matched.length}/${batchIds.length} live) — " +
+          "ambiguous state; rebuild the index")
+    else {
+      val liveSet = matched.map(_.getLong(0)).toSet
+      val missing = batchIds.filterNot(liveSet)
+      require(missing.isEmpty,
+        s"deleteFromSemDedupIndex($path): $id ${missing.headOption} is " +
+          "not indexed — a silent skip would mask a takedown that never " +
+          "happened; remove it from the batch")
+    }
+    val total = members.count()
+    require(total > batchIds.length,
+      s"deleteFromSemDedupIndex($path): deleting every member would " +
+        "leave an unreadable empty members/ — delete the index " +
+        "directory instead")
+    val cells = matched.map(_.get(1)).distinct.toSeq
+    val staging = s"$path/members.deleting/$opId"
+    members.filter(col("cell").isInCollection(cells))
+      .join(idsDf, Seq(id), "left_anti")
+      .select(col(id), col("__emb"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    maybeCrash("semdel-after-staging")
+    val oldRoot = s"$path/members.old.del/$opId"
+    IndexFs.mkdirs(fs, oldRoot)
+    cells.map(c => s"cell=$c").sorted.zipWithIndex.foreach {
+      case (cd, i) =>
+        val live = s"$path/members/$cd"
+        val oldP = s"$oldRoot/$cd"
+        val staged = s"$staging/$cd"
+        if (IndexFs.exists(fs, oldP)) IndexFs.delete(fs, oldP)
+        IndexFs.rename(fs, live, oldP)
+        maybeCrash(s"semdel-mid-swap-$i")
+        // a cell whose every row is deleted has no staged dir
+        // (partitionBy writes nothing) — retiring the live dir IS the swap
+        if (IndexFs.exists(fs, staged)) IndexFs.rename(fs, staged, live)
+        maybeCrash(s"semdel-after-swap-$i")
+    }
+    maybeCrash("semdel-after-swaps")
+    writeCommitMarker(fs, path, opId, Some(seqs))
+    IndexFs.delete(fs, s"$path/members.deleting/$opId")
+    IndexFs.delete(fs, oldRoot)
   }
 }

@@ -1,0 +1,317 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the persisted semantic-dedup index past the build:
+  * [[Dedup.appendToSemDedupIndex]] (the ingestion loop's growth op) and
+  * [[Dedup.deleteFromSemDedupIndex]] (the takedown half), each under
+  * the repo's maintenance contracts:
+  *
+  *   - append REBUILD-EQUIVALENCE: members after N appends are
+  *     row-identical to a from-scratch build over corpus ∪ batches
+  *     (same quantizer), and id-monotone slicing leaves every verdict
+  *     equal to the one-shot probe of the full batch (the restriction
+  *     contract, online);
+  *   - delete REBUILD-EQUIVALENCE: members after a delete are
+  *     row-identical to a build over corpus ∖ batch, probes serve the
+  *     remaining corpus;
+  *   - idempotence: committed-append retries no-op with byte-identical
+  *     verdicts; committed-delete retries no-op; liveness gates the
+  *     delete→re-append→re-delete lifecycle;
+  *   - crash windows: every failpoint leaves readers REFUSED loud (the
+  *     in-flight-maintenance check) and a retry converges to the
+  *     no-crash result;
+  *   - guards: already-indexed / duplicate-in-batch / non-indexed
+  *     delete / delete-everything / batch cap, all loud.
+  */
+class SemDedupIndexLifecycleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def corpus = emb.filter($"vec_id" % 10 =!= 0)
+  private def arrivals = emb.filter($"vec_id" % 10 === 0)
+  private def seeds = emb.filter($"vec_id" % 25 === 0)
+  private val T = 0.40
+
+  private def buildIdx(root: String, over: org.apache.spark.sql.DataFrame)
+      : Unit =
+    Dedup.buildSemDedupIndex(over, root, "embedding", "vec_id",
+      seeds = seeds, seedId = "vec_id", seedEmb = "embedding")
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"semlife-$tag").toString
+
+  private def membersSet(root: String): Set[(Long, Long, Seq[Float])] =
+    spark.read.parquet(s"$root/members")
+      .select($"vec_id", $"cell".cast("long"), $"__emb")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+
+  private def append(root: String, batch: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Boolean)] =
+    Dedup.appendToSemDedupIndex(spark, root, batch, "embedding", "vec_id",
+        threshold = T)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  private def probe(root: String, batch: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Boolean)] =
+    Dedup.semDedupFromIndex(spark, root, batch, "embedding", "vec_id",
+        threshold = T)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  private def rm(root: String): Unit =
+    graft.TmpDirs.deleteRecursively(new java.io.File(root))
+
+  test("append: rebuild-equivalence of members + one-shot verdict equality under id-monotone slicing") {
+    val grown = freshRoot("grow")
+    buildIdx(grown, corpus)
+    val ids = arrivals.select($"vec_id").orderBy($"vec_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length >= 9, "fixture too small to slice")
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    val slices = Seq(
+      arrivals.filter($"vec_id" < cuts(0)),
+      arrivals.filter($"vec_id" >= cuts(0) && $"vec_id" < cuts(1)),
+      arrivals.filter($"vec_id" >= cuts(1)))
+    val sliced = slices.map(append(grown, _)).reduce(_ ++ _)
+
+    // one-shot reference: a fresh index over the same corpus, the full
+    // arrival set probed in one batch
+    val ref = freshRoot("ref")
+    buildIdx(ref, corpus)
+    val oneShot = probe(ref, arrivals)
+    assert(sliced == oneShot,
+      "sliced ingest verdicts diverge from the one-shot probe")
+
+    // members rebuild-equivalence: grown index == from-scratch build
+    // over corpus ∪ arrivals
+    val rebuilt = freshRoot("rebuilt")
+    buildIdx(rebuilt, emb)
+    assert(membersSet(grown) == membersSet(rebuilt),
+      "grown members diverge from the from-scratch rebuild")
+    Seq(grown, ref, rebuilt).foreach(rm)
+  }
+
+  test("append: committed replay no-ops with byte-identical verdicts and cleans staging leftovers") {
+    val root = freshRoot("replay")
+    buildIdx(root, corpus)
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    val first = append(root, batch)
+    val files = IndexFsProbe.allFiles(spark, s"$root/members")
+    val again = append(root, batch)
+    assert(again == first, "replay verdicts diverge")
+    assert(IndexFsProbe.allFiles(spark, s"$root/members") == files,
+      "replay changed members files")
+    // a post-marker crash leaves staging behind; the replay reclaims it
+    val fakeStaging = new java.io.File(s"$root/members.appending/junk")
+    fakeStaging.mkdirs()
+    val refused = intercept[IllegalArgumentException] {
+      probe(root, arrivals.filter($"vec_id" % 20 =!= 0))
+    }
+    assert(refused.getMessage.contains("maintenance"))
+    // retrying the (committed) append no-ops — but only ITS opId's
+    // staging is reclaimed, so the foreign leftover still blocks readers
+    append(root, batch)
+    assert(fakeStaging.exists())
+    graft.TmpDirs.deleteRecursively(fakeStaging)
+    assert(probe(root, arrivals.filter($"vec_id" % 20 =!= 0)).nonEmpty)
+    rm(root)
+  }
+
+  test("append crash windows: readers refuse loud, retry converges") {
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    val rest = arrivals.filter($"vec_id" % 20 =!= 0)
+    val clean = freshRoot("clean")
+    buildIdx(clean, corpus)
+    val expected = append(clean, batch)
+    val expectedMembers = membersSet(clean)
+    for (point <- Seq("semapp-after-staging", "semapp-mid-rename",
+        "semapp-after-renames")) {
+      val root = freshRoot(s"crash-$point")
+      buildIdx(root, corpus)
+      Dedup.appendCrashPoint = Some(point)
+      try intercept[IllegalStateException] { append(root, batch) }
+      finally Dedup.appendCrashPoint = None
+      val refused = intercept[IllegalArgumentException] { probe(root, rest) }
+      assert(refused.getMessage.contains("maintenance"),
+        s"$point: reader refusal names the wrong cause: ${refused.getMessage}")
+      val retried = append(root, batch)
+      assert(retried == expected, s"$point: retry verdicts diverge")
+      assert(membersSet(root) == expectedMembers,
+        s"$point: retry members diverge")
+      rm(root)
+    }
+    rm(clean)
+  }
+
+  test("append guards: already-indexed, duplicate-in-batch, batch cap — all loud") {
+    val root = freshRoot("guards")
+    buildIdx(root, corpus)
+    val already = intercept[IllegalArgumentException] {
+      append(root, corpus.limit(3))
+    }
+    assert(already.getMessage.contains("already-indexed"))
+    val one = arrivals.filter($"vec_id" === 0)
+    val dup = intercept[IllegalArgumentException] {
+      append(root, one.union(one))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    withSQLConf("spark.graft.semdedup.appendBatchCap" -> "3") {
+      val cap = intercept[IllegalArgumentException] {
+        append(root, arrivals)
+      }
+      assert(cap.getMessage.contains("appendBatchCap"))
+    }
+    // empty batch: verdictless no-op, no marker, index untouched
+    val files = IndexFsProbe.allFiles(spark, s"$root/members")
+    assert(append(root, arrivals.filter($"vec_id" < 0)).isEmpty)
+    assert(IndexFsProbe.allFiles(spark, s"$root/members") == files)
+    rm(root)
+  }
+
+  test("delete: rebuild-equivalence, probes serve the remaining corpus, emptied cells disappear") {
+    val root = freshRoot("del")
+    buildIdx(root, corpus)
+    // delete one whole cell's members plus a slice of another —
+    // exercises the emptied-cell retire path and the rewrite path
+    val byCell = spark.read.parquet(s"$root/members")
+      .groupBy($"cell").agg(collect_list($"vec_id").as("ids"))
+      .orderBy($"cell").collect()
+    assert(byCell.length >= 2, "fixture has too few cells")
+    val wholeCell = byCell.head.getSeq[Long](1)
+    val partial = byCell(1).getSeq[Long](1).take(1)
+    val delIds = (wholeCell ++ partial).toDF("vec_id")
+    Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id")
+    val remaining = corpus.join(delIds, Seq("vec_id"), "left_anti")
+    val rebuilt = freshRoot("del-ref")
+    buildIdx(rebuilt, remaining)
+    assert(membersSet(root) == membersSet(rebuilt),
+      "post-delete members diverge from the rebuild over the remainder")
+    assert(!new java.io.File(
+        s"$root/members/cell=${byCell.head.get(0)}").exists(),
+      "emptied cell directory survived the delete")
+    assert(probe(root, arrivals) == probe(rebuilt, arrivals),
+      "post-delete probe diverges from the rebuilt index's")
+    // committed retry: no-op
+    val files = IndexFsProbe.allFiles(spark, s"$root/members")
+    Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id")
+    assert(IndexFsProbe.allFiles(spark, s"$root/members") == files)
+    Seq(root, rebuilt).foreach(rm)
+  }
+
+  test("delete guards: non-indexed id, delete-everything — loud; liveness gates re-append → re-delete") {
+    val root = freshRoot("delg")
+    buildIdx(root, corpus)
+    val missing = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSemDedupIndex(spark, root,
+        arrivals.select($"vec_id").limit(1), "vec_id")
+    }
+    assert(missing.getMessage.contains("not indexed"))
+    val everything = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSemDedupIndex(spark, root,
+        corpus.select($"vec_id"), "vec_id")
+    }
+    assert(everything.getMessage.contains("every member"))
+    // append → delete → re-append → re-delete: every step must EXECUTE
+    // (stale markers alone would silently no-op steps 3 and 4)
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    append(root, batch)
+    Dedup.deleteFromSemDedupIndex(spark, root, batch.select($"vec_id"),
+      "vec_id")
+    assert(spark.read.parquet(s"$root/members")
+      .join(batch.select($"vec_id"), Seq("vec_id"), "left_semi").count() == 0)
+    append(root, batch) // marker exists, none live -> must execute
+    assert(spark.read.parquet(s"$root/members")
+      .join(batch.select($"vec_id"), Seq("vec_id"), "left_semi")
+      .count() == batch.count())
+    Dedup.deleteFromSemDedupIndex(spark, root, batch.select($"vec_id"),
+      "vec_id") // marker exists, all live -> must execute
+    assert(spark.read.parquet(s"$root/members")
+      .join(batch.select($"vec_id"), Seq("vec_id"), "left_semi").count() == 0)
+    rm(root)
+  }
+
+  test("delete crash windows: readers refuse loud, retry converges (incl. mid-swap missing-cell restore)") {
+    val byCellRef = {
+      val r = freshRoot("delc-ref")
+      buildIdx(r, corpus)
+      val rows = spark.read.parquet(s"$r/members")
+        .groupBy($"cell").agg(collect_list($"vec_id").as("ids"))
+        .orderBy($"cell").collect()
+      rm(r)
+      rows
+    }
+    val delIds = (byCellRef.head.getSeq[Long](1) ++
+      byCellRef(1).getSeq[Long](1).take(1)).toDF("vec_id")
+    val expect = {
+      val r = freshRoot("delc-exp")
+      buildIdx(r, corpus)
+      Dedup.deleteFromSemDedupIndex(spark, r, delIds, "vec_id")
+      val m = membersSet(r); rm(r); m
+    }
+    for (point <- Seq("semdel-after-staging", "semdel-mid-swap-0",
+        "semdel-after-swap-0", "semdel-after-swaps")) {
+      val root = freshRoot(s"delc-$point")
+      buildIdx(root, corpus)
+      Dedup.appendCrashPoint = Some(point)
+      try intercept[IllegalStateException] {
+        Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id")
+      } finally Dedup.appendCrashPoint = None
+      val refused = intercept[IllegalArgumentException] {
+        probe(root, arrivals)
+      }
+      assert(refused.getMessage.contains("maintenance"),
+        s"$point: reader refusal names the wrong cause: ${refused.getMessage}")
+      Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id")
+      assert(membersSet(root) == expect, s"$point: retry members diverge")
+      rm(root)
+    }
+  }
+
+  test("cross-kind refusals: crashed append blocks delete, crashed delete blocks append — both loud") {
+    val root = freshRoot("cross")
+    buildIdx(root, corpus)
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    Dedup.appendCrashPoint = Some("semapp-mid-rename")
+    try intercept[IllegalStateException] { append(root, batch) }
+    finally Dedup.appendCrashPoint = None
+    val delBlocked = intercept[IllegalArgumentException] {
+      Dedup.deleteFromSemDedupIndex(spark, root,
+        corpus.select($"vec_id").limit(1), "vec_id")
+    }
+    assert(delBlocked.getMessage.contains("append"))
+    append(root, batch) // the append's own retry clears its leftovers
+
+    Dedup.appendCrashPoint = Some("semdel-mid-swap-0")
+    try intercept[IllegalStateException] {
+      Dedup.deleteFromSemDedupIndex(spark, root, batch.select($"vec_id"),
+        "vec_id")
+    } finally Dedup.appendCrashPoint = None
+    val appBlocked = intercept[IllegalArgumentException] {
+      append(root, arrivals.filter($"vec_id" % 20 =!= 0))
+    }
+    assert(appBlocked.getMessage.contains("delete"))
+    Dedup.deleteFromSemDedupIndex(spark, root, batch.select($"vec_id"),
+      "vec_id") // the delete's own retry recovers
+    assert(probe(root, batch).nonEmpty)
+    rm(root)
+  }
+}
+
+/** Tiny file-listing probe shared by the lifecycle assertions. */
+private[graft] object IndexFsProbe {
+  def allFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return Set.empty
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next().getPath.toString
+    b.result()
+  }
+}
