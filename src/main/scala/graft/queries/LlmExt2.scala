@@ -177,6 +177,96 @@ object LlmExt2 {
     idx
   }
 
+  /** The llm83 GROWN semantic-dedup index: llm82's corpus/quantizer,
+    * then the vec_id %% 10 == 0 population appended ONLINE in two
+    * id-monotone batches (`Dedup.appendToSemDedupIndex`), each batch's
+    * verdicts persisted as they are returned. Because the append's
+    * probe is id-ordered on both sides, the union of the per-batch
+    * verdicts equals the one-shot from-scratch probe — llm82's oracle
+    * verbatim — and the grown members equal a rebuild over the full
+    * corpus (spec-pinned in SemDedupIndexLifecycleSpec). */
+  private[queries] def ensureGrownSemDedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-semgrw-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_GROWN")
+    buildOnce(root)(marker.exists()) {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = s"$root/index"
+      Dedup.buildSemDedupIndex(emb.filter(col("vec_id") % 10 =!= 0), idx,
+        "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding")
+      val arrivals = emb.filter(col("vec_id") % 10 === 0)
+      val cut = arrivals.agg(max(col("vec_id"))).head().getLong(0) / 2
+      Seq(arrivals.filter(col("vec_id") <= cut),
+          arrivals.filter(col("vec_id") > cut)).zipWithIndex.foreach {
+        case (b, i) =>
+          Dedup.appendToSemDedupIndex(s, idx, b, "embedding", "vec_id",
+              threshold = 0.40)
+            .write.mode("overwrite").parquet(s"$root/verdicts/b=$i")
+      }
+      marker.createNewFile()
+    }
+    root
+  }
+
+  /** The llm84 TAKEDOWN semantic-dedup index: built over the FULL
+    * embeddings table, then the vec_id %% 5 == 0 population deleted
+    * (`Dedup.deleteFromSemDedupIndex` — touched cells rewritten, the
+    * rest untouched). The query re-probes the deleted population every
+    * run, so the post-delete serving path itself is what the oracle
+    * hash-checks: verdicts must equal a from-scratch index over the
+    * remaining corpus. */
+  private[queries] def ensureTakedownSemDedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-semtkd-" + graft.TmpDirs.pathKey(dir))
+    val idx = s"$root/index"
+    val marker = new java.io.File(s"$root/_TAKEN_DOWN")
+    buildOnce(root)(marker.exists()) {
+      val emb = Tables.load(s, dir, "embeddings")
+      Dedup.buildSemDedupIndex(emb, idx, "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding")
+      Dedup.deleteFromSemDedupIndex(s, idx,
+        emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")), "vec_id")
+      marker.createNewFile()
+    }
+    idx
+  }
+
+  /** The str21 STREAMED-INGEST semantic-dedup index: llm82's
+    * corpus/quantizer, then the vec_id %% 10 == 0 population arrives as
+    * a STREAM and each micro-batch is folded into the index by
+    * `StreamOps.semDedupIngestStream` (verdicts persisted per batchId —
+    * overwrite-idempotent under replays). The online form of llm83's
+    * two-batch growth: any id-monotone slicing converges to the same
+    * verdicts and the same final index. */
+  private[queries] def ensureStreamedIngestIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-semsin-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_INGESTED")
+    buildOnce(root)(marker.exists()) {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = s"$root/index"
+      Dedup.buildSemDedupIndex(emb.filter(col("vec_id") % 10 =!= 0), idx,
+        "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding")
+      val arriving = graft.streaming.StreamOps.embeddingsStream(s, dir)
+        .filter(col("vec_id") % 10 === 0)
+      val q = graft.streaming.StreamOps.semDedupIngestStream(s, idx,
+        arriving, "embedding", "vec_id", threshold = 0.40,
+        sink = (out, bid) =>
+          out.write.mode("overwrite").parquet(s"$root/verdicts/b=$bid"))
+      try {
+        q.processAllAvailable()
+        graft.tools.StreamPlanAudit.record("str21", q)
+      } finally q.stop()
+      marker.createNewFile()
+    }
+    root
+  }
+
   /** The str19 cluster index: built over the FULL corpus, then the
     * doc_id %% 10 == 7 population STREAMED as takedown requests and
     * removed per micro-batch by a foreachBatch deleteFromClusterIndex —
@@ -1245,6 +1335,77 @@ object LlmExt2 {
     }) { (s, dir) =>
       Dedup.minhashCalibration(Tables.load(s, dir, "documents"), "text",
         "doc_id", threshold = 0.6)
+    },
+
+    // ONLINE-GROWN semantic-dedup index (the llm82 lifecycle past the
+    // build): the arrival population appended in two id-monotone
+    // batches via appendToSemDedupIndex, per-batch verdicts persisted
+    // as returned. The id-ordered probe makes the union of online
+    // verdicts equal the one-shot from-scratch probe, so llm82's
+    // restricted oracle holds VERBATIM over the grown index's output —
+    // the restriction contract, online.
+    QDef("llm83_semdedup_append", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id % 10 = 0),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id % 10 = 0""".stripMargin
+    }) { (s, dir) =>
+      val root = ensureGrownSemDedupIndex(s, dir)
+      s.read.parquet(s"$root/verdicts/b=0", s"$root/verdicts/b=1")
+    },
+
+    // semantic-dedup index TAKEDOWN serving path: built over the FULL
+    // embeddings table, the vec_id % 5 == 0 population deleted (touched
+    // cells rewritten, others untouched), then THE QUERY re-probes the
+    // deleted population against the post-delete index — verdicts must
+    // equal a from-scratch index over the remaining corpus (corpus = %5
+    // != 0 here; the probe pool is members ∪ batch, id-ordered).
+    QDef("llm84_semdedup_delete", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id % 5 = 0),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id % 5 = 0""".stripMargin
+    }) { (s, dir) =>
+      val idx = ensureTakedownSemDedupIndex(s, dir)
+      Dedup.semDedupFromIndex(s, idx,
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", threshold = 0.40)
     }
   )
 }

@@ -516,6 +516,45 @@ object Streaming {
       require(outSchema != null,
         "str20: the gate stream produced no micro-batch")
       s.createDataFrame(new java.util.ArrayList(buf), outSchema)
+    },
+
+    // streaming SEMANTIC-DEDUP INGESTION — the gate's admit-and-index
+    // sibling: each arriving micro-batch FOLDS INTO the persisted index
+    // (Dedup.appendToSemDedupIndex via foreachBatch), so the index
+    // after the stream equals a from-scratch build over corpus ∪
+    // arrivals and the union of per-batch verdicts equals the one-shot
+    // id-ordered probe — llm82's restricted oracle VERBATIM, served
+    // online. Committed micro-batch replays no-op (deterministic opId +
+    // commit marker), so at-least-once delivery converges.
+    QDef("str21_semdedup_ingest", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+         |  WHERE b.vec_id % 10 = 0),
+         |dup AS (SELECT DISTINCT p.id_b AS vec_id FROM pairs p
+         |  JOIN embeddings ea ON p.id_a = ea.vec_id
+         |  JOIN embeddings eb ON p.id_b = eb.vec_id
+         |  WHERE ${cos("ea.embedding", "eb.embedding")} >= 0.40)
+         |SELECT g.vec_id, g.cluster_id, (d.vec_id IS NOT NULL) AS is_dup
+         |FROM asg g LEFT JOIN dup d ON g.vec_id = d.vec_id
+         |WHERE g.vec_id % 10 = 0""".stripMargin
+    }) { (s, dir) =>
+      val root = LlmExt2.ensureStreamedIngestIndex(s, dir)
+      val parts = new java.io.File(s"$root/verdicts").listFiles()
+        .filter(_.getName.startsWith("b=")).map(_.getAbsolutePath).sorted
+      require(parts.nonEmpty, "str21: the ingest stream produced no batch")
+      s.read.parquet(parts.toIndexedSeq: _*)
     }
   )
 }

@@ -575,6 +575,30 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming semantic-dedup INGESTION over a persisted
+    * `Dedup.buildSemDedupIndex` index — the admission gate's
+    * admit-and-index sibling, and the online form of the llm81/llm82
+    * batch ops: each arriving micro-batch is folded into the index by
+    * `Dedup.appendToSemDedupIndex` (verdicts from the id-ordered probe,
+    * then ALL batch rows join their cell directories), so the index
+    * after the stream equals a from-scratch build over corpus ∪
+    * arrivals and every verdict keeps the restriction contract under
+    * id-monotone arrival (any micro-batch slicing converges —
+    * spec-pinned). At-least-once delivery converges too: a replayed
+    * committed micro-batch no-ops with byte-identical verdicts (the
+    * append's deterministic opId + commit marker), so the sink may key
+    * on batchId or just re-write idempotently. Per-trigger cost is the
+    * append's: O(batch + touched cells), never O(corpus). */
+  def semDedupIngestStream(spark: SparkSession, path: String,
+      arriving: DataFrame, embCol: String, id: String, threshold: Double,
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    arriving.writeStream
+      .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+        sink(graft.ops.Dedup.appendToSemDedupIndex(spark, path, b.toDF(),
+          embCol, id, threshold), batchId)
+      }
+      .start()
+
   def decontaminateStream(evalDocs: DataFrame, arriving: DataFrame,
       n: Int = 8): DataFrame = {
     import graft.ops.TextAnalysis.{tokens, shinglesFromTokens}

@@ -48,7 +48,10 @@ object MaintPlanLint {
         "(k rows by contract); probe-assign is the large-k path", 2),
     ("semProbe", "BroadcastNestedLoopJoin") ->
       ("join-form batch assignment: batch crossJoin broadcast " +
-        "quantizer, batch-bounded", 2))
+        "quantizer, batch-bounded", 2),
+    ("semAppend", "BroadcastNestedLoopJoin") ->
+      ("same join-form batch assignment as semProbe (the append's " +
+        "verdict probe), batch-bounded", 2))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -147,6 +150,15 @@ object MaintPlanLint {
       graft.streaming.StreamOps.semDedupGateBatch(spark, sidx,
         emb.filter($"vec_id" % 100 === 0), "embedding", "vec_id",
         threshold = 0.4).collect(); ()
+    }
+    in("semAppend") {
+      Dedup.appendToSemDedupIndex(spark, sidx,
+        emb.filter($"vec_id" % 10 === 0), "embedding", "vec_id",
+        threshold = 0.4).collect(); ()
+    }
+    in("semDelete") {
+      Dedup.deleteFromSemDedupIndex(spark, sidx,
+        emb.filter($"vec_id" % 10 === 0).select($"vec_id"), "vec_id")
     }
 
     // ---- the multi-table fan-out (one log decode -> N frames): the

@@ -350,6 +350,60 @@ object ScaleSmoke {
           "cell pruning is not holding")
     }
 
+    // the semDedup index APPEND at 1M vectors / k=1000: the growth
+    // claim is that an append WRITES only its batch's touched cells —
+    // every other cell directory stays byte-identical (the cluster
+    // index's untouched-bucket pin, applied here) — and that append
+    // wall-time does not track corpus size (verdict probe reads c
+    // touched cells; the global identity guard is a column-pruned id
+    // scan whose cost is file-count-bound, constant at fixed k).
+    timed(s"appendToSemDedupIndex scaling") {
+      val nApp = if (args.length > 2) args(2).toLong else 1000000L
+      def embExpr = "transform(sequence(0, 15), j -> CAST(" +
+        "pmod(xxhash64(id, j), 1000003) / 1000003.0 - 0.5 AS FLOAT))"
+      def appendAt(n: Long): Double = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"smoke-semapp-$n").toString
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          expr(embExpr).as("embedding"))
+        graft.ops.Dedup.buildSemDedupIndex(corpus, root, "embedding",
+          "vec_id", seeds = corpus.filter(col("vec_id") % (n / 1000) === 0),
+          seedId = "vec_id", seedEmb = "embedding", probeAssign = true)
+        val before = new java.io.File(s"$root/members").listFiles()
+          .filter(_.getName.startsWith("cell=")).map { d =>
+            d.getName -> d.listFiles().map(f =>
+              (f.getName, f.length())).toSet
+          }.toMap
+        val batch = spark.range(n, n + 50).select(col("id").as("vec_id"),
+          expr(embExpr).as("embedding"))
+        val t0 = System.nanoTime()
+        val out = graft.ops.Dedup.appendToSemDedupIndex(spark, root, batch,
+          "embedding", "vec_id", threshold = 0.999, probeAssign = true)
+        val cells = out.select(col("cluster_id")).distinct().count()
+        require(out.count() == 50, "append must emit every batch verdict")
+        val dt = (System.nanoTime() - t0) / 1e9
+        val after = new java.io.File(s"$root/members").listFiles()
+          .filter(_.getName.startsWith("cell=")).map { d =>
+            d.getName -> d.listFiles().map(f =>
+              (f.getName, f.length())).toSet
+          }.toMap
+        val changed = (before.keySet ++ after.keySet)
+          .count(c => before.get(c) != after.get(c))
+        assert(changed == cells,
+          s"append changed $changed cell dirs for $cells touched cells " +
+            "(of 1000) — writes are not cell-local")
+        println(f"SCALE appendToSemDedupIndex($n): append $dt%.1f s, " +
+          s"$cells cells touched, $changed dirs changed")
+        graft.TmpDirs.deleteRecursively(new java.io.File(root))
+        dt
+      }
+      val tSmall = appendAt(nApp / 10)
+      val tBig = appendAt(nApp)
+      assert(tBig < 6.0 * math.max(tSmall, 1.0),
+        f"append time grew ${tBig / tSmall}%.1fx on a 10x corpus — " +
+          "append cost is tracking corpus size")
+    }
+
     // the composed ANN index at 1M vectors: IVF cells prune + PQ codes
     // score compressed + exact re-rank — recall vs brute-force ground
     // truth must clear the spec bound at this scale, not just at the
