@@ -424,6 +424,29 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
+  /** [[appendToIvfIndex]] under AT-LEAST-ONCE delivery — the streaming
+    * sink's form: a batch whose ids are ALL already live is the replay
+    * of a committed append (ids are identity, so this exact batch
+    * landed before the caller's checkpoint advanced) and no-ops;
+    * PARTIAL liveness still refuses loud inside the append (a crashed
+    * append that landed part of its batch is the documented
+    * tombstone-compact-reappend/rebuild case, never a silent retry).
+    * The liveness pre-check is one column-pruned corpus id scan
+    * streaming against the broadcast batch ids — the same cost the
+    * append's own guard pays. */
+  def appendToIvfIndexIdempotent(spark: SparkSession, path: String,
+      batch: DataFrame, embCol: String = "embedding",
+      id: String = "vec_id"): Unit = {
+    val batchIds = batch.select(col(id)).distinct().localCheckpoint(true)
+    val nBatch = batchIds.count()
+    if (nBatch == 0) return
+    val nLive = spark.read.parquet(s"$path/corpus")
+      .select(col(id)).distinct()
+      .join(broadcast(batchIds), Seq(id), "left_semi").count()
+    if (nLive == nBatch) return // committed replay: no-op
+    appendToIvfIndex(spark, path, batch, embCol, id)
+  }
+
   /** DELETE vectors from a prebuilt IVF index as TOMBSTONES — the third
     * index-maintenance op next to build and append, and like append the
     * only affordable form at lake scale: rewriting cell files per delete

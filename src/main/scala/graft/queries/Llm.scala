@@ -86,6 +86,38 @@ object Llm {
     idx
   }
 
+  /** The str22 index: llm65's append lifecycle ONLINE — built on the
+    * `vec_id % 10 != 9` 90%, then the held-out 10% ARRIVES AS A STREAM
+    * and each micro-batch is folded in by
+    * `StreamOps.ivfAppendStream` (assignment-only against the frozen
+    * centroids; committed-replay micro-batches no-op through the
+    * all-live check, so at-least-once delivery converges). Same
+    * _APPENDED-marker discipline as ensureIvfAppendIndex: the corpus
+    * dir's _SUCCESS appears at build time, so an interrupted stream
+    * would otherwise serve a 90% index silently. */
+  private[queries] def ensureStreamedIvfIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val idx = graft.TmpDirs.scoped("graft-ivfsapp-" + graft.TmpDirs.pathKey(dir))
+    val lock = ivfBuildLocks.computeIfAbsent(idx, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$idx/_APPENDED")
+      if (!marker.exists()) {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 9), idx,
+          kClusters = 16)
+        val arriving = graft.streaming.StreamOps.embeddingsStream(s, dir)
+          .filter(col("vec_id") % 10 === 9)
+        val q = graft.streaming.StreamOps.ivfAppendStream(s, idx, arriving)
+        try {
+          q.processAllAvailable()
+          graft.tools.StreamPlanAudit.record("str22", q)
+        } finally q.stop()
+        marker.createNewFile()
+      }
+    }
+    idx
+  }
+
   /** The llm67 index: full build, then the `vec_id % 7 == 3` population
     * DELETED as tombstones (Similarity.deleteFromIvfIndex) — the
     * LSM-style delete the serving path anti-joins out. _TOMBSTONED

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QDef
+import graft.{QDef, Tables}
 import graft.cdc.CdcFixture
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -555,6 +555,23 @@ object Streaming {
         .filter(_.getName.startsWith("b=")).map(_.getAbsolutePath).sorted
       require(parts.nonEmpty, "str21: the ingest stream produced no batch")
       s.read.parquet(parts.toIndexedSeq: _*)
+    },
+
+    // streaming IVF index GROWTH — llm65's append lifecycle online: the
+    // held-out 10% arrives as a stream and folds into the persisted
+    // index per micro-batch (assignment-only, frozen centroids;
+    // committed replays no-op through the all-live check). Serving then
+    // answers over old + new through the same static-partition-filter
+    // scan, and llm65's gate/oracle holds against the FULL corpus —
+    // appended-by-stream vectors are first-class.
+    QDef("str22_stream_ivf_append", Llm.annGateOracle(10)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = Llm.ensureStreamedIvfIndex(s, dir)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      Llm.annGate(
+        graft.ops.Similarity.ivfTopKFromIndex(s, idx, queries, k = 10,
+          nProbe = 10),
+        emb, k = 10, minMatches = 5)
     }
   )
 }

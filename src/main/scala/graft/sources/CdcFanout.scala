@@ -281,4 +281,45 @@ object CdcFanout {
     IndexFs.delete(fs, stagingRoot)
     dests
   }
+
+  /** CONTINUOUS multi-table replication — the reference's daemon loop
+    * re-expressed over [[appendTables]]: poll the log, fold any new
+    * bytes into the per-table frames (one decode feeding all N tables),
+    * sleep, repeat. Stops after `maxIdlePolls` consecutive no-growth
+    * polls; `maxIdlePolls <= 0` runs until the thread is interrupted
+    * (the production shape — tests bound it). Killing the daemon
+    * anywhere is safe because each iteration IS [[appendTables]]: the
+    * offsets manifest commits LAST, so the next start replays the
+    * interrupted increment idempotently; readers of the per-table
+    * frames never see a torn file (per-file renames). Growth is
+    * detected by offsets-manifest change, so a poll that decodes
+    * nothing costs one manifest read plus the per-file length
+    * fast-path — O(#files) metadata, no log bytes.
+    *
+    * Returns the number of increments applied. */
+  def tailTables(spark: SparkSession, indexFile: String,
+      tables: Seq[(String, String)], outRoot: String,
+      format: String = "gcdc", pollIntervalMs: Long = 1000,
+      maxIdlePolls: Int = 3): Int = {
+    import graft.ops.IndexFs
+    val fs = IndexFs.fs(spark, outRoot)
+    val offPath = s"$outRoot/_offsets"
+    def off(): String =
+      if (IndexFs.exists(fs, offPath)) IndexFs.readUtf8(fs, offPath) else ""
+    var idle = 0
+    var applied = 0
+    while (maxIdlePolls <= 0 || idle < maxIdlePolls) {
+      val before = off()
+      appendTables(spark, indexFile, tables, outRoot, format)
+      if (off() == before) {
+        idle += 1
+        if (maxIdlePolls <= 0 || idle < maxIdlePolls)
+          Thread.sleep(pollIntervalMs)
+      } else {
+        idle = 0
+        applied += 1
+      }
+    }
+    applied
+  }
 }

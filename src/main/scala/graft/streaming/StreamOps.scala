@@ -575,6 +575,29 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming IVF index GROWTH — llm65's append lifecycle ONLINE: each
+    * arriving micro-batch of vectors is folded into a persisted
+    * `Similarity.buildIvfIndex` index (assignment-only against the
+    * frozen build-time centroids — FAISS add() semantics, the only
+    * affordable form at lake scale), so queries served from the index
+    * see old + new vectors transparently as the stream runs. Delivery
+    * is at-least-once-safe: a replayed committed micro-batch no-ops
+    * (`appendToIvfIndexIdempotent`'s all-live check); a crashed append
+    * that landed part of its batch refuses loud on the retry (the
+    * documented compact-then-reappend/rebuild recovery, never a silent
+    * duplicate). Cells stay the build-time Voronoi partition — a
+    * production wrapper watches `ivfDriftReport` and rebuilds when the
+    * arrival distribution drifts. */
+  def ivfAppendStream(spark: SparkSession, path: String,
+      arriving: DataFrame, embCol: String = "embedding",
+      id: String = "vec_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    arriving.writeStream
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        graft.ops.Similarity.appendToIvfIndexIdempotent(spark, path,
+          b.toDF(), embCol, id)
+      }
+      .start()
+
   /** Streaming semantic-dedup INGESTION over a persisted
     * `Dedup.buildSemDedupIndex` index — the admission gate's
     * admit-and-index sibling, and the online form of the llm81/llm82

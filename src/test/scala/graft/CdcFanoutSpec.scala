@@ -184,6 +184,63 @@ class CdcFanoutSpec extends SparkTestBase {
       graft.TmpDirs.deleteRecursively(new java.io.File(d)))
   }
 
+  test("tailTables daemon: folds mid-run growth, idles out, restart applies nothing") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("cdcfanout-tail").toString
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    val schB = StructType(Seq(StructField("bk", LongType)))
+    val full = s"$dir/log.0"
+    val w = new graft.cdc.CdcCodec.LogWriter(full)
+    w.tableMap(1000L, 1L, "db", "t", sch)
+    w.tableMap(1000L, 2L, "db", "b", schB)
+    (0 until 8).foreach { g =>
+      w.gtid(1000L + g, g.toLong)
+      w.writeRows(1000L + g, 1L, sch, Seq(Array[Any](g.toLong, s"v$g")))
+      if (g % 2 == 0)
+        w.writeRows(1000L + g, 2L, schB, Seq(Array[Any](100L + g)))
+    }
+    w.close()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(full))
+    val r = new graft.cdc.CdcCodec.EventReader(full)
+    val ends = try r.map(_.endPos).toList finally r.close()
+    val cut = ends(ends.length / 2).toInt
+    val live = s"$dir/live.0"
+    val index = s"$dir/binlog.index"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(index), s"$live\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(live),
+      java.util.Arrays.copyOfRange(bytes, 0, cut))
+    val root = java.nio.file.Files.createTempDirectory("cdcfanout-tail-out").toString
+    val tables = Seq(("db", "t"), ("db", "b"))
+    @volatile var applied = -1
+    val daemon = new Thread(() => {
+      applied = graft.sources.CdcFanout.tailTables(spark, index, tables,
+        root, pollIntervalMs = 100, maxIdlePolls = 25)
+    })
+    daemon.start()
+    // grow the log only AFTER the first increment commits, so the
+    // daemon deterministically applies exactly two increments
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!new java.io.File(s"$root/_offsets").exists() &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(new java.io.File(s"$root/_offsets").exists(),
+      "daemon never committed the first increment")
+    java.nio.file.Files.write(java.nio.file.Paths.get(live), bytes)
+    daemon.join(120000)
+    assert(!daemon.isAlive, "daemon did not idle out")
+    assert(applied == 2, s"expected 2 applied increments, got $applied")
+    val t = spark.read.parquet(s"$root/db__t")
+      .select("k", "v", "__op", "__gtid").collect()
+      .map(_.toString).sorted.toSeq
+    assert(t == (0 until 8).map(g => s"[$g,v$g,1,$g]").sorted,
+      s"daemon-tailed frame diverges: $t")
+    // a restarted daemon over the unchanged log applies nothing
+    assert(graft.sources.CdcFanout.tailTables(spark, index, tables, root,
+      pollIntervalMs = 10, maxIdlePolls = 2) == 0)
+    Seq(dir, root).foreach(d =>
+      graft.TmpDirs.deleteRecursively(new java.io.File(d)))
+  }
+
   test("incremental appendTables: crash at every failpoint, then retry converges without duplicates") {
     val index = graft.cdc.CdcFixture.ensure(spark, sfDir)
     val files = graft.cdc.CdcCodec.readIndex(index)

@@ -778,6 +778,36 @@ class LlmOpsSpec extends SparkTestBase {
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 
+  test("IVF idempotent append: committed replays no-op, partial liveness refuses, fresh batches land") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idem").toString
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 10 =!= 9), idx, kClusters = 8)
+    val batch = emb.filter($"vec_id" % 10 === 9)
+    Similarity.appendToIvfIndexIdempotent(spark, idx, batch)
+    val files = spark.read.parquet(s"$idx/corpus").inputFiles.toSet
+    // the at-least-once replay: same batch again must be a no-op, not
+    // the loud already-indexed refusal the raw append raises
+    Similarity.appendToIvfIndexIdempotent(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/corpus").inputFiles.toSet == files,
+      "committed replay changed corpus files")
+    // a batch with SOME live ids is a crashed-append retry, not a
+    // replay — still refuses loud inside the append
+    val mixedBatch = emb.filter($"vec_id" % 20 === 9) // live subset
+      .union(emb.filter($"vec_id" % 10 === 9).limit(1)
+        .withColumn("vec_id", $"vec_id" + 1000000L))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexIdempotent(spark, idx, mixedBatch)
+    }
+    assert(ex.getMessage.contains("already indexed"), ex.getMessage)
+    // a genuinely fresh batch lands and serves
+    val freshBatch = emb.filter($"vec_id" % 10 === 9).limit(2)
+      .withColumn("vec_id", $"vec_id" + 2000000L)
+    Similarity.appendToIvfIndexIdempotent(spark, idx, freshBatch)
+    assert(spark.read.parquet(s"$idx/corpus")
+      .filter($"vec_id" >= 2000000L).count() == 2)
+    graft.TmpDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("IVF append: appended vectors are first-class index citizens") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("ivf-append").toString

@@ -272,6 +272,146 @@ class SemDedupIndexLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("randomized crash-interleaved lifecycle: any op sequence with injected crashes converges to the driver-side mirror") {
+    // the per-op failpoint tests cover each crash window in isolation;
+    // this property covers their INTERLEAVINGS: a random sequence of
+    // append / delete / probe where each mutating op may crash at a
+    // random failpoint — readers must refuse while the leftovers exist,
+    // the retry must converge — plus manifest-loss chaos. After every
+    // committed op the persisted members must equal the driver-side
+    // mirror's assignment exactly, and every verdict (append's and
+    // probe's) must equal the brute-force id-ordered reference.
+    val dim = 8
+    val Tc = 0.9
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (propSeed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(propSeed)
+      def randEmb(): Seq[Float] =
+        Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      val seedVecs = (0L until 4L).map(i => (i, randEmb()))
+      def cellOf(v: Seq[Float]): Long =
+        seedVecs.map { case (sid, se) => (cos(v, se), sid) }
+          .maxBy { case (c, sid) => (c, -sid) }._2
+      val mirror = scala.collection.mutable.Map.empty[Long, Seq[Float]]
+      val retiredIds = scala.collection.mutable.Set.empty[Long]
+      var nextId = 0L
+      def freshIds(n: Int): Seq[Long] = {
+        val ids = (nextId until nextId + n); nextId += n; ids
+      }
+      // ~1/3 of new vectors are near-copies of live ones, so both
+      // verdict polarities occur under churn
+      def newEmb(): Seq[Float] =
+        if (mirror.nonEmpty && rnd.nextInt(3) == 0) {
+          val ks = mirror.keys.toSeq.sorted
+          val base = mirror(ks(rnd.nextInt(ks.size)))
+          base.map(x => x + (rnd.nextDouble() * 0.002 - 0.001).toFloat)
+        } else randEmb()
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"semidx-chaos-$propSeed").toString
+      freshIds(12).foreach(i => mirror(i) = newEmb())
+      Dedup.buildSemDedupIndex(mirror.toSeq.toDF("vec_id", "embedding"),
+        idx, "embedding", "vec_id",
+        seeds = seedVecs.toDF("seed_id", "s_emb"),
+        seedId = "seed_id", seedEmb = "s_emb")
+      def refMembers: Set[(Long, Long, Seq[Float])] =
+        mirror.map { case (i, v) => (i, cellOf(v), v) }.toSet
+      def refVerdicts(batch: Seq[(Long, Seq[Float])])
+          : Set[(Long, Long, Boolean)] = {
+        val cells = batch.map(b => cellOf(b._2)).toSet
+        val pool = mirror.toSeq.filter(m => cells(cellOf(m._2))) ++ batch
+        batch.map { case (i, v) =>
+          val c = cellOf(v)
+          val dup = pool.exists { case (j, w) =>
+            j < i && cellOf(w) == c && cos(v, w) >= Tc }
+          (i, c, dup)
+        }.toSet
+      }
+      def probeAt(batch: Seq[(Long, Seq[Float])])
+          : Set[(Long, Long, Boolean)] =
+        Dedup.semDedupFromIndex(spark, idx,
+          batch.toDF("vec_id", "embedding"), "embedding", "vec_id",
+          threshold = Tc)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      def appendOp(batch: Seq[(Long, Seq[Float])])
+          : Set[(Long, Long, Boolean)] =
+        Dedup.appendToSemDedupIndex(spark, idx,
+          batch.toDF("vec_id", "embedding"), "embedding", "vec_id",
+          threshold = Tc)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      def crashAt(p: String)(op: => Unit): Unit = {
+        Dedup.appendCrashPoint = Some(p)
+        try { val e = intercept[IllegalStateException](op)
+          assert(e.getMessage.contains(p), e.getMessage) }
+        finally Dedup.appendCrashPoint = None
+      }
+      /** clean run, or crash-at-random-failpoint (readers must refuse)
+        * then retry. */
+      def runMut(points: Seq[String])(op: => Unit): Unit =
+        rnd.nextInt(3) match {
+          case 0 | 1 => op
+          case 2 =>
+            crashAt(points(rnd.nextInt(points.length)))(op)
+            val refused = intercept[IllegalArgumentException] {
+              probeAt(Seq((nextId + 999999L, randEmb())))
+            }
+            assert(refused.getMessage.contains("maintenance"),
+              refused.getMessage)
+            op
+        }
+      val appendPoints = Seq("semapp-after-staging", "semapp-mid-rename",
+        "semapp-after-renames")
+      val deletePoints = Seq("semdel-after-staging", "semdel-mid-swap-0",
+        "semdel-after-swap-0", "semdel-after-swaps")
+      (0 until 8).foreach { _ =>
+        // manifest chaos: the sequence cache may vanish at any point —
+        // ops must keep resolving from the marker files and re-heal it
+        if (rnd.nextInt(3) == 0) {
+          new java.io.File(s"$idx/appends/_manifest").delete()
+          new java.io.File(s"$idx/appends/._manifest.crc").delete()
+          ()
+        }
+        rnd.nextInt(3) match {
+          case 0 => // append fresh ids, sometimes re-appending retired
+            // ids under NEW embeddings (the liveness-gated lifecycle)
+            val back = retiredIds.toSeq.sorted.filter(_ => rnd.nextBoolean())
+            val batch = (freshIds(rnd.nextInt(3) + 1) ++ back)
+              .map(i => (i, newEmb()))
+            val expect = refVerdicts(batch)
+            var got: Set[(Long, Long, Boolean)] = null
+            runMut(appendPoints) { got = appendOp(batch) }
+            assert(got == expect, s"append verdicts diverge: $got vs $expect")
+            retiredIds --= back
+            batch.foreach { case (i, v) => mirror(i) = v }
+          case 1 if mirror.size >= 2 => // delete a proper subset
+            val live = mirror.keys.toSeq.sorted
+            val ids = rnd.shuffle(live).take(rnd.nextInt(live.size - 1) + 1)
+            runMut(deletePoints) {
+              Dedup.deleteFromSemDedupIndex(spark, idx,
+                ids.toDF("vec_id"), "vec_id")
+            }
+            ids.foreach { i => mirror -= i; retiredIds += i }
+          case _ => // probe a non-member batch: serving path under churn
+            val batch = freshIds(rnd.nextInt(2) + 1).map(i => (i, newEmb()))
+            assert(probeAt(batch) == refVerdicts(batch),
+              s"probe verdicts diverge under churn")
+        }
+        assert(membersSet(idx) == refMembers,
+          "persisted members diverge from the driver-side mirror")
+      }
+      rm(idx)
+    }
+  }
+
   test("cross-kind refusals: crashed append blocks delete, crashed delete blocks append — both loud") {
     val root = freshRoot("cross")
     buildIdx(root, corpus)
