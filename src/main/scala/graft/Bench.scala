@@ -84,7 +84,12 @@ object Bench {
     // round-15 addition, same rule: the multi-table fan-out query reads
     // two frames MATERIALIZED from one log decode (the materialization
     // is a build-once fixture like llm45/llm73/llm82; the benched path
-    // is the cross-frame join a catalog consumer pays per query)
+    // is the cross-frame join a catalog consumer pays per query).
+    // The round's other additions stay out by the same selection logic:
+    // llm83 reads a fixture's persisted verdicts (a bare parquet scan),
+    // llm84's benched path is llm82's serve plan over a smaller index,
+    // and str21/str22/cdc54 are streaming/fixture-incremental like
+    // str19/str20.
     "cdc53_fanout_multi_table")
 
   /** Timed samples per query per layout series (the published JSON

@@ -2129,7 +2129,8 @@ object Dedup {
         "missing — a crashed or in-flight buildSemDedupIndex); re-run the " +
         "build before probing")
     if (!maintenance)
-      Seq("members.appending", "members.deleting", "members.old.del")
+      Seq("members.appending", "members.deleting", "members.old.del",
+          "members.compacting", "members.old.compact")
         .foreach { d =>
           require(IndexFs.listNames(fs, s"$path/$d").isEmpty,
             s"semDedup index at $path has in-flight or crashed " +
@@ -2511,5 +2512,87 @@ object Dedup {
     writeCommitMarker(fs, path, opId, Some(seqs))
     IndexFs.delete(fs, s"$path/members.deleting/$opId")
     IndexFs.delete(fs, oldRoot)
+  }
+
+  /** Per-cell HYGIENE of a persisted semantic-dedup index — the number
+    * compaction is scheduled from (the cluster index's artifact report
+    * / the IVF drift report, for this index): every append lands one
+    * file per touched cell, so probe read-amplification on a hot cell
+    * grows with append lifetime; `advise_compact` flags cells whose
+    * file count reaches `fileThreshold`. Cost: one footer-only members
+    * scan for the counts (only the PARTITION column is read — zero data
+    * bytes) plus a driver-side directory listing, O(k) at k ~ √n cells
+    * by contract. */
+  def semDedupIndexReport(spark: SparkSession, path: String,
+      fileThreshold: Int = 4): DataFrame = {
+    requireSemDedupIndexBuilt(spark, path)
+    val fs = IndexFs.fs(spark, path)
+    import spark.implicits._
+    val files = IndexFs.listNames(fs, s"$path/members")
+      .filter(_.startsWith("cell="))
+      .map { cd =>
+        (cd.stripPrefix("cell=").toLong,
+          IndexFs.listNames(fs, s"$path/members/$cd")
+            .count(f => f.endsWith(".parquet") && !f.startsWith(".")))
+      }.toDF("cell", "n_files")
+    val counts = spark.read.parquet(s"$path/members")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    counts.join(broadcast(files), Seq("cell"))
+      .select(col("cell"), col("n_members"), col("n_files").cast("long"),
+        (col("n_files") >= fileThreshold).as("advise_compact"))
+  }
+
+  /** COMPACT a persisted semantic-dedup index: rewrite members/ to ONE
+    * file per cell (the build-time layout), reclaiming the per-append
+    * file growth [[semDedupIndexReport]] flags. Serving is unchanged by
+    * construction — the rewrite is a row-identical repartition, no
+    * filter. Crash-safe with the two-rename discipline, plus an
+    * explicit roll-forward/roll-back head so a retried compaction heals
+    * the one window where no members/ exists (a reader there refuses
+    * loud on the missing `members/_SUCCESS`; the retired dir rides
+    * `members.old.compact` until the swap completes). Commit markers
+    * and their manifest are untouched: committed-append replays keep
+    * no-opping through the all-live check over the compacted rows. At
+    * 100 TB the rewrite is one corpus-linear partitioned copy
+    * (cell-partitioned input → no shuffle beyond the file split), run
+    * RARELY, gated by the report. */
+  def compactSemDedupIndex(spark: SparkSession, path: String): Unit = {
+    val fs = IndexFs.fs(spark, path)
+    // heal a previously crashed compaction FIRST: complete the swap if
+    // the replacement finished writing, else restore the retired dir
+    val live = s"$path/members"
+    val tmp = s"$path/members.compacting"
+    val old = s"$path/members.old.compact"
+    if (!IndexFs.exists(fs, s"$live/_SUCCESS")) {
+      if (IndexFs.exists(fs, s"$tmp/_SUCCESS")) {
+        if (IndexFs.exists(fs, live)) IndexFs.delete(fs, live)
+        IndexFs.rename(fs, tmp, live) // roll forward
+      } else if (IndexFs.exists(fs, old)) {
+        if (IndexFs.exists(fs, live)) IndexFs.delete(fs, live)
+        IndexFs.rename(fs, old, live) // roll back
+      }
+    }
+    requireSemDedupIndexBuilt(spark, path, maintenance = true)
+    // append/delete leftovers are THEIR retries' job (the compaction
+    // rewrite would fold uncommitted rows into files their sweeps can
+    // no longer address)
+    Seq("members.appending", "members.deleting", "members.old.del")
+      .foreach { d =>
+        require(IndexFs.listNames(fs, s"$path/$d").isEmpty,
+          s"compactSemDedupIndex($path): crashed or in-flight " +
+            s"maintenance left $d/ non-empty — retry that op first")
+      }
+    IndexFs.delete(fs, tmp)
+    spark.read.parquet(live)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    maybeCrash("semcompact-after-staging")
+    if (IndexFs.exists(fs, old)) IndexFs.delete(fs, old)
+    IndexFs.rename(fs, live, old)
+    maybeCrash("semcompact-mid-swap")
+    IndexFs.rename(fs, tmp, live)
+    maybeCrash("semcompact-after-swap")
+    IndexFs.delete(fs, old)
   }
 }

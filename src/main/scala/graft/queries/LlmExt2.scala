@@ -1406,6 +1406,41 @@ object LlmExt2 {
       Dedup.semDedupFromIndex(s, idx,
         Tables.load(s, dir, "embeddings").filter(col("vec_id") % 5 === 0),
         "embedding", "vec_id", threshold = 0.40)
+    },
+
+    // semDedup index HYGIENE report over llm83's grown index — the
+    // number compaction is scheduled from. The oracle derives the EXACT
+    // per-cell file accounting from the lifecycle recipe: the build
+    // lays one file per corpus cell (repartition-by-cell), each of the
+    // two id-monotone appends lays one file per cell its batch touches;
+    // n_members is the cell's population. advise_compact flags cells at
+    // >= 3 files (touched by build + both appends).
+    QDef("llm85_semdedup_index_report", {
+      def fold(a: String, b: String) =
+        s"CASE WHEN least(len($a), len($b)) = 0 THEN 0.0 ELSE list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y) END"
+      def cos(a: String, b: String) =
+        s"""CASE WHEN (${fold(a, a)}) = 0.0 OR (${fold(b, b)}) = 0.0 THEN 0.0
+           |    ELSE (${fold(a, b)}) / (sqrt(${fold(a, a)}) * sqrt(${fold(b, b)})) END""".stripMargin
+      s"""WITH seeds AS (SELECT vec_id AS seed_id, embedding AS s_emb
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |sc AS (SELECT e.vec_id, s.seed_id, ${cos("e.embedding", "s.s_emb")} AS c
+         |  FROM embeddings e CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, seed_id AS cluster_id FROM (
+         |  SELECT vec_id, seed_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, seed_id) AS rn FROM sc) WHERE rn = 1),
+         |cut AS (SELECT max(vec_id) // 2 AS cut FROM embeddings WHERE vec_id % 10 = 0),
+         |files AS (SELECT cluster_id AS cell,
+         |    CAST(max(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END)
+         |       + max(CASE WHEN vec_id % 10 = 0 AND vec_id <= (SELECT cut FROM cut) THEN 1 ELSE 0 END)
+         |       + max(CASE WHEN vec_id % 10 = 0 AND vec_id > (SELECT cut FROM cut) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_files,
+         |    COUNT(*) AS n_members
+         |  FROM asg GROUP BY 1)
+         |SELECT cell, n_members, n_files, n_files >= 3 AS advise_compact
+         |FROM files""".stripMargin
+    }) { (s, dir) =>
+      val root = ensureGrownSemDedupIndex(s, dir)
+      Dedup.semDedupIndexReport(s, s"$root/index", fileThreshold = 3)
     }
   )
 }

@@ -160,6 +160,10 @@ object MaintPlanLint {
       Dedup.deleteFromSemDedupIndex(spark, sidx,
         emb.filter($"vec_id" % 10 === 0).select($"vec_id"), "vec_id")
     }
+    in("semReport") {
+      Dedup.semDedupIndexReport(spark, sidx).collect(); ()
+    }
+    in("semCompact") { Dedup.compactSemDedupIndex(spark, sidx) }
 
     // ---- the multi-table fan-out (one log decode -> N frames): the
     // staged write and both pruned extractions are all executed plans

@@ -412,6 +412,91 @@ class SemDedupIndexLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("report + compaction: per-append file growth is counted exactly, compaction restores 1 file/cell with identical serving") {
+    val root = freshRoot("compact")
+    buildIdx(root, corpus)
+    val ids = arrivals.select($"vec_id").orderBy($"vec_id")
+      .collect().map(_.getLong(0))
+    val cut = ids(ids.length / 2)
+    val b1 = arrivals.filter($"vec_id" < cut)
+    val b2 = arrivals.filter($"vec_id" >= cut)
+    append(root, b1); append(root, b2)
+    // exact file accounting: 1 build file per corpus cell + 1 per
+    // touched cell per append, touches derived from the persisted
+    // assignment itself
+    val cellsOf = spark.read.parquet(s"$root/members")
+      .select($"vec_id", $"cell".cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusIds = corpus.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val b1Ids = b1.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val b2Ids = b2.select($"vec_id").collect().map(_.getLong(0)).toSet
+    def touches(s: Set[Long]): Set[Long] = s.map(cellsOf)
+    val expFiles = cellsOf.values.toSet.map { (c: Long) =>
+      c -> ((if (touches(corpusIds).contains(c)) 1 else 0) +
+        (if (touches(b1Ids).contains(c)) 1 else 0) +
+        (if (touches(b2Ids).contains(c)) 1 else 0)).toLong
+    }.toMap
+    val report = Dedup.semDedupIndexReport(spark, root, fileThreshold = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(report.map(r => r._1 -> r._3).toMap == expFiles,
+      "per-cell file counts diverge from the lifecycle accounting")
+    report.foreach { case (c, n, f, adv) =>
+      assert(adv == (f >= 3), s"cell $c advisory inconsistent")
+      assert(n == cellsOf.values.count(_ == c).toLong)
+    }
+    assert(report.exists(_._4) && report.exists(!_._4),
+      "fixture should show both advisory polarities")
+    // compaction: identical members + serving, 1 file per cell
+    val beforeMembers = membersSet(root)
+    val probeBatch = arrivals.limit(7)
+      .withColumn("vec_id", $"vec_id" + 20000000L)
+    val beforeProbe = probe(root, probeBatch)
+    Dedup.compactSemDedupIndex(spark, root)
+    assert(membersSet(root) == beforeMembers, "compaction changed rows")
+    assert(probe(root, probeBatch) == beforeProbe,
+      "compaction changed serving")
+    val after = Dedup.semDedupIndexReport(spark, root)
+      .collect().map(r => r.getLong(2))
+    assert(after.forall(_ == 1L), s"compaction left multi-file cells")
+    // lifecycle continues: committed-append replay still no-ops (the
+    // all-live check rides the compacted rows), fresh appends land
+    val filesNow = IndexFsProbe.allFiles(spark, s"$root/members")
+    append(root, b2) // committed replay
+    assert(IndexFsProbe.allFiles(spark, s"$root/members") == filesNow)
+    append(root, probeBatch)
+    assert(spark.read.parquet(s"$root/members")
+      .filter($"vec_id" >= 20000000L).count() == 7)
+    rm(root)
+  }
+
+  test("compaction crash windows: readers refuse loud, retry heals and converges") {
+    for (point <- Seq("semcompact-after-staging", "semcompact-mid-swap",
+        "semcompact-after-swap")) {
+      val root = freshRoot(s"compact-$point")
+      buildIdx(root, corpus)
+      append(root, arrivals)
+      val expect = membersSet(root)
+      Dedup.appendCrashPoint = Some(point)
+      try intercept[IllegalStateException] {
+        Dedup.compactSemDedupIndex(spark, root)
+      } finally Dedup.appendCrashPoint = None
+      // readers refuse: leftover dirs (or, mid-swap, the missing
+      // members/_SUCCESS itself)
+      val refused = intercept[IllegalArgumentException] {
+        probe(root, arrivals.limit(1)
+          .withColumn("vec_id", $"vec_id" + 30000000L))
+      }
+      assert(refused.getMessage.contains("maintenance") ||
+        refused.getMessage.contains("not fully built"), refused.getMessage)
+      Dedup.compactSemDedupIndex(spark, root)
+      assert(membersSet(root) == expect, s"$point: retry members diverge")
+      assert(Dedup.semDedupIndexReport(spark, root)
+        .collect().forall(_.getLong(2) == 1L), s"$point: not compacted")
+      rm(root)
+    }
+  }
+
   test("cross-kind refusals: crashed append blocks delete, crashed delete blocks append — both loud") {
     val root = freshRoot("cross")
     buildIdx(root, corpus)
