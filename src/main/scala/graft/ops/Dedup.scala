@@ -2595,4 +2595,109 @@ object Dedup {
     maybeCrash("semcompact-after-swap")
     IndexFs.delete(fs, old)
   }
+
+  /** REBUILD a drifted semantic-dedup index in place — the op that
+    * completes the lifecycle build → append → delete → compact →
+    * rebuild, the semDedup twin of `Similarity.rebuildIvfIndex`:
+    * appends assign against the FROZEN build-time quantizer, so a
+    * shifted arrival distribution piles batches into few cells (the
+    * maxCluster guard eventually refuses probes of the hot cell);
+    * rebuilding re-trains k-means seeds from the LIVE members and
+    * re-assigns every member, restoring the balanced partition (and,
+    * since the rewrite is one-file-per-cell, doubling as a compaction).
+    *
+    * Crash-safe with NO data-loss window, unlike a naive
+    * delete-and-rebuild: both replacements (`seeds.rebuilding`,
+    * `members.rebuilding`) are FULLY written beside the live pair
+    * before either live dir is touched; the lives are then retired
+    * together (so no window serves a new quantizer over an old
+    * assignment or vice versa) and the replacements renamed in. Every
+    * crash window either leaves the live pair intact, or a missing
+    * live whose complete replacement (or retired original) exists — the
+    * heal head at entry rolls forward/back accordingly, and readers
+    * refuse loud in between. Commit markers stay: replays of committed
+    * appends keep no-opping through the all-live check over the
+    * re-assigned rows. kClusters defaults to the current quantizer's
+    * size; seed ids renumber 0..k-1 (verdicts are
+    * assignment-relative). */
+  def rebuildSemDedupIndex(spark: SparkSession, path: String,
+      kClusters: Int = 0, probeAssign: Boolean = true): Unit = {
+    val fs = IndexFs.fs(spark, path)
+    val mLive = s"$path/members"; val sLive = s"$path/seeds"
+    val mTmp = s"$path/members.rebuilding"; val sTmp = s"$path/seeds.rebuilding"
+    val mOld = s"$path/members.old.rebuild"; val sOld = s"$path/seeds.old.rebuild"
+    // heal a previously crashed rebuild FIRST
+    val livePairOk = IndexFs.exists(fs, s"$mLive/_SUCCESS") &&
+      IndexFs.exists(fs, s"$sLive/_SUCCESS")
+    if (livePairOk) {
+      // lives intact: any tmp/old dirs are pure leftovers
+      Seq(mTmp, sTmp, mOld, sOld).foreach(IndexFs.delete(fs, _))
+    } else if (IndexFs.exists(fs, s"$mTmp/_SUCCESS") &&
+        IndexFs.exists(fs, s"$sTmp/_SUCCESS")) {
+      // replacements complete: roll FORWARD whichever halves are missing
+      Seq((sTmp, sLive), (mTmp, mLive)).foreach { case (tmp, live) =>
+        if (IndexFs.exists(fs, live)) IndexFs.delete(fs, tmp)
+        else IndexFs.rename(fs, tmp, live)
+      }
+      Seq(mOld, sOld).foreach(IndexFs.delete(fs, _))
+    } else {
+      // replacements incomplete: roll BACK from the retired originals
+      Seq((sOld, sLive), (mOld, mLive)).foreach { case (old, live) =>
+        if (!IndexFs.exists(fs, live)) {
+          require(IndexFs.exists(fs, old),
+            s"rebuildSemDedupIndex($path): $live missing and no retired " +
+              "copy to restore — manual recovery required")
+          IndexFs.rename(fs, old, live)
+        } else IndexFs.delete(fs, old)
+      }
+      IndexFs.delete(fs, mTmp); IndexFs.delete(fs, sTmp)
+    }
+    requireSemDedupIndexBuilt(spark, path, maintenance = true)
+    Seq("members.appending", "members.deleting", "members.old.del",
+        "members.compacting", "members.old.compact").foreach { d =>
+      require(IndexFs.listNames(fs, s"$path/$d").isEmpty,
+        s"rebuildSemDedupIndex($path): crashed or in-flight maintenance " +
+          s"left $d/ non-empty — retry that op first")
+    }
+    import spark.implicits._
+    val members = spark.read.parquet(mLive)
+    val id = members.columns
+      .filterNot(c => c == "__emb" || c == "cell") match {
+      case Array(one) => one
+      case other => throw new IllegalStateException(
+        s"rebuildSemDedupIndex($path): cannot identify the id column " +
+          s"among ${other.mkString(",")}")
+    }
+    val live = members.select(col(id), col("__emb"))
+    val k =
+      if (kClusters > 0) kClusters
+      else spark.read.parquet(sLive).count().toInt
+    require(k > 0, s"rebuildSemDedupIndex($path): empty quantizer")
+    val dim = live.select(size(col("__emb"))).head().getInt(0)
+    val seeds = Similarity
+      .kmeansCentroids(live, "__emb", k, dim = dim)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat).toSeq) }
+      .toIndexedSeq.toDF("seed_id", "s_emb")
+    // replacements fully written BESIDE the live pair
+    seeds.repartition(1).write.mode("overwrite").parquet(sTmp)
+    assignCells(live, "__emb", id, seeds, "seed_id", "s_emb", probeAssign)
+      .select(col(id), col("cluster_id").as("cell"), col("__emb"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(mTmp)
+    maybeCrash("semrebuild-after-staging")
+    // retire the live pair together — members FIRST, so every reader in
+    // the swap window hits the clean members/_SUCCESS refusal instead
+    // of a raw missing-seeds read — then swap the replacements in,
+    // members LAST (its _SUCCESS is the serve gate)
+    Seq(mOld, sOld).foreach(IndexFs.delete(fs, _))
+    IndexFs.rename(fs, mLive, mOld)
+    IndexFs.rename(fs, sLive, sOld)
+    maybeCrash("semrebuild-after-retire")
+    IndexFs.rename(fs, sTmp, sLive)
+    maybeCrash("semrebuild-mid-swap")
+    IndexFs.rename(fs, mTmp, mLive)
+    maybeCrash("semrebuild-after-swap")
+    IndexFs.delete(fs, mOld); IndexFs.delete(fs, sOld)
+  }
 }

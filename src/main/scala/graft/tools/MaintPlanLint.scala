@@ -51,7 +51,10 @@ object MaintPlanLint {
         "quantizer, batch-bounded", 2),
     ("semAppend", "BroadcastNestedLoopJoin") ->
       ("same join-form batch assignment as semProbe (the append's " +
-        "verdict probe), batch-bounded", 2))
+        "verdict probe), batch-bounded", 2),
+    ("semRebuild", "SinglePartition") ->
+      ("seeds/: the retrained k ~ sqrt(n) quantizer, one file like " +
+        "semBuild's", 2))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -164,6 +167,7 @@ object MaintPlanLint {
       Dedup.semDedupIndexReport(spark, sidx).collect(); ()
     }
     in("semCompact") { Dedup.compactSemDedupIndex(spark, sidx) }
+    in("semRebuild") { Dedup.rebuildSemDedupIndex(spark, sidx) }
 
     // ---- the multi-table fan-out (one log decode -> N frames): the
     // staged write and both pruned extractions are all executed plans

@@ -470,6 +470,90 @@ class SemDedupIndexLifecycleSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("rebuild: re-trains the quantizer from live members, preserves every row, serving matches brute force under the new seeds") {
+    val root = freshRoot("rebuild")
+    buildIdx(root, corpus)
+    append(root, arrivals)
+    val beforeRows = membersSet(root).map(t => (t._1, t._3))
+    val kOld = spark.read.parquet(s"$root/seeds").count()
+    Dedup.rebuildSemDedupIndex(spark, root)
+    assert(membersSet(root).map(t => (t._1, t._3)) == beforeRows,
+      "rebuild lost or changed member rows")
+    assert(spark.read.parquet(s"$root/seeds").count() == kOld,
+      "rebuild changed the quantizer size unasked")
+    assert(Dedup.semDedupIndexReport(spark, root).collect()
+      .forall(_.getLong(2) == 1L), "rebuild should lay one file per cell")
+    // serving vs brute force under the NEW quantizer: probe ids sit
+    // above every member id, so dup == any same-cell member at cos>=T;
+    // half the probe rows are exact copies of members (dup under ANY
+    // quantizer), half are fresh
+    def cosd(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sd = spark.read.parquet(s"$root/seeds").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def cellOf(v: Seq[Float]): Long =
+      sd.map { case (sid, se) => (cosd(v, se), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+    val memberRows = spark.read.parquet(s"$root/members")
+      .select($"vec_id", $"__emb").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val probeRows = memberRows.take(5).zipWithIndex.map { case ((_, v), i) =>
+      (40000000L + i, v)
+    } ++ memberRows.take(3).zipWithIndex.map { case ((_, v), i) =>
+      (40000100L + i, v.map(x => (x + 10f): Float))
+    }
+    val got = probe(root, probeRows.toSeq.toDF("vec_id", "embedding"))
+    // reference pool = touched-cell members ∪ batch, id-ordered — the
+    // probe's own contract (member ids all sit below the probe ids)
+    val pool = memberRows.toSeq ++ probeRows
+    val expect = probeRows.map { case (i, v) =>
+      val c = cellOf(v)
+      val dup = pool.exists { case (j, w) =>
+        j < i && cellOf(w) == c && cosd(v, w) >= T }
+      (i, c, dup)
+    }.toSet
+    assert(got == expect, s"post-rebuild serving diverges: $got vs $expect")
+    assert(got.count(_._3) >= 5, "exact member copies must flag under any quantizer")
+    // committed-append replay still no-ops over the re-assigned rows
+    val files = IndexFsProbe.allFiles(spark, s"$root/members")
+    append(root, arrivals)
+    assert(IndexFsProbe.allFiles(spark, s"$root/members") == files,
+      "post-rebuild replay of a committed append changed the index")
+    rm(root)
+  }
+
+  test("rebuild crash windows: roll forward/back heals, rows never lost, readers refuse only while a live dir is missing") {
+    val tiny = arrivals.limit(1)
+      .select(($"vec_id" + 50000000L).as("vec_id"), $"embedding")
+    for (point <- Seq("semrebuild-after-staging", "semrebuild-after-retire",
+        "semrebuild-mid-swap", "semrebuild-after-swap")) {
+      val root = freshRoot(s"rebuild-$point")
+      buildIdx(root, corpus)
+      val beforeRows = membersSet(root).map(t => (t._1, t._3))
+      Dedup.appendCrashPoint = Some(point)
+      try intercept[IllegalStateException] {
+        Dedup.rebuildSemDedupIndex(spark, root)
+      } finally Dedup.appendCrashPoint = None
+      if (point == "semrebuild-after-retire" || point == "semrebuild-mid-swap")
+        intercept[IllegalArgumentException] { probe(root, tiny) }
+      else // lives intact (after-staging) or swap complete (after-swap):
+        assert(probe(root, tiny).nonEmpty, s"$point: index should serve")
+      Dedup.rebuildSemDedupIndex(spark, root) // heals, then rebuilds
+      assert(membersSet(root).map(t => (t._1, t._3)) == beforeRows,
+        s"$point: rows lost or changed across crash + retry")
+      assert(Dedup.semDedupIndexReport(spark, root).collect()
+        .forall(_.getLong(2) == 1L), s"$point: retry left multi-file cells")
+      rm(root)
+    }
+  }
+
   test("compaction crash windows: readers refuse loud, retry heals and converges") {
     for (point <- Seq("semcompact-after-staging", "semcompact-mid-swap",
         "semcompact-after-swap")) {
