@@ -234,6 +234,36 @@ object LlmExt2 {
     idx
   }
 
+  /** The llm86 REBUILT semantic-dedup index: llm83's grow recipe
+    * (build over the %%10!=0 corpus, append the rest in two batches),
+    * then `rebuildSemDedupIndex` re-trains the quantizer from the live
+    * members and re-assigns everything — the drift escape, run once per
+    * JVM under the usual marker discipline. */
+  private[queries] def ensureRebuiltSemDedupIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-semrbl-" + graft.TmpDirs.pathKey(dir))
+    val marker = new java.io.File(s"$root/_REBUILT")
+    buildOnce(root)(marker.exists()) {
+      val emb = Tables.load(s, dir, "embeddings")
+      val idx = s"$root/index"
+      Dedup.buildSemDedupIndex(emb.filter(col("vec_id") % 10 =!= 0), idx,
+        "embedding", "vec_id",
+        seeds = emb.filter(col("vec_id") % 25 === 0),
+        seedId = "vec_id", seedEmb = "embedding")
+      val arrivals = emb.filter(col("vec_id") % 10 === 0)
+      val cut = arrivals.agg(max(col("vec_id"))).head().getLong(0) / 2
+      Dedup.appendToSemDedupIndex(s, idx,
+        arrivals.filter(col("vec_id") <= cut), "embedding", "vec_id",
+        threshold = 0.40).collect()
+      Dedup.appendToSemDedupIndex(s, idx,
+        arrivals.filter(col("vec_id") > cut), "embedding", "vec_id",
+        threshold = 0.40).collect()
+      Dedup.rebuildSemDedupIndex(s, idx)
+      marker.createNewFile()
+    }
+    root
+  }
+
   /** The str21 STREAMED-INGEST semantic-dedup index: llm82's
     * corpus/quantizer, then the vec_id %% 10 == 0 population arrives as
     * a STREAM and each micro-batch is folded into the index by
@@ -1441,6 +1471,33 @@ object LlmExt2 {
     }) { (s, dir) =>
       val root = ensureGrownSemDedupIndex(s, dir)
       Dedup.semDedupIndexReport(s, s"$root/index", fileThreshold = 3)
+    },
+
+    // semDedup index REBUILD reconciliation (the llm72 shape for this
+    // index): grow the index online, re-train the quantizer from the
+    // live members and re-assign everything, then RECONCILE — every row
+    // must survive (count = the full corpus), the quantizer must keep
+    // its size, cells must stay bounded by it, and the rewrite must lay
+    // one file per cell. k-means itself is not SQL-replayable; the
+    // oracle pins the invariants that must hold under ANY quantizer.
+    QDef("llm86_semdedup_rebuild",
+      """SELECT (SELECT count(*) FROM embeddings) AS n_members,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0) AS k_seeds,
+        |  true AS cells_bounded, CAST(1 AS BIGINT) AS max_files_per_cell
+        |""".stripMargin) { (s, dir) =>
+      val root = ensureRebuiltSemDedupIndex(s, dir)
+      val k = s.read.parquet(s"$root/index/seeds").count()
+      // one aggregation over the hygiene report carries every
+      // reconciliation number (a crossJoin of 1-row aggregates would
+      // plan a BroadcastNestedLoopJoin for nothing)
+      import org.apache.spark.sql.functions.{max => fmax, sum => fsum}
+      Dedup.semDedupIndexReport(s, s"$root/index")
+        .agg(fsum(col("n_members")).as("n_members"),
+          count(lit(1)).as("__cells"),
+          fmax(col("n_files")).as("max_files_per_cell"))
+        .select(col("n_members"), lit(k).as("k_seeds"),
+          (col("__cells") <= k).as("cells_bounded"),
+          col("max_files_per_cell"))
     }
   )
 }
