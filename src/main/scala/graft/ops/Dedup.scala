@@ -2311,12 +2311,37 @@ object Dedup {
     val cells = basg.select(col("cluster_id")).distinct()
       .collect().map(_.get(0))
     val seqs = commitSeqs(fs, path)
-    // sweep a crashed (UNCOMMITTED) attempt of THIS op before anything
-    // reads members: assignment is deterministic under the persisted
+    // committed-replay detection runs on PRE-sweep liveness: the marker
+    // alone is STALE across a later delete of the same ids (the
+    // documented append -> delete -> re-append lifecycle reuses the
+    // appId), so "this exact op committed" = marker AND every id live.
+    // A crashed RE-append retry therefore sees partial liveness, falls
+    // through, and the sweep below clears its leftovers — gating the
+    // sweep on marker absence alone wedged that retry forever (the
+    // stale marker suppressed the sweep, the landed files tripped the
+    // already-indexed guard, and no op could clear the state).
+    def liveCount(): Long = spark.read.parquet(s"$path/members")
+      .select(col(id))
+      .join(broadcast(basg.select(col(id))), Seq(id), "left_semi").count()
+    if (seqs.contains(appId) && liveCount() == batchIds.length) {
+      // committed replay: no-op the write, return byte-identical
+      // verdicts (members ∖ batch = exactly the pre-append touched-cell
+      // members), and finish the cleanup a post-marker crash skipped
+      IndexFs.delete(fs, s"$path/members.appending/$appId")
+      val casgR = spark.read.parquet(s"$path/members")
+        .filter(col("cell").isInCollection(cells.toSeq))
+        .select(col(id), col("cell").as("cluster_id"), col("__emb"))
+      return semDedupProbe(basg,
+        casgR.join(broadcast(basg.select(col(id))), Seq(id), "left_anti"),
+        id, threshold, maxCluster)
+    }
+    // sweep a crashed attempt of THIS op before anything else reads
+    // members: assignment is deterministic under the persisted
     // quantizer, so a previous attempt's files can only live in this
-    // batch's cells, under this op's deterministic file prefix. A
-    // COMMITTED op's files are the live index — never swept.
-    if (!seqs.contains(appId)) cells.foreach { c =>
+    // batch's cells, under this op's deterministic file prefix. The
+    // replay branch above already returned for a genuinely committed
+    // op, so nothing swept here is committed state.
+    cells.foreach { c =>
       val dir = s"$path/members/cell=$c"
       IndexFs.listNames(fs, dir).filter(_.startsWith(s"app-$appId-"))
         .foreach(f => IndexFs.delete(fs, s"$dir/$f"))
@@ -2326,19 +2351,9 @@ object Dedup {
     // scan streaming against the broadcast batch ids (identity is
     // global — the same id could sit in a DIFFERENT cell if its
     // embedding changed, so the guard cannot prune to touched cells)
-    val liveCnt = members.select(col(id))
-      .join(broadcast(basg.select(col(id))), Seq(id), "left_semi").count()
+    val liveCnt = liveCount()
     val casg = members.filter(col("cell").isInCollection(cells.toSeq))
       .select(col(id), col("cell").as("cluster_id"), col("__emb"))
-    if (seqs.contains(appId) && liveCnt == batchIds.length) {
-      // committed replay: no-op the write, return byte-identical
-      // verdicts (members ∖ batch = exactly the pre-append touched-cell
-      // members), and finish the cleanup a post-marker crash skipped
-      IndexFs.delete(fs, s"$path/members.appending/$appId")
-      return semDedupProbe(basg,
-        casg.join(broadcast(basg.select(col(id))), Seq(id), "left_anti"),
-        id, threshold, maxCluster)
-    }
     require(liveCnt == 0,
       s"appendToSemDedupIndex($path): batch contains $liveCnt " +
         s"already-indexed $id(s) — appending would serve two member rows " +
@@ -2467,12 +2482,22 @@ object Dedup {
       .join(idsDf, Seq(id), "left_semi").collect()
     val committed = seqs.contains(opId)
     if (committed && matched.isEmpty) return // committed retry: no-op
-    if (committed)
+    if (committed) {
       require(matched.length == batchIds.length,
         s"deleteFromSemDedupIndex($path): committed marker with PARTIAL " +
           s"liveness (${matched.length}/${batchIds.length} live) — " +
           "ambiguous state; rebuild the index")
-    else {
+      // a RE-delete after a re-append of the same ids: the stale marker
+      // must go BEFORE any swap work, or a crash mid-swap would make
+      // [[recoverSemDedupDelete]] misread this attempt as committed and
+      // reclaim the retired cell dirs — the only copy of their pre-op
+      // content. With the marker cleared, that recovery rolls back; the
+      // retry (or an at-least-once replay of the ORIGINAL delete, which
+      // now also executes — the ids are live, which is what a delete
+      // wants gone) re-runs and re-commits with a fresh sequence.
+      IndexFs.delete(fs, s"$path/appends/$opId.committed")
+      writeManifest(fs, path, seqs - opId)
+    } else {
       val liveSet = matched.map(_.getLong(0)).toSet
       val missing = batchIds.filterNot(liveSet)
       require(missing.isEmpty,
@@ -2626,31 +2651,51 @@ object Dedup {
     val mLive = s"$path/members"; val sLive = s"$path/seeds"
     val mTmp = s"$path/members.rebuilding"; val sTmp = s"$path/seeds.rebuilding"
     val mOld = s"$path/members.old.rebuild"; val sOld = s"$path/seeds.old.rebuild"
-    // heal a previously crashed rebuild FIRST
+    // heal a previously crashed rebuild FIRST. The heal must be
+    // PAIR-aware: handling the two halves independently can install a
+    // MIXED-generation live pair (e.g. after a mid-swap crash, sLive is
+    // already the NEW quantizer and sTmp is gone — a per-half rollback
+    // would keep it while restoring the OLD members, and both dirs
+    // carry _SUCCESS, so every reader check passes over silently wrong
+    // verdicts). Forward is possible iff EVERY half can reach the new
+    // generation: its replacement is complete, or it already swapped in
+    // (live present with its tmp gone — renames only consume tmps by
+    // moving them to live). Only when forward is impossible do we roll
+    // the WHOLE pair back to the retired originals.
     val livePairOk = IndexFs.exists(fs, s"$mLive/_SUCCESS") &&
       IndexFs.exists(fs, s"$sLive/_SUCCESS")
+    val halves = Seq((sTmp, sLive, sOld), (mTmp, mLive, mOld))
     if (livePairOk) {
-      // lives intact: any tmp/old dirs are pure leftovers
+      // lives are a consistent pair (old before any retire, or new
+      // after the full swap): tmp/old dirs are pure leftovers
       Seq(mTmp, sTmp, mOld, sOld).foreach(IndexFs.delete(fs, _))
-    } else if (IndexFs.exists(fs, s"$mTmp/_SUCCESS") &&
-        IndexFs.exists(fs, s"$sTmp/_SUCCESS")) {
-      // replacements complete: roll FORWARD whichever halves are missing
-      Seq((sTmp, sLive), (mTmp, mLive)).foreach { case (tmp, live) =>
-        if (IndexFs.exists(fs, live)) IndexFs.delete(fs, tmp)
-        else IndexFs.rename(fs, tmp, live)
+    } else if (halves.forall { case (tmp, live, _) =>
+        IndexFs.exists(fs, s"$tmp/_SUCCESS") || IndexFs.exists(fs, live) }) {
+      // roll FORWARD to the new pair: install each half's replacement,
+      // retiring whatever live dir still occupies the slot (it is the
+      // OLD generation — the swap only deletes tmps by renaming them
+      // into the live slot)
+      halves.foreach { case (tmp, live, old) =>
+        if (IndexFs.exists(fs, s"$tmp/_SUCCESS")) {
+          if (IndexFs.exists(fs, live)) {
+            IndexFs.delete(fs, old)
+            IndexFs.rename(fs, live, old)
+          }
+          IndexFs.rename(fs, tmp, live)
+        } // else: this half already swapped in (live IS the new one)
       }
       Seq(mOld, sOld).foreach(IndexFs.delete(fs, _))
     } else {
-      // replacements incomplete: roll BACK from the retired originals
-      Seq((sOld, sLive), (mOld, mLive)).foreach { case (old, live) =>
+      // replacements unusable: roll the WHOLE pair back
+      halves.foreach { case (tmp, live, old) =>
         if (!IndexFs.exists(fs, live)) {
           require(IndexFs.exists(fs, old),
             s"rebuildSemDedupIndex($path): $live missing and no retired " +
               "copy to restore — manual recovery required")
           IndexFs.rename(fs, old, live)
         } else IndexFs.delete(fs, old)
+        IndexFs.delete(fs, tmp)
       }
-      IndexFs.delete(fs, mTmp); IndexFs.delete(fs, sTmp)
     }
     requireSemDedupIndexBuilt(spark, path, maintenance = true)
     Seq("members.appending", "members.deleting", "members.old.del",

@@ -440,10 +440,21 @@ object Similarity {
     val batchIds = batch.select(col(id)).distinct().localCheckpoint(true)
     val nBatch = batchIds.count()
     if (nBatch == 0) return
-    val nLive = spark.read.parquet(s"$path/corpus")
+    // "live" must exclude TOMBSTONED rows: a stored-but-tombstoned id
+    // means the batch is a genuine re-append after a delete, which must
+    // fall through to the raw append's loud compact-then-reappend
+    // refusal — an all-stored no-op here would silently swallow the new
+    // vectors while serving anti-joins the old ones out
+    val stored = spark.read.parquet(s"$path/corpus")
       .select(col(id)).distinct()
-      .join(broadcast(batchIds), Seq(id), "left_semi").count()
-    if (nLive == nBatch) return // committed replay: no-op
+      .join(broadcast(batchIds), Seq(id), "left_semi")
+    val tombDir = s"$path/tombstones"
+    val live =
+      if (IndexFs.exists(IndexFs.fs(spark, path), tombDir))
+        stored.join(broadcast(spark.read.parquet(tombDir).distinct()),
+          Seq(id), "left_anti")
+      else stored
+    if (live.count() == nBatch) return // committed replay: no-op
     appendToIvfIndex(spark, path, batch, embCol, id)
   }
 

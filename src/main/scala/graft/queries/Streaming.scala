@@ -551,7 +551,8 @@ object Streaming {
          |WHERE g.vec_id % 10 = 0""".stripMargin
     }) { (s, dir) =>
       val root = LlmExt2.ensureStreamedIngestIndex(s, dir)
-      val parts = new java.io.File(s"$root/verdicts").listFiles()
+      val parts = Option(new java.io.File(s"$root/verdicts").listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.startsWith("b=")).map(_.getAbsolutePath).sorted
       require(parts.nonEmpty, "str21: the ingest stream produced no batch")
       s.read.parquet(parts.toIndexedSeq: _*)

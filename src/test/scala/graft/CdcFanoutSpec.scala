@@ -225,7 +225,14 @@ class CdcFanoutSpec extends SparkTestBase {
         System.nanoTime() < deadline) Thread.sleep(50)
     assert(new java.io.File(s"$root/_offsets").exists(),
       "daemon never committed the first increment")
-    java.nio.file.Files.write(java.nio.file.Paths.get(live), bytes)
+    // grow ATOMICALLY (temp + rename): a truncating in-place write
+    // races the daemon's concurrent poll into observing a file shorter
+    // than its committed offset
+    val grown = java.nio.file.Paths.get(s"$dir/live.0.grown")
+    java.nio.file.Files.write(grown, bytes)
+    java.nio.file.Files.move(grown, java.nio.file.Paths.get(live),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     daemon.join(120000)
     assert(!daemon.isAlive, "daemon did not idle out")
     assert(applied == 2, s"expected 2 applied increments, got $applied")

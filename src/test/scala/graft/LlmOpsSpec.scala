@@ -805,6 +805,15 @@ class LlmOpsSpec extends SparkTestBase {
     Similarity.appendToIvfIndexIdempotent(spark, idx, freshBatch)
     assert(spark.read.parquet(s"$idx/corpus")
       .filter($"vec_id" >= 2000000L).count() == 2)
+    // stored-but-TOMBSTONED ids are NOT "live": a re-delivery after a
+    // delete must surface the raw append's loud compact-then-reappend
+    // refusal, never a silent no-op that swallows the new vectors
+    Similarity.deleteFromIvfIndex(spark, idx,
+      freshBatch.select($"vec_id"))
+    val tomb = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexIdempotent(spark, idx, freshBatch)
+    }
+    assert(tomb.getMessage.contains("tombstoned"), tomb.getMessage)
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 

@@ -272,6 +272,101 @@ class SemDedupIndexLifecycleSpec extends SparkTestBase {
     }
   }
 
+  test("RE-delete crash under a stale committed marker: recovery rolls back (never reclaims retired cells), retry converges") {
+    // append -> delete -> re-append -> re-delete CRASH mid-swap: the
+    // first delete's marker shares the opId, so a marker-trusting
+    // recovery would misread the crashed second delete as committed and
+    // reclaim the retired cell dir — losing every innocent corpus row
+    // in that cell. The fix clears the stale marker before any swap
+    // work, so recovery rolls back and the retry converges.
+    val root = freshRoot("redelete")
+    buildIdx(root, corpus)
+    val corpusMembers = membersSet(root)
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    val delIds = batch.select($"vec_id")
+    append(root, batch)
+    Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id")
+    append(root, batch) // re-append (marker stale from here on)
+    Dedup.appendCrashPoint = Some("semdel-mid-swap-0")
+    try intercept[IllegalStateException] {
+      Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id")
+    } finally Dedup.appendCrashPoint = None
+    val refused = intercept[IllegalArgumentException] {
+      probe(root, arrivals.filter($"vec_id" % 20 =!= 0))
+    }
+    assert(refused.getMessage.contains("maintenance"))
+    Dedup.deleteFromSemDedupIndex(spark, root, delIds, "vec_id") // retry
+    assert(membersSet(root) == corpusMembers,
+      "re-delete crash + retry lost corpus rows (retired cells reclaimed?)")
+    rm(root)
+  }
+
+  test("RE-append crash under a stale committed marker: the sweep still runs, retry converges instead of wedging") {
+    // append -> delete -> re-append CRASH mid-rename: gating the sweep
+    // on marker absence suppressed it here (stale marker), the landed
+    // files tripped the already-indexed guard on every retry, and NO op
+    // could clear the state. Liveness-gated replay detection fixes it.
+    val root = freshRoot("reappend")
+    buildIdx(root, corpus)
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    append(root, batch)
+    val afterFirst = membersSet(root)
+    Dedup.deleteFromSemDedupIndex(spark, root, batch.select($"vec_id"),
+      "vec_id")
+    Dedup.appendCrashPoint = Some("semapp-mid-rename")
+    try intercept[IllegalStateException] { append(root, batch) }
+    finally Dedup.appendCrashPoint = None
+    val retried = append(root, batch) // must sweep + redo, not wedge
+    assert(retried.nonEmpty, "re-append retry returned no verdicts")
+    assert(membersSet(root) == afterFirst,
+      "re-append crash + retry diverged from the first append's members")
+    rm(root)
+  }
+
+  test("rebuild mid-swap crash then a second crash after heal: the live pair is never a MIXED generation") {
+    // the heal must move the PAIR forward (or back) — a per-half heal
+    // could leave the NEW quantizer live over the OLD assignment, both
+    // carrying _SUCCESS, serving silently wrong verdicts. Crash the
+    // rebuild mid-swap, then crash the retry right after staging (the
+    // heal has run by then); the on-disk pair must be self-consistent:
+    // every member's stored cell equals its assignment under the
+    // stored quantizer.
+    def cosd(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val root = freshRoot("rebuild-mixed")
+    buildIdx(root, corpus)
+    val beforeRows = membersSet(root).map(t => (t._1, t._3))
+    Dedup.appendCrashPoint = Some("semrebuild-mid-swap")
+    try intercept[IllegalStateException] {
+      Dedup.rebuildSemDedupIndex(spark, root)
+    } finally Dedup.appendCrashPoint = None
+    Dedup.appendCrashPoint = Some("semrebuild-after-staging")
+    try intercept[IllegalStateException] {
+      Dedup.rebuildSemDedupIndex(spark, root) // heals, then crashes
+    } finally Dedup.appendCrashPoint = None
+    val sd = spark.read.parquet(s"$root/seeds").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def cellOf(v: Seq[Float]): Long =
+      sd.map { case (sid, se) => (cosd(v, se), sid) }
+        .maxBy { case (c, sid) => (c, -sid) }._2
+    membersSet(root).foreach { case (id, cell, emb) =>
+      assert(cellOf(emb) == cell,
+        s"member $id stored in cell $cell but the live quantizer " +
+          s"assigns ${cellOf(emb)} — a mixed-generation pair is being served")
+    }
+    // a final clean rebuild still converges with every row intact
+    Dedup.rebuildSemDedupIndex(spark, root)
+    assert(membersSet(root).map(t => (t._1, t._3)) == beforeRows)
+    rm(root)
+  }
+
   test("randomized crash-interleaved lifecycle: any op sequence with injected crashes converges to the driver-side mirror") {
     // the per-op failpoint tests cover each crash window in isolation;
     // this property covers their INTERLEAVINGS: a random sequence of
