@@ -2011,27 +2011,67 @@ object Dedup {
     }
   }
 
+  /** Loud size guard shared by the semantic-dedup pair stages: refuse
+    * when any single cell exceeds `maxCluster` members (the largest
+    * pair TASK — the skew bound) or when the total same-cell pair
+    * count Σ n·(n−1)/2 exceeds `spark.graft.semdedup.maxPairs`
+    * (default 2×10⁹ — the TOTAL all-pairs cosine work; many cells just
+    * under maxCluster are as unaffordable as one over it, so a
+    * per-cell bound alone under-guards). `counts` = one (cluster_id,
+    * __n) row per cell; the guard is ONE small aggregate job with a
+    * single row pulled back. BigDecimal arithmetic: a pathological
+    * cell count squared overflows a long well before the require. */
+  private def semDedupPairGuard(counts: DataFrame, maxCluster: Int,
+      spark: SparkSession, op: String): Unit = {
+    val maxPairs = spark.conf
+      .get("spark.graft.semdedup.maxPairs", "2000000000").toLong
+    val st = counts.agg(
+      max_by(col("cluster_id"), col("__n")).as("__c"),
+      max(col("__n")).as("__m"),
+      // 2× the pair count, summed as decimal (n·(n−1) per cell)
+      sum(col("__n").cast("decimal(38,0)") * (col("__n") - lit(1L))).as("__p2"))
+      .head()
+    if (st.isNullAt(1)) return // empty assignment: nothing to guard
+    val biggest = st.getLong(1)
+    if (biggest > maxCluster)
+      throw new IllegalStateException(
+        s"$op: cell ${st.get(0)} has $biggest members, exceeding " +
+          s"maxCluster=$maxCluster — a degenerate quantizer cell would " +
+          "explode a single pair task; re-train with more cells " +
+          "(k ~ sqrt(n)) or raise maxCluster deliberately")
+    val pairs2 = st.getDecimal(2)
+    if (pairs2 != null && pairs2.compareTo(
+        java.math.BigDecimal.valueOf(maxPairs).multiply(
+          java.math.BigDecimal.valueOf(2L))) > 0)
+      throw new IllegalStateException(
+        s"$op: total same-cell pair count ${pairs2.divide(
+          java.math.BigDecimal.valueOf(2L))} exceeds " +
+          s"spark.graft.semdedup.maxPairs=$maxPairs — the all-pairs " +
+          "cosine work is unaffordable at this cell-size distribution; " +
+          "re-train with more cells or raise the knob with the cost named")
+  }
+
   def semDedup(df: DataFrame, embCol: String, id: String,
       seeds: DataFrame, seedId: String, seedEmb: String,
-      threshold: Double, maxCluster: Int = 100000,
-      probeAssign: Boolean = false): DataFrame = {
+      threshold: Double, maxCluster: Int = 20000,
+      probeAssign: Boolean = true): DataFrame = {
     // materialized once (eager checkpoint): four consumers below (the
     // size guard, both pair-join sides, the final output) would each
     // re-run the full corpus x seeds assignment pass otherwise
     val asg = assignCells(df, embCol, id, seeds, seedId, seedEmb, probeAssign)
       .localCheckpoint(true)
     // the size guard runs eagerly, driver-side, over the checkpointed
-    // assignment (one small count-by-cluster job; at most one id pulled
-    // back): a cluster past maxCluster fails loud HERE instead of
-    // exploding a pair task — and deriving the guard from asg (rather
-    // than joining sizes back and re-checkpointing the result) keeps
-    // exactly ONE embedding-bearing frame resident on executors
-    val oversized = asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxCluster)
-      .select(col("cluster_id")).limit(1).collect()
-    if (oversized.nonEmpty)
-      throw new IllegalStateException(
-        s"semDedup: cluster exceeds maxCluster=$maxCluster: ${oversized.head.get(0)}")
+    // assignment (ONE small count-by-cluster job): TWO bounds fail loud
+    // HERE instead of exploding a pair task. maxCluster bounds the
+    // single largest cell (the biggest pair TASK — skew), and the
+    // PAIR-AWARE budget bounds Σ n·(n-1)/2 over all cells (the total
+    // all-pairs cosine work — many cells just under maxCluster are as
+    // unaffordable as one over it). Knob:
+    // spark.graft.semdedup.maxPairs (default 2e9 — ~minutes of cosine
+    // work across a cluster; raise deliberately, with the cost named).
+    semDedupPairGuard(
+      asg.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n")),
+      maxCluster, df.sparkSession, "semDedup")
     val a = asg.select(col(id).as("id_a"), col("cluster_id"), col("__emb").as("__ea"))
     val b = asg.select(col(id).as("id_b"), col("cluster_id").as("__cb"), col("__emb").as("__eb"))
     val dupIds = a.join(b, col("cluster_id") === col("__cb") && col("id_a") < col("id_b"))
@@ -2064,8 +2104,8 @@ object Dedup {
     * explodes, as in [[semDedup]]. */
   def semDedupIncremental(corpus: DataFrame, batch: DataFrame,
       embCol: String, id: String, seeds: DataFrame, seedId: String,
-      seedEmb: String, threshold: Double, maxCluster: Int = 100000,
-      probeAssign: Boolean = false): DataFrame = {
+      seedEmb: String, threshold: Double, maxCluster: Int = 20000,
+      probeAssign: Boolean = true): DataFrame = {
     val basg = assignCells(batch, embCol, id, seeds, seedId, seedEmb,
       probeAssign).localCheckpoint(true) // guard + pair side + output
     // also checkpointed: two consumers in the probe (overlap check +
@@ -2085,7 +2125,7 @@ object Dedup {
     * `_SUCCESS` is the built-ness marker fixtures key on. */
   def buildSemDedupIndex(corpus: DataFrame, path: String, embCol: String,
       id: String, seeds: DataFrame, seedId: String, seedEmb: String,
-      probeAssign: Boolean = false): Unit = {
+      probeAssign: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     val fs = IndexFs.fs(spark, path)
     // REBUILD crash safety: members/ must go away BEFORE the new seeds
@@ -2147,8 +2187,8 @@ object Dedup {
     * to `semDedup(corpus ∪ batch)` restricted to the batch. */
   def semDedupFromIndex(spark: SparkSession, path: String,
       batch: DataFrame, embCol: String, id: String,
-      threshold: Double, maxCluster: Int = 100000,
-      probeAssign: Boolean = false): DataFrame = {
+      threshold: Double, maxCluster: Int = 20000,
+      probeAssign: Boolean = true): DataFrame = {
     requireSemDedupIndexBuilt(spark, path)
     val seeds = spark.read.parquet(s"$path/seeds")
     val basg = assignCells(batch, embCol, id, seeds, "seed_id", "s_emb",
@@ -2182,13 +2222,12 @@ object Dedup {
         broadcast(basg.select(col("cluster_id")).distinct()),
         Seq("cluster_id"), "left_semi")
       .unionByName(basg)
-    val oversized = pool.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxCluster)
-      .select(col("cluster_id")).limit(1).collect()
-    if (oversized.nonEmpty)
-      throw new IllegalStateException(
-        s"semDedup probe: cell exceeds maxCluster=$maxCluster: " +
-          s"${oversized.head.get(0)}")
+    // same two-bound guard as the batch form (per-cell skew bound +
+    // total pair budget); pool pairs upper-bound the probe's actual
+    // batch×pool work, so the budget refuses before any pair task runs
+    semDedupPairGuard(
+      pool.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n")),
+      maxCluster, basg.sparkSession, "semDedup probe")
     val b = basg.select(col(id).as("id_b"), col("cluster_id").as("__cb"),
       col("__emb").as("__eb"))
     val a = pool.select(col(id).as("id_a"), col("cluster_id"),
@@ -2212,7 +2251,7 @@ object Dedup {
     * the operator's invariants (exact copies always share a cell) and
     * the spec suite. */
   def semDedupTrained(df: DataFrame, embCol: String, id: String,
-      kClusters: Int, threshold: Double, maxCluster: Int = 100000,
+      kClusters: Int, threshold: Double, maxCluster: Int = 20000,
       dim: Int = 64): DataFrame = {
     require(kClusters > 0, s"kClusters must be positive, got $kClusters" +
       " (an empty quantizer would silently drop every document)")
@@ -2266,7 +2305,7 @@ object Dedup {
     * partitioned write — never a corpus rewrite or shuffle. */
   def appendToSemDedupIndex(spark: SparkSession, path: String,
       batch: DataFrame, embCol: String, id: String, threshold: Double,
-      maxCluster: Int = 100000, probeAssign: Boolean = false): DataFrame = {
+      maxCluster: Int = 20000, probeAssign: Boolean = true): DataFrame = {
     requireSemDedupIndexBuilt(spark, path, maintenance = true)
     require(batch.schema(id).dataType ==
         org.apache.spark.sql.types.LongType,
@@ -2323,7 +2362,8 @@ object Dedup {
     def liveCount(): Long = spark.read.parquet(s"$path/members")
       .select(col(id))
       .join(broadcast(basg.select(col(id))), Seq(id), "left_semi").count()
-    if (seqs.contains(appId) && liveCount() == batchIds.length) {
+    val liveAtEntry = if (seqs.contains(appId)) liveCount() else -1L
+    if (seqs.contains(appId) && liveAtEntry == batchIds.length) {
       // committed replay: no-op the write, return byte-identical
       // verdicts (members ∖ batch = exactly the pre-append touched-cell
       // members), and finish the cleanup a post-marker crash skipped
@@ -2335,12 +2375,39 @@ object Dedup {
         casgR.join(broadcast(basg.select(col(id))), Seq(id), "left_anti"),
         id, threshold, maxCluster)
     }
+    // a COMMITTED marker with PARTIAL liveness has two causes, and only
+    // one is recoverable here: (a) a crashed RE-append retry (stale
+    // marker from the append -> delete-all -> re-append lifecycle, some
+    // of the retry's files landed) — its `members.appending/<appId>`
+    // staging dir still exists, because staging is created only AFTER
+    // the liveness-zero gate passed (so everything it landed is
+    // uncommitted) and deleted only at commit; sweep + redo converges.
+    // (b) NO staging dir: the landed files predate any crashed attempt
+    // — a delete removed SOME of this batch's ids AFTER the append
+    // committed, so the surviving member files in cells the delete
+    // never rewrote ARE committed state, and the sweep below would
+    // silently thin them (the liveCnt guard would only fire after the
+    // damage, leaving no maintenance leftover for readers to refuse
+    // on). Fail loud BEFORE touching anything, like the delete's
+    // analogous ambiguity window.
+    require(!(seqs.contains(appId) && liveAtEntry > 0 &&
+        liveAtEntry < batchIds.length &&
+        !IndexFs.exists(fs, s"$path/members.appending/$appId")),
+      s"appendToSemDedupIndex($path): committed marker for this exact " +
+        s"batch with PARTIAL liveness ($liveAtEntry of ${batchIds.length} " +
+        "ids live) and no in-flight staging — ambiguous (a delete removed " +
+        "part of this committed batch); delete the remaining ids first " +
+        "(deleteFromSemDedupIndex) or rebuild, then append")
     // sweep a crashed attempt of THIS op before anything else reads
     // members: assignment is deterministic under the persisted
     // quantizer, so a previous attempt's files can only live in this
     // batch's cells, under this op's deterministic file prefix. The
-    // replay branch above already returned for a genuinely committed
-    // op, so nothing swept here is committed state.
+    // replay branch above returned for a genuinely committed op and the
+    // partial-liveness require refused the committed-then-partially-
+    // deleted window, so nothing swept here is committed state: a
+    // marker WITHOUT liveness is the documented stale-marker lifecycle
+    // (append -> delete all -> re-append), and no marker means the
+    // attempt never committed.
     cells.foreach { c =>
       val dir = s"$path/members/cell=$c"
       IndexFs.listNames(fs, dir).filter(_.startsWith(s"app-$appId-"))
@@ -2470,8 +2537,9 @@ object Dedup {
     val batchIds = idRows.map(_.getLong(0))
     if (batchIds.isEmpty) return
     // namespaced so a delete of the same id set addresses a DIFFERENT
-    // marker than its append (hashed AFTER prefixing — a raw ':' in the
-    // filename breaks Hadoop's checksum-file path arithmetic)
+    // marker than its append: the "del-" prefix is applied to the
+    // already-hashed digest, giving deletes their own marker namespace
+    // while keeping the digest itself shared with the append's
     val opId = "del-" + appendIdOf(batchIds)
     val seqs = commitSeqs(fs, path)
     val members = spark.read.parquet(s"$path/members")

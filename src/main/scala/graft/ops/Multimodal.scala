@@ -250,10 +250,15 @@ object Multimodal {
   /** Content-addressable image dedup: decode every payload, hash the
     * PIXELS (not the bytes — the same picture re-encoded by a different
     * compressor byte-differs but pixel-matches), then min-id survivor
-    * per content group. One narrow decode pass + one hash-keyed
-    * aggregation — the image twin of `Dedup.exact`, and the dedup a
-    * media lake actually needs (byte-hash dedup misses every
-    * re-encoded copy). */
+    * per content group. EXACTLY one decode pass: the canon id is a
+    * window min over the hash key, so the plan is one MapPartitions
+    * decode subtree feeding one hash-keyed exchange — the groupBy+join
+    * form planned the decode TWICE (the aggregate side partial-
+    * aggregates before its exchange, so the subtrees differ and Spark
+    * cannot reuse the exchange), a 2× on the dominant cost at lake
+    * scale. The image twin of `Dedup.exact`, and the dedup a media
+    * lake actually needs (byte-hash dedup misses every re-encoded
+    * copy). Single-decode is plan-asserted in LlmOpsSpec. */
   def imageContentDedup(media: DataFrame): DataFrame = {
     val hashSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -267,9 +272,10 @@ object Multimodal {
         Row(r.getLong(idIdx), decodedPixelHash(img))
       }
     }(enc)
-    val canon = hashed.groupBy(col("content_hash"))
-      .agg(min(col("media_id")).as("canon_id"))
-    hashed.join(canon, "content_hash")
+    val canonW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    hashed
+      .withColumn("canon_id", min(col("media_id")).over(canonW))
       .select(col("media_id"), col("content_hash"), col("canon_id"),
         (col("media_id") =!= col("canon_id")).as("is_dup"))
   }

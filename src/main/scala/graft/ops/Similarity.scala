@@ -425,21 +425,59 @@ object Similarity {
   }
 
   /** [[appendToIvfIndex]] under AT-LEAST-ONCE delivery — the streaming
-    * sink's form: a batch whose ids are ALL already live is the replay
-    * of a committed append (ids are identity, so this exact batch
-    * landed before the caller's checkpoint advanced) and no-ops;
-    * PARTIAL liveness still refuses loud inside the append (a crashed
-    * append that landed part of its batch is the documented
-    * tombstone-compact-reappend/rebuild case, never a silent retry).
-    * The liveness pre-check is one column-pruned corpus id scan
-    * streaming against the broadcast batch ids — the same cost the
-    * append's own guard pays. */
+    * sink's form. Replay detection is MARKER-gated, not inferred from
+    * liveness alone: a committed append through THIS op leaves an
+    * intent marker under `$path/appends.idem/` keyed on an
+    * order-independent digest of the batch's id SET, so a batch whose
+    * ids are all live AND whose digest marker exists is the replay of
+    * a committed append (no-op), while an all-live batch with NO
+    * marker — foreign ids appended by another op, or a batch reusing
+    * live ids with DIFFERENT embeddings — refuses loud instead of
+    * silently swallowing the new vectors (every comparable path here
+    * refuses loud on already-indexed ids; this op must not be the one
+    * silent exception). PARTIAL liveness still refuses loud inside the
+    * raw append (the documented tombstone-compact-reappend/rebuild
+    * case, never a silent retry).
+    *
+    * The marker lands BEFORE the raw append (intent, not commit): a
+    * crash between marker and append replays as not-all-live and falls
+    * through to the raw append exactly as before, and a crash between
+    * append and nothing (the append is last) replays as
+    * all-live+marker = no-op — so at-least-once delivery converges in
+    * every window without ever refusing a genuine replay. Like the
+    * semDedup append's marker, the digest keys on the id SET only:
+    * a replay that reuses a committed batch's exact id set with
+    * different embeddings no-ops by contract (ids are identity).
+    * Pre-marker indexes: batches appended through this op BEFORE the
+    * marker existed replay as all-live with no marker and now refuse
+    * loud — the safe direction (loud, with the recovery named).
+    *
+    * Cost: one column-pruned corpus id scan streaming against the
+    * broadcast batch ids (the same cost the append's own guard pays),
+    * one order-independent hash aggregate over the batch ids (no
+    * driver-side id collect), one marker stat/write. */
   def appendToIvfIndexIdempotent(spark: SparkSession, path: String,
       batch: DataFrame, embCol: String = "embedding",
       id: String = "vec_id"): Unit = {
     val batchIds = batch.select(col(id)).distinct().localCheckpoint(true)
     val nBatch = batchIds.count()
     if (nBatch == 0) return
+    // order-independent 128-bit-ish digest of the id set, computed
+    // DISTRIBUTED (two salted per-id xxhash64 streams folded with
+    // bit_xor — overflow-free under ANSI, order-independent, and the
+    // ids are already distinct so xor self-cancellation needs a hash
+    // collision — plus min/max/count): batches are micro-batch-sized
+    // by contract, but the digest must not be the reason this path
+    // collects ids to the driver
+    val d = batchIds.agg(
+      bit_xor(xxhash64(col(id))).as("s"),
+      bit_xor(xxhash64(col(id), lit(1))).as("s2"),
+      min(col(id)).as("lo"), max(col(id)).as("hi")).head()
+    val digest = java.lang.Long.toHexString(d.getLong(0)) + "-" +
+      java.lang.Long.toHexString(d.getLong(1)) + "-" +
+      s"${d.get(2)}-${d.get(3)}-$nBatch"
+    val fs = IndexFs.fs(spark, path)
+    val marker = s"$path/appends.idem/$digest"
     // "live" must exclude TOMBSTONED rows: a stored-but-tombstoned id
     // means the batch is a genuine re-append after a delete, which must
     // fall through to the raw append's loud compact-then-reappend
@@ -450,11 +488,21 @@ object Similarity {
       .join(broadcast(batchIds), Seq(id), "left_semi")
     val tombDir = s"$path/tombstones"
     val live =
-      if (IndexFs.exists(IndexFs.fs(spark, path), tombDir))
+      if (IndexFs.exists(fs, tombDir))
         stored.join(broadcast(spark.read.parquet(tombDir).distinct()),
           Seq(id), "left_anti")
       else stored
-    if (live.count() == nBatch) return // committed replay: no-op
+    if (live.count() == nBatch) {
+      require(IndexFs.exists(fs, marker),
+        s"appendToIvfIndexIdempotent($path): every batch id is already " +
+          "live but no commit marker exists for this exact id set — this " +
+          "is NOT the replay of an append made through this op (the ids " +
+          "were appended by another path, or the batch reuses live ids " +
+          "with different embeddings, which a silent no-op would swallow); " +
+          "delete the ids and compact (or rebuild), then append")
+      return // committed replay: no-op
+    }
+    IndexFs.writeUtf8(fs, marker, nBatch.toString)
     appendToIvfIndex(spark, path, batch, embCol, id)
   }
 

@@ -369,38 +369,48 @@ object ScaleSmoke {
         graft.ops.Dedup.buildSemDedupIndex(corpus, root, "embedding",
           "vec_id", seeds = corpus.filter(col("vec_id") % (n / 1000) === 0),
           seedId = "vec_id", seedEmb = "embedding", probeAssign = true)
-        val before = new java.io.File(s"$root/members").listFiles()
+        def cellState() = new java.io.File(s"$root/members").listFiles()
           .filter(_.getName.startsWith("cell=")).map { d =>
             d.getName -> d.listFiles().map(f =>
               (f.getName, f.length())).toSet
           }.toMap
-        val batch = spark.range(n, n + 50).select(col("id").as("vec_id"),
-          expr(embExpr).as("embedding"))
-        val t0 = System.nanoTime()
-        val out = graft.ops.Dedup.appendToSemDedupIndex(spark, root, batch,
-          "embedding", "vec_id", threshold = 0.999, probeAssign = true)
-        val cells = out.select(col("cluster_id")).distinct().count()
-        require(out.count() == 50, "append must emit every batch verdict")
-        val dt = (System.nanoTime() - t0) / 1e9
-        val after = new java.io.File(s"$root/members").listFiles()
-          .filter(_.getName.startsWith("cell=")).map { d =>
-            d.getName -> d.listFiles().map(f =>
-              (f.getName, f.length())).toSet
-          }.toMap
-        val changed = (before.keySet ++ after.keySet)
-          .count(c => before.get(c) != after.get(c))
-        assert(changed == cells,
-          s"append changed $changed cell dirs for $cells touched cells " +
-            "(of 1000) — writes are not cell-local")
-        println(f"SCALE appendToSemDedupIndex($n): append $dt%.1f s, " +
-          s"$cells cells touched, $changed dirs changed")
+        // median-of-3 timed appends (disjoint fresh batches — each
+        // appends new ids, so per-rep cost is flat): the STRUCTURAL pin
+        // (changed dirs == touched cells) asserted per rep is the real
+        // scale gate; the wall-clock ratio below is secondary and
+        // load/JIT-sensitive, so it gets the noise treatment
+        val dts = (0 until 3).map { rep =>
+          val lo = n + rep * 50
+          val before = cellState()
+          val batch = spark.range(lo, lo + 50).select(col("id").as("vec_id"),
+            expr(embExpr).as("embedding"))
+          val t0 = System.nanoTime()
+          val out = graft.ops.Dedup.appendToSemDedupIndex(spark, root, batch,
+            "embedding", "vec_id", threshold = 0.999, probeAssign = true)
+          val cells = out.select(col("cluster_id")).distinct().count()
+          require(out.count() == 50, "append must emit every batch verdict")
+          val dt = (System.nanoTime() - t0) / 1e9
+          val after = cellState()
+          val changed = (before.keySet ++ after.keySet)
+            .count(c => before.get(c) != after.get(c))
+          assert(changed == cells,
+            s"append changed $changed cell dirs for $cells touched cells " +
+              "(of 1000) — writes are not cell-local")
+          println(f"SCALE appendToSemDedupIndex($n) rep$rep: " +
+            f"append $dt%.1f s, $cells cells touched, $changed dirs changed")
+          dt
+        }
         graft.TmpDirs.deleteRecursively(new java.io.File(root))
-        dt
+        dts.sorted.apply(1) // median of 3
       }
       val tSmall = appendAt(nApp / 10)
       val tBig = appendAt(nApp)
-      assert(tBig < 6.0 * math.max(tSmall, 1.0),
-        f"append time grew ${tBig / tSmall}%.1fx on a 10x corpus — " +
+      // wide band on purpose: the BINDING scale gate is the structural
+      // pin above (O(touched cells) writes at any corpus size); the
+      // median-of-3 timing ratio only back-stops a gross corpus-linear
+      // regression, without flaking on a busy host's warmup wobble
+      assert(tBig < 8.0 * math.max(tSmall, 1.0),
+        f"median append time grew ${tBig / tSmall}%.1fx on a 10x corpus — " +
           "append cost is tracking corpus size")
     }
 

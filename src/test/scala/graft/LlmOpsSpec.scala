@@ -542,12 +542,25 @@ class LlmOpsSpec extends SparkTestBase {
         org.apache.spark.sql.Row(100L, a), org.apache.spark.sql.Row(200L, b),
         org.apache.spark.sql.Row(300L, Multimodal.encodePng(12L))),
       schema)
-    val out = Multimodal.imageContentDedup(media)
+    val ded = Multimodal.imageContentDedup(media)
+    val out = ded
       .collect().map(r => r.getAs[Long]("media_id") ->
         (r.getAs[Long]("canon_id"), r.getAs[Boolean]("is_dup"))).toMap
     assert(out(100L) == (100L, false))
     assert(out(200L) == (100L, true), "byte-different same-pixels copy must dedupe")
     assert(out(300L) == (300L, false))
+    // SINGLE-DECODE plan pin: the decode is the dominant cost at lake
+    // scale, and the old groupBy+join form planned the MapPartitions
+    // decode subtree TWICE (no exchange reuse — the aggregate side
+    // partial-aggregates before its exchange). The window-min form must
+    // decode exactly once. collect() above finalized AQE.
+    // AQE's toString prints Final AND Initial plans — count the final
+    // section only, or a single decode double-counts
+    val plan = ded.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val decodes = "MapPartitions".r.findAllIn(plan).length
+    assert(decodes == 1,
+      s"imageContentDedup must plan exactly ONE decode pass, found $decodes:\n$plan")
   }
 
   test("multimodal: admission gate drops exactly the undecodable payloads, fail-soft") {
@@ -814,6 +827,18 @@ class LlmOpsSpec extends SparkTestBase {
       Similarity.appendToIvfIndexIdempotent(spark, idx, freshBatch)
     }
     assert(tomb.getMessage.contains("tombstoned"), tomb.getMessage)
+    // an all-live batch with NO digest marker is NOT a replay of this
+    // op (the ids landed through the raw append — or reuse live ids
+    // with different embeddings): must refuse loud, never silently
+    // swallow the batch's vectors
+    val rawBatch = emb.filter($"vec_id" % 10 === 9).limit(2)
+      .withColumn("vec_id", $"vec_id" + 3000000L)
+    Similarity.appendToIvfIndex(spark, idx, rawBatch)
+    val noMarker = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndexIdempotent(spark, idx, rawBatch)
+    }
+    assert(noMarker.getMessage.contains("no commit marker"),
+      noMarker.getMessage)
     graft.TmpDirs.deleteRecursively(new java.io.File(idx))
   }
 

@@ -323,6 +323,32 @@ class SemDedupIndexLifecycleSpec extends SparkTestBase {
     rm(root)
   }
 
+  test("replay after a PARTIAL delete of a committed batch refuses loud and never thins committed members") {
+    // append commits -> a delete removes SOME of the batch's ids -> the
+    // append replays (at-least-once). The replay sees its committed
+    // marker with partial liveness and NO staging dir: the surviving
+    // member files are COMMITTED state in cells the delete never
+    // rewrote, so the sweep must not run — a silent sweep would serve a
+    // thinned index with no maintenance leftover for readers to refuse
+    // on. The loud refusal names the recovery.
+    val root = freshRoot("partial-del-replay")
+    buildIdx(root, corpus)
+    val batch = arrivals.filter($"vec_id" % 20 === 0)
+    append(root, batch)
+    val afterAppend = membersSet(root)
+    val subset = batch.select($"vec_id").orderBy($"vec_id").limit(1)
+    Dedup.deleteFromSemDedupIndex(spark, root, subset, "vec_id")
+    val afterDelete = membersSet(root)
+    assert(afterDelete.size == afterAppend.size - 1)
+    val ex = intercept[IllegalArgumentException] { append(root, batch) }
+    assert(ex.getMessage.contains("PARTIAL liveness"), ex.getMessage)
+    assert(membersSet(root) == afterDelete,
+      "the refused replay must not touch members (committed files were swept)")
+    // readers still serve the post-delete corpus (no leftover refusal)
+    assert(probe(root, arrivals.filter($"vec_id" % 20 === 10)).nonEmpty)
+    rm(root)
+  }
+
   test("rebuild mid-swap crash then a second crash after heal: the live pair is never a MIXED generation") {
     // the heal must move the PAIR forward (or back) — a per-half heal
     // could leave the NEW quantizer live over the OLD assignment, both
