@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, FileOutputStream}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.types._
@@ -319,10 +319,10 @@ object CdcCodec {
       tables: Option[Map[(String, String), TableStats]] = None)
 
   def readMeta(logPath: String): Option[FileMeta] = {
-    val p = java.nio.file.Paths.get(logPath + ".meta")
-    if (!java.nio.file.Files.exists(p)) None
+    val p = logPath + ".meta"
+    if (!LogFs.exists(p)) None
     else try { // any torn/malformed sidecar -> None (skip pruning), never crash the scan
-      val lines = java.nio.file.Files.readString(p).trim.linesIterator.toSeq
+      val lines = LogFs.readUtf8(p).trim.linesIterator.toSeq
       lines.headOption.map(_.split("\\s+")) match {
         case Some(Array("v1", a, b, c, d)) =>
           Some(FileMeta(a.toLong, b.toLong, c.toLong, d.toLong))
@@ -361,9 +361,10 @@ object CdcCodec {
     * [[RawEventSource]] — see BinlogAdapter.scala for the seam a real
     * MySQL-binlog reader implements instead). */
   final class EventReader(path: String) extends RawEventSource {
-    private val fileLen = new java.io.File(path).length()
-    private val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    // Hadoop-FS routed (LogFs): executors must be able to open
+    // scheme-qualified log roots — see LogFs for the deployment story
+    private val fileLen = LogFs.lenOrZero(path)
+    private val in = new DataInputStream(LogFs.open(path))
     require(in.readInt() == Magic, s"$path: bad magic")
     require(in.readInt() == Version, s"$path: bad version")
     private var pos: Long = HeaderLen
@@ -397,13 +398,9 @@ object CdcCodec {
   /** Index file → ordered log file list (reference:
     * binlog_table_reader.cc:12-19; tolerates trailing newline). Relative
     * entries resolve against the index file's directory. */
-  def readIndex(indexFile: String): Seq[String] = {
-    val dir = java.nio.file.Paths.get(indexFile).toAbsolutePath.getParent
-    val src = scala.io.Source.fromFile(indexFile)
-    try src.getLines().map(_.trim).filter(_.nonEmpty)
-      .map(l => dir.resolve(l).toString).toList
-    finally src.close()
-  }
+  def readIndex(indexFile: String): Seq[String] =
+    LogFs.readUtf8(indexFile).linesIterator.map(_.trim).filter(_.nonEmpty)
+      .map(l => LogFs.resolveSibling(indexFile, l)).toList
 
   // ------------------------------------------------------------- row decode
 
@@ -698,8 +695,7 @@ object CdcCodec {
     * (it would sit below the recorded start offset). O(events) scan —
     * a deployment caches (path, length) → boundary. */
   def lastCompleteOffset(path: String): Long = {
-    val f = new java.io.File(path)
-    if (!f.exists() || f.length() < HeaderLen) return HeaderLen.toLong
+    if (LogFs.lenOrZero(path) < HeaderLen) return HeaderLen.toLong
     val r = new EventReader(path)
     try {
       var end = HeaderLen.toLong
@@ -776,7 +772,7 @@ object CdcCodec {
     val pending = files.zip(metas)
       .filter(!_._2.exists(_.tables.isDefined)).map(_._1)
     val scanned = pending.reverseIterator
-      .filter(f => new java.io.File(f).length > HeaderLen) // racing rotation
+      .filter(f => LogFs.lenOrZero(f) > HeaderLen) // racing rotation
       .map { f =>
         val r = new EventReader(f)
         try {

@@ -1,6 +1,6 @@
 package graft.cdc
 
-import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, FileInputStream, FileOutputStream, IOException}
+import java.io.{BufferedOutputStream, EOFException, FileOutputStream, IOException}
 import java.nio.charset.StandardCharsets
 import java.time.LocalDateTime
 import java.util.zip.CRC32
@@ -358,7 +358,9 @@ object MysqlBinlog {
     * stripped, so downstream decoders never see checksum bytes. */
   final class EventReader(path: String, maria: Boolean = false)
       extends RawEventSource {
-    private val in = new BufferedInputStream(new FileInputStream(path), 1 << 16)
+    // Hadoop-FS routed (LogFs): scheme-qualified log roots work on
+    // executors — see LogFs for the deployment story
+    private val in = LogFs.open(path)
     try {
       val m = in.readNBytes(MagicLen)
       // encrypted binlogs (binlog_encryption=ON, MySQL 8.0.14+) carry
@@ -490,8 +492,7 @@ object MysqlBinlog {
     * [[CdcCodec.lastCompleteOffset]]): streaming offsets must never
     * point past it. */
   def lastCompleteOffset(path: String, maria: Boolean = false): Long = {
-    val f = new java.io.File(path)
-    if (!f.exists() || f.length() < MagicLen) return MagicLen.toLong
+    if (LogFs.lenOrZero(path) < MagicLen) return MagicLen.toLong
     val r = new EventReader(path, maria)
     try {
       var end = MagicLen.toLong
@@ -2047,7 +2048,7 @@ object MysqlBinlog {
     * active tables; bounded I/O at any log size. */
   def listTables(indexFile: String, maria: Boolean = false): Seq[(String, String)] =
     CdcCodec.readIndex(indexFile).reverseIterator
-      .filter(f => new java.io.File(f).length > MagicLen).map { f =>
+      .filter(f => LogFs.lenOrZero(f) > MagicLen).map { f =>
       val r = new EventReader(f, maria)
       try {
         val out = scala.collection.mutable.LinkedHashSet.empty[(String, String)]

@@ -248,7 +248,7 @@ object CdcFanout {
       // every increment would re-walk the whole log's history for
       // boundary metadata, the exact growth this op exists to avoid
       // (a complete file's last-complete offset IS its length)
-      if (committed.contains(f) && new java.io.File(f).length() == start) None
+      if (committed.contains(f) && graft.cdc.LogFs.lenOrZero(f) == start) None
       else {
         val end = adapter.lastCompleteOffset(f)
         if (end > start) Some((f, start, end)) else None

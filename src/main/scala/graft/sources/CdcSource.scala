@@ -448,7 +448,7 @@ class CdcScan(indexFile: String, db: String, table: String,
     * sizeInBytes = Σ log-file sizes feeds broadcast decisions. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = CdcCodec.readIndex(indexFile)
-      .map(f => new java.io.File(f).length()).sum
+      .map(graft.cdc.LogFs.lenOrZero).sum
     override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
@@ -810,11 +810,11 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     var i = 0
     while (i < fs.length) {
       val len =
-        if (i == fs.length - 1) new java.io.File(fs(i)).length()
+        if (i == fs.length - 1) graft.cdc.LogFs.lenOrZero(fs(i))
         else closedLengths.get(fs(i)) match {
           case Some(l) => l
           case None =>
-            val l = new java.io.File(fs(i)).length()
+            val l = graft.cdc.LogFs.lenOrZero(fs(i))
             // memoize only a plausible observation: a transiently
             // shrunken/invisible file (the FS race latestOffset's
             // monotonic guard documents) must re-stat next tick, not
@@ -948,7 +948,7 @@ class CdcMicroBatchStream(indexFile: String, db: String, table: String,
     var i = s.fileIdx
     while (i <= e.fileIdx && i < fs.length) {
       val startPos = if (i == s.fileIdx) s.pos else adapter.headerLen
-      val endPos = if (i == e.fileIdx) e.pos else new java.io.File(fs(i)).length()
+      val endPos = if (i == e.fileIdx) e.pos else graft.cdc.LogFs.lenOrZero(fs(i))
       if (endPos > startPos) parts += CdcInputPartition(fs(i), startPos, endPos)
       i += 1
     }

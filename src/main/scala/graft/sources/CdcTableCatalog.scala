@@ -54,9 +54,9 @@ class CdcTableCatalog extends TableCatalog with SupportsNamespaces {
   private def listing: Seq[(String, String)] = {
     val files = graft.cdc.CdcCodec.readIndex(indexFile)
     val key = files.length + ":" + files.lastOption.map { f =>
-      val p = new java.io.File(f)
-      val m = new java.io.File(f + ".meta")
-      s"$f:${p.length}:${p.lastModified}:${m.length}:${m.lastModified}"
+      val (pl, pm) = graft.cdc.LogFs.statKey(f)
+      val (ml, mm) = graft.cdc.LogFs.statKey(f + ".meta")
+      s"$f:$pl:$pm:$ml:$mm"
     }.getOrElse("")
     val memo = listingMemo
     if (memo != null && memo._1 == key) memo._2
