@@ -92,6 +92,36 @@ object Bench {
     // str19/str20.
     "cdc53_fanout_multi_table")
 
+  /** K NON-headline queries rotated into the headline (gate) run each
+    * round, selected deterministically from the sorted non-headline
+    * pool by round number: round N takes the K-slice starting at
+    * (N·K mod pool size), so consecutive rounds cover disjoint slices
+    * and the whole pool cycles in ceil(pool/K) rounds. Rationale
+    * (round-15 post-mortem): the static headline set let a 23× archive
+    * artifact (llm59) sail through two rounds unexamined — rotation
+    * gives every query periodic gate visibility without benching the
+    * full surface at gate depth every round. The selection is recorded
+    * in the artifact (`"rotated"`) and pinned by BenchPolicySpec. */
+  private[graft] def rotatedQueries(all: Seq[String], headline: Seq[String],
+      round: Int, k: Int = 8): Seq[String] = {
+    val hs = headline.toSet
+    val pool = all.filterNot(hs).sorted
+    if (pool.isEmpty || k <= 0) Nil
+    else {
+      val start = ((round.toLong * k) % pool.length).toInt
+      (0 until math.min(k, pool.length)).map(i => pool((start + i) % pool.length))
+    }
+  }
+
+  /** The round being benched = highest driver CORRECTNESS_r{N} in cwd
+    * + 1 — the same convention scripts/bench_gate.sh uses to name the
+    * archived baseline, so the rotation and the archive agree on N. */
+  private[graft] def currentRound(names: Seq[String]): Int = {
+    val re = "^CORRECTNESS_r(\\d+)\\.json$".r
+    val rs = names.collect { case re(n) => n.toInt }
+    if (rs.isEmpty) 1 else rs.max + 1
+  }
+
   /** Timed samples per query per layout series (the published JSON
     * derives from this — one knob, no drift between the loop and the
     * declared methodology). The published number is the MEDIAN of the
@@ -306,6 +336,16 @@ object Bench {
     // the same warmup/min-of-N harness — the apples-to-apples re-check
     // for a flagged regression (Profile's cold-JVM numbers are not
     // comparable to bench numbers)
+    val fullSurface = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    // the gate run carries K rotated non-headline queries this round
+    // (see rotatedQueries); recorded in the artifact as "rotated"
+    val rotated: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case None if !fullSurface =>
+        val cwd = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        rotatedQueries(SparkEntry.queries.keys.toSeq, Headline,
+          currentRound(cwd.toSeq))
+      case _ => Nil
+    }
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(list) =>
         val only = list.split(',').map(_.trim).filter(_.nonEmpty)
@@ -313,9 +353,8 @@ object Bench {
         require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
         only.toSeq
       case None =>
-        if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-          SparkEntry.queries.keys.toSeq.sorted
-        else Headline.filter(SparkEntry.queries.contains)
+        if (fullSurface) SparkEntry.queries.keys.toSeq.sorted
+        else Headline.filter(SparkEntry.queries.contains) ++ rotated
     }
     import scala.util.control.NonFatal
     // SPARK_GRAFT_BENCH_RELAY=0 opts out (times the raw layout only);
@@ -363,6 +402,18 @@ object Bench {
         release()
       }
       val reps: Seq[Seq[(Double, Boolean)]] = (1 to runs).map(_ => dirs.map(once))
+      // full-surface hygiene (round-15 post-mortem: 239 queries in one
+      // JVM let accumulated cached relations + GC debt distort later
+      // queries 5-23× in the ARCHIVE while isolation read them flat):
+      // drop every cached relation this query pinned and let the heap
+      // settle before the next query's samples. Gate runs skip the
+      // forced GC — 48 queries never built that debt, and the pause
+      // would just lengthen the quiet window.
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) {
+        spark.catalog.clearCache()
+        release()
+        System.gc()
+      }
       val byDir = dirs.indices.map { i =>
         val s = reps.map(_(i))
         (median(s.map(_._1)), s.forall(_._2))
@@ -427,7 +478,10 @@ object Bench {
     // runs/warmup/agg declared so a consumer can tell median-of-N
     // steady-state numbers from cold single-shots across rounds
     val headPart = if (gitHead.isEmpty) "" else s""","head":"$gitHead""""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$headPart$rawPart$spreadPart$prevPart}""")
+    val rotatedPart =
+      if (rotated.isEmpty) ""
+      else rotated.map("\"" + _ + "\"").mkString(""","rotated":[""", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failed,"runs":$runs,"warmup":1,"agg":"median","sf":"$sfDir"$headPart$rotatedPart$rawPart$spreadPart$prevPart}""")
     spark.stop()
   }
 }

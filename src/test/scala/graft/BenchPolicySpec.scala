@@ -23,6 +23,36 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.splitCount(100 * MiB, 8) == 8)
   }
 
+  test("gate rotation: deterministic per round, disjoint consecutive slices, cycles the pool, never a headline query") {
+    val headline = Seq("q01", "q03", "llm05")
+    val all = headline ++ (1 to 20).map(i => f"x$i%02d")
+    val r16 = Bench.rotatedQueries(all, headline, round = 16, k = 8)
+    // deterministic: same inputs, same selection
+    assert(r16 == Bench.rotatedQueries(all, headline, round = 16, k = 8))
+    assert(r16.length == 8 && r16.forall(q => !headline.contains(q)))
+    // consecutive rounds cover different slices (pool 20, k 8: rounds
+    // 16/17 start at 8 and 16 of the sorted pool — overlap only via
+    // wraparound, never identical)
+    val r17 = Bench.rotatedQueries(all, headline, round = 17, k = 8)
+    assert(r16 != r17)
+    // the pool cycles: ceil(20/8)=3 consecutive rounds touch everything
+    val threeRounds = (16 to 18).flatMap(
+      Bench.rotatedQueries(all, headline, _, k = 8)).toSet
+    assert(threeRounds == all.filterNot(headline.contains).toSet,
+      "three consecutive rounds must cover the whole non-headline pool")
+    // degenerate pools behave
+    assert(Bench.rotatedQueries(headline, headline, 16, 8).isEmpty)
+    assert(Bench.rotatedQueries(headline :+ "only", headline, 16, 8)
+      == Seq("only"))
+  }
+
+  test("currentRound: highest driver CORRECTNESS round + 1, the bench_gate.sh convention") {
+    assert(Bench.currentRound(Seq("CORRECTNESS_r15.json",
+      "CORRECTNESS_r09.json", "BENCH_r15.json", "notes.txt")) == 16)
+    assert(Bench.currentRound(Seq("BENCH_r15.json")) == 1)
+    assert(Bench.currentRound(Nil) == 1)
+  }
+
   test("prev-archive picker: newest round first, gate beats driver at the same round") {
     // the bench_gate.sh order, mirrored: an embedded prev annotation
     // must come from the ADJACENT round's baseline (gate preferred —
