@@ -34,6 +34,26 @@ import org.apache.spark.sql.types.StructType
   * no partition planner, pushdown rule, or streaming-offset change.
   * The `binlogFormat` source option selects the adapter by name (see
   * [[BinlogFormats]]).
+  *
+  * '''The production deployment seam — live replication-protocol
+  * ingestion.''' Both the reference and this engine are FILE-based:
+  * they read binlog files someone ships (the reference from inside
+  * mysqld's own datadir, this engine from any Hadoop-addressable root
+  * — see [[LogFs]]). The mode a production CDC user asks for first is
+  * LIVE ingestion: connect to mysqld as a replica — `COM_REGISTER_SLAVE`
+  * + `COM_BINLOG_DUMP_GTID` over the client protocol — and consume the
+  * event stream the server pushes, no file shipping at all (the
+  * Debezium deployment shape). That mode is a FOURTH implementation of
+  * exactly this interface, not an engine change: the wire frames the
+  * replica receives are the same v4 events [[MysqlBinlog]] already
+  * decodes (each prefixed by one status byte), so `open` becomes a
+  * socket-backed [[RawEventSource]], `readIndex`/`filesMeta` enumerate
+  * server binlogs via `SHOW BINARY LOGS` / the dump position instead
+  * of an index file, `lastCompleteOffset` is the stream's
+  * acknowledged position, and the row decode is reused verbatim.
+  * Unreachable in this offline build environment (no mysqld, zero
+  * egress) — documented here as the seam's intended fourth plug; see
+  * DESIGN.md "The replication-protocol seam".
   */
 trait RawEventSource extends Iterator[CdcCodec.RawEvent] with AutoCloseable
 
