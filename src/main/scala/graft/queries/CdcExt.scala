@@ -1482,6 +1482,32 @@ object CdcExt {
           .select(col(CdcSchema.GtidCol).as("audit_id")), Seq("audit_id"))
         .groupBy(col("audit_id"), col("note"))
         .agg(count(lit(1)).as("n_batch"))
+    },
+
+    // scheme-qualified log root through the DRIVER's oracle gate: the
+    // same scan as cdc02's op-count shape, but the index file is
+    // addressed as a file:// URI, so the whole LogFs seam (index parse,
+    // relative-entry resolution, sidecar pruning metadata, per-file
+    // event readers on executors) is hash-checked against DuckDB every
+    // round — LocalFileSystem under file:// exercises exactly the code
+    // path an hdfs:// root takes. Oracle = the event stream
+    // reconstruction, identical to the bare-path scan's.
+    QDef("cdc55_scheme_root_scan",
+      s"""${Cdc.eventsCte}
+         |SELECT __op, COUNT(*) AS n, MIN(__gtid) AS min_gtid,
+         |  MAX(__gtid) AS max_gtid, CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+         |FROM cdc_tm GROUP BY __op""".stripMargin) { (s, dir) =>
+      val index = CdcFixture.ensure(s, dir)
+      s.read.format("binlogcdc")
+        .option("indexFile", s"file://$index")
+        .option("database", CdcFixture.Db)
+        .option("table", CdcFixture.Table)
+        .load()
+        .groupBy(col(CdcSchema.OpCol))
+        .agg(count(lit(1)).as("n"),
+          min(col(CdcSchema.GtidCol)).as("min_gtid"),
+          max(col(CdcSchema.GtidCol)).as("max_gtid"),
+          sum(col("o_custkey")).as("sum_cust"))
     }
   )
 }
