@@ -412,6 +412,13 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")) {
         spark.catalog.clearCache()
         release()
+        // streaming residue: unload finished queries' state-store
+        // providers (the maintenance pool keeps iterating them and
+        // their memory stays pinned — the r16 full run measured the
+        // str* family 1.7-2.7x in-run vs flat isolation A/Bs) and
+        // clear the terminated-query registry
+        org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
+        spark.streams.resetTerminated()
         System.gc()
       }
       val byDir = dirs.indices.map { i =>

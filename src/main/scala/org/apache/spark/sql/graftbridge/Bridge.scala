@@ -57,6 +57,19 @@ object Bridge {
     * select only its touched cell directories, and `selectedPartitions`
     * is resolved at planning time, so the probe needs no execution.
     * Descends through AQE wrappers (current plan) and reused subtrees. */
+  /** Unload every loaded state-store provider. A JVM that runs many
+    * streaming queries back-to-back (the full-surface bench: 24
+    * streaming queries × reps in one session) accumulates providers of
+    * long-FINISHED queries; the shared maintenance pool keeps iterating
+    * them and their memory stays pinned, which inflates later streaming
+    * samples. `StateStore.unloadAll()` is the hygiene hook Spark's own
+    * test harness uses between suites; `private[sql]`, hence bridged.
+    * Providers re-load lazily, so the next streaming query is
+    * unaffected beyond a cold first batch (the bench's untimed warmup
+    * absorbs it). */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   def fileScanSelections(df: DataFrame): Seq[(String, Int, Long)] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
