@@ -277,4 +277,47 @@ class SpanSemDedupSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null && ex.getMessage.contains("maxCluster"))
   }
+
+  test("semDedup: PAIR-budget guard refuses when total same-cell pair work exceeds maxPairs, even with every cell under maxCluster") {
+    // 4 cells x 10 members: largest cell (10) is well under
+    // maxCluster=1000, but total pairs = 4 * 45 = 180 — a per-cell
+    // bound alone under-guards exactly this shape (many cells just
+    // under the cap). The budget knob must drive the refusal.
+    val df = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(4)(j => if (j == c) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val seeds = (0L until 4L).map { c =>
+      (c, Array.tabulate(4)(j => if (j == c.toInt) 1f else 0f))
+    }.toDF("vec_id", "embedding")
+    val prev = spark.conf.getOption("spark.graft.semdedup.maxPairs")
+    spark.conf.set("spark.graft.semdedup.maxPairs", "100")
+    try {
+      val ex = intercept[IllegalStateException] {
+        Dedup.semDedup(df, "embedding", "vec_id", seeds = seeds,
+          seedId = "vec_id", seedEmb = "embedding",
+          threshold = 0.9, maxCluster = 1000).collect()
+      }
+      assert(ex.getMessage.contains("maxPairs"), ex.getMessage)
+      // at budget >= 180 the same frame passes and computes verdicts
+      spark.conf.set("spark.graft.semdedup.maxPairs", "180")
+      assert(Dedup.semDedup(df, "embedding", "vec_id", seeds = seeds,
+        seedId = "vec_id", seedEmb = "embedding",
+        threshold = 0.9, maxCluster = 1000).count() == 40)
+      // the probe tail enforces the same budget (pool pairs)
+      spark.conf.set("spark.graft.semdedup.maxPairs", "100")
+      val exP = intercept[IllegalStateException] {
+        Dedup.semDedupIncremental(
+          corpus = df.filter(col("vec_id") < 36),
+          batch = df.filter(col("vec_id") >= 36),
+          "embedding", "vec_id", seeds = seeds,
+          seedId = "vec_id", seedEmb = "embedding",
+          threshold = 0.9, maxCluster = 1000).collect()
+      }
+      assert(exP.getMessage.contains("maxPairs"), exP.getMessage)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.semdedup.maxPairs", v)
+      case None => spark.conf.unset("spark.graft.semdedup.maxPairs")
+    }
+  }
 }
