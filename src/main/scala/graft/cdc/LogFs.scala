@@ -55,30 +55,32 @@ private[graft] object LogFs {
     fresh
   }
 
-  def fs(path: String): FileSystem = new Path(path).getFileSystem(conf())
+  def fs(path: String): FileSystem = new Path(path).getFileSystem(conf()) match {
+    // reads only, so skip the checksum layer: the logs were written by
+    // mysqld (or the fixture writers), never by LocalFileSystem, so no
+    // .crc sidecars exist — the wrapper buys a per-open .crc stat and a
+    // 4 KiB-chunked read path for nothing
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case f => f
+  }
 
   /** Byte length of `path`; 0 when missing (the list-time rotation
     * race: an index entry can name a file the producer has not flushed
     * yet — callers already treat "too short" as "skip, retry later"). */
   def lenOrZero(path: String): Long = {
-    val p = new Path(path)
     try {
-      val st = p.getFileSystem(conf()).getFileStatus(p)
+      val st = fs(path).getFileStatus(new Path(path))
       if (st.isFile) st.getLen else 0L
     } catch { case _: java.io.FileNotFoundException => 0L }
   }
 
-  def exists(path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(conf()).exists(p)
-  }
+  def exists(path: String): Boolean = fs(path).exists(new Path(path))
 
   /** (length, mtime) stat pair for cheap change fingerprints; (0, 0)
     * when missing. One RPC on HDFS. */
   def statKey(path: String): (Long, Long) = {
-    val p = new Path(path)
     try {
-      val st = p.getFileSystem(conf()).getFileStatus(p)
+      val st = fs(path).getFileStatus(new Path(path))
       (st.getLen, st.getModificationTime)
     } catch { case _: java.io.FileNotFoundException => (0L, 0L) }
   }
@@ -87,10 +89,13 @@ private[graft] object LogFs {
     * `new BufferedInputStream(new FileInputStream(path))` in the event
     * readers (their access pattern is strictly sequential, which every
     * Hadoop filesystem serves well). */
-  def open(path: String): InputStream = {
-    val p = new Path(path)
-    new BufferedInputStream(p.getFileSystem(conf()).open(p), 1 << 16)
-  }
+  def open(path: String): InputStream =
+    // explicit 64 KiB FS buffer: the default io.file.buffer.size is
+    // 4 KiB, which 16x-es the syscall count of the old
+    // FileInputStream+64 KiB-buffer readers and measurably taxed the
+    // single-file decode benchmarks; the outer BufferedInputStream
+    // keeps the readers' byte-at-a-time access cheap
+    new BufferedInputStream(fs(path).open(new Path(path), 1 << 16), 1 << 16)
 
   /** Whole small file as UTF-8 (index files, sidecars — both are tiny
     * by construction). */
