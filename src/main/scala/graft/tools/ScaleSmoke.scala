@@ -957,6 +957,28 @@ object ScaleSmoke {
       println(f"SCALE mysqlDecodeEpochs: ${total / secs3 / 1e6}%.2f Mrows/s " +
         f"(vs plain full ${total / secs / 1e6}%.2f — drift-plan overhead " +
         f"${secs3 / secs}%.2fx)")
+
+      // the SAME log addressed as a file:// root (the LogFs seam at
+      // scale): identical row set required EXACTLY; the timing bound is
+      // a generous backstop pinning that scheme routing costs O(opens)
+      // — per-file constants — never O(bytes) on the decode hot loop
+      // (LocalFileSystem under file:// is the hdfs:// code path).
+      val dfU = spark.read.format("binlogcdc")
+        .option("indexFile", s"file://$dir/binlog.index")
+        .option("database", "db").option("table", "big")
+        .option("binlogFormat", "mysql").load()
+      val t4 = System.nanoTime()
+      val row4 = dfU.agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      val secs4 = (System.nanoTime() - t4) / 1e9
+      assert(row4.getLong(1) == total &&
+          row4.getLong(0) == total * (total - 1) / 2,
+        "file:// root must decode the identical row set")
+      println(f"SCALE mysqlDecodeFileUri: ${total / secs4 / 1e6}%.2f Mrows/s " +
+        f"(vs bare-path ${total / secs / 1e6}%.2f — scheme overhead " +
+        f"${secs4 / secs}%.2fx)")
+      assert(secs4 < 3.0 * secs,
+        f"file:// decode is ${secs4 / secs}%.2fx the bare-path decode — " +
+          "scheme routing is taxing the byte path, not just the opens")
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
