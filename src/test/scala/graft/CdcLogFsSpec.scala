@@ -107,6 +107,28 @@ class CdcLogFsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("SQL catalog through file://: SHOW TABLES and a pushdown read work against a scheme-qualified index") {
+    val index = graft.cdc.CdcFixture.ensure(spark, "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.catalog.cdcuri",
+      "graft.sources.CdcTableCatalog")
+    spark.conf.set("spark.sql.catalog.cdcuri.indexFile", s"file://$index")
+    try {
+      val tables = spark.sql("SHOW TABLES IN cdcuri.graft")
+        .collect().map(_.getString(1)).toSet
+      assert(tables.contains("orders"), s"catalog listing missing orders: $tables")
+      val n = spark.sql(
+        "SELECT COUNT(*) FROM cdcuri.graft.orders WHERE __op = 1").head().getLong(0)
+      val bare = spark.read.format("binlogcdc")
+        .option("indexFile", index)
+        .option("database", "graft").option("table", "orders").load()
+        .filter(org.apache.spark.sql.functions.col("__op") === 1).count()
+      assert(n == bare && n > 0, s"catalog file:// count $n != bare $bare")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cdcuri.indexFile")
+      spark.conf.unset("spark.sql.catalog.cdcuri")
+    }
+  }
+
   test("fan-out through file:// materializes frames equal to the scans") {
     val index = graft.cdc.CdcFixture.ensure(spark, "/root/testdata/sf0.001")
     val root = Files.createTempDirectory("cdc-logfs-fanout").toString
