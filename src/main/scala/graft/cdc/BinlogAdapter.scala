@@ -51,9 +51,16 @@ import org.apache.spark.sql.types.StructType
   * server binlogs via `SHOW BINARY LOGS` / the dump position instead
   * of an index file, `lastCompleteOffset` is the stream's
   * acknowledged position, and the row decode is reused verbatim.
-  * Unreachable in this offline build environment (no mysqld, zero
-  * egress) — documented here as the seam's intended fourth plug; see
-  * DESIGN.md "The replication-protocol seam".
+  * The PROTOCOL layer of that plug is implemented and spec-pinned:
+  * [[MysqlReplica]] speaks the public client/server wire (protocol-41
+  * handshake, `mysql_native_password` scramble, `COM_REGISTER_SLAVE`,
+  * `COM_BINLOG_DUMP_GTID`) and returns the dump as a
+  * [[RawEventSource]] through the SAME [[MysqlBinlog.EventReader]] the
+  * file path uses — byte-for-byte parity with the file reader is
+  * pinned against the loopback [[FakeMysqld]] stand-in. What remains
+  * is deployment work (no mysqld exists in this offline build
+  * environment): pointing it at a real endpoint and the DSv2 adapter
+  * wiring above; see DESIGN.md "The replication-protocol seam".
   */
 trait RawEventSource extends Iterator[CdcCodec.RawEvent] with AutoCloseable
 

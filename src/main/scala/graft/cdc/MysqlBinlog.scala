@@ -356,11 +356,18 @@ object MysqlBinlog {
     * FORMAT_DESCRIPTION event declares CRC32 checksums, every
     * subsequent event's CRC is VERIFIED (fail loud on corruption) and
     * stripped, so downstream decoders never see checksum bytes. */
-  final class EventReader(path: String, maria: Boolean = false)
-      extends RawEventSource {
+  /** The primary constructor takes the raw byte STREAM (magic + v4
+    * events): files hand it `LogFs.open` via the public path
+    * constructor below, and the replication-protocol client
+    * ([[MysqlReplica]]) hands it the live dump stream re-framed as the
+    * same byte layout — one reader, one CRC/FDE/flavor policy for both
+    * ingestion modes. `path` is the diagnostic label. */
+  final class EventReader private[cdc] (in: java.io.InputStream,
+      path: String, maria: Boolean) extends RawEventSource {
     // Hadoop-FS routed (LogFs): scheme-qualified log roots work on
     // executors — see LogFs for the deployment story
-    private val in = LogFs.open(path)
+    def this(path: String, maria: Boolean = false) =
+      this(LogFs.open(path), path, maria)
     try {
       val m = in.readNBytes(MagicLen)
       // encrypted binlogs (binlog_encryption=ON, MySQL 8.0.14+) carry

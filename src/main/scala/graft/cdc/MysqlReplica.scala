@@ -1,0 +1,416 @@
+package graft.cdc
+
+import java.io.{DataInputStream, DataOutputStream, IOException, InputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** LIVE replication-protocol ingestion — the fourth plug behind the
+  * [[BinlogFormatAdapter]] seam, implemented against the PUBLIC MySQL
+  * client/server protocol (no client library): connect to mysqld as a
+  * replica, authenticate (`mysql_native_password` scramble),
+  * `COM_REGISTER_SLAVE`, then `COM_BINLOG_DUMP_GTID` — and consume the
+  * OK-prefixed event stream the server pushes, with NO file shipping
+  * (the Debezium deployment shape; the reference cannot do this at all
+  * — it reads mysqld's local files from inside the server,
+  * binlog_table_reader.cc:75-96).
+  *
+  * The dump stream is RE-FRAMED as the binlog byte layout (4-byte
+  * magic + v4 events) and handed to the SAME [[MysqlBinlog.EventReader]]
+  * the file path uses — one CRC/FDE/flavor policy for both ingestion
+  * modes, and `pos`/`endPos` equal the true binlog offsets because the
+  * server streams the file's own bytes in order (the fabricated
+  * pre-FDE ROTATE the server opens with is dropped before framing).
+  * Decode parity with the file reader is spec-pinned byte-for-byte
+  * against a loopback stand-in server ([[FakeMysqld]]) that speaks the
+  * same wire protocol — the offline-testable half of the seam; a real
+  * mysqld endpoint is the same bytes over a different socket.
+  *
+  * Protocol scope (v1): protocol-41 handshake with
+  * `mysql_native_password` (the scramble math, not a stub), REGISTER_
+  * SLAVE, DUMP_GTID from an empty executed set (= from the named
+  * position; GTID-set resume composes later), single-packet events
+  * (≥16 MiB events fail loud rather than silently mis-framed), ERR
+  * packets surfaced with the server's errno and message. TLS and
+  * `caching_sha2_password` are deployment-hardening items, documented
+  * not stubbed.
+  */
+object MysqlReplica {
+
+  // capability flags (public protocol constants)
+  private val ClientProtocol41 = 0x00000200L
+  private val ClientSecureConnection = 0x00008000L
+  private val ClientPluginAuth = 0x00080000L
+
+  private val ComRegisterSlave = 0x15
+  private val ComBinlogDumpGtid = 0x1e
+
+  // ------------------------------------------------------- packet framing
+
+  /** One MySQL packet: 3-byte LE length + 1-byte sequence + payload.
+    * Returns (seq, payload). 0xffffff-length continuation frames (16 MiB
+    * payloads) fail loud — no event in scope approaches the bound. */
+  private[cdc] def readPacket(in: DataInputStream): (Int, Array[Byte]) = {
+    val h = in.readNBytes(4)
+    if (h.length < 4) throw new IOException("connection closed mid-packet")
+    val len = (h(0) & 0xff) | ((h(1) & 0xff) << 8) | ((h(2) & 0xff) << 16)
+    require(len < 0xffffff,
+      "16 MiB packet continuation not supported (event exceeds one packet)")
+    val seq = h(3) & 0xff
+    val p = in.readNBytes(len)
+    if (p.length < len) throw new IOException("connection closed mid-packet")
+    (seq, p)
+  }
+
+  private[cdc] def writePacket(out: DataOutputStream, seq: Int,
+      payload: Array[Byte]): Unit = {
+    val len = payload.length
+    out.write(len & 0xff); out.write((len >> 8) & 0xff)
+    out.write((len >> 16) & 0xff); out.write(seq & 0xff)
+    out.write(payload); out.flush()
+  }
+
+  private def err(payload: Array[Byte], what: String): Nothing = {
+    // ERR: 0xff, errno u16le, '#'+sqlstate(5) [protocol41], message
+    val errno = (payload(1) & 0xff) | ((payload(2) & 0xff) << 8)
+    val msgOff = if (payload.length > 3 && payload(3) == '#') 9 else 3
+    val msg = new String(payload, msgOff, payload.length - msgOff,
+      StandardCharsets.UTF_8)
+    throw new IOException(s"$what: server ERR $errno: $msg")
+  }
+
+  /** `mysql_native_password` auth token:
+    * SHA1(pwd) XOR SHA1(scramble ++ SHA1(SHA1(pwd))). */
+  private[graft] def nativePasswordToken(password: String,
+      scramble: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha = MessageDigest.getInstance("SHA-1")
+    val p1 = sha.digest(password.getBytes(StandardCharsets.UTF_8))
+    val p2 = sha.digest(p1)
+    sha.update(scramble); sha.update(p2)
+    val mix = sha.digest()
+    val out = new Array[Byte](20)
+    var i = 0
+    while (i < 20) { out(i) = (p1(i) ^ mix(i)).toByte; i += 1 }
+    out
+  }
+
+  // --------------------------------------------------------------- client
+
+  /** An authenticated replica session. Single-threaded, one dump per
+    * session (mysqld's own constraint). */
+  final class Session private[cdc] (socket: Socket, in: DataInputStream,
+      out: DataOutputStream) extends AutoCloseable {
+
+    private def command(payload: Array[Byte], what: String): Unit = {
+      writePacket(out, 0, payload) // each command restarts the sequence
+      val (_, resp) = readPacket(in)
+      if ((resp(0) & 0xff) == 0xff) err(resp, what)
+      require((resp(0) & 0xff) == 0x00, s"$what: unexpected response " +
+        f"0x${resp(0) & 0xff}%02x")
+    }
+
+    /** COM_REGISTER_SLAVE — announce this consumer in SHOW REPLICAS. */
+    def registerSlave(serverId: Long, reportHost: String = "graft"): Unit = {
+      val host = reportHost.getBytes(StandardCharsets.UTF_8)
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(ComRegisterSlave)
+      writeU32(d, serverId)
+      d.write(host.length); d.write(host)
+      d.write(0) // user
+      d.write(0) // password
+      d.write(0); d.write(0) // port u16le (0 = not listening)
+      writeU32(d, 0L) // replication rank (unused)
+      writeU32(d, 0L) // master id (0 = let the server fill it)
+      command(b.toByteArray, "COM_REGISTER_SLAVE")
+    }
+
+    /** COM_BINLOG_DUMP_GTID from (file, pos) with an EMPTY executed
+      * set — the server streams everything from that position. Returns
+      * the live event stream as a [[RawEventSource]]: the same
+      * [[MysqlBinlog.EventReader]] (CRC verify, FDE policy, flavor
+      * check) over the re-framed socket bytes. Fabricated pre-FDE
+      * events (the dump's artificial ROTATE) are dropped, so
+      * `pos`/`endPos` are true binlog offsets. */
+    def dumpFrom(serverId: Long, file: String = "",
+        pos: Long = MysqlBinlog.MagicLen.toLong): RawEventSource = {
+      val name = file.getBytes(StandardCharsets.UTF_8)
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.write(ComBinlogDumpGtid)
+      d.write(0); d.write(0) // flags u16le
+      writeU32(d, serverId)
+      writeU32(d, name.length.toLong)
+      d.write(name)
+      writeU64(d, pos)
+      writeU32(d, 8L) // gtid-set data length
+      writeU64(d, 0L) // n_sids = 0: empty executed set
+      writePacket(out, 0, b.toByteArray)
+      // event packets: 0x00 + event bytes; 0xfe EOF ends; 0xff ERR
+      val packets: Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+        private var nextChunk: Array[Byte] = _
+        private var finished = false
+        private var sawFde = false
+        private def advance(): Unit = {
+          while (nextChunk == null && !finished) {
+            val (_, p) = readPacket(in)
+            (p(0) & 0xff) match {
+              case 0x00 =>
+                val ev = java.util.Arrays.copyOfRange(p, 1, p.length)
+                // drop the dump's fabricated pre-FDE events (artificial
+                // ROTATE): framing starts at the FDE so offsets stay
+                // the file's own
+                if (sawFde) nextChunk = ev
+                else if (ev.length > 4 &&
+                    ev(4) == MysqlBinlog.EventType.FormatDescription) {
+                  sawFde = true; nextChunk = ev
+                }
+              case 0xfe => finished = true // EOF: server has no more
+              case _ => err(p, "binlog dump stream")
+            }
+          }
+        }
+        def hasNext: Boolean = { advance(); nextChunk != null }
+        def next(): Array[Byte] = {
+          if (!hasNext) throw new NoSuchElementException
+          val c = nextChunk; nextChunk = null; c
+        }
+      }
+      val stream = new ChunkStream(Iterator(MysqlBinlog.Magic) ++ packets)
+      new MysqlBinlog.EventReader(stream,
+        s"replica://${socket.getInetAddress.getHostAddress}:${socket.getPort}",
+        maria = false)
+    }
+
+    def close(): Unit = socket.close()
+  }
+
+  /** Connect + protocol-41 handshake + `mysql_native_password` auth. */
+  def connect(host: String, port: Int, user: String,
+      password: String): Session = {
+    val socket = new Socket(host, port)
+    try {
+      val in = new DataInputStream(socket.getInputStream)
+      val out = new DataOutputStream(socket.getOutputStream)
+      val (_, hello) = readPacket(in)
+      if ((hello(0) & 0xff) == 0xff) err(hello, "handshake")
+      require((hello(0) & 0xff) == 10,
+        s"unsupported handshake protocol version ${hello(0) & 0xff}")
+      var o = 1
+      while (hello(o) != 0) o += 1 // server_version
+      o += 1
+      o += 4 // thread id
+      val scramble1 = java.util.Arrays.copyOfRange(hello, o, o + 8)
+      o += 8 + 1 // + filler
+      o += 2 // cap lo
+      o += 1 + 2 + 2 // charset, status, cap hi
+      val authLen = hello(o) & 0xff
+      o += 1 + 10 // + reserved
+      // part-2 carries max(13, authLen-8) bytes, NUL-terminated; the
+      // scramble is 20 bytes total
+      val part2Len = math.max(12, authLen - 9)
+      val scramble = scramble1 ++
+        java.util.Arrays.copyOfRange(hello, o, o + part2Len)
+      val token = nativePasswordToken(password, scramble)
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      writeU32(d, ClientProtocol41 | ClientSecureConnection | ClientPluginAuth)
+      writeU32(d, 1L << 24) // max packet
+      d.write(33) // utf8
+      d.write(new Array[Byte](23))
+      d.write(user.getBytes(StandardCharsets.UTF_8)); d.write(0)
+      d.write(token.length); d.write(token)
+      d.write("mysql_native_password".getBytes(StandardCharsets.US_ASCII))
+      d.write(0)
+      writePacket(out, 1, b.toByteArray)
+      val (_, resp) = readPacket(in)
+      if ((resp(0) & 0xff) == 0xff) err(resp, "authentication")
+      require((resp(0) & 0xff) == 0x00,
+        f"authentication: unexpected response 0x${resp(0) & 0xff}%02x " +
+          "(auth-switch/caching_sha2_password not in scope — create the " +
+          "replication user WITH mysql_native_password)")
+      new Session(socket, in, out)
+    } catch { case e: Throwable => socket.close(); throw e }
+  }
+
+  private def writeU32(d: DataOutputStream, v: Long): Unit = {
+    d.write((v & 0xff).toInt); d.write(((v >> 8) & 0xff).toInt)
+    d.write(((v >> 16) & 0xff).toInt); d.write(((v >> 24) & 0xff).toInt)
+  }
+  private def writeU64(d: DataOutputStream, v: Long): Unit = {
+    writeU32(d, v & 0xffffffffL); writeU32(d, (v >>> 32) & 0xffffffffL)
+  }
+
+  /** InputStream over an iterator of byte chunks — the re-framing shim
+    * between dump packets and the byte-stream EventReader. */
+  private final class ChunkStream(chunks: Iterator[Array[Byte]])
+      extends InputStream {
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var off = 0
+    private def ensure(): Boolean = {
+      while (off >= cur.length) {
+        if (!chunks.hasNext) return false
+        cur = chunks.next(); off = 0
+      }
+      true
+    }
+    override def read(): Int =
+      if (!ensure()) -1 else { val b = cur(off) & 0xff; off += 1; b }
+    override def read(b: Array[Byte], o: Int, l: Int): Int = {
+      if (l == 0) return 0
+      if (!ensure()) return -1
+      val n = math.min(l, cur.length - off)
+      System.arraycopy(cur, off, b, o, n); off += n; n
+    }
+  }
+}
+
+/** Loopback stand-in mysqld for the replication-protocol specs: speaks
+  * the REAL wire protocol (v10 greeting, scramble VERIFICATION — the
+  * client's auth math is checked, not waved through — REGISTER_SLAVE,
+  * DUMP_GTID) and streams a binlog FILE's own bytes as OK-prefixed
+  * event packets, opening with the fabricated ROTATE a real dump sends.
+  * One connection per instance; EOF packet after the last event (a
+  * real server would block for more — the spec shape is a bounded
+  * catch-up read). This is the offline-testable half of live
+  * ingestion: a real mysqld is the same bytes over a different socket.
+  */
+final class FakeMysqld(binlogPath: String, user: String, password: String)
+    extends AutoCloseable {
+  import MysqlReplica.{readPacket, writePacket, nativePasswordToken}
+
+  private val server =
+    new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+  def port: Int = server.getLocalPort
+
+  @volatile private var failure: Throwable = _
+  def firstFailure: Option[Throwable] = Option(failure)
+
+  private val scramble =
+    "abcdefgh0123456789jk".getBytes(StandardCharsets.US_ASCII) // 20 bytes
+
+  private val thread = new Thread(() => {
+    try serve()
+    catch { case t: Throwable => failure = t }
+  }, "fake-mysqld")
+  thread.setDaemon(true)
+  thread.start()
+
+  private def serve(): Unit = {
+    val sock = server.accept()
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      // v10 greeting
+      val g = new java.io.ByteArrayOutputStream()
+      val d = new DataOutputStream(g)
+      d.write(10)
+      d.write("8.0.99-graft-fake".getBytes(StandardCharsets.US_ASCII)); d.write(0)
+      d.write(Array[Byte](1, 0, 0, 0)) // thread id
+      d.write(scramble, 0, 8); d.write(0)
+      d.write(0x00); d.write(0x82) // cap lo: PROTOCOL_41|SECURE_CONNECTION
+      d.write(33) // charset
+      d.write(0x02); d.write(0x00) // status
+      d.write(0x08); d.write(0x00) // cap hi: PLUGIN_AUTH
+      d.write(21) // auth data len (20 + NUL)
+      d.write(new Array[Byte](10))
+      d.write(scramble, 8, 12); d.write(0)
+      d.write("mysql_native_password".getBytes(StandardCharsets.US_ASCII))
+      d.write(0)
+      writePacket(out, 0, g.toByteArray)
+      // auth: VERIFY the scramble token
+      val (_, resp) = readPacket(in)
+      var o = 4 + 4 + 1 + 23
+      val uEnd = { var i = o; while (resp(i) != 0) i += 1; i }
+      val gotUser = new String(resp, o, uEnd - o, StandardCharsets.UTF_8)
+      o = uEnd + 1
+      val tLen = resp(o) & 0xff; o += 1
+      val gotToken = java.util.Arrays.copyOfRange(resp, o, o + tLen)
+      val expected = nativePasswordToken(password, scramble)
+      if (gotUser != user || !java.util.Arrays.equals(gotToken, expected)) {
+        writePacket(out, 2, errPacket(1045,
+          s"Access denied for user '$gotUser'"))
+        return
+      }
+      writePacket(out, 2, Array[Byte](0, 0, 0, 2, 0, 0, 0)) // OK
+      // command loop: REGISTER_SLAVE -> OK; DUMP_GTID -> stream
+      var dumping = false
+      while (!dumping) {
+        val (_, cmd) = readPacket(in)
+        (cmd(0) & 0xff) match {
+          case 0x15 => writePacket(out, 1, Array[Byte](0, 0, 0, 2, 0, 0, 0))
+          case 0x1e => dumping = true
+          case c => writePacket(out, 1, errPacket(1047, s"unknown command $c"))
+        }
+      }
+      // fabricated ROTATE (what a real dump opens with), then the
+      // file's own events byte-for-byte
+      var seq = 1
+      def sendEvent(ev: Array[Byte]): Unit = {
+        val p = new Array[Byte](ev.length + 1)
+        p(0) = 0; System.arraycopy(ev, 0, p, 1, ev.length)
+        writePacket(out, seq, p); seq += 1
+      }
+      sendEvent(fabricatedRotate("binlog.000000"))
+      eachRawEvent(binlogPath)(sendEvent)
+      writePacket(out, seq, Array[Byte](0xfe.toByte, 0, 0, 2, 0)) // EOF
+    } finally sock.close()
+  }
+
+  private def errPacket(errno: Int, msg: String): Array[Byte] = {
+    val m = msg.getBytes(StandardCharsets.UTF_8)
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(0xff); b.write(errno & 0xff); b.write((errno >> 8) & 0xff)
+    b.write('#'); b.write("HY000".getBytes(StandardCharsets.US_ASCII))
+    b.write(m)
+    b.toByteArray
+  }
+
+  /** The artificial ROTATE a dump opens with: ts 0, LOG_EVENT_ARTIFICIAL
+    * flag, position + next-file-name payload, no checksum. */
+  private def fabricatedRotate(name: String): Array[Byte] = {
+    val n = name.getBytes(StandardCharsets.US_ASCII)
+    val size = 19 + 8 + n.length
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0) // ts
+    b.put(4.toByte) // ROTATE
+    b.putInt(1) // server id
+    b.putInt(size)
+    b.putInt(0) // log_pos: artificial
+    b.putShort(0x20.toShort) // LOG_EVENT_ARTIFICIAL_F
+    b.putLong(4L)
+    b.put(n)
+    b.array()
+  }
+
+  /** Iterate the file's raw event bytes (header+body+checksum as
+    * stored) by walking the 19-byte headers — no decode, the server
+    * ships bytes. */
+  private def eachRawEvent(path: String)(f: Array[Byte] => Unit): Unit = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path), 1 << 16))
+    try {
+      val magic = in.readNBytes(4)
+      require(java.util.Arrays.equals(magic, MysqlBinlog.Magic),
+        s"$path: not a binlog")
+      var done = false
+      while (!done) {
+        val header = in.readNBytes(19)
+        if (header.length < 19) done = true
+        else {
+          val size = ((header(9) & 0xffL) | ((header(10) & 0xffL) << 8) |
+            ((header(11) & 0xffL) << 16) | ((header(12) & 0xffL) << 24)).toInt
+          val body = in.readNBytes(size - 19)
+          if (body.length < size - 19) done = true
+          else f(header ++ body)
+        }
+      }
+    } finally in.close()
+  }
+
+  def close(): Unit = {
+    server.close()
+  }
+}
