@@ -276,8 +276,10 @@ object MysqlReplica {
   * catch-up read). This is the offline-testable half of live
   * ingestion: a real mysqld is the same bytes over a different socket.
   */
-final class FakeMysqld(binlogPath: String, user: String, password: String)
-    extends AutoCloseable {
+final class FakeMysqld(binlogPaths: Seq[String], user: String,
+    password: String) extends AutoCloseable {
+  def this(binlogPath: String, user: String, password: String) =
+    this(Seq(binlogPath), user, password)
   import MysqlReplica.{readPacket, writePacket, nativePasswordToken}
 
   private val server =
@@ -353,7 +355,9 @@ final class FakeMysqld(binlogPath: String, user: String, password: String)
         writePacket(out, seq, p); seq += 1
       }
       sendEvent(fabricatedRotate("binlog.000000"))
-      eachRawEvent(binlogPath)(sendEvent)
+      // a dump crossing rotations is just the next file's events on the
+      // same stream (each opens with its own FDE, exactly as on disk)
+      binlogPaths.foreach(p => eachRawEvent(p)(sendEvent))
       writePacket(out, seq, Array[Byte](0xfe.toByte, 0, 0, 2, 0)) // EOF
     } finally sock.close()
   }

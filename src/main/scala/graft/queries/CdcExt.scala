@@ -1492,6 +1492,54 @@ object CdcExt {
     // round — LocalFileSystem under file:// exercises exactly the code
     // path an hdfs:// root takes. Oracle = the event stream
     // reconstruction, identical to the bare-path scan's.
+    // LIVE replication-protocol ingestion through the ORACLE gate: the
+    // mysql fixture's files served by the loopback stand-in mysqld
+    // (FakeMysqld — real wire protocol, scramble VERIFIED), consumed as
+    // a replica (MysqlReplica: protocol-41 handshake +
+    // mysql_native_password + COM_REGISTER_SLAVE + COM_BINLOG_DUMP_GTID),
+    // decoded by the SAME RowDecoder as the file scan — so the result
+    // hash-equals cdc21's oracle. The replication stream is ONE socket
+    // BY PROTOCOL (every CDC client's shape, Debezium included); the
+    // scale posture is land-then-read: the live tail feeds the fan-out
+    // materializer and analytics read THAT distributed. This query pins
+    // the wire path's correctness end-to-end.
+    QDef("cdc56_replica_scan",
+      s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) =>
+      val index = CdcFixture.ensureMysql(s, dir)
+      val files = graft.cdc.CdcCodec.readIndex(index)
+      val srcSchema = graft.cdc.MysqlBinlog
+        .inferSourceSchema(index, CdcFixture.Db, CdcFixture.Table)
+        .getOrElse(sys.error(s"no TABLE_MAP for the fixture table in $index"))
+      val full = CdcSchema.withEnvelope(srcSchema)
+      val w = srcSchema.length
+      val srv = new graft.cdc.FakeMysqld(files, "repl", "s3cret")
+      try {
+        val sess = graft.cdc.MysqlReplica.connect(
+          "127.0.0.1", srv.port, "repl", "s3cret")
+        try {
+          sess.registerSlave(serverId = 4242L)
+          val dec = new graft.cdc.MysqlBinlog.RowDecoder(
+            CdcFixture.Db, CdcFixture.Table,
+            expectedSchema = Some(srcSchema))
+          val events = sess.dumpFrom(serverId = 4242L)
+          val rows = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+          try {
+            while (events.hasNext) dec.decode(events.next()).foreach { r =>
+              val vals = new Array[Any](w + 4)
+              System.arraycopy(r.values, 0, vals, 0, w)
+              vals(w) = r.op; vals(w + 1) = r.gtid
+              vals(w + 2) = r.tmMicros; vals(w + 3) = r.sourceId
+              rows += new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(vals)
+            }
+          } finally events.close()
+          srv.firstFailure.foreach(t => throw t)
+          org.apache.spark.sql.graftbridge.Bridge.internalCreateDataFrame(
+            s, s.sparkContext.parallelize(rows.result(), 4), full)
+        } finally sess.close()
+      } finally srv.close()
+    },
+
     QDef("cdc55_scheme_root_scan",
       s"""${Cdc.eventsCte}
          |SELECT __op, COUNT(*) AS n, MIN(__gtid) AS min_gtid,
