@@ -979,6 +979,37 @@ object ScaleSmoke {
       assert(secs4 < 3.0 * secs,
         f"file:// decode is ${secs4 / secs}%.2fx the bare-path decode — " +
           "scheme routing is taxing the byte path, not just the opens")
+
+      // the SAME log over the REPLICATION WIRE (loopback FakeMysqld →
+      // MysqlReplica → the shared EventReader → RowDecoder): the live
+      // tail is ONE socket by protocol, so this single-stream
+      // throughput is the production ceiling for live CDC ingestion.
+      // Not apples-to-apples with the 8-way-parallel Spark file scan
+      // above — the pins here are exact row/sum parity over the wire
+      // and the ABSOLUTE Mrows/s (a server's single-session binlog
+      // send rate is the same order, so the client must not be the
+      // bottleneck).
+      val files = (0 until nFiles).map(fi => f"$dir/mysql-bin.$fi%06d")
+      val srv = new graft.cdc.FakeMysqld(files, "repl", "pw")
+      val t5 = System.nanoTime()
+      val sess = graft.cdc.MysqlReplica.connect("127.0.0.1", srv.port,
+        "repl", "pw")
+      var nRows = 0L; var idSum = 0L
+      try {
+        val dec = new graft.cdc.MysqlBinlog.RowDecoder("db", "big",
+          expectedSchema = Some(schema))
+        val events = sess.dumpFrom(serverId = 9L)
+        try while (events.hasNext) dec.decode(events.next()).foreach { r =>
+          nRows += 1; idSum += r.values(0).asInstanceOf[Long]
+        } finally events.close()
+      } finally { sess.close(); srv.close() }
+      val secs5 = (System.nanoTime() - t5) / 1e9
+      assert(nRows == total && idSum == total * (total - 1) / 2,
+        s"replication stream decoded $nRows rows (want $total) — wire loss")
+      srv.firstFailure.foreach(t => throw t)
+      println(f"SCALE mysqlReplicaWire: ${total / secs5 / 1e6}%.2f Mrows/s " +
+        f"over the loopback dump (vs file ${total / secs / 1e6}%.2f — " +
+        f"wire overhead ${secs5 / secs}%.2fx, single socket by protocol)")
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 
