@@ -341,9 +341,23 @@ object Bench {
     // (see rotatedQueries); recorded in the artifact as "rotated"
     val rotated: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case None if !fullSurface =>
-        val cwd = Option(new java.io.File(".").list()).getOrElse(Array.empty)
-        rotatedQueries(SparkEntry.queries.keys.toSeq, Headline,
-          currentRound(cwd.toSeq))
+        // SPARK_GRAFT_BENCH_ROUND pins the rotation explicitly; without
+        // it the round derives from CORRECTNESS_r*.json in the process
+        // CWD, which silently reads 1 (same rotated slice every round,
+        // defeating the rotation's coverage goal) when the bench runs
+        // outside the archive root — warn loud in that case
+        val round = sys.env.get("SPARK_GRAFT_BENCH_ROUND") match {
+          case Some(r) => r.trim.toInt
+          case None =>
+            val cwd = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+            if (!cwd.exists(_.matches("^CORRECTNESS_r\\d+\\.json$")))
+              System.err.println("Bench: no CORRECTNESS_r*.json in cwd — " +
+                "rotation round defaults to 1 (same rotated slice every " +
+                "run); run from the archive root or set " +
+                "SPARK_GRAFT_BENCH_ROUND")
+            currentRound(cwd.toSeq)
+        }
+        rotatedQueries(SparkEntry.queries.keys.toSeq, Headline, round)
       case _ => Nil
     }
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {

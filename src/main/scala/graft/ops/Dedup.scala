@@ -1938,9 +1938,14 @@ object Dedup {
     * max_by form (n×k intermediate rows, partially aggregated back to
     * n) to one narrow per-row argmax expression over the collected
     * quantizer — same values, same ties (spec-pinned), a fraction of
-    * the cost at large k. The default stays on the join form because it
-    * is the ANSI-SQL-replayable plan the llm50 oracle replays;
-    * [[semDedupTrained]] — the production configuration — probes. */
+    * the cost at large k. Since r16 the probe form IS the default on
+    * every semDedup entry point (and `maxCluster` tightened 100000 →
+    * 20000): probe-vs-join equivalence is spec-pinned, so the llm50
+    * oracle still replays in ANSI SQL against the probe plan; callers
+    * that relied on the old looser bound now fail loud at the
+    * maxCluster require and must size the quantizer (k ~ √n) or raise
+    * the bound deliberately. `probeAssign = false` keeps the join form
+    * available for plan-shape comparison. */
   /** (id, cluster_id, __emb): the corpus × quantizer argmax-cosine
     * assignment shared by [[semDedup]], [[semDedupIncremental]] and the
     * persisted-index pair — ONE definition, because the equivalence

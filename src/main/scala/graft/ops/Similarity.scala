@@ -439,12 +439,15 @@ object Similarity {
     * raw append (the documented tombstone-compact-reappend/rebuild
     * case, never a silent retry).
     *
-    * The marker lands BEFORE the raw append (intent, not commit): a
-    * crash between marker and append replays as not-all-live and falls
-    * through to the raw append exactly as before, and a crash between
-    * append and nothing (the append is last) replays as
-    * all-live+marker = no-op — so at-least-once delivery converges in
-    * every window without ever refusing a genuine replay. Like the
+    * The marker lands AFTER the raw append succeeds (commit, not
+    * intent — r16 ADVICE): a marker written first would persist when
+    * the append THROWS and the batch is abandoned, so a later batch
+    * reusing that exact id set with different embeddings (its ids
+    * landed via the raw path) would silently no-op — the very case the
+    * marker exists to catch. With marker-last, a crash in the
+    * append-then-marker window replays as all-live with NO marker and
+    * refuses loud (delete + compact, then append) — the safe direction:
+    * a loud one-off recovery beats a silent swallow. Like the
     * semDedup append's marker, the digest keys on the id SET only:
     * a replay that reuses a committed batch's exact id set with
     * different embeddings no-ops by contract (ids are identity).
@@ -502,8 +505,8 @@ object Similarity {
           "delete the ids and compact (or rebuild), then append")
       return // committed replay: no-op
     }
-    IndexFs.writeUtf8(fs, marker, nBatch.toString)
     appendToIvfIndex(spark, path, batch, embCol, id)
+    IndexFs.writeUtf8(fs, marker, nBatch.toString)
   }
 
   /** DELETE vectors from a prebuilt IVF index as TOMBSTONES — the third

@@ -83,6 +83,40 @@ object CdcExt {
       (CdcFixture.Db, "audit") -> s"$root/out/${CdcFixture.Db}__audit")
   }
 
+  /** The LAND-THEN-READ replication fixture: the mysql fixture's files
+    * served by [[graft.cdc.FakeMysqld]] over the loopback socket — with
+    * `caching_sha2_password` auth (the MySQL-8 default) and heartbeats
+    * interleaved — consumed by [[graft.sources.ReplicaTail]]: raw event
+    * bytes land in a binlog directory (O(one event) driver memory, no
+    * row buffering), folded incrementally through the distributed
+    * fan-out decode into a per-table parquet frame. Built once per JVM
+    * per sfDir; returns the materialized orders-frame path. */
+  private[queries] def ensureReplicaTail(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root = graft.TmpDirs.scoped("graft-cdcrt-" + graft.TmpDirs.pathKey(dir))
+    val lock = fanoutLocks.computeIfAbsent(root, _ => new Object)
+    lock.synchronized {
+      if (!new java.io.File(s"$root/_TAILED").exists()) {
+        val index = CdcFixture.ensureMysql(s, dir)
+        val files = graft.cdc.CdcCodec.readIndex(index)
+        val srv = new graft.cdc.FakeMysqld(files, "repl", "s3cret",
+          authPlugin = graft.cdc.MysqlReplica.Sha2Plugin,
+          heartbeatEvery = 512)
+        try {
+          graft.sources.ReplicaTail.run(s, "127.0.0.1", srv.port,
+            "repl", "s3cret", serverId = 4242L,
+            tables = Seq((CdcFixture.Db, CdcFixture.Table)),
+            landRoot = s"$root/land", outRoot = s"$root/out",
+            maxBytesPerFold = 1L << 20)
+          srv.firstFailure.foreach(t => throw t)
+        } finally srv.close()
+        new java.io.File(s"$root/_TAILED").createNewFile()
+        ()
+      }
+    }
+    s"$root/out/${CdcFixture.Db}__${CdcFixture.Table}"
+  }
+
   /** Register (idempotently) a CdcTableCatalog over `index` and return
     * its name. One catalog per distinct log: Spark caches catalog
     * INSTANCES by name and a later conf.set never re-initializes one,
@@ -1522,9 +1556,24 @@ object CdcExt {
             CdcFixture.Db, CdcFixture.Table,
             expectedSchema = Some(srcSchema))
           val events = sess.dumpFrom(serverId = 4242L)
+          // this query decodes the dump ON THE DRIVER (it IS the wire-
+          // parity gate: one socket, one decoder, hash-equal to the
+          // distributed file scan) — so its buffer is bounded LOUD like
+          // every driver collect in this repo. Production-scale
+          // ingestion is the land-then-read path (ReplicaTail → fan-out
+          // frames, cdc57), which never buffers rows on the driver.
+          val maxRows = s.conf.get(
+            "spark.graft.replica.maxBufferedRows", "2000000").toLong
+          var nBuf = 0L
           val rows = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
           try {
             while (events.hasNext) dec.decode(events.next()).foreach { r =>
+              nBuf += 1
+              require(nBuf <= maxRows,
+                s"cdc56_replica_scan: dump exceeds $maxRows driver-buffered " +
+                  "rows (spark.graft.replica.maxBufferedRows) — use the " +
+                  "land-then-read ingestion path (ReplicaTail) for dumps " +
+                  "of this size")
               val vals = new Array[Any](w + 4)
               System.arraycopy(r.values, 0, vals, 0, w)
               vals(w) = r.op; vals(w + 1) = r.gtid
@@ -1538,6 +1587,22 @@ object CdcExt {
             s, s.sparkContext.parallelize(rows.result(), 4), full)
         } finally sess.close()
       } finally srv.close()
+    },
+
+    // LIVE replication as an INGESTION MODE through the oracle gate —
+    // the land-then-read posture cdc56's driver-decode gate documents,
+    // now real code: FakeMysqld (caching_sha2_password auth — the
+    // MySQL-8 default — plus interleaved heartbeats) streams the mysql
+    // fixture's files; ReplicaTail lands the server's own event bytes
+    // into a binlog directory (contiguity-checked appends, zero driver
+    // row buffering) and folds them incrementally through the
+    // distributed CdcFanout.appendTables decode. The query reads the
+    // MATERIALIZED per-table frame — executors decoded it, not the
+    // driver — and must hash-equal the same oracle as the file scan
+    // (cdc21) and the driver-decode wire gate (cdc56).
+    QDef("cdc57_replica_tail",
+      s"${Cdc.eventsCte} SELECT * FROM cdc_tm") { (s, dir) =>
+      s.read.parquet(ensureReplicaTail(s, dir))
     },
 
     QDef("cdc55_scheme_root_scan",

@@ -88,7 +88,8 @@ object CdcFanout {
     // + column-pruned (its own struct column) — no second log decode
     targets.zipWithIndex.map { case ((db, tbl, sch), i) =>
       val dest = s"$outRoot/${sanitize(db)}__${sanitize(tbl)}"
-      extractTable(spark, s"$outRoot/shared.decoded", db, tbl, sch, i)
+      extractTable(spark, s"$outRoot/shared.decoded", db, tbl, sch, i,
+          stagedSchema(targets))
         .write.mode("overwrite").parquet(dest)
       (db, tbl) -> dest
     }.toMap
@@ -109,6 +110,21 @@ object CdcFanout {
     }
   }
 
+  /** The union staging schema for a target set — also handed to the
+    * staging READ explicitly: an increment that decodes ZERO rows for
+    * every table (a fold window holding only control events — FDE,
+    * TABLE_MAP, GTID — the live tail's steady-state shape between row
+    * batches) writes a parquet directory with no data files, and a
+    * schema-inferring read of it would fail instead of no-opping. */
+  private def stagedSchema(
+      targets: Seq[(String, String, StructType)]): StructType =
+    StructType(
+      CdcSchema.envelope ++
+        Seq(StructField("__tbl", StringType, nullable = false)) ++
+        targets.zipWithIndex.map { case ((_, _, sch), i) =>
+          StructField(s"__t$i", sch, nullable = true)
+        })
+
   /** The ONE decode pass: walk each `(path, startPos, endPos)` range
     * once, feeding every event to all N per-table decoders, and land
     * the union-schema staging frame at `dest`. Row events below
@@ -120,12 +136,7 @@ object CdcFanout {
   private def decodeToStaging(spark: SparkSession, format: String,
       targets: Seq[(String, String, StructType)],
       ranges: Seq[(String, Long, Long)], dest: String): Unit = {
-    val staged = StructType(
-      CdcSchema.envelope ++
-        Seq(StructField("__tbl", StringType, nullable = false)) ++
-        targets.zipWithIndex.map { case ((_, _, sch), i) =>
-          StructField(s"__t$i", sch, nullable = true)
-        })
+    val staged = stagedSchema(targets)
     val fmt = format
     val serTargets = targets.toArray // (db, table, schema): all serializable
     val nSlots = serTargets.length
@@ -177,8 +188,9 @@ object CdcFanout {
     * to its `__tbl` directory, column-pruned to its own struct,
     * exactly the `binlogcdc` scan's column order. */
   private def extractTable(spark: SparkSession, stagingPath: String,
-      db: String, tbl: String, sch: StructType, slot: Int) =
-    spark.read.parquet(stagingPath)
+      db: String, tbl: String, sch: StructType, slot: Int,
+      staged: StructType) =
+    spark.read.schema(staged).parquet(stagingPath)
       .filter(col("__tbl") === s"$db.$tbl")
       .select(sch.fieldNames.toSeq.map(n =>
         col(s"__t$slot").getField(n).as(n)) ++
@@ -261,7 +273,8 @@ object CdcFanout {
     targets.zipWithIndex.foreach { case ((db, tbl, sch), i) =>
       val live = dests((db, tbl))
       val xstg = s"$stagingRoot/extract-$i"
-      extractTable(spark, stagingData, db, tbl, sch, i)
+      extractTable(spark, stagingData, db, tbl, sch, i,
+          stagedSchema(targets))
         .write.mode("overwrite").parquet(xstg)
       IndexFs.mkdirs(fs, live)
       // atomic per-file renames: a reader never sees a torn part file

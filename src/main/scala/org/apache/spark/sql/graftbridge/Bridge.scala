@@ -51,12 +51,6 @@ object Bridge {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[CSparkSession].internalCreateDataFrame(rdd, schema)
 
-  /** Every file-source scan in `df`'s PLANNED physical tree as
-    * (root paths, selected partition count, selected file count) — the
-    * partition-pruning assertion hook: a cell-pruned index probe must
-    * select only its touched cell directories, and `selectedPartitions`
-    * is resolved at planning time, so the probe needs no execution.
-    * Descends through AQE wrappers (current plan) and reused subtrees. */
   /** Unload every loaded state-store provider. A JVM that runs many
     * streaming queries back-to-back (the full-surface bench: 24
     * streaming queries × reps in one session) accumulates providers of
@@ -70,6 +64,12 @@ object Bridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** Every file-source scan in `df`'s PLANNED physical tree as
+    * (root paths, selected partition count, selected file count) — the
+    * partition-pruning assertion hook: a cell-pruned index probe must
+    * select only its touched cell directories, and `selectedPartitions`
+    * is resolved at planning time, so the probe needs no execution.
+    * Descends through AQE wrappers (current plan) and reused subtrees. */
   def fileScanSelections(df: DataFrame): Seq[(String, Int, Long)] = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -812,6 +812,14 @@ class LlmOpsSpec extends SparkTestBase {
       Similarity.appendToIvfIndexIdempotent(spark, idx, mixedBatch)
     }
     assert(ex.getMessage.contains("already indexed"), ex.getMessage)
+    // the FAILED append must not leave its digest marker behind (r16
+    // ADVICE: marker commits AFTER the append) — a stale intent marker
+    // would make a later batch reusing this exact id set silently
+    // no-op instead of refusing; only the one committed append's
+    // marker may exist here
+    assert(Option(new java.io.File(s"$idx/appends.idem").list())
+      .map(_.length).getOrElse(0) == 1,
+      "failed append left a stale digest marker")
     // a genuinely fresh batch lands and serves
     val freshBatch = emb.filter($"vec_id" % 10 === 9).limit(2)
       .withColumn("vec_id", $"vec_id" + 2000000L)
