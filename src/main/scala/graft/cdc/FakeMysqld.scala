@@ -199,14 +199,11 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
     }
   }
 
-  private final case class DumpReq(file: String, pos: Long,
-      executed: Map[String, Seq[(Long, Long)]])
-
   /** COM_BINLOG_DUMP_GTID payload: flags u16, server-id u32, name-len
     * u32, name, pos u64, data-len u32, data = n_sids u64 + per sid
     * (sid 16B, n_intervals u64, per interval start u64 + end u64,
     * end EXCLUSIVE). */
-  private def parseDump(cmd: Array[Byte]): DumpReq = {
+  private def parseDump(cmd: Array[Byte]): FakeMysqld.DumpReq = {
     var o = 1 + 2 + 4
     def u32(): Long = {
       val v = (cmd(o) & 0xffL) | ((cmd(o + 1) & 0xffL) << 8) |
@@ -226,7 +223,7 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
       val ivs = (0L until nIv).map(_ => (u64(), u64()))
       uuidOf(sid) -> ivs
     }.toMap
-    DumpReq(name, pos, executed)
+    FakeMysqld.DumpReq(name, pos, executed)
   }
 
   private def uuidOf(sid: Array[Byte]): String = {
@@ -238,11 +235,24 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
   private def basename(p: String): String =
     p.substring(p.lastIndexOf('/') + 1)
 
-  private def dump(out: DataOutputStream, req: DumpReq): Unit = {
+  private def dump(rawOut: DataOutputStream, req: FakeMysqld.DumpReq): Unit = {
+    // a real mysqld streams the dump through the net buffer and only
+    // flushes at batch/idle boundaries; per-packet flush here capped
+    // the loopback wire rows at syscall cost and understated the
+    // client's ceiling — buffer the event stream, flush when idle, at
+    // EOF, and on ERR (an injected abrupt drop deliberately does NOT
+    // flush: a real crash tears mid-packet)
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(rawOut, 1 << 16))
     var seq = 1
     var sent = 0
     def sendPacket(payload: Array[Byte]): Unit = {
-      writePacket(out, seq, payload); seq += 1
+      // writePacket framing without the per-packet flush
+      val len = payload.length
+      out.write(len & 0xff); out.write((len >> 8) & 0xff)
+      out.write((len >> 16) & 0xff); out.write(seq & 0xff)
+      out.write(payload)
+      seq += 1
     }
     def sendEvent(ev: Array[Byte]): Boolean = {
       val p = new Array[Byte](ev.length + 1)
@@ -264,6 +274,7 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
       sendPacket(errPacket(1236,
         s"Could not find first log file name in binary log index file " +
           s"(${req.file})"))
+      out.flush()
       return
     }
     var idx = startIdx
@@ -300,10 +311,16 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
           if (idx < binlogPaths.length - 1) fileDone = true // next file
           else if (finished) {
             sendPacket(Array[Byte](0xfe.toByte, 0, 0, 2, 0)) // EOF
+            out.flush()
             return
           } else {
-            // live mode: idle — heartbeat and poll for growth
-            if (heartbeatEvery > 0) sendPacket(heartbeatPacket(basename(path)))
+            // live mode: idle — flush the buffered stream (the client
+            // must see everything served so far), heartbeat, poll
+            out.flush()
+            if (heartbeatEvery > 0) {
+              sendPacket(heartbeatPacket(basename(path)))
+              out.flush()
+            }
             Thread.sleep(10)
           }
         }
@@ -359,34 +376,40 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
     b.array()
   }
 
-  /** All COMPLETE events in `path` from byte offset `from` (event
-    * start offsets included for resume filtering) — a torn tail (the
-    * producer's in-flight append) is left for the next poll. */
+  /** COMPLETE events in `path` from byte offset `from` (event start
+    * offsets included for resume filtering), walked inside ONE chunked
+    * read (a per-event seek+read walk cost 4 syscalls/event and capped
+    * the loopback wire rows at the SERVER's walk, understating the
+    * client's ceiling). A torn tail (the producer's in-flight append)
+    * or an event crossing the 8 MiB chunk boundary is left for the
+    * next call — binlog events are bounded far below the chunk. */
   private def completeEventsFrom(path: String,
       from: Long): (Seq[(Array[Byte], Long)], Long) = {
     val raf = new RandomAccessFile(path, "r")
     try {
       val len = raf.length()
-      var off = math.max(from, 4L)
+      val off = math.max(from, 4L)
+      if (off >= len) return (Nil, off)
+      val chunkLen = math.min(len - off, 8L << 20).toInt
+      val buf = new Array[Byte](chunkLen)
+      raf.seek(off); raf.readFully(buf)
       val out = Seq.newBuilder[(Array[Byte], Long)]
+      var p = 0
       var done = false
       while (!done) {
-        if (off + 19 > len) done = true
+        if (p + 19 > chunkLen) done = true
         else {
-          raf.seek(off + 9)
-          val sz = Array.fill(4)(raf.read())
-          val size = (sz(0) | (sz(1) << 8) | (sz(2) << 16) | (sz(3) << 24)).toLong
-          if (size < 19 || off + size > len) done = true
+          val size = (buf(p + 9) & 0xff) | ((buf(p + 10) & 0xff) << 8) |
+            ((buf(p + 11) & 0xff) << 16) | ((buf(p + 12) & 0xff) << 24)
+          if (size < 19 || p.toLong + size > chunkLen) done = true
           else {
-            raf.seek(off)
-            val ev = new Array[Byte](size.toInt)
-            raf.readFully(ev)
-            out += ((ev, off))
-            off += size
+            out += ((java.util.Arrays.copyOfRange(buf, p, p + size),
+              off + p))
+            p += size
           }
         }
       }
-      (out.result(), off)
+      (out.result(), off + p)
     } finally raf.close()
   }
 
@@ -394,4 +417,10 @@ final class FakeMysqld(binlogPaths: Seq[String], user: String,
     finished = true
     server.close()
   }
+}
+
+private object FakeMysqld {
+  /** Parsed COM_BINLOG_DUMP_GTID request. */
+  final case class DumpReq(file: String, pos: Long,
+      executed: Map[String, Seq[(Long, Long)]])
 }

@@ -55,6 +55,13 @@ private[graft] object LogFs {
     fresh
   }
 
+  /** Drop the cached conf so the NEXT read re-resolves it — for specs
+    * that register a filesystem scheme (e.g. the object-store-semantics
+    * stand-in) after some earlier suite already triggered the one-time
+    * resolution. Production never needs this: the cache is the point
+    * (see the field comment). */
+  private[graft] def resetForTests(): Unit = cached = null
+
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf()) match {
     // reads only, so skip the checksum layer: the logs were written by
     // mysqld (or the fixture writers), never by LocalFileSystem, so no

@@ -366,7 +366,11 @@ object MysqlReplica {
       password: String, sendChecksumVar: Boolean = true): Session = {
     val socket = new Socket(host, port)
     try {
-      val in = new DataInputStream(socket.getInputStream)
+      // buffered socket read: packet framing reads header+payload per
+      // event, and an unbuffered stream pays 2+ syscalls per packet —
+      // measurable at millions of events on the dump path
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(socket.getInputStream, 1 << 16))
       val out = new DataOutputStream(socket.getOutputStream)
       val (_, hello) = readPacket(in)
       if ((hello(0) & 0xff) == 0xff) err(hello, "handshake")

@@ -61,8 +61,28 @@ object ReplicaTail {
 
   final case class TailResult(folds: Int, reconnects: Int,
       eventsLanded: Long, bytesLanded: Long, heartbeats: Long,
-      tables: Map[(String, String), String]) {
+      foldSeconds: Double, tables: Map[(String, String), String]) {
     def indexFile(landRoot: String): String = s"$landRoot/mysql-bin.index"
+  }
+
+  /** Per-source applied-GTID high-water marks of a materialized change
+    * frame (any frame carrying the envelope's `__source_id`/`__gtid`
+    * columns): the executed set to hand `MysqlReplica.dumpFrom` so the
+    * server SKIPS every already-applied transaction (auto-position
+    * resume — zero replayed rows even when no landed log exists, e.g.
+    * a consumer that keeps frames but rotated the raw log away). The
+    * driver collect is bounded by the number of distinct source server
+    * uuids — topology-sized, not data-sized. */
+  def executedGtids(frame: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col, max}
+    import graft.cdc.CdcSchema
+    frame.groupBy(col(CdcSchema.SourceIdCol))
+      .agg(max(col(CdcSchema.GtidCol)).as("hi"))
+      .collect().flatMap { r =>
+        Option(r.getString(0)).filter(_.nonEmpty)
+          .filter(_ => !r.isNullAt(1) && r.getLong(1) >= 1L)
+          .map(_ -> r.getLong(1))
+      }.toMap
   }
 
   /** Default fold granularity: `spark.graft.replica.maxBytesPerFold`
@@ -86,11 +106,13 @@ object ReplicaTail {
     var heartbeats = 0L
     var events = 0L
     var bytesSinceFold = 0L
+    var foldNanos = 0L
 
     // a fold may legitimately arrive before the landed log mentions a
     // requested table (the tail started mid-history): defer, retry on
     // the next fold — anything else fails loud
     def fold(): Unit = {
+      val t0 = System.nanoTime()
       lander.sync()
       try {
         CdcFanout.appendTables(spark, lander.indexPath, tables, outRoot,
@@ -101,7 +123,7 @@ object ReplicaTail {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("no TABLE_MAP") =>
         // schema not landed yet — fold again once more bytes arrive
-      }
+      } finally foldNanos += System.nanoTime() - t0
     }
 
     var done = false
@@ -113,11 +135,18 @@ object ReplicaTail {
         sess.registerSlave(serverId)
         val raw = sess.dumpRaw(serverId, resumeFile, resumePos)
         try {
+          // consecutive heartbeats = a genuinely IDLE socket (a lone
+          // heartbeat interleaved between events is just the server's
+          // periodic liveness and must NOT trigger a fold per packet —
+          // that would turn the byte-budget cadence into a
+          // fold-per-heartbeat storm on a busy stream)
+          var hbRun = 0
           while (raw.hasNext) {
             raw.next() match {
               case DumpItem.FileSwitch(name, pos) =>
                 lander.switchTo(name, pos)
               case DumpItem.Event(bytes, _, endPos) =>
+                hbRun = 0
                 if (lander.append(bytes, endPos)) {
                   events += 1
                   bytesSinceFold += bytes.length
@@ -125,9 +154,10 @@ object ReplicaTail {
                 }
               case DumpItem.Heartbeat =>
                 heartbeats += 1
-                // the server is alive and idle: don't sit on landed
-                // bytes below the fold threshold
-                if (bytesSinceFold > 0) fold()
+                hbRun += 1
+                // idle with bytes pending: don't sit on landed bytes
+                // below the fold threshold
+                if (hbRun >= 2 && bytesSinceFold > 0) fold()
             }
           }
           done = true // server ended the dump (EOF)
@@ -146,13 +176,14 @@ object ReplicaTail {
       }
     }
     // final fold: everything landed is decoded into the frames
+    val tF = System.nanoTime()
     lander.sync()
-    var dests = Map.empty[(String, String), String]
-    dests = CdcFanout.appendTables(spark, lander.indexPath, tables, outRoot,
-      format = "mysql")
+    val dests = CdcFanout.appendTables(spark, lander.indexPath, tables,
+      outRoot, format = "mysql")
     folds += 1
+    foldNanos += System.nanoTime() - tF
     TailResult(folds, reconnects, events, lander.bytesWritten, heartbeats,
-      dests)
+      foldNanos / 1e9, dests)
   }
 
   /** Append-only landed-binlog directory state. java.io by design: the

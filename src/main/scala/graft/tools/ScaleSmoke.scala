@@ -1010,6 +1010,40 @@ object ScaleSmoke {
       println(f"SCALE mysqlReplicaWire: ${total / secs5 / 1e6}%.2f Mrows/s " +
         f"over the loopback dump (vs file ${total / secs / 1e6}%.2f — " +
         f"wire overhead ${secs5 / secs}%.2fx, single socket by protocol)")
+
+      // the SAME wire as an INGESTION MODE (ReplicaTail, land-then-
+      // read): the single socket only LANDS bytes (no decode on the
+      // single-threaded path — that was mysqlReplicaWire's ceiling);
+      // the fold decodes DISTRIBUTED through appendTables. Pins: exact
+      // row/sum parity via the MATERIALIZED frame (executors decoded
+      // it, the driver buffered nothing), landed bytes equal the
+      // files' event bytes exactly, and end-to-end throughput stays
+      // the same order as the driver-decode wire path — the landing
+      // indirection must not tax the socket.
+      val srv2 = new graft.cdc.FakeMysqld(files, "repl", "pw")
+      val t6 = System.nanoTime()
+      val res6 = graft.sources.ReplicaTail.run(spark, "127.0.0.1",
+        srv2.port, "repl", "pw", serverId = 10L,
+        tables = Seq(("db", "big")), landRoot = s"$dir/rtland",
+        outRoot = s"$dir/rtout", maxBytesPerFold = Long.MaxValue / 2)
+      val secs6 = (System.nanoTime() - t6) / 1e9
+      srv2.firstFailure.foreach(t => throw t)
+      srv2.close()
+      val fileBytes = files.map(f => new java.io.File(f).length() - 4).sum
+      assert(res6.bytesLanded == fileBytes,
+        s"landed ${res6.bytesLanded} bytes, files carry $fileBytes")
+      val rowF = spark.read.parquet(res6.tables(("db", "big")))
+        .agg(sum(col("id")).as("s"), count(lit(1)).as("n")).head()
+      assert(rowF.getLong(1) == total &&
+          rowF.getLong(0) == total * (total - 1) / 2,
+        "land-then-read frame must equal the storyline exactly")
+      val landSecs = secs6 - res6.foldSeconds
+      println(f"SCALE replicaTailLand: land ${total / landSecs / 1e6}%.2f " +
+        f"Mrows/s (${res6.bytesLanded / 1e6 / landSecs}%.0f MB/s socket→disk, " +
+        f"no driver decode) + ${res6.folds} distributed fold(s) " +
+        f"${res6.foldSeconds}%.1f s = end-to-end ${total / secs6 / 1e6}%.2f " +
+        f"Mrows/s materialized (driver-decode wire path: " +
+        f"${total / secs5 / 1e6}%.2f Mrows/s, nothing materialized)")
       graft.TmpDirs.deleteRecursively(new java.io.File(dir))
     }
 

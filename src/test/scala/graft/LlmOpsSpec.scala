@@ -818,7 +818,7 @@ class LlmOpsSpec extends SparkTestBase {
     // no-op instead of refusing; only the one committed append's
     // marker may exist here
     assert(Option(new java.io.File(s"$idx/appends.idem").list())
-      .map(_.length).getOrElse(0) == 1,
+      .map(_.count(!_.startsWith("."))).getOrElse(0) == 1,
       "failed append left a stale digest marker")
     // a genuinely fresh batch lands and serves
     val freshBatch = emb.filter($"vec_id" % 10 === 9).limit(2)

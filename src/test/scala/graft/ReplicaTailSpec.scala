@@ -158,6 +158,63 @@ class ReplicaTailSpec extends SparkTestBase {
     } finally srv.close()
   }
 
+  test("executedGtids composes frame state with auto-position resume: the server skips every applied txn") {
+    val (dir, files) = writeLogs(nTxns = 20, splitAt = 100)
+    val uuid = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    // materialize the first half through the tail, as a consumer would
+    val half = java.util.Arrays.copyOf(
+      Files.readAllBytes(java.nio.file.Paths.get(files.head)),
+      MysqlBinlogAdapterHalf(files.head, 10))
+    val served = s"$dir/half.000000"
+    Files.write(java.nio.file.Paths.get(served), half)
+    val srv1 = new FakeMysqld(Seq(served), "repl", "pw")
+    val frame =
+      try {
+        val r = ReplicaTail.run(spark, "127.0.0.1", srv1.port, "repl", "pw",
+          serverId = 25L, tables = Seq(("db", "t")), landRoot = s"$dir/land",
+          outRoot = s"$dir/out")
+        r.tables(("db", "t"))
+      } finally srv1.close()
+    val executed = ReplicaTail.executedGtids(spark.read.parquet(frame))
+    assert(executed == Map(uuid -> 10L), s"high-water marks: $executed")
+    // auto-position resume from FRAME state alone (no landed-log
+    // offsets): the server must skip gnos 1-10 and serve 11-20
+    val srv2 = new FakeMysqld(files, "repl", "pw")
+    try {
+      val sess = MysqlReplica.connect("127.0.0.1", srv2.port, "repl", "pw")
+      try {
+        sess.registerSlave(serverId = 25L)
+        val dec = new MysqlBinlog.RowDecoder("db", "t")
+        val src = sess.dumpFrom(serverId = 25L, executed = executed)
+        val gnos = Seq.newBuilder[Long]
+        try {
+          while (src.hasNext)
+            dec.decode(src.next()).foreach(cr => gnos += cr.gtid)
+        } finally src.close()
+        assert(gnos.result() == (11L to 20L),
+          s"auto-position resume replayed applied txns: ${gnos.result()}")
+      } finally sess.close()
+      assert(srv2.firstFailure.isEmpty, s"server side failed: ${srv2.firstFailure}")
+    } finally srv2.close()
+  }
+
+  /** Byte offset after the first `n` transactions of a single-insert-
+    * per-txn fixture file (each txn = TABLE_MAP + GTID + WRITE_ROWS,
+    * preceded once by the FDE). */
+  private def MysqlBinlogAdapterHalf(path: String, n: Int): Int = {
+    val reader = new MysqlBinlog.EventReader(path)
+    var rows = 0
+    var end = 4L
+    try {
+      while (reader.hasNext && rows < n) {
+        val e = reader.next()
+        if (e.tpe == MysqlBinlog.EventType.WriteRowsV2) rows += 1
+        end = e.endPos
+      }
+    } finally reader.close()
+    end.toInt
+  }
+
   test("killed-and-restarted loop replays ZERO rows: the second run lands and decodes only the delta") {
     val (dir, files) = writeLogs(nTxns = 40, splitAt = 25)
     // run 1: the server only has file 0 (then "the tail was killed")
