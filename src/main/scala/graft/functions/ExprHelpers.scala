@@ -302,6 +302,25 @@ object ExprHelpers {
     new GenericArrayData(rows)
   }
 
+  /** Σ_j lut[j][codes[j]] — the eval kernel of `AdcLutSum` (the ADC
+    * candidate-scoring hot path). Left-associative add in ascending j,
+    * exactly the fold the chained element_at(element_at(lut, j+1),
+    * codes[j]+1) reduce it replaces produced, so every ADC score (and
+    * the shortlist it ranks) is bit-identical. One pass over the two
+    * ArrayData buffers instead of m re-reads of the outer array with
+    * per-element dispatch — this runs once per (candidate, probe) row,
+    * the O(corpus·nProbe) term of PQ serving. */
+  def adcLutSum(lut: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
   /** The seed id of max cosine similarity (ties → smaller seed id) —
     * the eval kernel of `ArgmaxCosineSeed`, semDedup's narrow
     * assignment. Cosine is computed EXACTLY like `CosineSimilarity`

@@ -335,6 +335,28 @@ case class PqLut(child: Expression, books: Array[Array[Array[Double]]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Σ_j lut[j][codes[j]] — the PQ ADC score's table-lookup sum as ONE
+  * compiled pass (see ExprHelpers.adcLutSum). Replaces the m-term
+  * element_at(element_at(lut, j+1), codes[j]+1) reduce chain, which
+  * re-read the outer array and dispatched per element on every of the
+  * O(corpus·nProbe) candidate rows — the measured hot task of the PQ
+  * serving stage. Values are bit-identical (same left-assoc fold). */
+case class AdcLutSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprHelpers.adcLutSum(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprHelpers.adcLutSum($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Merge-based |A ∩ B| over sorted distinct string arrays (the
   * all-pairs Jaccard hot path — replaces hash-based array_intersect +
   * array_union with one allocation-free pass). */
@@ -387,6 +409,8 @@ object VectorFunctions {
     column(CentroidDot(expr(q), expr(cell), centroids))
   def pq_lut(q: Column, books: Array[Array[Array[Double]]], dsub: Int): Column =
     column(PqLut(expr(q), books, dsub))
+  def adc_lut_sum(lut: Column, codes: Column): Column =
+    column(AdcLutSum(expr(lut), expr(codes)))
 
   // KMV theta-style distinct sketch (KmvSketch.scala)
   def kmv_sketch(c: Column, k: Int): Column =

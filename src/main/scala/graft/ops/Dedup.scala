@@ -70,7 +70,13 @@ object Dedup {
   private[graft] def bandHashes(df: DataFrame, textCol: String, id: String,
       k: Int, bands: Int, shingleN: Int = 3): DataFrame = {
     val sig = minhashSigArray(col(textCol), k, shingleN)
-    df.select(col(id).as("__id"), sig.as("__sig"))
+    // parallelism floor BEFORE the signing pass: tokenize + k-stream
+    // MinHash is the CPU-dense per-doc cost and otherwise runs only as
+    // wide as the input file count (the canonicalShingleFrames lesson —
+    // r17 measured llm08's sign stage as one 0.36 s task on a 1-file
+    // corpus). No-op on streaming inputs and on wide scans.
+    OpUtils.parallelismFloor(df.select(col(id), col(textCol)))
+      .select(col(id).as("__id"), sig.as("__sig"))
       .select(col("__id"), posexplode(bandHashArray(col("__sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
   }
@@ -126,7 +132,12 @@ object Dedup {
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as(id)).distinct()
     // Checkpointed: joined as both sh_a and sh_b — one shingling pass,
     // not two (and it is tiny: only docs appearing in some candidate)
-    val sh = docs.join(broadcast(candIds), Seq(id), "left_semi")
+    // floor applies to the docs scan (before the semi-join: the
+    // checkpointed candidate side is an ExistingRDD leaf, which the
+    // width estimator treats as out-of-contract); the broadcast
+    // semi-join preserves the floored partitioning into the shingle pass
+    val sh = OpUtils.parallelismFloor(docs.select(col(id), col(textCol)))
+      .join(broadcast(candIds), Seq(id), "left_semi")
       .select(col(id).as("__id"), TextAnalysis.tokens(col(textCol)).as("__tk"))
       .select(col("__id"),
         array_sort(array_distinct(
@@ -310,6 +321,11 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val (distinctSh, inv, canon) =
       canonicalShingleFrames(df, textCol, id, shingleN)
+    // prefix feeds both sides of the candidate self-join, but the two
+    // shuffle exchanges are IDENTICAL subtrees, so ReuseExchange
+    // computes the canonical-order pass once — no barrier needed here
+    // (r17: an explicit localCheckpoint measured ~2× SLOWER — it
+    // materialized rows the reused exchange never re-reads)
     val prefix = canon.select(col(id),
       explode(expr(prefixSliceExpr(threshold))).as("shingle"))
     val cands = prefix.select(col(id).as("id_a"), col("shingle"))

@@ -115,7 +115,10 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("meta", MediaMetaType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    ids.mapPartitions { rows =>
+    // parallelism floor before the codec pass (the videoTable pattern,
+    // r17): PNG encode is CPU-dense and otherwise runs only as wide as
+    // the docs table's file count; no-op on streaming or wide scans
+    OpUtils.parallelismFloor(ids).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h) = imageDims(id)
@@ -327,7 +330,41 @@ object Multimodal {
   def audioSample(id: Long, k: Int): Int =
     (((73 * id + 37 * k) % 4096) - 2048).toInt
 
-  /** One real WAV (RIFF/PCM, JDK `javax.sound.sampled` encoder). */
+  /** The JDK's audio SPI providers, resolved ONCE per JVM and called
+    * directly. `AudioSystem.write`/`getAudioInputStream` resolve their
+    * provider through `JDK13Services.getProviders` on EVERY call — a
+    * global monitor plus a classloader/service scan, which under
+    * multi-core executors turns into a lock convoy (r17 jstack: 717 of
+    * 960 task samples BLOCKED on that monitor once the codec stage ran
+    * 32-wide; per-row decode cost rose ~90×). These are the same
+    * singleton provider instances the registry would hand back —
+    * stateless, thread-safe, same codec, same bytes — resolved with the
+    * per-task-init discipline of guide §4.5. */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val out = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) out += it.next()
+    // probe RIFF/WAVE readers FIRST: rejection probes are not free — the
+    // JDK's SoftMidiAudioFileReader takes the same JDK13Services global
+    // monitor per probe (the very convoy this bypass removes) before
+    // throwing UnsupportedAudioFileException. For a WAV payload only the
+    // wave readers accept, so putting them first changes which readers
+    // get ASKED, never which reader DECODES — bytes identical.
+    val (wave, rest) =
+      out.result().partition(_.getClass.getSimpleName.contains("WaveFileReader"))
+    wave ++ rest
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val out = Seq.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
+  /** One real WAV (RIFF/PCM, JDK `javax.sound.sampled` encoder — the
+    * registry's own WaveFileWriter, called directly; see audioWriters). */
   def encodeWav(id: Long): Array[Byte] = {
     require(id >= 0, s"media id must be non-negative, got $id")
     val n = audioLen(id)
@@ -344,8 +381,12 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new ByteArrayInputStream(data), fmt, n.toLong)
     val bos = new ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None => throw new IllegalStateException(
+        "no JDK AudioFileWriter supports WAVE — broken JRE audio SPI")
+    }
     bos.toByteArray
   }
 
@@ -363,7 +404,10 @@ object Multimodal {
       StructField("payload", BinaryType),
       StructField("meta", AudioMetaType)))
     val enc = RowEncoder.encoderFor(outSchema)
-    ids.mapPartitions { rows =>
+    // parallelism floor before the codec pass (the videoTable pattern,
+    // r17): WAV encode + downstream decode run in this one stage, which
+    // is file-count-wide without it (llm57's measured 0.5 s single task)
+    OpUtils.parallelismFloor(ids).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         Row(id, encodeWav(id), Row(audioLen(id), 8000, 1, "wav"))
@@ -371,10 +415,20 @@ object Multimodal {
     }(enc)
   }
 
-  /** Decode one WAV payload to its 16-bit PCM samples (JDK codec). */
+  /** Decode one WAV payload to its 16-bit PCM samples (JDK codec — the
+    * registry's own readers, probed directly in registration order;
+    * each non-matching reader rejects with UnsupportedAudioFileException
+    * exactly as it would inside AudioSystem.getAudioInputStream, so the
+    * selected codec and decoded bytes are identical — only the
+    * per-call global provider-registry lock is gone; see audioReaders). */
   def decodeWavSamples(payload: Array[Byte], ctx: String): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new ByteArrayInputStream(payload))
+    val ais = audioReaders.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(new ByteArrayInputStream(payload)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+    }.nextOption().getOrElse(throw new IllegalStateException(
+      s"$ctx: payload is not a decodable audio stream (corrupt media lake?)"))
     try {
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||

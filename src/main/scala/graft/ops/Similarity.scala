@@ -328,7 +328,14 @@ object Similarity {
     * probe rows; per-query top-k with deterministic ties. */
   private[graft] def ivfScore(cb: DataFrame, probes: DataFrame, k: Int,
       embCol: String, id: String): DataFrame = {
-    val scoredQ = cb.join(broadcast(probes), "cell")
+    // parallelism floor BEFORE the scoring join: the probe join + exact
+    // cosine per candidate is the CPU-dense O(corpus·nProbe/kClusters)
+    // term, and without the floor it runs only as wide as the input
+    // file count (the canonicalShingleFrames lesson; r17 ProfileJobs
+    // measured the whole serve as one task on a 1-file corpus). At
+    // scale fileScanWidth ≥ cores and the floor is a no-op — no
+    // repartition of a 100 TB corpus sneaks in.
+    val scoredQ = OpUtils.parallelismFloor(cb).join(broadcast(probes), "cell")
       .filter(col(id) =!= col("query_id"))
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
     val w = Window.partitionBy(col("query_id"))
@@ -853,7 +860,10 @@ object Similarity {
       Array.tabulate(v.length)(i => (v(i) - cent(i)).toFloat)
     }
     val books = booksFromSample(residuals, m, ksub, dim, iters = 3)
-    val encoded = corpus.select(col(id), col(embCol))
+    // same parallelism-floor rationale as ivfScore: cell assignment +
+    // residual encode + ADC scoring run in ONE stage whose width is the
+    // input file count without it (no-op when the scan is already wide)
+    val encoded = OpUtils.parallelismFloor(corpus.select(col(id), col(embCol)))
       .withColumn("cell", cellOf(centroids)(col(embCol)))
       .withColumn("codes",
         pq_codes_residual(col(embCol), col("cell"), centroids, books, dim / m))
@@ -877,8 +887,10 @@ object Similarity {
       dsub: Int, embCol: String, id: String): DataFrame =
     // codes via ONE reference-object expression (PqCodes) — the earlier
     // m×ksub struct-literal/array_min form re-paid its plan analysis on
-    // every execution, same driver-cost pattern NearestCells fixed
-    corpus.select(col(id), col(embCol))
+    // every execution, same driver-cost pattern NearestCells fixed.
+    // Parallelism floor: encode + downstream ADC scoring share one
+    // stage, file-count-wide without it (no-op on a wide scan).
+    OpUtils.parallelismFloor(corpus.select(col(id), col(embCol)))
       .withColumn("codes", pq_codes(col(embCol), books, dsub))
       // DotProduct's contract is (float-array left, double-array right) —
       // the self-product needs an explicit element cast on the right
@@ -900,9 +912,13 @@ object Similarity {
     * dot(q, centroid) term; None for raw-vector PQ. */
   private def adcSim(m: Int,
       bias: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.Column = {
-    val lutSum = (0 until m).map(j =>
-      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+    // one compiled pass over (lut, codes) instead of an m-term
+    // element_at chain: the chain re-read the outer lut array with
+    // per-element dispatch on every candidate row — the measured hot
+    // task of the PQ serving stage (r17 ProfileJobs: 750 ms of a
+    // 2.2 s llm42 run in that single stage). Bit-identical fold
+    // (ascending j, left-assoc — see ExprHelpers.adcLutSum).
+    val lutSum = adc_lut_sum(col("lut"), col("codes"))
     val adc = bias.fold(lutSum)(_ + lutSum)
     when(col("norm") === 0.0, lit(0.0)).otherwise(adc / col("norm"))
   }

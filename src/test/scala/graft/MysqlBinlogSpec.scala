@@ -1842,6 +1842,37 @@ class MysqlBinlogSpec extends SparkTestBase {
     assert(subtractIntervals(Nil, Seq((1L, 5L))) == Nil)
   }
 
+  test("interval subtraction: merge form matches per-point set difference " +
+      "on randomized sorted disjoint inputs (r17 linear-merge rewrite)") {
+    import MysqlBinlog.subtractIntervals
+    val rnd = new scala.util.Random(42)
+    // sorted disjoint [start, end) list over a small domain
+    def genIvs(): Seq[(Long, Long)] = {
+      var at = rnd.nextInt(5).toLong
+      val out = Seq.newBuilder[(Long, Long)]
+      while (at < 80) {
+        val s = at + rnd.nextInt(4)
+        val e = s + 1 + rnd.nextInt(6)
+        if (e <= 80) out += ((s, e))
+        at = e + 1 + rnd.nextInt(3)
+      }
+      out.result()
+    }
+    def points(ivs: Seq[(Long, Long)]): Set[Long] =
+      ivs.flatMap { case (s, e) => s until e }.toSet
+    (1 to 500).foreach { _ =>
+      val a = genIvs(); val b = genIvs()
+      val got = subtractIntervals(a, b)
+      // result must be sorted, disjoint, and cover exactly a-points \ b-points
+      assert(points(got) == (points(a) -- points(b)), s"a=$a b=$b got=$got")
+      got.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 <= s2, s"unsorted: $got")
+        case _ =>
+      }
+      assert(got.forall { case (s, e) => s < e })
+    }
+  }
+
   test("PREVIOUS_GTIDS file pruning: gtid-range scans skip whole files — soundly") {
     val dir = tmpDir()
     val schema = StructType(Seq(StructField("id", LongType)))
