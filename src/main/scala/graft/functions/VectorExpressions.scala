@@ -412,6 +412,11 @@ object VectorFunctions {
   def adc_lut_sum(lut: Column, codes: Column): Column =
     column(AdcLutSum(expr(lut), expr(codes)))
 
+  /** Bounded top-k-by-(sim desc, id asc) aggregate (TopKAgg.scala):
+    * the map-side-pre-reduced replacement for a row_number window. */
+  def top_k_by_sim(id: Column, sim: Column, k: Int): Column =
+    column(TopKSimAgg(expr(id), expr(sim), k).toAggregateExpression())
+
   // KMV theta-style distinct sketch (KmvSketch.scala)
   def kmv_sketch(c: Column, k: Int): Column =
     column(KmvSketchAgg(expr(c), k).toAggregateExpression())

@@ -3,7 +3,6 @@ package graft.ops
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`), per the builder mandate: brute-force cosine top-k as
@@ -11,7 +10,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * 100 TB posture: the query set is broadcast (never shuffle the corpus
   * by query), similarity runs through the codegen'd CosineSimilarity
-  * expression, and top-k is a per-partition window — no global sort. The
+  * expression, and top-k pre-reduces map-side (TopKSimAgg partial
+  * aggregation) so the exchange carries k rows per query per partition,
+  * never the scored candidate set. The
   * LSH variant prunes the corpus side to matching buckets first, turning
   * a full scan per query into a bucket-join; multi-probe (flipping one
   * plane bit) recovers recall at bucket boundaries.
@@ -106,6 +107,25 @@ object Similarity {
     df.withColumn("bucket", bits.reduce(_ + _))
   }
 
+  /** Per-query top-k of a scored candidate frame, pre-reduced BEFORE
+    * the exchange: a k-bounded native aggregate (TopKSimAgg) runs
+    * map-side, so the shuffle carries at most k (id, sim) pairs per
+    * query per map partition instead of every scored candidate row —
+    * guide §2.3 (shuffle fewer bytes). The
+    * `row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)`
+    * window this replaces exchanged the FULL O(corpus·nProbe) scored
+    * set and sorted it just to keep k rows per query — the standing
+    * 100 TB scale risk of every ANN serve path. Rows, sims, ranks and
+    * tie order are identical (same Double.compare total order, ties by
+    * ascending id, rank = array position + 1). */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int, id: String,
+      simCol: String = "sim"): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(top_k_by_sim(col(id), col(simCol), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"),
+        col("col.sim").as(simCol), (col("pos") + lit(1)).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: every query vs every corpus vector.
     * Correctness baseline and the right plan when queries are few —
     * the corpus is scanned once, queries ride along broadcast. */
@@ -116,11 +136,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col(id) =!= col("query_id"))
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(id))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(scored, k, id)
   }
 
   /** Metadata-FILTERED exact top-k — the production vector-search axis
@@ -338,11 +354,7 @@ object Similarity {
     val scoredQ = OpUtils.parallelismFloor(cb).join(broadcast(probes), "cell")
       .filter(col(id) =!= col("query_id"))
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(id))
-    scoredQ.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(scoredQ, k, id)
   }
 
   /** Build and PERSIST an IVF index: `path/centroids` holds the trained
@@ -791,11 +803,7 @@ object Similarity {
     val scored = cb.join(broadcast(probes), col("bucket") === col("probe"))
       .filter(col(id) =!= col("query_id"))
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(id))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(scored, k, id)
   }
 
   /** PQ top-k with Asymmetric Distance Computation — the compressed-
@@ -929,21 +937,18 @@ object Similarity {
     * corpus shuffle. */
   private def pqRerank(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
       k: Int, rerank: Int, embCol: String, id: String): DataFrame = {
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_sim").desc, col(id))
-    val shortlist = scored.withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= k * rerank)
-      .select(col("query_id"), col(id))
+    // ADC shortlist via the same k-bounded pre-reducing aggregate as
+    // topKPerQuery (this window ranked the FULL compressed-domain
+    // candidate set — the O(corpus·nProbe) exchange of the PQ path)
+    val shortlist = scored.groupBy(col("query_id"))
+      .agg(top_k_by_sim(col(id), col("adc_sim"), k * rerank).as("topk"))
+      .select(col("query_id"), explode(col("topk.neighbor_id")).as(id))
     val qe = queries.select(col(id).as("query_id"), col(embCol).as("q_emb"))
     val exact = broadcast(shortlist)
       .join(corpus.select(col(id), col(embCol)), id)
       .join(broadcast(qe), "query_id")
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(id))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(exact, k, id)
   }
 
   /** Multi-table SRP-LSH top-k — the textbook LSH structure: L
@@ -977,10 +982,6 @@ object Similarity {
       .filter(col(id) =!= col("query_id"))
       .dropDuplicates("query_id", id) // union over tables
       .withColumn("sim", cosine_sim(col(embCol), col("q_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(id))
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(id).as("neighbor_id"), col("sim"), col("rank"))
+    topKPerQuery(cands, k, id)
   }
 }

@@ -57,13 +57,17 @@ class ScaleTechniquesSpec extends SparkTestBase {
   test("llm09 plan: per-partition top-k bounds rows before the shuffle (audited shape)") {
     val plan = finalPlan(
       graft.SparkEntry.queries("llm09_knn_brute")(spark, "/root/testdata/sf0.001"))
-    // WindowGroupLimit Partial BEFORE the exchange caps each partition at
-    // k rows per query — the shuffle carries k·queries rows, not the
-    // full corpus×queries cross product
-    assert(plan.contains("row_number(), 10, Partial"),
-      s"expected partial window-group-limit before the shuffle:\n$plan")
-    assert(plan.contains("row_number(), 10, Final"),
-      s"expected final window-group-limit after the shuffle:\n$plan")
+    // partial top_k_by_sim BEFORE the exchange reduces each partition to
+    // one k-bounded buffer per query — the shuffle carries k·queries
+    // entries, not the full corpus×queries cross product, and (unlike
+    // the WindowGroupLimit form this replaced in r18) no local sort of
+    // the scored candidate set ever runs
+    assert(plan.contains("partial_top_k_by_sim"),
+      s"expected partial top-k aggregation before the shuffle:\n$plan")
+    assert(plan.contains("functions=[top_k_by_sim"),
+      s"expected final top-k aggregation after the shuffle:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Sort "),
+      s"serve ranking must not sort the scored candidate set:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"query set must ride broadcast:\n$plan")
   }
