@@ -146,12 +146,19 @@ object Cdc {
         .option("database", CdcFixture.Db)
         .option("table", CdcFixture.Table)
         .load()
-      val q = stream.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        graft.tools.StreamPlanAudit.record("cdc08", q)
-      } finally q.stop()
+      val ckpt = graft.TmpDirs.ephemeralCheckpoint("cdc08")
+      graft.streaming.EphemeralCkpt.withoutChecksums(s) {
+        val q = stream.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          graft.tools.StreamPlanAudit.record("cdc08", q)
+        } finally {
+          q.stop()
+          graft.TmpDirs.deleteRecursively(new java.io.File(ckpt))
+        }
+      }
       s.table(name)
     }
   )

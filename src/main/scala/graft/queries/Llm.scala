@@ -107,11 +107,13 @@ object Llm {
           kClusters = 16)
         val arriving = graft.streaming.StreamOps.embeddingsStream(s, dir)
           .filter(col("vec_id") % 10 === 9)
-        val q = graft.streaming.StreamOps.ivfAppendStream(s, idx, arriving)
-        try {
-          q.processAllAvailable()
-          graft.tools.StreamPlanAudit.record("str22", q)
-        } finally q.stop()
+        graft.streaming.EphemeralCkpt.withoutChecksums(s) {
+          val q = graft.streaming.StreamOps.ivfAppendStream(s, idx, arriving)
+          try {
+            q.processAllAvailable()
+            graft.tools.StreamPlanAudit.record("str22", q)
+          } finally q.stop()
+        }
         marker.createNewFile()
       }
     }

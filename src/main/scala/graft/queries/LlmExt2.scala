@@ -284,14 +284,16 @@ object LlmExt2 {
         seedId = "vec_id", seedEmb = "embedding")
       val arriving = graft.streaming.StreamOps.embeddingsStream(s, dir)
         .filter(col("vec_id") % 10 === 0)
-      val q = graft.streaming.StreamOps.semDedupIngestStream(s, idx,
-        arriving, "embedding", "vec_id", threshold = 0.40,
-        sink = (out, bid) =>
-          out.write.mode("overwrite").parquet(s"$root/verdicts/b=$bid"))
-      try {
-        q.processAllAvailable()
-        graft.tools.StreamPlanAudit.record("str21", q)
-      } finally q.stop()
+      graft.streaming.EphemeralCkpt.withoutChecksums(s) {
+        val q = graft.streaming.StreamOps.semDedupIngestStream(s, idx,
+          arriving, "embedding", "vec_id", threshold = 0.40,
+          sink = (out, bid) =>
+            out.write.mode("overwrite").parquet(s"$root/verdicts/b=$bid"))
+        try {
+          q.processAllAvailable()
+          graft.tools.StreamPlanAudit.record("str21", q)
+        } finally q.stop()
+      }
       marker.createNewFile()
     }
     root

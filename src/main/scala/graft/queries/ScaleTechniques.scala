@@ -188,12 +188,19 @@ object ScaleTechniques {
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try {
-        q.processAllAvailable()
-        graft.tools.StreamPlanAudit.record("str04", q)
-      } finally q.stop()
+      val ckpt = graft.TmpDirs.ephemeralCheckpoint("str04")
+      graft.streaming.EphemeralCkpt.withoutChecksums(s) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          graft.tools.StreamPlanAudit.record("str04", q)
+        } finally {
+          q.stop()
+          graft.TmpDirs.deleteRecursively(new java.io.File(ckpt))
+        }
+      }
       s.table(name)
     }
   )

@@ -26,17 +26,31 @@ object Streaming {
       statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        math.min(prev.toInt, statePartitions).toString)
-      df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try {
-      q.processAllAvailable()
-      // executed-plan capture for PlanLint's streaming audit (keyed by
-      // the strNN/cdcNN prefix; must happen before stop)
-      graft.tools.StreamPlanAudit.record(name.split("_").head, q)
-    } finally q.stop()
+    // RAM-backed ephemeral checkpoint (fresh per start, deleted at
+    // stop) with checkpoint-file checksums off for its lifetime — the
+    // checksum sidecar await on every state-commit close, not raw disk
+    // I/O, was the measured bulk of the stateful stage's non-CPU time
+    // (see EphemeralCkpt / TmpDirs.ephemeralCheckpoint)
+    val ckpt = graft.TmpDirs.ephemeralCheckpoint(name)
+    graft.streaming.EphemeralCkpt.withoutChecksums(spark) {
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(prev.toInt, statePartitions).toString)
+        df.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", ckpt).outputMode(mode).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      try {
+        q.processAllAvailable()
+        // executed-plan capture for PlanLint's streaming audit (keyed by
+        // the strNN/cdcNN prefix; must happen before stop)
+        graft.tools.StreamPlanAudit.record(name.split("_").head, q)
+      } finally {
+        q.stop()
+        // eager delete: repeated drains (the bench's reps) must not
+        // accumulate checkpoint dirs on the RAM root
+        graft.TmpDirs.deleteRecursively(new java.io.File(ckpt))
+      }
+    }
     spark.table(name)
   }
 
@@ -98,17 +112,24 @@ object Streaming {
       // clobber each other, repeated runs don't leak sink copies
       val out = graft.TmpDirs.scoped(
         "graft-str07-" + java.lang.Integer.toHexString(dir.hashCode))
-      val q = StreamOps.eventsStream(s, dir)
-        .select(col("event_type"))
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          batch.write.mode(if (batchId == 0) "overwrite" else "append").parquet(out)
+      val ckpt = graft.TmpDirs.ephemeralCheckpoint("str07")
+      graft.streaming.EphemeralCkpt.withoutChecksums(s) {
+        val q = StreamOps.eventsStream(s, dir)
+          .select(col("event_type"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            batch.write.mode(if (batchId == 0) "overwrite" else "append").parquet(out)
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          graft.tools.StreamPlanAudit.record("str07", q)
+        } finally {
+          q.stop()
+          graft.TmpDirs.deleteRecursively(new java.io.File(ckpt))
         }
-        .start()
-      try {
-        q.processAllAvailable()
-        graft.tools.StreamPlanAudit.record("str07", q)
-      } finally q.stop()
+      }
       s.read.parquet(out).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     },
 
@@ -503,14 +524,16 @@ object Streaming {
       val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
       @volatile var innerPlan: String = null
       @volatile var outSchema: org.apache.spark.sql.types.StructType = null
-      val q = StreamOps.semDedupGateStream(s, idx, arriving,
-        "embedding", "vec_id", threshold = 0.40,
-        sink = (out, _) => {
-          out.collect().foreach(buf.add)
-          outSchema = out.schema
-          innerPlan = out.queryExecution.executedPlan.toString
-        })
-      try q.processAllAvailable() finally q.stop()
+      graft.streaming.EphemeralCkpt.withoutChecksums(s) {
+        val q = StreamOps.semDedupGateStream(s, idx, arriving,
+          "embedding", "vec_id", threshold = 0.40,
+          sink = (out, _) => {
+            out.collect().foreach(buf.add)
+            outSchema = out.schema
+            innerPlan = out.queryExecution.executedPlan.toString
+          })
+        try q.processAllAvailable() finally q.stop()
+      }
       Option(innerPlan)
         .foreach(graft.tools.StreamPlanAudit.recordPlan("str20", _))
       require(outSchema != null,

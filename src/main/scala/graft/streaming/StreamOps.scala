@@ -568,6 +568,11 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val seeds = readGateSeeds(spark, path)
     arriving.writeStream
+      // RAM-backed ephemeral checkpoint: callers of this API get the
+      // same non-durable temp checkpoint Spark would create, minus the
+      // disk-backed /tmp fsyncs (a durable deployment wraps writeStream
+      // itself and passes a real checkpointLocation)
+      .option("checkpointLocation", graft.TmpDirs.ephemeralCheckpoint("semgate"))
       .foreachBatch { (b: Dataset[Row], batchId: Long) =>
         sink(gateVerdicts(spark, path, b.toDF(), embCol, id, threshold,
           seeds), batchId)
@@ -592,6 +597,8 @@ object StreamOps {
       arriving: DataFrame, embCol: String = "embedding",
       id: String = "vec_id"): org.apache.spark.sql.streaming.StreamingQuery =
     arriving.writeStream
+      // same ephemeral-checkpoint rationale as semDedupGateStream
+      .option("checkpointLocation", graft.TmpDirs.ephemeralCheckpoint("ivfappend"))
       .foreachBatch { (b: Dataset[Row], _: Long) =>
         graft.ops.Similarity.appendToIvfIndexIdempotent(spark, path,
           b.toDF(), embCol, id)
@@ -616,6 +623,8 @@ object StreamOps {
       arriving: DataFrame, embCol: String, id: String, threshold: Double,
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     arriving.writeStream
+      // same ephemeral-checkpoint rationale as semDedupGateStream
+      .option("checkpointLocation", graft.TmpDirs.ephemeralCheckpoint("semingest"))
       .foreachBatch { (b: Dataset[Row], batchId: Long) =>
         sink(graft.ops.Dedup.appendToSemDedupIndex(spark, path, b.toDF(),
           embCol, id, threshold), batchId)

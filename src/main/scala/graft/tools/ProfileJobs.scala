@@ -35,7 +35,9 @@ object ProfileJobs {
     spark.sparkContext.setLogLevel("ERROR")
 
     case class JobRec(id: Int, desc: String, t0: Long, var t1: Long = 0L,
-      var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L)
+      var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L,
+      val stageDetail: scala.collection.mutable.ArrayBuffer[String] =
+        scala.collection.mutable.ArrayBuffer.empty)
     val jobs = new scala.collection.concurrent.TrieMap[Int, JobRec]
     val stageToJob = new scala.collection.concurrent.TrieMap[Int, Int]
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]
@@ -56,6 +58,14 @@ object ProfileJobs {
           j.stages += 1
           j.tasks += si.numTasks
           j.taskMs += si.taskMetrics.executorRunTime
+          val m = si.taskMetrics
+          val wall = (for (a <- si.completionTime; b <- si.submissionTime)
+            yield a - b).getOrElse(-1L)
+          j.stageDetail += f"    stage ${si.stageId}%4d ${wall}%6d ms " +
+            f"tasks=${si.numTasks}%4d run=${m.executorRunTime}%6d " +
+            f"cpu=${m.executorCpuTime / 1000000}%6d deser=${m.executorDeserializeTime}%5d " +
+            f"gc=${m.jvmGCTime}%5d shW=${m.shuffleWriteMetrics.writeTime / 1000000}%4d " +
+            f"shRwait=${m.shuffleReadMetrics.fetchWaitTime}%4d  ${si.name.take(60)}"
         }
       }
     })
@@ -83,6 +93,8 @@ object ProfileJobs {
         val w = math.max(0L, j.t1 - j.t0)
         jobWall += w
         println(f"job ${j.id}%4d ${w}%6d ms  stages=${j.stages}%2d tasks=${j.tasks}%4d taskTime=${j.taskMs}%6d ms  ${j.desc.take(80)}")
+        if (sys.env.get("SPARK_GRAFT_PROFILE_STAGES").contains("1"))
+          j.stageDetail.foreach(println)
       }
       println(f"$name sum(job wall) = ${jobWall / 1000.0}%.3f s; driver gap = ${lastWall - jobWall / 1000.0}%.3f s")
     }
