@@ -2,6 +2,30 @@ package graft.ops
 
 private[graft] object OpUtils {
 
+  /** Read a persisted-index parquet dir with its schema cached for the
+    * JVM. Every bare `spark.read.parquet(path)` re-derives the schema
+    * (directory listing + footer read, and sometimes a one-task Spark
+    * job) on the driver — pure metadata latency paid on EVERY serve
+    * call against an index whose schema is fixed at build time by
+    * construction (appends/deletes/compactions all write the same
+    * columns; a rebuilt index reuses its path only with its own
+    * layout). File LISTING stays per-call, so appended/deleted files
+    * are always visible — only the schema is pinned. The production
+    * analogue is a catalog table: schema known, no per-query
+    * inference. */
+  def readParquet(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val cached = indexSchemas.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      indexSchemas.put(path, df.schema)
+      df
+    }
+  }
+  private val indexSchemas = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Helper-column name absent from `taken` — compared
     * case-INsensitively, because Spark resolves column names
     * case-insensitively by default, so a fixed "__bin" would clobber a

@@ -412,7 +412,7 @@ object Similarity {
     val fs = IndexFs.fs(spark, path)
     val batchIds = broadcast(batch.select(col(id)).distinct())
     if (IndexFs.exists(fs, s"$path/tombstones")) {
-      val t = spark.read.parquet(s"$path/tombstones")
+      val t = OpUtils.readParquet(spark, s"$path/tombstones")
         .join(batchIds, Seq(id), "left_semi").limit(1).collect()
       require(t.isEmpty,
         s"appendToIvfIndex($path): $id ${t.headOption.map(_.get(0))} is " +
@@ -420,7 +420,7 @@ object Similarity {
           "would be invisible now and dropped for good at the next " +
           "compaction; run compactIvfIndex (or rebuildIvfIndex) first")
     }
-    val dup = spark.read.parquet(s"$path/corpus").select(col(id))
+    val dup = OpUtils.readParquet(spark, s"$path/corpus").select(col(id))
       .join(batchIds, Seq(id), "left_semi").limit(1).collect()
     require(dup.isEmpty,
       s"appendToIvfIndex($path): $id ${dup.headOption.map(_.get(0))} is " +
@@ -436,7 +436,7 @@ object Similarity {
       s"appendToIvfIndex($path): batch contains duplicate $id " +
         s"${batchDup.headOption.map(_.get(0))} — one identity would serve " +
         "two corpus rows; dedup the batch before appending")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = OpUtils.readParquet(spark, s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
     batch.withColumn("cell", cellOf(centroids)(col(embCol)))
@@ -505,13 +505,13 @@ object Similarity {
     // fall through to the raw append's loud compact-then-reappend
     // refusal — an all-stored no-op here would silently swallow the new
     // vectors while serving anti-joins the old ones out
-    val stored = spark.read.parquet(s"$path/corpus")
+    val stored = OpUtils.readParquet(spark, s"$path/corpus")
       .select(col(id)).distinct()
       .join(broadcast(batchIds), Seq(id), "left_semi")
     val tombDir = s"$path/tombstones"
     val live =
       if (IndexFs.exists(fs, tombDir))
-        stored.join(broadcast(spark.read.parquet(tombDir).distinct()),
+        stored.join(broadcast(OpUtils.readParquet(spark, tombDir).distinct()),
           Seq(id), "left_anti")
       else stored
     if (live.count() == nBatch) {
@@ -568,8 +568,8 @@ object Similarity {
     val tombDir = s"$path/tombstones"
     if (!IndexFs.exists(fs, tombDir)) return
     val tmp = s"$path/corpus.compacting" // crash leftovers overwritten
-    spark.read.parquet(s"$path/corpus")
-      .join(broadcast(spark.read.parquet(tombDir).distinct()),
+    OpUtils.readParquet(spark, s"$path/corpus")
+      .join(broadcast(OpUtils.readParquet(spark, tombDir).distinct()),
         Seq(id), "left_anti")
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     // an all-rows-tombstoned compaction writes a part-file-less dir that
@@ -623,18 +623,18 @@ object Similarity {
   def rebuildIvfIndex(spark: SparkSession, path: String,
       embCol: String = "embedding", id: String = "vec_id"): Unit = {
     import spark.implicits._
-    val oldCentroids = spark.read.parquet(s"$path/centroids")
+    val oldCentroids = OpUtils.readParquet(spark, s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
     val kClusters = oldCentroids.length
     val dim = oldCentroids.head.length
     val fs = IndexFs.fs(spark, path)
     val tombDir = s"$path/tombstones"
-    val stored = spark.read.parquet(s"$path/corpus").drop("cell")
+    val stored = OpUtils.readParquet(spark, s"$path/corpus").drop("cell")
     val live =
       if (IndexFs.exists(fs, tombDir))
         stored.join(
-          broadcast(spark.read.parquet(tombDir).distinct()),
+          broadcast(OpUtils.readParquet(spark, tombDir).distinct()),
           Seq(id), "left_anti")
       else stored
     // an all-rows-tombstoned rebuild has nothing to train on — refuse
@@ -685,15 +685,15 @@ object Similarity {
     * the kClusters-row centroid table. No vector bytes are read. */
   def ivfCellStats(spark: SparkSession, path: String,
       id: String = "vec_id"): DataFrame = {
-    val cells = spark.read.parquet(s"$path/centroids").select(col("cell"))
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val cells = OpUtils.readParquet(spark, s"$path/centroids").select(col("cell"))
+    val corpus = OpUtils.readParquet(spark, s"$path/corpus")
     val totals = corpus.groupBy(col("cell")).agg(count(lit(1)).as("n_total"))
     val fs = IndexFs.fs(spark, path)
     val tombDir = s"$path/tombstones"
     import spark.implicits._
     val dead =
       if (IndexFs.exists(fs, tombDir))
-        corpus.join(broadcast(spark.read.parquet(tombDir).distinct()),
+        corpus.join(broadcast(OpUtils.readParquet(spark, tombDir).distinct()),
             Seq(id), "left_semi")
           .groupBy(col("cell")).agg(count(lit(1)).as("n_tomb"))
       else Seq.empty[(Int, Long)].toDF("cell", "n_tomb")
@@ -765,7 +765,7 @@ object Similarity {
   def ivfTopKFromIndex(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
       embCol: String = "embedding", id: String = "vec_id"): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = OpUtils.readParquet(spark, s"$path/centroids")
       .orderBy(col("cell")).select(col("centroid"))
       .collect().map(_.getSeq[Double](0).toArray)
     // probes materialize once (eager localCheckpoint): both the cell
@@ -776,12 +776,12 @@ object Similarity {
       .localCheckpoint(true)
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cb0 = spark.read.parquet(s"$path/corpus")
+    val cb0 = OpUtils.readParquet(spark, s"$path/corpus")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(Integer.valueOf): _*))
     val tombDir = s"$path/tombstones"
     val cb =
       if (IndexFs.exists(IndexFs.fs(spark, path), tombDir))
-        cb0.join(broadcast(spark.read.parquet(tombDir).distinct()),
+        cb0.join(broadcast(OpUtils.readParquet(spark, tombDir).distinct()),
           Seq(id), "left_anti")
       else cb0
     ivfScore(cb, probes, k, embCol, id)
