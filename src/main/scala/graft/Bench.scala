@@ -330,6 +330,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // file listing below this many paths runs on the driver instead
+      // of as a distributed job: the default (32) turned every read of
+      // a cell-partitioned index (~80 dirs) into an 80-task listing job
+      // of ~0 ms tasks — 150 ms of pure scheduler overhead per serve
+      // (llm82 ProfileJobs). Deployments with thousands of partition
+      // dirs on an object store still get the distributed listing.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH_ONLY=a,b,c: bench exactly those queries under

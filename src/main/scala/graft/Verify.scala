@@ -17,6 +17,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-side listing below 128 paths (see Bench.scala)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

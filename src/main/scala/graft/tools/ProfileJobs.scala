@@ -26,6 +26,8 @@ object ProfileJobs {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver-side listing below 128 paths (see Bench.scala)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
     // ad-hoc conf experiments: SPARK_GRAFT_PROFILE_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(';')
       .filter(_.contains('=')).foreach { kv =>
